@@ -1,0 +1,103 @@
+"""Base stage contracts for the engine.
+
+The reference's operators are SparkML ``PipelineStage``s with an eager
+``transformSchema(StructType) -> StructType`` contract (e.g. Explode —
+reference ``core/src/main/scala/com/microsoft/ml/spark/stages/Explode.scala:26-43``).
+PySpark's ``pyspark.ml`` API does not expose ``transformSchema``, so we add
+it here as a first-class method: every stage can statically compute its
+output schema *before* any job runs, which is what makes eager validation
+possible at 100 TB scale (a schema mistake must never surface 3 hours into
+a run).
+
+All stages subclass ``pyspark.ml.Transformer`` / ``Estimator`` so they
+compose with stock ``pyspark.ml.Pipeline`` and serialize through
+``DefaultParamsWritable`` (JSON params; DataFrame-valued state is stored
+as parquet by the owning model, mirroring the reference's
+``Serializer.scala`` DataFrame-param handling).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyspark.ml as _ml
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+class SchemaContractMixin:
+    """Static schema propagation, validated eagerly in ``transform``."""
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        """Compute the output schema from the input schema without running
+        a job. Default: schema-preserving. Override in stages that add,
+        drop or retype columns."""
+        return schema
+
+    def _require_cols(self, schema: T.StructType, *cols: str) -> None:
+        missing = [c for c in cols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"{type(self).__name__}: input is missing column(s) {missing}; "
+                f"have {schema.fieldNames()}"
+            )
+
+
+class _ParamStageBase(Params):
+    """Lightweight param registration: subclasses call
+    ``self._init_params(**kwargs)`` in ``__init__`` to register every
+    keyword as a pyspark ``Param`` (serializable, copyable) while also
+    exposing it as a plain attribute for ergonomic access."""
+
+    def _init_params(self, **kwargs: Any) -> None:
+        for name, value in kwargs.items():
+            p = Param(self, name, name, TypeConverters.identity)
+            setattr(self, name + "Param", p)
+            self._paramMap[p] = value
+            setattr(self, name, value)
+
+    def get(self, name: str) -> Any:
+        return self._paramMap[getattr(self, name + "Param")]
+
+    def set(self, name: str, value: Any) -> "_ParamStageBase":
+        self._paramMap[getattr(self, name + "Param")] = value
+        setattr(self, name, value)
+        return self
+
+
+class Transformer(
+    _ml.Transformer, _ParamStageBase, SchemaContractMixin,
+    DefaultParamsReadable, DefaultParamsWritable,
+):
+    """Engine base transformer. Subclasses implement ``_transform(df)``
+    and (usually) ``transform_schema(schema)``. ``transform`` validates
+    the schema contract eagerly before emitting the lazy plan."""
+
+    def __init__(self, **kwargs: Any):
+        super().__init__()
+        self._init_params(**kwargs)
+
+    def transform(self, dataset: DataFrame, params=None) -> DataFrame:
+        self.transform_schema(dataset.schema)  # eager validation
+        return super().transform(dataset, params)
+
+
+class Model(Transformer):
+    """A fitted transformer."""
+
+
+class Estimator(
+    _ml.Estimator, _ParamStageBase, SchemaContractMixin,
+    DefaultParamsReadable, DefaultParamsWritable,
+):
+    """Engine base estimator. Subclasses implement ``_fit(df) -> Model``."""
+
+    def __init__(self, **kwargs: Any):
+        super().__init__()
+        self._init_params(**kwargs)
+
+    def fit(self, dataset: DataFrame, params=None):
+        self.transform_schema(dataset.schema)
+        return super().fit(dataset, params)

@@ -1,0 +1,68 @@
+"""Vector / array column functions.
+
+Parity targets: reference ``core/.../stages/udfs.scala:20-34``
+(``get_value_at``, ``to_vector``), ``core/.../core/utils/SlicerFunctions.scala:12-62``,
+``vw/.../VectorZipper.scala:16-42``. Re-expressed as Catalyst
+expressions (``vector_to_array`` / ``array_to_vector`` / ``slice`` /
+``zip_with``) — JVM-side, codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def get_value_at(vec: Column | str, index: int) -> Column:
+    """Element i of an ML vector column (reference udfs.get_value_at)."""
+    from pyspark.ml.functions import vector_to_array
+
+    return vector_to_array(_c(vec))[index]
+
+
+def to_vector(arr: Column | str) -> Column:
+    """array<numeric> → ML dense vector (reference udfs.to_vector)."""
+    from pyspark.ml.functions import array_to_vector
+
+    return array_to_vector(_c(arr))
+
+
+def slice_vector(vec: Column | str, indices: Sequence[int]) -> Column:
+    """Select the listed slots of a vector → dense vector (reference
+    SlicerFunctions)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    arr = vector_to_array(_c(vec))
+    return array_to_vector(F.array(*[arr[int(i)] for i in indices]))
+
+
+def vector_zip(*cols: Column | str) -> Column:
+    """Zip scalar columns into an array (reference VectorZipper)."""
+    return F.array(*[_c(c) for c in cols])
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<double> columns — pure zip_with/aggregate,
+    vectorizable by codegen."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(_c(a), F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array<numeric> columns (cast to double)."""
+    ad = F.transform(_c(a), lambda x: x.cast("double"))
+    bd = F.transform(_c(b), lambda x: x.cast("double"))
+    return dot(ad, bd) / (norm(ad) * norm(bd))

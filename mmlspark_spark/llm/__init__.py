@@ -1,0 +1,16 @@
+from mmlspark_spark.llm.dedup import (
+    ExactDeduplicator,
+    MinHashLSHDeduplicator,
+    SimHashDeduplicator,
+    ngram_jaccard_pairs,
+)
+from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
+
+__all__ = [
+    "ExactDeduplicator",
+    "MinHashLSHDeduplicator",
+    "SimHashDeduplicator",
+    "ngram_jaccard_pairs",
+    "BruteForceKNN",
+    "LSHKNN",
+]

@@ -1,0 +1,272 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all expressed as DataFrame dataflows (no driver-side state),
+each designed so the expensive part happens BEFORE the shuffle:
+
+- Exact:        shuffle on a 128-bit content hash, never on raw text.
+- N-gram Jaccard: exact pairwise similarity restricted to shingle-sharing
+                pairs (the join prunes the O(n^2) space).
+- MinHash+LSH:  constant-size signatures per doc (map-side partial agg),
+                band-bucket join for candidates, optional exact verify.
+- SimHash:      one 64-bit fingerprint per doc computed in a single map
+                (pure expression, no shuffle), banded for Hamming search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from mmlspark_spark.core.base import Transformer
+from mmlspark_spark.functions.text_quality import tokens, word_shingles
+
+
+class ExactDeduplicator(Transformer):
+    """Keep one row (lowest ``idCol``) per distinct value of ``keyCols``.
+
+    Scale: dedups by 128 bits of hash (xxhash64 ⊕ md5) so the shuffle key
+    is fixed-width even when the key is a 100 KB document; collision
+    probability ~2^-96 at 10^12 docs. ``row_number`` over the hash
+    partition keeps exactly one deterministic winner.
+    """
+
+    def __init__(self, keyCols=("text",), idCol: str = "doc_id"):  # noqa: D107
+        super().__init__(keyCols=list(keyCols), idCol=idCol)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, *self.keyCols, self.idCol)
+        return schema
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        key = F.concat_ws("\x1f", *[F.col(c) for c in self.keyCols])
+        h1, h2 = F.xxhash64(key), F.md5(key)
+        w = Window.partitionBy(h1, h2).orderBy(F.col(self.idCol))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+
+def _distinct_shingles(df: DataFrame, idCol: str, textCol: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(idCol).alias("__id"),
+        F.explode(word_shingles(textCol, n)).alias("__shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, idCol: str = "doc_id", textCol: str = "text",
+    n: int = 5, minJaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair of documents that
+    shares at least one word n-gram shingle.
+
+    The shingle equi-join is the candidate pruner: only docs sharing an
+    n-gram ever meet, so the pair space is output-sensitive rather than
+    O(n^2). At 100 TB the same plan holds — the shuffle key is the
+    shingle, hot shingles are handled by AQE skew-join splitting.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = _distinct_shingles(df, idCol, textCol, n)
+    counts = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__shingle") == F.col("b.__shingle"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    ca = counts.select(F.col("__id").alias("doc_a"), F.col("__n").alias("__na"))
+    cb = counts.select(F.col("__id").alias("doc_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("__inter")
+             / (F.col("__na") + F.col("__nb") - F.col("__inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= minJaccard)
+    )
+
+
+class MinHashLSHDeduplicator(Transformer):
+    """MinHash + banded LSH near-duplicate detection.
+
+    Dataflow: shingle → k min-hashes per doc (ONE groupBy with k ``min``
+    aggregates — map-side combinable, constant state per doc) → band
+    hashes → equi-join on (band index, band hash) → candidate pairs with
+    estimated Jaccard (fraction of equal minhash slots); optionally
+    verified with exact shingle Jaccard.
+
+    transform(df) returns (doc_a, doc_b, est_jaccard[, jaccard]) pairs.
+
+    Scale: signatures are k×8 bytes/doc regardless of document size; the
+    only shuffles are the signature groupBy and the band join. Band-hash
+    skew (e.g. boilerplate docs) is split by AQE.
+    """
+
+    def __init__(self, idCol: str = "doc_id", textCol: str = "text",  # noqa: D107
+                 shingleSize: int = 5, numHashes: int = 32, bands: int = 8,
+                 threshold: float = 0.5, verifyExact: bool = False):
+        if numHashes % bands:
+            raise ValueError("numHashes must be divisible by bands")
+        super().__init__(idCol=idCol, textCol=textCol, shingleSize=shingleSize,
+                         numHashes=numHashes, bands=bands, threshold=threshold,
+                         verifyExact=verifyExact)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.idCol, self.textCol)
+        id_type = schema[self.idCol].dataType
+        fields = [
+            T.StructField("doc_a", id_type, True),
+            T.StructField("doc_b", id_type, True),
+            T.StructField("est_jaccard", T.DoubleType(), True),
+        ]
+        if self.verifyExact:
+            fields.append(T.StructField("jaccard", T.DoubleType(), True))
+        return T.StructType(fields)
+
+    def signatures(self, df: DataFrame) -> DataFrame:
+        """(id, sig: array<long>[numHashes]) — one row per doc."""
+        k = self.numHashes
+        sh = _distinct_shingles(df, self.idCol, self.textCol, self.shingleSize)
+        mins = sh.groupBy("__id").agg(
+            *[F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"h{i}")
+              for i in range(k)]
+        )
+        return mins.select(
+            "__id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("__sig")
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        k, b = self.numHashes, self.bands
+        r = k // b
+        sigs = self.signatures(df)
+        banded = sigs.select(
+            "__id", "__sig",
+            F.posexplode(F.array(*[
+                F.xxhash64(F.lit(j), *[F.col("__sig")[j * r + i] for i in range(r)])
+                for j in range(b)
+            ])).alias("__band", "__bandhash"),
+        )
+        a, bb = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(bb, (F.col("a.__band") == F.col("b.__band"))
+                   & (F.col("a.__bandhash") == F.col("b.__bandhash"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+            .select(
+                F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"),
+                F.col("a.__sig").alias("__sa"), F.col("b.__sig").alias("__sb"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        est = F.size(F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda eq: eq,
+        )).cast("double") / F.lit(float(k))
+        pairs = cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        pairs = pairs.filter(F.col("est_jaccard") >= self.threshold)
+        if not self.verifyExact:
+            return pairs
+        exact = ngram_jaccard_pairs(df, self.idCol, self.textCol, self.shingleSize)
+        return (
+            pairs.join(exact, ["doc_a", "doc_b"], "left")
+            .na.fill({"jaccard": 0.0})
+            .filter(F.col("jaccard") >= self.threshold)
+        )
+
+
+def simhash(text, num_bits: int = 64):
+    """64-bit SimHash of whitespace tokens as a single Catalyst
+    expression: per token, xxhash64 supplies the bit pattern; bit j of
+    the fingerprint is the sign of sum over tokens of (+1/-1). Runs
+    entirely map-side — fingerprinting 100 TB is shuffle-free.
+
+    The bit loop is unrolled with Python ints (shift amounts must be
+    literals); the fingerprint is assembled by summing a literal array of
+    disjoint powers of two (bit 63 as its two's-complement negative), so
+    the whole thing is one expression tree with no duplicated aggregate.
+    """
+    t = tokens(text)
+    votes = F.aggregate(
+        t,
+        F.array_repeat(F.lit(0), num_bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(
+                    F.shiftright(F.xxhash64(x), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+                for j in range(num_bits)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
+    powers = F.array(*[
+        F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        for j in range(num_bits)
+    ])
+    signed_bits = F.zip_with(
+        votes, powers,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(signed_bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+class SimHashDeduplicator(Transformer):
+    """SimHash near-dup detection: 64-bit fingerprints, banded into
+    ``bands`` chunks; pairs agreeing on ≥1 chunk are candidates (finds
+    ALL pairs with Hamming distance < bands), filtered to
+    ``maxHammingDistance``.
+
+    transform(df) returns (doc_a, doc_b, hamming).
+    """
+
+    def __init__(self, idCol: str = "doc_id", textCol: str = "text",  # noqa: D107
+                 bands: int = 4, maxHammingDistance: int = 3):
+        super().__init__(idCol=idCol, textCol=textCol, bands=bands,
+                         maxHammingDistance=maxHammingDistance)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.idCol, self.textCol)
+        id_type = schema[self.idCol].dataType
+        return T.StructType([
+            T.StructField("doc_a", id_type, True),
+            T.StructField("doc_b", id_type, True),
+            T.StructField("hamming", T.IntegerType(), True),
+        ])
+
+    def fingerprints(self, df: DataFrame) -> DataFrame:
+        return df.select(F.col(self.idCol).alias("__id"),
+                         simhash(self.textCol).alias("__sh"))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        b = self.bands
+        width = 64 // b
+        mask = (1 << width) - 1
+        fp = self.fingerprints(df)
+        banded = fp.select(
+            "__id", "__sh",
+            F.posexplode(F.array(*[
+                F.shiftrightunsigned(F.col("__sh"), j * width)
+                .bitwiseAND(F.lit(mask)).alias(f"c{j}")
+                for j in range(b)
+            ])).alias("__band", "__chunk"),
+        )
+        a, bb = banded.alias("a"), banded.alias("b")
+        xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+        hamming = F.bit_count(xor)
+        return (
+            a.join(bb, (F.col("a.__band") == F.col("b.__band"))
+                   & (F.col("a.__chunk") == F.col("b.__chunk"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"),
+                    hamming.cast("int").alias("hamming"))
+            .dropDuplicates(["doc_a", "doc_b"])
+            .filter(F.col("hamming") <= self.maxHammingDistance)
+        )

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two engines:
+
+- ``BruteForceKNN``: exact top-k by cosine. The ``expr`` method is pure
+  Catalyst (zip_with dot products + window top-k) — the correctness
+  baseline. The ``numpy`` method is the throughput path: Arrow batches →
+  one BLAS matmul per batch, per-partition partial top-k (k rows per
+  query per partition survive), then a final tiny window — the shuffle
+  carries O(#queries × #partitions × k) rows instead of O(#queries × N).
+
+- ``LSHKNN``: random-hyperplane (signed random projection) LSH — the
+  100 TB scale path. Bit signatures bucket the corpus; search touches
+  only colliding buckets. Recall < 1 by construction; report it against
+  the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mmlspark_spark.functions.vector import cosine_similarity
+
+
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+class BruteForceKNN:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``search(data, queries)``: both DataFrames carry (idCol, vecCol);
+    queries are broadcast (they are the small side by construction).
+    """
+
+    def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
+                 k: int = 10, method: str = "expr", excludeSelf: bool = True):
+        assert method in ("expr", "numpy")
+        self.idCol, self.vecCol, self.k = idCol, vecCol, k
+        self.method = method
+        self.excludeSelf = excludeSelf
+
+    def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        if self.method == "expr":
+            return self._search_expr(data, queries)
+        return self._search_numpy(data, queries)
+
+    def _search_expr(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        q = queries.select(
+            F.col(self.idCol).alias("query_id"), F.col(self.vecCol).alias("__qv")
+        )
+        d = data.select(
+            F.col(self.idCol).alias("neighbor_id"), F.col(self.vecCol).alias("__dv")
+        )
+        scored = d.crossJoin(F.broadcast(q)).select(
+            "query_id", "neighbor_id",
+            cosine_similarity("__qv", "__dv").alias("sim"),
+        )
+        if self.excludeSelf:
+            scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        return _topk_window(scored, self.k)
+
+    def _search_numpy(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        k, exclude = self.k, self.excludeSelf
+        qrows = queries.select(self.idCol, self.vecCol).collect()
+        q_ids = np.array([r[0] for r in qrows])
+        qm = np.array([r[1] for r in qrows], dtype=np.float64)
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+        sc = data.sparkSession.sparkContext
+        bq = sc.broadcast((q_ids, qm))
+
+        def partial_topk(it):
+            ids, qmat = bq.value
+            best_sim = {}  # per-partition running top-k per query
+            best_ids = {}
+            for pdf in it:
+                dm = np.array(list(pdf[self.vecCol]), dtype=np.float64)
+                dm /= np.maximum(np.linalg.norm(dm, axis=1, keepdims=True), 1e-300)
+                sims = qmat @ dm.T  # (nq, batch) one BLAS call
+                did = pdf[self.idCol].to_numpy()
+                for qi in range(len(ids)):
+                    s = sims[qi]
+                    mask = did != ids[qi] if exclude else np.ones(len(did), bool)
+                    s, d = s[mask], did[mask]
+                    if qi in best_sim:
+                        s = np.concatenate([best_sim[qi], s])
+                        d = np.concatenate([best_ids[qi], d])
+                    top = np.argsort(-s, kind="stable")[:k]
+                    best_sim[qi], best_ids[qi] = s[top], d[top]
+            out = {"query_id": [], "neighbor_id": [], "sim": []}
+            for qi, sims_ in best_sim.items():
+                out["query_id"].extend([int(ids[qi])] * len(sims_))
+                out["neighbor_id"].extend(int(x) for x in best_ids[qi])
+                out["sim"].extend(float(x) for x in sims_)
+            yield pd.DataFrame(out)
+
+        partial = data.mapInPandas(
+            partial_topk, "query_id long, neighbor_id long, sim double"
+        )
+        return _topk_window(partial, k)
+
+
+class LSHKNN:
+    """Approximate top-k via signed-random-projection LSH.
+
+    ``numPlanes`` hyperplanes → a ``numPlanes``-bit signature per vector;
+    vectors are bucketed by each of ``bands`` signature chunks and only
+    bucket-colliding (query, data) pairs are scored exactly. Candidate
+    generation and scoring are equi-join + expressions — the plan is a
+    hash join on the chunk value, which scales as the bucket sizes, not
+    as N×Q.
+    """
+
+    def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
+                 k: int = 10, numPlanes: int = 16, bands: int = 4,
+                 seed: int = 42, excludeSelf: bool = True):
+        if numPlanes % bands:
+            raise ValueError("numPlanes must be divisible by bands")
+        self.idCol, self.vecCol, self.k = idCol, vecCol, k
+        self.numPlanes, self.bands, self.seed = numPlanes, bands, seed
+        self.excludeSelf = excludeSelf
+
+    def _signature_bands(self, df: DataFrame, dim: int, prefix: str) -> DataFrame:
+        rng = np.random.default_rng(self.seed)
+        planes = rng.standard_normal((self.numPlanes, dim))
+        r = self.numPlanes // self.bands
+        vec = F.transform(F.col(self.vecCol), lambda x: x.cast("double"))
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(v)) for v in planes[j]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0), lambda a, v: a + v,
+                ) > 0, F.lit(1)
+            ).otherwise(F.lit(0))
+            for j in range(self.numPlanes)
+        ]
+        chunks = [
+            sum(bits[b * r + i] * (2 ** i) for i in range(r))
+            for b in range(self.bands)
+        ]
+        return df.select(
+            F.col(self.idCol).alias(f"{prefix}_id"),
+            F.col(self.vecCol).alias(f"{prefix}_vec"),
+            F.posexplode(F.array(*[c.cast("int") for c in chunks]))
+            .alias("__band", f"{prefix}_chunk"),
+        )
+
+    def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        dim = len(data.select(self.vecCol).first()[0])
+        d = self._signature_bands(data, dim, "d")
+        q = self._signature_bands(queries, dim, "q")
+        cand = (
+            d.join(F.broadcast(q),
+                   (d["__band"] == q["__band"]) & (d["d_chunk"] == q["q_chunk"]))
+            .select(
+                F.col("q_id").alias("query_id"), F.col("d_id").alias("neighbor_id"),
+                "q_vec", "d_vec",
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        if self.excludeSelf:
+            cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        scored = cand.select(
+            "query_id", "neighbor_id",
+            cosine_similarity("q_vec", "d_vec").alias("sim"),
+        )
+        return _topk_window(scored, self.k)

@@ -1,0 +1,36 @@
+from mmlspark_spark.operators.stages import (
+    Cacher,
+    DropColumns,
+    DropMissingData,
+    Explode,
+    Lambda,
+    MultiColumnAdapter,
+    RenameColumn,
+    Repartition,
+    SelectColumns,
+    StratifiedRepartition,
+    Timer,
+    UDFTransformer,
+)
+from mmlspark_spark.operators.aggregates import (
+    ClassBalancer,
+    ClassBalancerModel,
+    EnsembleByKey,
+    SummarizeData,
+)
+from mmlspark_spark.operators.minibatch import (
+    DynamicMiniBatchTransformer,
+    FixedMiniBatchTransformer,
+    FlattenBatch,
+    PartitionConsolidator,
+    TimeIntervalMiniBatchTransformer,
+)
+
+__all__ = [
+    "Cacher", "DropColumns", "DropMissingData", "Explode", "Lambda",
+    "MultiColumnAdapter", "RenameColumn", "Repartition", "SelectColumns",
+    "StratifiedRepartition", "Timer", "UDFTransformer",
+    "ClassBalancer", "ClassBalancerModel", "EnsembleByKey", "SummarizeData",
+    "DynamicMiniBatchTransformer", "FixedMiniBatchTransformer",
+    "FlattenBatch", "PartitionConsolidator", "TimeIntervalMiniBatchTransformer",
+]

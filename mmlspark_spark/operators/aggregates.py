@@ -1,0 +1,203 @@
+"""Aggregation operators (SURVEY §2.4).
+
+Scale notes: everything here is expressed as DataFrame aggregations, so
+Spark performs map-side partial aggregation before the shuffle; the only
+driver-side materialization is per-*column* stat rows (O(#cols), not
+O(#rows)) and per-*label* weight tables (O(#labels)), both tiny at any
+data scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mmlspark_spark.core.base import Estimator, Model, Transformer
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+class SummarizeData(Transformer):
+    """Per-column statistical profile.
+
+    Parity: reference ``core/.../stages/SummarizeData.scala:101-238`` —
+    counts (rows, missing, unique), basic stats (mean/variance/stddev/
+    skewness/kurtosis/min/max), percentiles (25/50/75).
+
+    Scale: the reference assembles this by unioning per-column single-row
+    frames and outer-joining stat groups (``SummarizeData.scala:110-128``)
+    — one Spark job per column. We instead compute EVERY stat for EVERY
+    column in a single ``df.agg`` pass (one scan, one reduce), then pivot
+    the single wide row into per-column rows on the driver (O(#cols)).
+    ``exact`` switches unique counts / percentiles from approximate
+    (HLL / QuantileSummaries) to exact — exact is what the DuckDB oracle
+    checks; approximate is the 100 TB default.
+    """
+
+    def __init__(self, counts: bool = True, basic: bool = True,  # noqa: D107
+                 percentiles: bool = True, errorThreshold: float = 0.0,
+                 exact: bool = False):
+        super().__init__(counts=counts, basic=basic, percentiles=percentiles,
+                         errorThreshold=errorThreshold, exact=exact)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        fields = [T.StructField("feature", T.StringType(), False)]
+        if self.counts:
+            fields += [T.StructField(n, T.DoubleType(), True)
+                       for n in ("count", "unique_value_count", "missing_value_count")]
+        if self.basic:
+            fields += [T.StructField(n, T.DoubleType(), True)
+                       for n in ("mean", "variance", "stddev", "skewness",
+                                 "kurtosis", "min", "max")]
+        if self.percentiles:
+            fields += [T.StructField(n, T.DoubleType(), True)
+                       for n in ("p25", "median", "p75")]
+        return T.StructType(fields)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        numeric = [f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)]
+        aggs, stat_names = [], []
+
+        def add(name: str, expr):
+            aggs.append(expr.cast("double").alias(name))
+            stat_names.append(name)
+
+        for c in df.columns:
+            col = F.col(c)
+            is_num = c in numeric
+            if self.counts:
+                add(f"{c}__count", F.count(F.lit(1)))
+                uniq = F.count_distinct(col) if self.exact else F.approx_count_distinct(col)
+                add(f"{c}__unique_value_count", uniq)
+                add(f"{c}__missing_value_count", F.count(F.lit(1)) - F.count(col))
+            if self.basic:
+                add(f"{c}__mean", F.mean(col) if is_num else F.lit(None))
+                add(f"{c}__variance", F.var_samp(col) if is_num else F.lit(None))
+                add(f"{c}__stddev", F.stddev_samp(col) if is_num else F.lit(None))
+                add(f"{c}__skewness", F.skewness(col) if is_num else F.lit(None))
+                add(f"{c}__kurtosis", F.kurtosis(col) if is_num else F.lit(None))
+                add(f"{c}__min", F.min(col) if is_num else F.lit(None))
+                add(f"{c}__max", F.max(col) if is_num else F.lit(None))
+            if self.percentiles:
+                for q, n in ((0.25, "p25"), (0.5, "median"), (0.75, "p75")):
+                    if is_num:
+                        expr = (F.percentile(col, F.lit(q)) if self.exact
+                                else F.percentile_approx(col, F.lit(q)))
+                    else:
+                        expr = F.lit(None)
+                    add(f"{c}__{n}", expr)
+
+        wide = df.agg(*aggs).collect()[0].asDict()
+        out_schema = self.transform_schema(df.schema)
+        stat_cols = [f.name for f in out_schema.fields][1:]
+        rows = [
+            tuple([c] + [wide.get(f"{c}__{s}") for s in stat_cols])
+            for c in df.columns
+        ]
+        return df.sparkSession.createDataFrame(rows, out_schema)
+
+
+class ClassBalancerModel(Model):
+    """Joins per-label weights onto rows; broadcast by default.
+
+    Parity: reference ``core/.../stages/ClassBalancer.scala:57-96``
+    (broadcast equi-join of the tiny weight table).
+    """
+
+    def __init__(self, inputCol: str = "label", outputCol: str = "weight",  # noqa: D107
+                 weights: DataFrame | None = None, broadcastJoin: bool = True):
+        super().__init__(inputCol=inputCol, outputCol=outputCol,
+                         weights=weights, broadcastJoin=broadcastJoin)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(self.outputCol, T.DoubleType(), True)])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        w = self.weights
+        if self.broadcastJoin:
+            w = F.broadcast(w)
+        return df.join(w, on=self.inputCol, how="left")
+
+
+class ClassBalancer(Estimator):
+    """Compute weight = max(label count) / count(label) per label value.
+
+    Parity: reference ``core/.../stages/ClassBalancer.scala:41-57``.
+    The weight table is O(#labels) — computed distributed, never more
+    than a broadcast-variable's worth of driver state.
+    """
+
+    def __init__(self, inputCol: str = "label", outputCol: str = "weight",  # noqa: D107
+                 broadcastJoin: bool = True):
+        super().__init__(inputCol=inputCol, outputCol=outputCol,
+                         broadcastJoin=broadcastJoin)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return schema
+
+    def _fit(self, df: DataFrame) -> ClassBalancerModel:
+        counts = df.groupBy(self.inputCol).count()
+        # window-free global max via cross join of a 1-row agg (broadcast)
+        max_count = counts.agg(F.max("count").alias("__max"))
+        weights = (
+            counts.crossJoin(F.broadcast(max_count))
+            .select(self.inputCol,
+                    (F.col("__max") / F.col("count")).cast("double").alias(self.outputCol))
+        )
+        return ClassBalancerModel(inputCol=self.inputCol, outputCol=self.outputCol,
+                                  weights=weights, broadcastJoin=self.broadcastJoin)
+
+
+class EnsembleByKey(Transformer):
+    """Group rows by key(s) and average the listed numeric/vector columns;
+    optionally join the aggregate back onto every input row.
+
+    Parity: reference ``core/.../stages/EnsembleByKey.scala:83-127``
+    (mean of double cols / ``Summarizer.mean`` of vector cols; equi-join
+    back when ``collapseGroup=False`` — join at ``:118-121``).
+    """
+
+    def __init__(self, keys: Sequence[str] = (), cols: Sequence[str] = (),  # noqa: D107
+                 colNames: Sequence[str] = (), collapseGroup: bool = True,
+                 vectorDims: dict | None = None):
+        cols = list(cols)
+        names = list(colNames) or [f"mean_{c}" for c in cols]
+        super().__init__(keys=list(keys), cols=cols, colNames=names,
+                         collapseGroup=collapseGroup, vectorDims=vectorDims or {})
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, *self.keys, *self.cols)
+        agg_fields = [T.StructField(n, T.DoubleType(), True) for n in self.colNames]
+        if self.collapseGroup:
+            return T.StructType([schema[k] for k in self.keys] + agg_fields)
+        return T.StructType(list(schema.fields) + agg_fields)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+        from pyspark.ml.linalg import VectorUDT
+
+        aggs = []
+        for c, n in zip(self.cols, self.colNames):
+            dt = df.schema[c].dataType
+            if isinstance(dt, VectorUDT):
+                # elementwise mean via array avg: vector -> array -> posexplode-free
+                # mean using aggregate over fixed dims (declared or probed once)
+                dim = self.vectorDims.get(c)
+                if dim is None:
+                    probe = df.select(F.col(c)).first()
+                    dim = len(probe[0]) if probe else 0
+                arr = vector_to_array(F.col(c))
+                aggs.append(F.array(*[F.avg(arr[i]) for i in range(dim)]).alias(n))
+            else:
+                aggs.append(F.avg(F.col(c)).cast("double").alias(n))
+        agg = df.groupBy(*self.keys).agg(*aggs)
+        if self.collapseGroup:
+            return agg
+        return df.join(agg, on=list(self.keys), how="left")

@@ -1,0 +1,256 @@
+"""Dataflow convenience stages (SURVEY §2.2, §2.6, §2.7).
+
+Semantics match the reference's `stages/` package; every stage compiles
+to pure DataFrame operations so Catalyst keeps predicate pushdown /
+column pruning / join planning. Parity citations are on each class.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mmlspark_spark.core.base import Transformer
+
+
+class SelectColumns(Transformer):
+    """Keep only the listed columns.
+
+    Parity: reference ``core/.../stages/SelectColumns.scala:23-53``.
+    Compiles to ``df.select`` → Catalyst column pruning reaches the scan.
+    """
+
+    def __init__(self, cols: Sequence[str] = ()):  # noqa: D107
+        super().__init__(cols=list(cols))
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, *self.cols)
+        return T.StructType([schema[c] for c in self.cols])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.select(*self.cols)
+
+
+class DropColumns(Transformer):
+    """Drop the listed columns.
+
+    Parity: reference ``core/.../stages/DropColumns.scala:21-50``.
+    """
+
+    def __init__(self, cols: Sequence[str] = ()):  # noqa: D107
+        super().__init__(cols=list(cols))
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, *self.cols)
+        return T.StructType([f for f in schema.fields if f.name not in self.cols])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.drop(*self.cols)
+
+
+class RenameColumn(Transformer):
+    """Rename ``inputCol`` to ``outputCol``.
+
+    Parity: reference ``core/.../stages/RenameColumn.scala:21-42``.
+    """
+
+    def __init__(self, inputCol: str = "", outputCol: str = ""):  # noqa: D107
+        super().__init__(inputCol=inputCol, outputCol=outputCol)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return T.StructType([
+            T.StructField(self.outputCol, f.dataType, f.nullable, f.metadata)
+            if f.name == self.inputCol else f
+            for f in schema.fields
+        ])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumnRenamed(self.inputCol, self.outputCol)
+
+
+class Explode(Transformer):
+    """Append ``outputCol`` with one row per element of array ``inputCol``.
+
+    Parity: reference ``core/.../stages/Explode.scala:18-43`` (keeps the
+    original array column, appends the element column).
+    """
+
+    def __init__(self, inputCol: str = "", outputCol: str = ""):  # noqa: D107
+        super().__init__(inputCol=inputCol, outputCol=outputCol)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        dt = schema[self.inputCol].dataType
+        if not isinstance(dt, T.ArrayType):
+            raise ValueError(f"Explode: {self.inputCol} is {dt}, need array")
+        return T.StructType(
+            list(schema.fields) + [T.StructField(self.outputCol, dt.elementType, True)]
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.outputCol, F.explode(F.col(self.inputCol)))
+
+
+class Lambda(Transformer):
+    """Wrap an arbitrary ``DataFrame -> DataFrame`` function as a stage.
+
+    Parity: reference ``core/.../stages/Lambda.scala:22-60``.
+    """
+
+    def __init__(self, fn: Callable[[DataFrame], DataFrame] = (lambda df: df)):  # noqa: D107
+        super().__init__(fn=fn)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        return schema  # not statically known; validated at transform
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return self.fn(df)
+
+
+class UDFTransformer(Transformer):
+    """Apply a (pandas-)UDF over one or more input columns → output column.
+
+    Parity: reference ``core/.../stages/UDFTransformer.scala:26-110``.
+    Prefer passing a pandas_udf: Arrow-vectorized, 10-100x a row UDF.
+    """
+
+    def __init__(self, inputCols: Sequence[str] = (), outputCol: str = "", udf=None):  # noqa: D107
+        super().__init__(inputCols=list(inputCols), outputCol=outputCol, udf=udf)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, *self.inputCols)
+        out_type = getattr(self.udf, "returnType", T.StringType())
+        return T.StructType(
+            list(schema.fields) + [T.StructField(self.outputCol, out_type, True)]
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.outputCol, self.udf(*[F.col(c) for c in self.inputCols]))
+
+
+class Cacher(Transformer):
+    """Cache (or uncache) passthrough stage.
+
+    Parity: reference ``core/.../stages/Cacher.scala:14-43``.
+    """
+
+    def __init__(self, disable: bool = False):  # noqa: D107
+        super().__init__(disable=disable)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.unpersist() if self.disable else df.cache()
+
+
+class Timer(Transformer):
+    """Time a wrapped stage's transform (materializes via count unless
+    disabled). Parity: reference ``core/.../stages/Timer.scala:55-133``.
+    """
+
+    def __init__(self, stage=None, disableMaterialization: bool = False,  # noqa: D107
+                 logToScala: bool = False):
+        super().__init__(stage=stage, disableMaterialization=disableMaterialization,
+                         logToScala=logToScala)
+        self.last_elapsed: float | None = None
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        return self.stage.transform_schema(schema) if hasattr(
+            self.stage, "transform_schema") else schema
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        t0 = time.time()
+        out = self.stage.transform(df)
+        if not self.disableMaterialization:
+            out = out.cache()
+            out.count()
+        self.last_elapsed = time.time() - t0
+        return out
+
+
+class Repartition(Transformer):
+    """Repartition to ``n`` partitions; ``disable`` makes it passthrough.
+    Uses ``coalesce`` when reducing without ``useRepartition`` (no
+    shuffle), full shuffle repartition otherwise — the same
+    coalesce-vs-shuffle choice as the reference.
+
+    Parity: reference ``core/.../stages/Repartition.scala:20-66``.
+    """
+
+    def __init__(self, n: int = 1, disable: bool = False, useRepartition: bool = False):  # noqa: D107
+        super().__init__(n=n, disable=disable, useRepartition=useRepartition)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if self.disable:
+            return df
+        if self.useRepartition or self.n > df.rdd.getNumPartitions():
+            return df.repartition(self.n)
+        return df.coalesce(self.n)
+
+
+class StratifiedRepartition(Transformer):
+    """Rebalance rows so each label value is spread across partitions.
+
+    The reference collects the label histogram then uses
+    ``sampleByKeyExact`` + RangePartitioner (reference
+    ``core/.../stages/StratifiedRepartition.scala:31-81``). At 100 TB a
+    driver-side histogram of label *counts* is fine (small), but we stay
+    in DataFrame land: ``repartitionByRange`` over (label, salt) spreads
+    every label across the cluster without a Python-side sampler.
+    """
+
+    def __init__(self, labelCol: str = "label", mode: str = "equal", seed: int = 42):  # noqa: D107
+        super().__init__(labelCol=labelCol, mode=mode, seed=seed)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        n = df.rdd.getNumPartitions()
+        salted = df.withColumn("__salt", (F.rand(self.seed) * n).cast("int"))
+        return salted.repartitionByRange(n, self.labelCol, "__salt").drop("__salt")
+
+
+class DropMissingData(Transformer):
+    """Drop rows with nulls in the given columns (all columns when empty).
+
+    Parity: reference drops NA via ``df.na`` inside Lambda stages
+    (``core/.../featurize/Featurize.scala:181``); promoted to a stage here.
+    """
+
+    def __init__(self, cols: Sequence[str] = ()):  # noqa: D107
+        super().__init__(cols=list(cols))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.na.drop(subset=list(self.cols) or None)
+
+
+class MultiColumnAdapter(Transformer):
+    """Map a single-column stage over many (inputCol, outputCol) pairs by
+    cloning the base stage per pair.
+
+    Parity: reference ``core/.../stages/MultiColumnAdapter.scala:20-135``.
+    """
+
+    def __init__(self, baseStage=None, inputCols: Sequence[str] = (),  # noqa: D107
+                 outputCols: Sequence[str] = ()):
+        super().__init__(baseStage=baseStage, inputCols=list(inputCols),
+                         outputCols=list(outputCols))
+        if len(self.inputCols) != len(self.outputCols):
+            raise ValueError("inputCols and outputCols must have equal length")
+
+    def _clones(self):
+        for i, o in zip(self.inputCols, self.outputCols):
+            c = self.baseStage.copy()
+            c.set("inputCol", i).set("outputCol", o)
+            yield c
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        for c in self._clones():
+            schema = c.transform_schema(schema)
+        return schema
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        for c in self._clones():
+            df = c.transform(df)
+        return df

@@ -1,0 +1,758 @@
+"""Query catalog: every implemented operator exposed as a driver-checkable
+query with (where SQL-expressible) a DuckDB oracle.
+
+Contract (driver): each query fn takes (spark, sf_dir) and returns a
+DataFrame; the oracle SQL runs on DuckDB views named after the parquet
+tables. Column names are aliased identically on both sides; doubles that
+come out of aggregation are rounded identically on both sides so the
+order-insensitive value-hash matches despite floating-point summation
+order differing between engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mmlspark_spark.core.session import configure_session, load_table
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, None → rows-only check
+    headline: bool = False  # included in bench.py
+    tags: tuple = field(default_factory=tuple)
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False, tags: tuple = ()):
+    def deco(fn):
+        fn.__query_name__ = name
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_session(spark)
+            return fn(spark, sf_dir)
+
+        CATALOG[name] = QuerySpec(name, wrapped, oracle, headline, tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in CATALOG.items()
+            if spec.oracle is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational / dataflow stages (SURVEY §2.2, §2.6, §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                       AS sum_qty,
+           round(sum(l_extendedprice), 4)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 6)                                       AS avg_qty,
+           round(avg(l_extendedprice), 6)                                  AS avg_price,
+           round(avg(l_discount), 6)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def tpch_q1(spark, sf_dir):
+    """Flagship scan→filter→groupBy→agg. Catalyst pushes the shipdate
+    filter into the parquet scan; partial aggregation runs map-side so
+    the shuffle carries one row per (flag,status) per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "select_project",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice, l_discount
+    FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def select_project(spark, sf_dir):
+    """SelectColumns stage → projection + filter pushed to the scan
+    (parity: stages/SelectColumns.scala)."""
+    from mmlspark_spark.operators import SelectColumns
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return SelectColumns(cols=["l_orderkey", "l_extendedprice", "l_discount"]).transform(li)
+
+
+@register(
+    "drop_rename",
+    oracle="""
+    SELECT l_orderkey AS order_key, l_linenumber, l_quantity
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+)
+def drop_rename(spark, sf_dir):
+    """DropColumns + RenameColumn stages (parity: stages/DropColumns.scala,
+    stages/RenameColumn.scala)."""
+    from mmlspark_spark.operators import DropColumns, RenameColumn, SelectColumns
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    out = SelectColumns(cols=["l_orderkey", "l_linenumber", "l_quantity"]).transform(li)
+    out = RenameColumn(inputCol="l_orderkey", outputCol="order_key").transform(out)
+    return DropColumns(cols=[]).transform(out)
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+    SELECT doc_id, word FROM (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+      FROM documents
+    ) WHERE word <> ''
+    """,
+)
+def explode_tokens(spark, sf_dir):
+    """Explode stage over tokenized documents (parity: stages/Explode.scala)."""
+    from mmlspark_spark.functions import tokens
+    from mmlspark_spark.operators import Explode
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    out = Explode(inputCol="toks", outputCol="word").transform(docs)
+    return out.select("doc_id", "word")
+
+
+@register(
+    "summarize_data",
+    oracle="""
+    WITH src AS (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+    SELECT * FROM (
+      SELECT 'l_quantity' AS feature,
+             CAST(count(*) AS DOUBLE) AS count,
+             CAST(count(DISTINCT l_quantity) AS DOUBLE) AS unique_value_count,
+             CAST(count(*) - count(l_quantity) AS DOUBLE) AS missing_value_count,
+             round(avg(l_quantity), 6) AS mean, round(stddev_samp(l_quantity), 6) AS stddev,
+             round(min(l_quantity), 6) AS min, round(max(l_quantity), 6) AS max,
+             round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+             round(quantile_cont(l_quantity, 0.5), 6) AS median,
+             round(quantile_cont(l_quantity, 0.75), 6) AS p75
+      FROM src
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(count(*) AS DOUBLE),
+             CAST(count(DISTINCT l_extendedprice) AS DOUBLE),
+             CAST(count(*) - count(l_extendedprice) AS DOUBLE),
+             round(avg(l_extendedprice), 6), round(stddev_samp(l_extendedprice), 6),
+             round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
+             round(quantile_cont(l_extendedprice, 0.25), 6),
+             round(quantile_cont(l_extendedprice, 0.5), 6),
+             round(quantile_cont(l_extendedprice, 0.75), 6)
+      FROM src
+      UNION ALL
+      SELECT 'l_discount', CAST(count(*) AS DOUBLE),
+             CAST(count(DISTINCT l_discount) AS DOUBLE),
+             CAST(count(*) - count(l_discount) AS DOUBLE),
+             round(avg(l_discount), 6), round(stddev_samp(l_discount), 6),
+             round(min(l_discount), 6), round(max(l_discount), 6),
+             round(quantile_cont(l_discount, 0.25), 6),
+             round(quantile_cont(l_discount, 0.5), 6),
+             round(quantile_cont(l_discount, 0.75), 6)
+      FROM src
+      UNION ALL
+      SELECT 'l_tax', CAST(count(*) AS DOUBLE),
+             CAST(count(DISTINCT l_tax) AS DOUBLE),
+             CAST(count(*) - count(l_tax) AS DOUBLE),
+             round(avg(l_tax), 6), round(stddev_samp(l_tax), 6),
+             round(min(l_tax), 6), round(max(l_tax), 6),
+             round(quantile_cont(l_tax, 0.25), 6),
+             round(quantile_cont(l_tax, 0.5), 6),
+             round(quantile_cont(l_tax, 0.75), 6)
+      FROM src
+    )
+    """,
+)
+def summarize_data(spark, sf_dir):
+    """SummarizeData stage, exact mode (parity: stages/SummarizeData.scala
+    — but ONE aggregation pass for all columns instead of the reference's
+    per-column union+outer-join of sub-frames)."""
+    from mmlspark_spark.operators import SelectColumns, SummarizeData
+
+    li = SelectColumns(
+        cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).transform(_t(spark, sf_dir, "lineitem"))
+    out = SummarizeData(exact=True).transform(li)
+    rounded = [F.col("feature")] + [
+        F.col(c).alias(c) if c in ("count", "unique_value_count", "missing_value_count")
+        else F.round(F.col(c), 6).alias(c)
+        for c in ["count", "unique_value_count", "missing_value_count",
+                  "mean", "stddev", "min", "max", "p25", "median", "p75"]
+    ]
+    return out.select(*rounded)
+
+
+@register("summarize_data_approx", oracle=None, headline=True)
+def summarize_data_approx(spark, sf_dir):
+    """SummarizeData in its 100 TB configuration: HLL approx-distinct +
+    QuantileSummaries approx percentiles — ONE aggregation pass, no
+    EXPAND (exact multi-count-distinct multiplies the shuffle by the
+    number of distinct aggs). This is the headline bench variant; the
+    exact variant above is the DuckDB-oracle correctness variant."""
+    from mmlspark_spark.operators import SelectColumns, SummarizeData
+
+    li = SelectColumns(
+        cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).transform(_t(spark, sf_dir, "lineitem"))
+    return SummarizeData(exact=False).transform(li)
+
+
+@register(
+    "class_balancer",
+    oracle="""
+    WITH c AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1)
+    SELECT l_returnflag,
+           round(CAST((SELECT max(n) FROM c) AS DOUBLE) / n, 6) AS weight
+    FROM c
+    """,
+)
+def class_balancer(spark, sf_dir):
+    """ClassBalancer estimator: per-label weight = max count / count
+    (parity: stages/ClassBalancer.scala:41-57); weights table broadcast-
+    joined in the model."""
+    from mmlspark_spark.operators import ClassBalancer
+
+    li = _t(spark, sf_dir, "lineitem")
+    model = ClassBalancer(inputCol="l_returnflag").fit(li)
+    return model.weights.select(
+        "l_returnflag", F.round(F.col("weight"), 6).alias("weight")
+    )
+
+
+@register(
+    "ensemble_by_key",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(avg(l_quantity), 6) AS mean_l_quantity,
+           round(avg(l_extendedprice), 6) AS mean_l_extendedprice
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def ensemble_by_key(spark, sf_dir):
+    """EnsembleByKey: groupBy keys + column means (parity:
+    stages/EnsembleByKey.scala:83-127)."""
+    from mmlspark_spark.operators import EnsembleByKey
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = EnsembleByKey(
+        keys=["l_returnflag", "l_linestatus"],
+        cols=["l_quantity", "l_extendedprice"],
+    ).transform(li)
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("mean_l_quantity", 6).alias("mean_l_quantity"),
+        F.round("mean_l_extendedprice", 6).alias("mean_l_extendedprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3) + windows/top-k (§2.5, §2.6) + set ops (§2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "broadcast_join_revenue",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    headline=True,
+)
+def broadcast_join_revenue(spark, sf_dir):
+    """Fact⋈dim with explicit broadcast of the dimension (parity with the
+    reference's broadcast-join usage, ClassBalancer.scala:89-96). At
+    100 TB the part dim stays broadcastable; no shuffle of lineitem."""
+    li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_multi",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_multi(spark, sf_dir):
+    """3-way join (TPC-H Q3 shape): broadcast the filtered customer dim,
+    shuffle-join orders⋈lineitem on the common key."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def semi_join(spark, sf_dir):
+    """left_semi join (EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join(spark, sf_dir):
+    """left_anti join (NOT EXISTS) — the dedup/complement primitive."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "top_k_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def top_k_per_group(spark, sf_dir):
+    """Window top-k per group — the engine's replacement for the
+    reference's collect-and-sort-in-UDF top-k patterns (SURVEY §2.6);
+    deterministic tiebreak on the key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@register(
+    "pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark, sf_dir):
+    """Pivot (explicit value list → no extra distinct-values job)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).agg(
+        F.round(F.sum("l_quantity"), 4)
+    )
+    return out
+
+
+@register(
+    "rollup_counts",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_counts(spark, sf_dir):
+    """Hierarchical rollup aggregation (free via Catalyst — SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization, windowed aggs, JSON (SURVEY §2.5, §2.8, §2.9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sessionize",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS session_id
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)) > 1800000000 THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+    )
+    """,
+    headline=True,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap → new session. Windowed
+    lag+cumsum, shuffles once on user_id (scales: state per user is a
+    running counter, no driver involvement)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("__new", new_s)
+        .withColumn("session_id", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+@register(
+    "window_hourly_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_hourly_agg(spark, sf_dir):
+    """Tumbling-window aggregation (batch analog of the streaming
+    F.window path; SURVEY §2.9)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract(spark, sf_dir):
+    """JSON scalar extraction (parity: io/http/Parsers.scala from_json
+    usage; SURVEY §2.8) — stays in Catalyst's JSON path."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data pipeline: text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_q(spark, sf_dir):
+    """Whitespace token counting as a pure Catalyst expression — one map
+    stage over the corpus, no shuffle."""
+    from mmlspark_spark.functions import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+@register(
+    "quality_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS len_chars,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id, len_chars,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           round(CAST(len(list_filter(t, x -> length(x) >= 6)) AS DOUBLE) / len(t), 6)
+             AS long_token_ratio,
+           round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it')))
+                 AS DOUBLE) / len(t), 6) AS stopword_ratio
+    FROM toks
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Document quality heuristics (C4/Gopher-style): length, token count,
+    long-token ratio, stopword density. All expressions, zero UDFs."""
+    from mmlspark_spark.functions import stopword_ratio, token_count, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    long_ratio = (
+        F.size(F.filter(t, lambda x: F.length(x) >= 6)).cast("double") / F.size(t)
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        token_count("text").alias("n_tokens"),
+        F.round(long_ratio, 6).alias("long_token_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "lang_stats",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_stats(spark, sf_dir):
+    """Per-language corpus profile (companion to language-ID scoring)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup(spark, sf_dir):
+    """ExactDeduplicator: hash-groupBy dedup keeping the lowest id.
+    Shuffle key is the 128-bit content hash, never the document text."""
+    from mmlspark_spark.llm import ExactDeduplicator
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = ExactDeduplicator(keyCols=["text"], idCol="doc_id").transform(docs)
+    sizes = docs.groupBy(F.md5(F.col("text")).alias("__h")).agg(
+        F.count("*").alias("n_copies")
+    )
+    return (
+        kept.withColumn("__h", F.md5(F.col("text")))
+        .join(sizes, "__h")
+        .select("doc_id", "n_copies")
+    )
+
+
+@register(
+    "ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w)-3, 1))) AS i FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+               AS shingle
+      FROM idx
+    ), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    """,
+    headline=True,
+)
+def ngram_jaccard_q(spark, sf_dir):
+    """Exact word-5-gram Jaccard over shingle-sharing pairs — the
+    candidate space is pruned by the shingle equi-join (SURVEY 'LLM
+    extras'; scale path = MinHash below)."""
+    from mmlspark_spark.llm import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("minhash_dedup", oracle=None, headline=True)
+def minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (rows-only check: hash family is
+    engine-specific so no SQL oracle; recall vs exact Jaccard is asserted
+    in tests/test_llm.py)."""
+    from mmlspark_spark.llm import MinHashLSHDeduplicator
+
+    docs = _t(spark, sf_dir, "documents")
+    return MinHashLSHDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=5,
+        numHashes=32, bands=16, threshold=0.2,
+    ).transform(docs)
+
+
+@register("simhash_dedup", oracle=None)
+def simhash_dedup(spark, sf_dir):
+    """SimHash fingerprint near-dup candidates (rows-only check)."""
+    from mmlspark_spark.llm import SimHashDeduplicator
+
+    docs = _t(spark, sf_dir, "documents")
+    return SimHashDeduplicator(
+        idCol="doc_id", textCol="text", bands=4, maxHammingDistance=10
+    ).transform(docs)
+
+
+@register(
+    "knn_bruteforce",
+    oracle="""
+    SELECT query_id, neighbor_id, sim, rk FROM (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          d.embedding::DOUBLE[]), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                               d.embedding::DOUBLE[]) DESC,
+                        d.vec_id
+             ) AS rk
+      FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id <> q.vec_id
+    ) WHERE rk <= 10
+    """,
+    headline=True,
+)
+def knn_bruteforce(spark, sf_dir):
+    """Exact top-10 cosine neighbors for the first 5 query vectors —
+    brute-force baseline of the similarity-search stack."""
+    from mmlspark_spark.llm import BruteForceKNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = BruteForceKNN(idCol="vec_id", vecCol="embedding", k=10).search(emb, q)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("sim", 6).alias("sim"), F.col("rank").alias("rk"),
+    )
+
+
+@register("knn_lsh", oracle=None)
+def knn_lsh(spark, sf_dir):
+    """LSH-bucketed approximate KNN (rows-only; recall vs brute force is
+    asserted in tests/test_llm.py)."""
+    from mmlspark_spark.llm import LSHKNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = LSHKNN(idCol="vec_id", vecCol="embedding", k=10,
+                 numPlanes=16, bands=8).search(emb, q)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"), F.col("rank").alias("rk"))
+
+
+@register(
+    "embedding_stats",
+    oracle="""
+    SELECT label, count(*) AS n,
+           round(avg(list_aggregate(list_transform(embedding::DOUBLE[],
+                 x -> x * x), 'sum')), 6) AS avg_sq_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_stats(spark, sf_dir):
+    """Per-label embedding norms — array aggregation expressions over
+    vector columns."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(sq_norm), 6).alias("avg_sq_norm"),
+    )

@@ -1,0 +1,130 @@
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from mmlspark_spark.operators import (
+    Cacher,
+    DropColumns,
+    DropMissingData,
+    DynamicMiniBatchTransformer,
+    Explode,
+    FixedMiniBatchTransformer,
+    FlattenBatch,
+    Lambda,
+    MultiColumnAdapter,
+    PartitionConsolidator,
+    RenameColumn,
+    Repartition,
+    SelectColumns,
+    StratifiedRepartition,
+    Timer,
+    UDFTransformer,
+)
+
+
+def test_select_columns(basic_df):
+    out = SelectColumns(cols=["numbers", "words"]).transform(basic_df)
+    assert out.columns == ["numbers", "words"]
+    assert out.count() == 3
+
+
+def test_select_columns_schema_contract(basic_df):
+    stage = SelectColumns(cols=["nope"])
+    with pytest.raises(ValueError, match="missing column"):
+        stage.transform(basic_df)
+
+
+def test_drop_columns(basic_df):
+    out = DropColumns(cols=["doubles", "more"]).transform(basic_df)
+    assert out.columns == ["numbers", "words", "longs", "booleans"]
+
+
+def test_rename_column(basic_df):
+    out = RenameColumn(inputCol="words", outputCol="instruments").transform(basic_df)
+    assert "instruments" in out.columns and "words" not in out.columns
+
+
+def test_explode(spark):
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])], ["id", "arr"])
+    stage = Explode(inputCol="arr", outputCol="elem")
+    out = stage.transform(df)
+    assert out.count() == 3
+    assert stage.transform_schema(df.schema)["elem"].dataType == T.StringType()
+
+
+def test_explode_rejects_scalar(basic_df):
+    with pytest.raises(ValueError, match="need array"):
+        Explode(inputCol="numbers", outputCol="x").transform(basic_df)
+
+
+def test_lambda(basic_df):
+    out = Lambda(fn=lambda df: df.filter(F.col("numbers") > 0)).transform(basic_df)
+    assert out.count() == 2
+
+
+def test_udf_transformer(basic_df):
+    import pandas as pd
+
+    @F.pandas_udf(T.DoubleType())
+    def double_it(s: pd.Series) -> pd.Series:
+        return s * 2
+
+    out = UDFTransformer(inputCols=["doubles"], outputCol="x", udf=double_it).transform(basic_df)
+    vals = {r.numbers: r.x for r in out.collect()}
+    assert vals[0] == 1.0 and vals[2] == 0.25
+
+
+def test_cacher_and_timer(basic_df):
+    assert Cacher().transform(basic_df).count() == 3
+    t = Timer(stage=SelectColumns(cols=["numbers"]))
+    out = t.transform(basic_df)
+    assert out.columns == ["numbers"]
+    assert t.last_elapsed is not None and t.last_elapsed >= 0
+
+
+def test_repartition(lineitem):
+    assert Repartition(n=2).transform(lineitem).rdd.getNumPartitions() == 2
+    assert Repartition(n=8, useRepartition=True).transform(lineitem).rdd.getNumPartitions() == 8
+    assert Repartition(n=2, disable=True).transform(lineitem).count() == lineitem.count()
+
+
+def test_stratified_repartition(lineitem):
+    out = StratifiedRepartition(labelCol="l_returnflag").transform(lineitem)
+    assert out.count() == lineitem.count()
+
+
+def test_drop_missing(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "s"])
+    assert DropMissingData().transform(df).count() == 1
+    assert DropMissingData(cols=["id"]).transform(df).count() == 2
+
+
+def test_multi_column_adapter(basic_df):
+    stage = MultiColumnAdapter(
+        baseStage=RenameColumn(),
+        inputCols=["words", "more"],
+        outputCols=["w2", "m2"],
+    )
+    out = stage.transform(basic_df)
+    assert "w2" in out.columns and "m2" in out.columns and "words" not in out.columns
+
+
+def test_fixed_minibatch_roundtrip(spark):
+    df = spark.range(17).withColumn("v", F.col("id").cast("double")).coalesce(1)
+    batched = FixedMiniBatchTransformer(batchSize=5).transform(df)
+    rows = batched.collect()
+    sizes = sorted(len(r.id) for r in rows)
+    assert sum(sizes) == 17 and max(sizes) == 5
+    flat = FlattenBatch().transform(batched)
+    assert flat.count() == 17
+    assert {r.id for r in flat.collect()} == set(range(17))
+
+
+def test_dynamic_minibatch(spark):
+    df = spark.range(10).coalesce(1)
+    out = DynamicMiniBatchTransformer(maxBatchSize=4).transform(df)
+    assert sum(len(r.id) for r in out.collect()) == 10
+
+
+def test_partition_consolidator(lineitem):
+    assert PartitionConsolidator(numPartitions=1).transform(lineitem).rdd.getNumPartitions() == 1
