@@ -148,15 +148,17 @@ class Featurize(Estimator):
         stages.append(VectorAssembler(inputCols=assemble, outputCol=self.outputCol,
                                       handleInvalid="keep"))
         pipeline_model = Pipeline(stages=stages).fit(fit_df)
+        temp_cols = [c for c in assemble if c.startswith("__f_")] + [
+            f"{c}_idx" for c in assemble] + [f"{c}_tok" for c in assemble]
         return FeaturizeModel(preExprs=pre_exprs, pipelineModel=pipeline_model,
-                              outputCol=self.outputCol)
+                              outputCol=self.outputCol, tempCols=temp_cols)
 
 
 class FeaturizeModel(Model):
     def __init__(self, preExprs=None, pipelineModel=None,  # noqa: D107
-                 outputCol: str = "features"):
+                 outputCol: str = "features", tempCols=None):
         super().__init__(preExprs=preExprs or [], pipelineModel=pipelineModel,
-                         outputCol=outputCol)
+                         outputCol=outputCol, tempCols=tempCols or [])
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         from pyspark.ml.linalg import VectorUDT
@@ -167,7 +169,9 @@ class FeaturizeModel(Model):
     def _transform(self, df: DataFrame) -> DataFrame:
         staged = df.select("*", *self.preExprs) if self.preExprs else df
         out = self.pipelineModel.transform(staged)
-        return out.drop(*[c for c in out.columns if c.startswith("__")])
+        # drop only OUR temp columns — callers may carry __-prefixed
+        # working columns (e.g. TrainClassifier's __label)
+        return out.drop(*[c for c in self.tempCols if c in out.columns])
 
 
 class CountSelectorModel(Model):

@@ -1,0 +1,165 @@
+"""Model evaluation statistics.
+
+Parity: reference ``core/.../train/ComputeModelStatistics.scala:58-328``
+(confusion matrix, accuracy/precision/recall, AUC; regression
+mse/rmse/r2/mae — metric vocabulary from
+``core/.../core/metrics/MetricConstants.scala:10-66``) and
+``train/ComputePerInstanceStatistics.scala:51-106``.
+
+Everything is DataFrame aggregations (confusion matrix =
+groupBy(label,pred).count; AUC = rank-statistic window formula), so
+metrics compute in O(1) driver memory at any scale — unlike the
+reference's RDD-based MulticlassMetrics which collects per-class maps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from mmlspark_spark.core.base import Transformer
+from mmlspark_spark.ml.train import SCORED_LABELS_COL, SCORED_PROBABILITIES_COL, SCORES_COL
+
+
+def auc_binary(df: DataFrame, label_col: str, score_col) -> float:
+    """AUROC via the Mann-Whitney rank statistic: one sort + one agg,
+    no driver-side curve construction.
+    AUC = (sum of positive ranks - nPos(nPos+1)/2) / (nPos * nNeg)."""
+    scored = df.select(
+        F.col(label_col).cast("double").alias("y"),
+        (F.col(score_col) if isinstance(score_col, str) else score_col)
+        .cast("double").alias("s"),
+    )
+    # average ranks for ties: rank over score, averaged within tie groups
+    w = Window.orderBy("s")
+    ranked = scored.withColumn("r", F.row_number().over(w))
+    ranked = ranked.withColumn(
+        "ravg", F.avg("r").over(Window.partitionBy("s")))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1.0, F.col("ravg"))).alias("rpos"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("npos"),
+        F.sum(F.when(F.col("y") != 1.0, 1).otherwise(0)).alias("nneg"),
+    ).collect()[0]
+    if not agg.npos or not agg.nneg:
+        return float("nan")
+    return float((agg.rpos - agg.npos * (agg.npos + 1) / 2.0)
+                 / (agg.npos * agg.nneg))
+
+
+class ComputeModelStatistics(Transformer):
+    """``evaluationMetric``: 'classification' | 'regression'.
+    transform returns a ONE-ROW metrics DataFrame; ``confusion_matrix``
+    (classification) is also available via :meth:`confusion_matrix`."""
+
+    def __init__(self, evaluationMetric: str = "classification",  # noqa: D107
+                 labelCol: str = "label", scoresCol: str = SCORES_COL,
+                 scoredLabelsCol: str = SCORED_LABELS_COL,
+                 scoredProbabilitiesCol: str = SCORED_PROBABILITIES_COL):
+        super().__init__(evaluationMetric=evaluationMetric, labelCol=labelCol,
+                         scoresCol=scoresCol, scoredLabelsCol=scoredLabelsCol,
+                         scoredProbabilitiesCol=scoredProbabilitiesCol)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        if self.evaluationMetric == "regression":
+            names = ["mse", "rmse", "r2", "mae"]
+        else:
+            names = ["accuracy", "precision", "recall", "AUC"]
+        return T.StructType([T.StructField(n, T.DoubleType(), True) for n in names])
+
+    def confusion_matrix(self, df: DataFrame) -> DataFrame:
+        """(label, scored_label, count) — pivot client-side if needed."""
+        return (
+            df.groupBy(F.col(self.labelCol).cast("double").alias("label"),
+                       F.col(self.scoredLabelsCol).cast("double").alias("scored_label"))
+            .agg(F.count("*").alias("count"))
+        )
+
+    def _regression(self, df: DataFrame) -> DataFrame:
+        y = F.col(self.labelCol).cast("double")
+        p = F.col(self.scoresCol).cast("double")
+        moments = df.agg(
+            F.avg((y - p) ** 2).alias("mse"),
+            F.avg(F.abs(y - p)).alias("mae"),
+            F.sum((y - p) ** 2).alias("sse"),
+            F.sum(y ** 2).alias("syy"),
+            F.sum(y).alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # SST from moments: sum(y^2) - n * mean(y)^2
+        return moments.select(
+            F.col("mse"),
+            F.sqrt(F.col("mse")).alias("rmse"),
+            (F.lit(1.0) - F.col("sse")
+             / (F.col("syy") - F.col("sy") ** 2 / F.col("n"))).alias("r2"),
+            F.col("mae"),
+        )
+
+    def _classification(self, df: DataFrame) -> DataFrame:
+        y = F.col(self.labelCol).cast("double")
+        p = F.col(self.scoredLabelsCol).cast("double")
+        spark = df.sparkSession
+        base = df.agg(
+            F.avg(F.when(y == p, 1.0).otherwise(0.0)).alias("accuracy"),
+            # macro-averaged precision/recall computed below; keep counts
+        ).collect()[0]
+        cm = self.confusion_matrix(df).collect()
+        # macro precision/recall from the (tiny) confusion matrix
+        classes = sorted({r.label for r in cm} | {r.scored_label for r in cm})
+        tp = {c: sum(r["count"] for r in cm if r.label == c and r.scored_label == c)
+              for c in classes}
+        pred_tot = {c: sum(r["count"] for r in cm if r.scored_label == c)
+                    for c in classes}
+        label_tot = {c: sum(r["count"] for r in cm if r.label == c) for c in classes}
+        precisions = [tp[c] / pred_tot[c] for c in classes if pred_tot[c]]
+        recalls = [tp[c] / label_tot[c] for c in classes if label_tot[c]]
+        precision = sum(precisions) / len(precisions) if precisions else float("nan")
+        recall = sum(recalls) / len(recalls) if recalls else float("nan")
+        if len(classes) == 2 and self.scoredProbabilitiesCol in df.columns:
+            from pyspark.ml.functions import vector_to_array
+
+            auc = auc_binary(
+                df, self.labelCol,
+                vector_to_array(F.col(self.scoredProbabilitiesCol))[1])
+        else:
+            auc = float("nan")
+        return spark.createDataFrame(
+            [(float(base.accuracy), float(precision), float(recall), float(auc))],
+            self.transform_schema(df.schema),
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if self.evaluationMetric == "regression":
+            return self._regression(df)
+        return self._classification(df)
+
+
+class ComputePerInstanceStatistics(Transformer):
+    """Per-row metrics: log_loss (classification, from scored
+    probabilities) or L1/L2 losses (regression). Column expressions only
+    (the reference uses UDFs — ComputePerInstanceStatistics.scala:77-99)."""
+
+    def __init__(self, evaluationMetric: str = "classification",  # noqa: D107
+                 labelCol: str = "label", scoresCol: str = SCORES_COL,
+                 scoredLabelsCol: str = SCORED_LABELS_COL,
+                 scoredProbabilitiesCol: str = SCORED_PROBABILITIES_COL,
+                 epsilon: float = 1e-15):
+        super().__init__(evaluationMetric=evaluationMetric, labelCol=labelCol,
+                         scoresCol=scoresCol, scoredLabelsCol=scoredLabelsCol,
+                         scoredProbabilitiesCol=scoredProbabilitiesCol,
+                         epsilon=epsilon)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        y = F.col(self.labelCol).cast("double")
+        if self.evaluationMetric == "regression":
+            p = F.col(self.scoresCol).cast("double")
+            return (df.withColumn("L1_loss", F.abs(y - p))
+                      .withColumn("L2_loss", (y - p) ** 2))
+        from pyspark.ml.functions import vector_to_array
+
+        probs = vector_to_array(F.col(self.scoredProbabilitiesCol))
+        p_true = F.element_at(probs, y.cast("int") + 1)
+        clipped = F.greatest(F.least(p_true, F.lit(1 - self.epsilon)),
+                             F.lit(self.epsilon))
+        return df.withColumn("log_loss", -F.log(clipped))

@@ -1,0 +1,126 @@
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mmlspark_spark.ml import (
+    ComputeModelStatistics,
+    ComputePerInstanceStatistics,
+    FindBestModel,
+    RankingEvaluator,
+    TrainClassifier,
+    TrainRegressor,
+    TuneHyperparameters,
+)
+
+
+@pytest.fixture(scope="module")
+def binary_df(spark):
+    """Synthetic separable-ish binary data (FIXTURES.md A3 analog)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for label in (0, 1):
+        feats = rng.normal(loc=label, scale=1.0, size=(200, 4))
+        rows += [(int(label), *[float(x) for x in f]) for f in feats]
+    return spark.createDataFrame(
+        rows, "label int, f1 double, f2 double, f3 double, f4 double"
+    ).cache()
+
+
+def test_train_classifier_and_stats(binary_df):
+    model = TrainClassifier(labelCol="label").fit(binary_df)
+    scored = model.transform(binary_df)
+    assert {"scores", "scored_probabilities", "scored_labels"} <= set(scored.columns)
+    stats = ComputeModelStatistics(labelCol="label").transform(scored).collect()[0]
+    assert stats.accuracy > 0.7
+    assert stats.AUC > 0.8
+    assert 0 < stats.precision <= 1 and 0 < stats.recall <= 1
+
+
+def test_train_classifier_string_labels(spark, binary_df):
+    df = binary_df.withColumn(
+        "label", F.when(F.col("label") == 1, "yes").otherwise("no"))
+    model = TrainClassifier(labelCol="label").fit(df)
+    assert model.levels == ["no", "yes"]
+    scored = model.transform(df)
+    assert scored.count() == 400
+
+
+def test_train_regressor_and_stats(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-2, 2, 300)
+    rows = [(float(3 * xi + 1 + rng.normal(0, 0.1)), float(xi)) for xi in x]
+    df = spark.createDataFrame(rows, "label double, x double")
+    model = TrainRegressor(labelCol="label").fit(df)
+    scored = model.transform(df)
+    stats = ComputeModelStatistics(
+        evaluationMetric="regression", labelCol="label").transform(scored).collect()[0]
+    assert stats.r2 > 0.95
+    assert stats.rmse < 0.5
+    assert stats.mae < 0.5
+
+
+def test_per_instance_stats(binary_df):
+    model = TrainClassifier(labelCol="label").fit(binary_df)
+    scored = model.transform(binary_df)
+    out = ComputePerInstanceStatistics(labelCol="label").transform(scored)
+    losses = [r.log_loss for r in out.select("log_loss").collect()]
+    assert all(l >= 0 for l in losses)
+    assert sum(losses) / len(losses) < 1.0
+
+
+def test_auc_matches_sklearn_formula(spark):
+    """AUC rank formula vs direct computation on a tiny example."""
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.7), (0, 0.6), (1, 0.55), (0, 0.4), (0, 0.2)],
+        "label int, p double",
+    )
+    from mmlspark_spark.ml.stats import auc_binary
+
+    got = auc_binary(df, "label", "p")
+    # pairs: pos>neg count / (3*3): (0.9,0.7,0.55) vs (0.6,0.4,0.2) → 8/9
+    assert abs(got - 8 / 9) < 1e-9
+
+
+def test_find_best_model(binary_df):
+    from pyspark.ml.classification import LogisticRegression
+
+    m1 = TrainClassifier(model=LogisticRegression(maxIter=1, regParam=10.0),
+                         labelCol="label").fit(binary_df)
+    m2 = TrainClassifier(model=LogisticRegression(maxIter=50),
+                         labelCol="label").fit(binary_df)
+    best = FindBestModel(models=[m1, m2], metric="AUC").fit(binary_df)
+    assert best is m2
+
+
+def test_tune_hyperparameters(binary_df):
+    from pyspark.ml.classification import LogisticRegression
+
+    from mmlspark_spark.ml.automl import DiscreteHyperParam, RangeHyperParam
+
+    tuner = TuneHyperparameters(
+        estimator=TrainClassifier(model=LogisticRegression(), labelCol="label"),
+        paramSpace={"regParam": RangeHyperParam(0.001, 1.0, isLog=True),
+                    "maxIter": DiscreteHyperParam([5, 20])},
+        numRuns=3, numFolds=2, metric="accuracy", seed=7, parallelism=2,
+    )
+    model = tuner.fit(binary_df)
+    assert tuner.best_metric > 0.6
+    assert set(tuner.best_params) == {"regParam", "maxIter"}
+    assert model.transform(binary_df).count() == 400
+
+
+def test_ranking_evaluator(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], [1, 3]), ([9, 8], [7])],
+        "prediction array<int>, label array<int>",
+    )
+    m = RankingEvaluator(k=4).evaluate(df)
+    # user1: hits {1,3} → recall 1.0; user2: none → 0
+    assert abs(m["recallAtK"] - 0.5) < 1e-9
+    assert 0 < m["ndcgAt"] <= 1
+    assert 0 <= m["map"] <= 1
