@@ -926,3 +926,152 @@ def embedding_stats(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.avg(sq_norm), 6).alias("avg_sq_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recommendation: SAR (SURVEY §2.10; reference recommendation/SAR.scala)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sar_affinity",
+    oracle="""
+    SELECT o_custkey AS user_id, l_partkey AS item_id,
+           round(sum(l_quantity * pow(2,
+                 -((epoch(TIMESTAMP '2001-09-01 00:00:00')
+                    - epoch(o_orderdate)) / 60.0) / (30.0 * 24 * 60))), 6)
+               AS affinity
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_partkey <= 500
+    GROUP BY 1, 2
+    """,
+)
+def sar_affinity(spark, sf_dir):
+    """SAR time-decayed user-item affinity (SAR.scala:86-121) as pure
+    column expressions — decay math stays inside whole-stage codegen,
+    one shuffle on (user, item)."""
+    from mmlspark_spark.recommendation.sar import user_item_affinity
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 500)
+    inter = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("o_orderdate"), F.col("l_quantity"),
+    )
+    aff = user_item_affinity(
+        inter, "user_id", "item_id", timeCol="o_orderdate",
+        ratingCol="l_quantity", timeDecayCoeff=30.0,
+        startTime="2001-09-01 00:00:00",
+    )
+    return aff.select("user_id", "item_id", F.round("affinity", 6).alias("affinity"))
+
+
+@register(
+    "sar_item_similarity",
+    oracle="""
+    WITH ui AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_partkey <= 200
+    ), occ AS (
+      SELECT i, count(*) AS occ FROM ui GROUP BY i
+    ), co AS (
+      SELECT a.i AS item_i, b.i AS item_j, count(*) AS cooccur
+      FROM ui a JOIN ui b ON a.u = b.u
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT item_i, item_j, cooccur,
+           round(cooccur / (oi.occ + oj.occ - cooccur), 6) AS similarity
+    FROM co
+    JOIN occ oi ON co.item_i = oi.i
+    JOIN occ oj ON co.item_j = oj.i
+    """,
+    headline=True,
+)
+def sar_item_similarity(spark, sf_dir):
+    """SAR Jaccard item-item similarity as a distributed self-join —
+    replaces the reference's driver-collected sparse matrix
+    (SAR.scala:155-174), which cannot exist at 100 TB. Edge list is
+    distinct so the occ join is a broadcast of one row per item."""
+    from mmlspark_spark.recommendation.sar import item_item_similarity
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 200)
+    inter = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    sim = item_item_similarity(inter, "user_id", "item_id",
+                               similarityFunction="jaccard", supportThreshold=3)
+    return sim.select("item_i", "item_j", "cooccur",
+                      F.round("similarity", 6).alias("similarity"))
+
+
+@register(
+    "sar_recommend",
+    oracle="""
+    WITH ui AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_partkey <= 200 AND o_custkey <= 100
+    ), occ AS (
+      SELECT i, count(*) AS occ FROM ui GROUP BY i
+    ), co AS (
+      SELECT a.i AS item_i, b.i AS item_j, count(*) AS cooccur
+      FROM ui a JOIN ui b ON a.u = b.u
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    ), sim AS (
+      SELECT item_i, item_j,
+             cooccur / (oi.occ + oj.occ - cooccur) AS similarity
+      FROM co JOIN occ oi ON co.item_i = oi.i
+              JOIN occ oj ON co.item_j = oj.i
+    ), aff AS (
+      SELECT o_custkey AS u, l_partkey AS i, count(*)::DOUBLE AS affinity
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_partkey <= 200 AND o_custkey <= 100
+      GROUP BY 1, 2
+    ), scores AS (
+      SELECT aff.u AS user_id, sim.item_j AS item_id,
+             round(sum(aff.affinity * sim.similarity), 6) AS score
+      FROM aff JOIN sim ON aff.i = sim.item_i
+      GROUP BY 1, 2
+    ), unseen AS (
+      SELECT s.* FROM scores s
+      WHERE NOT EXISTS (SELECT 1 FROM ui
+                        WHERE ui.u = s.user_id AND ui.i = s.item_id)
+    )
+    SELECT user_id, item_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY score DESC, item_id ASC) AS rank
+      FROM unseen
+    ) WHERE rank <= 5
+    """,
+)
+def sar_recommend(spark, sf_dir):
+    """End-to-end SAR: fit on interactions, top-5 unseen items per user —
+    the BlockMatrix multiply of SARModel.scala:113-125 expressed as
+    join + partial agg + window. Score rounded to 6dp BEFORE ranking so
+    tie-break (item_id asc) is engine-invariant."""
+    from mmlspark_spark.recommendation import SAR
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 200)
+    inter = o.join(li, o.o_orderkey == li.l_orderkey).filter(
+        F.col("o_custkey") <= 100
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    model = SAR(userCol="user_id", itemCol="item_id",
+                similarityFunction="jaccard", supportThreshold=3).fit(inter)
+    recs = model.recommend_for_all_users(10**9, remove_seen=True)
+    # re-rank on the rounded score for cross-engine determinism
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("item_id").asc())
+    return (
+        recs.select("user_id", "item_id", F.round("score", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
