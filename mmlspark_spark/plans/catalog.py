@@ -1075,3 +1075,118 @@ def sar_recommend(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cyber / anomaly (SURVEY §2.4 cyber scalers+indexers, §2.10 IsolationForest)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tenant_standard_scaler",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS m, stddev_pop(value) AS s
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           round(CASE WHEN s != 0 THEN (value - m) / s
+                      ELSE value - m END, 6) AS scaled
+    FROM events e JOIN stats USING (event_type)
+    WHERE event_id < 5000
+    """,
+)
+def tenant_standard_scaler(spark, sf_dir):
+    """Per-tenant z-score (cyber/feature/scalers.py StandardScalarScaler):
+    stats via one groupBy per tenant, applied with a broadcast join +
+    column expression — no UDF, unlike the reference."""
+    from mmlspark_spark.anomaly import StandardScalarScaler
+
+    ev = _t(spark, sf_dir, "events")
+    model = StandardScalarScaler(inputCol="value", partitionKey="event_type",
+                                 outputCol="scaled").fit(ev)
+    return (model.transform(ev).filter(F.col("event_id") < 5000)
+            .select("event_id", "event_type", F.round("scaled", 6).alias("scaled")))
+
+
+@register(
+    "tenant_linear_scaler",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           round(CASE WHEN hi != lo THEN (100.0 / (hi - lo)) * value
+                           + (100.0 - (100.0 / (hi - lo)) * hi)
+                      ELSE 50.0 END, 6) AS scaled
+    FROM events e JOIN stats USING (event_type)
+    WHERE event_id < 5000
+    """,
+)
+def tenant_linear_scaler(spark, sf_dir):
+    """Per-tenant min-max map onto [0, 100] (LinearScalarScaler)."""
+    from mmlspark_spark.anomaly import LinearScalarScaler
+
+    ev = _t(spark, sf_dir, "events")
+    model = LinearScalarScaler(inputCol="value", partitionKey="event_type",
+                               outputCol="scaled", minRequiredValue=0.0,
+                               maxRequiredValue=100.0).fit(ev)
+    return (model.transform(ev).filter(F.col("event_id") < 5000)
+            .select("event_id", "event_type", F.round("scaled", 6).alias("scaled")))
+
+
+@register(
+    "id_indexer",
+    oracle="""
+    WITH vocab AS (
+      SELECT event_type, user_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY user_id) AS idx
+      FROM (SELECT DISTINCT event_type, user_id FROM events)
+    )
+    SELECT event_id, e.event_type, v.idx
+    FROM events e JOIN vocab v USING (event_type, user_id)
+    WHERE event_id < 5000
+    """,
+)
+def id_indexer(spark, sf_dir):
+    """Per-tenant dense id indexing (cyber/feature/indexers.py IdIndexer):
+    vocabulary = distinct pairs ranked by a window over the tenant key."""
+    from mmlspark_spark.anomaly import IdIndexer
+
+    ev = _t(spark, sf_dir, "events")
+    model = IdIndexer(inputCol="user_id", partitionKey="event_type",
+                      outputCol="idx", resetPerPartition=True).fit(ev)
+    return (model.transform(ev).filter(F.col("event_id") < 5000)
+            .select("event_id", "event_type", "idx"))
+
+
+@register("isolation_forest", oracle=None)
+def isolation_forest(spark, sf_dir):
+    """Seeded iForest over embeddings: fit touches numTrees*maxSamples
+    sampled rows only; scoring is a broadcast ensemble + Arrow-batched
+    pandas UDF (rows-only check: scores asserted in tests/test_anomaly.py)."""
+    from mmlspark_spark.anomaly import IsolationForest
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "features", F.col("embedding").cast("array<double>"))
+    model = IsolationForest(featuresCol="features", numTrees=50,
+                            maxSamples=128, seed=42).fit(emb)
+    return (model.transform(emb).filter(F.col("vec_id") < 500)
+            .select("vec_id", F.round("outlierScore", 6).alias("outlier_score")))
+
+
+@register("access_anomaly", oracle=None)
+def access_anomaly(spark, sf_dir):
+    """ALS-based anomalous-access scores over (user, event_type) pairs
+    (cyber/anomaly/collaborative_filtering.py). Rows-only: ALS factors
+    are seeded but not SQL-reproducible."""
+    from mmlspark_spark.anomaly import AccessAnomaly
+
+    ev = _t(spark, sf_dir, "events").withColumn("tenant", F.lit("t0"))
+    pairs = ev.select("tenant", F.col("user_id").alias("user"),
+                      F.col("event_type").alias("res"))
+    model = AccessAnomaly(tenantCol="tenant", userCol="user", resCol="res",
+                          rank=8, maxIter=5, seed=42).fit(pairs)
+    probe = pairs.distinct().filter(F.col("user") < 50)
+    return model.transform(probe).select(
+        "user", "res", F.round("anomaly_score", 4).alias("anomaly_score"))
