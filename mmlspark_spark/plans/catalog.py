@@ -1190,3 +1190,22 @@ def access_anomaly(spark, sf_dir):
     probe = pairs.distinct().filter(F.col("user") < 50)
     return model.transform(probe).select(
         "user", "res", F.round("anomaly_score", 4).alias("anomaly_score"))
+
+
+@register("knn_stage", oracle=None)
+def knn_stage(spark, sf_dir):
+    """KNN stage API (nn/KNN.scala parity): broadcast index + BLAS batch
+    queries in mapInPandas; exactness asserted vs brute force in
+    tests/test_nn.py."""
+    from mmlspark_spark.nn import KNN
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "features", F.col("embedding").cast("array<double>")
+    ).withColumn("values", F.col("vec_id").cast("string"))
+    model = KNN(featuresCol="features", valuesCol="values",
+                outputCol="nn", k=5).fit(emb.filter(F.col("vec_id") < 2000))
+    out = model.transform(emb.filter(F.col("vec_id") < 50))
+    return out.select(
+        "vec_id",
+        F.expr("transform(nn, x -> x.value)").alias("neighbor_values"),
+    )
