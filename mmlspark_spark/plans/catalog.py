@@ -1209,3 +1209,55 @@ def knn_stage(spark, sf_dir):
         "vec_id",
         F.expr("transform(nn, x -> x.value)").alias("neighbor_values"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Explainers (SURVEY §2.10; reference explainers/LIMEBase, KernelSHAPBase)
+# ---------------------------------------------------------------------------
+
+@register("tabular_lime", oracle=None)
+def tabular_lime(spark, sf_dir):
+    """TabularLIME over a revenue model on lineitem: explode-sample →
+    score → per-id weighted lasso in applyInPandas (rows-only; analytic
+    recovery asserted in tests/test_explainers.py)."""
+    from mmlspark_spark.explainers import TabularLIME
+    from mmlspark_spark.operators import Lambda
+
+    li = _t(spark, sf_dir, "lineitem")
+    model = Lambda(fn=lambda df: df.withColumn(
+        "prediction",
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    probe = li.limit(10)
+    lime = TabularLIME(model=model, inputCols=["l_extendedprice", "l_discount"],
+                       backgroundData=li.limit(500), targetCol="prediction",
+                       numSamples=100, seed=42)
+    out = lime.transform(probe)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("explanation")[0], 2).alias("w_price"),
+        F.round(F.col("explanation")[1], 2).alias("w_discount"),
+    )
+
+
+@register("tabular_shap", oracle=None)
+def tabular_shap(spark, sf_dir):
+    """KernelSHAP over the same revenue model (rows-only; efficiency
+    property asserted in tests)."""
+    from mmlspark_spark.explainers import TabularSHAP
+    from mmlspark_spark.operators import Lambda
+
+    li = _t(spark, sf_dir, "lineitem")
+    model = Lambda(fn=lambda df: df.withColumn(
+        "prediction",
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    probe = li.limit(10)
+    shap = TabularSHAP(model=model, inputCols=["l_extendedprice", "l_discount"],
+                       backgroundData=li.limit(500), targetCol="prediction",
+                       numSamples=64, seed=42)
+    out = shap.transform(probe)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("shapValues")[0], 2).alias("base"),
+        F.round(F.col("shapValues")[1], 2).alias("phi_price"),
+        F.round(F.col("shapValues")[2], 2).alias("phi_discount"),
+    )
