@@ -1,0 +1,211 @@
+"""HTTPTransformer + parsers + SimpleHTTPTransformer.
+
+Parity: reference ``io/http/HTTPTransformer.scala:96-132`` (mapPartitions
+with a shared client and a sliding window of ``concurrency`` futures,
+order-preserving), ``io/http/Parsers.scala`` (JSONInputParser:26-88,
+JSONOutputParser:154-210, StringOutputParser, CustomInput/OutputParser
+:90-146,216-270) and ``io/http/SimpleHTTPTransformer.scala:64-180``
+(parse → client → parse pipeline with error column).
+
+Spark-first shape: ``mapInPandas`` — each Arrow batch's requests are
+issued through a ThreadPoolExecutor of size ``concurrency`` (the
+sliding-window-of-futures of ``AsyncUtils.scala:11-42``, with the pool
+bounding in-flight calls); responses come back in row order. JSON
+parsing is ``F.to_json``/``F.from_json`` — JVM-side, no python in the
+parse path.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mmlspark_spark.core.base import Transformer
+from mmlspark_spark.http.schema import (
+    HEADER_SCHEMA,
+    HTTP_REQUEST_SCHEMA,
+    HTTP_RESPONSE_SCHEMA,
+    http_request,
+)
+
+
+class HTTPTransformer(Transformer):
+    """requests-struct column → response-struct column."""
+
+    def __init__(self, inputCol: str = "request", outputCol: str = "response",
+                 concurrency: int = 8, timeout: float = 60.0,
+                 backoffs=(0.1, 0.5, 1.0)):
+        super().__init__(inputCol=inputCol, outputCol=outputCol,
+                         concurrency=concurrency, timeout=timeout,
+                         backoffs=tuple(backoffs))
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(self.outputCol, HTTP_RESPONSE_SCHEMA)])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        in_col, out_col = self.inputCol, self.outputCol
+        concurrency, timeout, backoffs = (self.concurrency, self.timeout,
+                                          self.backoffs)
+        out_schema = T.StructType(list(df.schema.fields)
+                                  + [T.StructField(out_col, HTTP_RESPONSE_SCHEMA)])
+
+        def run(it):
+            from mmlspark_spark.http.client import send_with_retries
+
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    reqs = list(pdf[in_col])
+                    resps = list(pool.map(
+                        lambda r: send_with_retries(r, timeout, backoffs), reqs))
+                    out = pdf.copy()
+                    out[out_col] = resps
+                    yield out
+
+        return df.mapInPandas(run, out_schema)
+
+
+class JSONInputParser(Transformer):
+    """Columns/struct → JSON entity request struct (Parsers.scala:61-88)."""
+
+    def __init__(self, inputCol: str = "input", outputCol: str = "request",
+                 url: str = "", method: str = "POST", headers=None):
+        super().__init__(inputCol=inputCol, outputCol=outputCol, url=url,
+                         method=method, headers=dict(headers or {}))
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(self.outputCol, HTTP_REQUEST_SCHEMA)])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        hdrs = [F.struct(F.lit(k).alias("name"), F.lit(v).alias("value"))
+                for k, v in {"Content-Type": "application/json",
+                             **self.headers}.items()]
+        body = F.to_json(F.col(self.inputCol)).cast("binary")
+        return df.withColumn(
+            self.outputCol,
+            http_request(self.url, self.method, entity=body,
+                         headers=F.array(*hdrs)),
+        )
+
+
+class JSONOutputParser(Transformer):
+    """Response entity JSON → typed struct via dataType (Parsers.scala:154-210)."""
+
+    def __init__(self, inputCol: str = "response", outputCol: str = "output",
+                 dataType: T.DataType = None):
+        super().__init__(inputCol=inputCol, outputCol=outputCol, dataType=dataType)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(self.outputCol, self.dataType)])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.inputCol)["entity"].cast("string")
+        return df.withColumn(self.outputCol, F.from_json(text, self.dataType))
+
+
+class StringOutputParser(Transformer):
+    """Response entity → string column (Parsers.scala:216-243)."""
+
+    def __init__(self, inputCol: str = "response", outputCol: str = "output"):
+        super().__init__(inputCol=inputCol, outputCol=outputCol)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(self.outputCol, T.StringType())])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.outputCol,
+                             F.col(self.inputCol)["entity"].cast("string"))
+
+
+class CustomInputParser(Transformer):
+    """UDF hook: python fn(row_value) -> request dict (Parsers.scala:90-146)."""
+
+    def __init__(self, inputCol: str = "input", outputCol: str = "request",
+                 udf: Callable = None):
+        super().__init__(inputCol=inputCol, outputCol=outputCol, udf=udf)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(self.outputCol, HTTP_REQUEST_SCHEMA)])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        f_udf = F.udf(self.udf, HTTP_REQUEST_SCHEMA)
+        return df.withColumn(self.outputCol, f_udf(F.col(self.inputCol)))
+
+
+class CustomOutputParser(Transformer):
+    """UDF hook: python fn(response dict) -> value (Parsers.scala:244-270)."""
+
+    def __init__(self, inputCol: str = "response", outputCol: str = "output",
+                 udf: Callable = None, dataType: T.DataType = T.StringType()):
+        super().__init__(inputCol=inputCol, outputCol=outputCol, udf=udf,
+                         dataType=dataType)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(self.outputCol, self.dataType)])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        f_udf = F.udf(self.udf, self.dataType)
+        return df.withColumn(self.outputCol, f_udf(F.col(self.inputCol)))
+
+
+class SimpleHTTPTransformer(Transformer):
+    """inputCol → JSON request → HTTP → parsed outputCol + errorCol.
+
+    Pipeline assembled lazily per input schema, mirroring
+    ``SimpleHTTPTransformer.makePipeline`` (:114-157). Failures (connection
+    errors and non-2xx statuses) land in ``errorCol`` as the raw response
+    struct; ``outputCol`` is null for those rows.
+    """
+
+    def __init__(self, inputCol: str = "input", outputCol: str = "output",
+                 url: str = "", outputDataType: T.DataType = None,
+                 method: str = "POST", headers=None, concurrency: int = 8,
+                 timeout: float = 60.0, errorCol: str | None = None):
+        super().__init__(inputCol=inputCol, outputCol=outputCol, url=url,
+                         outputDataType=outputDataType, method=method,
+                         headers=dict(headers or {}), concurrency=concurrency,
+                         timeout=timeout, errorCol=errorCol or outputCol + "_error")
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return T.StructType(list(schema.fields) + [
+            T.StructField(self.outputCol, self.outputDataType),
+            T.StructField(self.errorCol, HTTP_RESPONSE_SCHEMA),
+        ])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        req = JSONInputParser(inputCol=self.inputCol, outputCol="__request__",
+                              url=self.url, method=self.method,
+                              headers=self.headers)
+        http = HTTPTransformer(inputCol="__request__", outputCol="__response__",
+                               concurrency=self.concurrency, timeout=self.timeout)
+        out = http.transform(req.transform(df))
+        ok = F.col("__response__")["statusCode"].between(200, 299)
+        parsed = JSONOutputParser(
+            inputCol="__response__", outputCol=self.outputCol,
+            dataType=self.outputDataType,
+        ).transform(out)
+        return (parsed
+                .withColumn(self.outputCol,
+                            F.when(ok, F.col(self.outputCol)))
+                .withColumn(self.errorCol,
+                            F.when(~ok, F.col("__response__")))
+                .drop("__request__", "__response__"))

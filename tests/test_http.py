@@ -1,0 +1,146 @@
+"""HTTP family against a local stub server (reference
+io/split1/SimpleHTTPTransformerSuite pattern)."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mmlspark_spark.http import (
+    HTTPTransformer,
+    JSONOutputParser,
+    SimpleHTTPTransformer,
+    StringOutputParser,
+    http_request,
+)
+
+_FLAKY_HITS = {}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(n) or b"{}")
+        if self.path == "/echo":
+            out = json.dumps({"out": str(body.get("text", "")).upper()})
+            self._reply(200, out)
+        elif self.path == "/flaky":
+            key = json.dumps(body, sort_keys=True)
+            _FLAKY_HITS[key] = _FLAKY_HITS.get(key, 0) + 1
+            if _FLAKY_HITS[key] <= 2:
+                self._reply(503, "try later")
+            else:
+                self._reply(200, json.dumps({"out": "ok"}))
+        else:
+            self._reply(404, "nope")
+
+    def do_GET(self):
+        self._reply(200, json.dumps({"out": "got"}))
+
+    def _reply(self, code, text):
+        data = text.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+OUT_T = T.StructType([T.StructField("out", T.StringType())])
+
+
+def test_simple_http_transformer_echo(spark, server):
+    df = spark.createDataFrame([("hello",), ("world",)], ["text"]) \
+        .select(F.struct("text").alias("input"))
+    stage = SimpleHTTPTransformer(inputCol="input", outputCol="parsed",
+                                  url=f"{server}/echo", outputDataType=OUT_T,
+                                  concurrency=4)
+    rows = stage.transform(df).collect()
+    assert {r.parsed.out for r in rows} == {"HELLO", "WORLD"}
+    assert all(r.parsed_error is None for r in rows)
+    # schema contract
+    assert stage.transform_schema(df.schema).fieldNames() == \
+        ["input", "parsed", "parsed_error"]
+
+
+def test_simple_http_error_column(spark, server):
+    df = spark.createDataFrame([("x",)], ["text"]) \
+        .select(F.struct("text").alias("input"))
+    stage = SimpleHTTPTransformer(inputCol="input", outputCol="parsed",
+                                  url=f"{server}/missing", outputDataType=OUT_T)
+    row = stage.transform(df).collect()[0]
+    assert row.parsed is None
+    assert row.parsed_error.statusCode == 404
+
+
+def test_http_transformer_retries_on_503(spark, server):
+    _FLAKY_HITS.clear()
+    df = spark.createDataFrame([("r1",)], ["text"]).select(
+        http_request(f"{server}/flaky", "POST",
+                     entity=F.to_json(F.struct("text")).cast("binary"))
+        .alias("request"))
+    out = HTTPTransformer(inputCol="request", outputCol="response",
+                          backoffs=(0.05, 0.05, 0.05)).transform(df)
+    resp = out.collect()[0].response
+    assert resp.statusCode == 200  # succeeded on 3rd attempt
+
+
+def test_connection_failure_surfaces_minus_one(spark):
+    df = spark.createDataFrame([("x",)], ["text"]).select(
+        http_request("http://127.0.0.1:9/dead", "GET").alias("request"))
+    out = HTTPTransformer(inputCol="request", outputCol="response",
+                          timeout=2.0, backoffs=(0.05,)).transform(df)
+    resp = out.collect()[0].response
+    assert resp.statusCode == -1
+    assert resp.reasonPhrase
+
+
+def test_string_output_parser(spark, server):
+    df = spark.createDataFrame([("x",)], ["text"]).select(
+        http_request(f"{server}/echo", "POST",
+                     entity=F.to_json(F.struct("text")).cast("binary"))
+        .alias("request"))
+    out = HTTPTransformer(inputCol="request", outputCol="response").transform(df)
+    parsed = StringOutputParser(inputCol="response", outputCol="s").transform(out)
+    assert json.loads(parsed.collect()[0].s) == {"out": "X"}
+
+
+def test_text_sentiment_service_shape(spark, server):
+    """Declarative cognitive stage rides the generic HTTP machinery;
+    the stub echoes a documents payload."""
+    from mmlspark_spark.http.cognitive import TextSentiment
+
+    df = spark.createDataFrame([("great product",)], ["text"])
+    stage = TextSentiment(url=f"{server}/sentiment", textCol="text",
+                          outputCol="sentiment")
+    row = stage.transform(df).collect()[0]
+    # stub returns 404 for unknown path → error column populated
+    assert row.sentiment is None and row.sentiment_error.statusCode == 404
+
+
+def test_sentiment_against_stub_documents_endpoint(spark, server):
+    from mmlspark_spark.http.cognitive import TextSentiment
+
+    # extend stub: /echo gives {"out": ...} which doesn't match the TA
+    # schema -> parsed struct with null fields, but 200 status
+    df = spark.createDataFrame([("hi",)], ["text"])
+    stage = TextSentiment(url=f"{server}/echo", textCol="text",
+                          outputCol="sentiment")
+    row = stage.transform(df).collect()[0]
+    assert row.sentiment_error is None
+    assert row.sentiment is not None  # parsed (fields null, schema'd)
