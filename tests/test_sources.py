@@ -1,0 +1,137 @@
+"""Binary/image sources + transforms (reference io/split1 +
+image/ImageTransformerSuite strategy: tiny deterministic images)."""
+
+import io
+import struct
+import zipfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mmlspark_spark.sources import (
+    DecodeImage,
+    ImageSetAugmenter,
+    ImageTransformer,
+    ResizeImageTransformer,
+    UnrollImage,
+    read_binary_files,
+    read_images,
+    zip_expand,
+)
+from mmlspark_spark.sources.image import decode_bmp, image_to_array
+
+
+def make_bmp(arr: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP encoder (BGR input)."""
+    h, w = arr.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y].astype(np.uint8).tobytes()
+        rows.append(row + b"\x00" * (row_size - len(row)))
+    return header + info + b"".join(rows)
+
+
+@pytest.fixture(scope="module")
+def img_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+        (d / f"img{i}.bmp").write_bytes(make_bmp(arr))
+    (d / "notes.txt").write_bytes(b"not an image")
+    return str(d)
+
+
+def test_bmp_roundtrip():
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    back = decode_bmp(make_bmp(arr))
+    assert np.array_equal(back, arr)
+
+
+def test_read_binary_files(spark, img_dir):
+    df = read_binary_files(spark, img_dir)
+    rows = df.collect()
+    assert len(rows) == 4
+    assert all(len(r.bytes) > 0 for r in rows)
+    # glob filter prunes at the scan
+    only_bmp = read_binary_files(spark, img_dir, path_glob_filter="*.bmp")
+    assert only_bmp.count() == 3
+
+
+def test_zip_expand(spark, tmp_path):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.txt", b"alpha")
+        zf.writestr("sub/b.txt", b"beta")
+    (tmp_path / "arch.zip").write_bytes(buf.getvalue())
+    (tmp_path / "plain.bin").write_bytes(b"plain")
+    df = zip_expand(read_binary_files(spark, str(tmp_path)))
+    got = {r.path.split("/")[-1] if "#" not in r.path
+           else r.path.split("#")[-1]: bytes(r.bytes) for r in df.collect()}
+    assert got["a.txt"] == b"alpha"
+    assert got["sub/b.txt" if "sub/b.txt" in got else "b.txt"] == b"beta"
+    assert got["plain.bin"] == b"plain"
+
+
+def test_decode_image_stage(spark, img_dir):
+    df = read_binary_files(spark, img_dir, path_glob_filter="*.bmp")
+    out = DecodeImage(pathCol="path", bytesCol="bytes",
+                      outputCol="image").transform(df)
+    rows = out.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.image.height == 8 and r.image.width == 6
+        assert r.image.nChannels == 3
+        assert len(r.image.data) == 8 * 6 * 3
+
+
+def test_builtin_image_source(spark, img_dir):
+    df = read_images(spark, img_dir)
+    rows = df.collect()
+    assert len(rows) == 3  # dropInvalid skips notes.txt
+    assert rows[0].image.height == 8
+
+
+def test_image_transformer_pipeline(spark, img_dir):
+    df = DecodeImage().transform(
+        read_binary_files(spark, img_dir, path_glob_filter="*.bmp"))
+    stage = ImageTransformer(inputCol="image", outputCol="image") \
+        .resize(4, 4, method="nearest").gray().threshold(127)
+    out = stage.transform(df).collect()
+    for r in out:
+        img = image_to_array(r.image)
+        assert img.shape == (4, 4, 1)
+        assert set(np.unique(img)).issubset({0, 255})
+
+
+def test_resize_and_unroll(spark, img_dir):
+    df = DecodeImage().transform(
+        read_binary_files(spark, img_dir, path_glob_filter="*.bmp"))
+    resized = ResizeImageTransformer(height=3, width=3).transform(df)
+    unrolled = UnrollImage(inputCol="image", outputCol="vec",
+                           normalize=True).transform(resized)
+    rows = unrolled.collect()
+    for r in rows:
+        assert len(r.vec) == 3 * 3 * 3
+        assert all(0.0 <= v <= 1.0 for v in r.vec)
+
+
+def test_image_set_augmenter_doubles_rows(spark, img_dir):
+    df = DecodeImage().transform(
+        read_binary_files(spark, img_dir, path_glob_filter="*.bmp"))
+    out = ImageSetAugmenter(inputCol="image", outputCol="image",
+                            flipLeftRight=True, flipUpDown=True).transform(df)
+    assert out.count() == 9  # original + LR + UD
+    # flip is an involution: flipping twice returns the original
+    once = ImageTransformer(ops=[{"op": "flip", "flipCode": 1}]).transform(df)
+    twice = ImageTransformer(ops=[{"op": "flip", "flipCode": 1}]).transform(once)
+    a = image_to_array(df.orderBy("path").collect()[0].image)
+    b = image_to_array(twice.orderBy("path").collect()[0].image)
+    assert np.array_equal(a, b)
