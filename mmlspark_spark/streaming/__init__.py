@@ -1,0 +1,20 @@
+"""Streaming web serving: HTTP source/sink for Structured Streaming.
+
+Parity: reference ``core/.../sql/execution/streaming/HTTPSource.scala``
+(head-node micro-batch serving), ``ServingUDFs.scala`` (reply builders),
+``HTTPSourceStateHolder`` routing registries.
+"""
+
+from mmlspark_spark.streaming.serving import (
+    REQUEST_SCHEMA,
+    HTTPServingDataSource,
+    make_reply,
+    register_serving_source,
+    reply_batch,
+    serving_sink,
+)
+
+__all__ = [
+    "REQUEST_SCHEMA", "HTTPServingDataSource", "register_serving_source",
+    "make_reply", "reply_batch", "serving_sink",
+]
