@@ -1,0 +1,105 @@
+"""LightGBM/VW surface + ONNX inference plumbing (reference
+lightgbm/split1 + vw test strategy: separable synthetic data)."""
+
+import numpy as np
+import pytest
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.ml.linalg import Vectors
+from pyspark.sql import functions as F
+
+from mmlspark_spark.ml.lightgbm import LightGBMClassifier, LightGBMRegressor
+from mmlspark_spark.ml.onnx import ImageFeaturizer, ONNXModel
+from mmlspark_spark.ml.vw import (
+    VectorZipper,
+    VowpalWabbitClassifier,
+    VowpalWabbitFeaturizer,
+)
+
+
+@pytest.fixture(scope="module")
+def binary_data(spark):
+    rng = np.random.default_rng(0)
+    rows = []
+    for _ in range(300):
+        y = int(rng.random() < 0.5)
+        x = rng.normal(2.0 * y, 1.0, size=3)
+        rows.append((float(y), Vectors.dense([float(v) for v in x])))
+    return spark.createDataFrame(rows, ["label", "features"])
+
+
+def test_lightgbm_classifier_fallback_quality(binary_data):
+    model = LightGBMClassifier(numIterations=20, numLeaves=8,
+                               learningRate=0.2).fit(binary_data)
+    scored = model.transform(binary_data)
+    auc = BinaryClassificationEvaluator().evaluate(scored)
+    assert auc > 0.9
+
+
+def test_lightgbm_regressor_fallback(binary_data):
+    df = binary_data.withColumn("label", F.col("label") * 10.0)
+    model = LightGBMRegressor(numIterations=10).fit(df)
+    out = model.transform(df)
+    assert "prediction" in out.columns
+
+
+def test_vw_featurizer_and_classifier(spark):
+    rng = np.random.default_rng(1)
+    rows = [(("cat" if rng.random() < 0.5 else "dog"), float(rng.random()))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, ["animal", "weight"]) \
+        .withColumn("label", (F.col("animal") == "cat").cast("double"))
+    feat = VowpalWabbitFeaturizer(inputCols=["animal", "weight"],
+                                  outputCol="features", numBits=12)
+    out = feat.transform(df)
+    from pyspark.ml.linalg import VectorUDT
+
+    assert isinstance(out.schema["features"].dataType, VectorUDT)
+    first = out.select("features").first()[0]
+    assert first.size == 2 ** 12
+    model = VowpalWabbitClassifier(numPasses=3).fit(out)
+    scored = model.transform(out)
+    acc = scored.filter(F.col("prediction") == F.col("label")).count() / 200
+    assert acc > 0.95  # 'animal' feature fully determines the label
+
+
+def test_vector_zipper(spark):
+    df = spark.createDataFrame([("a", "b")], ["x", "y"])
+    out = VectorZipper(inputCols=["x", "y"], outputCol="z").transform(df)
+    assert out.collect()[0].z == ["a", "b"]
+
+
+def test_onnx_model_fake_fn_plumbing(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(10)], ["id", "features"])
+    stage = ONNXModel(inputCol="features", outputCol="out",
+                      fakeFn=lambda x: x.sum(axis=1, keepdims=True) * 2.0)
+    rows = stage.transform(df).collect()
+    for r in rows:
+        assert r.out == [pytest.approx(2.0 * (2 * r.id + 1))]
+
+
+def test_onnx_missing_runtime_raises(spark):
+    df = spark.createDataFrame([([1.0],)], ["features"])
+    stage = ONNXModel(modelBytes=b"not-a-model", inputCol="features",
+                      outputCol="out")
+    with pytest.raises(Exception) as ei:
+        stage.transform(df).collect()
+    assert "onnxruntime" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
+
+def test_image_featurizer_plumbing(spark, tmp_path):
+    import struct as _s
+
+    from mmlspark_spark.sources import DecodeImage, read_binary_files
+    from tests.test_sources import make_bmp
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    (tmp_path / "a.bmp").write_bytes(make_bmp(arr))
+    imgs = DecodeImage().transform(read_binary_files(spark, str(tmp_path)))
+    stage = ImageFeaturizer(inputCol="image", outputCol="features",
+                            height=4, width=4,
+                            fakeFn=lambda x: x.mean(axis=1, keepdims=True))
+    row = stage.transform(imgs).collect()[0]
+    assert len(row.features) == 1
+    assert 0.0 <= row.features[0] <= 1.0
