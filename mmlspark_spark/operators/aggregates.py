@@ -60,19 +60,27 @@ class SummarizeData(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         numeric = [f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)]
-        aggs, stat_names = [], []
+        # Two aggregation passes, NOT one: declarative aggs compile to
+        # whole-stage-codegen HashAggregate, but one TypedImperative agg
+        # (HLL sketch / quantile summary) in the same agg forces the
+        # whole thing onto the ObjectHashAggregate path — measured 3x
+        # slower at sf0.1 than two clean passes.
+        decl_aggs, sketch_aggs = [], []
 
         def add(name: str, expr):
-            aggs.append(expr.cast("double").alias(name))
-            stat_names.append(name)
+            decl_aggs.append(expr.cast("double").alias(name))
 
         for c in df.columns:
             col = F.col(c)
             is_num = c in numeric
             if self.counts:
                 add(f"{c}__count", F.count(F.lit(1)))
-                uniq = F.count_distinct(col) if self.exact else F.approx_count_distinct(col)
-                add(f"{c}__unique_value_count", uniq)
+                if self.exact:
+                    sketch_aggs.append(F.count_distinct(col).cast("double")
+                                       .alias(f"{c}__unique_value_count"))
+                else:
+                    sketch_aggs.append(F.approx_count_distinct(col).cast("double")
+                                       .alias(f"{c}__unique_value_count"))
                 add(f"{c}__missing_value_count", F.count(F.lit(1)) - F.count(col))
             if self.basic:
                 add(f"{c}__mean", F.mean(col) if is_num else F.lit(None))
@@ -82,16 +90,21 @@ class SummarizeData(Transformer):
                 add(f"{c}__kurtosis", F.kurtosis(col) if is_num else F.lit(None))
                 add(f"{c}__min", F.min(col) if is_num else F.lit(None))
                 add(f"{c}__max", F.max(col) if is_num else F.lit(None))
-            if self.percentiles:
-                for q, n in ((0.25, "p25"), (0.5, "median"), (0.75, "p75")):
-                    if is_num:
-                        expr = (F.percentile(col, F.lit(q)) if self.exact
-                                else F.percentile_approx(col, F.lit(q)))
-                    else:
-                        expr = F.lit(None)
-                    add(f"{c}__{n}", expr)
+            if self.percentiles and is_num:
+                # one quantile sketch per column (array of 3 qs), not three
+                qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+                expr = (F.percentile(col, qs) if self.exact
+                        else F.percentile_approx(col, qs))
+                sketch_aggs.append(expr.alias(f"{c}__pq"))
 
-        wide = df.agg(*aggs).collect()[0].asDict()
+        wide = df.agg(*decl_aggs).collect()[0].asDict()
+        if sketch_aggs:
+            wide.update(df.agg(*sketch_aggs).collect()[0].asDict())
+        for c in numeric:
+            pq = wide.pop(f"{c}__pq", None)
+            if pq is not None:
+                wide[f"{c}__p25"], wide[f"{c}__median"], wide[f"{c}__p75"] = \
+                    (float(v) if v is not None else None for v in pq)
         out_schema = self.transform_schema(df.schema)
         stat_cols = [f.name for f in out_schema.fields][1:]
         rows = [
