@@ -73,3 +73,92 @@ def test_tabular_shap_efficiency_and_signs(points, linear_model, spark):
     means = points.agg(F.avg("a"), F.avg("b")).collect()[0]
     assert abs(phi_a - 3.0 * (1.0 - means[0])) < 0.2
     assert abs(phi_b - (-2.0) * (1.0 - means[1])) < 0.2
+
+
+def test_text_lime_finds_signal_token(spark):
+    """Model scores 1 when 'magic' appears; LIME must weight it top."""
+    model = Lambda(fn=lambda df: df.withColumn(
+        "prediction",
+        F.when(F.col("text").contains("magic"), 1.0).otherwise(0.0)))
+    from mmlspark_spark.explainers import TextLIME
+
+    df = spark.createDataFrame(
+        [("the quick magic fox jumps",)], ["text"])
+    lime = TextLIME(model=model, textCol="text", targetCol="prediction",
+                    numSamples=200, seed=4)
+    row = lime.transform(df).collect()[0]
+    weights = dict(zip(row.tokens, row.explanation))
+    top = max(weights, key=weights.get)
+    assert top == "magic"
+    assert weights["magic"] > 0.3
+
+
+def test_text_shap_efficiency(spark):
+    model = Lambda(fn=lambda df: df.withColumn(
+        "prediction",
+        F.when(F.col("text").contains("magic"), 1.0).otherwise(0.0)))
+    from mmlspark_spark.explainers import TextSHAP
+
+    df = spark.createDataFrame([("alpha magic beta",)], ["text"])
+    shap = TextSHAP(model=model, textCol="text", targetCol="prediction",
+                    numSamples=64, seed=5)
+    row = shap.transform(df).collect()[0]
+    base, *phi = row.explanation
+    # efficiency: base + sum(phi) == f(x) == 1.0
+    assert abs(base + sum(phi) - 1.0) < 1e-6
+    weights = dict(zip(row.tokens, phi))
+    assert max(weights, key=weights.get) == "magic"
+
+
+def test_superpixel_transformer(spark, tmp_path):
+    import numpy as np
+
+    from mmlspark_spark.explainers import SuperpixelTransformer
+    from mmlspark_spark.sources import DecodeImage, read_binary_files
+    from tests.test_sources import make_bmp
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    (tmp_path / "sp.bmp").write_bytes(make_bmp(arr))
+    imgs = DecodeImage().transform(read_binary_files(spark, str(tmp_path)))
+    out = SuperpixelTransformer(inputCol="image", outputCol="sp",
+                                cellSize=8.0).transform(imgs)
+    row = out.collect()[0]
+    clusters = row.sp.clusters
+    assert len(clusters) >= 2
+    # every pixel appears exactly once across clusters
+    seen = {(p.x, p.y) for c in clusters for p in c}
+    assert len(seen) == 16 * 16
+
+
+def test_image_lime_highlights_bright_region(spark, tmp_path):
+    """Model = mean brightness; the bright quadrant's superpixels must
+    get the largest LIME weights."""
+    import numpy as np
+
+    from mmlspark_spark.explainers import ImageLIME
+    from mmlspark_spark.sources import DecodeImage, read_binary_files
+    from mmlspark_spark.sources.image import image_to_array
+    from tests.test_sources import make_bmp
+
+    arr = np.zeros((16, 16, 3), dtype=np.uint8)
+    arr[:8, :8] = 255  # bright top-left quadrant
+    (tmp_path / "q.bmp").write_bytes(make_bmp(arr))
+    imgs = DecodeImage().transform(read_binary_files(spark, str(tmp_path)))
+
+    def brightness(df):
+        from mmlspark_spark.sources.transforms import UnrollImage
+
+        un = UnrollImage(inputCol="image", outputCol="__px",
+                         normalize=True).transform(df)
+        return un.withColumn(
+            "prediction",
+            F.aggregate("__px", F.lit(0.0), lambda a, v: a + v)
+            / F.size("__px"))
+
+    lime = ImageLIME(model=Lambda(fn=brightness), inputCol="image",
+                     targetCol="prediction", numSamples=64,
+                     cellSize=8.0, seed=6)
+    row = lime.transform(imgs).collect()[0]
+    assert len(row.explanation) >= 2
+    assert max(row.explanation) > 0.01  # some superpixel carries signal
