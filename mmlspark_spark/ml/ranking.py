@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 class RankingEvaluator:
@@ -71,4 +72,85 @@ class RankingEvaluator:
             F.avg("ndcg_at_k").alias("ndcgAt"),
             F.avg("average_precision").alias("map"),
         ).collect()[0]
-        return {k: float(v) for k, v in agg.asDict().items()}
+        return {k: (float(v) if v is not None else 0.0)
+                for k, v in agg.asDict().items()}
+
+
+class RankingAdapter:
+    """Wrap a recommender for ranking evaluation.
+
+    Parity: reference ``core/.../recommendation/RankingAdapter.scala:1-161``
+    — fit the recommender on train interactions, then emit per-user
+    (prediction = top-k recommended items, label = ground-truth items)
+    for ``RankingEvaluator``.
+
+    ``recommender`` must expose ``fit(df) -> model`` where the model has
+    ``recommend_for_all_users(k) -> (user, item, score, rank)`` (SARModel
+    shape) — or pass ``recs_fn(model, k)`` for other recommenders.
+    """
+
+    def __init__(self, recommender=None, k: int = 10,
+                 userCol: str = "user", itemCol: str = "item",
+                 recs_fn=None):
+        self.recommender, self.k = recommender, k
+        self.userCol, self.itemCol = userCol, itemCol
+        self.recs_fn = recs_fn
+
+    def fit(self, train: DataFrame) -> "RankingAdapterModel":
+        model = self.recommender.fit(train)
+        return RankingAdapterModel(model, self.k, self.userCol,
+                                   self.itemCol, self.recs_fn)
+
+
+class RankingAdapterModel:
+    def __init__(self, model, k, userCol, itemCol, recs_fn=None):
+        self.model, self.k = model, k
+        self.userCol, self.itemCol = userCol, itemCol
+        self.recs_fn = recs_fn
+
+    def transform(self, test: DataFrame) -> DataFrame:
+        if self.recs_fn is not None:
+            recs = self.recs_fn(self.model, self.k)
+        else:
+            recs = self.model.recommend_for_all_users(self.k)
+        pred = (recs.orderBy(self.userCol, "rank")
+                .groupBy(self.userCol)
+                .agg(F.collect_list(self.itemCol).alias("prediction")))
+        label = (test.groupBy(self.userCol)
+                 .agg(F.collect_set(self.itemCol).alias("label")))
+        return label.join(pred, self.userCol, "inner")
+
+
+class RankingTrainValidationSplit:
+    """Per-user holdout split + ranking metrics.
+
+    Parity: reference ``recommendation/RankingTrainValidationSplit.scala
+    :1-354`` — split each user's interactions train/validation, fit via
+    the adapter, evaluate map/ndcg/precision/recall@k.
+    """
+
+    def __init__(self, adapter: RankingAdapter, trainRatio: float = 0.75,
+                 seed: int = 42):
+        self.adapter, self.trainRatio, self.seed = adapter, trainRatio, seed
+
+    def fit(self, df: DataFrame) -> dict:
+        user = self.adapter.userCol
+        w = Window.partitionBy(user).orderBy(F.xxhash64(
+            F.col(self.adapter.itemCol), F.lit(self.seed)))
+        counted = df.withColumn(
+            "__rn", F.row_number().over(w)
+        ).withColumn("__n", F.count("*").over(Window.partitionBy(user)))
+        train = counted.filter(
+            F.col("__rn") <= F.greatest(
+                (F.col("__n") * self.trainRatio).cast("int"), F.lit(1))
+        ).drop("__rn", "__n")
+        test = counted.filter(
+            F.col("__rn") > F.greatest(
+                (F.col("__n") * self.trainRatio).cast("int"), F.lit(1))
+        ).drop("__rn", "__n")
+        model = self.adapter.fit(train)
+        ranked = model.transform(test)
+        metrics = RankingEvaluator(
+            k=self.adapter.k, predictionCol="prediction", labelCol="label"
+        ).evaluate(ranked)
+        return {"model": model, "metrics": metrics}
