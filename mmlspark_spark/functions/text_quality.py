@@ -60,3 +60,68 @@ def quality_columns(text: Column | str, stopwords: Sequence[str] = DEFAULT_STOPW
         "avg_token_len": avg_token_length(c),
         "stopword_ratio": stopword_ratio(c, stopwords),
     }
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation (C4-style filter)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1))
+
+
+def subword_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: runs of letters, runs of digits, and
+    individual punctuation marks each count as one token — the standard
+    cheap proxy for BPE vocabulary token counts."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"))
+
+
+# Distinctive function-word profiles; a hit on a profile word votes for
+# that language. Profiles use words that are near-unique per language.
+_LANG_PROFILES = {
+    "en": ("the", "and", "of", "is", "that", "with", "for", "this"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "pour"),
+    "es": ("el", "los", "las", "es", "una", "para", "con", "por"),
+    "it": ("il", "gli", "che", "per", "una", "sono", "con", "di"),
+}
+
+
+def lang_id(text: Column | str, profiles: dict = None) -> Column:
+    """Heuristic language ID: the language whose function-word profile
+    scores the most token hits (ties → lexicographic min). Pure column
+    expressions — a single map over 100 TB, no shuffle; 'und'
+    (undetermined) when nothing matches."""
+    profiles = profiles or _LANG_PROFILES
+    langs = sorted(profiles)
+    t = F.transform(tokens(text), lambda x: F.lower(x))
+    scored = F.array(*[
+        F.struct(
+            F.size(F.filter(t, lambda x: x.isin(*profiles[lang]))).alias("hits"),
+            # higher priority = alphabetically earlier, so array_max
+            # tie-breaks deterministically toward the lexicographic min
+            F.lit(len(langs) - i).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ])
+    best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
+    return F.coalesce(best["lang"], F.lit("und"))
+
+
+_FP_MOD = 562949953421231  # prime < 2^49: 31·M + M stays under 2^63 (ANSI-safe)
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Rolling (polynomial) hash over tokens:
+    fp = Σ token_hash · 31^position  (mod a 49-bit prime) — an
+    order-sensitive content fingerprint, computed map-side. Modular
+    rather than wrapping arithmetic because ANSI mode (Spark 4 default)
+    raises on long overflow."""
+    m = F.lit(_FP_MOD).cast("long")
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + F.pmod(F.xxhash64(x), m), m),
+    )

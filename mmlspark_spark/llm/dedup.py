@@ -147,13 +147,7 @@ class MinHashLSHDeduplicator(Transformer):
         return T.StructType(fields)
 
     def signatures(self, df: DataFrame) -> DataFrame:
-        """(id, sig: array<long>[numHashes]) — one row per doc.
-
-        Computed entirely map-side: ``array_min`` over the per-shingle
-        hash array replaces the explode + k-way ``min`` groupBy (the
-        signature needs no shuffle at all — fingerprinting 100 TB is
-        embarrassingly parallel; the only shuffle left is the band join).
-        """
+        """(id, sig: array<long>[numHashes]) — one row per doc."""
         k = self.numHashes
         # Explode + k-way min groupBy: the per-doc partial aggregation
         # state is k longs (map-side combinable), and each shingle is
@@ -300,3 +294,76 @@ class SimHashDeduplicator(Transformer):
             .dropDuplicates(["doc_a", "doc_b"])
             .filter(F.col("hamming") <= self.maxHammingDistance)
         )
+
+
+class EmbeddingDeduplicator(Transformer):
+    """Embedding-cosine near-duplicate pairs.
+
+    Two paths, mirroring the similarity-search stack:
+
+    - ``method='exact'``: all-pairs cosine via a self-join on a blocking
+      key-free cross join of the (small) candidate set — use only when
+      one side is bounded;
+    - ``method='lsh'`` (default): random-hyperplane bucketing — only
+      bucket-colliding pairs are scored, which is the 100 TB path (the
+      shuffle is on the band hash, never O(n²)).
+
+    transform(df) returns (id_a, id_b, cosine) with id_a < id_b and
+    cosine >= threshold.
+    """
+
+    def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
+                 threshold: float = 0.95, method: str = "lsh",
+                 numPlanes: int = 16, bands: int = 8, seed: int = 42):
+        if method not in ("exact", "lsh"):
+            raise ValueError("method must be 'exact' or 'lsh'")
+        super().__init__(idCol=idCol, vecCol=vecCol, threshold=threshold,
+                         method=method, numPlanes=numPlanes, bands=bands,
+                         seed=seed)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.idCol, self.vecCol)
+        id_type = schema[self.idCol].dataType
+        return T.StructType([
+            T.StructField("id_a", id_type, True),
+            T.StructField("id_b", id_type, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ])
+
+    def _pairs_exact(self, df: DataFrame) -> DataFrame:
+        a = df.select(F.col(self.idCol).alias("id_a"),
+                      F.col(self.vecCol).alias("__va"))
+        b = df.select(F.col(self.idCol).alias("id_b"),
+                      F.col(self.vecCol).alias("__vb"))
+        return a.join(b, F.col("id_a") < F.col("id_b"))
+
+    def _pairs_lsh(self, df: DataFrame) -> DataFrame:
+        from mmlspark_spark.llm.similarity import LSHKNN
+
+        lsh = LSHKNN(idCol=self.idCol, vecCol=self.vecCol,
+                     numPlanes=self.numPlanes, bands=self.bands,
+                     seed=self.seed)
+        dim = len(df.select(self.vecCol).first()[0])
+        banded = lsh._signature_bands(df, dim, "d")
+        a = banded
+        b = (banded.withColumnRenamed("d_id", "b_id")
+             .withColumnRenamed("d_vec", "b_vec")
+             .withColumnRenamed("d_chunk", "b_chunk"))
+        return (a.join(b, (a["__band"] == b["__band"])
+                      & (a["d_chunk"] == b["b_chunk"])
+                      & (a["d_id"] < b["b_id"]))
+                .select(F.col("d_id").alias("id_a"),
+                        F.col("b_id").alias("id_b"),
+                        F.col("d_vec").alias("__va"),
+                        F.col("b_vec").alias("__vb"))
+                .dropDuplicates(["id_a", "id_b"]))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from mmlspark_spark.functions.vector import cosine_similarity
+
+        pairs = (self._pairs_exact(df) if self.method == "exact"
+                 else self._pairs_lsh(df))
+        return (pairs.select(
+            "id_a", "id_b",
+            cosine_similarity("__va", "__vb").alias("cosine"))
+            .filter(F.col("cosine") >= self.threshold))

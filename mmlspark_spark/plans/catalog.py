@@ -1261,3 +1261,71 @@ def tabular_shap(spark, sf_dir):
         F.round(F.col("shapValues")[1], 2).alias("phi_price"),
         F.round(F.col("shapValues")[2], 2).alias("phi_discount"),
     )
+
+
+@register(
+    "embedding_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+    """,
+)
+def embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact path over a bounded slice
+    (the LSH path is the scale variant, recall-tested in tests)."""
+    from mmlspark_spark.llm.dedup import EmbeddingDeduplicator
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    out = EmbeddingDeduplicator(idCol="vec_id", vecCol="embedding",
+                                threshold=0.8, method="exact").transform(emb)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "text_metrics",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+           length(regexp_replace(text, '[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]',
+                                 'X', 'g'))
+             - length(regexp_replace(text,
+                      '[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]', '', 'g'))
+             AS subword_tokens
+    FROM documents WHERE doc_id < 2000
+    """,
+)
+def text_metrics(spark, sf_dir):
+    """Punctuation ratio + BPE-ish subword count as pure expressions
+    (SURVEY 'LLM extras' text analysis)."""
+    from mmlspark_spark.functions.text_quality import (
+        punct_ratio,
+        subword_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        subword_token_count("text").cast("bigint").alias("subword_tokens"),
+    )
+
+
+@register("lang_id_heuristic", oracle=None)
+def lang_id_heuristic(spark, sf_dir):
+    """Function-word-profile language ID over documents (rows-only: the
+    heuristic's profiles are engine-specific; behavior is unit-tested
+    on real multilingual sentences)."""
+    from mmlspark_spark.functions.text_quality import doc_fingerprint, lang_id
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return docs.select(
+        "doc_id", lang_id("text").alias("pred_lang"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )

@@ -115,3 +115,45 @@ def test_bandit_estimators(spark):
     ev = ContextualBanditPolicyEvaluator()
     out = ev.evaluate(df, lambda d: d.withColumn("target_action", F.lit("a0")))
     assert abs(out["ips"] - 0.0) < 1e-9  # a0 never rewards
+
+
+def test_lang_id_on_real_sentences(spark):
+    from mmlspark_spark.functions.text_quality import lang_id
+
+    df = spark.createDataFrame([
+        ("the cat is on the roof and it is happy", "en"),
+        ("der Hund ist nicht in der Küche und das ist gut", "de"),
+        ("le chat est dans la maison et les enfants sont là", "fr"),
+        ("el perro es grande y las casas son blancas para todos", "es"),
+    ], ["text", "expected"])
+    out = df.select("expected", lang_id("text").alias("pred")).collect()
+    for r in out:
+        assert r.pred == r.expected
+    # no profile hits → 'und'
+    und = spark.createDataFrame([("zzz qqq xxx",)], ["text"])
+    assert und.select(lang_id("text")).collect()[0][0] == "und"
+
+
+def test_doc_fingerprint_order_sensitive(spark):
+    from mmlspark_spark.functions.text_quality import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [("a b c",), ("c b a",), ("a b c",)], ["text"])
+    fps = [r[0] for r in df.select(doc_fingerprint("text")).collect()]
+    assert fps[0] == fps[2]  # deterministic
+    assert fps[0] != fps[1]  # order-sensitive
+
+
+def test_embedding_dedup_lsh_recall(spark, embeddings):
+    from mmlspark_spark.llm.dedup import EmbeddingDeduplicator
+
+    emb = embeddings.filter(F.col("vec_id") < 400)
+    exact = {(r.id_a, r.id_b) for r in EmbeddingDeduplicator(
+        threshold=0.8, method="exact").transform(emb).collect()}
+    lsh = {(r.id_a, r.id_b) for r in EmbeddingDeduplicator(
+        threshold=0.8, method="lsh", numPlanes=16, bands=8,
+    ).transform(emb).collect()}
+    assert lsh.issubset(exact)  # LSH never invents pairs
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.5  # banded collision recall at cos>=0.8
