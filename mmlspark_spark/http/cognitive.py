@@ -149,3 +149,245 @@ class DetectAnomalies(_JsonServiceBase):
         return F.to_json(F.struct(
             F.col(self.seriesCol).alias("series"),
             F.lit(self.granularity).alias("granularity")))
+
+
+# ---------------------------------------------------------------------------
+# Vision (cognitive/.../ComputerVision.scala:183-560)
+# ---------------------------------------------------------------------------
+
+class _ImageServiceBase(_JsonServiceBase):
+    """Image-url request shape {"url": ...} (BasicAsyncReply services)."""
+
+    def __init__(self, url: str = "", imageUrlCol: str = "url",
+                 outputCol: str = "result", **kw):
+        super().__init__(url=url, imageUrlCol=imageUrlCol,
+                         outputCol=outputCol, **kw)
+
+    def _entity(self, df: DataFrame) -> F.Column:
+        return F.to_json(F.struct(F.col(self.imageUrlCol).alias("url")))
+
+
+class OCR(_ImageServiceBase):
+    """ComputerVision.scala:183-220."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("language", T.StringType()),
+        T.StructField("regions", T.ArrayType(T.StructType([
+            T.StructField("boundingBox", T.StringType()),
+            T.StructField("lines", T.ArrayType(T.StructType([
+                T.StructField("boundingBox", T.StringType()),
+                T.StructField("words", T.ArrayType(T.StructType([
+                    T.StructField("boundingBox", T.StringType()),
+                    T.StructField("text", T.StringType()),
+                ]))),
+            ]))),
+        ]))),
+    ])
+
+
+class AnalyzeImage(_ImageServiceBase):
+    """ComputerVision.scala:260-330."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("categories", T.ArrayType(T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]))),
+        T.StructField("tags", T.ArrayType(T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("confidence", T.DoubleType()),
+        ]))),
+        T.StructField("description", T.StructType([
+            T.StructField("captions", T.ArrayType(T.StructType([
+                T.StructField("text", T.StringType()),
+                T.StructField("confidence", T.DoubleType()),
+            ]))),
+        ])),
+    ])
+
+
+class TagImage(_ImageServiceBase):
+    """ComputerVision.scala:400-430."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("tags", T.ArrayType(T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("confidence", T.DoubleType()),
+        ]))),
+    ])
+
+
+class DescribeImage(_ImageServiceBase):
+    """ComputerVision.scala:440-480."""
+
+    RESPONSE_TYPE = AnalyzeImage.RESPONSE_TYPE
+
+
+class RecognizeText(_ImageServiceBase):
+    """ComputerVision.scala:221-259 (async read API reduced to one hop)."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("status", T.StringType()),
+        T.StructField("recognitionResult", T.StructType([
+            T.StructField("lines", T.ArrayType(T.StructType([
+                T.StructField("boundingBox", T.ArrayType(T.IntegerType())),
+                T.StructField("text", T.StringType()),
+            ]))),
+        ])),
+    ])
+
+
+class GenerateThumbnails(_ImageServiceBase):
+    """ComputerVision.scala:340-370 — binary response kept raw."""
+
+    RESPONSE_TYPE = T.BinaryType()
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        # thumbnail bytes are not JSON; return the raw entity
+        headers = [F.struct(F.lit("Content-Type").alias("name"),
+                            F.lit("application/json").alias("value"))]
+        req = http_request(self.url, "POST",
+                           entity=self._entity(df).cast("binary"),
+                           headers=F.array(*headers))
+        out = HTTPTransformer(
+            inputCol="__request__", outputCol="__response__",
+            concurrency=self.concurrency, timeout=self.timeout,
+        ).transform(df.withColumn("__request__", req))
+        ok = F.col("__response__")["statusCode"].between(200, 299)
+        return (out
+                .withColumn(self.outputCol,
+                            F.when(ok, F.col("__response__")["entity"]))
+                .withColumn(self.outputCol + "_error",
+                            F.when(~ok, F.col("__response__")))
+                .drop("__request__", "__response__"))
+
+
+# ---------------------------------------------------------------------------
+# Face (cognitive/.../Face.scala:18-300)
+# ---------------------------------------------------------------------------
+
+class DetectFace(_ImageServiceBase):
+    RESPONSE_TYPE = T.ArrayType(T.StructType([
+        T.StructField("faceId", T.StringType()),
+        T.StructField("faceRectangle", T.StructType([
+            T.StructField("top", T.IntegerType()),
+            T.StructField("left", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ])),
+    ]))
+
+
+class FindSimilarFace(_JsonServiceBase):
+    RESPONSE_TYPE = T.ArrayType(T.StructType([
+        T.StructField("faceId", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]))
+
+    def __init__(self, url: str = "", faceIdCol: str = "faceId",
+                 faceIdsCol: str = "faceIds", outputCol: str = "result", **kw):
+        super().__init__(url=url, faceIdCol=faceIdCol, faceIdsCol=faceIdsCol,
+                         outputCol=outputCol, **kw)
+
+    def _entity(self, df: DataFrame) -> F.Column:
+        return F.to_json(F.struct(
+            F.col(self.faceIdCol).alias("faceId"),
+            F.col(self.faceIdsCol).alias("faceIds")))
+
+
+class VerifyFaces(_JsonServiceBase):
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("isIdentical", T.BooleanType()),
+        T.StructField("confidence", T.DoubleType()),
+    ])
+
+    def __init__(self, url: str = "", faceId1Col: str = "faceId1",
+                 faceId2Col: str = "faceId2", outputCol: str = "result", **kw):
+        super().__init__(url=url, faceId1Col=faceId1Col, faceId2Col=faceId2Col,
+                         outputCol=outputCol, **kw)
+
+    def _entity(self, df: DataFrame) -> F.Column:
+        return F.to_json(F.struct(
+            F.col(self.faceId1Col).alias("faceId1"),
+            F.col(self.faceId2Col).alias("faceId2")))
+
+
+# ---------------------------------------------------------------------------
+# Speech + Translate (SpeechToText.scala:22+, TextTranslator.scala:157-420)
+# ---------------------------------------------------------------------------
+
+class SpeechToText(_JsonServiceBase):
+    """Audio bytes → transcript (SpeechToText.scala:22+; the SDK
+    streaming variant is a documented delta — micro-batch POST here)."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("RecognitionStatus", T.StringType()),
+        T.StructField("DisplayText", T.StringType()),
+        T.StructField("Offset", T.LongType()),
+        T.StructField("Duration", T.LongType()),
+    ])
+
+    def __init__(self, url: str = "", audioCol: str = "audio",
+                 outputCol: str = "result", **kw):
+        super().__init__(url=url, audioCol=audioCol, outputCol=outputCol, **kw)
+
+    def _entity(self, df: DataFrame) -> F.Column:
+        return F.col(self.audioCol)  # raw audio bytes
+
+
+class Translate(_JsonServiceBase):
+    RESPONSE_TYPE = T.ArrayType(T.StructType([
+        T.StructField("translations", T.ArrayType(T.StructType([
+            T.StructField("text", T.StringType()),
+            T.StructField("to", T.StringType()),
+        ]))),
+    ]))
+
+    def __init__(self, url: str = "", textCol: str = "text",
+                 outputCol: str = "result", **kw):
+        super().__init__(url=url, textCol=textCol, outputCol=outputCol, **kw)
+
+    def _entity(self, df: DataFrame) -> F.Column:
+        return F.to_json(F.array(F.struct(F.col(self.textCol).alias("Text"))))
+
+
+class AnalyzeLayout(_JsonServiceBase):
+    """Form Recognizer layout (FormRecognizer.scala:170-350)."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("status", T.StringType()),
+        T.StructField("analyzeResult", T.StructType([
+            T.StructField("readResults", T.ArrayType(T.StructType([
+                T.StructField("page", T.IntegerType()),
+                T.StructField("lines", T.ArrayType(T.StructType([
+                    T.StructField("text", T.StringType()),
+                ]))),
+            ]))),
+        ])),
+    ])
+
+    def __init__(self, url: str = "", urlCol: str = "source",
+                 outputCol: str = "result", **kw):
+        super().__init__(url=url, urlCol=urlCol, outputCol=outputCol, **kw)
+
+    def _entity(self, df: DataFrame) -> F.Column:
+        return F.to_json(F.struct(F.col(self.urlCol).alias("source")))
+
+
+class BingImageSearch(_JsonServiceBase):
+    """BingImageSearch.scala:69+ — GET with query params reduced to a
+    POST body against a user endpoint."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("value", T.ArrayType(T.StructType([
+            T.StructField("contentUrl", T.StringType()),
+            T.StructField("name", T.StringType()),
+        ]))),
+    ])
+
+    def __init__(self, url: str = "", queryCol: str = "query",
+                 outputCol: str = "result", **kw):
+        super().__init__(url=url, queryCol=queryCol, outputCol=outputCol, **kw)
+
+    def _entity(self, df: DataFrame) -> F.Column:
+        return F.to_json(F.struct(F.col(self.queryCol).alias("q")))

@@ -157,3 +157,40 @@ def test_embedding_dedup_lsh_recall(spark, embeddings):
     if exact:
         recall = len(lsh & exact) / len(exact)
         assert recall >= 0.5  # banded collision recall at cos>=0.8
+
+
+def test_model_downloader_local_repo(tmp_path):
+    from mmlspark_spark.sources.downloader import ModelDownloader, ModelSchema
+
+    dl = ModelDownloader(str(tmp_path / "repo"))
+    schema = ModelSchema(name="toy", dataset="synthetic", modelType="onnx")
+    path = dl.register_local(schema, b"model-bytes")
+    models = dl.local_models()
+    assert len(models) == 1
+    assert models[0].name == "toy"
+    assert models[0].size == 11
+    assert models[0].hash  # sha256 recorded
+    # idempotent fetch: existing + hash-valid file is reused
+    assert dl.download_model(models[0]) == path
+
+
+def test_cognitive_vision_shapes(spark, sink_server):
+    """Vision/Face/Translate subclasses ride the generic machinery —
+    entity shape + typed parse verified against the JSON sink stub."""
+    from mmlspark_spark.http.cognitive import AnalyzeImage, Translate, VerifyFaces
+
+    df = spark.createDataFrame([("http://x/img.png",)], ["url"])
+    out = AnalyzeImage(url=f"{sink_server}/analyze", imageUrlCol="url",
+                       outputCol="vision").transform(df).collect()[0]
+    assert out.vision_error is None  # stub 200s; parsed (nulls) ok
+    sent = _RECEIVED[-1]
+    assert sent == {"url": "http://x/img.png"}
+
+    t = spark.createDataFrame([("hola",)], ["text"])
+    Translate(url=f"{sink_server}/translate", textCol="text",
+              outputCol="tr").transform(t).collect()
+    assert _RECEIVED[-1] == [{"Text": "hola"}]
+
+    v = spark.createDataFrame([("f1", "f2")], ["faceId1", "faceId2"])
+    VerifyFaces(url=f"{sink_server}/verify", outputCol="vf").transform(v).collect()
+    assert _RECEIVED[-1] == {"faceId1": "f1", "faceId2": "f2"}
