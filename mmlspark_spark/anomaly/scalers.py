@@ -31,7 +31,16 @@ class _PerPartitionScalerBase(Estimator):
         )
 
 
-class StandardScalarScalerModel(Model):
+class _ScalerModelBase(Model):
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        cols = [self.inputCol] + ([self.partitionKey] if self.partitionKey else [])
+        self._require_cols(schema, *cols)
+        return T.StructType(
+            list(schema.fields) + [T.StructField(self.outputCol, T.DoubleType())]
+        )
+
+
+class StandardScalarScalerModel(_ScalerModelBase):
     def __init__(self, inputCol="value", partitionKey=None, outputCol="scaled",
                  statsDf=None, stats=None, coefficientFactor: float = 1.0):
         super().__init__(inputCol=inputCol, partitionKey=partitionKey,
@@ -46,7 +55,8 @@ class StandardScalarScalerModel(Model):
                 F.col("__std__") != 0.0,
                 F.lit(self.coefficientFactor) * (x - F.col("__mean__")) / F.col("__std__"),
             ).otherwise(x - F.col("__mean__"))
-            return joined.withColumn(self.outputCol, norm).drop("__mean__", "__std__")
+            return (joined.withColumn(self.outputCol, norm)
+                    .select(*df.columns, self.outputCol))
         mean, std = self.stats["__mean__"], self.stats["__std__"]
         return df.withColumn(
             self.outputCol, F.lit(self.coefficientFactor) * (x - mean) / std
@@ -75,7 +85,7 @@ class StandardScalarScaler(_PerPartitionScalerBase):
             coefficientFactor=self.coefficientFactor)
 
 
-class LinearScalarScalerModel(Model):
+class LinearScalarScalerModel(_ScalerModelBase):
     def __init__(self, inputCol="value", partitionKey=None, outputCol="scaled",
                  statsDf=None, stats=None, minRequiredValue: float = 0.0,
                  maxRequiredValue: float = 1.0):
@@ -94,7 +104,8 @@ class LinearScalarScalerModel(Model):
             b = F.when(delta != 0,
                        self.maxRequiredValue - a * F.col("__max__")
                        ).otherwise(F.lit((self.minRequiredValue + self.maxRequiredValue) / 2.0))
-            return joined.withColumn(self.outputCol, a * x + b).drop("__min__", "__max__")
+            return (joined.withColumn(self.outputCol, a * x + b)
+                    .select(*df.columns, self.outputCol))
         lo, hi = self.stats["__min__"], self.stats["__max__"]
         delta = hi - lo
         a = req_delta / delta if delta != 0.0 else 0.0

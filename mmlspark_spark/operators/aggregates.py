@@ -135,7 +135,10 @@ class ClassBalancerModel(Model):
         w = self.weights
         if self.broadcastJoin:
             w = F.broadcast(w)
-        return df.join(w, on=self.inputCol, how="left")
+        # the join key would otherwise lead the output — restore the
+        # input column order (+ weight) to honor transform_schema
+        return (df.join(w, on=self.inputCol, how="left")
+                .select(*df.columns, self.outputCol))
 
 
 class ClassBalancer(Estimator):

@@ -106,7 +106,15 @@ class Lambda(Transformer):
         super().__init__(fn=fn)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
-        return schema  # not statically known; validated at transform
+        # derive the output schema by planning the lambda over an empty
+        # frame (Lambda.scala:40-52's transformSchema strategy) — only
+        # the plan is built, no job runs
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return schema
+        return self.fn(spark.createDataFrame([], schema)).schema
 
     def _transform(self, df: DataFrame) -> DataFrame:
         return self.fn(df)

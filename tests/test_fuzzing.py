@@ -1,0 +1,157 @@
+"""Generic stage-contract fuzzing (reference core/test/fuzzing/
+Fuzzing.scala:192-298 analog): every registered stage must
+
+1. propagate schema statically: ``transform_schema(df.schema)`` equals
+   the schema Spark actually produces, and
+2. be deterministic: two transforms of the same input give equal rows.
+
+Stages register a TestObject (stage + input builder) exactly like the
+reference's ``TestObject`` pattern.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _basic(spark):
+    return spark.createDataFrame(
+        [(0, 1.5, "alpha beta gamma", "x"),
+         (1, 2.5, "delta epsilon", "y"),
+         (2, float("nan"), "zeta", "x")],
+        ["id", "val", "text", "cat"])
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog again"),
+         (1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "completely different content with many other words here")],
+        ["doc_id", "text"])
+
+
+def _embs(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"])
+
+
+def _test_objects(spark):
+    """(name, stage, input_df) triples — transformers only."""
+    from mmlspark_spark.anomaly import ComplementAccessTransformer
+    from mmlspark_spark.llm.dedup import (
+        EmbeddingDeduplicator,
+        ExactDeduplicator,
+        MinHashLSHDeduplicator,
+        SimHashDeduplicator,
+    )
+    from mmlspark_spark.operators import (
+        Cacher,
+        DropColumns,
+        Explode,
+        FixedMiniBatchTransformer,
+        FlattenBatch,
+        Lambda,
+        RenameColumn,
+        Repartition,
+        SelectColumns,
+    )
+    from mmlspark_spark.operators.minibatch import DynamicMiniBatchTransformer
+
+    basic = _basic(spark)
+    docs = _docs(spark)
+    embs = _embs(spark)
+    arr = basic.withColumn("arr", F.array("id", "id"))
+    batched = FixedMiniBatchTransformer(batchSize=2).transform(basic)
+    pairs = spark.createDataFrame(
+        [("t", 1, 1), ("t", 1, 2), ("t", 2, 1)],
+        ["tenant", "user_idx", "res_idx"])
+    return [
+        ("SelectColumns", SelectColumns(cols=["id", "val"]), basic),
+        ("DropColumns", DropColumns(cols=["cat"]), basic),
+        ("RenameColumn", RenameColumn(inputCol="cat", outputCol="category"),
+         basic),
+        ("Explode", Explode(inputCol="arr", outputCol="el"), arr),
+        ("Lambda", Lambda(fn=lambda df: df.withColumn("twice", F.col("id") * 2)),
+         basic),
+        ("Cacher", Cacher(), basic),
+        ("Repartition", Repartition(n=2), basic),
+        ("FixedMiniBatch", FixedMiniBatchTransformer(batchSize=2), basic),
+        ("DynamicMiniBatch", DynamicMiniBatchTransformer(), basic),
+        ("FlattenBatch", FlattenBatch(), batched),
+        ("ExactDedup", ExactDeduplicator(keyCols=["text"], idCol="doc_id"),
+         docs),
+        ("MinHashDedup",
+         MinHashLSHDeduplicator(threshold=0.2, numHashes=16, bands=4), docs),
+        ("SimHashDedup", SimHashDeduplicator(maxHammingDistance=30), docs),
+        ("EmbeddingDedup",
+         EmbeddingDeduplicator(threshold=0.5, method="exact"), embs),
+        ("ComplementAccess",
+         ComplementAccessTransformer(partitionKey="tenant",
+                                     indexedColNames=("user_idx", "res_idx"),
+                                     complementsetFactor=2, seed=1), pairs),
+    ]
+
+
+def test_schema_contract_matches_physical(spark):
+    failures = []
+    for name, stage, df in _test_objects(spark):
+        declared = stage.transform_schema(df.schema)
+        actual = stage.transform(df).schema
+        if [f.name for f in declared.fields] != [f.name for f in actual.fields]:
+            failures.append(
+                f"{name}: declared {declared.fieldNames()} "
+                f"!= actual {actual.fieldNames()}")
+    assert not failures, "\n".join(failures)
+
+
+def test_transform_determinism(spark):
+    failures = []
+    for name, stage, df in _test_objects(spark):
+        a = {tuple(map(repr, r)) for r in stage.transform(df).collect()}
+        b = {tuple(map(repr, r)) for r in stage.transform(df).collect()}
+        if a != b:
+            failures.append(f"{name}: two transforms differ")
+    assert not failures, "\n".join(failures)
+
+
+def test_estimator_fit_transform_contract(spark):
+    """Estimator analog of the experiment fuzzing (Fuzzing.scala:192-220)."""
+    from mmlspark_spark.anomaly import (
+        IdIndexer,
+        LinearScalarScaler,
+        StandardScalarScaler,
+    )
+    from mmlspark_spark.featurize import CleanMissingData, ValueIndexer
+    from mmlspark_spark.operators import ClassBalancer
+
+    basic = _basic(spark)
+    tenant = spark.createDataFrame(
+        [("t1", 1.0), ("t1", 3.0), ("t2", 5.0)], ["tenant", "value"])
+    objs = [
+        ("ClassBalancer", ClassBalancer(inputCol="cat"), basic),
+        ("ValueIndexer", ValueIndexer(inputCol="cat", outputCol="cat_idx"),
+         basic),
+        ("CleanMissingData",
+         CleanMissingData(cols=["val"], cleaningMode="Mean"), basic),
+        ("StandardScaler",
+         StandardScalarScaler(inputCol="value", partitionKey="tenant",
+                              outputCol="scaled"), tenant),
+        ("LinearScaler",
+         LinearScalarScaler(inputCol="value", partitionKey="tenant",
+                            outputCol="scaled"), tenant),
+        ("IdIndexer",
+         IdIndexer(inputCol="value", partitionKey="tenant", outputCol="idx"),
+         tenant),
+    ]
+    failures = []
+    for name, est, df in objs:
+        model = est.fit(df)
+        declared = model.transform_schema(df.schema)
+        actual = model.transform(df).schema
+        if [f.name for f in declared.fields] != [f.name for f in actual.fields]:
+            failures.append(
+                f"{name}: declared {declared.fieldNames()} "
+                f"!= actual {actual.fieldNames()}")
+    assert not failures, "\n".join(failures)
