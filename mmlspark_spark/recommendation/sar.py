@@ -95,19 +95,39 @@ def item_item_similarity(
     edges = df.select(
         F.col(userCol).alias("__u"), F.col(itemCol).alias("__i")
     ).distinct()
-    # occ(i) = countDistinct(user) per item (SAR.scala:154-157) — edges
-    # are already distinct so a plain count suffices (one shuffle).
-    occ = edges.groupBy("__i").agg(F.count("*").alias("__occ"))
-    co = (
-        edges.alias("a")
-        .join(edges.alias("b"), F.col("a.__u") == F.col("b.__u"))
-        .groupBy(F.col("a.__i").alias("item_i"), F.col("b.__i").alias("item_j"))
+    # Pair generation via ONE groupBy(user) + array expressions instead
+    # of a self-join on user: the naive join plans 3 full scans of the
+    # edge list (both join sides + the occ aggregate) with no exchange
+    # reuse. Here: distinct → per-user sorted item list → upper-triangle
+    # pairs (incl. diagonal) exploded → pair count; the lower triangle
+    # is mirrored afterwards (cooccurrence is symmetric), and
+    # occ(i) = countDistinct(users of i) = cooccur(i, i) falls out of
+    # the diagonal for free. 3 shuffles, 1 scan, at any scale.
+    per_user = edges.groupBy("__u").agg(
+        F.array_sort(F.collect_set("__i")).alias("__items"))
+    items = F.col("__items")
+    upper = F.flatten(F.transform(
+        items,
+        lambda x, i: F.transform(
+            F.slice(items, i + 1, F.size(items)),  # from self → diagonal kept
+            lambda y: F.struct(x.alias("i"), y.alias("j")),
+        ),
+    ))
+    co_upper = (
+        per_user.select(F.explode(upper).alias("__p"))
+        .groupBy(F.col("__p.i").alias("item_i"), F.col("__p.j").alias("item_j"))
         .agg(F.count("*").alias("cooccur"))
-        .filter(F.col("cooccur") >= supportThreshold)
     )
+    occ = co_upper.filter(F.col("item_i") == F.col("item_j")).select(
+        F.col("item_i").alias("__i"), F.col("cooccur").alias("__occ"))
+    co_full = co_upper.unionByName(
+        co_upper.filter(F.col("item_i") != F.col("item_j")).select(
+            F.col("item_j").alias("item_i"), F.col("item_i").alias("item_j"),
+            "cooccur"))
     co = (
-        co.join(F.broadcast(occ.withColumnRenamed("__i", "item_i")
-                            .withColumnRenamed("__occ", "occ_i")), "item_i")
+        co_full.filter(F.col("cooccur") >= supportThreshold)
+        .join(F.broadcast(occ.withColumnRenamed("__i", "item_i")
+                          .withColumnRenamed("__occ", "occ_i")), "item_i")
         .join(F.broadcast(occ.withColumnRenamed("__i", "item_j")
                           .withColumnRenamed("__occ", "occ_j")), "item_j")
     )
