@@ -61,10 +61,24 @@ class _ParamStageBase(Params):
     def get(self, name: str) -> Any:
         return self._paramMap[getattr(self, name + "Param")]
 
-    def set(self, name: str, value: Any) -> "_ParamStageBase":
+    def set(self, name: str | Param, value: Any = None) -> "_ParamStageBase":
+        # accepts a name OR a Param — DefaultParamsReader calls
+        # ``stage.set(stage.getParam(name), value)`` when loading
+        if isinstance(name, Param):
+            name = name.name
         self._paramMap[getattr(self, name + "Param")] = value
         setattr(self, name, value)
         return self
+
+    def getParam(self, paramName: str) -> Param:
+        """Resolve the Param object by canonical name (loader contract)."""
+        p = getattr(self, paramName + "Param", None)
+        if isinstance(p, Param):
+            return p
+        raise ValueError(f"Cannot find param with name {paramName}.")
+
+    def hasParam(self, paramName: str) -> bool:
+        return isinstance(getattr(self, paramName + "Param", None), Param)
 
 
 class Transformer(

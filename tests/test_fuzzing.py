@@ -155,3 +155,61 @@ def test_estimator_fit_transform_contract(spark):
                 f"{name}: declared {declared.fieldNames()} "
                 f"!= actual {actual.fieldNames()}")
     assert not failures, "\n".join(failures)
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    """Serialization fuzzing (Fuzzing.scala:222-298): JSON-param stages
+    must round-trip through save/load with identical params. Stages
+    holding runtime objects (callables, DataFrames, models) are
+    documented as session-scoped and excluded."""
+    from mmlspark_spark.anomaly import ComplementAccessTransformer
+    from mmlspark_spark.featurize import DataConversion, UnicodeNormalize
+    from mmlspark_spark.llm.dedup import (
+        ExactDeduplicator,
+        MinHashLSHDeduplicator,
+        SimHashDeduplicator,
+    )
+    from mmlspark_spark.operators import (
+        DropColumns,
+        Explode,
+        FixedMiniBatchTransformer,
+        RenameColumn,
+        Repartition,
+        SelectColumns,
+    )
+
+    stages = [
+        SelectColumns(cols=["id", "val"]),
+        DropColumns(cols=["cat"]),
+        RenameColumn(inputCol="a", outputCol="b"),
+        Explode(inputCol="arr", outputCol="el"),
+        Repartition(n=4, useRepartition=True),
+        FixedMiniBatchTransformer(batchSize=7),
+        ExactDeduplicator(keyCols=["text"], idCol="doc_id"),
+        MinHashLSHDeduplicator(numHashes=16, bands=4, threshold=0.3),
+        SimHashDeduplicator(bands=4, maxHammingDistance=5),
+        ComplementAccessTransformer(partitionKey="t",
+                                    indexedColNames=("u", "r"),
+                                    complementsetFactor=3, seed=9),
+        DataConversion(cols=["x"], convertTo="double"),
+        UnicodeNormalize(inputCol="text", outputCol="norm", form="NFKC"),
+    ]
+    failures = []
+    for i, stage in enumerate(stages):
+        cls = type(stage)
+        path = str(tmp_path / f"stage_{i}")
+        try:
+            stage.write().overwrite().save(path)
+            loaded = cls.load(path)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{cls.__name__}: {type(e).__name__} {e}")
+            continue
+        for p in stage._paramMap:
+            orig = stage.get(p.name)
+            got = loaded.get(p.name)
+            # JSON round-trips tuples as lists
+            norm = lambda v: list(v) if isinstance(v, tuple) else v
+            if norm(orig) != norm(got):
+                failures.append(
+                    f"{cls.__name__}.{p.name}: {orig!r} != {got!r}")
+    assert not failures, "\n".join(failures)
