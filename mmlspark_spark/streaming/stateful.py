@@ -1,0 +1,95 @@
+"""Streaming transformation helpers: watermarked windows + custom
+stateful operators.
+
+Parity: reference docs ``docs/mmlspark-serving.md:106-110`` — the
+reference delegates windowing/stateful logic to Spark's built-ins when
+users compose serving pipelines; SURVEY §2.9 maps that surface to
+``withWatermark`` + ``F.window``/``F.session_window`` +
+``applyInPandasWithState``. These helpers package the idioms (and the
+LLM-pipeline streaming aggregations) as reusable operators.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_agg(df: DataFrame, timeCol: str, window: str,
+                 aggs: dict, watermark: str = "10 minutes",
+                 slide: str | None = None, keys: tuple = ()) -> DataFrame:
+    """Tumbling/sliding window aggregation with late-data watermark.
+
+    ``aggs``: {output_name: Column aggregate}. Works on batch AND
+    streaming frames (watermark applied only when streaming).
+    """
+    if df.isStreaming:
+        df = df.withWatermark(timeCol, watermark)
+    win = (F.window(timeCol, window, slide) if slide
+           else F.window(timeCol, window))
+    exprs = [v.alias(k) for k, v in aggs.items()]
+    return (df.groupBy(win.alias("window"), *keys)
+            .agg(*exprs)
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    *keys, *aggs.keys()))
+
+
+def sessionized_agg(df: DataFrame, timeCol: str, gap: str, aggs: dict,
+                    watermark: str = "10 minutes", keys: tuple = ()) -> DataFrame:
+    """Session-window aggregation (gap-based), watermarked when streaming."""
+    if df.isStreaming:
+        df = df.withWatermark(timeCol, watermark)
+    exprs = [v.alias(k) for k, v in aggs.items()]
+    return (df.groupBy(F.session_window(timeCol, gap).alias("session"), *keys)
+            .agg(*exprs)
+            .select(F.col("session.start").alias("session_start"),
+                    F.col("session.end").alias("session_end"),
+                    *keys, *aggs.keys()))
+
+
+class RunningCounter:
+    """Custom stateful operator: per-key running count + sum maintained
+    across micro-batches via ``applyInPandasWithState`` — the PySpark
+    surface for the reference's "custom stateful operators" slot
+    (SURVEY §2.9; state lives in Spark's state store, so it scales with
+    the key space and survives restarts via checkpointing).
+    """
+
+    STATE_SCHEMA = "count LONG, total DOUBLE"
+    OUTPUT_SCHEMA = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("count", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def __init__(self, keyCol: str = "key", valueCol: str = "value"):
+        self.keyCol, self.valueCol = keyCol, valueCol
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        value_col = self.valueCol
+
+        def update(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+            if state.exists:
+                count, total = state.get
+            else:
+                count, total = 0, 0.0
+            for pdf in pdfs:
+                count += len(pdf)
+                total += float(pdf[value_col].sum())
+            state.update((count, total))
+            yield pd.DataFrame({"key": [key[0]], "count": [count],
+                                "total": [total]})
+
+        return (df.groupBy(self.keyCol)
+                .applyInPandasWithState(
+                    update, outputStructType=self.OUTPUT_SCHEMA,
+                    stateStructType=self.STATE_SCHEMA,
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout))

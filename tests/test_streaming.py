@@ -43,3 +43,68 @@ def test_http_serving_round_trip(spark, tmp_path):
     finally:
         query.stop()
         stop_server(name)
+
+
+def test_windowed_agg_on_stream(spark, tmp_path):
+    """Watermarked tumbling window over a rate source."""
+    from mmlspark_spark.streaming.stateful import windowed_agg
+
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", "50").load())
+    # short watermark: append mode only emits a window once the
+    # watermark passes its end
+    agg = windowed_agg(rate, "timestamp", "1 second",
+                       {"n": F.count("*"), "sum_v": F.sum("value")},
+                       watermark="1 second")
+    q = (agg.writeStream.format("memory").queryName("win_agg")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck1")).start())
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM win_agg").count() >= 1:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM win_agg").collect()
+        assert len(rows) >= 1
+        assert all(r.n > 0 for r in rows)
+        assert {"window_start", "window_end", "n", "sum_v"} <= set(
+            spark.sql("SELECT * FROM win_agg").columns)
+    finally:
+        q.stop()
+
+
+def test_running_counter_stateful(spark, tmp_path):
+    """applyInPandasWithState across micro-batches: state accumulates."""
+    from mmlspark_spark.streaming.stateful import RunningCounter
+
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", "100").load())
+    keyed = rate.select(
+        (F.col("value") % 2).cast("string").alias("key"),
+        F.col("value").cast("double").alias("value"))
+    out = RunningCounter(keyCol="key", valueCol="value").apply(keyed)
+    q = (out.writeStream.format("memory").queryName("counter")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    try:
+        import time
+
+        deadline = time.time() + 40
+        last = 0
+        grew = False
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT key, max(count) AS c FROM counter GROUP BY key"
+            ).collect()
+            total = sum(r.c for r in rows)
+            if rows and total > last > 0:
+                grew = True  # state accumulated across micro-batches
+                break
+            last = max(last, total)
+            time.sleep(1.0)
+        assert grew
+    finally:
+        q.stop()
