@@ -180,3 +180,85 @@ class LSHKNN:
             cosine_similarity("q_vec", "d_vec").alias("sim"),
         )
         return _topk_window(scored, self.k)
+
+
+class IVFKNN:
+    """IVF (inverted-file) approximate KNN — the clustered scale path.
+
+    Train: k-means-lite centroids (seeded numpy Lloyd iterations on a
+    bounded sample — the coarse quantizer every IVF index uses).
+    Index: each corpus vector is assigned map-side to its nearest
+    centroid (one BLAS matmul per Arrow batch against the broadcast
+    centroids); the assignment IS the partition key, so the index is
+    just a DataFrame clustered by ``__cell``.
+    Search: each query probes its ``nProbe`` nearest cells; the
+    candidate join is an equi-join on the cell id — O(corpus/nlist ×
+    nProbe) pairs scored, never O(n).
+    """
+
+    def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
+                 k: int = 10, nlist: int = 16, nProbe: int = 4,
+                 sampleSize: int = 10000, iters: int = 5, seed: int = 42,
+                 excludeSelf: bool = True):
+        self.idCol, self.vecCol, self.k = idCol, vecCol, k
+        self.nlist, self.nProbe = nlist, nProbe
+        self.sampleSize, self.iters, self.seed = sampleSize, iters, seed
+        self.excludeSelf = excludeSelf
+
+    def _fit_centroids(self, data: DataFrame) -> np.ndarray:
+        total = data.count()
+        frac = min(1.0, (self.sampleSize * 1.2) / max(total, 1))
+        rows = (data.select(self.vecCol).sample(False, frac, self.seed)
+                .limit(self.sampleSize).collect())
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+        rng = np.random.default_rng(self.seed)
+        cent = x[rng.choice(x.shape[0], size=min(self.nlist, x.shape[0]),
+                            replace=False)]
+        for _ in range(self.iters):
+            assign = (x @ cent.T).argmax(axis=1)
+            for c in range(cent.shape[0]):
+                mask = assign == c
+                if mask.any():
+                    m = x[mask].mean(axis=0)
+                    cent[c] = m / max(np.linalg.norm(m), 1e-300)
+        return cent
+
+    def _assign(self, df: DataFrame, cent_b, prefix: str, top: int) -> DataFrame:
+        id_col, vec_col = self.idCol, self.vecCol
+
+        def run(it):
+            cent = cent_b.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(list(pdf[vec_col]), dtype=np.float64)
+                x_n = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                                     1e-300)
+                sims = x_n @ cent.T
+                order = np.argsort(-sims, axis=1)[:, :top]
+                out = {f"{prefix}_id": [], f"{prefix}_vec": [], "__cell": []}
+                for i in range(len(pdf)):
+                    for c in order[i]:
+                        out[f"{prefix}_id"].append(pdf[id_col].iloc[i])
+                        out[f"{prefix}_vec"].append(list(pdf[vec_col].iloc[i]))
+                        out["__cell"].append(int(c))
+                yield pd.DataFrame(out)
+
+        vt = "array<double>"
+        return df.mapInPandas(
+            run, f"{prefix}_id long, {prefix}_vec {vt}, __cell int")
+
+    def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        cent = self._fit_centroids(data)
+        cent_b = data.sparkSession.sparkContext.broadcast(cent)
+        d = self._assign(data, cent_b, "d", top=1)
+        q = self._assign(queries, cent_b, "q", top=self.nProbe)
+        cand = d.join(F.broadcast(q), "__cell")
+        if self.excludeSelf:
+            cand = cand.filter(F.col("q_id") != F.col("d_id"))
+        scored = cand.select(
+            F.col("q_id").alias("query_id"), F.col("d_id").alias("neighbor_id"),
+            cosine_similarity("q_vec", "d_vec").alias("sim"),
+        ).dropDuplicates(["query_id", "neighbor_id"])
+        return _topk_window(scored, self.k)

@@ -1329,3 +1329,18 @@ def lang_id_heuristic(spark, sf_dir):
         "doc_id", lang_id("text").alias("pred_lang"),
         doc_fingerprint("text").alias("fingerprint"),
     )
+
+
+@register("knn_ivf", oracle=None)
+def knn_ivf(spark, sf_dir):
+    """IVF-bucketed approximate KNN: seeded coarse quantizer, map-side
+    cell assignment, candidate equi-join on cell id (rows-only; recall
+    vs brute force asserted in tests/test_extras.py)."""
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
+                 nlist=16, nProbe=4, seed=42).search(emb, q)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"), F.col("rank").alias("rk"))

@@ -194,3 +194,23 @@ def test_cognitive_vision_shapes(spark, sink_server):
     v = spark.createDataFrame([("f1", "f2")], ["faceId1", "faceId2"])
     VerifyFaces(url=f"{sink_server}/verify", outputCol="vf").transform(v).collect()
     assert _RECEIVED[-1] == {"faceId1": "f1", "faceId2": "f2"}
+
+
+def test_ivf_knn_recall_vs_bruteforce(spark, embeddings):
+    from mmlspark_spark.llm import BruteForceKNN
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    emb = embeddings.filter(F.col("vec_id") < 500)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = BruteForceKNN(idCol="vec_id", vecCol="embedding", k=5).search(emb, q)
+    ivf = IVFKNN(idCol="vec_id", vecCol="embedding", k=5,
+                 nlist=8, nProbe=4, seed=1).search(emb, q)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf_sets = {}
+    for r in ivf.collect():
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ivf_sets.get(qid, set()) & s) / len(s)
+               for qid, s in exact_sets.items()]
+    assert sum(recalls) / len(recalls) >= 0.6  # probing half the cells
