@@ -70,6 +70,13 @@ class _ParamStageBase(Params):
         setattr(self, name, value)
         return self
 
+    def _set(self, **kwargs: Any) -> "_ParamStageBase":
+        # pyspark's _copyValues/_set resolve params via getattr(name),
+        # which in our scheme holds the VALUE; route through set()
+        for name, value in kwargs.items():
+            self.set(name, value)
+        return self
+
     def getParam(self, paramName: str) -> Param:
         """Resolve the Param object by canonical name (loader contract)."""
         p = getattr(self, paramName + "Param", None)
