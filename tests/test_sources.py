@@ -135,3 +135,62 @@ def test_image_set_augmenter_doubles_rows(spark, img_dir):
     a = image_to_array(df.orderBy("path").collect()[0].image)
     b = image_to_array(twice.orderBy("path").collect()[0].image)
     assert np.array_equal(a, b)
+
+
+def make_wav(freq=440.0, rate=8000, seconds=0.5, channels=1):
+    import wave as _wave
+
+    t = np.arange(int(rate * seconds)) / rate
+    pcm = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+    if channels == 2:
+        pcm = np.column_stack([pcm, pcm]).ravel()
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_decode_audio_and_features(spark, tmp_path):
+    from mmlspark_spark.sources.multimodal import AudioFeatures, DecodeAudio
+
+    (tmp_path / "tone.wav").write_bytes(make_wav())
+    (tmp_path / "stereo.wav").write_bytes(make_wav(channels=2))
+    (tmp_path / "junk.bin").write_bytes(b"not audio at all")
+    df = read_binary_files(spark, str(tmp_path))
+    decoded = DecodeAudio().transform(df)
+    rows = {r.path.split("/")[-1]: r.audio for r in decoded.collect()}
+    assert rows["junk.bin"] is None  # fault-tolerant
+    assert rows["tone.wav"].sampleRate == 8000
+    assert rows["tone.wav"].numSamples == 4000
+    assert rows["stereo.wav"].channels == 2
+
+    feats = AudioFeatures(frameSize=1000).transform(decoded)
+    frow = {r.path.split("/")[-1]: r.features for r in feats.collect()}
+    f = frow["tone.wav"]
+    assert abs(f.duration_sec - 0.5) < 1e-9
+    assert len(f.rms) == 4
+    # 440 Hz sine at 20000 amplitude: rms ~ 20000/32768/sqrt(2) ~ 0.43
+    assert all(0.3 < v < 0.5 for v in f.rms)
+    # zcr of a 440 Hz tone at 8 kHz ~ 2*440/8000 = 0.11
+    assert all(0.08 < v < 0.14 for v in f.zcr)
+
+
+def test_video_frame_sample_plumbing(spark, tmp_path):
+    from mmlspark_spark.sources.multimodal import DecodeVideoFrames
+
+    (tmp_path / "clip.fake").write_bytes(b"video-ish bytes")
+    df = read_binary_files(spark, str(tmp_path))
+    stage = DecodeVideoFrames(numFrames=3, height=8, width=8)
+    out = stage.transform(df)
+    assert stage.transform_schema(df.schema).fieldNames() == \
+        out.schema.fieldNames()
+    row = out.collect()[0].video
+    assert row.numFrames == 3
+    assert len(row.frames) == 3
+    assert row.frames[0].height == 8 and row.frames[0].nChannels == 3
+    # deterministic fake: same content → same frames
+    row2 = stage.transform(df).collect()[0].video
+    assert bytes(row.frames[0].data) == bytes(row2.frames[0].data)
