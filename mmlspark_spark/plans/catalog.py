@@ -1344,3 +1344,68 @@ def knn_ivf(spark, sf_dir):
                  nlist=16, nProbe=4, seed=42).search(emb, q)
     return out.select("query_id", "neighbor_id",
                       F.round("sim", 6).alias("sim"), F.col("rank").alias("rk"))
+
+
+# ---------------------------------------------------------------------------
+# ML pipeline queries (SURVEY §2.10 train/eval surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "unicode_normalize",
+    oracle="""
+    SELECT doc_id, lower(nfc_normalize(text)) AS norm
+    FROM documents WHERE doc_id < 2000
+    """,
+)
+def unicode_normalize(spark, sf_dir):
+    """UnicodeNormalize stage (stages/UnicodeNormalize.scala): NFC +
+    lowercase, mirrored by DuckDB's nfc_normalize."""
+    from mmlspark_spark.featurize import UnicodeNormalize
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    out = UnicodeNormalize(inputCol="text", outputCol="norm", form="NFC",
+                           lower=True).transform(docs)
+    return out.select("doc_id", "norm")
+
+
+@register("train_classifier_metrics", oracle=None)
+def train_classifier_metrics(spark, sf_dir):
+    """TrainClassifier + ComputeModelStatistics end-to-end on a derived
+    binary label (rows-only; golden-metric tolerances asserted in
+    tests/test_ml.py)."""
+    from mmlspark_spark.ml import ComputeModelStatistics, TrainClassifier
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                  "l_returnflag")
+          .withColumn("label", (F.col("l_returnflag") == "R").cast("double"))
+          .drop("l_returnflag").limit(5000))
+    from pyspark.ml.classification import LogisticRegression
+
+    model = TrainClassifier(model=LogisticRegression(), labelCol="label")\
+        .fit(li)
+    scored = model.transform(li)
+    stats = ComputeModelStatistics(evaluationMetric="classification")\
+        .transform(scored)
+    return stats.select([F.round(F.col(c), 4).alias(c)
+                         if c not in ("confusion_matrix",) else F.col(c).cast("string").alias(c)
+                         for c in stats.columns])
+
+
+@register("vw_featurizer", oracle=None)
+def vw_featurizer(spark, sf_dir):
+    """VowpalWabbitFeaturizer hashing (rows-only: murmur slot layout is
+    engine-specific; dimensionality + learnability asserted in
+    tests/test_learners.py)."""
+    from mmlspark_spark.ml.vw import VowpalWabbitFeaturizer
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_quantity").limit(1000))
+    out = VowpalWabbitFeaturizer(
+        inputCols=["l_returnflag", "l_linestatus", "l_quantity"],
+        outputCol="features", numBits=12).transform(li)
+    from pyspark.ml.functions import vector_to_array
+
+    return out.select(
+        F.round(F.aggregate(vector_to_array("features"), F.lit(0.0),
+                            lambda a, v: a + v), 4).alias("slot_sum"))
