@@ -1409,3 +1409,64 @@ def vw_featurizer(spark, sf_dir):
     return out.select(
         F.round(F.aggregate(vector_to_array("features"), F.lit(0.0),
                             lambda a, v: a + v), 4).alias("slot_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (engine extras — reference has none, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           s.ts AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON c.user_id = s.user_id AND c.ts >= s.ts
+    """,
+)
+def asof_join(spark, sf_dir):
+    """Backward as-of join: each click matched to the user's most recent
+    signup at-or-before it — one union + one window pass per user, a
+    single shuffle (no per-row range probe). Spark has no ASOF JOIN;
+    DuckDB's native ASOF is the oracle."""
+    from mmlspark_spark.operators.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    out = as_of_join(clicks, signups, on="user_id",
+                     leftTimeCol="ts", rightTimeCol="ts",
+                     rightCols=[], suffix="_signup")
+    return out.select("event_id", "user_id",
+                      F.col("ts_signup").alias("signup_ts"))
+
+
+@register(
+    "range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+           p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts
+     AND epoch(e.ts) - epoch(p.ts) <= 3600
+    """,
+)
+def range_join_q(spark, sf_dir):
+    """Range join: errors within 1 h after each purchase by the same
+    user — bucketed equi-join + exact filter, instead of the
+    broadcast-nested-loop Spark plans for raw inequality joins."""
+    from mmlspark_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    out = range_join(purchases, errors, on="user_id",
+                     leftTimeCol="ts", rightTimeCol="ts",
+                     lower=0.0, upper=3600.0)
+    return out.select(F.col("event_id").alias("purchase_id"),
+                      F.col("event_id_right").alias("error_id"),
+                      "user_id")
