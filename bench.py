@@ -21,6 +21,56 @@ from mmlspark_spark.core.session import DEFAULT_SF_DIR, get_spark
 from mmlspark_spark.plans.catalog import CATALOG
 
 
+def _serving_latency(spark, n_requests: int = 20) -> float | None:
+    """p50 round-trip through the HTTP serving source (micro-batch mode;
+    the reference's continuous-mode sub-ms claim is out of scope for the
+    python source API — this records the achieved micro-batch latency,
+    BASELINE.md bench plan item 4)."""
+    import statistics
+    import tempfile
+
+    import requests as rq
+    from pyspark.sql import functions as F
+
+    from mmlspark_spark.streaming import (
+        make_reply,
+        register_serving_source,
+        serving_sink,
+    )
+    from mmlspark_spark.streaming.serving import (
+        start_serving_server,
+        stop_server,
+    )
+
+    try:
+        register_serving_source(spark)
+        port = start_serving_server("bench_serve")
+        req = (spark.readStream.format("http_serving")
+               .option("port", str(port)).load())
+        logic = req.select(
+            "id",
+            make_reply(F.upper(F.get_json_object(
+                F.col("body").cast("string"), "$.text"))).alias("reply"))
+        with tempfile.TemporaryDirectory() as ck:
+            query = serving_sink(logic, "bench_serve", trigger="20 milliseconds",
+                                 checkpoint=f"{ck}/ck")
+            try:
+                url = f"http://127.0.0.1:{port}/score"
+                rq.post(url, json={"text": "warm"}, timeout=30)  # warm the plan
+                lat = []
+                for i in range(n_requests):
+                    t0 = time.time()
+                    rq.post(url, json={"text": f"r{i}"}, timeout=30)
+                    lat.append(time.time() - t0)
+                return round(statistics.median(lat), 4)
+            finally:
+                query.stop()
+                stop_server("bench_serve")
+    except Exception as e:  # pragma: no cover - bench must always emit JSON
+        print(f"# serving latency skipped: {e}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -38,6 +88,11 @@ def main() -> None:
         n = df.count()
         times[spec.name] = round(time.time() - t0, 3)
         print(f"# {spec.name}: {times[spec.name]}s ({n} rows)", file=sys.stderr)
+
+    serving = _serving_latency(spark)
+    if serving is not None:
+        times["serving_roundtrip_p50"] = serving
+        print(f"# serving_roundtrip_p50: {serving}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
