@@ -40,12 +40,20 @@ def stopword_ratio(text: Column | str, stopwords: Sequence[str] = DEFAULT_STOPWO
 
 def word_shingles(text: Column | str, n: int = 5) -> Column:
     """Distinct word n-gram shingles as array<string> — the unit of
-    n-gram Jaccard / MinHash dedup."""
+    n-gram Jaccard / MinHash dedup.
+
+    Guarded for short documents: ``sequence(1, 0)`` in Spark is the
+    DESCENDING sequence [1, 0] (not empty), which would feed
+    ``slice(start=0)`` and throw — texts with < n tokens must yield [].
+    """
     t = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 

@@ -391,3 +391,117 @@ class BingImageSearch(_JsonServiceBase):
 
     def _entity(self, df: DataFrame) -> F.Column:
         return F.to_json(F.struct(F.col(self.queryCol).alias("q")))
+
+
+# ---------------------------------------------------------------------------
+# Translate family (TextTranslator.scala:157-420, DocumentTranslator.scala)
+# ---------------------------------------------------------------------------
+
+class Transliterate(Translate):
+    """TextTranslator.scala:244-262."""
+
+
+class Detect(Translate):
+    """TextTranslator.scala:264-280."""
+
+    RESPONSE_TYPE = T.ArrayType(T.StructType([
+        T.StructField("language", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]))
+
+
+class BreakSentence(Translate):
+    """TextTranslator.scala:282-300."""
+
+    RESPONSE_TYPE = T.ArrayType(T.StructType([
+        T.StructField("sentLen", T.ArrayType(T.IntegerType())),
+    ]))
+
+
+class DictionaryLookup(Translate):
+    """TextTranslator.scala:302-330."""
+
+    RESPONSE_TYPE = T.ArrayType(T.StructType([
+        T.StructField("normalizedSource", T.StringType()),
+        T.StructField("translations", T.ArrayType(T.StructType([
+            T.StructField("normalizedTarget", T.StringType()),
+            T.StructField("confidence", T.DoubleType()),
+        ]))),
+    ]))
+
+
+class DictionaryExamples(Translate):
+    """TextTranslator.scala:332-360."""
+
+    RESPONSE_TYPE = T.ArrayType(T.StructType([
+        T.StructField("examples", T.ArrayType(T.StructType([
+            T.StructField("sourcePrefix", T.StringType()),
+            T.StructField("sourceTerm", T.StringType()),
+            T.StructField("sourceSuffix", T.StringType()),
+        ]))),
+    ]))
+
+
+class DocumentTranslator(_JsonServiceBase):
+    """DocumentTranslator.scala:51+ — batch document translation job
+    submission ({"inputs": [...]} envelope)."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+    ])
+
+    def __init__(self, url: str = "", sourceUrlCol: str = "sourceUrl",
+                 targetUrlCol: str = "targetUrl", targetLanguage: str = "en",
+                 outputCol: str = "result", **kw):
+        super().__init__(url=url, sourceUrlCol=sourceUrlCol,
+                         targetUrlCol=targetUrlCol,
+                         targetLanguage=targetLanguage, outputCol=outputCol,
+                         **kw)
+
+    def _entity(self, df: DataFrame) -> F.Column:
+        return F.to_json(F.struct(F.array(F.struct(
+            F.struct(F.col(self.sourceUrlCol).alias("sourceUrl"))
+            .alias("source"),
+            F.array(F.struct(
+                F.col(self.targetUrlCol).alias("targetUrl"),
+                F.lit(self.targetLanguage).alias("language"),
+            )).alias("targets"),
+        )).alias("inputs")))
+
+
+class ConversationTranscription(SpeechToText):
+    """SpeechToTextSDK.scala:419-579 — streaming SDK reduced to
+    micro-batch POST (documented delta, same response shape)."""
+
+
+# ---------------------------------------------------------------------------
+# Form Recognizer variants (FormRecognizer.scala:170-350) — layout schema
+# ---------------------------------------------------------------------------
+
+class AnalyzeReceipts(AnalyzeLayout):
+    """FormRecognizer.scala:200-230."""
+
+
+class AnalyzeBusinessCards(AnalyzeLayout):
+    """FormRecognizer.scala:232-260."""
+
+
+class AnalyzeInvoices(AnalyzeLayout):
+    """FormRecognizer.scala:262-290."""
+
+
+class AnalyzeIDDocuments(AnalyzeLayout):
+    """FormRecognizer.scala:292-320."""
+
+
+class AnalyzeCustomModel(AnalyzeLayout):
+    """FormRecognizer.scala:322-350 (custom model id in the URL)."""
+
+
+class RecognizeDomainSpecificContent(_ImageServiceBase):
+    """ComputerVision.scala:500-560 (celebrity/landmark models)."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("result", T.MapType(T.StringType(), T.StringType())),
+    ])

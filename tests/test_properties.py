@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the text-analysis expression
+library — invariants that must hold for ANY input text, mirroring the
+reference's generative fuzzing layer."""
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+TEXTS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=200,
+)
+
+
+@pytest.fixture(scope="module")
+def run_expr(spark):
+    def _run(text: str, col):
+        return spark.createDataFrame([(text,)], ["text"]).select(
+            col.alias("out")).collect()[0].out
+
+    return _run
+
+
+@settings(max_examples=30, deadline=None)
+@given(TEXTS)
+def test_tokens_never_empty_strings(run_expr_holder, text):
+    from mmlspark_spark.functions.text_quality import tokens
+
+    out = run_expr_holder(text, tokens(F.col("text")))
+    assert all(t != "" for t in out)
+    # token count == split on JAVA's \s class ([ \t\n\x0B\f\r]) — note
+    # python's str.split() differs (it also treats \x1c-\x1f as space)
+    expected = [t for t in re.split(r"[ \t\n\x0b\f\r]+", text) if t]
+    assert len(out) == len(expected)
+
+
+@settings(max_examples=30, deadline=None)
+@given(TEXTS)
+def test_shingles_bounded_and_distinct(run_expr_holder, text):
+    from mmlspark_spark.functions.text_quality import word_shingles
+
+    out = run_expr_holder(text, word_shingles(F.col("text"), 3))
+    n_tok = len(text.split())
+    assert len(out) <= max(n_tok - 2, 0)
+    assert len(out) == len(set(out))  # distinct
+
+
+@settings(max_examples=30, deadline=None)
+@given(TEXTS)
+def test_fingerprint_in_modulus_range(run_expr_holder, text):
+    from mmlspark_spark.functions.text_quality import (
+        _FP_MOD,
+        doc_fingerprint,
+    )
+
+    out = run_expr_holder(text, doc_fingerprint(F.col("text")))
+    assert 0 <= out < _FP_MOD
+
+
+@settings(max_examples=30, deadline=None)
+@given(TEXTS)
+def test_lang_id_always_valid(run_expr_holder, text):
+    from mmlspark_spark.functions.text_quality import _LANG_PROFILES, lang_id
+
+    out = run_expr_holder(text, lang_id(F.col("text")))
+    assert out in set(_LANG_PROFILES) | {"und"}
+
+
+@settings(max_examples=30, deadline=None)
+@given(TEXTS)
+def test_punct_ratio_bounded(run_expr_holder, text):
+    from mmlspark_spark.functions.text_quality import punct_ratio
+
+    out = run_expr_holder(text, punct_ratio(F.col("text")))
+    assert 0.0 <= out <= 1.0
+
+
+@pytest.fixture(scope="module")
+def run_expr_holder(run_expr):
+    return run_expr
