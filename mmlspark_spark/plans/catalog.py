@@ -1470,3 +1470,22 @@ def range_join_q(spark, sf_dir):
     return out.select(F.col("event_id").alias("purchase_id"),
                       F.col("event_id_right").alias("error_id"),
                       "user_id")
+
+
+@register(
+    "cube_counts",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 4) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_counts(spark, sf_dir):
+    """CUBE aggregation (SURVEY §2.4: grouping sets come free from
+    Catalyst — df.cube); complements rollup_counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("qty"),
+    )
