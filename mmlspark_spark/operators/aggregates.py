@@ -97,9 +97,17 @@ class SummarizeData(Transformer):
                         else F.percentile_approx(col, qs))
                 sketch_aggs.append(expr.alias(f"{c}__pq"))
 
-        wide = df.agg(*decl_aggs).collect()[0].asDict()
         if sketch_aggs:
-            wide.update(df.agg(*sketch_aggs).collect()[0].asDict())
+            # the two passes are independent jobs — overlap them
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_decl = pool.submit(lambda: df.agg(*decl_aggs).collect())
+                f_sketch = pool.submit(lambda: df.agg(*sketch_aggs).collect())
+                wide = f_decl.result()[0].asDict()
+                wide.update(f_sketch.result()[0].asDict())
+        else:
+            wide = df.agg(*decl_aggs).collect()[0].asDict()
         for c in numeric:
             pq = wide.pop(f"{c}__pq", None)
             if pq is not None:
