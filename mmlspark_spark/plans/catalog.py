@@ -1489,3 +1489,17 @@ def cube_counts(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.sum("l_quantity"), 4).alias("qty"),
     )
+
+
+@register("stratified_repartition", oracle=None)
+def stratified_repartition(spark, sf_dir):
+    """StratifiedRepartition (stages/StratifiedRepartition.scala):
+    per-label exact sampling + range repartition; output = per-label
+    row counts across partitions (rows-only: partition placement is
+    engine-specific; proportions asserted in tests)."""
+    from mmlspark_spark.operators import StratifiedRepartition
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    out = StratifiedRepartition(labelCol="l_returnflag", mode="equal",
+                                seed=42).transform(li)
+    return out.groupBy("l_returnflag").agg(F.count("*").alias("n"))
