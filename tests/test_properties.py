@@ -80,3 +80,31 @@ def test_punct_ratio_bounded(run_expr_holder, text):
 @pytest.fixture(scope="module")
 def run_expr_holder(run_expr):
     return run_expr
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="abcde ", min_size=0, max_size=40),
+                min_size=1, max_size=8))
+def test_exact_dedup_idempotent_and_lossless(dedup_spark_holder, texts):
+    """Dedup twice == dedup once; distinct key set is preserved."""
+    from mmlspark_spark.llm.dedup import ExactDeduplicator
+
+    spark = dedup_spark_holder
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    stage = ExactDeduplicator(keyCols=["text"], idCol="doc_id")
+    once = stage.transform(df)
+    twice = stage.transform(once)
+    a = sorted((r.doc_id, r.text) for r in once.collect())
+    b = sorted((r.doc_id, r.text) for r in twice.collect())
+    assert a == b  # idempotent
+    assert {r.text for r in once.collect()} == set(texts)  # lossless keys
+    # winner is always the minimum id per key
+    by_key = {}
+    for i, t in enumerate(texts):
+        by_key.setdefault(t, i)
+    assert {r.doc_id for r in once.collect()} == set(by_key.values())
+
+
+@pytest.fixture(scope="module")
+def dedup_spark_holder(spark):
+    return spark
