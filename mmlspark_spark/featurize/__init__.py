@@ -12,6 +12,12 @@ from mmlspark_spark.featurize.text import (
     TextPreprocessor,
     UnicodeNormalize,
 )
+# FastVectorAssembler (reference core/.../FastVectorAssembler.scala:1-151)
+# existed to skip an O(columns) metadata scan; Spark's current
+# VectorAssembler no longer pays that cost, so the stock stage IS the
+# fast path — exported under the reference's name for drop-in parity.
+from pyspark.ml.feature import VectorAssembler as FastVectorAssembler
+
 from mmlspark_spark.featurize.auto import (
     CountSelector,
     CountSelectorModel,
@@ -21,7 +27,7 @@ from mmlspark_spark.featurize.auto import (
 )
 
 __all__ = [
-    "DataConversion",
+    "DataConversion", "FastVectorAssembler",
     "IndexToValue", "ValueIndexer", "ValueIndexerModel",
     "CleanMissingData", "CleanMissingDataModel",
     "MultiNGram", "PageSplitter", "TextFeaturizer", "TextPreprocessor",
