@@ -1,0 +1,47 @@
+"""Scale utilities: bucketed co-located joins and skew-salted joins.
+
+The brief's shuffle-minimization toolkit made concrete (SURVEY §4 /
+"Partitioning & shuffle"): bucketing pre-shuffles a table ONCE at write
+time so every later equi-join/aggregation on the bucket key is
+shuffle-free; salting splits a skewed hot key across ``salt`` synthetic
+sub-keys so no single task drags the join (complementary to AQE's
+skew-split, which only handles post-shuffle partition skew, not a
+single hot key inside one task's hash range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, bucketCols, numBuckets: int,
+                   sortCols=None, mode: str = "overwrite") -> None:
+    """Persist as a bucketed (+optionally sorted) table: the one-time
+    shuffle that every subsequent join/agg on ``bucketCols`` skips."""
+    bucket_cols = [bucketCols] if isinstance(bucketCols, str) else list(bucketCols)
+    writer = (df.write.mode(mode)
+              .bucketBy(numBuckets, bucket_cols[0], *bucket_cols[1:]))
+    if sortCols:
+        sort_cols = [sortCols] if isinstance(sortCols, str) else list(sortCols)
+        writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def salted_join(left: DataFrame, right: DataFrame, on,
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join with the LEFT side's hot keys split across ``salt``
+    sub-keys; the right side is replicated ``salt``× (explode) so every
+    sub-key finds its match. Use when one side has a few huge keys and
+    the other side's rows per key are small enough to replicate.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    lhs = left.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+    rhs = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = lhs.join(rhs, on=on + ["__salt"], how=how)
+    return out.drop("__salt")

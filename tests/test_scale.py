@@ -1,0 +1,55 @@
+"""Scale utilities: plan-shape assertions (bucketed joins avoid the
+shuffle; salted joins stay correct)."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from mmlspark_spark.operators.scale import (
+    read_bucketed,
+    salted_join,
+    write_bucketed,
+)
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    a = spark.range(0, 1000).withColumn("k", F.col("id") % 50)
+    b = spark.range(0, 500).withColumn("k", F.col("id") % 50) \
+        .withColumn("v", F.col("id") * 2)
+    write_bucketed(a, "bk_a", "k", numBuckets=8)
+    write_bucketed(b.drop("id"), "bk_b", "k", numBuckets=8)
+    # disable broadcast so the join must pick a shuffle or bucket plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, "bk_a").join(
+            read_bucketed(spark, "bk_b"), "k")
+        plan = _plan_of(joined)
+        # co-located: sort-merge join with NO shuffle exchange
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000 * 10  # 20 a-rows x 10 b-rows per key /2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one hot key (0) with many rows + uniform tail
+    left = spark.range(0, 2000).withColumn(
+        "k", F.when(F.col("id") < 1500, 0).otherwise(F.col("id") % 20))
+    right = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], ["k", "v"])
+    plain = left.join(right, "k").groupBy("k").count()
+    salted = salted_join(left, right, "k", salt=4).groupBy("k").count()
+    a = {(r.k, r["count"]) for r in plain.collect()}
+    b = {(r.k, r["count"]) for r in salted.collect()}
+    assert a == b  # salting never changes join semantics
