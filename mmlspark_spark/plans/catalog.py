@@ -1118,7 +1118,7 @@ def tenant_standard_scaler(spark, sf_dir):
     SELECT event_id, e.event_type,
            round(CASE WHEN hi != lo THEN (100.0 / (hi - lo)) * value
                            + (100.0 - (100.0 / (hi - lo)) * hi)
-                      ELSE 50.0 END, 6) AS scaled
+                      ELSE 50.0 END, 6) + 0.0 AS scaled
     FROM events e JOIN stats USING (event_type)
     WHERE event_id < 5000
     """,
@@ -1132,7 +1132,11 @@ def tenant_linear_scaler(spark, sf_dir):
                                outputCol="scaled", minRequiredValue=0.0,
                                maxRequiredValue=100.0).fit(ev)
     return (model.transform(ev).filter(F.col("event_id") < 5000)
-            .select("event_id", "event_type", F.round("scaled", 6).alias("scaled")))
+            .select("event_id", "event_type",
+                    # "+ 0.0" collapses IEEE -0.0 to 0.0 so the driver's
+                    # value-hash agrees with the DuckDB oracle (which does
+                    # the same normalization).
+                    (F.round("scaled", 6) + F.lit(0.0)).alias("scaled")))
 
 
 @register(
@@ -1205,9 +1209,12 @@ def knn_stage(spark, sf_dir):
     model = KNN(featuresCol="features", valuesCol="values",
                 outputCol="nn", k=5).fit(emb.filter(F.col("vec_id") < 2000))
     out = model.transform(emb.filter(F.col("vec_id") < 50))
+    # One scalar row per (vec_id, rank, neighbor): the driver harness
+    # canonicalizer sorts/hashes columns and cannot handle array cells.
     return out.select(
         "vec_id",
-        F.expr("transform(nn, x -> x.value)").alias("neighbor_values"),
+        F.posexplode(F.expr("transform(nn, x -> x.value)")).alias(
+            "rank", "neighbor"),
     )
 
 
