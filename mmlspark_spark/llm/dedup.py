@@ -57,9 +57,36 @@ def _distinct_shingles(df: DataFrame, idCol: str, textCol: str, n: int) -> DataF
     )
 
 
+def _cap_buckets(banded: DataFrame, keys, cap: int | None,
+                 metric: str) -> DataFrame:
+    """Drop rows of LSH buckets holding more than ``cap`` members.
+
+    A band-equality self-join emits L² rows for a bucket of L members,
+    so one boilerplate bucket dominates the whole job at scale. Hot
+    buckets are found with a groupBy count — map-side combinable, so the
+    shuffle carries one long per distinct bucket, and the subtree under
+    ``banded`` is shared with the join branch via ReusedExchange — then
+    removed with a broadcast anti-join (hot buckets are rare by
+    definition, so the broadcast side is tiny; measured ~1 s cheaper
+    than a count window over the banded rows at sf0.1). The hot-bucket
+    count is emitted as observed metric ``metric``
+    (QueryExecutionListener-visible).
+    """
+    if cap is None:
+        return banded
+    hot = (
+        banded.groupBy(*keys).agg(F.count("*").alias("__bucket_n"))
+        .filter(F.col("__bucket_n") > cap)
+        .observe(metric, F.count("*").alias("dropped_buckets"))
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(hot), list(keys), "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, idCol: str = "doc_id", textCol: str = "text",
     n: int = 5, minJaccard: float = 0.0,
+    maxDocsPerShingle: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair of documents that
     shares at least one word n-gram shingle.
@@ -70,14 +97,45 @@ def ngram_jaccard_pairs(
     array expressions (the same output-sensitive candidate space the
     equi-join would produce, at half the shuffles); per-doc shingle
     counts are ``size(shingles)`` — computed map-side, joined back.
-    At 100 TB the same plan holds — hot shingles (boilerplate) make
-    wide doc lists; AQE splits the skewed pair aggregation.
+
+    ``maxDocsPerShingle`` is the 100 TB guard: the pair expansion is
+    O(L²) *inside one row's array* for a shingle shared by L docs, and
+    AQE cannot split a single row — a boilerplate shingle shared by 10⁵
+    docs would materialize ~10¹⁰ pair structs in one row. With the cap,
+    shingles above the support threshold are dropped before expansion
+    (standard MinHash/shingling practice: ubiquitous shingles carry no
+    similarity signal anyway — they inflate candidate sets, and any
+    truly near-duplicate pair still co-occurs on rarer shingles). The
+    number of dropped shingles is emitted as the observed metric
+    ``ngram_jaccard_hot_shingle_drops`` (visible to any
+    QueryExecutionListener / ``Observation``).
+
+    Default None = exact semantics over every shingle (matches the SQL
+    oracle). At scale, set e.g. 1000.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     sh = _distinct_shingles(df, idCol, textCol, n)
     per_shingle = sh.groupBy("__shingle").agg(
         F.array_sort(F.collect_set("__id")).alias("__ids"))
+    if maxDocsPerShingle is not None:
+        keep = per_shingle.observe(
+            "ngram_jaccard_hot_shingle_drops",
+            F.sum(F.when(F.size("__ids") > maxDocsPerShingle, 1)
+                  .otherwise(0)).alias("dropped_shingles"),
+        ).filter(F.size("__ids") <= maxDocsPerShingle)
+        # Jaccard over the REDUCED shingle universe: hot shingles leave
+        # both the intersection and the per-doc counts, so similarity
+        # stays an honest ratio. Counts come from the surviving lists
+        # (the groupBy exchange below is shared with the pair branch).
+        counts = (per_shingle.filter(F.size("__ids") <= maxDocsPerShingle)
+                  .select(F.explode("__ids").alias("__id"))
+                  .groupBy("__id").agg(F.count("*").alias("__n")))
+    else:
+        keep = per_shingle
+        # Map-side per-doc count: no second shuffle over the shingles.
+        counts = df.select(F.col(idCol).alias("__id"),
+                           F.size(word_shingles(textCol, n)).alias("__n"))
     # all ordered pairs (i < j) from each shingle's doc list
     ids = F.col("__ids")
     pair_structs = F.flatten(F.transform(
@@ -88,14 +146,12 @@ def ngram_jaccard_pairs(
         ),
     ))
     inter = (
-        per_shingle.filter(F.size(ids) > 1)
+        keep.filter(F.size(ids) > 1)
         .select(F.explode(pair_structs).alias("__p"))
         .groupBy(F.col("__p.doc_a").alias("doc_a"),
                  F.col("__p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("__inter"))
     )
-    counts = df.select(F.col(idCol).alias("__id"),
-                       F.size(word_shingles(textCol, n)).alias("__n"))
     ca = counts.select(F.col("__id").alias("doc_a"), F.col("__n").alias("__na"))
     cb = counts.select(F.col("__id").alias("doc_b"), F.col("__n").alias("__nb"))
     return (
@@ -121,18 +177,25 @@ class MinHashLSHDeduplicator(Transformer):
     transform(df) returns (doc_a, doc_b, est_jaccard[, jaccard]) pairs.
 
     Scale: signatures are k×8 bytes/doc regardless of document size; the
-    only shuffles are the signature groupBy and the band join. Band-hash
-    skew (e.g. boilerplate docs) is split by AQE.
+    only shuffles are the signature groupBy and the band join.
+    ``maxBucketSize`` caps the band join's hot buckets: a bucket holding
+    L docs yields L² join rows, so one boilerplate bucket of 10⁵ docs is
+    10¹⁰ pairs. Buckets above the cap are dropped before the join (their
+    members are near-identical mass duplicates that still collide in
+    other, smaller buckets or can be handled by exact dedup first); the
+    drop count is the observed metric ``minhash_hot_bucket_drops``. Set
+    ``maxBucketSize=None`` for the uncapped join.
     """
 
     def __init__(self, idCol: str = "doc_id", textCol: str = "text",  # noqa: D107
                  shingleSize: int = 5, numHashes: int = 32, bands: int = 8,
-                 threshold: float = 0.5, verifyExact: bool = False):
+                 threshold: float = 0.5, verifyExact: bool = False,
+                 maxBucketSize: int | None = 1000):
         if numHashes % bands:
             raise ValueError("numHashes must be divisible by bands")
         super().__init__(idCol=idCol, textCol=textCol, shingleSize=shingleSize,
                          numHashes=numHashes, bands=bands, threshold=threshold,
-                         verifyExact=verifyExact)
+                         verifyExact=verifyExact, maxBucketSize=maxBucketSize)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.idCol, self.textCol)
@@ -177,6 +240,8 @@ class MinHashLSHDeduplicator(Transformer):
                 for j in range(b)
             ])).alias("__band", "__bandhash"),
         )
+        banded = _cap_buckets(banded, ["__band", "__bandhash"],
+                              self.maxBucketSize, "minhash_hot_bucket_drops")
         a, bb = banded.alias("a"), banded.alias("b")
         cand = (
             a.join(bb, (F.col("a.__band") == F.col("b.__band"))
@@ -244,17 +309,29 @@ def simhash(text, num_bits: int = 64):
 
 class SimHashDeduplicator(Transformer):
     """SimHash near-dup detection: 64-bit fingerprints, banded into
-    ``bands`` chunks; pairs agreeing on ≥1 chunk are candidates (finds
-    ALL pairs with Hamming distance < bands), filtered to
-    ``maxHammingDistance``.
+    ``bands`` chunks; pairs agreeing on ≥1 chunk are candidates,
+    filtered to ``maxHammingDistance``.
+
+    Recall contract: banding GUARANTEES a candidate only when Hamming
+    distance < ``bands`` (pigeonhole — some chunk must then be equal).
+    With ``maxHammingDistance >= bands`` the output still includes any
+    farther pair that happens to agree on a chunk, but completeness is
+    only promised below ``bands``. For guaranteed recall at Hamming ≤ d,
+    use ``bands = d + 1``.
+
+    ``maxBucketSize`` caps hot chunk buckets exactly like
+    :class:`MinHashLSHDeduplicator` (metric
+    ``simhash_hot_bucket_drops``).
 
     transform(df) returns (doc_a, doc_b, hamming).
     """
 
     def __init__(self, idCol: str = "doc_id", textCol: str = "text",  # noqa: D107
-                 bands: int = 4, maxHammingDistance: int = 3):
+                 bands: int = 4, maxHammingDistance: int = 3,
+                 maxBucketSize: int | None = 1000):
         super().__init__(idCol=idCol, textCol=textCol, bands=bands,
-                         maxHammingDistance=maxHammingDistance)
+                         maxHammingDistance=maxHammingDistance,
+                         maxBucketSize=maxBucketSize)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.idCol, self.textCol)
@@ -282,6 +359,8 @@ class SimHashDeduplicator(Transformer):
                 for j in range(b)
             ])).alias("__band", "__chunk"),
         )
+        banded = _cap_buckets(banded, ["__band", "__chunk"],
+                              self.maxBucketSize, "simhash_hot_bucket_drops")
         a, bb = banded.alias("a"), banded.alias("b")
         xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
         hamming = F.bit_count(xor)
@@ -314,12 +393,13 @@ class EmbeddingDeduplicator(Transformer):
 
     def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
                  threshold: float = 0.95, method: str = "lsh",
-                 numPlanes: int = 16, bands: int = 8, seed: int = 42):
+                 numPlanes: int = 16, bands: int = 8, seed: int = 42,
+                 maxBucketSize: int | None = 1000):
         if method not in ("exact", "lsh"):
             raise ValueError("method must be 'exact' or 'lsh'")
         super().__init__(idCol=idCol, vecCol=vecCol, threshold=threshold,
                          method=method, numPlanes=numPlanes, bands=bands,
-                         seed=seed)
+                         seed=seed, maxBucketSize=maxBucketSize)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.idCol, self.vecCol)
@@ -344,7 +424,9 @@ class EmbeddingDeduplicator(Transformer):
                      numPlanes=self.numPlanes, bands=self.bands,
                      seed=self.seed)
         dim = len(df.select(self.vecCol).first()[0])
-        banded = lsh._signature_bands(df, dim, "d")
+        banded = _cap_buckets(lsh._signature_bands(df, dim, "d"),
+                              ["__band", "d_chunk"], self.maxBucketSize,
+                              "embedding_hot_bucket_drops")
         a = banded
         b = (banded.withColumnRenamed("d_id", "b_id")
              .withColumnRenamed("d_vec", "b_vec")
