@@ -13,6 +13,7 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from mmlspark_spark.core.base import Transformer
 
@@ -200,23 +201,80 @@ class Repartition(Transformer):
 
 
 class StratifiedRepartition(Transformer):
-    """Rebalance rows so each label value is spread across partitions.
+    """Resample + repartition so every partition contains every label
+    (e.g. for learners that need each class present on each worker).
 
-    The reference collects the label histogram then uses
-    ``sampleByKeyExact`` + RangePartitioner (reference
-    ``core/.../stages/StratifiedRepartition.scala:31-81``). At 100 TB a
-    driver-side histogram of label *counts* is fine (small), but we stay
-    in DataFrame land: ``repartitionByRange`` over (label, salt) spreads
-    every label across the cluster without a Python-side sampler.
+    Modes (parity: reference
+    ``core/.../stages/StratifiedRepartition.scala:37-77``):
+
+    - ``equal``: every label is resampled WITH replacement to
+      ``max(maxLabelCount, numPartitions)`` rows — class-balanced
+      output, size ≈ numLabels × maxLabelCount.
+    - ``original``: per-label counts are kept; rows are only re-spread.
+    - ``mixed`` (default, as in the reference): the ``equal`` fractions
+      are normalized by their mean — every label ends up with the same
+      row count (#labels × harmonic-mean(label count) total, ≤ the
+      original size). Note the reference's Scala computes the mixed
+      fraction from the raw label COUNT over the mean fraction
+      (StratifiedRepartition.scala:57-59), which amplifies the majority
+      class quadratically — we read that as a variable-shadowing bug
+      and implement the evident intent (equal fraction ÷ mean).
+
+    Dataflow (vs the reference's RDD ``sampleByKeyExact`` +
+    ``RangePartitioner``): the label histogram is collected (small —
+    #labels entries), exact per-row copy counts are derived from a
+    seeded per-label ``row_number`` (rank < remainder gets the extra
+    copy — exact totals, no Poisson acceptance loop), copies come from
+    one ``explode(sequence)``, and an interleaving index
+    ``copy·count+rank`` is range-partitioned so each contiguous range —
+    hence each partition — holds every label. Two shuffles total (label
+    window + range exchange), both on scalar keys; skewed labels stay
+    within AQE's reach because the range key is uniform.
     """
 
-    def __init__(self, labelCol: str = "label", mode: str = "equal", seed: int = 42):  # noqa: D107
+    _MODES = ("equal", "original", "mixed")
+
+    def __init__(self, labelCol: str = "label", mode: str = "mixed", seed: int = 42):  # noqa: D107
+        if mode not in self._MODES:
+            raise ValueError(f"mode must be one of {self._MODES}, got {mode!r}")
         super().__init__(labelCol=labelCol, mode=mode, seed=seed)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        n = df.rdd.getNumPartitions()
-        salted = df.withColumn("__salt", (F.rand(self.seed) * n).cast("int"))
-        return salted.repartitionByRange(n, self.labelCol, "__salt").drop("__salt")
+        spark = df.sparkSession
+        n_parts = spark.sparkContext.defaultParallelism
+        counts = {r[0]: r[1] for r in
+                  df.groupBy(self.labelCol).count().collect()}
+        if not counts:
+            return df
+        max_count = max(max(counts.values()), n_parts)
+        if self.mode == "equal":
+            target = {l: max_count for l in counts}
+        elif self.mode == "original":
+            target = dict(counts)
+        else:  # mixed: equal fractions normalized by their mean
+            eq_frac = {l: max_count / c for l, c in counts.items()}
+            mean_frac = sum(eq_frac.values()) / len(eq_frac)
+            target = {l: max(1, int(round(c * eq_frac[l] / mean_frac)))
+                      for l, c in counts.items()}
+
+        lbl = F.col(self.labelCol)
+        t_l = F.create_map(*[F.lit(v) for l, t in target.items()
+                             for v in (l, t)])[lbl]
+        c_l = F.create_map(*[F.lit(v) for l, c in counts.items()
+                             for v in (l, c)])[lbl]
+        w = Window.partitionBy(lbl).orderBy(F.rand(self.seed))
+        ranked = df.withColumn("__r", F.row_number().over(w) - 1)
+        copies = (F.floor(t_l / c_l)
+                  + F.when(F.col("__r") < t_l % c_l, 1).otherwise(0)
+                  ).cast("int")
+        seq = F.when(copies > 0, F.sequence(F.lit(0), copies - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        return (
+            ranked.withColumn("__copy", F.explode(seq))
+            .withColumn("__s", F.col("__copy") * c_l + F.col("__r"))
+            .repartitionByRange(n_parts, "__s")
+            .drop("__r", "__copy", "__s")
+        )
 
 
 class DropMissingData(Transformer):

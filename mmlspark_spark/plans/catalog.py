@@ -1498,12 +1498,21 @@ def cube_counts(spark, sf_dir):
     )
 
 
-@register("stratified_repartition", oracle=None)
+@register(
+    "stratified_repartition",
+    oracle="""
+    WITH cnt AS (
+      SELECT l_returnflag, count(*) AS c FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, (SELECT max(c) FROM cnt) AS n FROM cnt
+    """,
+)
 def stratified_repartition(spark, sf_dir):
-    """StratifiedRepartition (stages/StratifiedRepartition.scala):
-    per-label exact sampling + range repartition; output = per-label
-    row counts across partitions (rows-only: partition placement is
-    engine-specific; proportions asserted in tests)."""
+    """StratifiedRepartition equal mode (stages/StratifiedRepartition.scala:
+    48-77): every label resampled with replacement to max(maxLabelCount,
+    parallelism) rows, interleaved across partitions. At sf0.01 the max
+    label count dominates parallelism, so per-label output counts are
+    exactly the max label count — SQL-expressible."""
     from mmlspark_spark.operators import StratifiedRepartition
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")

@@ -88,9 +88,46 @@ def test_repartition(lineitem):
     assert Repartition(n=2, disable=True).transform(lineitem).count() == lineitem.count()
 
 
-def test_stratified_repartition(lineitem):
-    out = StratifiedRepartition(labelCol="l_returnflag").transform(lineitem)
+def test_stratified_repartition_original(lineitem):
+    out = StratifiedRepartition(labelCol="l_returnflag",
+                                mode="original").transform(lineitem)
     assert out.count() == lineitem.count()
+    # per-label counts preserved exactly
+    orig = dict(lineitem.groupBy("l_returnflag").count().collect())
+    got = dict(out.groupBy("l_returnflag").count().collect())
+    assert got == orig
+    # every partition contains every label (the stage's whole purpose)
+    per_part = out.withColumn(
+        "pid", F.spark_partition_id()).groupBy("pid").agg(
+        F.countDistinct("l_returnflag").alias("nl")).collect()
+    n_labels = len(orig)
+    assert all(r.nl == n_labels for r in per_part)
+
+
+def test_stratified_repartition_equal(spark, lineitem):
+    out = StratifiedRepartition(labelCol="l_returnflag",
+                                mode="equal").transform(lineitem)
+    counts = [r[1] for r in out.groupBy("l_returnflag").count().collect()]
+    orig_max = max(r[1] for r in
+                   lineitem.groupBy("l_returnflag").count().collect())
+    expect = max(orig_max, spark.sparkContext.defaultParallelism)
+    assert counts == [expect] * len(counts)
+
+
+def test_stratified_repartition_mixed(lineitem):
+    out = StratifiedRepartition(labelCol="l_returnflag",
+                                mode="mixed").transform(lineitem)
+    counts = [r[1] for r in out.groupBy("l_returnflag").count().collect()]
+    # every label the same size; total = #labels * harmonic-mean(count),
+    # which is <= the original total (equality iff already balanced)
+    assert max(counts) - min(counts) <= len(counts)
+    assert 0 < sum(counts) <= lineitem.count()
+
+
+def test_stratified_repartition_bad_mode():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        StratifiedRepartition(labelCol="x", mode="bogus")
 
 
 def test_drop_missing(spark):
