@@ -6,16 +6,20 @@ Parity: reference ``lightgbm/.../LightGBMClassifier.scala``,
 LightGBM workers over barrier ``mapPartitions`` with socket NetworkInit
 (``LightGBMBase.scala:43-520``).
 
-This engine (SURVEY §7 step 10): same API, two execution paths —
+This engine (SURVEY §7 step 10): same API, two execution paths — the
+stage NEVER raises because of which packages happen to be installed:
 
-- ``lightgbm`` python package importable → local histogram training on
-  a driver-bounded sample (single-node semantics; the barrier/socket
-  data-parallel mode is a documented follow-up);
-- otherwise (default in this container) → Spark's own distributed GBT
-  with a faithful param mapping (numIterations→maxIter,
-  learningRate→stepSize, numLeaves→maxDepth=⌈log2 leaves⌉) — the
-  trade-off the reference itself benchmarks against
-  (``docs/lightgbm.md:17-19``).
+- ``lightgbm`` python package importable → native histogram training on
+  a bounded driver-side sample (``nativeSampleLimit`` rows), then
+  DISTRIBUTED scoring: the booster is shipped as its model string and
+  re-hydrated once per Arrow batch stream inside ``mapInPandas``
+  (single-node fit semantics; the reference's barrier/socket
+  data-parallel fit is a documented follow-up — it needs the native lib
+  on every executor, which this container lacks);
+- otherwise → Spark's own distributed GBT with a faithful param mapping
+  (numIterations→maxIter, learningRate→stepSize, numLeaves→maxDepth=
+  ⌈log2 leaves⌉) — the trade-off the reference itself benchmarks
+  against (``docs/lightgbm.md:17-19``).
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mmlspark_spark.core.base import Estimator, Model
@@ -37,7 +42,23 @@ def _have_lightgbm() -> bool:
         return False
 
 
+def _features_to_array(df: DataFrame, featuresCol: str):
+    """Return (df with __feat as array<double>, original dtype).
+
+    VectorUDT is converted via ``vector_to_array`` so the column crosses
+    the Arrow boundary as a plain list; arrays pass through.
+    """
+    dtype = df.schema[featuresCol].dataType
+    if isinstance(dtype, T.ArrayType):
+        return df.withColumn("__feat", F.col(featuresCol).cast("array<double>"))
+    from pyspark.ml.functions import vector_to_array
+
+    return df.withColumn("__feat", vector_to_array(F.col(featuresCol)))
+
+
 class _LightGBMBase(Estimator):
+    _objective = "regression"
+
     def __init__(self, **kw):
         kw.setdefault("featuresCol", "features")
         kw.setdefault("labelCol", "label")
@@ -46,6 +67,7 @@ class _LightGBMBase(Estimator):
         kw.setdefault("numLeaves", 31)
         kw.setdefault("learningRate", 0.1)
         kw.setdefault("seed", 42)
+        kw.setdefault("nativeSampleLimit", 1_000_000)
         super().__init__(**kw)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
@@ -62,6 +84,35 @@ class _LightGBMBase(Estimator):
             seed=self.seed,
         )
 
+    def _native_params(self) -> dict:
+        return {
+            "objective": self._objective,
+            "num_leaves": self.numLeaves,
+            "learning_rate": self.learningRate,
+            "seed": self.seed,
+            "verbose": -1,
+        }
+
+    def _fit_native(self, df: DataFrame) -> "LightGBMNativeModel":
+        import numpy as np
+        import lightgbm
+
+        sample = _features_to_array(df, self.featuresCol).select(
+            "__feat", F.col(self.labelCol).cast("double").alias("__y"),
+        ).limit(self.nativeSampleLimit).toPandas()
+        X = np.array(sample["__feat"].tolist(), dtype="float64")
+        y = sample["__y"].to_numpy()
+        booster = lightgbm.train(
+            self._native_params(), lightgbm.Dataset(X, label=y),
+            num_boost_round=self.numIterations,
+        )
+        return LightGBMNativeModel(
+            modelStr=booster.model_to_string(),
+            featuresCol=self.featuresCol,
+            predictionCol=self.predictionCol,
+            isClassifier=self._objective == "binary",
+        )
+
 
 class _WrappedModel(Model):
     def __init__(self, inner=None):
@@ -74,23 +125,61 @@ class _WrappedModel(Model):
         return self.inner.transform(df)
 
 
+class LightGBMNativeModel(Model):
+    """Booster scored distributed: model string broadcast by closure,
+    re-hydrated once per partition stream, Arrow-batched predict."""
+
+    def __init__(self, modelStr: str = "", featuresCol: str = "features",
+                 predictionCol: str = "prediction", isClassifier: bool = False):
+        super().__init__(modelStr=modelStr, featuresCol=featuresCol,
+                         predictionCol=predictionCol, isClassifier=isClassifier)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.featuresCol)
+        return schema.add(self.predictionCol, T.DoubleType())
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        model_str = self.modelStr
+        pred_col = self.predictionCol
+        is_clf = self.isClassifier
+        arr = _features_to_array(df, self.featuresCol)
+        out_schema = T.StructType(
+            list(arr.schema.fields) + [T.StructField(pred_col, T.DoubleType())])
+
+        def score(batches):
+            import numpy as np
+            import lightgbm
+
+            booster = lightgbm.Booster(model_str=model_str)
+            for pdf in batches:
+                if len(pdf):
+                    X = np.array(pdf["__feat"].tolist(), dtype="float64")
+                    p = np.asarray(booster.predict(X), dtype="float64")
+                    pdf[pred_col] = (p > 0.5).astype("float64") if is_clf else p
+                else:
+                    pdf[pred_col] = []
+                yield pdf
+
+        return arr.mapInPandas(score, out_schema).drop("__feat")
+
+
 class LightGBMClassifier(_LightGBMBase):
-    def _fit(self, df: DataFrame) -> _WrappedModel:
+    _objective = "binary"
+
+    def _fit(self, df: DataFrame):
         if _have_lightgbm():
-            raise NotImplementedError(
-                "native lightgbm path: planned barrier-mode training; "
-                "install-time fallback is GBT")
+            return self._fit_native(df)
         from pyspark.ml.classification import GBTClassifier
 
         return _WrappedModel(inner=GBTClassifier(**self._spark_params()).fit(df))
 
 
 class LightGBMRegressor(_LightGBMBase):
-    def _fit(self, df: DataFrame) -> _WrappedModel:
+    _objective = "regression"
+
+    def _fit(self, df: DataFrame):
         if _have_lightgbm():
-            raise NotImplementedError(
-                "native lightgbm path: planned barrier-mode training; "
-                "install-time fallback is GBT")
+            return self._fit_native(df)
         from pyspark.ml.regression import GBTRegressor
 
         return _WrappedModel(inner=GBTRegressor(**self._spark_params()).fit(df))
@@ -98,9 +187,15 @@ class LightGBMRegressor(_LightGBMBase):
 
 class LightGBMRanker(_LightGBMBase):
     """Ranking objective approximated by regression on relevance labels
-    (documented delta: lambdarank needs the native lib)."""
+    (documented delta: lambdarank's group-aware loss needs per-group
+    sample layout; with the native package present we still train the
+    regression objective on the bounded sample)."""
 
-    def _fit(self, df: DataFrame) -> _WrappedModel:
+    _objective = "regression"
+
+    def _fit(self, df: DataFrame):
+        if _have_lightgbm():
+            return self._fit_native(df)
         from pyspark.ml.regression import GBTRegressor
 
         return _WrappedModel(inner=GBTRegressor(**self._spark_params()).fit(df))

@@ -42,6 +42,65 @@ def test_lightgbm_regressor_fallback(binary_data):
     assert "prediction" in out.columns
 
 
+class _FakeBooster:
+    """Minimal lightgbm API double: a mean predictor whose state
+    round-trips through model_to_string, like the real Booster."""
+
+    def __init__(self, mean=0.0, model_str=None):
+        self.mean = float(model_str) if model_str is not None else mean
+
+    def model_to_string(self):
+        return repr(self.mean)
+
+    def predict(self, X):
+        return np.full(len(X), self.mean)
+
+
+class _FakeLightgbm:
+    class Dataset:
+        def __init__(self, X, label=None):
+            self.X, self.label = X, label
+
+    @staticmethod
+    def train(params, dataset, num_boost_round=0):
+        assert params["objective"] in ("binary", "regression")
+        assert dataset.X.ndim == 2
+        return _FakeBooster(mean=float(np.mean(dataset.label)))
+
+    @staticmethod
+    def Booster(model_str=""):
+        return _FakeBooster(model_str=model_str)
+
+
+def test_lightgbm_native_branch_never_raises(binary_data, monkeypatch):
+    """With the package present the native path must RUN (the round-1
+    gate was inverted and raised). Executor-side re-import is faked too:
+    the scoring happens driver-side here via a local fake module."""
+    import sys
+    import mmlspark_spark.ml.lightgbm as lgb_mod
+
+    monkeypatch.setitem(sys.modules, "lightgbm", _FakeLightgbm)
+    monkeypatch.setattr(lgb_mod, "_have_lightgbm", lambda: True)
+    df = binary_data.withColumn("label", F.col("label") * 4.0)
+    model = LightGBMRegressor(numIterations=5, nativeSampleLimit=100).fit(df)
+    assert type(model).__name__ == "LightGBMNativeModel"
+    # the fake predicts mean(label of first 100 sampled rows): check the
+    # model string round-trip + schema without running executors (the
+    # fake module is not importable in worker processes)
+    out = model.transform(df)
+    assert out.schema["prediction"].dataType.typeName() == "double"
+    booster = _FakeLightgbm.Booster(model_str=model.modelStr)
+    assert 0.0 < booster.mean < 4.0
+
+
+def test_lightgbm_fallback_branch_forced(binary_data, monkeypatch):
+    import mmlspark_spark.ml.lightgbm as lgb_mod
+
+    monkeypatch.setattr(lgb_mod, "_have_lightgbm", lambda: False)
+    model = LightGBMClassifier(numIterations=5).fit(binary_data)
+    assert "prediction" in model.transform(binary_data).columns
+
+
 def test_vw_featurizer_and_classifier(spark):
     rng = np.random.default_rng(1)
     rows = [(("cat" if rng.random() < 0.5 else "dog"), float(rng.random()))
