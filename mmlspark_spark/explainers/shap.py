@@ -44,6 +44,11 @@ def _coalition_weights(m: int):
 
 def _draw_coalitions(rng, m: int, num_samples: int):
     """Sampled (z, weight) pairs over sizes 1..m-1 (never empty/full)."""
+    if m == 1:
+        # No intermediate coalition exists: only the all-ones f(x) row is
+        # emitted and phi_1 = f(x) - base comes straight from the
+        # efficiency constraint (_solve_shap's m==1 branch).
+        return np.zeros((0, 1)), np.zeros(0)
     weights = _coalition_weights(m)
     sizes = np.array(list(weights))
     p = np.array([weights[k] * comb(m, k) for k in sizes], dtype=np.float64)

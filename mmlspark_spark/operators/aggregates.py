@@ -197,8 +197,19 @@ class EnsembleByKey(Transformer):
                          collapseGroup=collapseGroup, vectorDims=vectorDims or {})
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
+        from pyspark.ml.linalg import VectorUDT
+
         self._require_cols(schema, *self.keys, *self.cols)
-        agg_fields = [T.StructField(n, T.DoubleType(), True) for n in self.colNames]
+        agg_fields = [
+            T.StructField(
+                n,
+                T.ArrayType(T.DoubleType())        # vector -> per-dim means
+                if isinstance(schema[c].dataType, VectorUDT)
+                else T.DoubleType(),
+                True,
+            )
+            for c, n in zip(self.cols, self.colNames)
+        ]
         if self.collapseGroup:
             return T.StructType([schema[k] for k in self.keys] + agg_fields)
         return T.StructType(list(schema.fields) + agg_fields)

@@ -32,13 +32,25 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+_SALT_SAFE_HOW = ("inner", "left", "leftouter", "left_outer",
+                  "left_semi", "leftsemi", "left_anti", "leftanti")
+
+
 def salted_join(left: DataFrame, right: DataFrame, on,
                 salt: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join with the LEFT side's hot keys split across ``salt``
     sub-keys; the right side is replicated ``salt``× (explode) so every
     sub-key finds its match. Use when one side has a few huge keys and
     the other side's rows per key are small enough to replicate.
+
+    Only left-preserving join types are allowed: under right/full outer
+    joins every UNMATCHED right row would surface once per salt replica
+    (duplicate output), so those are rejected.
     """
+    if how not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join replicates the right side {salt}x; how={how!r} "
+            f"would duplicate unmatched right rows. Allowed: {_SALT_SAFE_HOW}")
     on = [on] if isinstance(on, str) else list(on)
     lhs = left.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
     rhs = right.withColumn(

@@ -75,6 +75,22 @@ def test_tabular_shap_efficiency_and_signs(points, linear_model, spark):
     assert abs(phi_b - (-2.0) * (1.0 - means[1])) < 0.2
 
 
+def test_tabular_shap_single_feature(points, linear_model, spark):
+    """m=1: phi comes entirely from the efficiency constraint (the
+    empty-coalition 0/0 crash fixed per ADVICE)."""
+    single_model = Lambda(fn=lambda df: df.withColumn(
+        "prediction", 3.0 * F.col("a") + 1.0))
+    probe = spark.createDataFrame([(2.0, 0.0)], ["a", "b"])
+    shap = TabularSHAP(model=single_model, inputCols=["a"],
+                       backgroundData=points, targetCol="prediction",
+                       numSamples=16, seed=3)
+    out = shap.transform(probe).collect()[0]
+    base, phi_a = out.shapValues
+    mean_a = points.agg(F.avg("a")).collect()[0][0]
+    assert abs(base - (3.0 * mean_a + 1.0)) < 1e-6
+    assert abs(phi_a - 3.0 * (2.0 - mean_a)) < 1e-6
+
+
 def test_text_lime_finds_signal_token(spark):
     """Model scores 1 when 'magic' appears; LIME must weight it top."""
     model = Lambda(fn=lambda df: df.withColumn(
