@@ -88,8 +88,25 @@ class _ParamStageBase(Params):
         return isinstance(getattr(self, paramName + "Param", None), Param)
 
 
+class _CompositePersistence:
+    """save/load for stages whose params may hold DataFrames or nested
+    stages (reference ``Serializer.scala:1-147`` analog); plain-JSON
+    stages keep the stock DefaultParams metadata layout."""
+
+    def write(self):
+        from mmlspark_spark.core.serializer import CompositeWriter
+
+        return CompositeWriter(self)
+
+    @classmethod
+    def read(cls):
+        from mmlspark_spark.core.serializer import CompositeReader
+
+        return CompositeReader(cls)
+
+
 class Transformer(
-    _ml.Transformer, _ParamStageBase, SchemaContractMixin,
+    _ml.Transformer, _CompositePersistence, _ParamStageBase, SchemaContractMixin,
     DefaultParamsReadable, DefaultParamsWritable,
 ):
     """Engine base transformer. Subclasses implement ``_transform(df)``
@@ -110,7 +127,7 @@ class Model(Transformer):
 
 
 class Estimator(
-    _ml.Estimator, _ParamStageBase, SchemaContractMixin,
+    _ml.Estimator, _CompositePersistence, _ParamStageBase, SchemaContractMixin,
     DefaultParamsReadable, DefaultParamsWritable,
 ):
     """Engine base estimator. Subclasses implement ``_fit(df) -> Model``."""

@@ -81,7 +81,7 @@ class Featurize(Estimator):
         from mmlspark_spark.featurize.indexers import ValueIndexer
         from mmlspark_spark.featurize.missing import CleanMissingData
 
-        pre_exprs: list[Column] = []   # expression-only preprocessing
+        pre_specs: list[list[str]] = []  # (kind, in, out) — JSON-able
         stages = []
         assemble: list[str] = []
         numeric_out: list[str] = []
@@ -101,19 +101,15 @@ class Featurize(Estimator):
             dt = df.schema[c].dataType
             out = f"__f_{c}"
             if isinstance(dt, _NUMERIC) or isinstance(dt, T.BooleanType):
-                pre_exprs.append(F.col(c).cast("double").alias(out))
+                pre_specs.append(["double", c, out])
                 numeric_out.append(out)
                 assemble.append(out)
             elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-                from pyspark.ml.functions import array_to_vector
-
-                pre_exprs.append(array_to_vector(timestamp_features(c)).alias(out))
+                pre_specs.append(["timestamp", c, out])
                 assemble.append(out)
                 size_hints[out] = 8
             elif isinstance(dt, T.DateType):
-                from pyspark.ml.functions import array_to_vector
-
-                pre_exprs.append(array_to_vector(date_features(c)).alias(out))
+                pre_specs.append(["date", c, out])
                 assemble.append(out)
                 size_hints[out] = 5
             elif isinstance(dt, T.StringType):
@@ -133,10 +129,7 @@ class Featurize(Estimator):
             else:
                 raise ValueError(f"Featurize: unsupported type {dt} for {c}")
 
-        def pre(d: DataFrame) -> DataFrame:
-            return d.select("*", *pre_exprs) if pre_exprs else d
-
-        fit_df = pre(df)
+        fit_df = _apply_pre_specs(df, pre_specs)
         if numeric_out:
             imputer = CleanMissingData(cols=numeric_out, cleaningMode="Mean")
             stages.insert(0, imputer)
@@ -150,14 +143,36 @@ class Featurize(Estimator):
         pipeline_model = Pipeline(stages=stages).fit(fit_df)
         temp_cols = [c for c in assemble if c.startswith("__f_")] + [
             f"{c}_idx" for c in assemble] + [f"{c}_tok" for c in assemble]
-        return FeaturizeModel(preExprs=pre_exprs, pipelineModel=pipeline_model,
+        return FeaturizeModel(preSpecs=pre_specs, pipelineModel=pipeline_model,
                               outputCol=self.outputCol, tempCols=temp_cols)
 
 
+def _apply_pre_specs(df: DataFrame, specs) -> DataFrame:
+    """Materialize the declarative (kind, in, out) preprocessing specs.
+    Declarative (vs closing over Column objects) so FeaturizeModel can
+    persist them as plain JSON."""
+    if not specs:
+        return df
+    from pyspark.ml.functions import array_to_vector
+
+    exprs = []
+    for kind, c, out in specs:
+        if kind == "double":
+            exprs.append(F.col(c).cast("double").alias(out))
+        elif kind == "timestamp":
+            exprs.append(array_to_vector(timestamp_features(c)).alias(out))
+        elif kind == "date":
+            exprs.append(array_to_vector(date_features(c)).alias(out))
+        else:
+            raise ValueError(f"unknown pre-spec kind {kind!r}")
+    return df.select("*", *exprs)
+
+
 class FeaturizeModel(Model):
-    def __init__(self, preExprs=None, pipelineModel=None,  # noqa: D107
+    def __init__(self, preSpecs=None, pipelineModel=None,  # noqa: D107
                  outputCol: str = "features", tempCols=None):
-        super().__init__(preExprs=preExprs or [], pipelineModel=pipelineModel,
+        super().__init__(preSpecs=[list(s) for s in (preSpecs or [])],
+                         pipelineModel=pipelineModel,
                          outputCol=outputCol, tempCols=tempCols or [])
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
@@ -167,7 +182,7 @@ class FeaturizeModel(Model):
                             + [T.StructField(self.outputCol, VectorUDT(), True)])
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        staged = df.select("*", *self.preExprs) if self.preExprs else df
+        staged = _apply_pre_specs(df, self.preSpecs)
         out = self.pipelineModel.transform(staged)
         # drop only OUR temp columns — callers may carry __-prefixed
         # working columns (e.g. TrainClassifier's __label)

@@ -213,3 +213,83 @@ def test_save_load_roundtrip(spark, tmp_path):
                 failures.append(
                     f"{cls.__name__}.{p.name}: {orig!r} != {got!r}")
     assert not failures, "\n".join(failures)
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """DataFrame-backed models (Serializer.scala:1-147 analog): fit,
+    save, load, and the LOADED model's transform must produce the same
+    rows as the original — DataFrame params go through parquet, nested
+    fitted stages recurse."""
+    from mmlspark_spark.anomaly import (
+        IdIndexer,
+        LinearScalarScaler,
+        StandardScalarScaler,
+    )
+    from mmlspark_spark.featurize import CleanMissingData, ValueIndexer
+    from mmlspark_spark.operators import ClassBalancer
+    from mmlspark_spark.recommendation import SAR
+
+    basic = _basic(spark)
+    tenant = spark.createDataFrame(
+        [("t1", 1.0), ("t1", 3.0), ("t2", 5.0)], ["tenant", "value"])
+    ratings = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12), (3, 10), (3, 11)],
+        ["user", "item"])
+    objs = [
+        ("ClassBalancer", ClassBalancer(inputCol="cat"), basic),
+        ("ValueIndexer", ValueIndexer(inputCol="cat", outputCol="cat_idx"),
+         basic),
+        ("CleanMissingData",
+         CleanMissingData(cols=["val"], cleaningMode="Mean"), basic),
+        ("StandardScaler",
+         StandardScalarScaler(inputCol="value", partitionKey="tenant",
+                              outputCol="scaled"), tenant),
+        ("LinearScaler",
+         LinearScalarScaler(inputCol="value", partitionKey="tenant",
+                            outputCol="scaled"), tenant),
+        ("IdIndexer",
+         IdIndexer(inputCol="value", partitionKey="tenant", outputCol="idx"),
+         tenant),
+        ("SAR", SAR(userCol="user", itemCol="item", supportThreshold=1),
+         ratings),
+    ]
+    failures = []
+    for name, est, df in objs:
+        model = est.fit(df)
+        path = str(tmp_path / name)
+        try:
+            model.write().overwrite().save(path)
+            loaded = type(model).load(path)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__} {e}")
+            continue
+        if name == "SAR":
+            a = {tuple(map(repr, r))
+                 for r in model.recommend_for_all_users(2).collect()}
+            b = {tuple(map(repr, r))
+                 for r in loaded.recommend_for_all_users(2).collect()}
+        else:
+            a = {tuple(map(repr, r)) for r in model.transform(df).collect()}
+            b = {tuple(map(repr, r)) for r in loaded.transform(df).collect()}
+        if a != b:
+            failures.append(f"{name}: loaded transform differs")
+    assert not failures, "\n".join(failures)
+
+
+def test_trained_classifier_model_roundtrip(spark, tmp_path):
+    """Nested-stage persistence: TrainedClassifierModel holds a fitted
+    featurizer + SparkML model; both must recurse through save/load."""
+    from mmlspark_spark.ml.train import TrainClassifier
+    from pyspark.ml.classification import LogisticRegression
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, "a"), (0.0, -1.0, "b"), (1.0, 3.0, "a"),
+         (0.0, -2.0, "b")] * 5,
+        ["label", "x", "c"])
+    model = TrainClassifier(model=LogisticRegression(), labelCol="label").fit(df)
+    path = str(tmp_path / "trained_clf")
+    model.write().overwrite().save(path)
+    loaded = type(model).load(path)
+    a = [r.scored_labels for r in model.transform(df).collect()]
+    b = [r.scored_labels for r in loaded.transform(df).collect()]
+    assert a == b
