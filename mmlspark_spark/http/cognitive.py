@@ -151,6 +151,100 @@ class DetectAnomalies(_JsonServiceBase):
             F.lit(self.granularity).alias("granularity")))
 
 
+class DetectLastAnomaly(DetectAnomalies):
+    """Anomaly Detector /timeseries/last/detect
+    (AnomalyDetection.scala:119-132): same series request, single-point
+    response for the LAST point of the series."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("isAnomaly", T.BooleanType()),
+        T.StructField("isPositiveAnomaly", T.BooleanType()),
+        T.StructField("isNegativeAnomaly", T.BooleanType()),
+        T.StructField("expectedValue", T.DoubleType()),
+        T.StructField("upperMargin", T.DoubleType()),
+        T.StructField("lowerMargin", T.DoubleType()),
+        T.StructField("suggestedWindow", T.IntegerType()),
+        T.StructField("period", T.IntegerType()),
+    ])
+
+
+class SimpleDetectAnomalies(_JsonServiceBase):
+    """Row-shaped anomaly detection (AnomalyDetection.scala:152-250):
+    rows are grouped by ``groupbyCol`` into one timestamp-sorted series
+    per group (the reference's ``sortWithContext`` UDF is a pure
+    ``array_sort(collect_list(struct(point, context)))`` here — struct
+    ordering sorts by the leading timestamp field, carrying each row's
+    full context through the same array), ONE entire-detect request is
+    made per group, and the per-point responses are exploded back onto
+    the original rows.
+
+    Scale: the shuffle carries one struct per input row keyed by the
+    series id; each group's API payload is bounded by the service's own
+    series-length limit, and requests run pooled inside the generic
+    HTTPTransformer like every other service stage.
+    """
+
+    SINGLE_TYPE = T.StructType([
+        T.StructField("isAnomaly", T.BooleanType()),
+        T.StructField("expectedValue", T.DoubleType()),
+        T.StructField("upperMargin", T.DoubleType()),
+        T.StructField("lowerMargin", T.DoubleType()),
+    ])
+
+    def __init__(self, url: str = "", timestampCol: str = "timestamp",
+                 valueCol: str = "value", groupbyCol: str = "group",
+                 granularity: str = "hourly", outputCol: str = "anomalies",
+                 **kw):
+        super().__init__(url=url, timestampCol=timestampCol,
+                         valueCol=valueCol, groupbyCol=groupbyCol,
+                         granularity=granularity, outputCol=outputCol, **kw)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.timestampCol, self.valueCol,
+                           self.groupbyCol)
+        return T.StructType(list(schema.fields) + [
+            T.StructField(self.outputCol, self.SINGLE_TYPE),
+            T.StructField(self.outputCol + "_error", HTTP_RESPONSE_SCHEMA),
+        ])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        cols = df.columns
+        point = F.struct(
+            F.col(self.timestampCol).cast("string").alias("timestamp"),
+            F.col(self.valueCol).cast("double").alias("value"))
+        ctx = F.struct(*[F.col(c) for c in cols])
+        grouped = (
+            df.select(F.col(self.groupbyCol).alias("__g"),
+                      F.struct(point.alias("p"), ctx.alias("c")).alias("__pc"))
+            .groupBy("__g")
+            .agg(F.array_sort(F.collect_list("__pc")).alias("__z"))
+            .withColumn("__series", F.expr("transform(__z, x -> x.p)"))
+        )
+        inner = DetectAnomalies(
+            url=self.url, seriesCol="__series", granularity=self.granularity,
+            outputCol="__resp", concurrency=self.concurrency,
+            timeout=self.timeout, subscriptionKey=self.subscriptionKey)
+        called = inner.transform(grouped)
+        resp = F.col("__resp")
+        combined = F.transform(
+            F.col("__z"),
+            lambda x, i: F.struct(
+                x["c"].alias("c"),
+                F.when(resp.isNotNull(), F.struct(
+                    resp["isAnomaly"][i].alias("isAnomaly"),
+                    resp["expectedValues"][i].alias("expectedValue"),
+                    resp["upperMargins"][i].alias("upperMargin"),
+                    resp["lowerMargins"][i].alias("lowerMargin"),
+                )).alias("s")))
+        exploded = called.select(
+            F.col("__resp_error"), F.explode(combined).alias("__e"))
+        return exploded.select(
+            *[F.col(f"__e.c.{c}").alias(c) for c in cols],
+            F.col("__e.s").alias(self.outputCol),
+            F.col("__resp_error").alias(self.outputCol + "_error"),
+        )
+
+
 # ---------------------------------------------------------------------------
 # Vision (cognitive/.../ComputerVision.scala:183-560)
 # ---------------------------------------------------------------------------
@@ -310,6 +404,68 @@ class VerifyFaces(_JsonServiceBase):
         return F.to_json(F.struct(
             F.col(self.faceId1Col).alias("faceId1"),
             F.col(self.faceId2Col).alias("faceId2")))
+
+
+class GroupFaces(_JsonServiceBase):
+    """Face /group (Face.scala:186-204): array of faceIds → similarity
+    groups + a messyGroup of leftovers."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("groups", T.ArrayType(T.ArrayType(T.StringType()))),
+        T.StructField("messyGroup", T.ArrayType(T.StringType())),
+    ])
+
+    def __init__(self, url: str = "", faceIdsCol: str = "faceIds",
+                 outputCol: str = "result", **kw):
+        super().__init__(url=url, faceIdsCol=faceIdsCol, outputCol=outputCol,
+                         **kw)
+
+    def _entity(self, df: DataFrame) -> F.Column:
+        return F.to_json(F.struct(F.col(self.faceIdsCol).alias("faceIds")))
+
+
+class IdentifyFaces(_JsonServiceBase):
+    """Face /identify (Face.scala:208-280): candidate persons per query
+    face against a (large)person group."""
+
+    RESPONSE_TYPE = T.ArrayType(T.StructType([
+        T.StructField("faceId", T.StringType()),
+        T.StructField("candidates", T.ArrayType(T.StructType([
+            T.StructField("personId", T.StringType()),
+            T.StructField("confidence", T.DoubleType()),
+        ]))),
+    ]))
+
+    def __init__(self, url: str = "", faceIdsCol: str = "faceIds",
+                 personGroupId: str | None = None,
+                 largePersonGroupId: str | None = None,
+                 maxNumOfCandidatesReturned: int | None = None,
+                 confidenceThreshold: float | None = None,
+                 outputCol: str = "result", **kw):
+        if personGroupId and largePersonGroupId:
+            raise ValueError("personGroupId and largePersonGroupId are "
+                             "mutually exclusive (Face.scala:230-248)")
+        super().__init__(url=url, faceIdsCol=faceIdsCol,
+                         personGroupId=personGroupId,
+                         largePersonGroupId=largePersonGroupId,
+                         maxNumOfCandidatesReturned=maxNumOfCandidatesReturned,
+                         confidenceThreshold=confidenceThreshold,
+                         outputCol=outputCol, **kw)
+
+    def _entity(self, df: DataFrame) -> F.Column:
+        fields = [F.col(self.faceIdsCol).alias("faceIds")]
+        if self.personGroupId:
+            fields.append(F.lit(self.personGroupId).alias("personGroupId"))
+        if self.largePersonGroupId:
+            fields.append(F.lit(self.largePersonGroupId)
+                          .alias("largePersonGroupId"))
+        if self.maxNumOfCandidatesReturned is not None:
+            fields.append(F.lit(self.maxNumOfCandidatesReturned)
+                          .alias("maxNumOfCandidatesReturned"))
+        if self.confidenceThreshold is not None:
+            fields.append(F.lit(self.confidenceThreshold)
+                          .alias("confidenceThreshold"))
+        return F.to_json(F.struct(*fields))
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,32 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply(503, "try later")
             else:
                 self._reply(200, json.dumps({"out": "ok"}))
+        elif self.path == "/anomaly/entire":
+            series = body["series"]
+            self._reply(200, json.dumps({
+                "isAnomaly": [p["value"] > 100 for p in series],
+                "expectedValues": [50.0] * len(series),
+                "upperMargins": [5.0] * len(series),
+                "lowerMargins": [5.0] * len(series),
+            }))
+        elif self.path == "/anomaly/last":
+            last = body["series"][-1]
+            self._reply(200, json.dumps({
+                "isAnomaly": last["value"] > 100,
+                "isPositiveAnomaly": last["value"] > 100,
+                "isNegativeAnomaly": False,
+                "expectedValue": 50.0, "upperMargin": 5.0,
+                "lowerMargin": 5.0, "suggestedWindow": 4, "period": 0,
+            }))
+        elif self.path == "/face/group":
+            ids = body["faceIds"]
+            self._reply(200, json.dumps(
+                {"groups": [ids[:2]], "messyGroup": ids[2:]}))
+        elif self.path == "/face/identify":
+            self._reply(200, json.dumps([
+                {"faceId": f,
+                 "candidates": [{"personId": "p-" + f, "confidence": 0.9}]}
+                for f in body["faceIds"]]))
         else:
             self._reply(404, "nope")
 
@@ -131,6 +157,77 @@ def test_text_sentiment_service_shape(spark, server):
     row = stage.transform(df).collect()[0]
     # stub returns 404 for unknown path → error column populated
     assert row.sentiment is None and row.sentiment_error.statusCode == 404
+
+
+def test_detect_last_anomaly(spark, server):
+    from mmlspark_spark.http.cognitive import DetectLastAnomaly
+
+    df = spark.createDataFrame(
+        [([{"timestamp": "2026-01-01T00:00:00Z", "value": 10.0},
+           {"timestamp": "2026-01-01T01:00:00Z", "value": 500.0}],)],
+        "series: array<struct<timestamp:string,value:double>>")
+    row = DetectLastAnomaly(url=f"{server}/anomaly/last",
+                            outputCol="last").transform(df).collect()[0]
+    assert row.last_error is None
+    assert row.last.isAnomaly is True and row.last.isPositiveAnomaly is True
+    assert row.last.expectedValue == 50.0 and row.last.period == 0
+
+
+def test_simple_detect_anomalies_row_shape(spark, server):
+    """Row-per-point API: groups sorted into one request per series,
+    responses exploded back onto the original rows with context intact
+    (reference sortWithContext semantics)."""
+    from mmlspark_spark.http.cognitive import SimpleDetectAnomalies
+
+    rows = [
+        ("g1", "2026-01-01T02:00:00Z", 30.0, "c"),
+        ("g1", "2026-01-01T00:00:00Z", 10.0, "a"),
+        ("g1", "2026-01-01T01:00:00Z", 500.0, "b"),
+        ("g2", "2026-01-01T00:00:00Z", 7.0, "d"),
+    ]
+    df = spark.createDataFrame(rows, ["tenant", "ts", "value", "tag"])
+    out = SimpleDetectAnomalies(
+        url=f"{server}/anomaly/entire", timestampCol="ts", valueCol="value",
+        groupbyCol="tenant", outputCol="anom").transform(df)
+    got = {r.tag: r for r in out.collect()}
+    assert len(got) == 4  # one output row per input row, context preserved
+    # only the 500.0 point (tag=b) is anomalous; alignment survives the
+    # timestamp sort even though input rows arrived out of order
+    assert got["b"].anom.isAnomaly is True
+    assert got["a"].anom.isAnomaly is False
+    assert got["c"].anom.isAnomaly is False
+    assert got["d"].anom.isAnomaly is False
+    assert all(r.anom.expectedValue == 50.0 for r in got.values())
+    assert all(r.anom_error is None for r in got.values())
+    # original columns ride through unchanged
+    assert got["b"].tenant == "g1" and got["b"].value == 500.0
+
+
+def test_group_faces(spark, server):
+    from mmlspark_spark.http.cognitive import GroupFaces
+
+    df = spark.createDataFrame([(["f1", "f2", "f3"],)],
+                               "faceIds: array<string>")
+    row = GroupFaces(url=f"{server}/face/group",
+                     outputCol="g").transform(df).collect()[0]
+    assert row.g_error is None
+    assert row.g.groups == [["f1", "f2"]] and row.g.messyGroup == ["f3"]
+
+
+def test_identify_faces(spark, server):
+    from mmlspark_spark.http.cognitive import IdentifyFaces
+
+    df = spark.createDataFrame([(["f1", "f2"],)], "faceIds: array<string>")
+    stage = IdentifyFaces(url=f"{server}/face/identify",
+                          largePersonGroupId="lg1", confidenceThreshold=0.5,
+                          outputCol="ident")
+    row = stage.transform(df).collect()[0]
+    assert row.ident_error is None
+    assert [c.faceId for c in row.ident] == ["f1", "f2"]
+    assert row.ident[0].candidates[0].personId == "p-f1"
+    assert row.ident[0].candidates[0].confidence == 0.9
+    with pytest.raises(ValueError):
+        IdentifyFaces(personGroupId="a", largePersonGroupId="b")
 
 
 def test_sentiment_against_stub_documents_endpoint(spark, server):
