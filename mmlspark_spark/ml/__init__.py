@@ -15,6 +15,11 @@ from mmlspark_spark.ml.lightgbm import (
     LightGBMRanker,
     LightGBMRegressor,
 )
+from mmlspark_spark.ml.bandit import (
+    ContextualBanditPolicyEvaluator,
+    VowpalWabbitContextualBandit,
+    VowpalWabbitContextualBanditModel,
+)
 from mmlspark_spark.ml.vw import (
     VectorZipper,
     VowpalWabbitClassifier,
@@ -32,5 +37,7 @@ __all__ = [
     "LightGBMClassifier", "LightGBMRegressor", "LightGBMRanker",
     "VowpalWabbitFeaturizer", "VowpalWabbitInteractions", "VectorZipper",
     "VowpalWabbitClassifier", "VowpalWabbitRegressor",
+    "VowpalWabbitContextualBandit", "VowpalWabbitContextualBanditModel",
+    "ContextualBanditPolicyEvaluator",
     "ImageFeaturizer", "ONNXModel",
 ]

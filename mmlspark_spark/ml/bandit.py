@@ -19,6 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mmlspark_spark.core.base import Estimator, Model
 
 
 def _weight(actionCol, probCol, targetActionCol):
@@ -53,6 +56,132 @@ def doubly_robust_estimate(df: DataFrame, actionCol: str = "action",
     w = _weight(actionCol, probCol, targetActionCol)
     dr = F.col(qTargetCol) + (F.col(rewardCol) - F.col(qLoggedCol)) * w
     return float(df.agg(F.avg(dr)).collect()[0][0])
+
+
+class VowpalWabbitContextualBandit(Estimator):
+    """Trainable contextual-bandit policy learner.
+
+    Parity: reference ``vw/.../VowpalWabbitContextualBandit.scala:87-307``
+    (``--cb_explore_adf``: action-dependent features, epsilon-greedy
+    exploration). Input contract mirrors the reference exactly —
+    ``sharedCol`` a Vector of shared features, ``featuresCol`` an
+    ``array<Vector>`` of per-action features, ``chosenActionCol`` a
+    **1-based** int, ``labelCol`` the observed COST of the chosen action
+    (VW convention: lower is better), ``probabilityCol`` the logging
+    policy's probability of the chosen action.
+
+    Engine mapping: VW's cb_adf is a cost-regression reduction over
+    (shared ⊕ action) features; here that is an IPS-weighted
+    ``LinearRegression`` (weight = 1/p corrects the logging policy's
+    action distribution toward uniform) fitted on the logged
+    chosen-action rows only — a single distributed fit, no per-row
+    python. The fitted model scores every candidate action at transform
+    time and emits epsilon-greedy action probabilities, matching the
+    reference model's ``prediction: array<double>`` (probability per
+    action, in action order — Scala model sorts ActionProbs by action,
+    VowpalWabbitContextualBandit.scala:341-360).
+    """
+
+    def __init__(self, sharedCol: str = "shared", featuresCol: str = "features",
+                 chosenActionCol: str = "chosenAction",
+                 labelCol: str = "label", probabilityCol: str = "probability",
+                 predictionCol: str = "prediction", epsilon: float = 0.05,
+                 numPasses: int = 10, l2: float = 0.0):
+        super().__init__(sharedCol=sharedCol, featuresCol=featuresCol,
+                         chosenActionCol=chosenActionCol, labelCol=labelCol,
+                         probabilityCol=probabilityCol,
+                         predictionCol=predictionCol, epsilon=epsilon,
+                         numPasses=numPasses, l2=l2)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        from pyspark.ml.linalg import VectorUDT
+
+        self._require_cols(schema, self.sharedCol, self.featuresCol,
+                           self.chosenActionCol, self.labelCol,
+                           self.probabilityCol)
+        ft = schema[self.featuresCol].dataType
+        if not (isinstance(ft, T.ArrayType)
+                and isinstance(ft.elementType, VectorUDT)):
+            raise ValueError(
+                f"{self.featuresCol} must be array<vector> (one Vector of "
+                f"action-dependent features per action); found {ft}")
+        if not isinstance(schema[self.sharedCol].dataType, VectorUDT):
+            raise ValueError(f"{self.sharedCol} must be a Vector; found "
+                             f"{schema[self.sharedCol].dataType}")
+        return schema
+
+    def _fit(self, df: DataFrame) -> "VowpalWabbitContextualBanditModel":
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.regression import LinearRegression
+
+        chosen = F.element_at(F.col(self.featuresCol),
+                              F.col(self.chosenActionCol).cast("int"))
+        train = (df.withColumn("__act", chosen)
+                 .withColumn("__w", F.lit(1.0) / F.col(self.probabilityCol)))
+        assembled = VectorAssembler(
+            inputCols=[self.sharedCol, "__act"],
+            outputCol="__x").transform(train)
+        lr = LinearRegression(
+            featuresCol="__x", labelCol=self.labelCol, weightCol="__w",
+            predictionCol="__q", maxIter=self.numPasses * 10,
+            regParam=self.l2)
+        return VowpalWabbitContextualBanditModel(
+            inner=lr.fit(assembled), sharedCol=self.sharedCol,
+            featuresCol=self.featuresCol, predictionCol=self.predictionCol,
+            epsilon=self.epsilon)
+
+
+class VowpalWabbitContextualBanditModel(Model):
+    """Scores every action and emits epsilon-greedy probabilities.
+
+    Scale: one ``posexplode`` over the (small, K-element) action list,
+    a distributed JVM-side model scoring pass, and a group-back keyed by
+    a map-side row id — the shuffle carries K structs per input row and
+    nothing else. No driver loops, no python in the row path.
+    """
+
+    def __init__(self, inner=None, sharedCol: str = "shared",
+                 featuresCol: str = "features",
+                 predictionCol: str = "prediction", epsilon: float = 0.05):
+        super().__init__(inner=inner, sharedCol=sharedCol,
+                         featuresCol=featuresCol, predictionCol=predictionCol,
+                         epsilon=epsilon)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.sharedCol, self.featuresCol)
+        return T.StructType(list(schema.fields) + [
+            T.StructField(self.predictionCol, T.ArrayType(T.DoubleType()))])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.feature import VectorAssembler
+
+        cols = df.columns
+        eps = float(self.epsilon)
+        with_id = df.withColumn("__id", F.monotonically_increasing_id())
+        exploded = with_id.select(
+            "__id", F.struct(*cols).alias("__ctx"),
+            F.posexplode(self.featuresCol).alias("__pos", "__act"))
+        assembled = VectorAssembler(
+            inputCols=["__shared", "__act"], outputCol="__x",
+        ).transform(
+            exploded.withColumn("__shared", F.col("__ctx")[self.sharedCol]))
+        scored = self.inner.transform(assembled)
+        grouped = (scored.groupBy("__id")
+                   .agg(F.first("__ctx").alias("__ctx"),
+                        F.array_sort(F.collect_list(
+                            F.struct("__pos", "__q"))).alias("__z")))
+        costs = F.expr("transform(__z, x -> x.__q)")
+        # first argmin (1-based); epsilon-greedy over K actions
+        best = F.array_position(costs, F.array_min(costs))
+        k = F.size("__z").cast("double")
+        probs = F.transform(
+            F.col("__z"),
+            lambda x, i: F.lit(eps) / k
+            + F.when(i == best.cast("int") - 1, F.lit(1.0 - eps))
+            .otherwise(F.lit(0.0)))
+        return grouped.select(
+            *[F.col("__ctx")[c].alias(c) for c in cols],
+            probs.alias(self.predictionCol))
 
 
 class ContextualBanditPolicyEvaluator:

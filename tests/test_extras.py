@@ -6,6 +6,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _RECEIVED = []
 
@@ -115,6 +116,80 @@ def test_bandit_estimators(spark):
     ev = ContextualBanditPolicyEvaluator()
     out = ev.evaluate(df, lambda d: d.withColumn("target_action", F.lit("a0")))
     assert abs(out["ips"] - 0.0) < 1e-9  # a0 never rewards
+
+
+def _synthetic_bandit_rows(n=600, seed=7):
+    """Uniform logging over K=3 actions; true cost(x, a) = w_a · x.
+    Action-dependent features carry x in per-action slots so a linear
+    cost model makes the optimal action context-dependent."""
+    import random
+
+    from pyspark.ml.linalg import Vectors
+
+    rng = random.Random(seed)
+    W = [(1.0, 0.0), (0.0, 1.0), (0.5, 0.5)]
+    rows = []
+    for i in range(n):
+        x = (rng.uniform(-1, 1), rng.uniform(-1, 1))
+        costs = [wa[0] * x[0] + wa[1] * x[1] for wa in W]
+        a = rng.randrange(3)
+        feats = []
+        for j in range(3):
+            v = [0.0] * 6
+            v[2 * j], v[2 * j + 1] = x
+            feats.append(Vectors.dense(v))
+        rows.append((i, Vectors.dense(x), feats, a + 1, costs[a], 1.0 / 3,
+                     costs))
+    return rows
+
+
+def test_contextual_bandit_learner(spark, tmp_path):
+    """Reference VowpalWabbitContextualBandit parity: fit on logged
+    (shared, actions, chosenAction, cost, prob) data; the learned
+    policy must beat uniform, and its IPS off-policy estimate must
+    agree with the on-policy expected reward."""
+    from mmlspark_spark.ml.bandit import (
+        VowpalWabbitContextualBandit,
+        VowpalWabbitContextualBanditModel,
+        ips_estimate,
+    )
+
+    df = spark.createDataFrame(
+        _synthetic_bandit_rows(),
+        ["rid", "shared", "features", "chosenAction", "label", "probability",
+         "true_costs"])
+    model = VowpalWabbitContextualBandit(epsilon=0.09).fit(df)
+    out = model.transform(df)
+    assert out.schema["prediction"].dataType == T.ArrayType(T.DoubleType())
+    rows = out.select("rid", "prediction", "true_costs", "chosenAction",
+                      "label", "probability").orderBy("rid").collect()
+    assert len(rows) == 600
+    # epsilon-greedy contract: probs sum to 1; one action gets 1-eps+eps/K
+    for r in rows[:5]:
+        assert abs(sum(r.prediction) - 1.0) < 1e-9
+        assert abs(max(r.prediction) - (0.91 + 0.03)) < 1e-9
+    greedy = [r.prediction.index(max(r.prediction)) for r in rows]
+    policy_cost = sum(r.true_costs[g] for r, g in zip(rows, greedy)) / 600
+    uniform_cost = sum(sum(r.true_costs) / 3 for r in rows) / 600
+    oracle_cost = sum(min(r.true_costs) for r in rows) / 600
+    assert policy_cost < uniform_cost  # learned policy beats uniform
+    assert policy_cost <= oracle_cost + 0.05  # near-oracle on linear truth
+    # off-policy IPS estimate of the greedy policy (reward = -cost)
+    # agrees with its on-policy expected reward
+    est_df = spark.createDataFrame(
+        [(str(r.chosenAction - 1), r.probability, -r.label, str(g))
+         for r, g in zip(rows, greedy)],
+        ["action", "probability", "reward", "target_action"])
+    ips = ips_estimate(est_df)
+    assert abs(ips - (-policy_cost)) < 0.2
+    # round-trip persistence (inner sparkml model via stageparams)
+    path = str(tmp_path / "cb_model")
+    model.write().overwrite().save(path)
+    loaded = VowpalWabbitContextualBanditModel.read().load(path)
+    re_rows = loaded.transform(df).select("rid", "prediction") \
+        .orderBy("rid").collect()
+    assert [r.prediction for r in re_rows[:20]] == \
+        [r.prediction for r in rows[:20]]
 
 
 def test_lang_id_on_real_sentences(spark):
