@@ -662,19 +662,22 @@ def multi_ngram(spark, sf_dir):
     return out.select("doc_id", F.size("grams").alias("n_grams"))
 
 
-@register("page_splitter", oracle=None)
+@register(
+    "page_splitter",
+    oracle="SELECT doc_id, text AS reassembled FROM documents",
+)
 def page_splitter(spark, sf_dir):
-    """PageSplitter: word-boundary-preserving pagination (pandas UDF;
-    rows-only check — reassembly identity asserted in tests)."""
+    """PageSplitter: word-boundary-preserving pagination. The oracle is
+    the reassembly identity — concatenating the emitted pages must
+    reproduce the original text byte-for-byte, which DuckDB checks by
+    just selecting the source column (split-loss would hash-mismatch)."""
     from mmlspark_spark.featurize import PageSplitter
 
     docs = _t(spark, sf_dir, "documents")
     out = PageSplitter(inputCol="text", outputCol="pages",
                        maximumPageLength=200, minimumPageLength=100).transform(docs)
     return out.select(
-        "doc_id", F.size("pages").alias("n_pages"),
-        F.length(F.concat_ws("", "pages")).alias("reassembled_len"),
-    )
+        "doc_id", F.concat_ws("", "pages").alias("reassembled"))
 
 
 @register("text_featurize_pipeline", oracle=None, headline=True)
@@ -1324,18 +1327,63 @@ def text_metrics(spark, sf_dir):
     )
 
 
-@register("lang_id_heuristic", oracle=None)
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+               x -> lower(x)) AS t
+      FROM documents WHERE doc_id < 2000
+    ),
+    scored AS (
+      SELECT doc_id,
+        len(list_filter(t, x -> list_contains(
+          ['der','die','das','und','ist','nicht','ein','mit'], x))) AS de,
+        len(list_filter(t, x -> list_contains(
+          ['the','and','of','is','that','with','for','this'], x))) AS en,
+        len(list_filter(t, x -> list_contains(
+          ['el','los','las','es','una','para','con','por'], x))) AS es,
+        len(list_filter(t, x -> list_contains(
+          ['le','la','les','et','est','une','dans','pour'], x))) AS fr,
+        len(list_filter(t, x -> list_contains(
+          ['il','gli','che','per','una','sono','con','di'], x))) AS it
+      FROM toks
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(de, en, es, fr, it) = 0 THEN 'und'
+           WHEN de = greatest(de, en, es, fr, it) THEN 'de'
+           WHEN en = greatest(de, en, es, fr, it) THEN 'en'
+           WHEN es = greatest(de, en, es, fr, it) THEN 'es'
+           WHEN fr = greatest(de, en, es, fr, it) THEN 'fr'
+           ELSE 'it' END AS pred_lang
+    FROM scored
+    """,
+)
 def lang_id_heuristic(spark, sf_dir):
-    """Function-word-profile language ID over documents (rows-only: the
-    heuristic's profiles are engine-specific; behavior is unit-tested
-    on real multilingual sentences)."""
-    from mmlspark_spark.functions.text_quality import doc_fingerprint, lang_id
+    """Function-word-profile language ID over documents. The oracle
+    replicates the exact scoring — per-language function-word hit
+    counts, argmax with lexicographic-min tie-break, 'und' on zero hits
+    — as DuckDB list expressions, so the heuristic itself is
+    hash-checked (not just row counts)."""
+    from mmlspark_spark.functions.text_quality import lang_id
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return docs.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+@register("doc_fingerprint", oracle=None)
+def doc_fingerprint_query(spark, sf_dir):
+    """Order-sensitive rolling-hash content fingerprint (rows-only by
+    design: xxhash64 is Spark-specific — hash-family queries have no
+    cross-engine oracle; determinism + order sensitivity are
+    property-tested in tests/test_properties.py)."""
+    from mmlspark_spark.functions.text_quality import doc_fingerprint
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     return docs.select(
-        "doc_id", lang_id("text").alias("pred_lang"),
-        doc_fingerprint("text").alias("fingerprint"),
-    )
+        "doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
 @register("knn_ivf", oracle=None)
