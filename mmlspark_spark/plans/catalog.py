@@ -1567,3 +1567,279 @@ def stratified_repartition(spark, sf_dir):
     out = StratifiedRepartition(labelCol="l_returnflag", mode="equal",
                                 seed=42).transform(li)
     return out.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Stage-family coverage queries (round 2): operators that previously had
+# only unit tests get driver-checkable oracle rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lambda_stage",
+    oracle="""
+    SELECT o_orderkey,
+           round(CAST(o_totalprice AS DOUBLE) * 0.9, 4) AS discounted
+    FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def lambda_stage(spark, sf_dir):
+    """Lambda stage wrapping an arbitrary DataFrame->DataFrame function
+    (stages/Lambda.scala:22-60): the wrapped plan stays fully
+    declarative, so Catalyst pushes the filter into the scan."""
+    from mmlspark_spark.operators import Lambda
+
+    orders = _t(spark, sf_dir, "orders")
+    stage = Lambda(fn=lambda df: df
+                   .filter(F.col("o_totalprice") > 100000)
+                   .select("o_orderkey",
+                           F.round(F.col("o_totalprice").cast("double") * 0.9,
+                                   4).alias("discounted")))
+    return stage.transform(orders)
+
+
+@register(
+    "udf_transformer",
+    oracle="""
+    SELECT c_custkey, CAST(length(c_name) AS INT) AS name_len
+    FROM customer
+    """,
+)
+def udf_transformer(spark, sf_dir):
+    """UDFTransformer with an Arrow-vectorized pandas UDF
+    (stages/UDFTransformer.scala:26-110) — the python hot path runs per
+    Arrow batch, never per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mmlspark_spark.operators import UDFTransformer
+
+    @pandas_udf("int")
+    def _name_len(s):
+        return s.str.len().astype("int32")
+
+    cust = _t(spark, sf_dir, "customer")
+    out = UDFTransformer(inputCols=["c_name"], outputCol="name_len",
+                         udf=_name_len).transform(cust)
+    return out.select("c_custkey", "name_len")
+
+
+@register(
+    "multi_column_adapter",
+    oracle="""
+    SELECT c_custkey, lower(c_name) AS name_n, lower(c_mktsegment) AS seg_n
+    FROM customer
+    """,
+)
+def multi_column_adapter(spark, sf_dir):
+    """MultiColumnAdapter cloning a one-in-one-out base stage per
+    (in, out) pair (stages/MultiColumnAdapter.scala:20-135); base stage
+    is UnicodeNormalize (NFKC + lower)."""
+    from mmlspark_spark.featurize import UnicodeNormalize
+    from mmlspark_spark.operators import MultiColumnAdapter
+
+    cust = _t(spark, sf_dir, "customer")
+    out = MultiColumnAdapter(
+        baseStage=UnicodeNormalize(form="NFKC", lower=True),
+        inputCols=["c_name", "c_mktsegment"],
+        outputCols=["name_n", "seg_n"]).transform(cust)
+    return out.select("c_custkey", "name_n", "seg_n")
+
+
+@register(
+    "drop_missing",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+)
+def drop_missing(spark, sf_dir):
+    """DropMissingData on a column with injected nulls (reference drops
+    NA inside Featurize.scala:181; promoted to a stage here)."""
+    from mmlspark_spark.operators import DropMissingData
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "maybe", F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderstatus")))
+    out = DropMissingData(cols=["maybe"]).transform(orders)
+    return out.select("o_orderkey", F.col("maybe").alias("o_orderstatus"))
+
+
+@register(
+    "minibatch_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           round(CAST(value AS DOUBLE), 6) AS value
+    FROM events WHERE event_id < 20000
+    """,
+)
+def minibatch_roundtrip(spark, sf_dir):
+    """FixedMiniBatchTransformer then FlattenBatch
+    (stages/MiniBatchTransformer.scala:130-230) is an exact identity —
+    the oracle checks no row is lost, duplicated, or reassociated
+    across the batch/unbatch round trip."""
+    from mmlspark_spark.operators import (
+        FixedMiniBatchTransformer,
+        FlattenBatch,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000) \
+        .select("event_id", "user_id", "event_type",
+                F.round(F.col("value").cast("double"), 6).alias("value"))
+    batched = FixedMiniBatchTransformer(batchSize=100).transform(ev)
+    return FlattenBatch().transform(batched)
+
+
+@register(
+    "partition_ops_identity",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(CAST(l_quantity AS DOUBLE), 4) AS qty
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def partition_ops_identity(spark, sf_dir):
+    """Repartition (shuffle), PartitionConsolidator (coalesce), Cacher
+    and Timer are content-preserving by contract
+    (stages/Repartition.scala:20-66, PartitionConsolidator.scala:22-139,
+    Cacher.scala:14-43, Timer.scala:55-133) — the oracle proves the
+    composed chain changes partitioning only, never data."""
+    from mmlspark_spark.operators import (
+        Cacher,
+        PartitionConsolidator,
+        Repartition,
+        Timer,
+    )
+    from mmlspark_spark.operators.stages import SelectColumns
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000) \
+        .select("l_orderkey", "l_linenumber",
+                F.round(F.col("l_quantity").cast("double"), 4).alias("qty"))
+    out = Repartition(n=8, useRepartition=True).transform(li)
+    out = PartitionConsolidator(numPartitions=2).transform(out)
+    out = Cacher().transform(out)
+    timed = Timer(stage=SelectColumns(cols=["l_orderkey", "l_linenumber",
+                                            "qty"]))
+    return timed.transform(out)
+
+
+@register(
+    "date_featurize",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS DOUBLE) AS yr,
+           CAST(dayofweek(o_orderdate) + 1 AS DOUBLE) AS dow,
+           CAST(month(o_orderdate) AS DOUBLE) AS mo,
+           CAST(day(o_orderdate) AS DOUBLE) AS dom
+    FROM orders WHERE o_orderkey < 30000
+    """,
+)
+def date_featurize(spark, sf_dir):
+    """date_features component extraction (Featurize.scala:204-215);
+    DuckDB's dayofweek is 0-based Sunday vs Spark's 1-based, hence the
+    +1 on the oracle side."""
+    from mmlspark_spark.featurize.auto import date_features
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 30000)
+    feats = date_features(F.col("o_orderdate"))
+    return orders.select(
+        "o_orderkey",
+        feats[1].alias("yr"), feats[2].alias("dow"),
+        feats[3].alias("mo"), feats[4].alias("dom"))
+
+
+@register(
+    "index_to_value_roundtrip",
+    oracle="SELECT c_custkey, c_mktsegment AS restored FROM customer",
+)
+def index_to_value_roundtrip(spark, sf_dir):
+    """ValueIndexer -> IndexToValue is an exact inverse: the levels ride
+    the indexed column's metadata (featurize/IndexToValue.scala:29-92),
+    so the round trip restores every original value."""
+    from mmlspark_spark.featurize import IndexToValue, ValueIndexer
+
+    cust = _t(spark, sf_dir, "customer")
+    model = ValueIndexer(inputCol="c_mktsegment", outputCol="seg_idx").fit(cust)
+    idx = model.transform(cust)
+    out = IndexToValue(inputCol="seg_idx", outputCol="restored").transform(idx)
+    return out.select("c_custkey", "restored")
+
+
+@register(
+    "count_selector",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(CAST(l_quantity AS DOUBLE), 4) AS q,
+           round(CAST(l_tax AS DOUBLE), 4) AS t
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def count_selector(spark, sf_dir):
+    """CountSelector drops all-zero vector slots
+    (featurize/CountSelector.scala:23-88): a planted zero slot between
+    two real features disappears, leaving exactly (quantity, tax)."""
+    from mmlspark_spark.featurize.auto import CountSelector
+    from mmlspark_spark.functions.vector import get_value_at, to_vector
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    vec = li.withColumn("features", to_vector(F.array(
+        F.col("l_quantity").cast("double"), F.lit(0.0),
+        F.col("l_tax").cast("double"))))
+    model = CountSelector(inputCol="features", outputCol="selected").fit(vec)
+    out = model.transform(vec)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round(get_value_at("selected", 0), 4).alias("q"),
+        F.round(get_value_at("selected", 1), 4).alias("t"))
+
+
+@register(
+    "text_preprocessor",
+    oracle="""
+    SELECT doc_id,
+           replace(replace(lower(text), 'data', '<DATA>'),
+                   'model', '<MODEL>') AS processed
+    FROM documents
+    """,
+)
+def text_preprocessor(spark, sf_dir):
+    """TextPreprocessor longest-match-first multi-replacement
+    (stages/TextPreprocessor.scala:98-152). The chosen patterns are
+    mutually disjoint and replacements share no alphabet with any
+    pattern, so the one-pass alternation is provably equal to DuckDB's
+    sequential replace() chain."""
+    from mmlspark_spark.featurize import TextPreprocessor
+
+    docs = _t(spark, sf_dir, "documents")
+    out = TextPreprocessor(
+        inputCol="text", outputCol="processed", normFunc="lower",
+        map={"data": "<DATA>", "model": "<MODEL>"}).transform(docs)
+    return out.select("doc_id", "processed")
+
+
+@register(
+    "per_instance_log_loss",
+    oracle="""
+    SELECT o_orderkey,
+           round(-ln(CASE WHEN o_orderkey % 2 = 1
+                          THEN greatest(least((o_orderkey % 97) / 100.0,
+                                              1 - 1e-15), 1e-15)
+                          ELSE greatest(least(1 - (o_orderkey % 97) / 100.0,
+                                              1 - 1e-15), 1e-15) END),
+                 6) AS log_loss
+    FROM orders WHERE o_orderkey < 20000
+    """,
+)
+def per_instance_log_loss(spark, sf_dir):
+    """ComputePerInstanceStatistics classification log-loss from scored
+    probabilities (ComputePerInstanceStatistics.scala:77-99), expressed
+    as pure column math over a deterministic synthetic scoring."""
+    from mmlspark_spark.functions.vector import to_vector
+    from mmlspark_spark.ml import ComputePerInstanceStatistics
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20000)
+    p = (F.col("o_orderkey") % 97).cast("double") / 100.0
+    scored = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 2).cast("double").alias("label"),
+        to_vector(F.array(1 - p, p)).alias("scored_probabilities"))
+    out = ComputePerInstanceStatistics(
+        evaluationMetric="classification", labelCol="label").transform(scored)
+    return out.select("o_orderkey", F.round("log_loss", 6).alias("log_loss"))
