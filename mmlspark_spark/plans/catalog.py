@@ -1843,3 +1843,146 @@ def per_instance_log_loss(spark, sf_dir):
     out = ComputePerInstanceStatistics(
         evaluationMetric="classification", labelCol="label").transform(scored)
     return out.select("o_orderkey", F.round("log_loss", 6).alias("log_loss"))
+
+
+@register(
+    "model_statistics",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(o_orderkey % 2 AS DOUBLE) AS y,
+             (o_orderkey % 97) / 100.0 AS s,
+             CASE WHEN (o_orderkey % 97) / 100.0 >= 0.5
+                  THEN 1.0 ELSE 0.0 END AS p
+      FROM orders WHERE o_orderkey < 20000
+    ),
+    ranked AS (
+      SELECT y, s, row_number() OVER (ORDER BY s) AS r FROM scored
+    ),
+    ravg AS (
+      SELECT y, avg(r) OVER (PARTITION BY s) AS ra FROM ranked
+    ),
+    aucagg AS (
+      SELECT sum(ra) FILTER (y = 1.0) AS rpos,
+             count(*) FILTER (y = 1.0) AS npos,
+             count(*) FILTER (y <> 1.0) AS nneg
+      FROM ravg
+    ),
+    cm AS (
+      SELECT count(*) FILTER (y = 1 AND p = 1) AS tp1,
+             count(*) FILTER (y = 0 AND p = 0) AS tp0,
+             count(*) FILTER (p = 1) AS pred1,
+             count(*) FILTER (p = 0) AS pred0,
+             count(*) FILTER (y = 1) AS lab1,
+             count(*) FILTER (y = 0) AS lab0,
+             count(*) AS n
+      FROM scored
+    )
+    SELECT round((tp0 + tp1) / CAST(n AS DOUBLE), 6) AS accuracy,
+           round((CAST(tp0 AS DOUBLE) / pred0
+                  + CAST(tp1 AS DOUBLE) / pred1) / 2, 6) AS macro_precision,
+           round((CAST(tp0 AS DOUBLE) / lab0
+                  + CAST(tp1 AS DOUBLE) / lab1) / 2, 6) AS macro_recall,
+           round((rpos - npos * (npos + 1) / 2.0)
+                 / (npos * nneg), 6) AS auc
+    FROM cm, aucagg
+    """,
+)
+def model_statistics(spark, sf_dir):
+    """ComputeModelStatistics over a deterministic synthetic scoring
+    (ComputeModelStatistics.scala analog, mmlspark_spark/ml/stats.py):
+    accuracy + macro precision/recall from the confusion matrix and
+    AUROC via the tie-averaged Mann-Whitney rank statistic — the oracle
+    reproduces the rank math in SQL, so the AUC implementation itself
+    is hash-checked."""
+    from mmlspark_spark.functions.vector import to_vector
+    from mmlspark_spark.ml import ComputeModelStatistics
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20000)
+    s = (F.col("o_orderkey") % 97).cast("double") / 100.0
+    scored = orders.select(
+        (F.col("o_orderkey") % 2).cast("double").alias("label"),
+        F.when(s >= 0.5, 1.0).otherwise(0.0).alias("scored_labels"),
+        to_vector(F.array(1 - s, s)).alias("scored_probabilities"))
+    out = ComputeModelStatistics(labelCol="label").transform(scored)
+    return out.select(
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("precision", 6).alias("macro_precision"),
+        F.round("recall", 6).alias("macro_recall"),
+        F.round("AUC", 6).alias("auc"))
+
+
+@register(
+    "ranking_metrics",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS h1,
+             CASE WHEN o_orderkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS h2
+      FROM orders WHERE o_orderkey < 20000
+    ),
+    m AS (
+      SELECT (h1 + h2) / 3.0 AS prec,
+             (h1 + h2) / 2.0 AS rec,
+             (h1 + h2 / log2(3.0)) / (1.0 + 1.0 / log2(3.0)) AS ndcg,
+             (h1 + CASE WHEN h2 = 1 THEN (h1 + h2) / 2.0
+                        ELSE 0.0 END) / 2.0 AS ap
+      FROM t
+    )
+    SELECT round(avg(prec), 6) AS precision_at_k,
+           round(avg(rec), 6) AS recall_at_k,
+           round(avg(ndcg), 6) AS ndcg_at_k,
+           round(avg(ap), 6) AS mean_ap
+    FROM m
+    """,
+)
+def ranking_metrics(spark, sf_dir):
+    """RankingEvaluator (recommendation/RankingMetrics analog) over
+    deterministic prediction/label arrays built so every positional
+    hit is a closed-form function of the order key — precision/recall/
+    NDCG/MAP@3 all reduce to SQL the oracle replicates exactly."""
+    from mmlspark_spark.ml import RankingEvaluator
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20000)
+    o = F.col("o_orderkey")
+    df = orders.select(
+        F.array(o % 5, o % 3 + 5, o % 2 + 10).alias("prediction"),
+        F.array(
+            F.when(o % 3 == 0, o % 5).otherwise(F.lit(50)),
+            F.when(o % 2 == 0, o % 3).otherwise((o + 1) % 3) + 5,
+        ).alias("label"))
+    got = RankingEvaluator(k=3).evaluate(df)
+    return spark.createDataFrame(
+        [(round(got["precisionAtK"], 6), round(got["recallAtK"], 6),
+          round(got["ndcgAt"], 6), round(got["map"], 6))],
+        "precision_at_k double, recall_at_k double, ndcg_at_k double, "
+        "mean_ap double")
+
+
+@register(
+    "featurize_numeric",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 <> 0
+                  THEN CAST(c_acctbal AS DOUBLE) END AS bal
+      FROM customer
+    )
+    SELECT c_custkey,
+           round(coalesce(bal, (SELECT avg(bal) FROM src)), 4) AS f0
+    FROM src
+    """,
+)
+def featurize_numeric(spark, sf_dir):
+    """Featurize auto-pipeline, numeric path (Featurize.scala:
+    mean-impute + assemble): nulls planted on every 10th customer must
+    come back as the fit-data mean, checked against DuckDB's avg."""
+    from mmlspark_spark.featurize import Featurize
+    from mmlspark_spark.functions.vector import get_value_at
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 != 0,
+               F.col("c_acctbal").cast("double")).alias("bal"))
+    model = Featurize(inputCols=["bal"], outputCol="features").fit(cust)
+    out = model.transform(cust)
+    return out.select(
+        "c_custkey", F.round(get_value_at("features", 0), 4).alias("f0"))
