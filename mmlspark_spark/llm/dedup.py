@@ -69,32 +69,6 @@ def _distinct_shingles(df: DataFrame, idCol: str, textCol: str, n: int,
     )
 
 
-def _cap_buckets(banded: DataFrame, keys, cap: int | None,
-                 metric: str) -> DataFrame:
-    """Drop rows of LSH buckets holding more than ``cap`` members.
-
-    A band-equality self-join emits L² rows for a bucket of L members,
-    so one boilerplate bucket dominates the whole job at scale. Hot
-    buckets are found with a groupBy count — map-side combinable, so the
-    shuffle carries one long per distinct bucket, and the subtree under
-    ``banded`` is shared with the join branch via ReusedExchange — then
-    removed with a broadcast anti-join (hot buckets are rare by
-    definition, so the broadcast side is tiny; measured ~1 s cheaper
-    than a count window over the banded rows at sf0.1). The hot-bucket
-    count is emitted as observed metric ``metric``
-    (QueryExecutionListener-visible).
-    """
-    if cap is None:
-        return banded
-    hot = (
-        banded.groupBy(*keys).agg(F.count("*").alias("__bucket_n"))
-        .filter(F.col("__bucket_n") > cap)
-        .observe(metric, F.count("*").alias("dropped_buckets"))
-        .select(*keys)
-    )
-    return banded.join(F.broadcast(hot), list(keys), "left_anti")
-
-
 def ngram_jaccard_pairs(
     df: DataFrame, idCol: str = "doc_id", textCol: str = "text",
     n: int = 5, minJaccard: float = 0.0,
@@ -104,14 +78,19 @@ def ngram_jaccard_pairs(
     shares at least one word n-gram shingle.
 
     Plan shape (chosen over the naive shingle self-join, which scans +
-    tokenizes the corpus 4×): the corpus is scanned and tokenized
-    exactly ONCE — shingles are hashed to 8-byte longs map-side, an
+    tokenizes the corpus 4×): shingles are hashed to 8-byte longs
+    map-side (every downstream shuffle key is fixed-width), ONE
     explode+groupBy gathers the doc list per shingle, co-occurring
     pairs are generated from each list with array expressions (the same
     output-sensitive candidate space the equi-join would produce, at
     half the shuffles), and per-doc shingle counts are recovered from
-    the grouped lists via ReusedExchange rather than a second
-    tokenization pass.
+    the grouped lists rather than a second map-side tokenization pass.
+    Physical reuse of the shingle exchange: with AQE off the three
+    consumers share one scan via ReusedExchange; AQE's stage reuse
+    currently misses it, but the re-scans still measure faster (3.4 s
+    vs 3.9 s at sf0.1) than the single-scan alternative that carries
+    count-mark rows through the pair aggregation + two windows — the
+    measured tradeoff, not an oversight.
 
     ``maxDocsPerShingle`` is the 100 TB guard: the pair expansion is
     O(L²) *inside one row's array* for a shingle shared by L docs, and
@@ -397,29 +376,55 @@ class SimHashDeduplicator(Transformer):
                          simhash(self.textCol).alias("__sh"))
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        # The fingerprint subtree is map-only (no exchange underneath),
+        # so a banded SELF-join would re-scan + re-fingerprint the
+        # corpus once per join side — and the separate hot-bucket
+        # counting pass a third time; the 64-bit-vote expression is the
+        # dominant cost. One groupBy over (band, chunk) buckets instead:
+        # a single scan/fingerprint pass, the cap applied to the grouped
+        # lists for free, and pairs from the bounded upper-triangle
+        # expansion. The fingerprint rides inside the bucket structs
+        # (16 bytes/row) so Hamming needs no join-back.
         b = self.bands
         width = 64 // b
         mask = (1 << width) - 1
         fp = self.fingerprints(df)
         banded = fp.select(
-            "__id", "__sh",
+            F.struct("__id", "__sh").alias("__m"),
             F.posexplode(F.array(*[
                 F.shiftrightunsigned(F.col("__sh"), j * width)
                 .bitwiseAND(F.lit(mask)).alias(f"c{j}")
                 for j in range(b)
             ])).alias("__band", "__chunk"),
         )
-        banded = _cap_buckets(banded, ["__band", "__chunk"],
-                              self.maxBucketSize, "simhash_hot_bucket_drops")
-        a, bb = banded.alias("a"), banded.alias("b")
-        xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
-        hamming = F.bit_count(xor)
+        buckets = (banded.groupBy("__band", "__chunk")
+                   .agg(F.array_sort(F.collect_set("__m")).alias("__ms")))
+        cap = self.maxBucketSize
+        if cap is not None:
+            buckets = buckets.observe(
+                "simhash_hot_bucket_drops",
+                F.sum(F.when(F.size("__ms") > cap, 1)
+                      .otherwise(0)).alias("dropped_buckets"))
+            keep = buckets.filter((F.size("__ms") <= cap)
+                                  & (F.size("__ms") > 1))
+        else:
+            keep = buckets.filter(F.size("__ms") > 1)
+        ms = F.col("__ms")
+        pair_structs = F.flatten(F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(x["__id"].alias("doc_a"),
+                                   y["__id"].alias("doc_b"),
+                                   x["__sh"].bitwiseXOR(y["__sh"])
+                                   .alias("__xor")),
+            ),
+        ))
         return (
-            a.join(bb, (F.col("a.__band") == F.col("b.__band"))
-                   & (F.col("a.__chunk") == F.col("b.__chunk"))
-                   & (F.col("a.__id") < F.col("b.__id")))
-            .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"),
-                    hamming.cast("int").alias("hamming"))
+            keep.select(F.explode(pair_structs).alias("__p"))
+            .select(F.col("__p.doc_a").alias("doc_a"),
+                    F.col("__p.doc_b").alias("doc_b"),
+                    F.bit_count("__p.__xor").cast("int").alias("hamming"))
             .dropDuplicates(["doc_a", "doc_b"])
             .filter(F.col("hamming") <= self.maxHammingDistance)
         )
@@ -468,27 +473,48 @@ class EmbeddingDeduplicator(Transformer):
         return a.join(b, F.col("id_a") < F.col("id_b"))
 
     def _pairs_lsh(self, df: DataFrame) -> DataFrame:
+        # Bucket groupBy over (band, chunk) with ID-ONLY lists: the
+        # embedding vector never rides the candidate shuffle (a banded
+        # self-join would carry the full vector per banded row — ~KBs ×
+        # bands per doc at 100 TB — and re-run the map-only signature
+        # subtree once per join side). Vectors are joined back for the
+        # (deduplicated, tiny) candidate set only, keyed by id.
         from mmlspark_spark.llm.similarity import LSHKNN
 
         lsh = LSHKNN(idCol=self.idCol, vecCol=self.vecCol,
                      numPlanes=self.numPlanes, bands=self.bands,
                      seed=self.seed)
         dim = len(df.select(self.vecCol).first()[0])
-        banded = _cap_buckets(lsh._signature_bands(df, dim, "d"),
-                              ["__band", "d_chunk"], self.maxBucketSize,
-                              "embedding_hot_bucket_drops")
-        a = banded
-        b = (banded.withColumnRenamed("d_id", "b_id")
-             .withColumnRenamed("d_vec", "b_vec")
-             .withColumnRenamed("d_chunk", "b_chunk"))
-        return (a.join(b, (a["__band"] == b["__band"])
-                      & (a["d_chunk"] == b["b_chunk"])
-                      & (a["d_id"] < b["b_id"]))
-                .select(F.col("d_id").alias("id_a"),
-                        F.col("b_id").alias("id_b"),
-                        F.col("d_vec").alias("__va"),
-                        F.col("b_vec").alias("__vb"))
+        banded = lsh._signature_bands(df, dim, "d").select(
+            "__band", "d_chunk", "d_id")
+        buckets = (banded.groupBy("__band", "d_chunk")
+                   .agg(F.array_sort(F.collect_set("d_id")).alias("__ids")))
+        cap = self.maxBucketSize
+        if cap is not None:
+            buckets = buckets.observe(
+                "embedding_hot_bucket_drops",
+                F.sum(F.when(F.size("__ids") > cap, 1)
+                      .otherwise(0)).alias("dropped_buckets"))
+            keep = buckets.filter((F.size("__ids") <= cap)
+                                  & (F.size("__ids") > 1))
+        else:
+            keep = buckets.filter(F.size("__ids") > 1)
+        ids = F.col("__ids")
+        pair_structs = F.flatten(F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        ))
+        cand = (keep.select(F.explode(pair_structs).alias("__p"))
+                .select("__p.id_a", "__p.id_b")
                 .dropDuplicates(["id_a", "id_b"]))
+        va = df.select(F.col(self.idCol).alias("id_a"),
+                       F.col(self.vecCol).alias("__va"))
+        vb = df.select(F.col(self.idCol).alias("id_b"),
+                       F.col(self.vecCol).alias("__vb"))
+        return cand.join(va, "id_a").join(vb, "id_b")
 
     def _transform(self, df: DataFrame) -> DataFrame:
         from mmlspark_spark.functions.vector import cosine_similarity

@@ -103,14 +103,20 @@ def test_embedding_lsh_bucket_cap(spark):
 
 
 def test_drop_metric_observed(spark):
-    """The dropped-shingle count is a real observed metric."""
-    from pyspark.sql import Observation
-    from mmlspark_spark.llm.dedup import _cap_buckets
+    """The dropped-bucket count is a real NAMED observed metric on the
+    executed plan (QueryExecutionListener-visible), emitted by the
+    bucket groupBy that also applies the cap."""
+    from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
 
-    df = spark.range(100).select(
-        F.lit(0).alias("__band"), F.lit(7).alias("__bandhash"),
-        F.col("id"))
-    # _cap_buckets uses a named observe internally; validate the same
-    # mechanism end-to-end with an Observation on top of the filter.
-    capped = _cap_buckets(df, ["__band", "__bandhash"], 10, "test_drops")
-    assert capped.count() == 0  # the single bucket exceeds the cap
+    docs = [(i, "flood flood text identical every time " * 4)
+            for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = MinHashLSHDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=3, numHashes=16,
+        bands=4, threshold=0.1, maxBucketSize=10).transform(df)
+    assert out.collect() == []  # every bucket exceeds the cap → dropped
+    # the drop counter is a named CollectMetrics node in the plan —
+    # exactly what a QueryExecutionListener receives per execution
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "minhash_hot_bucket_drops" in plan
+    assert "dropped_buckets" in plan
