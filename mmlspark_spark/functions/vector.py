@@ -47,6 +47,17 @@ def vector_zip(*cols: Column | str) -> Column:
     return F.array(*[_c(c) for c in cols])
 
 
+def slice_map(m: Column | str, keys: Sequence) -> Column:
+    """Select the listed keys of a map column → dense vector of their
+    (numeric) values, in key-list order (reference SlicerFunctions
+    map overload, core/utils/SlicerFunctions.scala:12-62)."""
+    from pyspark.ml.functions import array_to_vector
+
+    col = _c(m)
+    return array_to_vector(
+        F.array(*[col[k].cast("double") for k in keys]))
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two array<double> columns — pure zip_with/aggregate,
     vectorizable by codegen."""

@@ -1,5 +1,7 @@
-"""RankingEvaluator — map, ndcg@k, precision@k, recall@k over
-(prediction-list, label-list) pairs.
+"""RankingEvaluator — map, ndcg@k, precision@k, recall@k (plus the
+full AdvancedRankingMetrics set: diversity@k, maxDiversity, mrr, fcp
+via :meth:`RankingEvaluator.evaluate_all`) over (prediction-list,
+label-list) pairs.
 
 Parity: reference ``core/.../recommendation/RankingEvaluator.scala:17-98``
 (AdvancedRankingMetrics vocabulary). Metrics are computed with DataFrame
@@ -74,6 +76,64 @@ class RankingEvaluator:
         ).collect()[0]
         return {k: (float(v) if v is not None else 0.0)
                 for k, v in agg.asDict().items()}
+
+    def evaluate_all(self, df: DataFrame, nItems: int | None = None
+                     ) -> dict[str, float]:
+        """All eight AdvancedRankingMetrics
+        (RankingEvaluator.scala:22-98), with the reference's exact —
+        sometimes idiosyncratic — definitions:
+
+        - ``recallAtK``: |distinct(pred) ∩ distinct(label)| / |pred|
+          (the reference divides by the PREDICTION length, :29-32);
+        - ``diversityAtK``: distinct items recommended across all
+          users / ``nItems`` (:33-35);
+        - ``maxDiversity``: |(∪ labels) ∪ (∪ preds)| / ``nItems``
+          (:36-43);
+        - ``mrr``: 1 / (1-based position of the first relevant item in
+          the full prediction list), 0 when no hit (:44-63);
+        - ``fcp``: over positions i < |label|, fraction with
+          pred[i] == label[i] (:64-76).
+
+        ``nItems`` defaults to the maxDiversity numerator (making
+        maxDiversity 1.0) when not given. Everything is DataFrame
+        expressions + two distinct-count aggs — no RDDs, no collect of
+        per-user data (the reference reduces the whole prediction set
+        onto the driver at :22-24)."""
+        pred = F.col(self.predictionCol)
+        label = F.col(self.labelCol)
+        base = self.evaluate(df)
+        recall_ref = (F.size(F.array_intersect(
+            F.array_distinct(pred), F.array_distinct(label))).cast("double")
+            / F.size(pred))
+        first_hit = F.array_position(
+            F.transform(pred, lambda p: F.array_contains(label, p)),
+            F.lit(True))
+        mrr = F.when(first_hit > 0,
+                     F.lit(1.0) / first_hit.cast("double")).otherwise(0.0)
+        paired = F.zip_with(
+            F.slice(pred, 1, F.size(label)),
+            F.slice(label, 1, F.least(F.size(pred), F.size(label))),
+            lambda p, l: (p == l).cast("int"))
+        nc = F.aggregate(paired, F.lit(0), lambda a, v: a + v)
+        den = F.size(paired)
+        fcp = F.when(den > 0, nc.cast("double") / den).otherwise(0.0)
+        row = df.agg(F.avg(recall_ref).alias("recallAtK"),
+                     F.avg(mrr).alias("mrr"),
+                     F.avg(fcp).alias("fcp")).collect()[0]
+        n_rec = (df.select(F.explode(pred).alias("i"))
+                 .agg(F.countDistinct("i")).collect()[0][0]) or 0
+        n_all = (df.select(F.explode(F.concat(pred, label)).alias("i"))
+                 .agg(F.countDistinct("i")).collect()[0][0]) or 0
+        total = float(nItems if nItems is not None else n_all)
+        return {
+            "map": base["map"], "ndcgAt": base["ndcgAt"],
+            "precisionAtk": base["precisionAtK"],
+            "recallAtK": float(row.recallAtK or 0.0),
+            "diversityAtK": (n_rec / total) if total else 0.0,
+            "maxDiversity": (n_all / total) if total else 0.0,
+            "mrr": float(row.mrr or 0.0),
+            "fcp": float(row.fcp or 0.0),
+        }
 
 
 class RankingAdapter:

@@ -124,3 +124,36 @@ def test_ranking_evaluator(spark):
     assert abs(m["recallAtK"] - 0.5) < 1e-9
     assert 0 < m["ndcgAt"] <= 1
     assert 0 <= m["map"] <= 1
+
+
+def test_advanced_ranking_metrics(spark):
+    """The full AdvancedRankingMetrics set with the reference's exact
+    definitions (RankingEvaluator.scala:22-98), hand-computed."""
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], [1, 3]), ([9, 8], [7])],
+        "prediction array<int>, label array<int>",
+    )
+    m = RankingEvaluator(k=4).evaluate_all(df, nItems=10)
+    # reference recallAtK divides by |pred|: u1 = 2/4, u2 = 0/2
+    assert abs(m["recallAtK"] - 0.25) < 1e-9
+    # mrr: u1 first hit at pos 1 → 1.0; u2 no hit → 0
+    assert abs(m["mrr"] - 0.5) < 1e-9
+    # fcp positions i < |label|: u1 pred[0]==1==lab[0] ✓,
+    # pred[1]=2 vs lab[1]=3 ✗ → 1/2; u2 pred[0]=9 vs lab[0]=7 → 0/1
+    assert abs(m["fcp"] - 0.25) < 1e-9
+    # distinct recommended = {1,2,3,4,9,8} → 6/10
+    assert abs(m["diversityAtK"] - 0.6) < 1e-9
+    # ∪ labels ∪ preds = {1,2,3,4,7,8,9} → 7/10
+    assert abs(m["maxDiversity"] - 0.7) < 1e-9
+    # nItems default = maxDiversity numerator → maxDiversity 1.0
+    d = RankingEvaluator(k=4).evaluate_all(df)
+    assert abs(d["maxDiversity"] - 1.0) < 1e-9
+
+
+def test_slice_map(spark):
+    from mmlspark_spark.functions.vector import slice_map
+
+    df = spark.createDataFrame(
+        [({"a": 1.0, "b": 2.0, "c": 3.0},)], "m map<string,double>")
+    out = df.select(slice_map("m", ["c", "a"]).alias("v")).collect()[0]
+    assert list(out.v) == [3.0, 1.0]
