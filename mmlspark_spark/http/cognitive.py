@@ -331,6 +331,29 @@ class RecognizeText(_ImageServiceBase):
     ])
 
 
+class Read(_ImageServiceBase):
+    """Vision Read API v3 (ComputerVision.scala:116-181; the async
+    operation-poll loop is reduced to one hop like RecognizeText —
+    callers pass the result endpoint directly)."""
+
+    RESPONSE_TYPE = T.StructType([
+        T.StructField("status", T.StringType()),
+        T.StructField("analyzeResult", T.StructType([
+            T.StructField("readResults", T.ArrayType(T.StructType([
+                T.StructField("page", T.IntegerType()),
+                T.StructField("angle", T.DoubleType()),
+                T.StructField("width", T.DoubleType()),
+                T.StructField("height", T.DoubleType()),
+                T.StructField("lines", T.ArrayType(T.StructType([
+                    T.StructField("boundingBox",
+                                  T.ArrayType(T.DoubleType())),
+                    T.StructField("text", T.StringType()),
+                ]))),
+            ]))),
+        ])),
+    ])
+
+
 class GenerateThumbnails(_ImageServiceBase):
     """ComputerVision.scala:340-370 — binary response kept raw."""
 
