@@ -51,6 +51,29 @@ def read_binary_files(spark: SparkSession, path: str,
     return df
 
 
+def write_binary_files(df: DataFrame, out_dir: str,
+                       pathCol: str = "path",
+                       bytesCol: str = "bytes") -> None:
+    """Write each row's bytes to ``out_dir/<basename(path)>``.
+
+    Parity: the reference's BinaryFileFormat is also a writer
+    (``BinaryFileFormat.scala:112-186``). Runs distributed via
+    ``foreachPartition`` — executors must share the target filesystem,
+    the same contract as every Spark file sink. Collisions on basename
+    follow last-writer-wins, as in the reference.
+    """
+    import os
+
+    def _write(rows):
+        os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            name = os.path.basename(r[pathCol])
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(bytes(r[bytesCol]))
+
+    df.select(pathCol, bytesCol).foreachPartition(_write)
+
+
 def zip_expand(df: DataFrame, pathCol: str = "path",
                bytesCol: str = "bytes") -> DataFrame:
     """Expand zip archives into one row per entry ("path#entry", bytes);

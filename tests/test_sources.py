@@ -65,6 +65,19 @@ def test_read_binary_files(spark, img_dir):
     assert only_bmp.count() == 3
 
 
+def test_write_binary_files_roundtrip(spark, tmp_path):
+    from mmlspark_spark.sources.binary import write_binary_files
+
+    src = spark.createDataFrame(
+        [("x/a.bin", bytearray(b"alpha")), ("y/b.bin", bytearray(b"beta"))],
+        "path string, bytes binary")
+    out = str(tmp_path / "sink")
+    write_binary_files(src, out)
+    back = read_binary_files(spark, out)
+    got = {r.path.rsplit("/", 1)[-1]: bytes(r.bytes) for r in back.collect()}
+    assert got == {"a.bin": b"alpha", "b.bin": b"beta"}
+
+
 def test_zip_expand(spark, tmp_path):
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
