@@ -105,3 +105,48 @@ def test_golden_tune_hyperparameters(binary_df):
     verify_benchmarks("VerifyTuneHyperparameters", [
         Benchmark("binary_synthetic_accuracy", float(tuner.best_metric),
                   0.01)])
+
+
+def test_golden_featurize_dataframe(spark):
+    """Serialized-DataFrame golden (reference benchmarkBasicDataTypes.json
+    asserted in featurize/VerifyFeaturize.scala): the full featurized
+    output of a fixed basic-types frame, compared value-by-value with
+    the reference's DataFrameEquality epsilon (1e-4)."""
+    import json
+    import os
+
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from mmlspark_spark.featurize import Featurize
+
+    from golden import GOLDEN_DIR
+
+    df = spark.createDataFrame(
+        [(0, 2.5, "guitars", True),
+         (1, 0.5, "drums", False),
+         (2, -1.5, "guitars", True),
+         (3, 4.0, "flute", False),
+         (4, None, "drums", True)],
+        "idx int, score double, instrument string, flag boolean")
+    model = Featurize(inputCols=["score", "instrument", "flag"],
+                      outputCol="features").fit(df)
+    out = (model.transform(df)
+           .select("idx", vector_to_array(F.col("features")).alias("f"))
+           .orderBy("idx").collect())
+    got = [[r.idx, [round(float(x), 6) for x in r.f]] for r in out]
+
+    path = os.path.join(GOLDEN_DIR, "benchmark_featurize_basic.json")
+    if os.environ.get("GOLDEN_REGEN"):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(got, fh, indent=1)
+        return
+    with open(path) as fh:
+        want = json.load(fh)
+    assert len(got) == len(want)
+    for (gi, gf), (wi, wf) in zip(got, want):
+        assert gi == wi
+        assert len(gf) == len(wf), f"row {gi}: dim {len(gf)} vs {len(wf)}"
+        assert all(abs(a - b) <= 1e-4 for a, b in zip(gf, wf)), \
+            f"row {gi}: {gf} vs golden {wf}"
