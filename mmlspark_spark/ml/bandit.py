@@ -110,6 +110,28 @@ class VowpalWabbitContextualBandit(Estimator):
                              f"{schema[self.sharedCol].dataType}")
         return schema
 
+    def parallelFit(self, df: DataFrame, paramMaps,
+                    parallelism: int = 2):
+        """Fit one model per param dict concurrently
+        (VowpalWabbitContextualBandit.scala:280-305: futures over an
+        execution context sized by ``parallelism``). Spark schedules the
+        concurrent jobs fairly; each fit is itself distributed."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one(params: dict):
+            est = VowpalWabbitContextualBandit(
+                sharedCol=self.sharedCol, featuresCol=self.featuresCol,
+                chosenActionCol=self.chosenActionCol, labelCol=self.labelCol,
+                probabilityCol=self.probabilityCol,
+                predictionCol=self.predictionCol, epsilon=self.epsilon,
+                numPasses=self.numPasses, l2=self.l2)
+            for k, v in params.items():
+                est.set(k, v)
+            return est.fit(df)
+
+        with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+            return list(pool.map(_one, paramMaps))
+
     def _fit(self, df: DataFrame) -> "VowpalWabbitContextualBanditModel":
         from pyspark.ml.feature import VectorAssembler
         from pyspark.ml.regression import LinearRegression

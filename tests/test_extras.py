@@ -190,6 +190,12 @@ def test_contextual_bandit_learner(spark, tmp_path):
         .orderBy("rid").collect()
     assert [r.prediction for r in re_rows[:20]] == \
         [r.prediction for r in rows[:20]]
+    # parallelFit: one model per param map, concurrently
+    models = VowpalWabbitContextualBandit(epsilon=0.09).parallelFit(
+        df, [{"l2": 0.0}, {"l2": 0.5}], parallelism=2)
+    assert len(models) == 2
+    assert models[0].inner.coefficients.toArray().tolist() != \
+        models[1].inner.coefficients.toArray().tolist()
 
 
 def test_lang_id_on_real_sentences(spark):
