@@ -372,16 +372,21 @@ def semi_join(spark, sf_dir):
     "anti_join",
     oracle="""
     SELECT c_custkey, c_mktsegment FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def anti_join(spark, sf_dir):
-    """left_anti join (NOT EXISTS) — the dedup/complement primitive."""
+    """left_anti join (NOT EXISTS) — the dedup/complement primitive.
+    Anti-joins against the urgent-order subset so the result is
+    non-empty at every test SF (a vacuous 0-row match proves
+    nothing)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_mktsegment"
-    )
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey,
+                     "left_anti").select("c_custkey", "c_mktsegment")
 
 
 @register(
@@ -1024,7 +1029,7 @@ def sar_item_similarity(spark, sf_dir):
       SELECT a.i AS item_i, b.i AS item_j, count(*) AS cooccur
       FROM ui a JOIN ui b ON a.u = b.u
       GROUP BY 1, 2
-      HAVING count(*) >= 3
+      HAVING count(*) >= 2
     ), sim AS (
       SELECT item_i, item_j,
              cooccur / (oi.occ + oj.occ - cooccur) AS similarity
@@ -1067,8 +1072,10 @@ def sar_recommend(spark, sf_dir):
         F.col("o_custkey").alias("user_id"),
         F.col("l_partkey").alias("item_id"),
     )
+    # supportThreshold=2: at sf0.01 the bounded interaction subset has
+    # no 3-support co-occurrences, and a 0-row match is vacuous
     model = SAR(userCol="user_id", itemCol="item_id",
-                similarityFunction="jaccard", supportThreshold=3).fit(inter)
+                similarityFunction="jaccard", supportThreshold=2).fit(inter)
     recs = model.recommend_for_all_users(10**9, remove_seen=True)
     # re-rank on the rounded score for cross-engine determinism
     w = Window.partitionBy("user_id").orderBy(
