@@ -43,13 +43,32 @@ def _coalition_weights(m: int):
 
 
 def _draw_coalitions(rng, m: int, num_samples: int):
-    """Sampled (z, weight) pairs over sizes 1..m-1 (never empty/full)."""
+    """Sampled (z, weight) pairs over sizes 1..m-1 (never empty/full).
+
+    When the budget covers the whole coalition space
+    (``2^m - 2 <= num_samples``) the sampler switches to COMPLETE
+    enumeration — every intermediate coalition exactly once with its
+    Shapley kernel weight — which makes the constrained weighted
+    regression recover the exact Shapley values (the same exact-mode
+    switch the reference's KernelSHAPSampler has,
+    explainers/KernelSHAPSampler.scala:31-110)."""
     if m == 1:
         # No intermediate coalition exists: only the all-ones f(x) row is
         # emitted and phi_1 = f(x) - base comes straight from the
         # efficiency constraint (_solve_shap's m==1 branch).
         return np.zeros((0, 1)), np.zeros(0)
     weights = _coalition_weights(m)
+    if 2 ** m - 2 <= num_samples:
+        zs = np.array([[float((i >> j) & 1) for j in range(m)]
+                       for i in range(1, 2 ** m - 1)])
+        ws = np.array([weights[int(z.sum())] for z in zs])
+        # replicate the enumeration to spend the full budget: each
+        # replica gets fresh background draws downstream, so background
+        # integration keeps the same averaging as the sampled path
+        # (replication leaves the weighted-regression solution for a
+        # fixed background unchanged)
+        reps = max(1, num_samples // len(zs))
+        return np.tile(zs, (reps, 1)), np.tile(ws, reps)
     sizes = np.array(list(weights))
     p = np.array([weights[k] * comb(m, k) for k in sizes], dtype=np.float64)
     p /= p.sum()

@@ -1993,3 +1993,50 @@ def featurize_numeric(spark, sf_dir):
     out = model.transform(cust)
     return out.select(
         "c_custkey", F.round(get_value_at("features", 0), 4).alias("f0"))
+
+
+@register(
+    "tabular_shap_exact",
+    oracle="""
+    WITH b AS (
+      SELECT l_quantity AS bq, l_discount AS bd, l_tax AS bt
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1
+    ),
+    p AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(2 * bq + 10 * bd - 3 * bt, 4) AS base,
+           round(2 * (l_quantity - bq), 4) AS phi_q,
+           round(10 * (l_discount - bd), 4) AS phi_d,
+           round(-3 * (l_tax - bt), 4) AS phi_t
+    FROM p, b
+    """,
+)
+def tabular_shap_exact(spark, sf_dir):
+    """KernelSHAP in EXACT mode (complete coalition enumeration when
+    2^m - 2 <= numSamples) over a linear model with a single background
+    row — Shapley values are then closed-form (phi_i = w_i (x_i - b_i),
+    base = f(b)), so the whole explainer path is hash-checked against
+    SQL, not just rows-counted."""
+    from mmlspark_spark.explainers import TabularSHAP
+    from mmlspark_spark.operators import Lambda
+
+    li = _t(spark, sf_dir, "lineitem")
+    ordered = li.orderBy("l_orderkey", "l_linenumber")
+    model = Lambda(fn=lambda df: df.withColumn(
+        "prediction",
+        2.0 * F.col("l_quantity") + 10.0 * F.col("l_discount")
+        - 3.0 * F.col("l_tax")))
+    shap = TabularSHAP(
+        model=model, inputCols=["l_quantity", "l_discount", "l_tax"],
+        backgroundData=ordered.limit(1), targetCol="prediction",
+        numSamples=64, seed=7)
+    out = shap.transform(ordered.limit(10))
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("shapValues")[0], 4).alias("base"),
+        F.round(F.col("shapValues")[1], 4).alias("phi_q"),
+        F.round(F.col("shapValues")[2], 4).alias("phi_d"),
+        F.round(F.col("shapValues")[3], 4).alias("phi_t"))

@@ -75,6 +75,28 @@ def test_tabular_shap_efficiency_and_signs(points, linear_model, spark):
     assert abs(phi_b - (-2.0) * (1.0 - means[1])) < 0.2
 
 
+def test_tabular_shap_exact_enumeration(spark):
+    """With 2^m - 2 <= numSamples the sampler enumerates every
+    coalition, and with a single background row a linear model's
+    Shapley values are closed-form: phi_i = w_i * (x_i - b_i)."""
+    model = Lambda(fn=lambda df: df.withColumn(
+        "prediction",
+        2.0 * F.col("a") + 10.0 * F.col("b") - 3.0 * F.col("c")))
+    bg = spark.createDataFrame([(1.0, 2.0, 3.0)], ["a", "b", "c"])
+    probe = spark.createDataFrame(
+        [(4.0, -1.0, 0.5), (0.0, 0.0, 0.0)], ["a", "b", "c"])
+    shap = TabularSHAP(model=model, inputCols=["a", "b", "c"],
+                       backgroundData=bg, targetCol="prediction",
+                       numSamples=64, seed=1)
+    rows = shap.transform(probe).orderBy("a").collect()
+    for r in rows:
+        base, pa, pb, pc = r.shapValues
+        assert abs(base - (2.0 * 1 + 10.0 * 2 - 3.0 * 3)) < 1e-9
+        assert abs(pa - 2.0 * (r.a - 1.0)) < 1e-6
+        assert abs(pb - 10.0 * (r.b - 2.0)) < 1e-6
+        assert abs(pc - (-3.0) * (r.c - 3.0)) < 1e-6
+
+
 def test_tabular_shap_single_feature(points, linear_model, spark):
     """m=1: phi comes entirely from the efficiency constraint (the
     empty-coalition 0/0 crash fixed per ADVICE)."""
