@@ -1,0 +1,53 @@
+"""Physical-plan audits — the scale properties the engine promises,
+asserted on executed plans so regressions fail loudly:
+
+- small dimension joins stay broadcast (no sort-merge shuffle),
+- scans prune columns (ReadSchema) and push predicates (DataFilters),
+- aggregations keep the partial/final (map-side combine) split,
+- pair-generation queries never plan a cartesian product.
+"""
+
+from mmlspark_spark.plans.catalog import CATALOG
+
+
+def _plan(spark, name, sf_dir):
+    return (CATALOG[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+
+
+def test_broadcast_join_stays_broadcast(spark, sf_dir):
+    p = _plan(spark, "broadcast_join_revenue", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # lineitem must never shuffle here
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    # select_project touches only (l_orderkey, l_extendedprice,
+    # l_discount): every other lineitem column must be absent from the
+    # parquet ReadSchema.
+    p = _plan(spark, "select_project", sf_dir)
+    scan = [l for l in p.splitlines() if "FileScan parquet" in l][0]
+    assert "l_extendedprice" in scan and "l_discount" in scan
+    assert "l_quantity" not in scan and "l_shipdate" not in scan
+
+
+def test_filter_reaches_scan(spark, sf_dir):
+    p = _plan(spark, "select_project", sf_dir)
+    scan = [l for l in p.splitlines() if "FileScan parquet" in l][0]
+    assert "DataFilters" in scan and "l_discount" in scan.split(
+        "DataFilters")[1].split("]")[0]
+
+
+def test_tpch_q1_partial_aggregation(spark, sf_dir):
+    # map-side combine: a partial HashAggregate under the exchange and
+    # a final one above it
+    p = _plan(spark, "tpch_q1", sf_dir)
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_dedup_queries_never_plan_cartesian(spark, sf_dir):
+    for name in ("ngram_jaccard", "minhash_dedup", "simhash_dedup",
+                 "exact_dedup", "embedding_dedup"):
+        p = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in p, name
