@@ -36,6 +36,10 @@ def test_filter_reaches_scan(spark, sf_dir):
     scan = [l for l in p.splitlines() if "FileScan parquet" in l][0]
     assert "DataFilters" in scan and "l_discount" in scan.split(
         "DataFilters")[1].split("]")[0]
+    # and the predicate reaches the parquet reader itself (row-group
+    # skipping at scale), not just the post-scan filter
+    pushed = scan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_discount" in pushed
 
 
 def test_tpch_q1_partial_aggregation(spark, sf_dir):
