@@ -4,6 +4,7 @@ from mmlspark_spark.llm.dedup import (
     SimHashDeduplicator,
     ngram_jaccard_pairs,
 )
+from mmlspark_spark.llm.packing import SequencePacker
 from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "ngram_jaccard_pairs",
     "BruteForceKNN",
     "LSHKNN",
+    "SequencePacker",
 ]

@@ -1,0 +1,71 @@
+"""Sequence packing for LLM pretraining pipelines.
+
+The standard pretraining layout is concatenate-then-chunk: documents
+are laid out end-to-end (within a shard, in a deterministic order) and
+fixed ``maxTokens`` windows are cut across the concatenation — no
+padding waste, documents may straddle window boundaries. This operator
+computes each document's placement in that layout as pure window
+expressions, so a 100 TB corpus gets its training-sequence addresses
+without any driver state or python row work.
+
+Scale: the only shuffle is the per-shard window sort; ``numShards``
+bounds each sort's partition (pick shards ≈ corpus_size /
+executor-memory-comfortable-slice). Shard assignment is ``id %
+numShards`` — deterministic and cross-engine reproducible (a hash
+assignment would balance adversarial id distributions better but is
+engine-specific; ids from a sequence are already uniform mod N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from mmlspark_spark.core.base import Transformer
+from mmlspark_spark.functions.text_quality import token_count
+
+
+class SequencePacker(Transformer):
+    """Assign each document its (shard, sequence, offset) placement in
+    the concatenate-then-chunk layout.
+
+    Output columns appended: ``n_tokens`` (whitespace tokens),
+    ``shard`` (``idCol % numShards``), ``seq_index`` (which
+    fixed-size window the document STARTS in, per shard),
+    ``seq_offset`` (token offset inside that window). A document whose
+    span crosses a boundary continues into the next window — the
+    consumer slices ``[seq_offset, ...)`` across windows, exactly like
+    any packed-pretraining reader.
+    """
+
+    def __init__(self, idCol: str = "doc_id", textCol: str = "text",
+                 maxTokens: int = 2048, numShards: int = 32):
+        if maxTokens <= 0 or numShards <= 0:
+            raise ValueError("maxTokens and numShards must be positive")
+        super().__init__(idCol=idCol, textCol=textCol, maxTokens=maxTokens,
+                         numShards=numShards)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.idCol, self.textCol)
+        return T.StructType(list(schema.fields) + [
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("shard", T.LongType()),
+            T.StructField("seq_index", T.LongType()),
+            T.StructField("seq_offset", T.LongType()),
+        ])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        cap = int(self.maxTokens)
+        shard = F.col(self.idCol).cast("long") % self.numShards
+        with_tokens = df.withColumn(
+            "n_tokens", token_count(self.textCol).cast("int")
+        ).withColumn("shard", shard)
+        w = (Window.partitionBy("shard").orderBy(F.col(self.idCol))
+             .rowsBetween(Window.unboundedPreceding, -1))
+        cum_before = F.coalesce(F.sum("n_tokens").over(w),
+                                F.lit(0).cast("long"))
+        return (with_tokens
+                .withColumn("seq_index", F.floor(cum_before / cap))
+                .withColumn("seq_offset", cum_before % cap))

@@ -2040,3 +2040,40 @@ def tabular_shap_exact(spark, sf_dir):
         F.round(F.col("shapValues")[1], 4).alias("phi_q"),
         F.round(F.col("shapValues")[2], 4).alias("phi_d"),
         F.round(F.col("shapValues")[3], 4).alias("phi_t"))
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS INT) AS n_tokens,
+             doc_id % 8 AS shard
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_index,
+           cum_before % 512 AS seq_offset
+    FROM placed
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """SequencePacker: concatenate-then-chunk pretraining layout — each
+    doc's (shard, window, offset) placement from a per-shard window
+    cumsum; the oracle replicates the whole placement in SQL."""
+    from mmlspark_spark.llm import SequencePacker
+
+    docs = _t(spark, sf_dir, "documents")
+    out = SequencePacker(idCol="doc_id", textCol="text",
+                         maxTokens=512, numShards=8).transform(docs)
+    return out.select("doc_id", "n_tokens", "shard", "seq_index",
+                      "seq_offset")

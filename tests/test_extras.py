@@ -295,3 +295,30 @@ def test_ivf_knn_recall_vs_bruteforce(spark, embeddings):
     recalls = [len(ivf_sets.get(qid, set()) & s) / len(s)
                for qid, s in exact_sets.items()]
     assert sum(recalls) / len(recalls) >= 0.6  # probing half the cells
+
+
+def test_sequence_packer_invariants(spark):
+    """Packing layout invariants: offsets stay inside the window,
+    consecutive docs in a shard are contiguous in the concatenation,
+    and the layout is reproducible under different partitioning."""
+    from mmlspark_spark.llm import SequencePacker
+
+    rows = [(i, "tok " * (7 + i % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = SequencePacker(idCol="doc_id", textCol="text", maxTokens=50,
+                         numShards=4).transform(df).collect()
+    assert len(out) == 300
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        assert 0 <= r.seq_offset < 50
+        assert r.shard == r.doc_id % 4
+        start = r.seq_index * 50 + r.seq_offset
+        prev = by_shard.get(r.shard)
+        if prev is not None:
+            assert start == prev  # contiguous concatenation, no gaps
+        by_shard[r.shard] = start + r.n_tokens
+    # partitioning-invariance: same layout from a repartitioned input
+    out2 = SequencePacker(idCol="doc_id", textCol="text", maxTokens=50,
+                          numShards=4).transform(df.repartition(13)).collect()
+    assert {(r.doc_id, r.seq_index, r.seq_offset) for r in out} == \
+        {(r.doc_id, r.seq_index, r.seq_offset) for r in out2}
