@@ -195,7 +195,11 @@ class Repartition(Transformer):
     def _transform(self, df: DataFrame) -> DataFrame:
         if self.disable:
             return df
-        if self.useRepartition or self.n > df.rdd.getNumPartitions():
+        # partition count from the JVM-internal RDD: physical planning
+        # only — no job, and no Python-serializer RDD conversion
+        # (df.rdd would plan one)
+        current = df._jdf.queryExecution().toRdd().getNumPartitions()
+        if self.useRepartition or self.n > current:
             return df.repartition(self.n)
         return df.coalesce(self.n)
 
