@@ -57,3 +57,50 @@ def salted_join(left: DataFrame, right: DataFrame, on,
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = lhs.join(rhs, on=on + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def zip_with_index(df: DataFrame, start_index: int = 0,
+                   col_name: str = "rowId", partition_col=(),
+                   order_by_col=()) -> DataFrame:
+    """Sequential row index, Spark-first.
+
+    Parity: reference ``cyber/utils/spark_utils.py:41-92``
+    (DataFrameUtils.zip_with_index). Per-partition mode is the same
+    window ``row_number``. The GLOBAL mode differs deliberately: the
+    reference's ``df.rdd.zipWithIndex()`` round-trips every row through
+    the Python serializer; here the index is per-Spark-partition
+    ``row_number`` (arrival order pinned by ``monotonically_increasing_id``)
+    plus broadcast partition offsets from one partition-count
+    aggregation — rows never leave the JVM, and the extra job is the
+    same count pass ``zipWithIndex`` itself needs.
+    """
+    from pyspark.sql.window import Window
+
+    partition_col = ([partition_col] if isinstance(partition_col, str)
+                     else list(partition_col))
+    order_by_col = ([order_by_col] if isinstance(order_by_col, str)
+                    else list(order_by_col))
+    if partition_col:
+        w = Window.partitionBy(*partition_col)
+        w = w.orderBy(*order_by_col) if order_by_col else w.orderBy(
+            F.monotonically_increasing_id())
+        return df.withColumn(col_name,
+                             F.row_number().over(w) - 1 + start_index)
+    if order_by_col:
+        df = df.orderBy(*order_by_col)
+    tagged = (df.withColumn("__pid", F.spark_partition_id())
+              .withColumn("__mono", F.monotonically_increasing_id()))
+    counts = sorted(
+        (r["__pid"], r["count"]) for r in
+        tagged.groupBy("__pid").count().collect())
+    offsets, acc = {}, start_index
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off = F.coalesce(*[
+        F.when(F.col("__pid") == pid, F.lit(o)) for pid, o in offsets.items()
+    ] or [F.lit(start_index)]).cast("long")
+    w = Window.partitionBy("__pid").orderBy("__mono")
+    return (tagged.withColumn(
+        col_name, (F.row_number().over(w) - 1 + off).cast("long"))
+        .drop("__pid", "__mono"))

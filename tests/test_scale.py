@@ -53,3 +53,30 @@ def test_salted_join_matches_plain_join(spark):
     a = {(r.k, r["count"]) for r in plain.collect()}
     b = {(r.k, r["count"]) for r in salted.collect()}
     assert a == b  # salting never changes join semantics
+
+
+def test_zip_with_index_global(spark):
+    from mmlspark_spark.operators.scale import zip_with_index
+
+    df = spark.range(0, 500).repartition(7).withColumn(
+        "v", F.col("id") * 2)
+    out = zip_with_index(df, col_name="rowId")
+    ids = sorted(r.rowId for r in out.collect())
+    assert ids == list(range(500))  # dense, unique, zero-based
+    # ordered mode: index follows the sort order exactly
+    out2 = zip_with_index(df, col_name="rowId", order_by_col="v",
+                          start_index=10)
+    rows = sorted(out2.collect(), key=lambda r: r.rowId)
+    assert [r.v for r in rows] == sorted(r.v for r in rows)
+    assert rows[0].rowId == 10
+
+
+def test_zip_with_index_partitioned(spark):
+    from mmlspark_spark.operators.scale import zip_with_index
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("b", 2), ("a", 2), ("b", 1)], ["t", "v"])
+    out = zip_with_index(df, partition_col="t", order_by_col="v")
+    got = {(r.t, r.v): r.rowId for r in out.collect()}
+    assert got[("a", 1)] == 0 and got[("a", 2)] == 1 and got[("a", 3)] == 2
+    assert got[("b", 1)] == 0 and got[("b", 2)] == 1
