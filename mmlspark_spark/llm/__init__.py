@@ -4,7 +4,7 @@ from mmlspark_spark.llm.dedup import (
     SimHashDeduplicator,
     ngram_jaccard_pairs,
 )
-from mmlspark_spark.llm.packing import SequencePacker
+from mmlspark_spark.llm.packing import BenchmarkDecontaminator, SequencePacker
 from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
 
 __all__ = [
@@ -15,4 +15,5 @@ __all__ = [
     "BruteForceKNN",
     "LSHKNN",
     "SequencePacker",
+    "BenchmarkDecontaminator",
 ]

@@ -1,4 +1,5 @@
-"""Sequence packing for LLM pretraining pipelines.
+"""Corpus-layout & curation operators for LLM pretraining pipelines:
+sequence packing and benchmark decontamination.
 
 The standard pretraining layout is concatenate-then-chunk: documents
 are laid out end-to-end (within a shard, in a deterministic order) and
@@ -25,6 +26,61 @@ from pyspark.sql.window import Window
 
 from mmlspark_spark.core.base import Transformer
 from mmlspark_spark.functions.text_quality import token_count
+
+
+class BenchmarkDecontaminator(Transformer):
+    """Flag training documents that overlap an evaluation benchmark.
+
+    Standard decontamination (the n-gram-overlap rule used for LLM
+    pretraining corpora): a corpus document is contaminated when it
+    shares at least ``minShingles`` distinct word ``n``-gram shingles
+    with any benchmark text. ``transform(corpus)`` appends
+    ``contaminated_count`` (distinct shared shingles) and
+    ``contaminated`` (count >= minShingles).
+
+    Scale: benchmark suites are tiny next to a 100 TB corpus, so the
+    benchmark's distinct shingle set (hashed to 8-byte longs) is
+    BROADCAST and the corpus side stays a map-side semi-intersection +
+    one groupBy on (doc id) longs — the corpus never self-joins and
+    never shuffles text.
+    """
+
+    def __init__(self, benchmarkData: DataFrame = None,
+                 idCol: str = "doc_id", textCol: str = "text",
+                 benchmarkTextCol: str = "text", n: int = 8,
+                 minShingles: int = 1):
+        super().__init__(benchmarkData=benchmarkData, idCol=idCol,
+                         textCol=textCol, benchmarkTextCol=benchmarkTextCol,
+                         n=n, minShingles=minShingles)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.idCol, self.textCol)
+        return T.StructType(list(schema.fields) + [
+            T.StructField("contaminated_count", T.IntegerType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from mmlspark_spark.functions.text_quality import word_shingles
+
+        hashed = F.transform(
+            word_shingles(self.benchmarkTextCol, self.n),
+            lambda x: F.xxhash64(x))
+        bench = (self.benchmarkData
+                 .select(F.explode(hashed).alias("__s")).distinct())
+        corpus_hashed = F.transform(word_shingles(self.textCol, self.n),
+                                    lambda x: F.xxhash64(x))
+        exploded = df.select(F.col(self.idCol).alias("__id"),
+                             F.explode(corpus_hashed).alias("__s"))
+        counts = (exploded.join(F.broadcast(bench), "__s", "left_semi")
+                  .groupBy("__id")
+                  .agg(F.count("*").alias("contaminated_count")))
+        joined = df.join(
+            counts, df[self.idCol] == counts["__id"], "left").drop("__id")
+        cnt = F.coalesce(F.col("contaminated_count"), F.lit(0)).cast("int")
+        return (joined
+                .withColumn("contaminated_count", cnt)
+                .withColumn("contaminated", cnt >= self.minShingles))
 
 
 class SequencePacker(Transformer):

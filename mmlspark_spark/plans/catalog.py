@@ -2077,3 +2077,54 @@ def sequence_packing(spark, sf_dir):
                          maxTokens=512, numShards=8).transform(docs)
     return out.select("doc_id", "n_tokens", "shard", "seq_index",
                       "seq_offset")
+
+
+@register(
+    "decontamination",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 8 THEN
+               list_transform(range(1, len(t) - 6),
+                 i -> array_to_string(list_slice(t, i, i + 7), ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS shingles
+      FROM tok
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 50
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 50
+    ),
+    cnt AS (
+      SELECT c.doc_id, count(*) AS n
+      FROM corpus c JOIN bench b ON c.s = b.s GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(cnt.n, 0) AS INT) AS contaminated_count,
+           coalesce(cnt.n, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+    LEFT JOIN cnt USING (doc_id)
+    """,
+)
+def decontamination(spark, sf_dir):
+    """BenchmarkDecontaminator: corpus docs sharing >= 1 distinct word
+    8-gram with the benchmark split (doc_id < 50 stands in for an eval
+    suite) are flagged. The oracle recomputes the shingle intersection
+    with string shingles — matching the engine's hashed-shingle counts
+    exactly (64-bit collisions aside)."""
+    from mmlspark_spark.llm import BenchmarkDecontaminator
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 50)
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    out = BenchmarkDecontaminator(
+        benchmarkData=bench, idCol="doc_id", textCol="text",
+        n=8, minShingles=1).transform(corpus)
+    return out.select("doc_id", "contaminated_count", "contaminated")

@@ -322,3 +322,23 @@ def test_sequence_packer_invariants(spark):
                           numShards=4).transform(df.repartition(13)).collect()
     assert {(r.doc_id, r.seq_index, r.seq_offset) for r in out} == \
         {(r.doc_id, r.seq_index, r.seq_offset) for r in out2}
+
+
+def test_benchmark_decontaminator_planted(spark):
+    from mmlspark_spark.llm import BenchmarkDecontaminator
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame([
+        (1, "prefix words the quick brown fox jumps over the lazy dog "
+            "tonight suffix words"),              # contains benchmark 8-grams
+        (2, "completely unrelated text about spark dataframes and "
+            "parquet files at scale"),            # clean
+        (3, "short doc"),                         # < n tokens → no shingles
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in BenchmarkDecontaminator(
+        benchmarkData=bench, n=8, minShingles=1).transform(corpus).collect()}
+    assert out[1].contaminated and out[1].contaminated_count >= 3
+    assert not out[2].contaminated and out[2].contaminated_count == 0
+    assert not out[3].contaminated and out[3].contaminated_count == 0
