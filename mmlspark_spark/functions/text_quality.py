@@ -70,6 +70,44 @@ def quality_columns(text: Column | str, stopwords: Sequence[str] = DEFAULT_STOPW
     }
 
 
+def raw_word_ngrams(text: Column | str, n: int) -> Column:
+    """Word n-grams WITHOUT de-duplication (repetition metrics need the
+    multiset; :func:`word_shingles` is the distinct variant)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_line_fraction(text: Column | str) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier
+    line (Gopher repetition filter family: repetitious documents are
+    low-quality training data)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(F.split(c, r"\n"), lambda x: x != F.lit(""))
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(lines))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction(text: Column | str, n: int = 5) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    (Gopher 'duplicate n-gram' repetition signal). Map-only."""
+    grams = raw_word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        (total - F.size(F.array_distinct(grams))).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are punctuation (C4-style filter)."""
     c = F.col(text) if isinstance(text, str) else text

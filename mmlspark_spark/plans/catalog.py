@@ -2128,3 +2128,50 @@ def decontamination(spark, sf_dir):
         benchmarkData=bench, idCol="doc_id", textCol="text",
         n=8, minShingles=1).transform(corpus)
     return out.select("doc_id", "contaminated_count", "contaminated")
+
+
+@register(
+    "repetition_metrics",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         x -> x <> '') AS lines,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(t) >= 5 THEN
+               list_transform(range(1, len(t) - 3),
+                 i -> array_to_string(list_slice(t, i, i + 4), ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS g5
+      FROM base
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(lines) > 0 THEN
+             (len(lines) - len(list_distinct(lines)))
+               / CAST(len(lines) AS DOUBLE) ELSE 0.0 END, 6)
+             AS dup_line_frac,
+           round(CASE WHEN len(g5) > 0 THEN
+             (len(g5) - len(list_distinct(g5)))
+               / CAST(len(g5) AS DOUBLE) ELSE 0.0 END, 6)
+             AS dup_5gram_frac
+    FROM grams
+    """,
+)
+def repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition signals over documents: duplicate-line
+    and duplicate-5-gram fractions, both single-map expressions (zero
+    shuffle over 100 TB) with an exact SQL replica as oracle."""
+    from mmlspark_spark.functions.text_quality import (
+        dup_line_fraction,
+        dup_ngram_fraction,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(dup_line_fraction("text"), 6).alias("dup_line_frac"),
+        F.round(dup_ngram_fraction("text", 5), 6).alias("dup_5gram_frac"))

@@ -108,3 +108,27 @@ def test_exact_dedup_idempotent_and_lossless(dedup_spark_holder, texts):
 @pytest.fixture(scope="module")
 def dedup_spark_holder(spark):
     return spark
+
+
+def test_repetition_metrics_hand_checked(spark):
+    from mmlspark_spark.functions.text_quality import (
+        dup_line_fraction,
+        dup_ngram_fraction,
+    )
+
+    df = spark.createDataFrame([
+        (1, "a b\na b\nc d"),            # 3 lines, one dup -> 1/3
+        (2, "x y z w v u t s"),          # unique lines/grams -> 0
+        (3, "p q p q p q p q p q"),      # heavy 2-gram repetition
+        (4, "short"),                    # no 5-grams -> 0
+    ], ["id", "text"])
+    got = {r.id: r for r in df.select(
+        "id",
+        dup_line_fraction("text").alias("dl"),
+        dup_ngram_fraction("text", 2).alias("d2"),
+    ).collect()}
+    assert abs(got[1].dl - 1 / 3) < 1e-9
+    assert got[2].dl == 0.0 and got[2].d2 == 0.0
+    # "p q p q ...": 9 bigrams, 2 distinct -> 7/9 duplicated
+    assert abs(got[3].d2 - 7 / 9) < 1e-9
+    assert got[4].d2 == 0.0
