@@ -54,16 +54,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-generated tables; parquet scan keeps
     predicate pushdown + column pruning available to Catalyst.
 
-    The ``events`` table stores TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; we read nanos as long (legacy conf, runtime
-    settable) and convert with integer division (``div`` — NOT ``/``,
-    whose double quotient loses sub-microsecond precision at 2^60-scale
-    epochs), matching DuckDB's truncate-to-micros semantics.
+    The ``events`` table's ``ts`` column has shipped as TIMESTAMP(NANOS)
+    in some generations of the testdata (Spark's vectorized parquet reader
+    rejects it → read nanos as long via the runtime-settable legacy conf,
+    then integer-``div`` — NOT ``/``, whose double quotient loses
+    sub-microsecond precision at 2^60-scale epochs) and TIMESTAMP(MICROS)
+    in others (read as TIMESTAMP_NTZ under Spark 4 inference). Normalize
+    both to session-TZ TimestampType so downstream queries and the UTC
+    DuckDB oracle agree.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):  # nanos-as-long generation
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):  # micros generation
+            # Session TZ is UTC: NTZ wall-clock == UTC instant.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

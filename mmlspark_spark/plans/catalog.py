@@ -48,7 +48,11 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in CATALOG.items()}
+    # Oracled queries first (stable within each group by registration order):
+    # the driver correctness-checks a window of the first N registered queries,
+    # and an oracled query carries strictly more evidence than a rows-only one.
+    ordered = sorted(CATALOG.values(), key=lambda s: s.oracle is None)
+    return {spec.name: spec.fn for spec in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
