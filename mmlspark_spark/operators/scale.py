@@ -88,8 +88,17 @@ def zip_with_index(df: DataFrame, start_index: int = 0,
                              F.row_number().over(w) - 1 + start_index)
     if order_by_col:
         df = df.orderBy(*order_by_col)
+    # localCheckpoint pins one physical partitioning for BOTH the
+    # counts job and the final window job. Without it the plan re-executes
+    # from scratch for the second job, and a sort's RangePartitioner
+    # samples with a per-execution seed — partition boundaries can shift
+    # between the two jobs, yielding duplicate/skipped indices (same
+    # hazard for any non-deterministic source). Cost: materializes the
+    # input once to executor memory/disk — the same cost
+    # rdd.zipWithIndex() pays for its count pass.
     tagged = (df.withColumn("__pid", F.spark_partition_id())
-              .withColumn("__mono", F.monotonically_increasing_id()))
+              .withColumn("__mono", F.monotonically_increasing_id())
+              .localCheckpoint())
     counts = sorted(
         (r["__pid"], r["count"]) for r in
         tagged.groupBy("__pid").count().collect())
