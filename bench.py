@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from mmlspark_spark.core.cache import release_intermediates
 from mmlspark_spark.core.session import DEFAULT_SF_DIR, get_spark
 from mmlspark_spark.plans.catalog import CATALOG
 
@@ -94,6 +95,7 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             n = df.count()
             elapsed = time.time() - t0
+            release_intermediates(df)  # free persisted dedup subtrees
             best = elapsed if best is None else min(best, elapsed)
         times[spec.name] = round(best, 3)
         print(f"# {spec.name}: {times[spec.name]}s ({n} rows)", file=sys.stderr)

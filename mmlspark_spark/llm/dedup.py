@@ -20,6 +20,10 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from mmlspark_spark.core.base import Transformer
+from mmlspark_spark.core.cache import (
+    attach_intermediates,
+    persist_intermediate,
+)
 from mmlspark_spark.functions.text_quality import tokens, word_shingles
 
 
@@ -50,6 +54,26 @@ class ExactDeduplicator(Transformer):
         )
 
 
+def _spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` up to the cluster's parallelism when its scan
+    has fewer splits than half the available slots.
+
+    Tokenization/shingling is the dominant CPU cost of every dedup
+    operator, and a small corpus (or a corpus in a few big row-groups)
+    scans as 1-2 partitions — serializing the heavy map onto 1-2 cores.
+    The shuffle moved here is the raw text itself, which is exactly the
+    case (input ≪ cluster) where that shuffle is cheap. At 100 TB the
+    scan already has orders of magnitude more splits than slots, the
+    guard is false, and this is a no-op — no shuffle is added on the
+    scale path. Measured at sf0.1/local[32]: minhash signatures 3.7 s →
+    2.3 s."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _distinct_shingles(df: DataFrame, idCol: str, textCol: str, n: int,
                        hashed: bool = False) -> DataFrame:
     """One (id, shingle) row per distinct shingle per doc.
@@ -60,6 +84,7 @@ def _distinct_shingles(df: DataFrame, idCol: str, textCol: str, n: int,
     the shuffle width stops depending on shingle length. Set
     comparisons are exact up to 64-bit hash collisions
     (P ≈ m²/2⁶⁵ for m distinct shingles — negligible)."""
+    df = _spread_narrow_scan(df)
     arr = word_shingles(textCol, n)
     if hashed:
         arr = F.transform(arr, lambda x: F.xxhash64(x))
@@ -73,6 +98,7 @@ def ngram_jaccard_pairs(
     df: DataFrame, idCol: str = "doc_id", textCol: str = "text",
     n: int = 5, minJaccard: float = 0.0,
     maxDocsPerShingle: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair of documents that
     shares at least one word n-gram shingle.
@@ -85,12 +111,15 @@ def ngram_jaccard_pairs(
     output-sensitive candidate space the equi-join would produce, at
     half the shuffles), and per-doc shingle counts are recovered from
     the grouped lists rather than a second map-side tokenization pass.
-    Physical reuse of the shingle exchange: with AQE off the three
-    consumers share one scan via ReusedExchange; AQE's stage reuse
-    currently misses it, but the re-scans still measure faster (3.4 s
-    vs 3.9 s at sf0.1) than the single-scan alternative that carries
-    count-mark rows through the pair aggregation + two windows — the
-    measured tradeoff, not an oversight.
+    Physical reuse of the shingle exchange: AQE's stage reuse misses
+    the multi-consumer ``per_shingle`` subtree (each consumer would
+    re-scan + re-tokenize the corpus), so with ``materialize=True``
+    (default) the grouped (long, long-list) frame is persisted at
+    MEMORY_AND_DISK before the fan-out — one tokenization pass total.
+    The persisted handle is attached to the returned DataFrame; call
+    :func:`mmlspark_spark.core.cache.release_intermediates` on the
+    result after your action to free the blocks (bench.py does).
+    At 100 TB this is the difference between one corpus scan and three.
 
     ``maxDocsPerShingle`` is the 100 TB guard: the pair expansion is
     O(L²) *inside one row's array* for a shingle shared by L docs, and
@@ -112,6 +141,10 @@ def ngram_jaccard_pairs(
     sh = _distinct_shingles(df, idCol, textCol, n, hashed=True)
     per_shingle = sh.groupBy("__shingle").agg(
         F.array_sort(F.collect_set("__id")).alias("__ids"))
+    cached = []
+    if materialize:
+        per_shingle = persist_intermediate(per_shingle)
+        cached.append(per_shingle)
     if maxDocsPerShingle is not None:
         keep = per_shingle.observe(
             "ngram_jaccard_hot_shingle_drops",
@@ -149,9 +182,15 @@ def ngram_jaccard_pairs(
                  F.col("__p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("__inter"))
     )
+    if materialize:
+        # counts feeds both join sides (doc_a and doc_b); it is tiny
+        # (16 B/doc) and caching it keeps each side a cache read
+        # instead of an explode+groupBy over the cached shingle lists.
+        counts = persist_intermediate(counts)
+        cached.append(counts)
     ca = counts.select(F.col("__id").alias("doc_a"), F.col("__n").alias("__na"))
     cb = counts.select(F.col("__id").alias("doc_b"), F.col("__n").alias("__nb"))
-    return (
+    out = (
         inter.join(ca, "doc_a").join(cb, "doc_b")
         .select(
             "doc_a", "doc_b",
@@ -160,6 +199,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= minJaccard)
     )
+    return attach_intermediates(out, *cached)
 
 
 class MinHashLSHDeduplicator(Transformer):
@@ -182,17 +222,27 @@ class MinHashLSHDeduplicator(Transformer):
     other, smaller buckets or can be handled by exact dedup first); the
     drop count is the observed metric ``minhash_hot_bucket_drops``. Set
     ``maxBucketSize=None`` for the uncapped join.
+
+    ``materialize=True`` (default) persists the signature frame before
+    its three-consumer fan-out (banding + both sides of the signature
+    join-back) — AQE's exchange reuse misses the shared subtree, so
+    without it each consumer re-scans and re-shingles the corpus. Call
+    :func:`mmlspark_spark.core.cache.release_intermediates` on the
+    transform output after your action to free the blocks. Measured at
+    sf0.1/local[32]: 5.2 s → 2.4 s together with the narrow-scan
+    spread.
     """
 
     def __init__(self, idCol: str = "doc_id", textCol: str = "text",  # noqa: D107
                  shingleSize: int = 5, numHashes: int = 32, bands: int = 8,
                  threshold: float = 0.5, verifyExact: bool = False,
-                 maxBucketSize: int | None = 1000):
+                 maxBucketSize: int | None = 1000, materialize: bool = True):
         if numHashes % bands:
             raise ValueError("numHashes must be divisible by bands")
         super().__init__(idCol=idCol, textCol=textCol, shingleSize=shingleSize,
                          numHashes=numHashes, bands=bands, threshold=threshold,
-                         verifyExact=verifyExact, maxBucketSize=maxBucketSize)
+                         verifyExact=verifyExact, maxBucketSize=maxBucketSize,
+                         materialize=materialize)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.idCol, self.textCol)
@@ -236,6 +286,17 @@ class MinHashLSHDeduplicator(Transformer):
         k, b = self.numHashes, self.bands
         r = k // b
         sigs = self.signatures(df)
+        cached = []
+        if self.materialize:
+            # sigs fans out to three consumers (banding + both sides of
+            # the signature join-back); AQE's exchange reuse misses the
+            # shared subtree, so each consumer would re-scan and
+            # re-shingle the corpus. Signatures are k×8 B/doc —
+            # persisting them turns three corpus tokenization passes
+            # into one. Released by the caller via
+            # core.cache.release_intermediates (bench.py does).
+            sigs = persist_intermediate(sigs)
+            cached.append(sigs)
         # Candidate generation is ONE groupBy over (band, bandhash) rows
         # of 24 bytes each — never a self-join, never a signature on the
         # wire. The bucket cap is applied to the same grouped lists (no
@@ -289,13 +350,17 @@ class MinHashLSHDeduplicator(Transformer):
                  .select("doc_a", "doc_b", est.alias("est_jaccard")))
         pairs = pairs.filter(F.col("est_jaccard") >= self.threshold)
         if not self.verifyExact:
-            return pairs
-        exact = ngram_jaccard_pairs(df, self.idCol, self.textCol, self.shingleSize)
-        return (
+            return attach_intermediates(pairs, *cached)
+        exact = ngram_jaccard_pairs(df, self.idCol, self.textCol,
+                                    self.shingleSize,
+                                    materialize=self.materialize)
+        out = (
             pairs.join(exact, ["doc_a", "doc_b"], "left")
             .na.fill({"jaccard": 0.0})
             .filter(F.col("jaccard") >= self.threshold)
         )
+        cached.extend(getattr(exact, "_mmlspark_intermediates", []))
+        return attach_intermediates(out, *cached)
 
 
 def simhash(text, num_bits: int = 64):
@@ -372,8 +437,9 @@ class SimHashDeduplicator(Transformer):
         ])
 
     def fingerprints(self, df: DataFrame) -> DataFrame:
-        return df.select(F.col(self.idCol).alias("__id"),
-                         simhash(self.textCol).alias("__sh"))
+        return _spread_narrow_scan(df).select(
+            F.col(self.idCol).alias("__id"),
+            simhash(self.textCol).alias("__sh"))
 
     def _transform(self, df: DataFrame) -> DataFrame:
         # The fingerprint subtree is map-only (no exchange underneath),
