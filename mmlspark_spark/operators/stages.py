@@ -229,9 +229,9 @@ class StratifiedRepartition(Transformer):
     #labels entries), exact per-row copy counts are derived from a
     seeded per-label ``row_number`` (rank < remainder gets the extra
     copy — exact totals, no Poisson acceptance loop), copies come from
-    one ``explode(sequence)``, and an interleaving index
-    ``copy·count+rank`` is range-partitioned so each contiguous range —
-    hence each partition — holds every label. Two shuffles total (label
+    one ``explode(sequence)``, and a per-label-normalized interleave key
+    ``(copy·count+rank)/target`` in [0, 1) is range-partitioned so each
+    contiguous range — hence each partition — holds every label. Two shuffles total (label
     window + range exchange), both on scalar keys; skewed labels stay
     within AQE's reach because the range key is uniform.
     """
@@ -273,9 +273,19 @@ class StratifiedRepartition(Transformer):
                   ).cast("int")
         seq = F.when(copies > 0, F.sequence(F.lit(0), copies - 1)) \
                .otherwise(F.array().cast("array<int>"))
+        # Interleave key NORMALIZED per label to [0, 1): the raw index
+        # copy·count+rank spans [0, t_label) — a per-label range, so
+        # range partitions above the minority labels' counts would hold
+        # only the majority label (the exact failure this stage
+        # exists to prevent). Dividing by the label's target count puts
+        # every label's rows uniformly across the same unit interval,
+        # so every quantile range — hence every partition — sees every
+        # label (provided the label has >= numPartitions output rows).
         return (
             ranked.withColumn("__copy", F.explode(seq))
-            .withColumn("__s", F.col("__copy") * c_l + F.col("__r"))
+            .withColumn(
+                "__s",
+                (F.col("__copy") * c_l + F.col("__r")).cast("double") / t_l)
             .repartitionByRange(n_parts, "__s")
             .drop("__r", "__copy", "__s")
         )

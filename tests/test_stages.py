@@ -104,6 +104,30 @@ def test_stratified_repartition_original(lineitem):
     assert all(r.nl == n_labels for r in per_part)
 
 
+def test_stratified_repartition_original_skewed(spark):
+    """Regression: with per-label interleave keys spanning [0, count),
+    range partitions above the minority labels' counts contained ONLY
+    the majority label. Skewed planted data, several seeds — each
+    partition must hold all three labels every time."""
+    n_parts = spark.sparkContext.defaultParallelism
+    rows = ([("maj",)] * (200 * n_parts)
+            + [("min1",)] * (2 * n_parts)
+            + [("min2",)] * (3 * n_parts))
+    df = spark.createDataFrame(rows, ["label"])
+    for seed in range(5):
+        out = StratifiedRepartition(labelCol="label", mode="original",
+                                    seed=seed).transform(df)
+        per_part = out.withColumn(
+            "pid", F.spark_partition_id()).groupBy("pid").agg(
+            F.countDistinct("label").alias("nl")).collect()
+        assert len(per_part) == n_parts
+        assert all(r.nl == 3 for r in per_part), \
+            f"seed {seed}: partitions missing labels: {per_part}"
+        got = dict(out.groupBy("label").count().collect())
+        assert got == {"maj": 200 * n_parts, "min1": 2 * n_parts,
+                       "min2": 3 * n_parts}
+
+
 def test_stratified_repartition_equal(spark, lineitem):
     out = StratifiedRepartition(labelCol="l_returnflag",
                                 mode="equal").transform(lineitem)
