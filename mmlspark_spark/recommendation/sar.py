@@ -86,10 +86,25 @@ def item_item_similarity(
     similarityFunction: str = "jaccard",
     supportThreshold: int = 4,
     similarityCol: str = "similarity",
+    maxItemsPerUser: int | None = None,
 ) -> DataFrame:
     """Distributed co-occurrence similarity; columns (item_i, item_j,
     cooccur, similarity). Includes the diagonal (i == j), like the
-    reference's matrix product."""
+    reference's matrix product.
+
+    ``maxItemsPerUser`` is the 100 TB guard (same pattern as
+    ``llm.dedup.ngram_jaccard_pairs``'s ``maxDocsPerShingle``): the
+    pair expansion is O(L²) *inside one row's array* for a user with L
+    items, and AQE cannot split a single row — a crawler account with
+    10⁵ items would materialize ~10¹⁰ pair structs in one task. With
+    the cap, users above the threshold are dropped before expansion
+    (their diagonal occurrence counts drop with them, so jaccard/lift
+    stay honest ratios over the users actually compared; power-user
+    histories carry little preference signal — capping them is standard
+    SAR practice). The number of dropped users is the observed metric
+    ``sar_hot_user_drops``. Default None = exact semantics over every
+    user (matches the SQL oracle). At scale, set e.g. 1000.
+    """
     if similarityFunction not in SIMILARITY_FUNCTIONS:
         raise ValueError(f"similarityFunction must be one of {SIMILARITY_FUNCTIONS}")
     edges = df.select(
@@ -105,6 +120,12 @@ def item_item_similarity(
     # the diagonal for free. 3 shuffles, 1 scan, at any scale.
     per_user = edges.groupBy("__u").agg(
         F.array_sort(F.collect_set("__i")).alias("__items"))
+    if maxItemsPerUser is not None:
+        per_user = per_user.observe(
+            "sar_hot_user_drops",
+            F.sum(F.when(F.size("__items") > maxItemsPerUser, 1)
+                  .otherwise(0)).alias("dropped_users"),
+        ).filter(F.size("__items") <= maxItemsPerUser)
     items = F.col("__items")
     upper = F.flatten(F.transform(
         items,
@@ -155,12 +176,14 @@ class SAR(Estimator):
         startTime: str | None = None,
         similarityFunction: str = "jaccard",
         supportThreshold: int = 4,
+        maxItemsPerUser: int | None = None,
     ):
         super().__init__(
             userCol=userCol, itemCol=itemCol, timeCol=timeCol,
             ratingCol=ratingCol, timeDecayCoeff=timeDecayCoeff,
             startTime=startTime, similarityFunction=similarityFunction,
             supportThreshold=supportThreshold,
+            maxItemsPerUser=maxItemsPerUser,
         )
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
@@ -180,6 +203,7 @@ class SAR(Estimator):
         item_df = item_item_similarity(
             df, self.userCol, self.itemCol,
             self.similarityFunction, self.supportThreshold,
+            maxItemsPerUser=self.maxItemsPerUser,
         )
         return SARModel(
             userDataFrame=user_df, itemDataFrame=item_df,

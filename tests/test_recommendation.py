@@ -87,6 +87,31 @@ def test_sar_end_to_end_recommend(interactions):
     assert ("u1", "a") not in got
 
 
+def test_max_items_per_user_cap(spark, interactions):
+    """A planted hot user (10^4 items) is dropped by maxItemsPerUser
+    before the O(L^2) pair expansion; the capped result over the full
+    data equals the uncapped result with the hot user removed, and the
+    drop is visible as the sar_hot_user_drops observed metric."""
+    hot = spark.range(10_000).select(
+        F.lit("crawler").alias("user"),
+        F.concat(F.lit("itm"), F.col("id")).alias("item"))
+    planted = interactions.unionByName(hot)
+    capped = item_item_similarity(
+        planted, "user", "item", similarityFunction="jaccard",
+        supportThreshold=1, maxItemsPerUser=100)
+    baseline = item_item_similarity(
+        interactions, "user", "item", similarityFunction="jaccard",
+        supportThreshold=1)
+    got = {(r.item_i, r.item_j): (r.cooccur, round(r.similarity, 12))
+           for r in capped.collect()}
+    want = {(r.item_i, r.item_j): (r.cooccur, round(r.similarity, 12))
+            for r in baseline.collect()}
+    assert got == want
+    # the drop is observable (CollectMetrics node carries the count)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "sar_hot_user_drops" in plan
+
+
 def test_recommendation_indexer_roundtrip(interactions):
     idx = RecommendationIndexer(
         userInputCol="user", userOutputCol="uidx",
