@@ -172,9 +172,10 @@ class SimpleDetectAnomalies(_JsonServiceBase):
     """Row-shaped anomaly detection (AnomalyDetection.scala:152-250):
     rows are grouped by ``groupbyCol`` into one timestamp-sorted series
     per group (the reference's ``sortWithContext`` UDF is a pure
-    ``array_sort(collect_list(struct(point, context)))`` here — struct
-    ordering sorts by the leading timestamp field, carrying each row's
-    full context through the same array), ONE entire-detect request is
+    ``array_sort(collect_list(struct(key, point, context)))`` here —
+    struct ordering sorts by the leading key, a parsed epoch-seconds
+    value (see ``_timestamp_sort_key``), carrying each row's full
+    context through the same array), ONE entire-detect request is
     made per group, and the per-point responses are exploded back onto
     the original rows.
 
@@ -207,6 +208,31 @@ class SimpleDetectAnomalies(_JsonServiceBase):
             T.StructField(self.outputCol + "_error", HTTP_RESPONSE_SCHEMA),
         ])
 
+    def _timestamp_sort_key(self, df: DataFrame):
+        """Temporal sort key for the per-group series, as epoch seconds.
+
+        The payload stringifies the timestamp, but sorting must happen
+        on the TIME — ``array_sort`` over a string-led struct is
+        lexicographic, which misorders non-ISO dates ('3/12/2024' vs
+        '11/1/2024') and mixed-width epochs ('999999999' after
+        '1700000000') and silently misaligns the per-point responses.
+        Strings are parsed defensively (ISO, then common M/d/yyyy
+        shapes, then numeric epoch via try_cast — ANSI-safe);
+        unparseable values sort first and fall back to the payload
+        string tie-break."""
+        dt = df.schema[self.timestampCol].dataType
+        tsc = F.col(self.timestampCol)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return tsc.cast("timestamp_ltz").cast("double")
+        if isinstance(dt, T.NumericType):
+            return tsc.cast("double")
+        return F.coalesce(
+            F.try_to_timestamp(tsc).cast("double"),
+            F.try_to_timestamp(tsc, F.lit("M/d/yyyy H:m:s")).cast("double"),
+            F.try_to_timestamp(tsc, F.lit("M/d/yyyy")).cast("double"),
+            tsc.try_cast("double"),
+        )
+
     def _transform(self, df: DataFrame) -> DataFrame:
         cols = df.columns
         point = F.struct(
@@ -215,7 +241,8 @@ class SimpleDetectAnomalies(_JsonServiceBase):
         ctx = F.struct(*[F.col(c) for c in cols])
         grouped = (
             df.select(F.col(self.groupbyCol).alias("__g"),
-                      F.struct(point.alias("p"), ctx.alias("c")).alias("__pc"))
+                      F.struct(self._timestamp_sort_key(df).alias("k"),
+                               point.alias("p"), ctx.alias("c")).alias("__pc"))
             .groupBy("__g")
             .agg(F.array_sort(F.collect_list("__pc")).alias("__z"))
             .withColumn("__series", F.expr("transform(__z, x -> x.p)"))

@@ -45,6 +45,17 @@ class _Handler(BaseHTTPRequestHandler):
                 "upperMargins": [5.0] * len(series),
                 "lowerMargins": [5.0] * len(series),
             }))
+        elif self.path == "/anomaly/entire_last":
+            # order-sensitive stub: flags ONLY the final series point,
+            # so a temporally mis-sorted request flags the wrong row
+            series = body["series"]
+            n = len(series)
+            self._reply(200, json.dumps({
+                "isAnomaly": [i == n - 1 for i in range(n)],
+                "expectedValues": [50.0] * n,
+                "upperMargins": [5.0] * n,
+                "lowerMargins": [5.0] * n,
+            }))
         elif self.path == "/anomaly/last":
             last = body["series"][-1]
             self._reply(200, json.dumps({
@@ -201,6 +212,49 @@ def test_simple_detect_anomalies_row_shape(spark, server):
     assert all(r.anom_error is None for r in got.values())
     # original columns ride through unchanged
     assert got["b"].tenant == "g1" and got["b"].value == 500.0
+
+
+def test_simple_detect_anomalies_non_iso_timestamps(spark, server):
+    """Regression: the series sort must be temporal, not lexicographic.
+    'M/d/yyyy' dates and mixed-width epoch strings both sort wrong as
+    strings ('11/1/2024' < '3/12/2024'; '1700000000' < '999999999'),
+    which misaligns the per-point responses."""
+    from mmlspark_spark.http.cognitive import SimpleDetectAnomalies
+
+    # US-style dates: lexicographic order would put 11/1 before 3/12.
+    # The order-sensitive stub flags only the FINAL point it receives,
+    # so a mis-sorted series flags the wrong row.
+    rows = [
+        ("g", "11/1/2024", 500.0, "late"),   # temporally LAST, anomalous
+        ("g", "3/12/2024", 10.0, "early"),
+        ("g", "7/4/2024", 20.0, "mid"),
+    ]
+    df = spark.createDataFrame(rows, ["tenant", "ts", "value", "tag"])
+    out = SimpleDetectAnomalies(
+        url=f"{server}/anomaly/entire_last", timestampCol="ts",
+        valueCol="value",
+        groupbyCol="tenant", outputCol="anom").transform(df)
+    got = {r.tag: r for r in out.collect()}
+    assert got["late"].anom.isAnomaly is True
+    assert got["early"].anom.isAnomaly is False
+    assert got["mid"].anom.isAnomaly is False
+
+    # Mixed-width epoch-second strings: '999999999' (2001) must sort
+    # before '1700000000' (2023) despite being lexicographically after.
+    rows = [
+        ("g", "1700000000", 500.0, "new"),   # temporally last, anomalous
+        ("g", "999999999", 10.0, "old"),
+    ]
+    df = spark.createDataFrame(rows, ["tenant", "ts", "value", "tag"])
+    out = SimpleDetectAnomalies(
+        url=f"{server}/anomaly/entire_last", timestampCol="ts",
+        valueCol="value",
+        groupbyCol="tenant", outputCol="anom").transform(df)
+    got = {r.tag: r for r in out.collect()}
+    assert got["new"].anom.isAnomaly is True
+    assert got["old"].anom.isAnomaly is False
+    # the stringified payload still carries the original timestamps
+    assert got["old"].ts == "999999999"
 
 
 def test_group_faces(spark, server):
