@@ -1294,17 +1294,22 @@ def tabular_shap(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
     """,
 )
 def embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact path over a bounded slice
-    (the LSH path is the scale variant, recall-tested in tests)."""
+    (the LSH path is the scale variant, recall-tested in tests).
+
+    Threshold 0.3, not a production-like 0.9: the synthetic embeddings
+    are near-orthogonal (max pairwise cosine ~0.47 at every SF), so any
+    higher threshold makes the oracle comparison vacuous (0 rows on
+    both sides proves nothing). 0.3 compares ~300 real pairs."""
     from mmlspark_spark.llm.dedup import EmbeddingDeduplicator
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     out = EmbeddingDeduplicator(idCol="vec_id", vecCol="embedding",
-                                threshold=0.8, method="exact").transform(emb)
+                                threshold=0.3, method="exact").transform(emb)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

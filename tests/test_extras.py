@@ -226,18 +226,34 @@ def test_doc_fingerprint_order_sensitive(spark):
 
 
 def test_embedding_dedup_lsh_recall(spark, embeddings):
+    """Planted near-duplicates GUARANTEE a non-empty exact pair set
+    (the synthetic embeddings are near-orthogonal, so without planting
+    the threshold-0.8 comparison would be vacuous)."""
+    import numpy as np
+
     from mmlspark_spark.llm.dedup import EmbeddingDeduplicator
 
     emb = embeddings.filter(F.col("vec_id") < 400)
+    rng = np.random.default_rng(7)
+    base = emb.orderBy("vec_id").limit(20).collect()
+    planted = [
+        (int(r.vec_id) + 100_000,
+         [float(x) for x in
+          np.asarray(r.embedding) + rng.normal(0, 0.01, len(r.embedding))])
+        for r in base
+    ]
+    emb = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, ["vec_id", "embedding"]))
     exact = {(r.id_a, r.id_b) for r in EmbeddingDeduplicator(
         threshold=0.8, method="exact").transform(emb).collect()}
     lsh = {(r.id_a, r.id_b) for r in EmbeddingDeduplicator(
         threshold=0.8, method="lsh", numPlanes=16, bands=8,
     ).transform(emb).collect()}
+    # every planted (original, perturbed-copy) pair must be in exact
+    assert {(int(r.vec_id), int(r.vec_id) + 100_000) for r in base} <= exact
     assert lsh.issubset(exact)  # LSH never invents pairs
-    if exact:
-        recall = len(lsh & exact) / len(exact)
-        assert recall >= 0.5  # banded collision recall at cos>=0.8
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5  # banded collision recall at cos>=0.8
 
 
 def test_model_downloader_local_repo(tmp_path):
