@@ -194,6 +194,12 @@ def test_decode_audio_and_features(spark, tmp_path):
 def test_video_frame_sample_plumbing(spark, tmp_path):
     from mmlspark_spark.sources.multimodal import DecodeVideoFrames
 
+    try:
+        import cv2  # noqa: F401
+        have_cv2 = True
+    except ImportError:
+        have_cv2 = False
+
     (tmp_path / "clip.fake").write_bytes(b"video-ish bytes")
     df = read_binary_files(spark, str(tmp_path))
     stage = DecodeVideoFrames(numFrames=3, height=8, width=8)
@@ -201,9 +207,42 @@ def test_video_frame_sample_plumbing(spark, tmp_path):
     assert stage.transform_schema(df.schema).fieldNames() == \
         out.schema.fieldNames()
     row = out.collect()[0].video
+    if have_cv2:
+        # real decoder on garbage bytes: fault-tolerant zero frames
+        assert row.numFrames == 0 and row.frames == []
+        return
     assert row.numFrames == 3
     assert len(row.frames) == 3
     assert row.frames[0].height == 8 and row.frames[0].nChannels == 3
     # deterministic fake: same content → same frames
     row2 = stage.transform(df).collect()[0].video
     assert bytes(row.frames[0].data) == bytes(row2.frames[0].data)
+
+
+def test_video_real_decode_cv2(spark, tmp_path):
+    """Real path: a tiny generated .avi decodes to VIDEO_FRAMES_SCHEMA
+    with evenly-sampled, resized BGR frames. Skipped where cv2 is
+    absent (this container) — the fake-path test above still runs."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from mmlspark_spark.sources.multimodal import DecodeVideoFrames
+
+    path = str(tmp_path / "clip.avi")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 5,
+                         (16, 16))
+    for i in range(10):  # frame i has constant intensity 20*i
+        wr.write(np.full((16, 16, 3), 20 * i, dtype=np.uint8))
+    wr.release()
+
+    df = read_binary_files(spark, str(tmp_path))
+    out = DecodeVideoFrames(numFrames=4, height=8, width=8).transform(df)
+    row = out.collect()[0].video
+    assert row.numFrames == 4
+    assert row.width == 8 and row.height == 8
+    assert all(f.height == 8 and f.width == 8 and f.nChannels == 3
+               for f in row.frames)
+    # evenly sampled: first frame dark, last frame bright
+    first = np.frombuffer(bytes(row.frames[0].data), dtype=np.uint8)
+    last = np.frombuffer(bytes(row.frames[-1].data), dtype=np.uint8)
+    assert first.mean() < 40 and last.mean() > 140
