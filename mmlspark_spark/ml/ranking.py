@@ -41,11 +41,15 @@ class RankingEvaluator:
             ),
             F.lit(0.0), lambda a, v: a + v,
         )
-        idcg = F.aggregate(
-            F.sequence(F.lit(1), F.least(F.size(label), F.lit(k))),
+        # sequence(1, 0) would generate a DESCENDING [1, 0] for an
+        # empty label and hit log2(1)=0 — guard the bound to >= 1; the
+        # ndcg when(idcg > 0) below keeps the empty-label row at 0.
+        idcg = F.when(F.size(label) > 0, F.aggregate(
+            F.sequence(F.lit(1),
+                       F.greatest(F.least(F.size(label), F.lit(k)), F.lit(1))),
             F.lit(0.0),
             lambda a, i: a + F.lit(1.0) / F.log2(i.cast("double") + 1.0),
-        )
+        )).otherwise(F.lit(0.0))
         # average precision@k
         ap = F.aggregate(
             F.zip_with(
@@ -59,12 +63,19 @@ class RankingEvaluator:
                 ).otherwise(F.lit(0.0)),
             ),
             F.lit(0.0), lambda a, v: a + v,
-        ) / F.least(F.size(label), F.lit(k)).cast("double")
+        )
+        # Empty-label rows have no relevant set: recall and AP are
+        # undefined (0/0) — NULL them so F.avg excludes the row (ANSI
+        # mode would otherwise throw DIVIDE_BY_ZERO).
+        n_label = F.size(label)
         return df.select(
             (hits.cast("double") / F.lit(float(k))).alias("precision_at_k"),
-            (hits.cast("double") / F.size(label)).alias("recall_at_k"),
+            F.when(n_label > 0, hits.cast("double") / n_label)
+            .alias("recall_at_k"),
             F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)).alias("ndcg_at_k"),
-            ap.alias("average_precision"),
+            F.when(n_label > 0,
+                   ap / F.least(n_label, F.lit(k)).cast("double"))
+            .alias("average_precision"),
         )
 
     def evaluate(self, df: DataFrame) -> dict[str, float]:
@@ -92,7 +103,9 @@ class RankingEvaluator:
         - ``mrr``: 1 / (1-based position of the first relevant item in
           the full prediction list), 0 when no hit (:44-63);
         - ``fcp``: over positions i < |label|, fraction with
-          pred[i] == label[i] (:64-76).
+          pred[i] == label[i] (:64-76); rows with an empty pairing
+          (no label or no prediction) are excluded from the average,
+          as the reference's NaN rows are.
 
         ``nItems`` defaults to the maxDiversity numerator (making
         maxDiversity 1.0) when not given. Everything is DataFrame
@@ -116,7 +129,12 @@ class RankingEvaluator:
             lambda p, l: (p == l).cast("int"))
         nc = F.aggregate(paired, F.lit(0), lambda a, v: a + v)
         den = F.size(paired)
-        fcp = F.when(den > 0, nc.cast("double") / den).otherwise(0.0)
+        # Zero-denominator rows (empty label or prediction) yield NULL,
+        # which F.avg excludes — matching the reference's NaN row
+        # semantics (RankingEvaluator.scala:64-76, nc/(nc+nd) on an
+        # empty pairing is NaN and drops out of its mean) instead of
+        # diluting the average with 0.0.
+        fcp = F.when(den > 0, nc.cast("double") / den)
         row = df.agg(F.avg(recall_ref).alias("recallAtK"),
                      F.avg(mrr).alias("mrr"),
                      F.avg(fcp).alias("fcp")).collect()[0]

@@ -150,6 +150,24 @@ def test_advanced_ranking_metrics(spark):
     assert abs(d["maxDiversity"] - 1.0) < 1e-9
 
 
+def test_fcp_excludes_zero_denominator_rows(spark):
+    """A row with an empty label has no pairable positions; the
+    reference's nc/(nc+nd) is NaN there and drops out of the mean —
+    it must not dilute the average as 0.0."""
+    df = spark.createDataFrame(
+        [([1, 2], [1, 2]),      # fcp 1.0
+         ([3, 4], []),          # empty label: excluded, NOT 0.0
+         ([5], [5])],           # fcp 1.0
+        "prediction array<int>, label array<int>",
+    )
+    m = RankingEvaluator(k=2).evaluate_all(df, nItems=10)
+    assert abs(m["fcp"] - 1.0) < 1e-9
+    # all-empty labels: no evaluable rows → 0.0, not a crash
+    df2 = spark.createDataFrame([([1], [])],
+                                "prediction array<int>, label array<int>")
+    assert RankingEvaluator(k=1).evaluate_all(df2, nItems=10)["fcp"] == 0.0
+
+
 def test_slice_map(spark):
     from mmlspark_spark.functions.vector import slice_map
 
