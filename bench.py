@@ -22,13 +22,15 @@ from mmlspark_spark.core.session import DEFAULT_SF_DIR, get_spark
 from mmlspark_spark.plans.catalog import CATALOG
 
 
-def _serving_latency(spark, n_requests: int = 20) -> float | None:
-    """p50 round-trip through the HTTP serving source (micro-batch mode;
-    the reference's continuous-mode sub-ms claim is out of scope for the
-    python source API — this records the achieved micro-batch latency,
-    BASELINE.md bench plan item 4)."""
+def _serving_latency(spark, n_requests: int = 20) -> dict | None:
+    """Serving bench (BASELINE.md bench plan item 4): sequential p50
+    round-trip plus concurrent-client throughput (req/s) and p99
+    through the HTTP serving source. Micro-batch mode; the reference's
+    continuous-mode sub-ms claim is out of scope for the python source
+    API — these are the achieved micro-batch numbers."""
     import statistics
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     import requests as rq
     from pyspark.sql import functions as F
@@ -63,7 +65,35 @@ def _serving_latency(spark, n_requests: int = 20) -> float | None:
                     t0 = time.time()
                     rq.post(url, json={"text": f"r{i}"}, timeout=30)
                     lat.append(time.time() - t0)
-                return round(statistics.median(lat), 4)
+                p50 = round(statistics.median(lat), 4)
+
+                # Concurrent throughput: 8 clients, 10 requests each,
+                # sessions reused so TCP setup isn't what's measured.
+                n_clients, per_client = 8, 10
+
+                def client(cid: int) -> list[float]:
+                    times = []
+                    with rq.Session() as s:
+                        for i in range(per_client):
+                            t0 = time.time()
+                            s.post(url, json={"text": f"c{cid}r{i}"},
+                                   timeout=30)
+                            times.append(time.time() - t0)
+                    return times
+
+                t_all = time.time()
+                with ThreadPoolExecutor(max_workers=n_clients) as ex:
+                    all_lat = [t for ts in ex.map(client, range(n_clients))
+                               for t in ts]
+                wall = time.time() - t_all
+                all_lat.sort()
+                p99 = all_lat[min(len(all_lat) - 1,
+                                  int(len(all_lat) * 0.99))]
+                return {
+                    "serving_roundtrip_p50": p50,
+                    "serving_roundtrip_p99": round(p99, 4),
+                    "serving_rps": round(len(all_lat) / wall, 1),
+                }
             finally:
                 query.stop()
                 stop_server("bench_serve")
@@ -102,17 +132,22 @@ def main() -> None:
 
     serving = _serving_latency(spark)
     if serving is not None:
-        times["serving_roundtrip_p50"] = serving
-        print(f"# serving_roundtrip_p50: {serving}s", file=sys.stderr)
+        # only latencies join the headline total; rps is a rate
+        times["serving_roundtrip_p50"] = serving["serving_roundtrip_p50"]
+        for k, v in serving.items():
+            print(f"# {k}: {v}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    if serving is not None:
+        payload["serving"] = serving
+    print(json.dumps(payload))
     spark.stop()
 
 
