@@ -1,0 +1,85 @@
+"""Gang-scheduled barrier training harness.
+
+Parity: reference ``lightgbm/.../LightGBMBase.scala:392-432,475-484`` —
+the reference launches one native LightGBM worker per partition under
+barrier execution, exchanges worker ``host:port`` addresses through the
+barrier coordinator, and hands the full machine list to the native
+NetworkInit. The idiomatic PySpark expression of the same protocol is
+``df.rdd.barrier().mapPartitions`` + ``BarrierTaskContext.allGather``:
+every task binds a free port, gathers the cluster-wide machine list,
+and runs the native trainer against its own partition's rows.
+
+The harness is trainer-agnostic so the network/partition plumbing is
+testable without any native library installed (tests drive it with a
+pure-numpy ``train_fn``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def barrier_train(
+    prepared: DataFrame,
+    train_fn: Callable,
+    numTasks: int | None = None,
+):
+    """Run ``train_fn`` once per partition under barrier scheduling.
+
+    ``prepared`` must have exactly two columns: features as
+    ``array<double>`` and label as ``double``. ``train_fn(X, y,
+    machines, port, partition_id)`` is called on each executor with
+    that partition's rows as numpy arrays, the gathered ``host:port``
+    machine list (one entry per task, index == partition id), and this
+    task's reserved port; exactly one task (by convention partition 0)
+    returns the non-None model payload, which this function returns.
+
+    ``numTasks`` repartitions to that many barrier tasks, capped at
+    ``defaultParallelism`` because barrier mode requires every task to
+    be scheduled concurrently — at 1000 executors that cap IS the
+    cluster, matching the reference's ``numTasks`` semantics.
+
+    Scale: each task materializes ONE partition as numpy arrays — the
+    same per-worker buffer the native engine needs anyway — and the
+    driver only ever receives the final model payload, never feature
+    data.
+    """
+    sc = prepared.sparkSession.sparkContext
+    n = numTasks or prepared.rdd.getNumPartitions()
+    n = max(1, min(n, sc.defaultParallelism))
+    pre = prepared.repartition(n)
+
+    def run(it):
+        import socket
+
+        import numpy as np
+        from pyspark import BarrierTaskContext
+
+        ctx = BarrierTaskContext.get()
+        pid = ctx.partitionId()
+        # Reserve a free port, release it, and let the trainer re-bind:
+        # the standard NetworkInit handshake (reference
+        # LightGBMUtils.scala findOpenPort). The small re-bind race is
+        # inherent to the protocol.
+        s = socket.socket()
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+        s.close()
+        host = ctx.getTaskInfos()[pid].address.split(":")[0]
+        machines = ctx.allGather(f"{host}:{port}")
+        rows = list(it)
+        if rows:
+            X = np.asarray([list(r[0]) for r in rows], dtype="float64")
+            y = np.asarray([r[1] for r in rows], dtype="float64")
+        else:  # pragma: no cover - guarded by numTasks <= parallelism
+            X = np.zeros((0, 0), dtype="float64")
+            y = np.zeros(0, dtype="float64")
+        out = train_fn(X, y, list(machines), port, pid)
+        return iter([out] if out is not None else [])
+
+    results = pre.rdd.barrier().mapPartitions(run).collect()
+    if not results:
+        raise ValueError("no barrier task returned a model payload")
+    return results[0]

@@ -6,16 +6,19 @@ Parity: reference ``lightgbm/.../LightGBMClassifier.scala``,
 LightGBM workers over barrier ``mapPartitions`` with socket NetworkInit
 (``LightGBMBase.scala:43-520``).
 
-This engine (SURVEY §7 step 10): same API, two execution paths — the
+This engine (SURVEY §7 step 10): same API, three execution paths — the
 stage NEVER raises because of which packages happen to be installed:
 
-- ``lightgbm`` python package importable → native histogram training on
-  a bounded driver-side sample (``nativeSampleLimit`` rows), then
-  DISTRIBUTED scoring: the booster is shipped as its model string and
-  re-hydrated once per Arrow batch stream inside ``mapInPandas``
-  (single-node fit semantics; the reference's barrier/socket
-  data-parallel fit is a documented follow-up — it needs the native lib
-  on every executor, which this container lacks);
+- ``lightgbm`` importable, default → DISTRIBUTED native training:
+  barrier gang-scheduled workers (``ml/barrier.py``), one per
+  partition, exchange host:port via ``allGather`` and train
+  data-parallel (``tree_learner=data``) over socket NetworkInit —
+  the PySpark expression of ``LightGBMBase.scala:392-432,475-484``.
+  Scoring ships the booster as its model string, re-hydrated once per
+  Arrow batch stream inside ``mapInPandas``;
+- ``lightgbm`` importable, ``sampleFit=True`` → single-node native fit
+  on a RANDOM ``sample(fraction, seed)`` bounded by
+  ``nativeSampleLimit`` rows (for quick iteration / tiny data);
 - otherwise → Spark's own distributed GBT with a faithful param mapping
   (numIterations→maxIter, learningRate→stepSize, numLeaves→maxDepth=
   ⌈log2 leaves⌉) — the trade-off the reference itself benchmarks
@@ -68,6 +71,8 @@ class _LightGBMBase(Estimator):
         kw.setdefault("learningRate", 0.1)
         kw.setdefault("seed", 42)
         kw.setdefault("nativeSampleLimit", 1_000_000)
+        kw.setdefault("sampleFit", False)
+        kw.setdefault("numTasks", 0)  # 0 = one task per input partition
         super().__init__(**kw)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
@@ -93,25 +98,81 @@ class _LightGBMBase(Estimator):
             "verbose": -1,
         }
 
+    def _make_model(self, model_str: str) -> "LightGBMNativeModel":
+        return LightGBMNativeModel(
+            modelStr=model_str,
+            featuresCol=self.featuresCol,
+            predictionCol=self.predictionCol,
+            isClassifier=self._objective == "binary",
+        )
+
+    def _prepared(self, df: DataFrame) -> DataFrame:
+        return _features_to_array(df, self.featuresCol).select(
+            "__feat", F.col(self.labelCol).cast("double").alias("__y"))
+
     def _fit_native(self, df: DataFrame) -> "LightGBMNativeModel":
+        """Single-node fit on a bounded RANDOM sample (sampleFit=True).
+
+        ``sample(fraction, seed)``, not ``limit``: a limit takes a
+        deterministic prefix, and label- or time-sorted input would
+        train on a single class (binary objective can outright fail)."""
         import numpy as np
         import lightgbm
 
-        sample = _features_to_array(df, self.featuresCol).select(
-            "__feat", F.col(self.labelCol).cast("double").alias("__y"),
-        ).limit(self.nativeSampleLimit).toPandas()
+        prepared = self._prepared(df)
+        limit = self.nativeSampleLimit
+        total = prepared.count()
+        if limit and total > limit:
+            prepared = prepared.sample(fraction=min(1.0, limit / total),
+                                       seed=self.seed)
+        sample = prepared.toPandas()
         X = np.array(sample["__feat"].tolist(), dtype="float64")
         y = sample["__y"].to_numpy()
         booster = lightgbm.train(
             self._native_params(), lightgbm.Dataset(X, label=y),
             num_boost_round=self.numIterations,
         )
-        return LightGBMNativeModel(
-            modelStr=booster.model_to_string(),
-            featuresCol=self.featuresCol,
-            predictionCol=self.predictionCol,
-            isClassifier=self._objective == "binary",
-        )
+        return self._make_model(booster.model_to_string())
+
+    def _fit_native_distributed(self, df: DataFrame) -> "LightGBMNativeModel":
+        """Barrier gang-scheduled data-parallel native training
+        (reference ``LightGBMBase.scala:392-432,475-484``): every task
+        trains on its own partition, synchronizing histograms over the
+        allGather-exchanged machine list; the boosters converge
+        identically, so partition 0's model string is THE model."""
+        from mmlspark_spark.ml.barrier import barrier_train
+
+        params = self._native_params()
+        rounds = self.numIterations
+
+        def train_fn(X, y, machines, port, pid):
+            import lightgbm
+
+            p = dict(params)
+            if len(machines) > 1:
+                p.update(
+                    tree_learner="data",
+                    machines=",".join(machines),
+                    local_listen_port=port,
+                    num_machines=len(machines),
+                    pre_partition=True,
+                )
+            booster = lightgbm.train(
+                p, lightgbm.Dataset(X, label=y), num_boost_round=rounds)
+            try:
+                booster.free_network()
+            except Exception:
+                pass
+            return booster.model_to_string() if pid == 0 else None
+
+        model_str = barrier_train(self._prepared(df), train_fn,
+                                  numTasks=self.numTasks or None)
+        return self._make_model(model_str)
+
+    def _fit_with_lightgbm(self, df: DataFrame) -> "LightGBMNativeModel":
+        if self.sampleFit:
+            return self._fit_native(df)
+        return self._fit_native_distributed(df)
 
 
 class _WrappedModel(Model):
@@ -168,7 +229,7 @@ class LightGBMClassifier(_LightGBMBase):
 
     def _fit(self, df: DataFrame):
         if _have_lightgbm():
-            return self._fit_native(df)
+            return self._fit_with_lightgbm(df)
         from pyspark.ml.classification import GBTClassifier
 
         return _WrappedModel(inner=GBTClassifier(**self._spark_params()).fit(df))
@@ -179,7 +240,7 @@ class LightGBMRegressor(_LightGBMBase):
 
     def _fit(self, df: DataFrame):
         if _have_lightgbm():
-            return self._fit_native(df)
+            return self._fit_with_lightgbm(df)
         from pyspark.ml.regression import GBTRegressor
 
         return _WrappedModel(inner=GBTRegressor(**self._spark_params()).fit(df))
@@ -195,7 +256,7 @@ class LightGBMRanker(_LightGBMBase):
 
     def _fit(self, df: DataFrame):
         if _have_lightgbm():
-            return self._fit_native(df)
+            return self._fit_with_lightgbm(df)
         from pyspark.ml.regression import GBTRegressor
 
         return _WrappedModel(inner=GBTRegressor(**self._spark_params()).fit(df))

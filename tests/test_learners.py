@@ -82,7 +82,10 @@ def test_lightgbm_native_branch_never_raises(binary_data, monkeypatch):
     monkeypatch.setitem(sys.modules, "lightgbm", _FakeLightgbm)
     monkeypatch.setattr(lgb_mod, "_have_lightgbm", lambda: True)
     df = binary_data.withColumn("label", F.col("label") * 4.0)
-    model = LightGBMRegressor(numIterations=5, nativeSampleLimit=100).fit(df)
+    # sampleFit=True: the driver-side sampled path, where the fake
+    # module is importable (the distributed path trains on executors)
+    model = LightGBMRegressor(numIterations=5, nativeSampleLimit=100,
+                              sampleFit=True).fit(df)
     assert type(model).__name__ == "LightGBMNativeModel"
     # the fake predicts mean(label of first 100 sampled rows): check the
     # model string round-trip + schema without running executors (the
@@ -91,6 +94,59 @@ def test_lightgbm_native_branch_never_raises(binary_data, monkeypatch):
     assert out.schema["prediction"].dataType.typeName() == "double"
     booster = _FakeLightgbm.Booster(model_str=model.modelStr)
     assert 0.0 < booster.mean < 4.0
+
+
+def test_barrier_train_harness(spark):
+    """The gang-scheduling plumbing without any native lib: 3 barrier
+    tasks bind distinct ports, allGather the machine list, and exactly
+    one (partition 0) returns the payload."""
+    import json
+
+    from mmlspark_spark.ml.barrier import barrier_train
+
+    df = spark.range(300).select(
+        F.array(F.col("id").cast("double")).alias("__feat"),
+        (F.col("id") % 2).cast("double").alias("__y"))
+
+    def train_fn(X, y, machines, port, pid):
+        # runs on executors: pure numpy/json, no external deps
+        assert X.shape[0] == y.shape[0] > 0
+        assert f":{port}" in machines[pid]
+        if pid == 0:
+            return json.dumps({"n_machines": len(machines),
+                               "distinct": len(set(machines)),
+                               "rows_pid0": int(X.shape[0])})
+        return None
+
+    out = json.loads(barrier_train(df, train_fn, numTasks=3))
+    assert out["n_machines"] == 3
+    assert out["distinct"] == 3  # every task bound its own port
+    assert 0 < out["rows_pid0"] < 300  # data spread across tasks
+
+
+def test_lightgbm_distributed_matches_single_node(spark):
+    """Gated on the native package: the barrier data-parallel booster
+    on >1 partition must match the single-node fit's AUC."""
+    pytest.importorskip("lightgbm")
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(2000, 4))
+    yv = (X[:, 0] + 0.5 * X[:, 1] + rng.normal(0, 0.3, 2000) > 0)
+    rows = [(list(map(float, x)), float(l)) for x, l in zip(X, yv)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+
+    def auc(model):
+        import numpy as np  # noqa: F811
+        scored = model.transform(df).select("label", "prediction").collect()
+        lab = np.array([r.label for r in scored])
+        # prediction is thresholded; rank by it (coarse but comparable)
+        pred = np.array([r.prediction for r in scored])
+        return ((pred == lab).mean())
+
+    dist = LightGBMClassifier(numIterations=30, numTasks=4).fit(df)
+    single = LightGBMClassifier(numIterations=30, sampleFit=True).fit(df)
+    acc_d, acc_s = auc(dist), auc(single)
+    assert acc_d > 0.8
+    assert abs(acc_d - acc_s) < 0.05
 
 
 def test_lightgbm_fallback_branch_forced(binary_data, monkeypatch):
