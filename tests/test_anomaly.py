@@ -222,3 +222,53 @@ def test_access_anomaly_scores_rare_access_higher(spark):
         [("t1", "u0", "r0"), ("t1", "u0", "r9")], ["tenant", "user", "res"])
     got = {(r.user, r.res): r.anomaly_score for r in model.transform(probe).collect()}
     assert got[("u0", "r9")] > got[("u0", "r0")]  # cross-clique more anomalous
+    # the cliques are disconnected components: cross-clique access has
+    # no connecting path at all → +inf, the reference's semantics
+    assert got[("u0", "r9")] == float("inf")
+    assert got[("u0", "r0")] < float("inf")
+
+
+def test_connected_components_bipartite(spark):
+    from mmlspark_spark.anomaly.access import connected_components
+
+    rows = [
+        # component 1: u0-r0, u1-r0 (u0~u1 via r0), u1-r1
+        ("t", "u0", "r0"), ("t", "u1", "r0"), ("t", "u1", "r1"),
+        # component 2: u2-r2
+        ("t", "u2", "r2"),
+        # other tenant: same names, isolated from tenant t
+        ("s", "u0", "r2"),
+    ]
+    df = spark.createDataFrame(rows, ["tenant", "user", "res"])
+    u2c, r2c = connected_components(df, "tenant", "user", "res")
+    uc = {(r.tenant, r.user): r.component for r in u2c.collect()}
+    rc = {(r.tenant, r.res): r.component for r in r2c.collect()}
+    assert uc[("t", "u0")] == uc[("t", "u1")] == rc[("t", "r0")] == rc[("t", "r1")]
+    assert uc[("t", "u2")] == rc[("t", "r2")] != uc[("t", "u0")]
+    # tenants are isolated even when ids collide
+    assert rc[("s", "r2")] == uc[("s", "u0")] != rc[("t", "r2")]
+
+
+def test_access_anomaly_likelihood_scaling(spark):
+    """Per-tenant rating scaling (reference lowValue/highValue +
+    negScore): a once-accessed pair inside a CONNECTED graph scores
+    more anomalous than a frequently-accessed one — the likelihood
+    axis, not just graph structure, drives the score."""
+    rows = []
+    for u in range(0, 5):
+        for r in range(0, 5):
+            rows.append(("t1", f"u{u}", f"r{r}", 10.0))  # frequent clique
+    # r5 is in the same component, accessed rarely by u0 and u1
+    rows.append(("t1", "u0", "r5", 1.0))
+    rows.append(("t1", "u1", "r5", 1.0))
+    df = spark.createDataFrame(rows, ["tenant", "user", "res", "count"])
+    model = AccessAnomaly(tenantCol="tenant", userCol="user", resCol="res",
+                          likelihoodCol="count", rank=5, maxIter=8,
+                          seed=11).fit(df)
+    probe = spark.createDataFrame(
+        [("t1", "u0", "r0"), ("t1", "u0", "r5")], ["tenant", "user", "res"])
+    got = {(r.user, r.res): r.anomaly_score
+           for r in model.transform(probe).collect()}
+    # same component, so no +inf shortcut — the rating scale decides
+    assert got[("u0", "r5")] != float("inf")
+    assert got[("u0", "r5")] > got[("u0", "r0")]
