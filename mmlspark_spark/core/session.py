@@ -73,7 +73,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         if isinstance(ts_type, LongType):  # nanos-as-long generation
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         if isinstance(ts_type, TimestampNTZType):  # micros generation
-            # Session TZ is UTC: NTZ wall-clock == UTC instant.
+            # NTZ→LTZ reinterprets the wall-clock in the SESSION TZ; a
+            # caller that didn't come through get_spark would silently
+            # shift instants, so pin UTC here (runtime-settable, like
+            # nanosAsLong above).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -225,7 +225,11 @@ class TextFeaturizer(Estimator):
         if self.useIDF:
             stages.append(IDF(inputCol="__tf", outputCol=self.outputCol,
                               minDocFreq=self.minDocFreq))
-        pipeline_model = Pipeline(stages=stages).fit(df)
+        # tokenize+hash is the dominant CPU; don't let a 1-2-split scan
+        # serialize the IDF fit onto 1-2 cores (no-op at scale)
+        from mmlspark_spark.operators.scale import spread_narrow_scan
+
+        pipeline_model = Pipeline(stages=stages).fit(spread_narrow_scan(df))
         return TextFeaturizerModel(pipelineModel=pipeline_model,
                                    outputCol=self.outputCol)
 
@@ -241,5 +245,7 @@ class TextFeaturizerModel(Model):
                             + [T.StructField(self.outputCol, VectorUDT(), True)])
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        out = self.pipelineModel.transform(df)
+        from mmlspark_spark.operators.scale import spread_narrow_scan
+
+        out = self.pipelineModel.transform(spread_narrow_scan(df))
         return out.drop(*[c for c in out.columns if c.startswith("__")])

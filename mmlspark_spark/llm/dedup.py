@@ -25,6 +25,7 @@ from mmlspark_spark.core.cache import (
     persist_intermediate,
 )
 from mmlspark_spark.functions.text_quality import tokens, word_shingles
+from mmlspark_spark.operators.scale import spread_narrow_scan as _spread_narrow_scan
 
 
 class ExactDeduplicator(Transformer):
@@ -52,26 +53,6 @@ class ExactDeduplicator(Transformer):
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-
-
-def _spread_narrow_scan(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` up to the cluster's parallelism when its scan
-    has fewer splits than half the available slots.
-
-    Tokenization/shingling is the dominant CPU cost of every dedup
-    operator, and a small corpus (or a corpus in a few big row-groups)
-    scans as 1-2 partitions — serializing the heavy map onto 1-2 cores.
-    The shuffle moved here is the raw text itself, which is exactly the
-    case (input ≪ cluster) where that shuffle is cheap. At 100 TB the
-    scan already has orders of magnitude more splits than slots, the
-    guard is false, and this is a no-op — no shuffle is added on the
-    scale path. Measured at sf0.1/local[32]: minhash signatures 3.7 s →
-    2.3 s."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
 
 
 def _distinct_shingles(df: DataFrame, idCol: str, textCol: str, n: int,

@@ -57,10 +57,14 @@ class BruteForceKNN:
         return self._search_numpy(data, queries)
 
     def _search_expr(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        from mmlspark_spark.operators.scale import spread_narrow_scan
+
         q = queries.select(
             F.col(self.idCol).alias("query_id"), F.col(self.vecCol).alias("__qv")
         )
-        d = data.select(
+        # the dot products happen on the corpus side of the broadcast
+        # join — a 1-2-split scan would serialize them onto 1-2 cores
+        d = spread_narrow_scan(data).select(
             F.col(self.idCol).alias("neighbor_id"), F.col(self.vecCol).alias("__dv")
         )
         scored = d.crossJoin(F.broadcast(q)).select(
@@ -105,7 +109,9 @@ class BruteForceKNN:
                 out["sim"].extend(float(x) for x in sims_)
             yield pd.DataFrame(out)
 
-        partial = data.mapInPandas(
+        from mmlspark_spark.operators.scale import spread_narrow_scan
+
+        partial = spread_narrow_scan(data).mapInPandas(
             partial_topk, "query_id long, neighbor_id long, sim double"
         )
         return _topk_window(partial, k)

@@ -59,6 +59,12 @@ class SummarizeData(Transformer):
         return T.StructType(fields)
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        # No narrow-scan spread here, measured deliberately: sketch
+        # partial aggregation is cheap per row, so repartitioning a
+        # 1-3-split scan costs more than the parallelism buys
+        # (1.3 s → 1.8 s on the 4-column approx bench query at sf0.1) —
+        # and in exact mode the reordered float summation moves means
+        # at the ~1e-6 level, which the oracle compare would catch.
         numeric = [f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)]
         # Two aggregation passes, NOT one: declarative aggs compile to
         # whole-stage-codegen HashAggregate, but one TypedImperative agg

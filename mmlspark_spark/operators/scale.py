@@ -59,6 +59,26 @@ def salted_join(left: DataFrame, right: DataFrame, on,
     return out.drop("__salt")
 
 
+def spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` up to the cluster's parallelism when its scan
+    has fewer splits than half the available slots.
+
+    Heavy per-row compute (tokenization, hashing, vector math) above a
+    scan with 1-2 splits — a small file, or one giant parquet row-group
+    — serializes onto 1-2 cores while the cluster idles. The shuffle
+    moved here is the input itself, which is exactly the case (input ≪
+    cluster) where that shuffle is cheap. At 100 TB the scan already
+    has orders of magnitude more splits than slots, the guard is false,
+    and this is a no-op — no shuffle is added on the scale path.
+    Measured at sf0.1/local[32]: minhash signatures 3.7 s → 2.3 s.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def zip_with_index(df: DataFrame, start_index: int = 0,
                    col_name: str = "rowId", partition_col=(),
                    order_by_col=()) -> DataFrame:
@@ -96,6 +116,14 @@ def zip_with_index(df: DataFrame, start_index: int = 0,
     # hazard for any non-deterministic source). Cost: materializes the
     # input once to executor memory/disk — the same cost
     # rdd.zipWithIndex() pays for its count pass.
+    # CLUSTER FAILURE MODE: localCheckpoint is non-reliable storage with
+    # truncated lineage — lose an executor between the counts job and
+    # the window job and the computation is unrecoverable (fails, not
+    # corrupts; re-run the operator). On a real cluster prefer a
+    # reliable checkpoint dir (sc.setCheckpointDir + .checkpoint()) for
+    # long-lived frames; the blocks also stay pinned for the session —
+    # callers holding many indexed frames should drop references or use
+    # the reliable path.
     tagged = (df.withColumn("__pid", F.spark_partition_id())
               .withColumn("__mono", F.monotonically_increasing_id())
               .localCheckpoint())

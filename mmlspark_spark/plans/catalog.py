@@ -47,16 +47,22 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
     return deco
 
 
+def _ordered_specs() -> list[QuerySpec]:
+    """Oracled queries first (stable within each group by registration
+    order): the driver correctness-checks a window of the first N
+    registered queries, and an oracled query carries strictly more
+    evidence than a rows-only one. The SAME ordering drives every
+    exported view (queries(), oracle_sql()) so positional consumers
+    can never mispair them."""
+    return sorted(CATALOG.values(), key=lambda s: s.oracle is None)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Oracled queries first (stable within each group by registration order):
-    # the driver correctness-checks a window of the first N registered queries,
-    # and an oracled query carries strictly more evidence than a rows-only one.
-    ordered = sorted(CATALOG.values(), key=lambda s: s.oracle is None)
-    return {spec.name: spec.fn for spec in ordered}
+    return {spec.name: spec.fn for spec in _ordered_specs()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in CATALOG.items()
+    return {spec.name: spec.oracle for spec in _ordered_specs()
             if spec.oracle is not None}
 
 
