@@ -218,3 +218,36 @@ def test_image_featurizer_plumbing(spark, tmp_path):
     row = stage.transform(imgs).collect()[0]
     assert len(row.features) == 1
     assert 0.0 <= row.features[0] <= 1.0
+
+
+def test_vw_example_line_format():
+    from mmlspark_spark.ml.vw import vw_example_line
+
+    # zero features dropped, %g formatting, -1/+1 labels pass through
+    assert vw_example_line(1.0, [0, 1, 2], [0.5, 0.0, 2.0]) == \
+        "1 |f 0:0.5 2:2"
+    assert vw_example_line(-1.0, [3], [1.25]) == "-1 |f 3:1.25"
+    # predict form: no label
+    assert vw_example_line(None, [0], [1.0]) == "|f 0:1"
+    # all-zero vector still renders a (empty-feature) example
+    assert vw_example_line(2.5, [0, 1], [0.0, 0.0]) == "2.5 |f "
+
+
+def test_vw_native_end_to_end(spark):
+    """Gated on the native package: driver-streamed online learning on
+    separable data must classify well and score distributed."""
+    pytest.importorskip("vowpalwabbit")
+    from mmlspark_spark.ml.vw import VowpalWabbitClassifier
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(1000, 3))
+    y = (X[:, 0] - X[:, 1] > 0).astype(float)
+    from pyspark.ml.linalg import Vectors
+    rows = [(Vectors.dense([float(a) for a in x]), float(l))
+            for x, l in zip(X, y)]
+    df = spark.createDataFrame(rows, ["features", "label"])
+    model = VowpalWabbitClassifier(numPasses=5).fit(df)
+    assert type(model).__name__ == "_VWNativeModel"
+    scored = model.transform(df).select("label", "prediction").collect()
+    acc = sum(1.0 for r in scored if r.label == r.prediction) / len(scored)
+    assert acc > 0.9
