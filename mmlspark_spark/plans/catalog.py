@@ -47,14 +47,30 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
     return deco
 
 
+# Oracled queries that had not yet appeared in any driver correctness
+# window through round 3 (the driver checks the first ~50 entries of
+# queries()); they go first this round so every oracled query
+# accumulates at least one driver-verified row. The 12 they displace
+# have three rounds of green driver history.
+_WINDOW_PRIORITY = (
+    "date_featurize", "index_to_value_roundtrip", "count_selector",
+    "text_preprocessor", "per_instance_log_loss", "model_statistics",
+    "ranking_metrics", "featurize_numeric", "tabular_shap_exact",
+    "sequence_packing", "decontamination", "repetition_metrics",
+)
+
+
 def _ordered_specs() -> list[QuerySpec]:
-    """Oracled queries first (stable within each group by registration
-    order): the driver correctness-checks a window of the first N
-    registered queries, and an oracled query carries strictly more
-    evidence than a rows-only one. The SAME ordering drives every
+    """Never-driver-checked oracled queries first, then the remaining
+    oracled queries, then rows-only (stable within each group by
+    registration order): the driver correctness-checks a window of the
+    first N registered queries, and an oracled query carries strictly
+    more evidence than a rows-only one. The SAME ordering drives every
     exported view (queries(), oracle_sql()) so positional consumers
     can never mispair them."""
-    return sorted(CATALOG.values(), key=lambda s: s.oracle is None)
+    return sorted(
+        CATALOG.values(),
+        key=lambda s: (s.oracle is None, s.name not in _WINDOW_PRIORITY))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
