@@ -25,21 +25,28 @@ def barrier_train(
     prepared: DataFrame,
     train_fn: Callable,
     numTasks: int | None = None,
+    repartitionCols: list | None = None,
+    sortCols: list | None = None,
 ):
     """Run ``train_fn`` once per partition under barrier scheduling.
 
-    ``prepared`` must have exactly two columns: features as
-    ``array<double>`` and label as ``double``. ``train_fn(X, y,
-    machines, port, partition_id)`` is called on each executor with
-    that partition's rows as numpy arrays, the gathered ``host:port``
-    machine list (one entry per task, index == partition id), and this
-    task's reserved port; exactly one task (by convention partition 0)
-    returns the non-None model payload, which this function returns.
+    ``prepared`` has columns (features ``array<double>``, label
+    ``double``[, extra]). ``train_fn(X, y, machines, port,
+    partition_id, extra)`` is called on each executor with that
+    partition's rows as numpy arrays (``extra`` is the third column's
+    values, or None), the gathered ``host:port`` machine list (one
+    entry per task, index == partition id), and this task's reserved
+    port; exactly one task (by convention partition 0) returns the
+    non-None model payload, which this function returns.
 
     ``numTasks`` repartitions to that many barrier tasks, capped at
     ``defaultParallelism`` because barrier mode requires every task to
     be scheduled concurrently — at 1000 executors that cap IS the
     cluster, matching the reference's ``numTasks`` semantics.
+    ``repartitionCols`` hash-partitions on those columns instead of
+    round-robin (keeps e.g. ranking query groups whole within one
+    task); ``sortCols`` additionally sorts within partitions (makes
+    groups contiguous).
 
     Scale: each task materializes ONE partition as numpy arrays — the
     same per-worker buffer the native engine needs anyway — and the
@@ -49,7 +56,12 @@ def barrier_train(
     sc = prepared.sparkSession.sparkContext
     n = numTasks or prepared.rdd.getNumPartitions()
     n = max(1, min(n, sc.defaultParallelism))
-    pre = prepared.repartition(n)
+    if repartitionCols:
+        pre = prepared.repartition(n, *repartitionCols)
+        if sortCols:
+            pre = pre.sortWithinPartitions(*sortCols)
+    else:
+        pre = prepared.repartition(n)
 
     def run(it):
         import socket
@@ -70,13 +82,16 @@ def barrier_train(
         host = ctx.getTaskInfos()[pid].address.split(":")[0]
         machines = ctx.allGather(f"{host}:{port}")
         rows = list(it)
+        extra = None
         if rows:
             X = np.asarray([list(r[0]) for r in rows], dtype="float64")
             y = np.asarray([r[1] for r in rows], dtype="float64")
+            if len(rows[0]) > 2:
+                extra = np.asarray([r[2] for r in rows])
         else:  # pragma: no cover - guarded by numTasks <= parallelism
             X = np.zeros((0, 0), dtype="float64")
             y = np.zeros(0, dtype="float64")
-        out = train_fn(X, y, list(machines), port, pid)
+        out = train_fn(X, y, list(machines), port, pid, extra)
         return iter([out] if out is not None else [])
 
     results = pre.rdd.barrier().mapPartitions(run).collect()

@@ -145,7 +145,7 @@ class _LightGBMBase(Estimator):
         params = self._native_params()
         rounds = self.numIterations
 
-        def train_fn(X, y, machines, port, pid):
+        def train_fn(X, y, machines, port, pid, extra):
             import lightgbm
 
             p = dict(params)
@@ -247,16 +247,65 @@ class LightGBMRegressor(_LightGBMBase):
 
 
 class LightGBMRanker(_LightGBMBase):
-    """Ranking objective approximated by regression on relevance labels
-    (documented delta: lambdarank's group-aware loss needs per-group
-    sample layout; with the native package present we still train the
-    regression objective on the bounded sample)."""
+    """Native path: TRUE lambdarank — query groups are hash-partitioned
+    whole onto barrier tasks and sorted contiguous within each
+    (``barrier_train(repartitionCols=[group])``), so every worker hands
+    LightGBM its local group-size layout while histograms sync over the
+    network, matching the reference's group-aware distributed loss
+    (``LightGBMRanker.scala`` + ``LightGBMBase.scala:392-432``).
+    Fallback without the package: regression on relevance labels
+    (documented delta). ``sampleFit`` is ignored — a row sample would
+    shred query groups."""
 
-    _objective = "regression"
+    _objective = "lambdarank"
+
+    def __init__(self, **kw):
+        kw.setdefault("groupCol", "group")
+        super().__init__(**kw)
 
     def _fit(self, df: DataFrame):
-        if _have_lightgbm():
-            return self._fit_with_lightgbm(df)
-        from pyspark.ml.regression import GBTRegressor
+        if not _have_lightgbm():
+            from pyspark.ml.regression import GBTRegressor
 
-        return _WrappedModel(inner=GBTRegressor(**self._spark_params()).fit(df))
+            params = self._spark_params()
+            return _WrappedModel(inner=GBTRegressor(**params).fit(df))
+
+        from mmlspark_spark.ml.barrier import barrier_train
+
+        params = self._native_params()
+        rounds = self.numIterations
+
+        def train_fn(X, y, machines, port, pid, extra):
+            import lightgbm
+            import numpy as np
+
+            # contiguous run-length group sizes (groups are sorted
+            # within the partition by barrier_train)
+            sizes, prev = [], object()
+            for v in (extra if extra is not None else []):
+                if v != prev:
+                    sizes.append(1)
+                    prev = v
+                else:
+                    sizes[-1] += 1
+            p = dict(params)
+            if len(machines) > 1:
+                p.update(tree_learner="data", machines=",".join(machines),
+                         local_listen_port=port,
+                         num_machines=len(machines), pre_partition=True)
+            ds = lightgbm.Dataset(X, label=np.maximum(y, 0).astype(int),
+                                  group=sizes)
+            booster = lightgbm.train(p, ds, num_boost_round=rounds)
+            try:
+                booster.free_network()
+            except Exception:
+                pass
+            return booster.model_to_string() if pid == 0 else None
+
+        prepared = _features_to_array(df, self.featuresCol).select(
+            "__feat", F.col(self.labelCol).cast("double").alias("__y"),
+            F.col(self.groupCol).cast("string").alias("__g"))
+        model_str = barrier_train(prepared, train_fn,
+                                  numTasks=self.numTasks or None,
+                                  repartitionCols=["__g"], sortCols=["__g"])
+        return self._make_model(model_str)

@@ -108,9 +108,10 @@ def test_barrier_train_harness(spark):
         F.array(F.col("id").cast("double")).alias("__feat"),
         (F.col("id") % 2).cast("double").alias("__y"))
 
-    def train_fn(X, y, machines, port, pid):
+    def train_fn(X, y, machines, port, pid, extra):
         # runs on executors: pure numpy/json, no external deps
         assert X.shape[0] == y.shape[0] > 0
+        assert extra is None  # two-column frame
         assert f":{port}" in machines[pid]
         if pid == 0:
             return json.dumps({"n_machines": len(machines),
@@ -122,6 +123,38 @@ def test_barrier_train_harness(spark):
     assert out["n_machines"] == 3
     assert out["distinct"] == 3  # every task bound its own port
     assert 0 < out["rows_pid0"] < 300  # data spread across tasks
+
+
+def test_barrier_train_group_partitioning(spark):
+    """repartitionCols keeps each group whole within one task and
+    sortCols makes it contiguous — the lambdarank layout contract."""
+    import json
+
+    from mmlspark_spark.ml.barrier import barrier_train
+
+    df = spark.range(120).select(
+        F.array(F.col("id").cast("double")).alias("__feat"),
+        (F.col("id") % 3).cast("double").alias("__y"),
+        F.concat(F.lit("q"), (F.col("id") % 12).cast("int")).alias("__g"))
+
+    def train_fn(X, y, machines, port, pid, extra):
+        assert extra is not None and len(extra) == len(y)
+        # groups contiguous: run-length segments never repeat a value
+        segs, prev = [], object()
+        for v in extra:
+            if v != prev:
+                segs.append(v)
+                prev = v
+        assert len(segs) == len(set(segs)), "group split across runs"
+        if pid == 0:
+            return json.dumps({"groups_pid0": sorted(set(map(str, extra))),
+                               "rows": int(len(y))})
+        return None
+
+    out = json.loads(barrier_train(df, train_fn, numTasks=3,
+                                   repartitionCols=["__g"],
+                                   sortCols=["__g"]))
+    assert out["rows"] > 0 and len(out["groups_pid0"]) >= 1
 
 
 def test_lightgbm_distributed_matches_single_node(spark):
