@@ -138,6 +138,11 @@ class LSHKNN:
         self.excludeSelf = excludeSelf
 
     def _signature_bands(self, df: DataFrame, dim: int, prefix: str) -> DataFrame:
+        from mmlspark_spark.operators.scale import spread_narrow_scan
+
+        # numPlanes dot products per vector is the map-heavy part —
+        # don't let a 1-2-split scan serialize it (no-op at scale)
+        df = spread_narrow_scan(df)
         rng = np.random.default_rng(self.seed)
         planes = rng.standard_normal((self.numPlanes, dim))
         r = self.numPlanes // self.bands
@@ -251,8 +256,10 @@ class IVFKNN:
                         out["__cell"].append(int(c))
                 yield pd.DataFrame(out)
 
+        from mmlspark_spark.operators.scale import spread_narrow_scan
+
         vt = "array<double>"
-        return df.mapInPandas(
+        return spread_narrow_scan(df).mapInPandas(
             run, f"{prefix}_id long, {prefix}_vec {vt}, __cell int")
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
