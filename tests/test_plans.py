@@ -55,3 +55,17 @@ def test_dedup_queries_never_plan_cartesian(spark, sf_dir):
                  "exact_dedup", "embedding_dedup"):
         p = _plan(spark, name, sf_dir)
         assert "CartesianProduct" not in p, name
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    """The brute-force scorer must broadcast the (small) query side and
+    stream the corpus — a corpus broadcast would OOM the executors at
+    scale, and a shuffle would move the corpus for no reason."""
+    p = _plan(spark, "knn_bruteforce", sf_dir)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    # the corpus side must not be the broadcast exchange input: the
+    # broadcast subtree should contain only the bounded query slice
+    bcast = p.split("BroadcastExchange")[1]
+    scan_lines = [ln for ln in bcast.splitlines() if "FileScan" in ln]
+    assert scan_lines, "broadcast side should scan the query slice"
