@@ -5,6 +5,12 @@ from mmlspark_spark.llm.dedup import (
     ngram_jaccard_pairs,
 )
 from mmlspark_spark.llm.packing import BenchmarkDecontaminator, SequencePacker
+from mmlspark_spark.llm.scrub import (
+    PIIRedactor,
+    extract_domains,
+    extract_urls,
+    redact_pii,
+)
 from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
 
 __all__ = [
@@ -16,4 +22,8 @@ __all__ = [
     "LSHKNN",
     "SequencePacker",
     "BenchmarkDecontaminator",
+    "PIIRedactor",
+    "redact_pii",
+    "extract_urls",
+    "extract_domains",
 ]

@@ -1,0 +1,83 @@
+"""PII scrubbing + URL extraction for training-data pipelines.
+
+Beyond the reference's surface (SURVEY north-star: the operations a
+100 TB web-corpus pipeline needs before text reaches a trainer):
+redaction of emails / phone numbers / IPv4 addresses / SSNs, and URL /
+domain extraction for domain-level filtering — the standard scrub
+stage of CCNet/RefinedWeb-style pipelines.
+
+Scale design: everything here is a pure Catalyst ``regexp_replace`` /
+``regexp_extract_all`` expression chain — map-only, whole-stage
+codegen, zero shuffles; scrubbing 100 TB is embarrassingly parallel.
+Patterns are written in the common subset of Java regex (Spark) and
+RE2 (DuckDB/Go) so the SQL oracle runs the byte-identical semantics:
+no backreferences, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mmlspark_spark.core.base import Transformer
+
+# Ordered: email first (its local part may contain digits/dots that
+# later digit patterns would otherwise shred).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+URL_PATTERN = r"https?://[^\s]+"
+DOMAIN_PATTERN = r"https?://([^/\s:]+)"
+
+
+def redact_pii(text: Column | str, kinds=tuple(PII_PATTERNS),
+               tokenFormat: str = "<{kind}>") -> Column:
+    """Replace each PII kind with its redaction token (e.g.
+    ``<EMAIL>``). Application order is the ``PII_PATTERNS`` order so
+    composite strings (an email whose local part looks numeric) redact
+    as the more specific kind first. Idempotent: tokens contain no
+    redactable substrings."""
+    col = F.col(text) if isinstance(text, str) else text
+    for kind in kinds:
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"unknown PII kind {kind!r}")
+        col = F.regexp_replace(col, PII_PATTERNS[kind],
+                               tokenFormat.format(kind=kind.upper()))
+    return col
+
+
+def extract_urls(text: Column | str) -> Column:
+    """All http(s) URLs in the text, in order of appearance."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(URL_PATTERN), 0)
+
+
+def extract_domains(text: Column | str) -> Column:
+    """Hostnames of all http(s) URLs (port and path stripped)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(DOMAIN_PATTERN), 1)
+
+
+class PIIRedactor(Transformer):
+    """Map-only PII scrub stage: ``textCol`` → ``outputCol`` with the
+    selected kinds replaced by redaction tokens."""
+
+    def __init__(self, textCol: str = "text", outputCol: str = "redacted",
+                 kinds=tuple(PII_PATTERNS), tokenFormat: str = "<{kind}>"):
+        super().__init__(textCol=textCol, outputCol=outputCol,
+                         kinds=tuple(kinds), tokenFormat=tokenFormat)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.textCol)
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(self.outputCol, T.StringType())])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.outputCol,
+            redact_pii(self.textCol, self.kinds, self.tokenFormat))

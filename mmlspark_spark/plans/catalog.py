@@ -2206,3 +2206,66 @@ def repetition_metrics(spark, sf_dir):
         "doc_id",
         F.round(dup_line_fraction("text"), 6).alias("dup_line_frac"),
         F.round(dup_ngram_fraction("text", 5), 6).alias("dup_5gram_frac"))
+
+
+@register(
+    "pii_redact",
+    oracle=r"""
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        text || ' contact user' || doc_id
+             || '@example.com or 555-867-5309, host 10.0.'
+             || (doc_id % 256) || '.7',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+    FROM documents WHERE doc_id < 1000
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII scrub stage (training-pipeline extras): emails / SSNs /
+    phones / IPv4s replaced by redaction tokens, as a pure map-only
+    regexp chain. PII is PLANTED per row (the synthetic corpus has
+    none) so the oracle exercises real redaction, not an identity."""
+    from mmlspark_spark.llm import PIIRedactor
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309, host 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("text"))
+    out = PIIRedactor(textCol="text", outputCol="redacted").transform(planted)
+    return out.select("doc_id", "redacted")
+
+
+@register(
+    "url_extract",
+    oracle=r"""
+    SELECT doc_id,
+      regexp_extract_all(
+        'see https://site' || (doc_id % 10)
+          || '.example.org/p?x=1 and http://cdn.example.net/img ' || text,
+        'https?://([^/\s:]+)', 1) AS domains
+    FROM documents WHERE doc_id < 1000
+    """,
+)
+def url_extract(spark, sf_dir):
+    """Domain extraction for domain-level corpus filtering (planted
+    URLs, same rationale as pii_redact)."""
+    from mmlspark_spark.llm import extract_domains
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("see https://site"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example.org/p?x=1 and http://cdn.example.net/img "),
+            F.col("text"),
+        ).alias("text"))
+    return planted.select(
+        "doc_id", extract_domains("text").alias("domains"))

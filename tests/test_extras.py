@@ -358,3 +358,38 @@ def test_benchmark_decontaminator_planted(spark):
     assert out[1].contaminated and out[1].contaminated_count >= 3
     assert not out[2].contaminated and out[2].contaminated_count == 0
     assert not out[3].contaminated and out[3].contaminated_count == 0
+
+
+def test_pii_redaction_kinds(spark):
+    from mmlspark_spark.llm import PIIRedactor
+
+    df = spark.createDataFrame([
+        ("reach me at jane.doe+x@sub.example.co.uk thanks",),
+        ("ssn is 123-45-6789 ok",),
+        ("call 555-867-5309 or 555.867.5309",),
+        ("server 192.168.100.7 and 10.0.0.1",),
+        ("clean text stays untouched",),
+    ], ["text"])
+    out = [r.redacted for r in
+           PIIRedactor(textCol="text").transform(df).collect()]
+    assert out[0] == "reach me at <EMAIL> thanks"
+    assert out[1] == "ssn is <SSN> ok"
+    assert out[2] == "call <PHONE> or <PHONE>"
+    assert out[3] == "server <IP> and <IP>"
+    assert out[4] == "clean text stays untouched"
+    # idempotent: re-redacting changes nothing
+    twice = PIIRedactor(textCol="redacted", outputCol="r2").transform(
+        PIIRedactor(textCol="text").transform(df))
+    assert all(r.redacted == r.r2 for r in twice.collect())
+
+
+def test_url_and_domain_extraction(spark):
+    from mmlspark_spark.llm import extract_domains, extract_urls
+
+    df = spark.createDataFrame(
+        [("go to https://a.example.org/x?y=1 then http://b.net:8080/z none",)],
+        ["text"])
+    row = df.select(extract_urls("text").alias("u"),
+                    extract_domains("text").alias("d")).collect()[0]
+    assert row.u == ["https://a.example.org/x?y=1", "http://b.net:8080/z"]
+    assert row.d == ["a.example.org", "b.net"]
