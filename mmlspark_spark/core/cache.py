@@ -44,6 +44,17 @@ def attach_intermediates(out: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def propagate_intermediates(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Copy attached intermediates from ``src`` onto ``dst``.
+
+    The attachment is a plain python attribute, so ANY DataFrame
+    transformation (``select``, ``filter``…) returns a new object
+    without it — a caller that wraps an operator's output must
+    propagate explicitly or its ``release_intermediates`` call silently
+    frees nothing."""
+    return attach_intermediates(dst, *getattr(src, _ATTR, []))
+
+
 def release_intermediates(df: DataFrame) -> None:
     """Unpersist every intermediate attached to ``df`` (no-op if none)."""
     for cached in getattr(df, _ATTR, []):

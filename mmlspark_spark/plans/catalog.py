@@ -861,11 +861,16 @@ def ngram_jaccard_q(spark, sf_dir):
     """Exact word-5-gram Jaccard over shingle-sharing pairs — the
     candidate space is pruned by the shingle equi-join (SURVEY 'LLM
     extras'; scale path = MinHash below)."""
+    from mmlspark_spark.core.cache import propagate_intermediates
     from mmlspark_spark.llm import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(docs, "doc_id", "text", n=5)
-    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    final = out.select("doc_a", "doc_b",
+                       F.round("jaccard", 6).alias("jaccard"))
+    # .select() returns a new object without the attached persisted
+    # handles — propagate so bench's release_intermediates frees them
+    return propagate_intermediates(out, final)
 
 
 @register("minhash_dedup", oracle=None, headline=True)
