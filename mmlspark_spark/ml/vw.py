@@ -51,9 +51,14 @@ def vw_example_line(label: float | None, indices, values,
 
     Pure function (tested without the native package). ``label=None``
     renders a test/predict example. Zero-valued features are dropped —
-    VW treats absent and zero identically for linear models."""
+    VW treats absent and zero identically for linear models — and so
+    are non-finite values (``nan:``/``inf:`` is invalid VW syntax and
+    would poison the whole example)."""
+    import math
+
     feats = " ".join(
-        f"{int(i)}:{v:g}" for i, v in zip(indices, values) if v != 0.0)
+        f"{int(i)}:{v:g}" for i, v in zip(indices, values)
+        if v != 0.0 and math.isfinite(v))
     head = "" if label is None else f"{label:g} "
     return f"{head}|{namespace} {feats}"
 

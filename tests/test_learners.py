@@ -264,6 +264,9 @@ def test_vw_example_line_format():
     assert vw_example_line(None, [0], [1.0]) == "|f 0:1"
     # all-zero vector still renders a (empty-feature) example
     assert vw_example_line(2.5, [0, 1], [0.0, 0.0]) == "2.5 |f "
+    # non-finite features dropped (nan:/inf: is invalid VW syntax)
+    assert vw_example_line(1.0, [0, 1, 2],
+                           [float("nan"), float("inf"), 3.0]) == "1 |f 2:3"
 
 
 def test_vw_native_end_to_end(spark):
