@@ -71,7 +71,9 @@ def connected_components(df: DataFrame, tenantCol: str, userCol: str,
     edges = df.select(t, u, r).distinct()
     users = edges.select(t, u).distinct()
     user2comp = zip_with_index(users, col_name="component")
-    res2comp = None
+    # user count is loop-invariant (labels change, membership doesn't)
+    total = user2comp.count()
+    converged = False
     for _ in range(maxIter):
         res2comp = (edges.join(user2comp, [t, u])
                     .groupBy(t, r).agg(F.min("component").alias("component")))
@@ -79,10 +81,25 @@ def connected_components(df: DataFrame, tenantCol: str, userCol: str,
                .groupBy(t, u).agg(F.min("component").alias("component")))
         nxt = nxt.localCheckpoint()
         unchanged = user2comp.join(nxt, [t, u, "component"]).count()
-        total = user2comp.count()
-        user2comp = nxt
+        prev, user2comp = user2comp, nxt
+        # drop the superseded checkpoint's blocks (first iteration's
+        # prev is the zip_with_index frame, also safe to unpersist)
+        prev.unpersist()
         if unchanged == total:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit maxIter={maxIter} before the "
+            "fixed point; component labels may be unconverged and "
+            "genuinely connected pairs can score +inf. Raise maxIter.",
+            RuntimeWarning)
+    # res2comp must reflect the FINAL user labels — inside the loop it
+    # lags one propagation behind user2comp.
+    res2comp = (edges.join(user2comp, [t, u])
+                .groupBy(t, r).agg(F.min("component").alias("component")))
     return user2comp, res2comp
 
 

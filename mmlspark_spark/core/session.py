@@ -75,9 +75,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         if isinstance(ts_type, TimestampNTZType):  # micros generation
             # NTZ→LTZ reinterprets the wall-clock in the SESSION TZ; a
             # caller that didn't come through get_spark would silently
-            # shift instants, so pin UTC here (runtime-settable, like
-            # nanosAsLong above).
+            # shift instants, so pin UTC around the DataFrame build.
+            # The zone is baked into the Cast during (eager) analysis,
+            # so restoring the caller's TZ afterwards keeps this read
+            # helper free of session-wide side effects.
+            prev_tz = spark.conf.get("spark.sql.session.timeZone")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            try:
+                return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            finally:
+                spark.conf.set("spark.sql.session.timeZone", prev_tz)
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -197,7 +197,11 @@ class LightGBMNativeModel(Model):
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.featuresCol)
-        return schema.add(self.predictionCol, T.DoubleType())
+        # StructType.add mutates in place; never touch the caller's
+        # (possibly cached) schema object.
+        return T.StructType(
+            list(schema.fields)
+            + [T.StructField(self.predictionCol, T.DoubleType())])
 
     def _transform(self, df: DataFrame) -> DataFrame:
         model_str = self.modelStr

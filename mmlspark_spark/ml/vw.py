@@ -194,7 +194,11 @@ class _VWNativeModel(Model):
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.featuresCol)
-        return schema.add(self.predictionCol, T.DoubleType())
+        # StructType.add mutates in place; never touch the caller's
+        # (possibly cached) schema object.
+        return T.StructType(
+            list(schema.fields)
+            + [T.StructField(self.predictionCol, T.DoubleType())])
 
     def _transform(self, df: DataFrame) -> DataFrame:
         from pyspark.ml.functions import vector_to_array
@@ -217,16 +221,20 @@ class _VWNativeModel(Model):
                 path = f.name
             try:
                 ws = vowpalwabbit.Workspace(f"--quiet -i {path}")
-                for pdf in batches:
-                    preds = []
-                    for v in pdf["__v"]:
-                        raw = ws.predict(
-                            vw_example_line(None, range(len(v)), v))
-                        preds.append(
-                            float(raw > 0.0) if is_clf else float(raw))
-                    pdf[pred_col] = preds
-                    yield pdf
-                ws.finish()
+                try:
+                    for pdf in batches:
+                        preds = []
+                        for v in pdf["__v"]:
+                            raw = ws.predict(
+                                vw_example_line(None, range(len(v)), v))
+                            preds.append(
+                                float(raw > 0.0) if is_clf else float(raw))
+                        pdf[pred_col] = preds
+                        yield pdf
+                finally:
+                    # finish() in finally: a raising batch must not leak
+                    # the native workspace for the executor stream.
+                    ws.finish()
             finally:
                 os.unlink(path)
 
@@ -247,23 +255,24 @@ class _VWNativeFitMixin:
         if self.l2:
             args += f" --l2 {self.l2}"
         ws = vowpalwabbit.Workspace(args)
-        lines = _example_lines(df, self.featuresCol, self.labelCol,
-                               self._classifier)
-        # toLocalIterator: one partition in flight — constant driver
-        # memory; example rendering runs distributed. numPasses
-        # re-iterations approximate VW's own multi-pass cache.
-        for _ in range(max(1, int(self.numPasses))):
-            for row in lines.toLocalIterator(prefetchPartitions=True):
-                ws.learn(row.line)
-        path = os.path.join(tempfile.mkdtemp(), "model.vw")
         try:
-            ws.save(path)
-            with open(path, "rb") as f:
-                blob = f.read()
+            lines = _example_lines(df, self.featuresCol, self.labelCol,
+                                   self._classifier)
+            # toLocalIterator: one partition in flight — constant driver
+            # memory; example rendering runs distributed. numPasses
+            # re-iterations approximate VW's own multi-pass cache.
+            for _ in range(max(1, int(self.numPasses))):
+                for row in lines.toLocalIterator(prefetchPartitions=True):
+                    ws.learn(row.line)
+            with tempfile.TemporaryDirectory() as tmp:
+                path = os.path.join(tmp, "model.vw")
+                ws.save(path)
+                with open(path, "rb") as f:
+                    blob = f.read()
         finally:
-            if os.path.exists(path):
-                os.unlink(path)
-        ws.finish()
+            # finish() in finally: learn/save failures must not leak
+            # the native workspace.
+            ws.finish()
         return _VWNativeModel(
             modelBytes=blob, featuresCol=self.featuresCol,
             predictionCol=self.predictionCol,

@@ -287,3 +287,56 @@ def test_vw_native_end_to_end(spark):
     scored = model.transform(df).select("label", "prediction").collect()
     acc = sum(1.0 for r in scored if r.label == r.prediction) / len(scored)
     assert acc > 0.9
+
+
+def test_barrier_train_no_empty_partitions(spark):
+    """numTasks above the distinct-group (or row) count must not
+    produce empty barrier tasks — an empty task's native trainer would
+    die inside the barrier while the rest block in NetworkInit."""
+    import json
+
+    from mmlspark_spark.ml.barrier import barrier_train
+
+    df = spark.range(40).select(
+        F.array(F.col("id").cast("double")).alias("__feat"),
+        (F.col("id") % 2).cast("double").alias("__y"),
+        F.concat(F.lit("q"), (F.col("id") % 2).cast("int")).alias("__g"))
+
+    def train_fn(X, y, machines, port, pid, extra):
+        assert X.shape[0] > 0, "empty barrier partition reached train_fn"
+        if pid == 0:
+            return json.dumps({"n_machines": len(machines)})
+        return None
+
+    # 2 distinct groups, 8 requested tasks -> capped at 2
+    out = json.loads(barrier_train(df, train_fn, numTasks=8,
+                                   repartitionCols=["__g"]))
+    assert out["n_machines"] == 2
+
+    # 3 rows round-robin across 8 requested tasks -> capped at 3
+    tiny = df.limit(3)
+    out = json.loads(barrier_train(tiny, train_fn, numTasks=8))
+    assert out["n_machines"] <= 3
+
+    with pytest.raises(ValueError, match="empty dataset"):
+        barrier_train(df.limit(0), train_fn, numTasks=2)
+
+
+def test_native_model_transform_schema_does_not_mutate_input(spark):
+    """StructType.add mutates in place; transform_schema must build a
+    fresh schema instead of appending a phantom field to the input
+    DataFrame's cached schema object."""
+    from pyspark.ml.linalg import Vectors
+
+    from mmlspark_spark.ml.lightgbm import LightGBMNativeModel
+    from mmlspark_spark.ml.vw import _VWNativeModel
+
+    df = spark.createDataFrame(
+        [(Vectors.dense([1.0, 2.0]), 1.0)], ["features", "label"])
+    before = [f.name for f in df.schema.fields]
+    for model in (LightGBMNativeModel(), _VWNativeModel()):
+        out_schema = model.transform_schema(df.schema)
+        assert [f.name for f in df.schema.fields] == before
+        assert out_schema.fields[-1].name == "prediction"
+        # the caller's frame still selects all of its own columns
+        df.select(*df.columns)
