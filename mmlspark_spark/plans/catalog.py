@@ -47,16 +47,23 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
     return deco
 
 
-# Oracled queries that had not yet appeared in any driver correctness
-# window through round 3 (the driver checks the first ~50 entries of
-# queries()); they go first this round so every oracled query
-# accumulates at least one driver-verified row. The 12 they displace
-# have three rounds of green driver history.
+# Driver correctness-checks a window of the first ~50 entries of
+# queries(). Round-5 priority, in order of evidence need:
+# (a) pii_redact / url_extract — oracled in round 4 but landed after
+#     that round's driver run, so they have never had a driver row;
+# (b) tabular_shap_exact / sequence_packing — the two round-4 hash
+#     misses, now canonicalized (-0.0 and HUGEINT-modulo rendering),
+#     must re-enter the window to prove hash-exact;
+# (c) the 12 queries the round-4 rotation displaced — hash-green as of
+#     round 3, but stages.py/scale.py changed under them since, so
+#     they rotate back for re-confirmation.
 _WINDOW_PRIORITY = (
-    "date_featurize", "index_to_value_roundtrip", "count_selector",
-    "text_preprocessor", "per_instance_log_loss", "model_statistics",
-    "ranking_metrics", "featurize_numeric", "tabular_shap_exact",
-    "sequence_packing", "decontamination", "repetition_metrics",
+    "pii_redact", "url_extract",
+    "tabular_shap_exact", "sequence_packing",
+    "asof_join", "range_join", "cube_counts", "stratified_repartition",
+    "lambda_stage", "udf_transformer", "multi_column_adapter",
+    "drop_missing", "minibatch_roundtrip", "partition_ops_identity",
+    "lang_id_heuristic", "unicode_normalize",
 )
 
 
@@ -2043,10 +2050,10 @@ def featurize_numeric(spark, sf_dir):
       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10
     )
     SELECT l_orderkey, l_linenumber,
-           round(2 * bq + 10 * bd - 3 * bt, 4) AS base,
-           round(2 * (l_quantity - bq), 4) AS phi_q,
-           round(10 * (l_discount - bd), 4) AS phi_d,
-           round(-3 * (l_tax - bt), 4) AS phi_t
+           round(2 * bq + 10 * bd - 3 * bt, 4) + 0 AS base,
+           round(2 * (l_quantity - bq), 4) + 0 AS phi_q,
+           round(10 * (l_discount - bd), 4) + 0 AS phi_d,
+           round(-3 * (l_tax - bt), 4) + 0 AS phi_t
     FROM p, b
     """,
 )
@@ -2070,12 +2077,15 @@ def tabular_shap_exact(spark, sf_dir):
         backgroundData=ordered.limit(1), targetCol="prediction",
         numSamples=64, seed=7)
     out = shap.transform(ordered.limit(10))
+    # "+ 0" on both sides canonicalizes IEEE -0.0 to 0.0 (DuckDB's
+    # round keeps the sign of zero; the driver value-hash is
+    # repr-sensitive, so -0.0 vs 0.0 is a hash miss).
     return out.select(
         "l_orderkey", "l_linenumber",
-        F.round(F.col("shapValues")[0], 4).alias("base"),
-        F.round(F.col("shapValues")[1], 4).alias("phi_q"),
-        F.round(F.col("shapValues")[2], 4).alias("phi_d"),
-        F.round(F.col("shapValues")[3], 4).alias("phi_t"))
+        (F.round(F.col("shapValues")[0], 4) + 0).alias("base"),
+        (F.round(F.col("shapValues")[1], 4) + 0).alias("phi_q"),
+        (F.round(F.col("shapValues")[2], 4) + 0).alias("phi_d"),
+        (F.round(F.col("shapValues")[3], 4) + 0).alias("phi_t"))
 
 
 @register(
@@ -2098,7 +2108,10 @@ def tabular_shap_exact(spark, sf_dir):
     )
     SELECT doc_id, n_tokens, shard,
            CAST(floor(cum_before / 512.0) AS BIGINT) AS seq_index,
-           cum_before % 512 AS seq_offset
+           -- windowed sum is HUGEINT in DuckDB; without the cast the
+           -- modulo surfaces as float64 and value-hashes differently
+           -- from Spark's int64
+           CAST(cum_before % 512 AS BIGINT) AS seq_offset
     FROM placed
     """,
 )
@@ -2252,10 +2265,10 @@ def pii_redact(spark, sf_dir):
     "url_extract",
     oracle=r"""
     SELECT doc_id,
-      regexp_extract_all(
+      array_to_string(regexp_extract_all(
         'see https://site' || (doc_id % 10)
           || '.example.org/p?x=1 and http://cdn.example.net/img ' || text,
-        'https?://([^/\s:]+)', 1) AS domains
+        'https?://([^/\s:]+)', 1), ' ') AS domains
     FROM documents WHERE doc_id < 1000
     """,
 )
@@ -2272,5 +2285,9 @@ def url_extract(spark, sf_dir):
             F.lit(".example.org/p?x=1 and http://cdn.example.net/img "),
             F.col("text"),
         ).alias("text"))
+    # joined to a scalar string: no hash-green driver row has ever
+    # carried a raw array column, so don't make this query the first
+    # to probe the driver's array hashing
     return planted.select(
-        "doc_id", extract_domains("text").alias("domains"))
+        "doc_id",
+        F.array_join(extract_domains("text"), " ").alias("domains"))
