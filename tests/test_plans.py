@@ -60,8 +60,35 @@ def test_dedup_queries_never_plan_cartesian(spark, sf_dir):
 def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     """The brute-force scorer must broadcast the (small) query side and
     stream the corpus — a corpus broadcast would OOM the executors at
-    scale, and a shuffle would move the corpus for no reason."""
+    scale, and a shuffle would move the corpus for no reason. The
+    catalog query runs the numpy scale path: queries go out via
+    sc.broadcast, the corpus streams through one mapInPandas partial
+    top-k, so the plan has NO join at all and the only exchange is the
+    O(queries*k) partial-result shuffle for the final window."""
     p = _plan(spark, "knn_bruteforce", sf_dir)
+    assert "MapInPandas" in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    # the corpus scan must feed mapInPandas directly — no exchange
+    # between scan and the partial top-k (the corpus never shuffles)
+    scan_after_map = p.split("MapInPandas")[1]
+    assert "FileScan" in scan_after_map
+    assert "Exchange" not in scan_after_map.split("FileScan")[0]
+
+
+def test_knn_expr_path_broadcasts_queries_not_corpus(spark, sf_dir):
+    """The declarative expr variant keeps the original contract: a
+    BroadcastNestedLoopJoin whose broadcast side is the bounded query
+    slice, never the corpus."""
+    from pyspark.sql import functions as F
+
+    from mmlspark_spark.core.session import load_table
+    from mmlspark_spark.llm import BruteForceKNN
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = BruteForceKNN(idCol="vec_id", vecCol="embedding", k=10,
+                        method="expr").search(emb, q)
+    p = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
     # the corpus side must not be the broadcast exchange input: the

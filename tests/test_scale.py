@@ -80,3 +80,23 @@ def test_zip_with_index_partitioned(spark):
     got = {(r.t, r.v): r.rowId for r in out.collect()}
     assert got[("a", 1)] == 0 and got[("a", 2)] == 1 and got[("a", 3)] == 2
     assert got[("b", 1)] == 0 and got[("b", 2)] == 1
+
+
+def test_spread_narrow_scan_byte_floor(spark):
+    """Byte-aware guard: a tiny narrow input is spread with the default
+    floor (expensive per-row work) but kept narrow under the BLAS-class
+    floor; a wide input is a no-op either way (the scale property)."""
+    from mmlspark_spark.operators.scale import (
+        VECTOR_MATH_BYTES_PER_SLOT,
+        spread_narrow_scan,
+    )
+
+    narrow = spark.range(1000).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    assert spread_narrow_scan(narrow).rdd.getNumPartitions() == target
+    assert (spread_narrow_scan(narrow, VECTOR_MATH_BYTES_PER_SLOT)
+            .rdd.getNumPartitions() == 1)
+
+    wide = spark.range(1000).repartition(target)
+    for floor in (0, VECTOR_MATH_BYTES_PER_SLOT):
+        assert spread_narrow_scan(wide, floor) is wide  # no added shuffle
