@@ -111,6 +111,13 @@ def start_serving_server(name: str, host: str = "127.0.0.1",
         state = _ServerState()
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: with the 1.0 default every request
+            # opens a fresh TCP connection, and a concurrent burst of
+            # connects can overflow the accept backlog — the kernel's
+            # 1 s SYN retransmit then shows up as a bimodal ~1.2 s p99
+            # on an otherwise ~0.15 s path (observed in rounds 3-4).
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):
                 pass
 
@@ -138,6 +145,9 @@ def start_serving_server(name: str, host: str = "127.0.0.1",
                 resp = state.wait_for_reply(rid, REPLY_TIMEOUT)
                 if resp is None:
                     self.send_response(504)
+                    # HTTP/1.1: a response without Content-Length would
+                    # otherwise force a connection close
+                    self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
                 status, payload = resp
@@ -149,7 +159,13 @@ def start_serving_server(name: str, host: str = "127.0.0.1",
 
             do_GET = do_PUT = do_DELETE = _serve
 
-        srv = ThreadingHTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            # default backlog of 5 is the other half of the SYN-retry
+            # tail; keep-alive makes bursts of new connections rare,
+            # the deeper backlog absorbs the ones that remain
+            request_queue_size = 128
+
+        srv = _Server((host, port), Handler)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         _SERVERS[name] = (srv, state, srv.server_port)
         return srv.server_port
