@@ -56,10 +56,15 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     must re-enter the window to prove hash-exact;
 # (c) the 12 queries the round-4 rotation displaced — hash-green as of
 #     round 3, but stages.py/scale.py changed under them since, so
-#     they rotate back for re-confirmation.
+#     they rotate back for re-confirmation;
+# (d) knn_stage / isolation_forest / train_classifier_metrics —
+#     converted from rows-only to oracled this round (exact top-k /
+#     planted detection / separable closed-form metrics), never
+#     driver-checked as oracled.
 _WINDOW_PRIORITY = (
     "pii_redact", "url_extract",
     "tabular_shap_exact", "sequence_packing",
+    "knn_stage", "isolation_forest", "train_classifier_metrics",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
     "drop_missing", "minibatch_roundtrip", "partition_ops_identity",
@@ -1216,19 +1221,35 @@ def id_indexer(spark, sf_dir):
             .select("event_id", "event_type", "idx"))
 
 
-@register("isolation_forest", oracle=None)
+@register(
+    "isolation_forest",
+    oracle="""
+    SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
 def isolation_forest(spark, sf_dir):
-    """Seeded iForest over embeddings: fit touches numTrees*maxSamples
-    sampled rows only; scoring is a broadcast ensemble + Arrow-batched
-    pandas UDF (rows-only check: scores asserted in tests/test_anomaly.py)."""
+    """Seeded iForest over embeddings with PLANTED outliers (every 50th
+    vector scaled 100x): raw path-length scores have no cross-engine
+    oracle, but detection does — the top-|planted| scored ids must be
+    exactly the planted set, which the oracle derives from the planting
+    rule. An iForest that fails to isolate 100x-magnitude points fails
+    the hash. Raw scores are asserted against an independent seeded
+    reference in tests/test_anomaly.py."""
     from mmlspark_spark.anomaly import IsolationForest
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "features", F.col("embedding").cast("array<double>"))
+        "features",
+        F.when(F.col("vec_id") % 50 == 0,
+               F.transform(F.col("embedding"),
+                           lambda x: x.cast("double") * 100.0))
+        .otherwise(F.col("embedding").cast("array<double>")))
+    n_planted = emb.filter(F.col("vec_id") % 50 == 0).count()
     model = IsolationForest(featuresCol="features", numTrees=50,
                             maxSamples=128, seed=42).fit(emb)
-    return (model.transform(emb).filter(F.col("vec_id") < 500)
-            .select("vec_id", F.round("outlierScore", 6).alias("outlier_score")))
+    return (model.transform(emb)
+            .orderBy(F.col("outlierScore").desc(), "vec_id")
+            .limit(n_planted)
+            .select("vec_id"))
 
 
 @register("access_anomaly", oracle=None)
@@ -1248,11 +1269,29 @@ def access_anomaly(spark, sf_dir):
         "user", "res", F.round("anomaly_score", 4).alias("anomaly_score"))
 
 
-@register("knn_stage", oracle=None)
+@register(
+    "knn_stage",
+    oracle="""
+    SELECT vec_id, rank, neighbor FROM (
+      SELECT q.vec_id AS vec_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_inner_product(q.embedding::DOUBLE[],
+                                           d.embedding::DOUBLE[]) DESC,
+                        d.vec_id ASC) - 1 AS INT) AS rank,
+             CAST(d.vec_id AS VARCHAR) AS neighbor
+      FROM embeddings q JOIN embeddings d ON d.vec_id < 2000
+      WHERE q.vec_id < 50
+    ) WHERE rank < 5
+    """,
+)
 def knn_stage(spark, sf_dir):
     """KNN stage API (nn/KNN.scala parity): broadcast index + BLAS batch
-    queries in mapInPandas; exactness asserted vs brute force in
-    tests/test_nn.py."""
+    queries in mapInPandas. Exact mode is deterministic, so the whole
+    stage path is SQL-oracled: max-inner-product top-5 with ties broken
+    by index order (= vec_id order: the fit-side collect preserves the
+    single-file parquet scan's row order, asserted in tests/test_nn.py
+    exact-vs-brute)."""
     from mmlspark_spark.nn import KNN
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -1477,18 +1516,35 @@ def unicode_normalize(spark, sf_dir):
     return out.select("doc_id", "norm")
 
 
-@register("train_classifier_metrics", oracle=None)
+@register(
+    "train_classifier_metrics",
+    oracle="""
+    SELECT 1.0 AS accuracy, 1.0 AS precision, 1.0 AS recall, 1.0 AS AUC,
+           CAST(sum(CASE WHEN l_extendedprice > 35000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN l_extendedprice < 25000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_neg
+    FROM lineitem
+    WHERE l_extendedprice > 35000 OR l_extendedprice < 25000
+    """,
+)
 def train_classifier_metrics(spark, sf_dir):
-    """TrainClassifier + ComputeModelStatistics end-to-end on a derived
-    binary label (rows-only; golden-metric tolerances asserted in
-    tests/test_ml.py)."""
+    """TrainClassifier + ComputeModelStatistics end-to-end. The label is
+    a wide-margin price threshold (positive above 35k, negative below
+    25k, gap rows dropped), so a correctly trained model's metrics are
+    closed-form — accuracy/precision/recall/AUC all exactly 1.0 — and
+    the whole train→score→evaluate path is hash-checked: a model that
+    fails to separate the 10k-wide margin fails the oracle. n_pos/n_neg
+    tie the check to the actual data selection. Golden-metric
+    tolerances on a non-separable task stay in tests/test_ml.py."""
     from mmlspark_spark.ml import ComputeModelStatistics, TrainClassifier
 
     li = (_t(spark, sf_dir, "lineitem")
-          .select("l_quantity", "l_extendedprice", "l_discount", "l_tax",
-                  "l_returnflag")
-          .withColumn("label", (F.col("l_returnflag") == "R").cast("double"))
-          .drop("l_returnflag").limit(5000))
+          .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .filter((F.col("l_extendedprice") > 35000)
+                  | (F.col("l_extendedprice") < 25000))
+          .withColumn("label",
+                      (F.col("l_extendedprice") > 35000).cast("double")))
     from pyspark.ml.classification import LogisticRegression
 
     model = TrainClassifier(model=LogisticRegression(), labelCol="label")\
@@ -1496,9 +1552,11 @@ def train_classifier_metrics(spark, sf_dir):
     scored = model.transform(li)
     stats = ComputeModelStatistics(evaluationMetric="classification")\
         .transform(scored)
+    counts = li.agg(
+        F.sum(F.col("label").cast("bigint")).alias("n_pos"),
+        F.sum((1 - F.col("label")).cast("bigint")).alias("n_neg"))
     return stats.select([F.round(F.col(c), 4).alias(c)
-                         if c not in ("confusion_matrix",) else F.col(c).cast("string").alias(c)
-                         for c in stats.columns])
+                         for c in stats.columns]).crossJoin(counts)
 
 
 @register("vw_featurizer", oracle=None)
