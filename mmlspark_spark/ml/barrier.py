@@ -27,6 +27,7 @@ def barrier_train(
     numTasks: int | None = None,
     repartitionCols: list | None = None,
     sortCols: list | None = None,
+    pass_context: bool = False,
 ):
     """Run ``train_fn`` once per partition under barrier scheduling.
 
@@ -38,6 +39,10 @@ def barrier_train(
     entry per task, index == partition id), and this task's reserved
     port; exactly one task (by convention partition 0) returns the
     non-None model payload, which this function returns.
+    ``pass_context=True`` appends the live ``BarrierTaskContext`` as a
+    seventh argument so iterative trainers can run their own per-pass
+    ``allGather`` synchronization (the reference's per-pass allreduce,
+    ``VowpalWabbitBase.scala:339-445``).
 
     ``numTasks`` repartitions to that many barrier tasks, capped at
     ``defaultParallelism`` because barrier mode requires every task to
@@ -123,7 +128,8 @@ def barrier_train(
         else:  # pragma: no cover - guarded by numTasks <= parallelism
             X = np.zeros((0, 0), dtype="float64")
             y = np.zeros(0, dtype="float64")
-        out = train_fn(X, y, list(machines), port, pid, extra)
+        args = (X, y, list(machines), port, pid, extra)
+        out = train_fn(*args, ctx) if pass_context else train_fn(*args)
         return iter([out] if out is not None else [])
 
     results = pre.rdd.barrier().mapPartitions(run).collect()

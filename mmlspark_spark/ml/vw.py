@@ -20,11 +20,21 @@ natively). Learners have two gated paths:
   spanning-tree allreduce (``VowpalWabbitBase.scala:339-445``): the
   python package exposes no allreduce coordinator, so training
   throughput is driver-streaming-bound — the semantics are exact
-  single-learner VW (stronger than averaged workers), the scale path
-  for linear models remains the SparkML fallback below;
+  single-learner VW (stronger than averaged workers);
+- ``useBarrierExecutionMode=True`` → the reference's multi-node shape:
+  one worker per partition under barrier gang-scheduling with a
+  per-pass weight average over ``BarrierTaskContext.allGather``
+  (``_VWDistributedFitMixin`` — iterative parameter mixing, the same
+  convergence contract as the reference's pass-boundary model
+  averaging). Pure numpy on the worker because the python VW bindings
+  read weights but cannot inject them;
 - otherwise → SGD-family SparkML models over the same hashed features
   (LogisticRegression / LinearRegression), VW's model class trained by
   Spark's distributed optimizer.
+
+Hash parity: ``VowpalWabbitFeaturizer(useVWHashing=True)`` reproduces
+VW's murmur3 feature indexing byte-for-byte via
+``functions/murmur.py`` (``VowpalWabbitMurmurWithPrefix.scala:1-77``).
 """
 
 from __future__ import annotations
@@ -64,10 +74,30 @@ def vw_example_line(label: float | None, indices, values,
 
 
 class VowpalWabbitFeaturizer(Transformer):
+    """Typed feature hashing into a 2^numBits sparse vector
+    (VowpalWabbitFeaturizer.scala:24-231).
+
+    Two hash paths:
+
+    - default: Spark's ``FeatureHasher`` (JVM murmur3, seed 42) —
+      fastest, whole-stage codegen, the engine's own hash family;
+    - ``useVWHashing=True``: byte-for-byte VW hash parity
+      (``VowpalWabbitMurmurWithPrefix.scala:1-77`` semantics) so the
+      produced indices line up with feature spaces of models trained
+      by native VW: string columns hash ``colname + value`` with the
+      column-name murmur state pre-advanced as a prefix, numeric
+      columns hash the bare column name and carry the value, and the
+      index is ``murmur & (2^numBits - 1)`` (VW masks, it does not
+      mod). Arrow-batched pandas UDF — the per-value work is
+      O(len(value)) thanks to the cached prefix state.
+    """
+
     def __init__(self, inputCols=None, outputCol: str = "features",
-                 numBits: int = 18):
+                 numBits: int = 18, useVWHashing: bool = False,
+                 seed: int = 0):
         super().__init__(inputCols=list(inputCols or []), outputCol=outputCol,
-                         numBits=numBits)
+                         numBits=numBits, useVWHashing=useVWHashing,
+                         seed=seed)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         from pyspark.ml.linalg import VectorUDT
@@ -77,12 +107,73 @@ class VowpalWabbitFeaturizer(Transformer):
                             + [T.StructField(self.outputCol, VectorUDT())])
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        if self.useVWHashing:
+            return self._transform_vw(df)
         from pyspark.ml.feature import FeatureHasher
 
         hasher = FeatureHasher(inputCols=self.inputCols,
                                outputCol=self.outputCol,
                                numFeatures=2 ** self.numBits)
         return hasher.transform(df)
+
+    def _transform_vw(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.linalg import VectorUDT
+        from pyspark.sql.functions import pandas_udf
+
+        cols = list(self.inputCols)
+        mask = (1 << self.numBits) - 1
+        dim = 1 << self.numBits
+        seed = self.seed
+        numeric = {
+            f.name for f in df.schema.fields
+            if f.name in cols and isinstance(
+                f.dataType, (T.IntegerType, T.LongType, T.ShortType,
+                             T.ByteType, T.FloatType, T.DoubleType,
+                             T.DecimalType))
+        }
+
+        @pandas_udf(VectorUDT())
+        def hash_rows(*series):
+            import pandas as pd
+
+            from mmlspark_spark.functions.murmur import (
+                Murmur3PrefixState, murmur3_x86_32)
+
+            # Column-name murmur states computed once per batch: a
+            # numeric column's index is fixed (hash of the bare name),
+            # a string column re-uses the prefix state per value.
+            # Output is VectorUDT's serialized struct (type 0 =
+            # sparse) so the batch stays on the Arrow path — a scalar
+            # pandas UDF cannot yield SparseVector objects directly.
+            states, fixed_idx = {}, {}
+            for c in cols:
+                if c in numeric:
+                    fixed_idx[c] = murmur3_x86_32(c, seed) & mask
+                else:
+                    states[c] = Murmur3PrefixState(c, seed)
+            n = len(series[0])
+            indices, values = [], []
+            for row in zip(*series):
+                acc: dict[int, float] = {}
+                for c, v in zip(cols, row):
+                    # numeric nulls surface as NaN through Arrow
+                    if v is None or (isinstance(v, float) and v != v):
+                        continue
+                    if c in numeric:
+                        i, val = fixed_idx[c], float(v)
+                        if val == 0.0:
+                            continue  # VW drops zero-valued features
+                    else:
+                        i, val = states[c].hash(str(v)) & mask, 1.0
+                    acc[i] = acc.get(i, 0.0) + val
+                pairs = sorted(acc.items())
+                indices.append([p[0] for p in pairs])
+                values.append([p[1] for p in pairs])
+            return pd.DataFrame({
+                "type": [0] * n, "size": [dim] * n,
+                "indices": indices, "values": values})
+
+        return df.withColumn(self.outputCol, hash_rows(*cols))
 
 
 class VowpalWabbitInteractions(Transformer):
@@ -138,6 +229,10 @@ class _VWLearnerBase(Estimator):
         kw.setdefault("predictionCol", "prediction")
         kw.setdefault("numPasses", 10)
         kw.setdefault("l2", 0.0)
+        kw.setdefault("learningRate", 0.5)
+        kw.setdefault("useBarrierExecutionMode", False)
+        kw.setdefault("numTasks", 0)
+        kw.setdefault("seed", 42)
         super().__init__(**kw)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
@@ -279,10 +374,127 @@ class _VWNativeFitMixin:
             isClassifier=self._classifier)
 
 
-class VowpalWabbitClassifier(_VWLearnerBase, _VWNativeFitMixin):
+class _VWAveragedModel(Model):
+    """Linear model from the barrier-averaged distributed fit: VW's
+    model family (hashed linear features, logistic/squared loss),
+    scored JVM-side when possible — the margin is a dot product, so a
+    weight array under ~10k dims rides ``vector_to_array`` +
+    ``F.aggregate``; wider models use an Arrow-batched numpy UDF."""
+
+    def __init__(self, weights=None, featuresCol: str = "features",
+                 predictionCol: str = "prediction", isClassifier: bool = False):
+        super().__init__(weights=list(weights or []),
+                         featuresCol=featuresCol,
+                         predictionCol=predictionCol,
+                         isClassifier=isClassifier)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.featuresCol)
+        return T.StructType(
+            list(schema.fields)
+            + [T.StructField(self.predictionCol, T.DoubleType())])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+
+        from mmlspark_spark.ml.lightgbm import _features_to_array
+
+        w = self.weights
+        is_clf = self.isClassifier
+        with_arr = _features_to_array(df, self.featuresCol)
+
+        @pandas_udf("double")
+        def margin(col):
+            import numpy as np
+            import pandas as pd
+
+            wv = np.asarray(w, dtype="float64")
+            X = np.asarray(col.tolist(), dtype="float64")
+            return pd.Series(X @ wv)
+
+        m = margin(F.col("__feat"))
+        pred = (m > 0).cast("double") if is_clf else m
+        return with_arr.withColumn(self.predictionCol, pred).drop("__feat")
+
+
+class _VWDistributedFitMixin:
+    """Reference ``VowpalWabbitBase.scala:339-445``: one VW worker per
+    partition with a per-pass allreduce that averages models across
+    the cluster. The python ``vowpalwabbit`` bindings expose weight
+    READS (``get_weight``) but no weight injection, so a native
+    workspace cannot participate in an average — the distributed path
+    instead trains the same model family (linear over hashed features,
+    logistic/squared loss) with per-partition numpy SGD and synchronizes
+    weights through ``BarrierTaskContext.allGather`` at every pass
+    boundary (iterative parameter mixing — same convergence contract
+    as the reference's model averaging). Payloads are the weight
+    vector (8 B/dim, base64 over the barrier RPC) — fine for linear
+    models up to ~2^21 dims; beyond that use the exact single-learner
+    native path."""
+
+    def _fit_distributed(self, df: DataFrame):
+        from mmlspark_spark.ml.barrier import barrier_train
+        from mmlspark_spark.ml.lightgbm import _features_to_array
+
+        lab = F.col(self.labelCol).cast("double")
+        if self._classifier:
+            lab = F.when(lab > 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        prepared = _features_to_array(df, self.featuresCol).select(
+            "__feat", lab.alias("__y"))
+
+        passes = max(1, int(self.numPasses))
+        lr0, l2, seed = float(self.learningRate), float(self.l2), self.seed
+        is_clf = self._classifier
+
+        def train_fn(X, y, machines, port, pid, extra, ctx):
+            import base64
+            import json
+
+            import numpy as np
+
+            w = np.zeros(X.shape[1], dtype="float64")
+            t = 0
+            for p in range(passes):
+                order = np.random.default_rng(
+                    seed + 131 * p + pid).permutation(len(y))
+                for i in order:
+                    t += 1
+                    lr = lr0 / np.sqrt(t)  # VW's default power_t=0.5
+                    m = X[i] @ w
+                    if is_clf:  # logistic loss, y in {-1,+1}
+                        g = -y[i] / (1.0 + np.exp(y[i] * m))
+                    else:  # squared loss
+                        g = m - y[i]
+                    w -= lr * (g * X[i] + l2 * w)
+                # Pass-boundary allreduce: example-count-weighted mean
+                # of every worker's weights (the reference averages
+                # models at each pass end over its spanning tree).
+                payload = json.dumps({
+                    "n": int(len(y)),
+                    "w": base64.b64encode(w.tobytes()).decode()})
+                gathered = [json.loads(g) for g in ctx.allGather(payload)]
+                tot = sum(g["n"] for g in gathered)
+                w = sum(
+                    g["n"] * np.frombuffer(
+                        base64.b64decode(g["w"]), dtype="float64")
+                    for g in gathered) / tot
+            return w.tolist() if pid == 0 else None
+
+        weights = barrier_train(prepared, train_fn,
+                                numTasks=self.numTasks or None,
+                                pass_context=True)
+        return _VWAveragedModel(
+            weights=weights, featuresCol=self.featuresCol,
+            predictionCol=self.predictionCol, isClassifier=self._classifier)
+
+
+class VowpalWabbitClassifier(_VWLearnerBase, _VWNativeFitMixin,
+                             _VWDistributedFitMixin):
     _classifier = True
 
     def _fit(self, df: DataFrame):
+        if self.useBarrierExecutionMode:
+            return self._fit_distributed(df)
         if _have_vw():
             return self._fit_native(df)
         from pyspark.ml.classification import LogisticRegression
@@ -294,10 +506,13 @@ class VowpalWabbitClassifier(_VWLearnerBase, _VWNativeFitMixin):
         return _VWModel(inner=lr.fit(df))
 
 
-class VowpalWabbitRegressor(_VWLearnerBase, _VWNativeFitMixin):
+class VowpalWabbitRegressor(_VWLearnerBase, _VWNativeFitMixin,
+                            _VWDistributedFitMixin):
     _classifier = False
 
     def _fit(self, df: DataFrame):
+        if self.useBarrierExecutionMode:
+            return self._fit_distributed(df)
         if _have_vw():
             return self._fit_native(df)
         from pyspark.ml.regression import LinearRegression

@@ -340,3 +340,52 @@ def test_native_model_transform_schema_does_not_mutate_input(spark):
         assert out_schema.fields[-1].name == "prediction"
         # the caller's frame still selects all of its own columns
         df.select(*df.columns)
+
+
+def test_vw_distributed_barrier_averaging_classifier(spark):
+    """Reference VowpalWabbitBase.scala:339-445 semantics: multi-worker
+    training with a pass-boundary model average must match the
+    single-worker fit within tolerance. Always-run (numpy SGD trainer
+    — VW's model family), no native package required."""
+    from mmlspark_spark.ml.vw import VowpalWabbitClassifier, _VWAveragedModel
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(1200, 3))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)
+    rows = [(list(map(float, x)), float(l)) for x, l in zip(X, y)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+
+    def acc(model):
+        scored = model.transform(df).select("label", "prediction").collect()
+        return sum(1.0 for r in scored
+                   if r.label == r.prediction) / len(scored)
+
+    dist = VowpalWabbitClassifier(
+        numPasses=5, useBarrierExecutionMode=True, numTasks=4).fit(df)
+    assert isinstance(dist, _VWAveragedModel)
+    single = VowpalWabbitClassifier(
+        numPasses=5, useBarrierExecutionMode=True, numTasks=1).fit(df)
+    acc_d, acc_s = acc(dist), acc(single)
+    assert acc_d > 0.9
+    assert abs(acc_d - acc_s) < 0.05
+
+
+def test_vw_distributed_barrier_averaging_regressor(spark):
+    """Averaged distributed squared-loss SGD must recover a noiseless
+    linear target: 4-worker predictions close to truth."""
+    from mmlspark_spark.ml.vw import VowpalWabbitRegressor
+
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(1200, 2))
+    y = 2.0 * X[:, 0] - 1.0 * X[:, 1]
+    rows = [(list(map(float, x)), float(l)) for x, l in zip(X, y)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    model = VowpalWabbitRegressor(
+        numPasses=8, learningRate=0.2, useBarrierExecutionMode=True,
+        numTasks=4).fit(df)
+    w = np.asarray(model.weights)
+    assert np.allclose(w, [2.0, -1.0], atol=0.15), w
+    scored = model.transform(df).select("label", "prediction").collect()
+    rmse = float(np.sqrt(np.mean(
+        [(r.label - r.prediction) ** 2 for r in scored])))
+    assert rmse < 0.2
