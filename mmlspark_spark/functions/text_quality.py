@@ -171,3 +171,27 @@ def doc_fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: F.pmod(acc * 31 + F.pmod(F.xxhash64(x), m), m),
     )
+
+
+def doc_fingerprint_portable(text: Column | str) -> Column:
+    """Rolling fingerprint with a Rabin-Karp per-token hash instead of
+    xxhash64: token_hash = Σ codepoint·131^i (mod p), folded into the
+    same order-sensitive Σ token_hash·31^position (mod p) outer hash.
+
+    Pure modular arithmetic over codepoints — no engine-specific hash
+    function — so the result is reproducible by ANY engine (the DuckDB
+    oracle mirrors it with list_reduce) and stable across engine
+    versions, at the cost of per-char expression work. Use the
+    xxhash64 variant when only Spark-side determinism is needed; this
+    one when fingerprints must survive an engine boundary. Both run
+    map-side — fingerprinting 100 TB is shuffle-free either way."""
+    m = F.lit(_FP_MOD).cast("long")
+
+    def tok_hash(t: Column) -> Column:
+        return F.aggregate(
+            F.split(t, ""), F.lit(0).cast("long"),
+            lambda a, c: F.pmod(a * 131 + F.ascii(c), m))
+
+    return F.aggregate(
+        tokens(text), F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + tok_hash(t), m))

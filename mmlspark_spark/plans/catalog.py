@@ -57,14 +57,16 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # (c) the 12 queries the round-4 rotation displaced — hash-green as of
 #     round 3, but stages.py/scale.py changed under them since, so
 #     they rotate back for re-confirmation;
-# (d) knn_stage / isolation_forest / train_classifier_metrics —
-#     converted from rows-only to oracled this round (exact top-k /
-#     planted detection / separable closed-form metrics), never
-#     driver-checked as oracled.
+# (d) knn_stage / isolation_forest / train_classifier_metrics /
+#     doc_fingerprint — converted from rows-only to oracled this round
+#     (exact top-k / planted detection / separable closed-form metrics
+#     / portable Rabin-Karp fingerprint), never driver-checked as
+#     oracled.
 _WINDOW_PRIORITY = (
     "pii_redact", "url_extract",
     "tabular_shap_exact", "sequence_packing",
     "knn_stage", "isolation_forest", "train_classifier_metrics",
+    "doc_fingerprint",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
     "drop_missing", "minibatch_roundtrip", "partition_ops_identity",
@@ -1466,17 +1468,38 @@ def lang_id_heuristic(spark, sf_dir):
     return docs.select("doc_id", lang_id("text").alias("pred_lang"))
 
 
-@register("doc_fingerprint", oracle=None)
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                 t -> list_reduce(
+                        list_prepend(0::BIGINT,
+                          list_transform(string_split(t, ''),
+                                         c -> ascii(c)::BIGINT)),
+                        (a, c) -> (a * 131 + c) % 562949953421231))),
+             (acc, th) -> (acc * 31 + th) % 562949953421231) AS fingerprint
+    FROM documents
+    WHERE doc_id < 2000
+    """)
 def doc_fingerprint_query(spark, sf_dir):
-    """Order-sensitive rolling-hash content fingerprint (rows-only by
-    design: xxhash64 is Spark-specific — hash-family queries have no
-    cross-engine oracle; determinism + order sensitivity are
-    property-tested in tests/test_properties.py)."""
-    from mmlspark_spark.functions.text_quality import doc_fingerprint
+    """Order-sensitive rolling-hash content fingerprint, portable
+    variant: Rabin-Karp char-polynomial token hash folded by position,
+    pure modular arithmetic — so DuckDB reproduces it bit-for-bit (the
+    oracle above mirrors the fold with list_reduce). The xxhash64
+    variant (`doc_fingerprint`, the production default — cheaper per
+    char) stays property-tested for determinism + order sensitivity in
+    tests/test_properties.py; both are the same map-side operator with
+    a pluggable token hash."""
+    from mmlspark_spark.functions.text_quality import (
+        doc_fingerprint_portable)
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     return docs.select(
-        "doc_id", doc_fingerprint("text").alias("fingerprint"))
+        "doc_id", doc_fingerprint_portable("text").alias("fingerprint"))
 
 
 @register("knn_ivf", oracle=None)
