@@ -111,6 +111,45 @@ def _serving_latency(spark, n_requests: int = 20) -> dict | None:
         return None
 
 
+def _distributed_serving_latency(spark, n_requests: int = 50) -> dict | None:
+    """Per-executor fleet bench (streaming/distributed_serving.py):
+    requests answered in the server thread, no micro-batch boundary —
+    this is the path that recovers the reference's continuous-mode
+    latency class. Reported beside (not inside) the headline total."""
+    import json as js
+    import statistics
+    import urllib.request
+
+    from mmlspark_spark.streaming.distributed_serving import (
+        DistributedHTTPServer)
+
+    try:
+        fleet = DistributedHTTPServer(
+            spark, lambda r: {"echo": r.get("text", "").upper()},
+            numServers=2, name="bench_dserving")
+        try:
+            addrs = fleet.start(timeout=60)
+            lat = []
+            for i in range(n_requests):
+                url = f"http://{addrs[i % len(addrs)]}/score"
+                t0 = time.time()
+                urllib.request.urlopen(urllib.request.Request(
+                    url, data=js.dumps({"text": f"r{i}"}).encode(),
+                    method="POST"), timeout=10).read()
+                lat.append(time.time() - t0)
+            lat.sort()
+            return {
+                "distributed_serving_p50": round(statistics.median(lat), 5),
+                "distributed_serving_p99": round(
+                    lat[min(len(lat) - 1, int(len(lat) * 0.99))], 5),
+            }
+        finally:
+            fleet.stop()
+    except Exception as e:  # pragma: no cover - bench must always emit JSON
+        print(f"# distributed serving skipped: {e}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -144,6 +183,13 @@ def main() -> None:
         # only latencies join the headline total; rps is a rate
         times["serving_roundtrip_p50"] = serving["serving_roundtrip_p50"]
         for k, v in serving.items():
+            print(f"# {k}: {v}", file=sys.stderr)
+    dserving = _distributed_serving_latency(spark)
+    if dserving is not None:
+        # side metric: the fleet path has no micro-batch in it, so it
+        # does not join the headline total (comparability across rounds)
+        serving = {**(serving or {}), **dserving}
+        for k, v in dserving.items():
             print(f"# {k}: {v}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)

@@ -5,6 +5,9 @@ Parity: reference ``core/.../sql/execution/streaming/HTTPSource.scala``
 ``HTTPSourceStateHolder`` routing registries.
 """
 
+from mmlspark_spark.streaming.distributed_serving import (
+    DistributedHTTPServer,
+)
 from mmlspark_spark.streaming.serving import (
     REQUEST_SCHEMA,
     HTTPServingDataSource,
@@ -16,5 +19,5 @@ from mmlspark_spark.streaming.serving import (
 
 __all__ = [
     "REQUEST_SCHEMA", "HTTPServingDataSource", "register_serving_source",
-    "make_reply", "reply_batch", "serving_sink",
+    "make_reply", "reply_batch", "serving_sink", "DistributedHTTPServer",
 ]

@@ -28,8 +28,9 @@ needs one explicit hop):
 Offsets are a monotone counter; drained-but-uncommitted batches are
 retained for replay (``readBetweenOffsets``) and trimmed on ``commit``,
 exactly the reference's LongOffset bookkeeping. Distributed mode
-(per-executor servers) is not expressible with the python source API —
-documented delta; micro-batch with small triggers is the equivalent.
+(per-executor servers) is not expressible with the python source API;
+``streaming/distributed_serving.py`` provides it instead via a
+barrier-hosted fleet (no replay semantics, continuous-class latency).
 """
 
 from __future__ import annotations

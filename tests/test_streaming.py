@@ -108,3 +108,58 @@ def test_running_counter_stateful(spark, tmp_path):
         assert grew
     finally:
         q.stop()
+
+
+def test_distributed_http_serving_fleet(spark):
+    """DistributedHTTPSource analog: per-executor barrier-hosted
+    servers answer requests in place — no micro-batch boundary. Checks
+    fleet bring-up, round-robin scoring on every server, error
+    isolation, health probe, latency class, and clean teardown."""
+    import json
+    import time
+    import urllib.request
+
+    from mmlspark_spark.streaming.distributed_serving import (
+        DistributedHTTPServer)
+
+    fleet = DistributedHTTPServer(
+        spark, lambda req: {"doubled": req["x"] * 2}, numServers=2,
+        name="test-dserving")
+    try:
+        addrs = fleet.start(timeout=60)
+        assert len(addrs) == 2 and all(":" in a for a in addrs)
+
+        def post(addr, obj, path="/score"):
+            r = urllib.request.urlopen(urllib.request.Request(
+                f"http://{addr}{path}", data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST"), timeout=10)
+            return json.loads(r.read())
+
+        lat = []
+        for i in range(40):
+            t0 = time.perf_counter()
+            out = post(addrs[i % 2], {"x": i})
+            lat.append(time.perf_counter() - t0)
+            assert out["doubled"] == i * 2
+        # direct in-place handling: median far below one micro-batch
+        # trigger (~150 ms measured through the streaming source);
+        # generous bound for shared-CI noise
+        assert sorted(lat)[len(lat) // 2] < 0.05
+
+        # handler error -> 500 on that request, fleet stays up
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"http://{addrs[0]}/score", data=b'{"y": 1}',
+                method="POST"), timeout=10)
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+        assert post(addrs[0], {"x": 7})["doubled"] == 14
+
+        # health probe
+        r = urllib.request.urlopen(f"http://{addrs[1]}/", timeout=10)
+        assert json.loads(r.read())["status"] == "ok"
+    finally:
+        fleet.stop()
+    assert fleet.addresses == []
