@@ -295,3 +295,61 @@ def test_sentiment_against_stub_documents_endpoint(spark, server):
     row = stage.transform(df).collect()[0]
     assert row.sentiment_error is None
     assert row.sentiment is not None  # parsed (fields null, schema'd)
+
+
+def test_speech_sdk_chunked_transcription(spark):
+    """SpeechToTextSDK plumbing: sample-accurate WAV chunking, tick
+    arithmetic, per-segment rows, fault tolerance on undecodable
+    audio, and the explicit vendor-transport gate."""
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from mmlspark_spark.http.speech_sdk import (
+        SpeechToTextSDK,
+        chunk_wav,
+        fake_transport,
+    )
+
+    def make_wav(seconds: float, rate: int = 8000) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            n = int(rate * seconds)
+            w.writeframes(bytes(2 * n))
+        return buf.getvalue()
+
+    # chunking math: 2.5 s at 1000 ms chunks -> 1.0 + 1.0 + 0.5
+    chunks = chunk_wav(make_wav(2.5), 1000)
+    assert [c["duration_ticks"] for c in chunks] == \
+        [10_000_000, 10_000_000, 5_000_000]
+    assert [c["offset_ticks"] for c in chunks] == \
+        [0, 10_000_000, 20_000_000]
+    assert sum(len(c["data"]) for c in chunks) == 2 * int(8000 * 2.5)
+
+    df = spark.createDataFrame(
+        [("a", bytearray(make_wav(2.5))),
+         ("bad", bytearray(b"not audio"))],
+        ["name", "audio"])
+    out = SpeechToTextSDK(transport=fake_transport).transform(df)
+    rows = {r.name: r for r in out.collect()}
+    assert len(rows["a"].segments) == 3
+    assert rows["a"].error is None
+    seg = rows["a"].segments[1]
+    assert seg.Offset == 10_000_000 and seg.Duration == 10_000_000
+    assert seg.DisplayText.startswith("seg1-")
+    assert seg.RecognitionStatus == "Success"
+    # deterministic fake: same audio -> same transcript
+    again = {r.name: r for r in
+             SpeechToTextSDK(transport=fake_transport)
+             .transform(df).collect()}
+    assert again["a"].segments == rows["a"].segments
+    # fault tolerance: bad row errors, good rows unaffected
+    assert rows["bad"].segments == [] and "Error" in rows["bad"].error
+
+    # the vendor slot is an explicit gate, not silent fallback
+    with _pytest.raises(NotImplementedError, match="transport"):
+        SpeechToTextSDK().transform(df)
