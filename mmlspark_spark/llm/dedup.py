@@ -66,16 +66,18 @@ def _distinct_shingles(df: DataFrame, idCol: str, textCol: str, n: int,
     comparisons are exact up to 64-bit hash collisions
     (P ≈ m²/2⁶⁵ for m distinct shingles — negligible)."""
     df = _spread_narrow_scan(df)
-    arr = word_shingles(textCol, n)
-    if hashed:
-        arr = F.transform(arr, lambda x: F.xxhash64(x))
-    # dedupe BEFORE the explode: a boilerplate doc repeating one
-    # shingle 10^6 times would otherwise explode 10^6 identical rows
-    # into the shuffle; set semantics downstream are unchanged
-    # (measured free at sf0.1 — the synthetic corpus is ~100% distinct)
+    # hashing happens INSIDE word_shingles' single transform lambda —
+    # a second transform(arr, xxhash64) layer would re-evaluate the
+    # whole shingle construction per element (HOF lambdas get no
+    # subexpression elimination)
+    arr = word_shingles(textCol, n, hashed=hashed)
+    # word_shingles dedupes per doc before the explode: a boilerplate
+    # doc repeating one shingle 10^6 times would otherwise explode
+    # 10^6 identical rows into the shuffle; set semantics downstream
+    # are unchanged
     return df.select(
         F.col(idCol).alias("__id"),
-        F.explode(F.array_distinct(arr)).alias("__shingle"),
+        F.explode(arr).alias("__shingle"),
     )
 
 
