@@ -86,16 +86,16 @@ def quality_columns(text: Column | str, stopwords: Sequence[str] = DEFAULT_STOPW
 
 def raw_word_ngrams(text: Column | str, n: int) -> Column:
     """Word n-grams WITHOUT de-duplication (repetition metrics need the
-    multiset; :func:`word_shingles` is the distinct variant)."""
+    multiset; :func:`word_shingles` is the distinct variant). Same
+    arrays_zip-of-shifted-slices shape as word_shingles — the naive
+    sequence+slice lambda re-tokenizes per shingle position (HOF
+    lambda bodies get no subexpression elimination)."""
     c = F.col(text) if isinstance(text, str) else text
     t = tokens(c)
-    return F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(t, i + 1, m) for i in range(n)])
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
 
 
 def dup_line_fraction(text: Column | str) -> Column:

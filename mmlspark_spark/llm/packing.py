@@ -63,13 +63,14 @@ class BenchmarkDecontaminator(Transformer):
     def _transform(self, df: DataFrame) -> DataFrame:
         from mmlspark_spark.functions.text_quality import word_shingles
 
-        hashed = F.transform(
-            word_shingles(self.benchmarkTextCol, self.n),
-            lambda x: F.xxhash64(x))
+        # hashed=True fuses the hash into word_shingles' single lambda;
+        # a transform(..., xxhash64) layer on top would re-evaluate the
+        # whole shingle construction per element (no subexpression
+        # elimination inside HOF lambdas)
+        hashed = word_shingles(self.benchmarkTextCol, self.n, hashed=True)
         bench = (self.benchmarkData
                  .select(F.explode(hashed).alias("__s")).distinct())
-        corpus_hashed = F.transform(word_shingles(self.textCol, self.n),
-                                    lambda x: F.xxhash64(x))
+        corpus_hashed = word_shingles(self.textCol, self.n, hashed=True)
         exploded = df.select(F.col(self.idCol).alias("__id"),
                              F.explode(corpus_hashed).alias("__s"))
         counts = (exploded.join(F.broadcast(bench), "__s", "left_semi")
