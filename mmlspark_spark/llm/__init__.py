@@ -2,7 +2,9 @@ from mmlspark_spark.llm.dedup import (
     ExactDeduplicator,
     MinHashLSHDeduplicator,
     SimHashDeduplicator,
+    connected_components,
     ngram_jaccard_pairs,
+    resolve_duplicate_clusters,
 )
 from mmlspark_spark.llm.packing import BenchmarkDecontaminator, SequencePacker
 from mmlspark_spark.llm.scrub import (
@@ -18,6 +20,8 @@ __all__ = [
     "MinHashLSHDeduplicator",
     "SimHashDeduplicator",
     "ngram_jaccard_pairs",
+    "connected_components",
+    "resolve_duplicate_clusters",
     "BruteForceKNN",
     "LSHKNN",
     "SequencePacker",

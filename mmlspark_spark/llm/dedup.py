@@ -578,3 +578,128 @@ class EmbeddingDeduplicator(Transformer):
             "id_a", "id_b",
             cosine_similarity("__va", "__vb").alias("cosine"))
             .filter(F.col("cosine") >= self.threshold))
+
+
+def connected_components(
+    edges: DataFrame, srcCol: str = "doc_a", dstCol: str = "doc_b",
+    maxIter: int = 25, driverCollectThreshold: int = 2_000_000,
+) -> DataFrame:
+    """(node, component) labels over an undirected edge list — the
+    cluster step between near-dup candidate pairs and survivor
+    selection.
+
+    Two paths, picked by edge count:
+
+    - **small graph** (≤ ``driverCollectThreshold`` edges): collect
+      the 16 B/edge pairs and run path-compressed union-find on the
+      driver in one job. The pair graph is orders of magnitude smaller
+      than the corpus by construction (`maxDocsPerShingle` /
+      `maxBucketSize` bound candidate generation), so even a 100 TB
+      corpus commonly lands here: 2M edges ≈ 32 MB driver memory,
+      microseconds of CPU — vs 2 shuffles + 2 actions *per iteration*
+      distributed (measured 6.5 s of pure job overhead for a 47-node
+      graph at sf0.01).
+    - **large graph**: iterative min-label propagation. Each iteration
+      joins the current labels to the checkpointed symmetrized edge
+      list and takes the per-node minimum of (own, neighbors);
+      converges in O(component diameter) rounds (near-dup graphs are
+      dense clumps, diameter 2-3). Lineage is cut per iteration with
+      localCheckpoint; a ``maxIter`` cap raises on non-convergence
+      rather than silently mislabeling (the access-anomaly CC fix's
+      contract).
+
+    A generic single-relation variant of the bipartite user/resource
+    propagation in ``anomaly/access.py``.
+    """
+    src, dst = F.col(srcCol), F.col(dstCol)
+    pair_df = edges.select(src.alias("__a"), dst.alias("__b")).distinct()
+    n_edges = pair_df.count()
+    if n_edges <= driverCollectThreshold:
+        return _cc_driver_union_find(pair_df, edges)
+    return _cc_distributed(pair_df, maxIter)
+
+
+def _cc_driver_union_find(pair_df: DataFrame, edges: DataFrame) -> DataFrame:
+    id_type = pair_df.schema["__a"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pair_df.toLocalIterator():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min so the label IS the min node id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, T.StructType([T.StructField("node", id_type),
+                            T.StructField("component", id_type)]))
+
+
+def _cc_distributed(pair_df: DataFrame, maxIter: int) -> DataFrame:
+    sym = (pair_df.select(F.col("__a").alias("__n"), F.col("__b").alias("__m"))
+           .union(pair_df.select(F.col("__b").alias("__n"),
+                                 F.col("__a").alias("__m")))
+           .distinct())
+    # Pin the symmetrized edge list ONCE: every iteration joins it, and
+    # without the checkpoint each join would re-execute the entire
+    # upstream candidate-generation pipeline.
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select("__n").distinct()
+              .select("__n", F.col("__n").alias("__label")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(maxIter):
+        neigh = (sym.join(labels.withColumnRenamed("__n", "__m"), "__m")
+                 .groupBy("__n").agg(F.min("__label").alias("__nmin")))
+        # the changed flag rides the label frame — no extra join-based
+        # comparison pass against the previous iteration
+        new_labels = (labels.join(neigh, "__n", "left").select(
+            "__n",
+            F.least("__label", F.coalesce("__nmin", "__label"))
+            .alias("__label"),
+            (F.coalesce("__nmin", "__label") < F.col("__label"))
+            .alias("__chg")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter("__chg").count()
+        old = labels
+        labels = new_labels.drop("__chg")
+        # release the superseded iteration's checkpoint blocks
+        old.rdd.unpersist()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {maxIter} "
+            "iterations; raise maxIter (component diameter exceeds it)")
+    sym.rdd.unpersist()  # labels are checkpointed; edges can go
+    return labels.select(F.col("__n").alias("node"),
+                         F.col("__label").alias("component"))
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame, idColA: str = "doc_a", idColB: str = "doc_b",
+    maxIter: int = 25, driverCollectThreshold: int = 2_000_000,
+) -> DataFrame:
+    """Candidate pairs → (doc_id, component, is_kept): the final step
+    of a dedup pipeline. Documents are clustered by connectivity over
+    the pair graph and ONE canonical survivor is kept per cluster (the
+    minimum doc id — deterministic, join-free: the component label IS
+    the survivor id). Docs absent from ``pairs`` have no duplicates
+    and are implicitly kept; callers union them back if they need the
+    full keep list."""
+    comp = connected_components(
+        pairs, idColA, idColB, maxIter=maxIter,
+        driverCollectThreshold=driverCollectThreshold)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_kept"))

@@ -66,7 +66,7 @@ _WINDOW_PRIORITY = (
     "pii_redact", "url_extract",
     "tabular_shap_exact", "sequence_packing",
     "knn_stage", "isolation_forest", "train_classifier_metrics",
-    "doc_fingerprint",
+    "doc_fingerprint", "dedup_resolve",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
     "drop_missing", "minibatch_roundtrip", "partition_ops_identity",
@@ -885,6 +885,62 @@ def ngram_jaccard_q(spark, sf_dir):
     # .select() returns a new object without the attached persisted
     # handles — propagate so bench's release_intermediates frees them
     return propagate_intermediates(out, final)
+
+
+@register(
+    "dedup_resolve",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w)-3, 1))) AS i FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+               AS shingle
+      FROM idx
+    ), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM j
+      UNION SELECT doc_b, doc_a FROM j
+    ), reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION SELECT a, b FROM edges
+      UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS doc_id, min(m) AS component,
+           (n = min(m)) AS is_kept
+    FROM reach GROUP BY n
+    """)
+def dedup_resolve_q(spark, sf_dir):
+    """End-to-end dedup resolution: exact n-gram Jaccard candidates at
+    threshold 0.5 → connected components over the pair graph → one
+    canonical survivor (min doc id) per cluster. The oracle replays
+    the clustering as a recursive transitive closure, so the iterative
+    min-label propagation is verified exactly — component labels,
+    membership, and survivor choice."""
+    from mmlspark_spark.core.cache import propagate_intermediates
+    from mmlspark_spark.llm import (
+        ngram_jaccard_pairs,
+        resolve_duplicate_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=5)
+    close = pairs.filter(F.col("jaccard") >= 0.5)
+    out = resolve_duplicate_clusters(close)
+    return propagate_intermediates(pairs, out)
 
 
 @register("minhash_dedup", oracle=None, headline=True)

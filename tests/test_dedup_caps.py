@@ -120,3 +120,53 @@ def test_drop_metric_observed(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "minhash_hot_bucket_drops" in plan
     assert "dropped_buckets" in plan
+
+
+def test_connected_components_both_paths(spark):
+    """Union-find (driver path) and min-label propagation (distributed
+    path) must agree with each other and with the hand-computed
+    components: {1,2,3,4} chained, {10,11}, {20} self-loop."""
+    from mmlspark_spark.llm import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (20, 20)],
+        ["doc_a", "doc_b"])
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+    small = {r.node: r.component
+             for r in connected_components(edges).collect()}
+    assert small == expected
+    # force the distributed path with a zero threshold
+    big = {r.node: r.component
+           for r in connected_components(
+               edges, driverCollectThreshold=0).collect()}
+    assert big == expected
+
+
+def test_resolve_duplicate_clusters(spark):
+    """One survivor (min id) per cluster; non-survivors dropped."""
+    from mmlspark_spark.llm import resolve_duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (30, 31)], ["doc_a", "doc_b"])
+    rows = {r.doc_id: r for r in
+            resolve_duplicate_clusters(pairs).collect()}
+    assert {d: r.component for d, r in rows.items()} == \
+        {5: 5, 7: 5, 9: 5, 30: 30, 31: 30}
+    assert {d for d, r in rows.items() if r.is_kept} == {5, 30}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """The distributed path must raise on maxIter exhaustion, not
+    return silently-wrong labels (a 5-chain needs >1 round)."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9, 0, -1)], ["doc_a", "doc_b"])
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, maxIter=1, driverCollectThreshold=0)
+    # and succeed with enough rounds — every node labeled 1
+    ok = connected_components(chain, maxIter=15, driverCollectThreshold=0)
+    assert {r.component for r in ok.collect()} == {1}
