@@ -81,10 +81,12 @@ def connected_components(df: DataFrame, tenantCol: str, userCol: str,
                .groupBy(t, u).agg(F.min("component").alias("component")))
         nxt = nxt.localCheckpoint()
         unchanged = user2comp.join(nxt, [t, u, "component"]).count()
-        prev, user2comp = user2comp, nxt
-        # drop the superseded checkpoint's blocks (first iteration's
-        # prev is the zip_with_index frame, also safe to unpersist)
-        prev.unpersist()
+        user2comp = nxt
+        # superseded localCheckpoint blocks have no public release
+        # handle (DataFrame.unpersist only consults the cache manager,
+        # which does not track checkpoint storage); the ContextCleaner
+        # reclaims them as the python references drop, and the
+        # transient footprint is iterations x users x ~24 B
         if unchanged == total:
             converged = True
             break

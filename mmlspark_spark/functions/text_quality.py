@@ -59,8 +59,11 @@ def word_shingles(text: Column | str, n: int = 5,
     safer for long documents.
 
     Short documents (< n tokens) yield [] via the ``greatest(m, 0)``
-    slice-length guard (no per-branch duplication of ``tokens``)."""
-    t = tokens(text)
+    slice-length guard (no per-branch duplication of ``tokens``), and
+    NULL text also yields [] (the pre-round-5 contract: arrays_zip
+    would otherwise propagate the NULL)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
     m = F.greatest(F.size(t) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(t, i + 1, m) for i in range(n)])
 
@@ -68,7 +71,9 @@ def word_shingles(text: Column | str, n: int = 5,
         joined = F.concat_ws(" ", *[s[str(i)] for i in range(n)])
         return F.xxhash64(joined) if hashed else joined
 
-    return F.array_distinct(F.transform(zipped, gram))
+    empty = F.array().cast("array<long>" if hashed else "array<string>")
+    return F.when(c.isNull(), empty).otherwise(
+        F.array_distinct(F.transform(zipped, gram)))
 
 
 def quality_columns(text: Column | str, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> dict[str, Column]:
@@ -94,8 +99,11 @@ def raw_word_ngrams(text: Column | str, n: int) -> Column:
     t = tokens(c)
     m = F.greatest(F.size(t) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(t, i + 1, m) for i in range(n)])
-    return F.transform(
+    grams = F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+    # NULL text -> [] (arrays_zip would propagate the NULL)
+    return F.when(c.isNull(),
+                  F.array().cast("array<string>")).otherwise(grams)
 
 
 def dup_line_fraction(text: Column | str) -> Column:

@@ -614,6 +614,11 @@ def connected_components(
     """
     src, dst = F.col(srcCol), F.col(dstCol)
     pair_df = edges.select(src.alias("__a"), dst.alias("__b")).distinct()
+    # Checkpoint BEFORE the path-picking count: the caller usually
+    # hands in the expensive candidate-generation pipeline, and
+    # without this pin the count would run it once and the chosen
+    # path's collect/iterations would run it all over again.
+    pair_df = pair_df.localCheckpoint(eager=True)
     n_edges = pair_df.count()
     if n_edges <= driverCollectThreshold:
         return _cc_driver_union_find(pair_df, edges)
@@ -651,9 +656,9 @@ def _cc_distributed(pair_df: DataFrame, maxIter: int) -> DataFrame:
            .union(pair_df.select(F.col("__b").alias("__n"),
                                  F.col("__a").alias("__m")))
            .distinct())
-    # Pin the symmetrized edge list ONCE: every iteration joins it, and
-    # without the checkpoint each join would re-execute the entire
-    # upstream candidate-generation pipeline.
+    # Pin the symmetrized edge list ONCE so per-iteration joins read
+    # shuffle-free checkpoint blocks instead of re-running the
+    # union+distinct every round.
     sym = sym.localCheckpoint(eager=True)
     labels = (sym.select("__n").distinct()
               .select("__n", F.col("__n").alias("__label")))
@@ -671,17 +676,21 @@ def _cc_distributed(pair_df: DataFrame, maxIter: int) -> DataFrame:
             .alias("__chg")))
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter("__chg").count()
-        old = labels
         labels = new_labels.drop("__chg")
-        # release the superseded iteration's checkpoint blocks
-        old.rdd.unpersist()
         if changed == 0:
             break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {maxIter} "
             "iterations; raise maxIter (component diameter exceeds it)")
-    sym.rdd.unpersist()  # labels are checkpointed; edges can go
+    # Superseded iterations' localCheckpoint blocks have no public
+    # release handle from the DataFrame API (df.rdd.unpersist() only
+    # touches a fresh conversion wrapper, not the checkpointed internal
+    # RDD); they are reclaimed by the ContextCleaner once the python
+    # references drop. Labels are 16 B/node and the loop runs
+    # O(component diameter) rounds, so the transient footprint is
+    # iterations × nodes × 16 B — bounded and small relative to the
+    # edge list itself.
     return labels.select(F.col("__n").alias("node"),
                          F.col("__label").alias("component"))
 

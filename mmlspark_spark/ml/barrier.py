@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 
 def barrier_train(
@@ -61,22 +61,6 @@ def barrier_train(
     sc = prepared.sparkSession.sparkContext
     n = numTasks or prepared.rdd.getNumPartitions()
     n = max(1, min(n, sc.defaultParallelism))
-    # An empty barrier partition is fatal: its native trainer raises on
-    # a 0-row dataset while every other worker, whose num_machines
-    # includes the dead task, blocks in NetworkInit until timeout
-    # (reference LightGBMBase handles empty partitions explicitly; we
-    # prevent them instead). Cap n at the distinct-key count (hash
-    # path) and the row count, then verify no partition came up empty.
-    if repartitionCols:
-        counts = prepared.agg(
-            F.count(F.lit(1)).alias("r"),
-            F.countDistinct(*repartitionCols).alias("k")).first()
-        n = max(1, min(n, counts["k"]))
-    else:
-        counts = prepared.agg(F.count(F.lit(1)).alias("r")).first()
-    if counts["r"] == 0:
-        raise ValueError("cannot barrier-train on an empty dataset")
-    n = max(1, min(n, counts["r"]))
 
     def _partition(m: int) -> DataFrame:
         if repartitionCols:
@@ -86,14 +70,21 @@ def barrier_train(
             return out
         return prepared.repartition(m)
 
+    # An empty barrier partition is fatal: its native trainer raises on
+    # a 0-row dataset while every other worker, whose num_machines
+    # includes the dead task, blocks in NetworkInit until timeout
+    # (reference LightGBMBase handles empty partitions explicitly; we
+    # prevent them instead). ONE probe pass per attempt detects empty
+    # partitions — whether from rows < n, distinct repartition keys
+    # < n, or hash collisions — and shrinks until every barrier task
+    # has rows; the same sizes also catch the empty-dataset case, so
+    # no separate count/countDistinct pre-scan is paid.
     pre = _partition(n)
-    # Hash collisions (or sparse round-robin inputs) can still leave a
-    # partition empty; detect with a per-partition count (the
-    # repartition's shuffle files are reused, so this pass is cheap)
-    # and shrink until every barrier task has rows.
-    while n > 1:
+    while True:
         sizes = pre.rdd.mapPartitions(
             lambda it: iter([sum(1 for _ in it)])).collect()
+        if sum(sizes) == 0:
+            raise ValueError("cannot barrier-train on an empty dataset")
         nonempty = sum(1 for s in sizes if s)
         if nonempty == len(sizes):
             break

@@ -137,7 +137,7 @@ class VowpalWabbitFeaturizer(Transformer):
             import pandas as pd
 
             from mmlspark_spark.functions.murmur import (
-                Murmur3PrefixState, murmur3_x86_32)
+                Murmur3PrefixState, vw_hash_string)
 
             # Column-name murmur states computed once per batch: a
             # numeric column's index is fixed (hash of the bare name),
@@ -148,9 +148,16 @@ class VowpalWabbitFeaturizer(Transformer):
             states, fixed_idx = {}, {}
             for c in cols:
                 if c in numeric:
-                    fixed_idx[c] = murmur3_x86_32(c, seed) & mask
+                    # VW's hashstring digit passthrough applies to the
+                    # full feature string; a bare all-digit column name
+                    # is an index, anything else murmurs
+                    fixed_idx[c] = vw_hash_string(c, seed) & mask
                 else:
-                    states[c] = Murmur3PrefixState(c, seed)
+                    # colname+value can only be all-digits when the
+                    # column NAME is all-digits — handled per value
+                    # below; the common case keeps the cached prefix
+                    states[c] = (Murmur3PrefixState(c, seed)
+                                 if not c.isdigit() else None)
             n = len(series[0])
             indices, values = [], []
             for row in zip(*series):
@@ -163,8 +170,10 @@ class VowpalWabbitFeaturizer(Transformer):
                         i, val = fixed_idx[c], float(v)
                         if val == 0.0:
                             continue  # VW drops zero-valued features
-                    else:
+                    elif states[c] is not None:
                         i, val = states[c].hash(str(v)) & mask, 1.0
+                    else:  # digit-named column: full VW hashstring
+                        i, val = vw_hash_string(c + str(v), seed) & mask, 1.0
                     acc[i] = acc.get(i, 0.0) + val
                 pairs = sorted(acc.items())
                 indices.append([p[0] for p in pairs])
@@ -376,10 +385,10 @@ class _VWNativeFitMixin:
 
 class _VWAveragedModel(Model):
     """Linear model from the barrier-averaged distributed fit: VW's
-    model family (hashed linear features, logistic/squared loss),
-    scored JVM-side when possible — the margin is a dot product, so a
-    weight array under ~10k dims rides ``vector_to_array`` +
-    ``F.aggregate``; wider models use an Arrow-batched numpy UDF."""
+    model family (hashed linear features, logistic/squared loss).
+    Scoring is an Arrow-batched numpy dot product at every width —
+    the weight vector rides the UDF closure (8 B/dim serialized once
+    per executor stream, not per row)."""
 
     def __init__(self, weights=None, featuresCol: str = "features",
                  predictionCol: str = "prediction", isClassifier: bool = False):

@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import socket
 import threading
+import time
 import urllib.request
 from typing import Callable
 
@@ -46,7 +47,7 @@ _ADMIN_STOP = "/__admin__/stop"
 
 
 def _serve_partition(handler: Callable[[dict], dict], driver_host: str,
-                     reg_port: int):
+                     reg_port: int, admin_token: str):
     """Body of each barrier task: bind, register, serve until stopped."""
 
     def run(_it):
@@ -76,6 +77,12 @@ def _serve_partition(handler: Callable[[dict], dict], driver_host: str,
 
             def do_POST(self):
                 if self.path == _ADMIN_STOP:
+                    # servers bind 0.0.0.0 by design (clients must
+                    # reach them) — shutdown requires the per-fleet
+                    # token only the driver holds
+                    if self.headers.get("X-Admin-Token") != admin_token:
+                        self._respond(403, b'{"error": "forbidden"}')
+                        return
                     self._respond(200, b"{}")
                     stop_event.set()
                     return
@@ -133,20 +140,28 @@ class DistributedHTTPServer:
         self.addresses: list[str] = []
         self._thread: threading.Thread | None = None
         self._reg_sock: socket.socket | None = None
+        self._admin_token = ""
+        self._launch_error: Exception | None = None
 
     def start(self, timeout: float = 60.0) -> list[str]:
+        import secrets
+
         if self._thread is not None:
             return self.addresses
         sc = self.spark.sparkContext
         driver_host = sc.getConf().get("spark.driver.host", "127.0.0.1")
+        self._admin_token = secrets.token_hex(16)
         reg = socket.socket()
         reg.bind(("0.0.0.0", 0))
         reg.listen(self.numServers)
-        reg.settimeout(timeout)
+        # short accept timeout so the loop can notice a dead barrier
+        # job between connections; overall deadline enforced below
+        reg.settimeout(2.0)
         self._reg_sock = reg
         run = _serve_partition(self.handler, driver_host,
-                               reg.getsockname()[1])
+                               reg.getsockname()[1], self._admin_token)
         n, name = self.numServers, self.name
+        self._launch_error: Exception | None = None
 
         def launch():
             # job group scoped to this thread: stop() can cancel the
@@ -156,28 +171,51 @@ class DistributedHTTPServer:
             try:
                 sc.parallelize(range(n), n).barrier().mapPartitions(
                     run).collect()
-            except Exception:  # cancelled on stop() — expected
-                pass
+            except Exception as e:
+                # cancellation via stop() lands here too (expected);
+                # a genuine submit/startup failure (e.g. barrier needs
+                # more slots than the cluster has) is recorded so
+                # start() can fail fast with the root cause instead of
+                # a misleading registration timeout
+                self._launch_error = e
 
         self._thread = threading.Thread(target=launch, daemon=True)
         self._thread.start()
         got: dict[int, str] = {}
+        deadline = time.monotonic() + timeout
         try:
             while len(got) < n:
-                conn, _ = reg.accept()
+                if self._launch_error is not None:
+                    err = self._launch_error
+                    self.stop()
+                    raise RuntimeError(
+                        f"serving fleet failed to launch: {err}") from err
+                if time.monotonic() > deadline:
+                    self.stop()
+                    raise TimeoutError(
+                        f"{len(got)}/{n} servers registered "
+                        f"within {timeout}s")
+                try:
+                    conn, _ = reg.accept()
+                except socket.timeout:
+                    continue
                 with conn:
                     line = b""
-                    while not line.endswith(b"\n"):
+                    while not line.endswith(b"\n") and len(line) < 512:
                         chunk = conn.recv(256)
                         if not chunk:
                             break
                         line += chunk
-                pid_s, addr = line.decode().strip().split(" ", 1)
-                got[int(pid_s)] = addr
-        except socket.timeout:
-            self.stop()
-            raise TimeoutError(
-                f"{len(got)}/{n} servers registered within {timeout}s")
+                # tolerate stray connections (port scans, LB probes,
+                # half-open registrations): skip anything that does not
+                # parse as "<pid> <host:port>"
+                try:
+                    pid_s, addr = line.decode().strip().split(" ", 1)
+                    pid = int(pid_s)
+                except (ValueError, UnicodeDecodeError):
+                    continue
+                if ":" in addr:
+                    got[pid] = addr
         finally:
             reg.close()
             self._reg_sock = None
@@ -189,6 +227,7 @@ class DistributedHTTPServer:
             try:
                 urllib.request.urlopen(urllib.request.Request(
                     f"http://{addr}{_ADMIN_STOP}", data=b"{}",
+                    headers={"X-Admin-Token": self._admin_token},
                     method="POST"), timeout=5).read()
             except Exception:
                 pass  # cancel below is the backstop

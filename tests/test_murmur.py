@@ -130,3 +130,44 @@ def test_vw_featurizer_hash_parity(spark):
     vec = [r for r in rows if r.animal is None][0].features
     assert dict(zip(vec.indices, vec.values)) == {w_idx: 4.0}
     assert vec.size == 1 << 15
+
+
+def test_vw_featurizer_digit_named_column(spark):
+    """A digit-named string column exercises VW's full hashstring
+    passthrough: an all-digit feature string is its integer value plus
+    the seed, not a murmur."""
+    from mmlspark_spark.ml.vw import VowpalWabbitFeaturizer
+
+    df = spark.createDataFrame([("7",), ("x",)], ["123"])
+    out = VowpalWabbitFeaturizer(
+        inputCols=["123"], outputCol="features", numBits=15,
+        useVWHashing=True).transform(df)
+    rows = {r["123"]: r.features for r in out.collect()}
+    mask = (1 << 15) - 1
+    # "123" + "7" = "1237", all digits -> index 1237
+    assert dict(zip(rows["7"].indices, rows["7"].values)) == {1237 & mask: 1.0}
+    # "123" + "x" is not numeric -> murmur
+    assert dict(zip(rows["x"].indices, rows["x"].values)) == {
+        murmur3_x86_32("123x", 0) & mask: 1.0}
+
+
+def test_word_shingles_null_text_contract(spark):
+    """NULL text yields [] (not NULL) from both shingle variants."""
+    from pyspark.sql import functions as F
+
+    from mmlspark_spark.functions.text_quality import (
+        raw_word_ngrams,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c d e f",), (None,)], ["text"])
+    rows = df.select(
+        word_shingles("text", 5).alias("sh"),
+        word_shingles("text", 5, hashed=True).alias("shh"),
+        raw_word_ngrams("text", 5).alias("raw")).collect()
+    assert len(rows[0].sh) == 2 and len(rows[0].raw) == 2
+    assert rows[1].sh == [] and rows[1].shh == [] and rows[1].raw == []
+    # size() contract external callers rely on: 0, never -1
+    sizes = df.select(F.size(word_shingles("text", 5)).alias("n")).collect()
+    assert sorted(r.n for r in sizes) == [0, 2]

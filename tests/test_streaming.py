@@ -160,6 +160,17 @@ def test_distributed_http_serving_fleet(spark):
         # health probe
         r = urllib.request.urlopen(f"http://{addrs[1]}/", timeout=10)
         assert json.loads(r.read())["status"] == "ok"
+
+        # admin stop requires the per-fleet token: unauthenticated
+        # shutdown is rejected and the fleet keeps serving
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"http://{addrs[0]}/__admin__/stop", data=b"{}",
+                method="POST"), timeout=10)
+            raise AssertionError("expected HTTP 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        assert post(addrs[0], {"x": 3})["doubled"] == 6
     finally:
         fleet.stop()
     assert fleet.addresses == []
