@@ -138,10 +138,33 @@ def _distributed_serving_latency(spark, n_requests: int = 50) -> dict | None:
                     method="POST"), timeout=10).read()
                 lat.append(time.time() - t0)
             lat.sort()
+
+            # Concurrent throughput: 8 clients round-robin over the
+            # fleet, keep-alive connections (same client shape as the
+            # micro-batch rps probe).
+            from concurrent.futures import ThreadPoolExecutor
+
+            import requests as rq
+
+            n_clients, per_client = 8, 25
+
+            def client(cid: int) -> int:
+                with rq.Session() as s:
+                    for i in range(per_client):
+                        s.post(
+                            f"http://{addrs[(cid + i) % len(addrs)]}/score",
+                            json={"text": f"c{cid}r{i}"}, timeout=10)
+                return per_client
+
+            t_all = time.time()
+            with ThreadPoolExecutor(max_workers=n_clients) as ex:
+                done = sum(ex.map(client, range(n_clients)))
+            wall = time.time() - t_all
             return {
                 "distributed_serving_p50": round(statistics.median(lat), 5),
                 "distributed_serving_p99": round(
                     lat[min(len(lat) - 1, int(len(lat) * 0.99))], 5),
+                "distributed_serving_rps": round(done / wall, 1),
             }
         finally:
             fleet.stop()

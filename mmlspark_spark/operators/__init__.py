@@ -9,6 +9,7 @@ from mmlspark_spark.operators.stages import (
     Repartition,
     SelectColumns,
     StratifiedRepartition,
+    StratifiedSampler,
     Timer,
     UDFTransformer,
 )
@@ -29,7 +30,7 @@ from mmlspark_spark.operators.minibatch import (
 __all__ = [
     "Cacher", "DropColumns", "DropMissingData", "Explode", "Lambda",
     "MultiColumnAdapter", "RenameColumn", "Repartition", "SelectColumns",
-    "StratifiedRepartition", "Timer", "UDFTransformer",
+    "StratifiedRepartition", "StratifiedSampler", "Timer", "UDFTransformer",
     "ClassBalancer", "ClassBalancerModel", "EnsembleByKey", "SummarizeData",
     "DynamicMiniBatchTransformer", "FixedMiniBatchTransformer",
     "FlattenBatch", "PartitionConsolidator", "TimeIntervalMiniBatchTransformer",

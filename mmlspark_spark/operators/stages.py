@@ -334,3 +334,50 @@ class MultiColumnAdapter(Transformer):
         for c in self._clones():
             df = c.transform(df)
         return df
+
+
+class StratifiedSampler(Transformer):
+    """Per-stratum subsampling for training-data curation (engine
+    extra, sibling of StratifiedRepartition): cap each stratum —
+    e.g. (lang, source) — at ``perStratum`` rows so no bucket
+    dominates the mix.
+
+    Two modes:
+
+    - ``exact=True`` (default): deterministic per-stratum head —
+      ``row_number`` over ``orderBy`` within each stratum, keep the
+      first ``perStratum``. Reproducible run-to-run and engine-to-
+      engine (it is the catalog's oracled mode).
+    - ``exact=False``: seeded Bernoulli via ``sampleBy`` with
+      ``fractions`` (per-stratum fraction dict over the FIRST stratum
+      column, Spark's native stratified sampler) — cheaper at scale
+      (no window shuffle), sample-exactness traded away.
+
+    Scale: the exact mode is one shuffle on the stratum key; skew
+    (one giant stratum) is the normal window-skew case AQE handles,
+    and the output is bounded at strata x perStratum rows.
+    """
+
+    def __init__(self, stratumCols=("lang",), perStratum: int = 100,
+                 orderBy: str = "doc_id", exact: bool = True,
+                 fractions: dict | None = None, seed: int = 42):
+        super().__init__(stratumCols=list(stratumCols),
+                         perStratum=perStratum, orderBy=orderBy,
+                         exact=exact, fractions=dict(fractions or {}),
+                         seed=seed)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, *self.stratumCols)
+        if self.exact:
+            self._require_cols(schema, self.orderBy)
+        return schema
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if not self.exact:
+            return df.sampleBy(self.stratumCols[0], self.fractions,
+                               seed=self.seed)
+        w = (Window.partitionBy(*self.stratumCols)
+             .orderBy(F.col(self.orderBy)))
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= self.perStratum)
+                .drop("__rn"))

@@ -66,7 +66,7 @@ _WINDOW_PRIORITY = (
     "pii_redact", "url_extract",
     "tabular_shap_exact", "sequence_packing",
     "knn_stage", "isolation_forest", "train_classifier_metrics",
-    "doc_fingerprint", "dedup_resolve",
+    "doc_fingerprint", "dedup_resolve", "stratified_sample",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
     "drop_missing", "minibatch_roundtrip", "partition_ops_identity",
@@ -885,6 +885,29 @@ def ngram_jaccard_q(spark, sf_dir):
     # .select() returns a new object without the attached persisted
     # handles — propagate so bench's release_intermediates frees them
     return propagate_intermediates(out, final)
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """)
+def stratified_sample_q(spark, sf_dir):
+    """Exact per-stratum subsample: cap each (lang, source) bucket at
+    its 20 lowest doc ids — the deterministic training-data curation
+    mode of StratifiedSampler (the seeded-Bernoulli mode is rows-only
+    by nature)."""
+    from mmlspark_spark.operators.stages import StratifiedSampler
+
+    docs = _t(spark, sf_dir, "documents")
+    out = StratifiedSampler(stratumCols=["lang", "source"], perStratum=20,
+                            orderBy="doc_id").transform(docs)
+    return out.select("doc_id", "lang", "source")
 
 
 @register(

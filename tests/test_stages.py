@@ -189,3 +189,27 @@ def test_dynamic_minibatch(spark):
 
 def test_partition_consolidator(lineitem):
     assert PartitionConsolidator(numPartitions=1).transform(lineitem).rdd.getNumPartitions() == 1
+
+
+def test_stratified_sampler_exact_and_fraction(spark):
+    """Exact mode keeps the perStratum lowest order-keys per stratum;
+    fraction mode is a seeded Bernoulli per first-stratum value."""
+    from mmlspark_spark.operators.stages import StratifiedSampler
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = StratifiedSampler(stratumCols=["grp"], perStratum=5,
+                            orderBy="id").transform(df)
+    got = sorted((r.grp, r.id) for r in out.collect())
+    assert got == [("a", 0), ("a", 2), ("a", 4), ("a", 6), ("a", 8),
+                   ("b", 1), ("b", 3), ("b", 5), ("b", 7), ("b", 9)]
+
+    frac = StratifiedSampler(stratumCols=["grp"], exact=False,
+                             fractions={"a": 1.0, "b": 0.0},
+                             seed=7).transform(df)
+    grps = {r.grp for r in frac.collect()}
+    assert grps == {"a"}
+    # schema contract: missing stratum column errors eagerly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing column"):
+        StratifiedSampler(stratumCols=["nope"]).transform(df)
