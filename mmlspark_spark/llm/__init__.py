@@ -7,6 +7,7 @@ from mmlspark_spark.llm.dedup import (
     resolve_duplicate_clusters,
 )
 from mmlspark_spark.llm.packing import BenchmarkDecontaminator, SequencePacker
+from mmlspark_spark.llm.quality import QualityFilter
 from mmlspark_spark.llm.scrub import (
     PIIRedactor,
     extract_domains,
@@ -26,6 +27,7 @@ __all__ = [
     "LSHKNN",
     "SequencePacker",
     "BenchmarkDecontaminator",
+    "QualityFilter",
     "PIIRedactor",
     "redact_pii",
     "extract_urls",

@@ -67,6 +67,7 @@ _WINDOW_PRIORITY = (
     "tabular_shap_exact", "sequence_packing",
     "knn_stage", "isolation_forest", "train_classifier_metrics",
     "doc_fingerprint", "dedup_resolve", "stratified_sample",
+    "quality_filter",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
     "drop_missing", "minibatch_roundtrip", "partition_ops_identity",
@@ -885,6 +886,45 @@ def ngram_jaccard_q(spark, sf_dir):
     # .select() returns a new object without the attached persisted
     # handles — propagate so bench's release_intermediates frees them
     return propagate_intermediates(out, final)
+
+
+@register(
+    "quality_filter",
+    oracle="""
+    SELECT doc_id, reason, (reason IS NULL) AS keep FROM (
+      SELECT doc_id,
+        CASE
+          WHEN length(text) < 200 THEN 'too_short'
+          WHEN length(text) > 100000 THEN 'too_long'
+          WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) < 40 THEN 'too_few_tokens'
+          WHEN CAST(length(text) - length(regexp_replace(text,
+                 '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) > 0.05 THEN 'punct_heavy'
+          WHEN (CASE WHEN len(list_filter(string_split(text, chr(10)),
+                                          x -> x <> '')) > 0
+                THEN CAST(len(list_filter(string_split(text, chr(10)),
+                                          x -> x <> ''))
+                       - len(list_distinct(list_filter(
+                             string_split(text, chr(10)),
+                             x -> x <> ''))) AS DOUBLE)
+                     / len(list_filter(string_split(text, chr(10)),
+                                       x -> x <> ''))
+                ELSE 0.0 END) > 0.5 THEN 'repetitious'
+        END AS reason
+      FROM documents
+    )
+    """)
+def quality_filter_q(spark, sf_dir):
+    """C4/Gopher rule filter with auditable drop reasons — pure
+    expressions, one map stage (QualityFilter op). Thresholds chosen
+    so the sf corpus exercises both verdicts."""
+    from mmlspark_spark.llm.quality import QualityFilter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = QualityFilter(minChars=200, minTokens=40,
+                        maxPunctRatio=0.05).transform(docs)
+    return out.select("doc_id", "reason", "keep")
 
 
 @register(

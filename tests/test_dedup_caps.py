@@ -170,3 +170,35 @@ def test_connected_components_nonconvergence_raises(spark):
     # and succeed with enough rounds — every node labeled 1
     ok = connected_components(chain, maxIter=15, driverCollectThreshold=0)
     assert {r.component for r in ok.collect()} == {1}
+
+
+def test_quality_filter_rules_and_reasons(spark):
+    """Each rule fires on its crafted document, in order; clean text
+    keeps with a NULL reason; reason audit is a groupBy away."""
+    from pyspark.sql import functions as F
+
+    from mmlspark_spark.llm import QualityFilter
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the field of tall green grass today ") * 3
+    docs = [
+        (1, good),
+        (2, "tiny"),                                  # too_short
+        (3, "word " * 8),                             # too_few_tokens
+        (4, "!!! ??? *** " * 12),                     # punct_heavy
+        (5, ("same line of text here\n" * 10)),       # repetitious
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = QualityFilter(minChars=30, minTokens=10, maxPunctRatio=0.2,
+                        maxDupLineFraction=0.5).transform(df)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].keep and rows[1].reason is None
+    assert rows[2].reason == "too_short"
+    assert rows[3].reason == "too_few_tokens"
+    assert rows[4].reason == "punct_heavy"
+    assert rows[5].reason == "repetitious"
+    assert all(not rows[i].keep for i in (2, 3, 4, 5))
+    audit = {r.reason: r["count"] for r in
+             out.groupBy("reason").count().collect()}
+    assert audit == {None: 1, "too_short": 1, "too_few_tokens": 1,
+                     "punct_heavy": 1, "repetitious": 1}
