@@ -153,6 +153,109 @@ class AudioFeatures(Transformer):
         return df.mapInPandas(run, out_schema)
 
 
+def mel_filterbank(n_mels: int, n_fft: int, sample_rate: int,
+                   fmin: float = 0.0) -> np.ndarray:
+    """Triangular mel filterbank matrix (n_mels × (n_fft//2 + 1)),
+    HTK mel scale ``mel(f) = 2595·log10(1 + f/700)`` — the standard
+    public formulation. Pure numpy; rows are unit-peak triangles."""
+    fmax = sample_rate / 2.0
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    pts = from_mel(np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / sample_rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for i in range(n_mels):
+        lo, ctr, hi = bins[i], bins[i + 1], bins[i + 2]
+        for b in range(lo, ctr):
+            if ctr > lo:
+                fb[i, b] = (b - lo) / (ctr - lo)
+        for b in range(ctr, hi):
+            if hi > ctr:
+                fb[i, b] = (hi - b) / (hi - ctr)
+    return fb
+
+
+class Spectrogram(Transformer):
+    """STFT power spectrogram (optionally log-mel) over the decoded
+    PCM payload — the speech/audio representation slot of the
+    multimodal pipeline, computed FOR REAL with numpy's FFT (no
+    external codec or DSP dependency).
+
+    Per document: hann-windowed frames of ``frameSize`` samples every
+    ``hopSize``, ``rfft`` → power; ``melBands > 0`` projects onto a
+    triangular HTK-mel filterbank and takes log10 (log-mel), else the
+    linear power bins are returned. Arrow-batched ``mapInPandas``; a
+    100 TB corpus spectrogram job is map-only."""
+
+    OUT_T = T.StructType([
+        T.StructField("numFrames", T.IntegerType()),
+        T.StructField("numBins", T.IntegerType()),
+        T.StructField("data", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+
+    def __init__(self, inputCol: str = "audio",
+                 outputCol: str = "spectrogram", frameSize: int = 512,
+                 hopSize: int = 256, melBands: int = 0):
+        super().__init__(inputCol=inputCol, outputCol=outputCol,
+                         frameSize=frameSize, hopSize=hopSize,
+                         melBands=melBands)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(self.outputCol, self.OUT_T)])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        in_col, out_col = self.inputCol, self.outputCol
+        n_fft, hop, n_mels = self.frameSize, self.hopSize, self.melBands
+        out_schema = T.StructType(list(df.schema.fields)
+                                  + [T.StructField(out_col, self.OUT_T)])
+
+        def run(it):
+            window = np.hanning(n_fft)
+            fbs: dict[int, np.ndarray] = {}  # per sampleRate
+            for pdf in it:
+                outs = []
+                for a in pdf[in_col]:
+                    if a is None:
+                        outs.append(None)
+                        continue
+                    pcm = np.frombuffer(bytes(a["data"]), dtype=np.int16)
+                    if a["channels"] > 1:  # mixdown
+                        pcm = pcm.reshape(-1, a["channels"]).mean(axis=1)
+                    x = pcm.astype(np.float64) / 32768.0
+                    if len(x) < n_fft:
+                        outs.append({"numFrames": 0,
+                                     "numBins": 0, "data": []})
+                        continue
+                    starts = np.arange(0, len(x) - n_fft + 1, hop)
+                    frames = np.stack([x[s:s + n_fft] for s in starts])
+                    spec = np.abs(np.fft.rfft(frames * window,
+                                              axis=1)) ** 2
+                    if n_mels > 0:
+                        rate = int(a["sampleRate"])
+                        if rate not in fbs:
+                            fbs[rate] = mel_filterbank(n_mels, n_fft,
+                                                       rate)
+                        spec = np.log10(spec @ fbs[rate].T + 1e-10)
+                    outs.append({
+                        "numFrames": int(spec.shape[0]),
+                        "numBins": int(spec.shape[1]),
+                        "data": [[float(v) for v in row]
+                                 for row in spec],
+                    })
+                out = pdf.copy()
+                out[out_col] = outs
+                yield out
+
+        return df.mapInPandas(run, out_schema)
+
+
 def _fake_frames(blob: bytes, num_frames: int, height: int, width: int):
     """DETERMINISTIC FAKE decode: frames seeded by content hash.
     Placeholder for a real codec (cv2/av) — same shapes, same schema."""

@@ -246,3 +246,45 @@ def test_video_real_decode_cv2(spark, tmp_path):
     first = np.frombuffer(bytes(row.frames[0].data), dtype=np.uint8)
     last = np.frombuffer(bytes(row.frames[-1].data), dtype=np.uint8)
     assert first.mean() < 40 and last.mean() > 140
+
+
+def test_spectrogram_peak_bin_and_mel(spark, tmp_path):
+    """The STFT must put a 1 kHz tone's energy in the right FFT bin
+    (1000/8000*512 = 64), the log-mel projection must peak in the band
+    whose center covers 1 kHz, and short/null audio must degrade
+    gracefully."""
+    import numpy as np
+
+    from mmlspark_spark.sources.multimodal import (
+        DecodeAudio,
+        Spectrogram,
+        mel_filterbank,
+    )
+
+    (tmp_path / "tone1k.wav").write_bytes(make_wav(freq=1000.0))
+    (tmp_path / "junk.bin").write_bytes(b"xx")
+    df = read_binary_files(spark, str(tmp_path))
+    decoded = DecodeAudio().transform(df)
+
+    spec = Spectrogram(frameSize=512, hopSize=256).transform(decoded)
+    rows = {r.path.split("/")[-1]: r.spectrogram for r in spec.collect()}
+    assert rows["junk.bin"] is None  # null audio -> null spectrogram
+    s = rows["tone1k.wav"]
+    assert s.numBins == 257  # 512//2 + 1
+    # 0.5 s at 8 kHz, frame 512 hop 256 -> (4000-512)//256 + 1 = 14
+    assert s.numFrames == 14
+    mean_spec = np.mean(np.array(s.data), axis=0)
+    assert int(np.argmax(mean_spec)) == 64  # 1000/8000*512
+
+    mel = Spectrogram(frameSize=512, hopSize=256,
+                      melBands=20).transform(decoded)
+    m = {r.path.split("/")[-1]: r.spectrogram
+         for r in mel.collect()}["tone1k.wav"]
+    assert m.numBins == 20
+    peak_band = int(np.argmax(np.mean(np.array(m.data), axis=0)))
+    fb = mel_filterbank(20, 512, 8000)
+    assert fb[peak_band, 64] > 0  # the winning band covers bin 64
+
+    # filterbank shape contracts
+    assert fb.shape == (20, 257)
+    assert np.all(fb >= 0) and np.isclose(fb.max(), 1.0)
