@@ -6,6 +6,7 @@ from mmlspark_spark.llm.dedup import (
     ngram_jaccard_pairs,
     resolve_duplicate_clusters,
 )
+from mmlspark_spark.llm.embeddings import EmbeddingPCA, EmbeddingPCAModel
 from mmlspark_spark.llm.packing import BenchmarkDecontaminator, SequencePacker
 from mmlspark_spark.llm.quality import QualityFilter
 from mmlspark_spark.llm.scrub import (
@@ -28,6 +29,8 @@ __all__ = [
     "SequencePacker",
     "BenchmarkDecontaminator",
     "QualityFilter",
+    "EmbeddingPCA",
+    "EmbeddingPCAModel",
     "PIIRedactor",
     "redact_pii",
     "extract_urls",

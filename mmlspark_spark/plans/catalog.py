@@ -67,7 +67,7 @@ _WINDOW_PRIORITY = (
     "tabular_shap_exact", "sequence_packing",
     "knn_stage", "isolation_forest", "train_classifier_metrics",
     "doc_fingerprint", "dedup_resolve", "stratified_sample",
-    "quality_filter",
+    "quality_filter", "embedding_covariance",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
     "drop_missing", "minibatch_roundtrip", "partition_ops_identity",
@@ -886,6 +886,38 @@ def ngram_jaccard_q(spark, sf_dir):
     # .select() returns a new object without the attached persisted
     # handles — propagate so bench's release_intermediates frees them
     return propagate_intermediates(out, final)
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings
+    )
+    SELECT a.i - 1 AS i, b.i - 1 AS j,
+           round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 6) AS cov
+    FROM ex a JOIN ex b USING (vec_id)
+    WHERE a.i <= b.i
+    GROUP BY 1, 2
+    """)
+def embedding_covariance_q(spark, sf_dir):
+    """EmbeddingPCA's fit statistics verified cross-engine: the
+    distributed one-pass (count, Σx, Σxxᵀ) moment reduction must
+    reproduce the population covariance DuckDB computes from scratch —
+    upper triangle, 6dp. This checks the operator's math, not just
+    its output shape; the eigendecomposition on top is unit-tested
+    against planted components (sign/order canonicalized)."""
+    from mmlspark_spark.llm.embeddings import EmbeddingPCA
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = EmbeddingPCA(inputCol="embedding").covariance(emb)
+    d = cov.shape[0]
+    rows = [(i, j, float(round(cov[i, j], 6)))
+            for i in range(d) for j in range(i, d)]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
 
 
 @register(

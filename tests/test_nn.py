@@ -53,3 +53,48 @@ def test_knn_over_embeddings_table(embeddings):
         assert len(r.nn) == 3
         # self is in the fit set → must be its own max-inner-product hit
         assert r.nn[0].value == str(r.vec_id)
+
+
+def test_embedding_pca_recovers_planted_components(spark):
+    """Data stretched along two known orthogonal axes: the fitted
+    components must align with them (|cos| > 0.99), eigenvalues must
+    descend, the projection must have shape k and center at ~0, and
+    sign canonicalization must make fits deterministic."""
+    import numpy as np
+
+    from mmlspark_spark.llm.embeddings import EmbeddingPCA
+
+    rng = np.random.default_rng(17)
+    d = 6
+    a = np.zeros(d); a[1] = 1.0                      # axis 1
+    b = np.zeros(d); b[4] = 1.0                      # axis 4
+    X = (rng.normal(size=(800, 1)) * 5.0 * a
+         + rng.normal(size=(800, 1)) * 2.0 * b
+         + rng.normal(0, 0.05, size=(800, d)) + 3.0)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>").repartition(4)
+
+    model = EmbeddingPCA(inputCol="embedding", k=2).fit(df)
+    c1, c2 = np.asarray(model.components)
+    assert abs(np.dot(c1, a)) > 0.99
+    assert abs(np.dot(c2, b)) > 0.99
+    ev = model.explainedVariance
+    assert ev[0] > ev[1] > 0
+    assert abs(ev[0] - 25.0) < 2.0 and abs(ev[1] - 4.0) < 0.5
+    # sign canonicalization: the dominant coordinate is positive
+    assert c1[int(np.argmax(np.abs(c1)))] > 0
+
+    out = model.transform(df).select("pca").collect()
+    P = np.asarray([r.pca for r in out])
+    assert P.shape == (800, 2)
+    assert np.allclose(P.mean(axis=0), 0.0, atol=0.05)
+    # projection variance equals the eigenvalues
+    assert np.allclose(P.var(axis=0), ev, rtol=0.05)
+
+    again = EmbeddingPCA(inputCol="embedding", k=2).fit(df)
+    assert np.allclose(model.components, again.components)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty"):
+        EmbeddingPCA(inputCol="embedding", k=2).fit(df.limit(0))
