@@ -96,3 +96,32 @@ def test_knn_expr_path_broadcasts_queries_not_corpus(spark, sf_dir):
     bcast = p.split("BroadcastExchange")[1]
     scan_lines = [ln for ln in bcast.splitlines() if "FileScan" in ln]
     assert scan_lines, "broadcast side should scan the query slice"
+
+
+def test_tpch_q6_full_pushdown(spark, sf_dir):
+    """Q6 is the pushdown contract: every predicate reaches the scan
+    and the scan reads only the 4 referenced columns."""
+    p = _plan(spark, "tpch_q6", sf_dir)
+    assert "l_shipdate" in p.split("ReadSchema")[0]  # filters present
+    read = p.split("ReadSchema:")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"):
+        assert col in read
+    assert "l_orderkey" not in read  # untouched columns pruned
+    assert p.count("HashAggregate") >= 2  # partial/final split
+
+
+def test_tpch_q3_topk_no_global_sort(spark, sf_dir):
+    """The ORDER BY + LIMIT must plan as TakeOrderedAndProject — a
+    full Sort of the aggregate would materialize every group."""
+    p = _plan(spark, "tpch_q3", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q18_semi_join_is_broadcast(spark, sf_dir):
+    """The HAVING subquery must enter the orders join as a broadcast
+    left-semi — a shuffled semi would move the orders table for a
+    filter that fits in memory."""
+    p = _plan(spark, "tpch_q18", sf_dir)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
