@@ -61,7 +61,10 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     doc_fingerprint — converted from rows-only to oracled this round
 #     (exact top-k / planted detection / separable closed-form metrics
 #     / portable Rabin-Karp fingerprint), never driver-checked as
-#     oracled.
+#     oracled;
+# (e) the round-5 additions (dedup_resolve, stratified_sample,
+#     quality_filter, embedding_covariance; tpch_q3/q6/q18 follow in
+#     registration order) — oracled at birth, never driver-checked.
 _WINDOW_PRIORITY = (
     "pii_redact", "url_extract",
     "tabular_shap_exact", "sequence_packing",
