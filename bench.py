@@ -138,34 +138,43 @@ def _distributed_serving_latency(spark, n_requests: int = 50) -> dict | None:
                     method="POST"), timeout=10).read()
                 lat.append(time.time() - t0)
             lat.sort()
+            # latency metrics are banked before the throughput probe:
+            # a single timeout under concurrent load must not discard
+            # already-measured numbers
+            result = {
+                "distributed_serving_p50": round(statistics.median(lat), 5),
+                "distributed_serving_p99": round(
+                    lat[min(len(lat) - 1, int(len(lat) * 0.99))], 5),
+            }
 
             # Concurrent throughput: 8 clients round-robin over the
             # fleet, keep-alive connections (same client shape as the
             # micro-batch rps probe).
-            from concurrent.futures import ThreadPoolExecutor
+            try:
+                from concurrent.futures import ThreadPoolExecutor
 
-            import requests as rq
+                import requests as rq
 
-            n_clients, per_client = 8, 25
+                n_clients, per_client = 8, 25
 
-            def client(cid: int) -> int:
-                with rq.Session() as s:
-                    for i in range(per_client):
-                        s.post(
-                            f"http://{addrs[(cid + i) % len(addrs)]}/score",
-                            json={"text": f"c{cid}r{i}"}, timeout=10)
-                return per_client
+                def client(cid: int) -> int:
+                    with rq.Session() as s:
+                        for i in range(per_client):
+                            s.post(
+                                f"http://{addrs[(cid + i) % len(addrs)]}"
+                                "/score",
+                                json={"text": f"c{cid}r{i}"}, timeout=10)
+                    return per_client
 
-            t_all = time.time()
-            with ThreadPoolExecutor(max_workers=n_clients) as ex:
-                done = sum(ex.map(client, range(n_clients)))
-            wall = time.time() - t_all
-            return {
-                "distributed_serving_p50": round(statistics.median(lat), 5),
-                "distributed_serving_p99": round(
-                    lat[min(len(lat) - 1, int(len(lat) * 0.99))], 5),
-                "distributed_serving_rps": round(done / wall, 1),
-            }
+                t_all = time.time()
+                with ThreadPoolExecutor(max_workers=n_clients) as ex:
+                    done = sum(ex.map(client, range(n_clients)))
+                wall = time.time() - t_all
+                result["distributed_serving_rps"] = round(done / wall, 1)
+            except Exception as e:
+                print(f"# distributed serving rps skipped: {e}",
+                      file=sys.stderr)
+            return result
         finally:
             fleet.stop()
     except Exception as e:  # pragma: no cover - bench must always emit JSON

@@ -33,8 +33,10 @@ from mmlspark_spark.core.base import Estimator, Model
 
 def _moments(df: DataFrame, inputCol: str):
     """(n, sum_vec, sum_outer) over the embedding column — one job,
-    one small row per partition."""
-    arr = df.select(F.col(inputCol).cast("array<double>").alias("__v"))
+    one small row per partition. NULL embeddings are excluded from the
+    moments (documented: PCA is fit on the observed vectors)."""
+    arr = (df.filter(F.col(inputCol).isNotNull())
+           .select(F.col(inputCol).cast("array<double>").alias("__v")))
 
     def partial(batches):
         import numpy as np
@@ -139,9 +141,21 @@ class EmbeddingPCAModel(Model):
 
             m = np.asarray(mean)
             C = np.asarray(comps)
-            X = np.asarray(col.tolist(), dtype="float64")
-            Y = (X - m) @ C.T
-            return pd.Series([row.tolist() for row in Y])
+            vals = col.tolist()
+            # NULL embeddings project to NULL (sibling multimodal
+            # operators' null contract), and must not poison the
+            # batch's ndarray conversion
+            mask = [v is not None for v in vals]
+            out = [None] * len(vals)
+            if any(mask):
+                X = np.asarray([v for v in vals if v is not None],
+                               dtype="float64")
+                Y = (X - m) @ C.T
+                it = iter(Y)
+                for i, ok in enumerate(mask):
+                    if ok:
+                        out[i] = next(it).tolist()
+            return pd.Series(out)
 
         return df.withColumn(
             self.outputCol,

@@ -370,6 +370,14 @@ class StratifiedSampler(Transformer):
         self._require_cols(schema, *self.stratumCols)
         if self.exact:
             self._require_cols(schema, self.orderBy)
+        elif not self.fractions:
+            # eager contract: sampleBy treats absent strata as
+            # fraction 0, so an empty dict would silently return an
+            # empty frame 3 hours into a run
+            raise ValueError(
+                "StratifiedSampler(exact=False) needs a non-empty "
+                "`fractions` dict; strata missing from it are DROPPED "
+                "(sampleBy semantics)")
         return schema
 
     def _transform(self, df: DataFrame) -> DataFrame:

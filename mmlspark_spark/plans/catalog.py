@@ -1078,17 +1078,19 @@ def quality_filter_q(spark, sf_dir):
              row_number() OVER (PARTITION BY lang, source
                                 ORDER BY doc_id) AS rn
       FROM documents
-    ) WHERE rn <= 20
+    ) WHERE rn <= 10
     """)
 def stratified_sample_q(spark, sf_dir):
     """Exact per-stratum subsample: cap each (lang, source) bucket at
-    its 20 lowest doc ids — the deterministic training-data curation
+    its 10 lowest doc ids — the deterministic training-data curation
     mode of StratifiedSampler (the seeded-Bernoulli mode is rows-only
-    by nature)."""
+    by nature). perStratum=10 BINDS at every driver sf (max stratum is
+    16 docs at sf0.001/0.01), so the oracle actually exercises the
+    capping logic, not an identity pass-through."""
     from mmlspark_spark.operators.stages import StratifiedSampler
 
     docs = _t(spark, sf_dir, "documents")
-    out = StratifiedSampler(stratumCols=["lang", "source"], perStratum=20,
+    out = StratifiedSampler(stratumCols=["lang", "source"], perStratum=10,
                             orderBy="doc_id").transform(docs)
     return out.select("doc_id", "lang", "source")
 

@@ -133,10 +133,7 @@ class AudioFeatures(Transformer):
                     if a is None:
                         outs.append(None)
                         continue
-                    pcm = np.frombuffer(bytes(a["data"]), dtype=np.int16)
-                    if a["channels"] > 1:  # mixdown
-                        pcm = pcm.reshape(-1, a["channels"]).mean(axis=1)
-                    x = pcm.astype(np.float64) / 32768.0
+                    x = _pcm_to_float(a)
                     n = (len(x) // frame) * frame
                     fr = x[:n].reshape(-1, frame)
                     rms = np.sqrt((fr ** 2).mean(axis=1))
@@ -151,6 +148,16 @@ class AudioFeatures(Transformer):
                 yield out
 
         return df.mapInPandas(run, out_schema)
+
+
+def _pcm_to_float(audio) -> np.ndarray:
+    """AUDIO_SCHEMA struct → mono float64 in [-1, 1): int16 decode,
+    channel mixdown, normalize. Shared by AudioFeatures and
+    Spectrogram so the PCM handling has exactly one definition."""
+    pcm = np.frombuffer(bytes(audio["data"]), dtype=np.int16)
+    if audio["channels"] > 1:  # mixdown
+        pcm = pcm.reshape(-1, audio["channels"]).mean(axis=1)
+    return pcm.astype(np.float64) / 32768.0
 
 
 def mel_filterbank(n_mels: int, n_fft: int, sample_rate: int,
@@ -171,12 +178,10 @@ def mel_filterbank(n_mels: int, n_fft: int, sample_rate: int,
     fb = np.zeros((n_mels, n_fft // 2 + 1))
     for i in range(n_mels):
         lo, ctr, hi = bins[i], bins[i + 1], bins[i + 2]
-        for b in range(lo, ctr):
-            if ctr > lo:
-                fb[i, b] = (b - lo) / (ctr - lo)
+        for b in range(lo, ctr):  # empty when ctr == lo (degenerate)
+            fb[i, b] = (b - lo) / (ctr - lo)
         for b in range(ctr, hi):
-            if hi > ctr:
-                fb[i, b] = (hi - b) / (hi - ctr)
+            fb[i, b] = (hi - b) / (hi - ctr)
     return fb
 
 
@@ -225,10 +230,7 @@ class Spectrogram(Transformer):
                     if a is None:
                         outs.append(None)
                         continue
-                    pcm = np.frombuffer(bytes(a["data"]), dtype=np.int16)
-                    if a["channels"] > 1:  # mixdown
-                        pcm = pcm.reshape(-1, a["channels"]).mean(axis=1)
-                    x = pcm.astype(np.float64) / 32768.0
+                    x = _pcm_to_float(a)
                     if len(x) < n_fft:
                         outs.append({"numFrames": 0,
                                      "numBins": 0, "data": []})
@@ -246,8 +248,9 @@ class Spectrogram(Transformer):
                     outs.append({
                         "numFrames": int(spec.shape[0]),
                         "numBins": int(spec.shape[1]),
-                        "data": [[float(v) for v in row]
-                                 for row in spec],
+                        # one C-level conversion, not frames*bins
+                        # python float() calls in the hot map path
+                        "data": spec.tolist(),
                     })
                 out = pdf.copy()
                 out[out_col] = outs

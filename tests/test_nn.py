@@ -98,3 +98,25 @@ def test_embedding_pca_recovers_planted_components(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="empty"):
         EmbeddingPCA(inputCol="embedding", k=2).fit(df.limit(0))
+
+
+def test_embedding_pca_null_rows(spark):
+    """NULL embeddings are excluded from the fit moments and project
+    to NULL (the multimodal null contract) instead of poisoning the
+    batch ndarray conversion."""
+    import numpy as np
+
+    from mmlspark_spark.llm.embeddings import EmbeddingPCA
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(v) for v in rng.normal(size=4)])
+            for i in range(50)] + [(50, None), (51, None)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    model = EmbeddingPCA(inputCol="embedding", k=2).fit(df)
+    out = {r.vec_id: r.pca for r in model.transform(df).collect()}
+    assert out[50] is None and out[51] is None
+    assert len(out[0]) == 2
+    clean = EmbeddingPCA(inputCol="embedding", k=2).fit(
+        df.filter("embedding is not null"))
+    assert np.allclose(model.components, clean.components)

@@ -213,3 +213,7 @@ def test_stratified_sampler_exact_and_fraction(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="missing column"):
         StratifiedSampler(stratumCols=["nope"]).transform(df)
+    # eager contract: empty fractions would silently drop every
+    # stratum (sampleBy treats absent keys as fraction 0)
+    with _pytest.raises(ValueError, match="fractions"):
+        StratifiedSampler(stratumCols=["grp"], exact=False).transform(df)
