@@ -3,6 +3,7 @@ from mmlspark_spark.llm.dedup import (
     MinHashLSHDeduplicator,
     SimHashDeduplicator,
     connected_components,
+    duplicated_substring_spans,
     ngram_jaccard_pairs,
     resolve_duplicate_clusters,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "MinHashLSHDeduplicator",
     "SimHashDeduplicator",
     "ngram_jaccard_pairs",
+    "duplicated_substring_spans",
     "connected_components",
     "resolve_duplicate_clusters",
     "BruteForceKNN",

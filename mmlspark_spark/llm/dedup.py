@@ -713,3 +713,77 @@ def resolve_duplicate_clusters(
         F.col("node").alias("doc_id"),
         "component",
         (F.col("node") == F.col("component")).alias("is_kept"))
+
+
+def duplicated_substring_spans(
+    df: DataFrame, idCol: str = "doc_id", textCol: str = "text",
+    k: int = 50, crossDocOnly: bool = False,
+    maxDocsPerWindow: int | None = 10_000,
+) -> DataFrame:
+    """Exact duplicated character spans — the substring-level dedup
+    family (public "deduplicate exact substrings of length ≥ k"
+    formulation, suffix-array tools re-expressed as a Spark dataflow).
+
+    Every k-char window of every document is hashed (md5 — portable,
+    so the DuckDB oracle replays it); a window whose hash occurs more
+    than once (``crossDocOnly=True``: in more than one document) marks
+    a duplicated region, and overlapping marks merge into MAXIMAL
+    spans per document with interval islands (window functions). All
+    copies are marked — choosing which copy survives is downstream
+    policy, exactly as in the reference formulation.
+
+    Returns (id, span_start, span_end) — 1-based inclusive character
+    positions of each maximal duplicated span (length ≥ k).
+
+    Scale: the window explode is map-side and feeds ONE groupBy on
+    the fixed-width hash that both counts and carries the (id, pos)
+    occurrence lists — no join back to the window frame (AQE does not
+    reuse identical exchanges across branches, so a join-back would
+    explode + md5 the corpus twice; the ngram per-shingle pattern).
+    The only other shuffle is the per-doc islands window. Cost is
+    O(len·k) hashed bytes per doc — the honest price of exactness
+    without a suffix array; run it AFTER document-level dedup has
+    removed whole-doc copies. ``maxDocsPerWindow`` caps pathological
+    boilerplate windows (a window shared by millions of docs would
+    otherwise materialize its whole occurrence list in one row), with
+    the observed drop metric ``substring_dedup_hot_window_drops``.
+    """
+    c = F.col(textCol)
+    win = (df.filter(F.length(c) >= k)
+           .select(F.col(idCol).alias("__id"),
+                   F.explode(F.sequence(
+                       F.lit(1), F.length(c) - (k - 1))).alias("__pos"),
+                   c.alias("__t"))
+           .select("__id", "__pos",
+                   F.md5(F.col("__t").substr(F.col("__pos"),
+                                             F.lit(k))).alias("__h")))
+    per_hash = win.groupBy("__h").agg(
+        F.collect_list(F.struct("__id", "__pos")).alias("__occ"))
+    n_docs = F.size(F.array_distinct(
+        F.transform("__occ", lambda x: x["__id"])))
+    dup = per_hash.filter(
+        (n_docs > 1) if crossDocOnly else (F.size("__occ") > 1))
+    if maxDocsPerWindow is not None:
+        dup = dup.observe(
+            "substring_dedup_hot_window_drops",
+            F.sum(F.when(n_docs > maxDocsPerWindow, 1)
+                  .otherwise(0)).alias("dropped_windows"),
+        ).filter(n_docs <= maxDocsPerWindow)
+    marked = (dup.select(F.explode("__occ").alias("__o"))
+              .select(F.col("__o.__id").alias("__id"),
+                      F.col("__o.__pos").alias("__pos"),
+                      (F.col("__o.__pos") + (k - 1)).alias("__end")))
+    # interval islands: a mark starting after every earlier mark's
+    # max end opens a new maximal span
+    w_doc = Window.partitionBy("__id").orderBy("__pos")
+    prev_max = F.max("__end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = marked.withColumn(
+        "__grp",
+        F.sum(F.when(F.col("__pos") > F.coalesce(prev_max, F.lit(0)), 1)
+              .otherwise(0)).over(w_doc))
+    return (grouped.groupBy("__id", "__grp")
+            .agg(F.min("__pos").alias("span_start"),
+                 F.max("__end").alias("span_end"))
+            .select(F.col("__id").alias(idCol),
+                    "span_start", "span_end"))

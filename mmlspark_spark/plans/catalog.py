@@ -70,7 +70,7 @@ _WINDOW_PRIORITY = (
     "tabular_shap_exact", "sequence_packing",
     "knn_stage", "isolation_forest", "train_classifier_metrics",
     "doc_fingerprint", "dedup_resolve", "stratified_sample",
-    "quality_filter", "embedding_covariance",
+    "quality_filter", "embedding_covariance", "substring_dedup_spans",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
     "drop_missing", "minibatch_roundtrip", "partition_ops_identity",
@@ -997,6 +997,47 @@ def ngram_jaccard_q(spark, sf_dir):
     # .select() returns a new object without the attached persisted
     # handles — propagate so bench's release_intermediates frees them
     return propagate_intermediates(out, final)
+
+
+@register(
+    "substring_dedup_spans",
+    oracle="""
+    WITH win AS (
+      SELECT doc_id, i AS pos, i + 39 AS e,
+             md5(substr(text, i, 40)) AS h
+      FROM documents,
+           unnest(range(1, greatest(length(text) - 38, 1))) AS t(i)
+      WHERE length(text) >= 40
+    ), dup AS (
+      SELECT h FROM win GROUP BY h HAVING count(*) > 1
+    ), marked AS (
+      SELECT doc_id, pos, e FROM win JOIN dup USING (h)
+    ), flagged AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) THEN 1 ELSE 0 END AS f
+      FROM marked
+    ), islands AS (
+      SELECT doc_id, pos, e,
+             sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS g
+      FROM flagged
+    )
+    SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+    FROM islands GROUP BY doc_id, g
+    """)
+def substring_dedup_spans_q(spark, sf_dir):
+    """Exact duplicated-substring detection (k=40): every maximal
+    character span whose 40-char windows repeat anywhere in the
+    corpus. The oracle replays windowing, duplicate marking, and
+    interval-island merging from scratch in SQL."""
+    from mmlspark_spark.llm.dedup import duplicated_substring_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_substring_spans(docs, "doc_id", "text", k=40)
 
 
 @register(

@@ -202,3 +202,37 @@ def test_quality_filter_rules_and_reasons(spark):
              out.groupBy("reason").count().collect()}
     assert audit == {None: 1, "too_short": 1, "too_few_tokens": 1,
                      "punct_heavy": 1, "repetitious": 1}
+
+
+def test_duplicated_substring_spans_planted(spark):
+    """Planted copies: a 60-char block shared by two docs must come
+    back as one maximal span in EACH doc at the exact 1-based
+    positions; unique text yields nothing; crossDocOnly excludes a
+    doc's internal self-repeat."""
+    from mmlspark_spark.llm.dedup import duplicated_substring_spans
+
+    block = "X" * 25 + "shared boilerplate body " + "Y" * 11  # 60 chars
+    assert len(block) == 60
+    uniq1 = "a quiet unrelated sentence with its own words only here"
+    uniq2 = "completely different filler content nothing repeats twice"
+    docs = [
+        (1, uniq1 + block + uniq1.upper()),          # block at 56..115
+        (2, block + uniq2),                          # block at 1..60
+        (3, "standalone text that appears in no other corpus document"),
+        (4, "Z" * 45 + "Z" * 45),                    # self-repeat only
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    rows = duplicated_substring_spans(df, k=40, crossDocOnly=True).collect()
+    spans = {}
+    for r in rows:
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert spans[1] == [(len(uniq1) + 1, len(uniq1) + 60)]
+    assert spans[2] == [(1, 60)]
+    assert 3 not in spans
+    assert 4 not in spans  # self-repeat excluded by crossDocOnly
+
+    # default (any repeat) also marks doc 4's internal repetition
+    all_spans = {r.doc_id for r in
+                 duplicated_substring_spans(df, k=40).collect()}
+    assert 4 in all_spans and 3 not in all_spans
