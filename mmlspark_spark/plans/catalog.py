@@ -71,6 +71,7 @@ _WINDOW_PRIORITY = (
     "knn_stage", "isolation_forest", "train_classifier_metrics",
     "doc_fingerprint", "dedup_resolve", "stratified_sample",
     "quality_filter", "embedding_covariance", "substring_dedup_spans",
+    "curation_pipeline",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
     "drop_missing", "minibatch_roundtrip", "partition_ops_identity",
@@ -997,6 +998,91 @@ def ngram_jaccard_q(spark, sf_dir):
     # .select() returns a new object without the attached persisted
     # handles — propagate so bench's release_intermediates frees them
     return propagate_intermediates(out, final)
+
+
+@register(
+    "curation_pipeline",
+    oracle="""
+    WITH RECURSIVE kept AS (
+      SELECT doc_id, lang, source, text FROM documents
+      WHERE NOT (length(text) < 200
+                 OR length(text) > 100000
+                 OR len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) < 40
+                 OR CAST(length(text) - length(regexp_replace(text,
+                      '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1) > 0.05)
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM kept
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w)-3, 1))) AS i FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+               AS shingle
+      FROM idx
+    ), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM j
+      UNION SELECT doc_b, doc_a FROM j
+    ), reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION SELECT a, b FROM edges
+      UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ), losers AS (
+      SELECT n AS doc_id FROM reach GROUP BY n HAVING n <> min(m)
+    ), surviving AS (
+      SELECT k.doc_id, k.lang, k.source FROM kept k
+      WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
+    )
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY doc_id) AS rn
+      FROM surviving
+    ) WHERE rn <= 10
+    """)
+def curation_pipeline_q(spark, sf_dir):
+    """End-to-end corpus curation, the north-star composition proof:
+    QualityFilter (C4/Gopher rules) → near-dup resolution (exact
+    5-gram Jaccard ≥ 0.5, connected components, min-id survivor) →
+    StratifiedSampler cap of 10 per (lang, source). Every stage is
+    deterministic, so the WHOLE pipeline is verified exactly against
+    one SQL replay (CASE filter → recursive-CTE closure anti-join →
+    window cap)."""
+    from mmlspark_spark.core.cache import propagate_intermediates
+    from mmlspark_spark.llm import (
+        QualityFilter,
+        ngram_jaccard_pairs,
+        resolve_duplicate_clusters,
+    )
+    from mmlspark_spark.operators.stages import StratifiedSampler
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = (QualityFilter(minChars=200, minTokens=40,
+                          maxPunctRatio=0.05).transform(docs)
+            .filter(F.col("keep")).drop("keep", "reason"))
+    pairs = ngram_jaccard_pairs(kept, "doc_id", "text", n=5)
+    losers = (resolve_duplicate_clusters(
+        pairs.filter(F.col("jaccard") >= 0.5))
+        .filter(~F.col("is_kept")).select("doc_id"))
+    surviving = kept.join(losers, "doc_id", "left_anti")
+    capped = StratifiedSampler(stratumCols=["lang", "source"],
+                               perStratum=10,
+                               orderBy="doc_id").transform(surviving)
+    return propagate_intermediates(
+        pairs, capped.select("doc_id", "lang", "source"))
 
 
 @register(
