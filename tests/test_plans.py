@@ -125,3 +125,21 @@ def test_tpch_q18_semi_join_is_broadcast(spark, sf_dir):
     filter that fits in memory."""
     p = _plan(spark, "tpch_q18", sf_dir)
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_substring_dedup_single_window_pass(spark, sf_dir):
+    """The duplicated-span detector must hash each window exactly once:
+    one md5 expression in the plan (no join-back re-evaluating the
+    window explode — AQE does not reuse identical exchanges), no join,
+    no cartesian; the two Generates are the window explode and the
+    occurrence-list explode."""
+    p = _plan(spark, "substring_dedup_spans", sf_dir)
+    assert p.count("md5") == 1
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_curation_pipeline_no_cartesian(spark, sf_dir):
+    """The composed curation pipeline (filter -> near-dup resolve ->
+    stratified cap) must never plan a cartesian product."""
+    p = _plan(spark, "curation_pipeline", sf_dir)
+    assert "CartesianProduct" not in p
