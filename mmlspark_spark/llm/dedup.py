@@ -743,10 +743,15 @@ def duplicated_substring_spans(
     The only other shuffle is the per-doc islands window. Cost is
     O(len·k) hashed bytes per doc — the honest price of exactness
     without a suffix array; run it AFTER document-level dedup has
-    removed whole-doc copies. ``maxDocsPerWindow`` caps pathological
-    boilerplate windows (a window shared by millions of docs would
-    otherwise materialize its whole occurrence list in one row), with
-    the observed drop metric ``substring_dedup_hot_window_drops``.
+    removed whole-doc copies. ``maxDocsPerWindow`` caps the DOWNSTREAM
+    fan-out of pathological boilerplate windows — the explode of a
+    multi-million-occurrence list and every later stage — with the
+    observed drop metric ``substring_dedup_hot_window_drops``. It does
+    NOT bound the aggregation buffer itself: the occurrence list is
+    collected before the cap filters the row (Spark has no bounded
+    collect_list), which is why whole-doc dedup first is part of the
+    contract — it removes the mass-duplicate windows that would build
+    giant lists. ``None`` = exact semantics (matches the SQL oracle).
     """
     c = F.col(textCol)
     win = (df.filter(F.length(c) >= k)

@@ -1011,7 +1011,17 @@ def ngram_jaccard_q(spark, sf_dir):
                                     x -> x <> '')) < 40
                  OR CAST(length(text) - length(regexp_replace(text,
                       '[^\\w\\s]', '', 'g')) AS DOUBLE)
-                    / greatest(length(text), 1) > 0.05)
+                    / greatest(length(text), 1) > 0.05
+                 OR (CASE WHEN len(list_filter(string_split(text, chr(10)),
+                                               x -> x <> '')) > 0
+                     THEN CAST(len(list_filter(string_split(text, chr(10)),
+                                               x -> x <> ''))
+                            - len(list_distinct(list_filter(
+                                  string_split(text, chr(10)),
+                                  x -> x <> ''))) AS DOUBLE)
+                          / len(list_filter(string_split(text, chr(10)),
+                                            x -> x <> ''))
+                     ELSE 0.0 END) > 0.5)
     ), toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
@@ -1061,7 +1071,11 @@ def curation_pipeline_q(spark, sf_dir):
     deterministic, so the WHOLE pipeline is verified exactly against
     one SQL replay (CASE filter → recursive-CTE closure anti-join →
     window cap)."""
-    from mmlspark_spark.core.cache import propagate_intermediates
+    from mmlspark_spark.core.cache import (
+        attach_intermediates,
+        persist_intermediate,
+        propagate_intermediates,
+    )
     from mmlspark_spark.llm import (
         QualityFilter,
         ngram_jaccard_pairs,
@@ -1070,9 +1084,13 @@ def curation_pipeline_q(spark, sf_dir):
     from mmlspark_spark.operators.stages import StratifiedSampler
 
     docs = _t(spark, sf_dir, "documents")
-    kept = (QualityFilter(minChars=200, minTokens=40,
-                          maxPunctRatio=0.05).transform(docs)
-            .filter(F.col("keep")).drop("keep", "reason"))
+    # `kept` feeds both the shingle pipeline and the left_anti branch;
+    # AQE does not reuse the multi-consumer subtree, so without the
+    # pin the QualityFilter scan + tokenization would run twice
+    kept = persist_intermediate(
+        QualityFilter(minChars=200, minTokens=40,
+                      maxPunctRatio=0.05).transform(docs)
+        .filter(F.col("keep")).drop("keep", "reason"))
     pairs = ngram_jaccard_pairs(kept, "doc_id", "text", n=5)
     losers = (resolve_duplicate_clusters(
         pairs.filter(F.col("jaccard") >= 0.5))
@@ -1081,8 +1099,9 @@ def curation_pipeline_q(spark, sf_dir):
     capped = StratifiedSampler(stratumCols=["lang", "source"],
                                perStratum=10,
                                orderBy="doc_id").transform(surviving)
-    return propagate_intermediates(
+    out = propagate_intermediates(
         pairs, capped.select("doc_id", "lang", "source"))
+    return attach_intermediates(out, kept)
 
 
 @register(
@@ -1123,7 +1142,10 @@ def substring_dedup_spans_q(spark, sf_dir):
     from mmlspark_spark.llm.dedup import duplicated_substring_spans
 
     docs = _t(spark, sf_dir, "documents")
-    return duplicated_substring_spans(docs, "doc_id", "text", k=40)
+    # maxDocsPerWindow=None: exact semantics, matching the uncapped
+    # oracle (the ngram_jaccard convention for oracled queries)
+    return duplicated_substring_spans(docs, "doc_id", "text", k=40,
+                                      maxDocsPerWindow=None)
 
 
 @register(
