@@ -8,6 +8,8 @@ from mmlspark_spark.llm.dedup import (
     resolve_duplicate_clusters,
 )
 from mmlspark_spark.llm.embeddings import EmbeddingPCA, EmbeddingPCAModel
+from mmlspark_spark.llm.lm import NGramLanguageModel, NGramLMModel
+from mmlspark_spark.llm.mixing import DomainMixer
 from mmlspark_spark.llm.packing import BenchmarkDecontaminator, SequencePacker
 from mmlspark_spark.llm.quality import QualityFilter
 from mmlspark_spark.llm.scrub import (
@@ -33,6 +35,9 @@ __all__ = [
     "QualityFilter",
     "EmbeddingPCA",
     "EmbeddingPCAModel",
+    "NGramLanguageModel",
+    "NGramLMModel",
+    "DomainMixer",
     "PIIRedactor",
     "redact_pii",
     "extract_urls",

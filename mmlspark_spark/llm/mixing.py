@@ -1,0 +1,131 @@
+"""Deterministic domain mixing for training-data curation.
+
+Training mixtures are specified as *weights over domains* ("50% web,
+20% books, ...") plus a token/document budget; the curation job must
+turn that spec into a concrete per-domain sample of the corpus. The
+Pile, CCNet, and every post-Gopher data recipe has this stage. This
+module is its Spark-native form, with the two execution regimes a
+100 TB corpus needs:
+
+- ``exact=True``: per-domain quotas hit exactly. One window shuffle
+  partitioned by domain, rows ranked by a deterministic integer hash
+  of their id (a uniform-but-reproducible sample, not a head() —
+  heads correlate with ingest order). Right when the budget or the
+  domain count is modest.
+- ``exact=False`` (the scale path): quotas converted to per-domain
+  keep-*rates* and applied as a pure map-side filter — zero
+  shuffles, linear scan, quota hit within sampling error. Right for
+  "keep 3.1% of CommonCrawl" at 100 TB, where a global window sort
+  per domain is pointless work.
+
+Both modes draw the same deterministic uniform from the row id — a
+Lehmer/MINSTD step, ``((id % m) * 48271 + seed) % m`` with
+m = 2³¹−1 — so results are reproducible across runs, partitionings,
+and engines (exact integer arithmetic; the catalog verifies the
+exact mode hash-for-hash against DuckDB). Driver state is one row
+per domain (the observed counts that set quotas/rates), never
+O(rows).
+
+Weights are normalized over the full ``weights`` dict. Domains in
+the data but absent from ``weights`` get weight 0 and are dropped —
+loudly, via the ``observedDroppedDomains`` attribute after
+``transform`` plans (sibling of the dedup caps' observed-drop
+metrics: silent corpus loss is how mixtures go wrong).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from mmlspark_spark.core.base import Transformer
+
+_M = 2147483647  # 2**31 - 1 (MINSTD modulus)
+_A = 48271
+
+
+def _uniform_key(idCol, seed: int):
+    """Deterministic pseudo-uniform in [0, m) from an integer id —
+    exact int64 arithmetic, portable across engines. TWO multiplicative
+    steps: ids are typically small and sequential, and one step never
+    wraps the modulus for id < m/a ≈ 44k (u would then be monotone in
+    id and far from uniform — every small id passes every rate
+    filter); the second step wraps for every id ≥ 1. Intermediates are
+    bounded by (m-1)·a < 2⁶³."""
+    s0 = (F.col(idCol) + F.lit(seed)) % _M
+    return (((s0 * _A) % _M) * _A) % _M
+
+
+class DomainMixer(Transformer):
+    """Resample a corpus to a target domain mixture.
+
+    ``weights``: dict domain-value → relative weight (normalized over
+    the dict). ``totalBudget``: number of rows the mixed corpus should
+    contain. Per-domain quota = floor(normalized-weight × budget),
+    capped at the domain's available rows (under-filled domains do NOT
+    reallocate their slack — a mixture spec is a ceiling per domain,
+    not a packing problem; re-run with a bigger budget if the total
+    matters more than the ratios).
+
+    ``idCol`` must be a unique integer id (the sampling key).
+    """
+
+    def __init__(self, domainCol: str = "source", idCol: str = "doc_id",
+                 weights: dict | None = None, totalBudget: int = 1000,
+                 exact: bool = True, seed: int = 42):
+        super().__init__(domainCol=domainCol, idCol=idCol,
+                         weights=dict(weights or {}),
+                         totalBudget=totalBudget, exact=exact, seed=seed)
+        self.observedDroppedDomains: list = []
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.domainCol, self.idCol)
+        if not self.weights:
+            raise ValueError(
+                "DomainMixer needs a non-empty `weights` dict; domains "
+                "missing from it are DROPPED")
+        if not schema[self.idCol].dataType.typeName() in (
+                "integer", "long", "short"):
+            raise ValueError(
+                f"DomainMixer idCol '{self.idCol}' must be an integer "
+                f"id column (the deterministic sampling key); got "
+                f"{schema[self.idCol].dataType.simpleString()}")
+        return schema
+
+    def _quotas(self, df: DataFrame) -> tuple[dict, dict]:
+        """Observed per-domain counts → quota per domain. Driver state
+        is O(#domains)."""
+        counts = {r[0]: r[1] for r in
+                  df.groupBy(self.domainCol).count().collect()}
+        self.observedDroppedDomains = sorted(
+            d for d in counts if d not in self.weights)
+        wsum = float(sum(self.weights.values()))
+        return {
+            d: min(int(w / wsum * self.totalBudget), counts.get(d, 0))
+            for d, w in self.weights.items() if d in counts
+        }, counts
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        quotas, counts = self._quotas(df)
+        u = _uniform_key(self.idCol, self.seed)
+        if self.exact:
+            w = (Window.partitionBy(self.domainCol)
+                 .orderBy(u, F.col(self.idCol)))
+            qcol = self._domain_case(quotas, F.lit(0))
+            return (df.withColumn("__mix_rn", F.row_number().over(w))
+                    .filter(F.col("__mix_rn") <= qcol)
+                    .drop("__mix_rn"))
+        # rate mode: quota → keep-rate over the observed count; the
+        # filter is one map stage, no shuffle anywhere
+        rates = {d: q / counts[d] for d, q in quotas.items()
+                 if counts.get(d)}
+        rcol = self._domain_case(rates, F.lit(0.0))
+        return df.filter((u.cast("double") / _M) < rcol)
+
+    def _domain_case(self, mapping: dict, default):
+        col = default
+        for d, v in mapping.items():
+            col = F.when(F.col(self.domainCol) == d, F.lit(v)).otherwise(col)
+        return col

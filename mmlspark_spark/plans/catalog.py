@@ -72,6 +72,9 @@ _WINDOW_PRIORITY = (
     "doc_fingerprint", "dedup_resolve", "stratified_sample",
     "quality_filter", "embedding_covariance", "substring_dedup_spans",
     "curation_pipeline",
+    # round-5 late additions, oracled at birth, never driver-checked:
+    "ngram_lm_score", "domain_mix",
+    "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q17",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
     "drop_missing", "minibatch_roundtrip", "partition_ops_identity",
@@ -255,6 +258,241 @@ def tpch_q18(spark, sf_dir):
         .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20))
+
+
+@register(
+    "tpch_q5",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """)
+def tpch_q5(spark, sf_dir):
+    """Local-supplier-volume shape (TPC-H Q5): the 6-way snowflake
+    join. region→nation→supplier is a broadcast chain (dims are tiny
+    at every sf), the customer⋈orders⋈lineitem spine shuffles on its
+    keys once, and the local-supplier condition
+    (c_nationkey = s_nationkey) rides the supplier join rather than
+    becoming a post-join filter. Dates shifted into the testdata's
+    1995-2001 span (TPC-H's 1994 window matches zero rows here)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            4).alias("revenue")))
+
+
+@register(
+    "tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_5'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """)
+def tpch_q7(spark, sf_dir):
+    """Volume-shipping shape (TPC-H Q7): the same dimension table
+    (nation) joined twice under different roles with a disjunctive
+    cross-role predicate. Both nation joins broadcast; the disjunction
+    stays a join-level filter so Catalyst can still prune lineitem by
+    shipdate at the scan."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp")))
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, F.col("o_orderkey") == li.l_orderkey)
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_5") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_5"))))
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 4).alias("revenue")))
+
+
+@register(
+    "tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           round(c_acctbal, 4) AS acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """)
+def tpch_q10(spark, sf_dir):
+    """Returned-item-reporting shape (TPC-H Q10): quarter-windowed
+    fact join, per-customer revenue agg, global top-20. The returnflag
+    and orderdate predicates both reach PushedFilters; the top-20 is a
+    TakeOrderedAndProject with c_custkey as the deterministic
+    tie-break (TPC-H orders by revenue alone, which is
+    nondeterministic under ties — the driver hash gate needs total
+    order)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue",
+                F.round("c_acctbal", 4).alias("acctbal"), "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20))
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """)
+def tpch_q13(spark, sf_dir):
+    """Customer-distribution shape (TPC-H Q13): outer join with a
+    join-level (not WHERE-level) predicate, then a double aggregation
+    — count per customer, then histogram of counts. The outer join's
+    ON-clause filter must NOT push to a WHERE (that would drop
+    order-less customers); count(o_orderkey) counts non-null keys so
+    they land in the c_count=0 bucket."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q14",
+    oracle="""
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+            / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """)
+def tpch_q14(spark, sf_dir):
+    """Promotion-effect shape (TPC-H Q14): conditional aggregation
+    over a fact⋈dim join — one month of lineitem joins part (broadcast
+    after AQE sees the filtered fact side), and the CASE rides the
+    aggregate so promo and total are one pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp")))
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6)
+             .alias("promo_revenue")))
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = part.p_partkey)
+    """)
+def tpch_q17(spark, sf_dir):
+    """Small-quantity-order shape (TPC-H Q17): a correlated scalar
+    subquery (per-part average quantity) decorrelated into a
+    groupBy + join. The averages are computed only over the branded
+    parts (a broadcast semi-join gates the agg input — the subquery
+    is correlated on a key already constrained to the brand), so the
+    joined-back frame is O(branded parts), small enough to broadcast
+    at any sf instead of re-scanning lineitem per part the way the
+    correlated form reads."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part_avg = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("__qbar"))
+        .withColumnRenamed("l_partkey", "__pk"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qbar"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")))
 
 
 @register(
@@ -1298,6 +1536,92 @@ def dedup_resolve_q(spark, sf_dir):
     close = pairs.filter(F.col("jaccard") >= 0.5)
     out = resolve_duplicate_clusters(close)
     return propagate_intermediates(pairs, out)
+
+
+@register(
+    "ngram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), uc AS (
+      SELECT w, count(*) AS uc
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), v AS (SELECT count(*) AS v FROM uc),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks
+    ), bc AS (SELECT b, count(*) AS bc FROM bg GROUP BY b),
+    scored AS (
+      SELECT g.doc_id,
+             round(avg(ln((coalesce(bc.bc, 0) + 0.5)
+                          / (coalesce(uc.uc, 0)
+                             + 0.5 * (SELECT v FROM v)))), 6)
+               AS avg_logprob,
+             CAST(count(*) AS INTEGER) AS n_bigrams
+      FROM bg g LEFT JOIN bc ON g.b = bc.b LEFT JOIN uc ON g.w1 = uc.w
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, s.avg_logprob,
+           coalesce(s.n_bigrams, 0) AS n_bigrams
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """)
+def ngram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality signal: fit an exact add-k bigram model
+    on the corpus, score every document by mean log-probability
+    (NGramLanguageModel). Fit is two count shuffles; scoring is an
+    explode + two hash joins on gram keys — and because the counts
+    are exact integers the score is engine-portable, so the oracle
+    verifies the actual probabilities hash-exact, not just row
+    counts."""
+    from mmlspark_spark.llm import NGramLanguageModel
+
+    docs = _t(spark, sf_dir, "documents")
+    model = NGramLanguageModel(textCol="text", k=0.5, lowercase=True).fit(docs)
+    model.set("idCol", "doc_id")
+    out = model.transform(docs)
+    return out.select(
+        "doc_id", F.round("avg_logprob", 6).alias("avg_logprob"),
+        "n_bigrams")
+
+
+@register(
+    "domain_mix",
+    oracle="""
+    WITH w(lang, q) AS (
+      VALUES ('en', 150), ('de', 60), ('fr', 45), ('es', 30), ('zh', 15)
+    ), ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ((((doc_id + 42) % 2147483647) * 48271 % 2147483647)
+                         * 48271) % 2147483647,
+                        doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang FROM ranked JOIN w USING (lang) WHERE rn <= q
+    """)
+def domain_mix(spark, sf_dir):
+    """Target-mixture resampling (DomainMixer, exact mode): integer
+    weights 10/4/3/2/1 over langs × budget 300 → quotas 150/60/45/30/15,
+    filled by a deterministic Lehmer-hash ranking so the selection is a
+    uniform-but-reproducible sample, not an ingest-order head. The
+    oracle replays quota ranking with the same integer arithmetic —
+    the mixture is verified membership-exact. (The zero-shuffle rate
+    mode is the 100 TB path; it trades quota exactness for a map-only
+    plan and is recall-tested in tests/ instead.)"""
+    from mmlspark_spark.llm import DomainMixer
+
+    docs = _t(spark, sf_dir, "documents")
+    mixer = DomainMixer(
+        domainCol="lang", idCol="doc_id",
+        weights={"en": 10, "de": 4, "fr": 3, "es": 2, "zh": 1},
+        totalBudget=300, exact=True, seed=42)
+    return mixer.transform(docs).select("doc_id", "lang")
 
 
 @register("minhash_dedup", oracle=None, headline=True)
