@@ -7,6 +7,11 @@ from mmlspark_spark.llm.dedup import (
     ngram_jaccard_pairs,
     resolve_duplicate_clusters,
 )
+from mmlspark_spark.llm.clustering import (
+    EmbeddingKMeans,
+    EmbeddingKMeansModel,
+    semantic_dedup,
+)
 from mmlspark_spark.llm.embeddings import EmbeddingPCA, EmbeddingPCAModel
 from mmlspark_spark.llm.lm import NGramLanguageModel, NGramLMModel
 from mmlspark_spark.llm.mixing import DomainMixer
@@ -38,6 +43,9 @@ __all__ = [
     "NGramLanguageModel",
     "NGramLMModel",
     "DomainMixer",
+    "EmbeddingKMeans",
+    "EmbeddingKMeansModel",
+    "semantic_dedup",
     "PIIRedactor",
     "redact_pii",
     "extract_urls",

@@ -74,6 +74,7 @@ _WINDOW_PRIORITY = (
     "curation_pipeline",
     # round-5 late additions, oracled at birth, never driver-checked:
     "ngram_lm_score", "domain_mix",
+    "embedding_kmeans_assign", "semantic_dedup",
     "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q17",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
@@ -1622,6 +1623,91 @@ def domain_mix(spark, sf_dir):
         weights={"en": 10, "de": 4, "fr": 3, "es": 2, "zh": 1},
         totalBudget=300, exact=True, seed=42)
     return mixer.transform(docs).select("doc_id", "lang")
+
+
+@register(
+    "embedding_kmeans_assign",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec,
+             row_number() OVER (
+               ORDER BY ((((vec_id + 42) % 2147483647) * 48271 % 2147483647)
+                         * 48271) % 2147483647, vec_id) AS rk
+      FROM embeddings
+    ), c AS (SELECT CAST(rk - 1 AS INTEGER) AS cluster, cvec
+             FROM cent WHERE rk <= 8),
+    d AS (
+      SELECT e.vec_id, c.cluster,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dist
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """)
+def embedding_kmeans_assign(spark, sf_dir):
+    """EmbeddingKMeans assignment pass (maxIter=0): nearest of the 8
+    hash-rank-seeded centroids per vector, ties to the lower cluster
+    index. Centroids broadcast into one Arrow-batched argmin map — no
+    shuffle — and every step (hash-ranked init, argmin, tie-break) is
+    deterministic, so the oracle replays the whole operator exactly.
+    The Lloyd iterations on top (update = posexplode + partial-agg
+    avg) are convergence-tested in tests/ instead (iteration count is
+    data-dependent)."""
+    from mmlspark_spark.llm import EmbeddingKMeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = EmbeddingKMeans(inputCol="embedding", idCol="vec_id",
+                            k=8, maxIter=0).fit(emb)
+    return model.transform(emb).select(
+        "vec_id", F.col("__km_cluster").alias("cluster"))
+
+
+@register(
+    "semantic_dedup",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec,
+             row_number() OVER (
+               ORDER BY ((((vec_id + 42) % 2147483647) * 48271 % 2147483647)
+                         * 48271) % 2147483647, vec_id) AS rk
+      FROM embeddings
+    ), c AS (SELECT CAST(rk - 1 AS INTEGER) AS cluster, cvec
+             FROM cent WHERE rk <= 8),
+    asg AS (
+      SELECT vec_id, cluster, v FROM (
+        SELECT e.vec_id, c.cluster, CAST(e.embedding AS DOUBLE[]) AS v,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                        c.cvec),
+                          c.cluster) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id AS idb
+      FROM asg a JOIN asg b ON a.cluster = b.cluster
+                           AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    )
+    SELECT vec_id, cluster,
+           vec_id NOT IN (SELECT idb FROM dropped) AS is_kept
+    FROM asg
+    """)
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup: cluster embeddings (8 deterministic cells), drop any
+    row whose cell holds a lower-id row at cosine ≥ 0.3 (the synthetic
+    embeddings are near-orthogonal, so 0.3 binds — 166 of 500 drop at
+    sf0.01; a vacuous threshold proves nothing). Pairwise cost is
+    Σ cᵢ² via the cluster equi-join, never N² — the oracle verifies
+    cluster labels, membership, and survivor verdicts exactly."""
+    from mmlspark_spark.llm import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, idCol="vec_id", vecCol="embedding",
+                          k=8, threshold=0.3, maxIter=0)
 
 
 @register("minhash_dedup", oracle=None, headline=True)

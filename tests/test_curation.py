@@ -140,3 +140,94 @@ def test_domain_mixer_validation(spark):
     with pytest.raises(ValueError, match="integer"):
         DomainMixer(domainCol="domain", idCol="doc_id",
                     weights={"a": 1}).transform(strdf)
+
+
+def _emb_df(spark, n=60, d=8, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # three planted blobs so k-means has real structure
+    centers = rng.normal(size=(3, d)) * 5
+    rows = []
+    for i in range(n):
+        v = centers[i % 3] + rng.normal(size=d)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), rows
+
+
+def test_embedding_kmeans_matches_numpy_lloyd(spark):
+    """Distributed Lloyd (assign=argmin map, update=posexplode partial
+    avg) must reproduce a plain numpy Lloyd run from the same
+    deterministic init, label for label."""
+    import numpy as np
+
+    from mmlspark_spark.llm import EmbeddingKMeans
+    from mmlspark_spark.llm.mixing import _A, _M
+
+    df, rows = _emb_df(spark)
+    k, iters = 3, 5
+    model = EmbeddingKMeans(inputCol="embedding", idCol="vec_id",
+                            k=k, maxIter=iters, tol=0.0, seed=42).fit(df)
+
+    X = np.asarray([v for _, v in rows])
+    ids = np.asarray([i for i, _ in rows])
+    u = ((((ids + 42) % _M) * _A % _M) * _A) % _M
+    order = np.lexsort((ids, u))
+    C = X[order[:k]].astype(float)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)
+        for j in range(k):
+            if (lab == j).any():
+                C[j] = X[lab == j].mean(axis=0)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    expect = dict(zip(ids.tolist(), d2.argmin(axis=1).tolist()))
+
+    got = {r.vec_id: r["__km_cluster"]
+           for r in model.transform(df).collect()}
+    assert got == expect
+    # planted blobs recovered: each residue class is one pure cluster
+    blobs = {}
+    for i, c in got.items():
+        blobs.setdefault(i % 3, set()).add(c)
+    assert all(len(s) == 1 for s in blobs.values())
+
+
+def test_embedding_kmeans_null_and_validation(spark):
+    from pyspark.sql import types as T
+
+    from mmlspark_spark.llm import EmbeddingKMeans
+
+    df, _ = _emb_df(spark, n=10)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    with_null = df.union(spark.createDataFrame([(99, None)], schema))
+    model = EmbeddingKMeans(inputCol="embedding", idCol="vec_id",
+                            k=3, maxIter=1).fit(with_null)
+    rows = {r.vec_id: r["__km_cluster"]
+            for r in model.transform(with_null).collect()}
+    assert rows[99] is None  # NULL vector -> NULL cluster, not a crash
+    with pytest.raises(ValueError, match="only"):
+        EmbeddingKMeans(inputCol="embedding", idCol="vec_id",
+                        k=50, maxIter=0).fit(df)
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Planted exact copies must be dropped in favor of their lowest
+    id; singletons survive; verdict column covers every input row."""
+    from mmlspark_spark.llm import semantic_dedup
+
+    df, rows = _emb_df(spark, n=30)
+    dup_schema = df.schema
+    dups = spark.createDataFrame(
+        [(1000 + i, v) for i, v in
+         [(0, rows[0][1]), (1, rows[1][1])]], dup_schema)
+    allv = df.union(dups)
+    out = semantic_dedup(allv, idCol="vec_id", vecCol="embedding",
+                         k=3, threshold=0.999, maxIter=2)
+    verdict = {r.vec_id: r.is_kept for r in out.collect()}
+    assert len(verdict) == 32
+    assert verdict[1000] is False and verdict[1001] is False
+    assert verdict[0] is True and verdict[1] is True
+    assert sum(1 for v in verdict.values() if not v) == 2
