@@ -143,3 +143,51 @@ def test_curation_pipeline_no_cartesian(spark, sf_dir):
     stratified cap) must never plan a cartesian product."""
     p = _plan(spark, "curation_pipeline", sf_dir)
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q5_snowflake_all_broadcast(spark, sf_dir):
+    """Q5's five joins must all be broadcast at test sf — the
+    dimension chain (region→nation→supplier) and the spine joins; a
+    SortMergeJoin here means a dim table shuffled the fact side."""
+    p = _plan(spark, "tpch_q5", sf_dir)
+    assert p.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_tpch_q13_outer_join_preserves_rows(spark, sf_dir):
+    """Q13's ON-clause predicate must stay a join condition of a
+    LeftOuter join — if it were pushed into a WHERE the order-less
+    customers would vanish from the c_count=0 bucket."""
+    p = _plan(spark, "tpch_q13", sf_dir)
+    assert "LeftOuter" in p
+    # the priority filter evaluates on the orders (build) side or in
+    # the join condition, never as a post-join Filter that would also
+    # drop null-extended rows
+    post_join = p.split("Join")[0]
+    assert "o_orderpriority" not in post_join
+
+
+def test_tpch_q17_decorrelated_avg_is_broadcast(spark, sf_dir):
+    """The correlated scalar subquery must decorrelate into broadcast
+    joins (brand-gated semi + avg join-back), never a per-part
+    re-scan or shuffle of lineitem."""
+    p = _plan(spark, "tpch_q17", sf_dir)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ngram_lm_score_no_cartesian(spark, sf_dir):
+    """LM scoring is explode + hash joins on gram keys — a cartesian
+    or a nested-loop join would be quadratic in the corpus."""
+    p = _plan(spark, "ngram_lm_score", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_kmeans_assign_is_map_only(spark, sf_dir):
+    """The assignment pass broadcasts centroids inside the UDF closure
+    — the plan over the embeddings scan must contain no join and no
+    aggregation exchange (one ArrowEvalPython map)."""
+    p = _plan(spark, "embedding_kmeans_assign", sf_dir)
+    assert "Join" not in p
+    assert "ArrowEvalPython" in p
