@@ -170,3 +170,73 @@ def zip_with_index(df: DataFrame, start_index: int = 0,
     return (tagged.withColumn(
         col_name, (F.row_number().over(w) - 1 + off).cast("long"))
         .drop("__pid", "__mono"))
+
+
+def zorder_key(cols, bits: int = 16) -> "F.Column":
+    """Interleave the low ``bits`` bits of non-negative integer columns
+    into one Morton (Z-order) key.
+
+    Z-ordering is the standard multi-dimensional data-skipping layout
+    (Delta/Iceberg ``OPTIMIZE ZORDER BY``): sorting 100 TB of parquet
+    by the interleaved key makes every file a small hyper-rectangle in
+    (col1, col2, ...)-space, so min/max footer stats prune scans for
+    predicates on ANY prefix-free subset of the dimensions — a plain
+    sort only skips on its leading column.
+
+    Pure integer bit arithmetic (sum of shift/mask terms), so the key
+    is engine-portable and the catalog verifies it hash-exact. Columns
+    must already be non-negative ints in [0, 2**bits); use
+    :class:`ZOrderRepartitioner` for the range-scaling + layout step.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    dims = len(cols)
+    if dims * bits > 63:
+        raise ValueError(
+            f"zorder_key: {dims} dims x {bits} bits exceeds a signed "
+            f"64-bit key; lower bits (total must be <= 63)")
+    key = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        lc = c.cast("long")
+        for i in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(lc, i).bitwiseAND(F.lit(1)), i * dims + d)
+    return key
+
+
+class ZOrderRepartitioner:
+    """Lay a DataFrame out in Z-order over ``cols``: scale each column
+    to ``bits``-bit integer rank space via its observed min/max (one
+    tiny agg, driver state O(dims)), build the Morton key, and
+    ``repartitionByRange`` on it so downstream parquet writes produce
+    locality-preserving files.
+
+    The range partitioning samples the key distribution, so output
+    files are balanced even when the dimensions are skewed — the
+    standard OPTIMIZE ZORDER shape. NULLs in any dimension map to bit
+    pattern 0 (they cluster with the minimum, and their files' footer
+    stats still exclude non-null predicates).
+    """
+
+    def __init__(self, cols, bits: int = 16, numPartitions: int | None = None):
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+        self.bits = bits
+        self.numPartitions = numPartitions
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        aggs = []
+        for c in self.cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"__mx_{c}")]
+        stats = df.agg(*aggs).collect()[0]
+        top = (1 << self.bits) - 1
+        scaled = []
+        for c in self.cols:
+            mn, mx = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
+            span = (mx - mn) if (mx is not None and mn is not None
+                                 and mx > mn) else 1.0
+            s = F.floor(((F.col(c).cast("double") - F.lit(mn))
+                         / F.lit(span)) * top)
+            scaled.append(F.coalesce(F.least(s, F.lit(top)), F.lit(0)))
+        keyed = df.withColumn("__z", zorder_key(scaled, self.bits))
+        n = self.numPartitions or keyed.rdd.getNumPartitions()
+        return keyed.repartitionByRange(n, "__z").drop("__z")

@@ -74,7 +74,7 @@ _WINDOW_PRIORITY = (
     "curation_pipeline",
     # round-5 late additions, oracled at birth, never driver-checked:
     "ngram_lm_score", "domain_mix",
-    "embedding_kmeans_assign", "semantic_dedup",
+    "embedding_kmeans_assign", "semantic_dedup", "zorder_key",
     "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q17",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
@@ -494,6 +494,37 @@ def tpch_q17(spark, sf_dir):
         .join(F.broadcast(per_part_avg), li.l_partkey == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__qbar"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")))
+
+
+def _z_terms(col: str, dims: int, off: int, bits: int) -> str:
+    """DuckDB-side Morton interleave of `col`'s low bits — mirrors
+    operators/scale.py:zorder_key term by term."""
+    return " + ".join(
+        f"((({col} >> {i}) & 1) << {i * dims + off})" for i in range(bits))
+
+
+@register(
+    "zorder_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {_z_terms('(l_orderkey % 1024)', 2, 0, 10)}
+           + {_z_terms('(l_partkey % 1024)', 2, 1, 10)} AS zkey
+    FROM lineitem
+    """)
+def zorder_key_q(spark, sf_dir):
+    """Morton (Z-order) key over two dimensions — the data-skipping
+    layout primitive (Delta/Iceberg OPTIMIZE ZORDER): files sorted by
+    this key are hyper-rectangles in (orderkey, partkey) space, so
+    parquet footer min/max stats prune scans for predicates on either
+    dimension. Pure shift/mask integer arithmetic, map-only, verified
+    bit-exact cross-engine. ZOrderRepartitioner layers min/max range
+    scaling + repartitionByRange on top (locality-tested in tests/)."""
+    from mmlspark_spark.operators.scale import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = zorder_key([F.col("l_orderkey") % 1024,
+                    F.col("l_partkey") % 1024], bits=10)
+    return li.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
 @register(

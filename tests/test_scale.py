@@ -100,3 +100,52 @@ def test_spread_narrow_scan_byte_floor(spark):
     wide = spark.range(1000).repartition(target)
     for floor in (0, VECTOR_MATH_BYTES_PER_SLOT):
         assert spread_narrow_scan(wide, floor) is wide  # no added shuffle
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """Hand-checked Morton codes: (x=0b11, y=0b01) with 2 bits →
+    bits x0,y0,x1,y1 = 1,1,1,0 → 0b0111 = 7."""
+    from pyspark.sql import functions as F
+
+    from mmlspark_spark.operators.scale import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 1), (1, 3), (1023, 1023)], ["x", "y"])
+    out = df.withColumn("z", zorder_key(["x", "y"], bits=10)).collect()
+    got = {(r.x, r.y): r.z for r in out}
+    assert got[(0, 0)] == 0
+    assert got[(3, 1)] == 0b0111          # x0,y0,x1 set
+    assert got[(1, 3)] == 0b1011          # y1,y0,x0 set
+    assert got[(1023, 1023)] == (1 << 20) - 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="64-bit"):
+        zorder_key(["x", "y"], bits=32)
+
+
+def test_zorder_repartitioner_improves_locality(spark, sf_dir):
+    """After Z-order layout each partition must cover a small
+    hyper-rectangle: the mean per-partition span of BOTH dimensions
+    shrinks vs the source layout (that is the whole point — footer
+    min/max stats can then skip files on either column)."""
+    from pyspark.sql import functions as F
+
+    from mmlspark_spark.operators.scale import ZOrderRepartitioner
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_custkey", "o_totalprice"]
+
+    def mean_spans(df):
+        spans = (df.withColumn("__p", F.spark_partition_id())
+                 .groupBy("__p")
+                 .agg(*[(F.max(c) - F.min(c)).alias(c) for c in cols])
+                 .agg(*[F.avg(c).alias(c) for c in cols])
+                 .collect()[0])
+        return {c: spans[c] for c in cols}
+
+    base = mean_spans(orders.repartition(16))  # hash layout baseline
+    z = mean_spans(
+        ZOrderRepartitioner(cols, bits=10, numPartitions=16)
+        .transform(orders))
+    for c in cols:
+        assert z[c] < base[c] * 0.7, (c, z[c], base[c])
