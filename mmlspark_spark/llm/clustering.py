@@ -57,6 +57,14 @@ class EmbeddingKMeans(Estimator):
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.inputCol, self.idCol)
+        if schema[self.idCol].dataType.typeName() not in (
+                "integer", "long", "short"):
+            raise ValueError(
+                f"EmbeddingKMeans idCol '{self.idCol}' must be an "
+                f"integer id (the deterministic seeding key — a "
+                f"non-numeric id would null the hash and degrade init "
+                f"to an ingest-order head); got "
+                f"{schema[self.idCol].dataType.simpleString()}")
         return schema
 
     def _init_centroids(self, df: DataFrame) -> np.ndarray:
@@ -138,13 +146,23 @@ class EmbeddingKMeansModel(Model):
             if any(mask):
                 X = np.asarray([v for v in vals if v is not None],
                                dtype="float64")
-                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant
-                # per row, so argmin over -2x·c + ||c||² suffices.
+                # Direct (x-c)² differences, NOT the expanded
+                # -2x·c+||c||² BLAS form: the DuckDB oracle ranks by
+                # list_distance's direct form, and the two formulas
+                # round differently — a near-equidistant vector could
+                # flip clusters between engines under the expanded
+                # form. Row-chunked so the (rows × k × d) difference
+                # tensor stays ~32 MB however large k is.
                 # np.argmin takes the FIRST minimum → ties break to
                 # the lower cluster index (the oracle's ORDER BY
                 # dist, cluster contract).
-                d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)
-                labels = np.argmin(d2, axis=1)
+                chunk = max(1, 4_000_000 // max(1, C.size))
+                parts = []
+                for s in range(0, len(X), chunk):
+                    d2 = ((X[s:s + chunk, None, :] - C[None, :, :]) ** 2
+                          ).sum(axis=2)
+                    parts.append(np.argmin(d2, axis=1))
+                labels = np.concatenate(parts)
                 it = iter(labels)
                 for i, ok in enumerate(mask):
                     if ok:
@@ -162,24 +180,39 @@ def semantic_dedup(df: DataFrame, idCol: str = "vec_id",
                    seed: int = 42) -> DataFrame:
     """SemDeDup: cluster embeddings, then drop any row whose cluster
     contains a lower-id row with cosine ≥ ``threshold``. Returns
-    (id, cluster, is_kept) for every input row — downstream filters
-    on ``is_kept`` and audits drop counts per cluster.
+    (id, cluster, is_kept) for every non-null-vector input row —
+    downstream filters on ``is_kept`` and audits drop counts per
+    cluster. NULL vectors are excluded from the output (they cannot
+    be deduplicated or clustered; filter them upstream if they must
+    be preserved).
 
     The pairwise search is an equi-join on the cluster label, so its
     cost is Σ cᵢ² over cluster sizes, never N² — k is the knob that
-    bounds it. The greedy lowest-id survivor rule is deterministic
-    and single-pass (no connected components needed: SemDeDup's
-    semantics are "keep one representative per ε-ball", and any
-    member of a dropped row's ball that itself survives is such a
-    representative).
+    bounds it. Survivor rule: a row is kept iff it is the minimum id
+    of its closed ε-neighborhood within the cluster — deterministic
+    and single-pass. Like every transitive dedup (MinHash-CC
+    included), similarity CHAINS can drop a row whose surviving
+    neighbors are all beyond ε (a "1—2, 2—3" chain keeps only 1);
+    when component-exact semantics matter, feed the ≥-threshold pairs
+    to :func:`mmlspark_spark.llm.resolve_duplicate_clusters` instead
+    — this function trades that precision for zero iterative passes.
     """
+    from mmlspark_spark.core.cache import (
+        attach_intermediates,
+        persist_intermediate,
+    )
     from mmlspark_spark.functions.vector import cosine_similarity
 
     model = EmbeddingKMeans(inputCol=vecCol, idCol=idCol, k=k,
                             maxIter=maxIter, seed=seed).fit(df)
-    assigned = model.transform(df).select(
-        F.col(idCol), F.col("__km_cluster").alias("cluster"),
-        F.col(vecCol).cast("array<double>").alias("__v"))
+    # persisted: the frame below feeds both self-join sides AND the
+    # final verdict join — without the pin the Arrow assignment scan
+    # (and any Lloyd lineage) would re-run three times per action
+    assigned = persist_intermediate(
+        model.transform(df)
+        .filter(F.col(vecCol).isNotNull())
+        .select(F.col(idCol), F.col("__km_cluster").alias("cluster"),
+                F.col(vecCol).cast("array<double>").alias("__v")))
     a = assigned.select(F.col(idCol).alias("id_a"),
                         F.col("cluster").alias("__ca"),
                         F.col("__v").alias("__va"))
@@ -191,7 +224,9 @@ def semantic_dedup(df: DataFrame, idCol: str = "vec_id",
                .filter(cosine_similarity("__va", "__vb") >= threshold)
                .select(F.col("id_b").alias("__dropped"))
                .distinct())
-    return (assigned
-            .join(dropped, assigned[idCol] == F.col("__dropped"), "left")
-            .select(idCol, "cluster",
-                    F.col("__dropped").isNull().alias("is_kept")))
+    out = (assigned
+           .join(dropped, assigned[idCol] == F.col("__dropped"), "left")
+           .select(idCol, "cluster",
+                   F.col("__dropped").isNull().alias("is_kept")))
+    # caller releases via core.cache.release_intermediates(out)
+    return attach_intermediates(out, assigned)

@@ -71,13 +71,23 @@ class NGramLanguageModel(Estimator):
         return schema
 
     def _fit(self, df: DataFrame) -> "NGramLMModel":
+        from mmlspark_spark.core.cache import persist_intermediate
+
         src = _prep(self.textCol, self.lowercase)
-        uni = (df.select(F.explode(tokens(src)).alias("w"))
-               .groupBy("w").agg(F.count("*").alias("uc")))
-        bi = (df.select(F.explode(raw_word_ngrams(src, 2)).alias("b"))
-              .groupBy("b").agg(F.count("*").alias("bc")))
-        # the single driver scalar; O(1) result, one count job over
-        # the (vocab-sized, already-reduced) unigram frame
+        # both count frames are persisted (vocab-bounded, tiny next to
+        # the corpus): without the pin, vocab's count() plus EVERY
+        # scoring join would re-run the full corpus tokenize + explode
+        # + groupBy lineage — three-plus passes where one suffices.
+        # transform() attaches the handles to its output; release via
+        # core.cache.release_intermediates when done with the model.
+        uni = persist_intermediate(
+            df.select(F.explode(tokens(src)).alias("w"))
+            .groupBy("w").agg(F.count("*").alias("uc")))
+        bi = persist_intermediate(
+            df.select(F.explode(raw_word_ngrams(src, 2)).alias("b"))
+            .groupBy("b").agg(F.count("*").alias("bc")))
+        # the single driver scalar; O(1) result, one count job that
+        # also materializes the unigram cache
         vocab = uni.count()
         return NGramLMModel(unigrams=uni, bigrams=bi, vocabSize=vocab,
                             textCol=self.textCol, k=self.k,
@@ -130,7 +140,10 @@ class NGramLMModel(Model):
             .groupBy("__lm_row")
             .agg(F.avg(lp).alias(self.outputCol),
                  F.count("*").cast("int").alias("n_bigrams")))
-        return (keyed.join(scored, "__lm_row", "left")
-                .withColumn("n_bigrams",
-                            F.coalesce("n_bigrams", F.lit(0)))
-                .drop("__lm_row"))
+        from mmlspark_spark.core.cache import attach_intermediates
+
+        out = (keyed.join(scored, "__lm_row", "left")
+               .withColumn("n_bigrams",
+                           F.coalesce("n_bigrams", F.lit(0)))
+               .drop("__lm_row"))
+        return attach_intermediates(out, self.unigrams, self.bigrams)

@@ -96,14 +96,24 @@ class DomainMixer(Transformer):
 
     def _quotas(self, df: DataFrame) -> tuple[dict, dict]:
         """Observed per-domain counts → quota per domain. Driver state
-        is O(#domains)."""
+        is O(#domains). Quotas use exact rational arithmetic —
+        ``int(w / wsum * budget)`` in floats truncates below the
+        documented floor for dozens of innocent weight combos (e.g.
+        29/100 × 100 → 28.999… → 28); ``Fraction(str(w))`` reads the
+        weight's decimal literal exactly, so floor(w/Σw·budget) is
+        exact for integer and decimal weights alike. No min() against
+        the observed count: the exact mode's ``rn <= quota`` can never
+        select more rows than a domain has, and the rate mode's
+        keep-everything rate ≥ 1 is equally harmless."""
+        from fractions import Fraction
+
         counts = {r[0]: r[1] for r in
                   df.groupBy(self.domainCol).count().collect()}
         self.observedDroppedDomains = sorted(
             d for d in counts if d not in self.weights)
-        wsum = float(sum(self.weights.values()))
+        wsum = sum(Fraction(str(w)) for w in self.weights.values())
         return {
-            d: min(int(w / wsum * self.totalBudget), counts.get(d, 0))
+            d: int(Fraction(str(w)) / wsum * self.totalBudget)
             for d, w in self.weights.items() if d in counts
         }, counts
 

@@ -1611,15 +1611,19 @@ def ngram_lm_score(spark, sf_dir):
     are exact integers the score is engine-portable, so the oracle
     verifies the actual probabilities hash-exact, not just row
     counts."""
+    from mmlspark_spark.core.cache import propagate_intermediates
     from mmlspark_spark.llm import NGramLanguageModel
 
     docs = _t(spark, sf_dir, "documents")
     model = NGramLanguageModel(textCol="text", k=0.5, lowercase=True).fit(docs)
     model.set("idCol", "doc_id")
     out = model.transform(docs)
-    return out.select(
+    final = out.select(
         "doc_id", F.round("avg_logprob", 6).alias("avg_logprob"),
         "n_bigrams")
+    # keep the persisted count-frame handles visible to the caller's
+    # release_intermediates
+    return propagate_intermediates(out, final)
 
 
 @register(
@@ -1664,13 +1668,14 @@ def domain_mix(spark, sf_dir):
              row_number() OVER (
                ORDER BY ((((vec_id + 42) % 2147483647) * 48271 % 2147483647)
                          * 48271) % 2147483647, vec_id) AS rk
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), c AS (SELECT CAST(rk - 1 AS INTEGER) AS cluster, cvec
              FROM cent WHERE rk <= 8),
     d AS (
       SELECT e.vec_id, c.cluster,
              list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dist
       FROM embeddings e CROSS JOIN c
+      WHERE e.embedding IS NOT NULL
     )
     SELECT vec_id, cluster FROM (
       SELECT vec_id, cluster,
@@ -1684,17 +1689,23 @@ def embedding_kmeans_assign(spark, sf_dir):
     hash-rank-seeded centroids per vector, ties to the lower cluster
     index. Centroids broadcast into one Arrow-batched argmin map — no
     shuffle — and every step (hash-ranked init, argmin, tie-break) is
-    deterministic, so the oracle replays the whole operator exactly.
-    The Lloyd iterations on top (update = posexplode + partial-agg
-    avg) are convergence-tested in tests/ instead (iteration count is
+    deterministic, so the oracle replays the whole operator (both
+    sides use the direct (x-c)² distance form and a lower-index
+    tie-break; the only residual divergence channel is float
+    summation order inside the distance itself, negligible off exact
+    ties). NULL vectors are excluded on both sides — the model's
+    NULL→NULL cluster contract has no SQL analog. The Lloyd
+    iterations on top (update = posexplode + partial-agg avg) are
+    convergence-tested in tests/ instead (iteration count is
     data-dependent)."""
     from mmlspark_spark.llm import EmbeddingKMeans
 
     emb = _t(spark, sf_dir, "embeddings")
     model = EmbeddingKMeans(inputCol="embedding", idCol="vec_id",
                             k=8, maxIter=0).fit(emb)
-    return model.transform(emb).select(
-        "vec_id", F.col("__km_cluster").alias("cluster"))
+    return (model.transform(emb)
+            .filter(F.col("embedding").isNotNull())
+            .select("vec_id", F.col("__km_cluster").alias("cluster")))
 
 
 @register(
@@ -1705,7 +1716,7 @@ def embedding_kmeans_assign(spark, sf_dir):
              row_number() OVER (
                ORDER BY ((((vec_id + 42) % 2147483647) * 48271 % 2147483647)
                          * 48271) % 2147483647, vec_id) AS rk
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), c AS (SELECT CAST(rk - 1 AS INTEGER) AS cluster, cvec
              FROM cent WHERE rk <= 8),
     asg AS (
@@ -1716,6 +1727,7 @@ def embedding_kmeans_assign(spark, sf_dir):
                                         c.cvec),
                           c.cluster) AS rn
         FROM embeddings e CROSS JOIN c
+        WHERE e.embedding IS NOT NULL
       ) WHERE rn = 1
     ), dropped AS (
       SELECT DISTINCT b.vec_id AS idb

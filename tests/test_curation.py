@@ -231,3 +231,30 @@ def test_semantic_dedup_planted_duplicates(spark):
     assert verdict[1000] is False and verdict[1001] is False
     assert verdict[0] is True and verdict[1] is True
     assert sum(1 for v in verdict.values() if not v) == 2
+
+
+def test_domain_mixer_quota_exact_rational(spark):
+    """Float truncation must not shave quotas: weights 29/71 over
+    budget 80 on domains a/b → exactly floor(.29*80)=23 and
+    floor(.71*80)=56 — int(29/100*100)==28-style epsilon bugs would
+    fail this for many combos."""
+    from mmlspark_spark.llm import DomainMixer
+
+    df = _mix_df(spark)
+    out = DomainMixer(domainCol="domain", idCol="doc_id",
+                      weights={"a": 29, "b": 71}, totalBudget=100,
+                      exact=True).transform(df)
+    by_dom = {r.domain: r["count"] for r in
+              out.groupBy("domain").count().collect()}
+    # quota b=71 exceeds b's 50 rows → all 50; a must be exactly 29
+    assert by_dom == {"a": 29, "b": 50}
+
+
+def test_embedding_kmeans_rejects_string_id(spark):
+    from mmlspark_spark.llm import EmbeddingKMeans
+
+    df, _ = _emb_df(spark, n=10)
+    bad = df.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(ValueError, match="integer"):
+        EmbeddingKMeans(inputCol="embedding", idCol="vec_id",
+                        k=3, maxIter=0).fit(bad)
