@@ -76,6 +76,7 @@ _WINDOW_PRIORITY = (
     "ngram_lm_score", "domain_mix",
     "embedding_kmeans_assign", "semantic_dedup", "zorder_key",
     "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q17",
+    "tpch_q8", "tpch_q15", "tpch_q22",
     "asof_join", "range_join", "cube_counts", "stratified_repartition",
     "lambda_stage", "udf_transformer", "multi_column_adapter",
     "drop_missing", "minibatch_roundtrip", "partition_ops_identity",
@@ -494,6 +495,148 @@ def tpch_q17(spark, sf_dir):
         .join(F.broadcast(per_part_avg), li.l_partkey == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__qbar"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")))
+
+
+@register(
+    "tpch_q8",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+        AND p_type = 'ECONOMY'
+    ) GROUP BY o_year
+    """)
+def tpch_q8(spark, sf_dir):
+    """National-market-share shape (TPC-H Q8): the widest join in the
+    suite — 7 joins, nation twice under different roles, a conditional
+    share ratio on top. Every dimension broadcasts; lineitem flows
+    through one spine shuffle; the CASE/sum ratio computes both
+    numerator and denominator in a single aggregation pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp")))
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key")))
+    return (joined
+            .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                    vol.alias("volume"), "nation")
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3",
+                             F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume"), 6).alias("mkt_share")))
+
+
+@register(
+    "tpch_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """)
+def tpch_q15(spark, sf_dir):
+    """Top-supplier shape (TPC-H Q15, view form): a quarter's revenue
+    per supplier, then keep the max — the max is a one-row aggregate
+    broadcast back over the (supplier-sized, already-reduced) revenue
+    frame, so lineitem scans once and nothing re-runs per supplier.
+    Revenue is rounded BEFORE the max compare on both sides: equality
+    on an unrounded float aggregate would be engine-dependent."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(
+               F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+               4).alias("total_revenue")))
+    from mmlspark_spark.core.cache import attach_intermediates, persist_intermediate
+
+    rev = persist_intermediate(rev)  # consumed by max AND the join
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    out = (rev.crossJoin(F.broadcast(mx))
+           .filter(F.col("total_revenue") == F.col("__mx"))
+           .join(F.broadcast(supp),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+           .select("s_suppkey", "s_name", "total_revenue"))
+    return attach_intermediates(out, rev)
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    WITH ab AS (
+      SELECT round(avg(c_acctbal), 6) AS v FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name, count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT v FROM ab)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY n_name
+    """)
+def tpch_q22(spark, sf_dir):
+    """Global-sales-opportunity shape (TPC-H Q22 adapted to this
+    schema: the phone-prefix filter becomes a recent-order window —
+    same plan skeleton): scalar-subquery threshold + NOT EXISTS
+    anti-join + per-nation rollup. The average broadcasts as a one-row
+    frame; the anti-join probes only the date-filtered orders slice;
+    both engines round the threshold to 6dp so the boundary compare
+    cannot flip on float summation order."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    ab = (cust.filter(F.col("c_acctbal") > 0)
+          .agg(F.round(F.avg("c_acctbal"), 6).alias("__ab")))
+    return (
+        cust.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("numcust"),
+             F.round(F.sum("c_acctbal"), 4).alias("totacctbal")))
 
 
 def _z_terms(col: str, dims: int, off: int, bits: int) -> str:
