@@ -258,3 +258,69 @@ def test_embedding_kmeans_rejects_string_id(spark):
     with pytest.raises(ValueError, match="integer"):
         EmbeddingKMeans(inputCol="embedding", idCol="vec_id",
                         k=3, maxIter=0).fit(bad)
+
+
+def test_new_stage_save_load_roundtrip(spark, tmp_path):
+    """Round-5 curation stages must survive save/load: DomainMixer's
+    weight dict as JSON params, EmbeddingKMeansModel's nested centroid
+    lists, and NGramLMModel's DataFrame-valued count tables (parquet
+    via the composite serializer) — the loaded model must score
+    identically."""
+    from mmlspark_spark.llm import (
+        DomainMixer,
+        EmbeddingKMeans,
+        EmbeddingKMeansModel,
+        NGramLanguageModel,
+        NGramLMModel,
+    )
+
+    mixer = DomainMixer(domainCol="domain", idCol="doc_id",
+                        weights={"a": 3, "b": 1}, totalBudget=80,
+                        exact=False, seed=7)
+    path = str(tmp_path / "mixer")
+    mixer.write().overwrite().save(path)
+    loaded = DomainMixer.load(path)
+    assert loaded.weights == mixer.weights
+    assert loaded.totalBudget == 80 and loaded.seed == 7
+
+    edf, _ = _emb_df(spark, n=20)
+    km = EmbeddingKMeans(inputCol="embedding", idCol="vec_id",
+                         k=3, maxIter=1).fit(edf)
+    path = str(tmp_path / "kmeans")
+    km.write().overwrite().save(path)
+    km2 = EmbeddingKMeansModel.load(path)
+    assert km2.centroids == km.centroids
+    a = {(r.vec_id, r["__km_cluster"]) for r in km.transform(edf).collect()}
+    b = {(r.vec_id, r["__km_cluster"]) for r in km2.transform(edf).collect()}
+    assert a == b
+
+    ldf, lm = _lm_fit(spark, ["a b a", "a b"], k=0.5)
+    path = str(tmp_path / "lm")
+    lm.write().overwrite().save(path)
+    lm2 = NGramLMModel.load(path)
+    lm2.set("idCol", "doc_id")
+    assert lm2.vocabSize == lm.vocabSize and lm2.k == lm.k
+    a = {(r.doc_id, round(r.avg_logprob, 9))
+         for r in lm.transform(ldf).collect()}
+    b = {(r.doc_id, round(r.avg_logprob, 9))
+         for r in lm2.transform(ldf).collect()}
+    assert a == b
+
+
+def test_semantic_dedup_idempotent(spark):
+    """Survivor set is a fixed point: a kept row has no lower-id mate
+    within threshold, and that can only become MORE true on the kept
+    subset — rerunning on survivors must drop nothing."""
+    from pyspark.sql import functions as F
+
+    from mmlspark_spark.llm import semantic_dedup
+
+    df, rows = _emb_df(spark, n=30)
+    dups = spark.createDataFrame(
+        [(1000, rows[0][1]), (1001, rows[5][1])], df.schema)
+    first = semantic_dedup(df.union(dups), k=3, threshold=0.999,
+                           maxIter=1)
+    kept_ids = [r.vec_id for r in first.filter("is_kept").collect()]
+    survivors = df.union(dups).filter(F.col("vec_id").isin(kept_ids))
+    second = semantic_dedup(survivors, k=3, threshold=0.999, maxIter=1)
+    assert second.filter("NOT is_kept").count() == 0
