@@ -13,6 +13,12 @@ from mmlspark_spark.llm.clustering import (
     semantic_dedup,
 )
 from mmlspark_spark.llm.embeddings import EmbeddingPCA, EmbeddingPCAModel
+from mmlspark_spark.llm.export import (
+    read_training_shard,
+    shard_assignment,
+    verify_training_shards,
+    write_training_shards,
+)
 from mmlspark_spark.llm.lm import NGramLanguageModel, NGramLMModel
 from mmlspark_spark.llm.mixing import DomainMixer
 from mmlspark_spark.llm.packing import BenchmarkDecontaminator, SequencePacker
@@ -46,6 +52,10 @@ __all__ = [
     "EmbeddingKMeans",
     "EmbeddingKMeansModel",
     "semantic_dedup",
+    "write_training_shards",
+    "read_training_shard",
+    "verify_training_shards",
+    "shard_assignment",
     "PIIRedactor",
     "redact_pii",
     "extract_urls",

@@ -16,8 +16,10 @@ from mmlspark_spark.streaming.serving import (
     reply_batch,
     serving_sink,
 )
+from mmlspark_spark.streaming.stateful import streaming_dedup
 
 __all__ = [
     "REQUEST_SCHEMA", "HTTPServingDataSource", "register_serving_source",
     "make_reply", "reply_batch", "serving_sink", "DistributedHTTPServer",
+    "streaming_dedup",
 ]

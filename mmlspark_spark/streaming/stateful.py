@@ -93,3 +93,34 @@ class RunningCounter:
                     stateStructType=self.STATE_SCHEMA,
                     outputMode="update",
                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_dedup(df: DataFrame, keyCols, timeCol: str,
+                    watermark: str = "10 minutes",
+                    hashKeys: bool = True) -> DataFrame:
+    """Exact deduplication over a stream: first arrival of each key
+    within the watermark horizon passes, later copies drop. The
+    streaming face of ``llm.ExactDeduplicator`` — an always-on
+    ingestion pipeline dedups as documents arrive instead of in a
+    nightly batch.
+
+    State-store discipline (what makes this run forever): the
+    watermark bounds how long a key is remembered, so state is
+    O(distinct keys per horizon), not O(stream); and with ``hashKeys``
+    (default) the state key is a 128-bit content hash (two independent
+    xxhash64 lanes — the ExactDeduplicator key shape), so each entry
+    costs 16 B however large the document is. Raw multi-KB text as a
+    state key is how streaming dedup OOMs at scale.
+
+    Duplicates separated by more than the watermark re-emit (their
+    state has been reclaimed) — the horizon is the dedup guarantee,
+    choose it per pipeline.
+    """
+    keys = [keyCols] if isinstance(keyCols, str) else list(keyCols)
+    d = df.withWatermark(timeCol, watermark)
+    if not hashKeys:
+        return d.dropDuplicatesWithinWatermark(keys)
+    d = (d.withColumn("__dk1", F.xxhash64(*keys))
+         .withColumn("__dk2", F.xxhash64(F.lit(1), *keys)))
+    return (d.dropDuplicatesWithinWatermark(["__dk1", "__dk2"])
+            .drop("__dk1", "__dk2"))

@@ -324,3 +324,43 @@ def test_semantic_dedup_idempotent(spark):
     survivors = df.union(dups).filter(F.col("vec_id").isin(kept_ids))
     second = semantic_dedup(survivors, k=3, threshold=0.999, maxIter=1)
     assert second.filter("NOT is_kept").count() == 0
+
+
+def test_training_shard_export_roundtrip(spark, sf_dir, tmp_path):
+    """write_training_shards: every row lands in exactly one shard,
+    membership is the deterministic hash (re-export produces an
+    identical manifest), per-shard reads prune to one directory, and
+    verify passes on intact data."""
+    from mmlspark_spark.llm import (
+        read_training_shard,
+        shard_assignment,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "shards")
+    man1 = write_training_shards(docs, path, numShards=4, idCol="doc_id")
+    assert man1["totalRows"] == docs.count()
+    assert set(man1["shards"]) <= {"0", "1", "2", "3"}
+
+    # deterministic: re-export gives the identical manifest
+    man2 = write_training_shards(docs, str(tmp_path / "shards2"),
+                                 numShards=4, idCol="doc_id")
+    assert man1 == man2
+
+    # shard membership recomputable from the exposed expression
+    expect0 = (docs.withColumn("s", shard_assignment("doc_id", 4))
+               .filter("s = 0").count())
+    got0 = read_training_shard(spark, path, 0)
+    assert got0.count() == expect0
+    assert "shard" not in got0.columns
+
+    assert verify_training_shards(spark, path, "doc_id")["ok"]
+
+    # corruption detection: drop one shard directory
+    import shutil
+
+    shutil.rmtree(f"{path}/shard=1")
+    v = verify_training_shards(spark, path, "doc_id")
+    assert not v["ok"] and v["mismatched"] == ["1"]

@@ -174,3 +174,40 @@ def test_distributed_http_serving_fleet(spark):
     finally:
         fleet.stop()
     assert fleet.addresses == []
+
+
+def test_streaming_dedup_drops_copies(spark, tmp_path):
+    """streaming_dedup: first arrival of each content key passes,
+    later copies drop — across micro-batches, with hashed state keys."""
+    import json as _json
+
+    from mmlspark_spark.streaming import streaming_dedup
+
+    src = tmp_path / "sd_src"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"ts": "2026-01-01T00:00:00", "text": "alpha"},
+        {"ts": "2026-01-01T00:00:01", "text": "beta"},
+        {"ts": "2026-01-01T00:00:02", "text": "alpha"},   # in-batch dup
+    ]))
+    stream = (spark.readStream.schema("ts timestamp, text string")
+              .json(str(src)))
+    out = streaming_dedup(stream, "text", "ts", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("sd_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sd_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        (src / "f2.json").write_text("\n".join(_json.dumps(r) for r in [
+            {"ts": "2026-01-01T00:00:03", "text": "beta"},  # cross-batch dup
+            {"ts": "2026-01-01T00:00:04", "text": "gamma"},
+        ]))
+        q.processAllAvailable()
+        got = sorted(r.text for r in
+                     spark.sql("SELECT * FROM sd_out").collect())
+        assert got == ["alpha", "beta", "gamma"]
+        # hashed state keys never leak into the output schema
+        assert spark.sql("SELECT * FROM sd_out").columns == ["ts", "text"]
+    finally:
+        q.stop()
