@@ -77,3 +77,16 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     ad = F.transform(_c(a), lambda x: x.cast("double"))
     bd = F.transform(_c(b), lambda x: x.cast("double"))
     return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+def vector_dim(df, vecCol: str) -> int:
+    """Dimension of an ``array<numeric>`` column, from the first
+    non-null row — with a real error instead of the opaque
+    ``None[0]``/``len(None)`` TypeError that ``.first()[0]`` raises on
+    an empty frame or a NULL leading row."""
+    row = df.select(vecCol).filter(F.col(vecCol).isNotNull()).first()
+    if row is None:
+        raise ValueError(
+            f"cannot infer vector dimension: column '{vecCol}' has no "
+            f"non-null rows")
+    return len(row[0])

@@ -45,7 +45,22 @@ class ExactDeduplicator(Transformer):
         return schema
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        key = F.concat_ws("\x1f", *[F.col(c) for c in self.keyCols])
+        # Null-safe, unambiguous key serialization. concat_ws SKIPS
+        # null arguments — ('a', NULL) and (NULL, 'a') would collapse
+        # to the same key and silently delete a non-duplicate row —
+        # and a raw separator can occur inside values. Length-prefixing
+        # every value ("<len>:<value>") makes boundaries explicit with
+        # no escapable separator, and NULL gets its own marker (cannot
+        # collide with a value: values start with a digit). Multi-arg
+        # xxhash64 is NOT the fix: Spark's hash expressions also skip
+        # null children.
+        parts = []
+        for c in self.keyCols:
+            s = F.col(c).cast("string")
+            parts.append(F.coalesce(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                F.lit("\x00")))
+        key = F.concat(*parts)
         h1, h2 = F.xxhash64(key), F.md5(key)
         w = Window.partitionBy(h1, h2).orderBy(F.col(self.idCol))
         return (
@@ -338,15 +353,32 @@ class MinHashLSHDeduplicator(Transformer):
         pairs = pairs.filter(F.col("est_jaccard") >= self.threshold)
         if not self.verifyExact:
             return attach_intermediates(pairs, *cached)
-        exact = ngram_jaccard_pairs(df, self.idCol, self.textCol,
-                                    self.shingleSize,
-                                    materialize=self.materialize)
+        # Candidate-bounded exact verify: join each candidate pair to
+        # the two docs' shingle-hash sets and intersect — cost is
+        # O(candidates × shingles/doc). Running ngram_jaccard_pairs
+        # over the whole corpus here would re-expand the FULL pair
+        # space (uncapped O(L²) hot-shingle blowup included), exactly
+        # the work LSH existed to avoid.
+        per_doc = (_distinct_shingles(df, self.idCol, self.textCol,
+                                      self.shingleSize, hashed=True)
+                   .groupBy("__id")
+                   .agg(F.collect_set("__shingle").alias("__set")))
+        if self.materialize:
+            per_doc = persist_intermediate(per_doc)
+            cached.append(per_doc)
+        pa = per_doc.select(F.col("__id").alias("doc_a"),
+                            F.col("__set").alias("__seta"))
+        pb = per_doc.select(F.col("__id").alias("doc_b"),
+                            F.col("__set").alias("__setb"))
+        inter = F.size(F.array_intersect("__seta", "__setb")).cast("double")
+        union = (F.size("__seta") + F.size("__setb")).cast("double") - inter
         out = (
-            pairs.join(exact, ["doc_a", "doc_b"], "left")
-            .na.fill({"jaccard": 0.0})
+            pairs.join(pa, "doc_a").join(pb, "doc_b")
+            .withColumn("jaccard",
+                        F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+            .select("doc_a", "doc_b", "est_jaccard", "jaccard")
             .filter(F.col("jaccard") >= self.threshold)
         )
-        cached.extend(getattr(exact, "_mmlspark_intermediates", []))
         return attach_intermediates(out, *cached)
 
 
@@ -439,16 +471,28 @@ class SimHashDeduplicator(Transformer):
         # expansion. The fingerprint rides inside the bucket structs
         # (16 bytes/row) so Hamming needs no join-back.
         b = self.bands
-        width = 64 // b
-        mask = (1 << width) - 1
+        # Variable-width chunks so ALL 64 bits participate when bands
+        # does not divide 64 (fixed 64//b widths silently left the top
+        # 64 - b*(64//b) bits out of every bucket key — larger buckets,
+        # more spurious candidates, no warning). The pigeonhole recall
+        # contract (Hamming < bands → some chunk equal) is width-
+        # independent.
+        base, rem = divmod(64, b)
+        widths = [base + (1 if j < rem else 0) for j in range(b)]
+        offsets = [sum(widths[:j]) for j in range(b)]
+
+        def chunk(j):
+            shifted = F.shiftrightunsigned(F.col("__sh"), offsets[j])
+            if widths[j] >= 64:  # bands=1: the whole fingerprint
+                return shifted
+            return shifted.bitwiseAND(F.lit((1 << widths[j]) - 1))
+
         fp = self.fingerprints(df)
         banded = fp.select(
             F.struct("__id", "__sh").alias("__m"),
-            F.posexplode(F.array(*[
-                F.shiftrightunsigned(F.col("__sh"), j * width)
-                .bitwiseAND(F.lit(mask)).alias(f"c{j}")
-                for j in range(b)
-            ])).alias("__band", "__chunk"),
+            F.posexplode(F.array(*[chunk(j).alias(f"c{j}")
+                                   for j in range(b)]))
+            .alias("__band", "__chunk"),
         )
         buckets = (banded.groupBy("__band", "__chunk")
                    .agg(F.array_sort(F.collect_set("__m")).alias("__ms")))
@@ -537,7 +581,8 @@ class EmbeddingDeduplicator(Transformer):
         lsh = LSHKNN(idCol=self.idCol, vecCol=self.vecCol,
                      numPlanes=self.numPlanes, bands=self.bands,
                      seed=self.seed)
-        dim = len(df.select(self.vecCol).first()[0])
+        from mmlspark_spark.functions.vector import vector_dim
+        dim = vector_dim(df, self.vecCol)
         banded = lsh._signature_bands(df, dim, "d").select(
             "__band", "d_chunk", "d_id")
         buckets = (banded.groupBy("__band", "d_chunk")

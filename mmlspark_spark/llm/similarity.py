@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mmlspark_spark.functions.vector import cosine_similarity
+from mmlspark_spark.functions.vector import cosine_similarity, vector_dim
 
 
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
@@ -68,11 +68,15 @@ class BruteForceKNN:
         # join: inside cosine_similarity they would re-evaluate per
         # PAIR (queries × corpus times instead of once per vector) —
         # measured 0.95 s → 0.70 s at sf0.1.
+        # norms are clamped to the same 1e-300 floor the numpy path
+        # uses: a zero vector would otherwise divide to NULL here but
+        # to sim 0.0 there, and the two "exact" methods must agree
         q = queries.select(
             F.col(self.idCol).alias("query_id"),
             F.transform(self.vecCol, lambda x: x.cast("double"))
             .alias("__qv"),
-        ).select("query_id", "__qv", norm("__qv").alias("__qn"))
+        ).select("query_id", "__qv",
+                 F.greatest(norm("__qv"), F.lit(1e-300)).alias("__qn"))
         # the dot products happen on the corpus side of the broadcast
         # join — a 1-2-split scan would serialize them onto 1-2 cores;
         # byte-aware floor: below ~32 MB/slot the BLAS work is cheaper
@@ -81,7 +85,8 @@ class BruteForceKNN:
             F.col(self.idCol).alias("neighbor_id"),
             F.transform(self.vecCol, lambda x: x.cast("double"))
             .alias("__dv"),
-        ).select("neighbor_id", "__dv", norm("__dv").alias("__dn"))
+        ).select("neighbor_id", "__dv",
+                 F.greatest(norm("__dv"), F.lit(1e-300)).alias("__dn"))
         scored = d.crossJoin(F.broadcast(q)).select(
             "query_id", "neighbor_id",
             (dot("__qv", "__dv")
@@ -105,6 +110,8 @@ class BruteForceKNN:
             best_sim = {}  # per-partition running top-k per query
             best_ids = {}
             for pdf in it:
+                if len(pdf) == 0:  # same guard as IVFKNN._assign —
+                    continue       # norm(axis=1) on a 0-d array raises
                 dm = np.array(list(pdf[self.vecCol]), dtype=np.float64)
                 dm /= np.maximum(np.linalg.norm(dm, axis=1, keepdims=True), 1e-300)
                 sims = qmat @ dm.T  # (nq, batch) one BLAS call
@@ -116,12 +123,16 @@ class BruteForceKNN:
                     if qi in best_sim:
                         s = np.concatenate([best_sim[qi], s])
                         d = np.concatenate([best_ids[qi], d])
-                    top = np.argsort(-s, kind="stable")[:k]
+                    # lexsort: primary -sim (desc), secondary id (asc)
+                    # — the same total order _topk_window declares; a
+                    # scan-order stable argsort would truncate TIED
+                    # neighbors differently than the expr method
+                    top = np.lexsort((d, -s))[:k]
                     best_sim[qi], best_ids[qi] = s[top], d[top]
             out = {"query_id": [], "neighbor_id": [], "sim": []}
             for qi, sims_ in best_sim.items():
-                out["query_id"].extend([int(ids[qi])] * len(sims_))
-                out["neighbor_id"].extend(int(x) for x in best_ids[qi])
+                out["query_id"].extend([ids[qi]] * len(sims_))
+                out["neighbor_id"].extend(best_ids[qi].tolist())
                 out["sim"].extend(float(x) for x in sims_)
             yield pd.DataFrame(out)
 
@@ -130,9 +141,12 @@ class BruteForceKNN:
             spread_narrow_scan,
         )
 
+        # the id columns keep the input's type — a hardcoded `long`
+        # would crash (or silently retype) string/int ids
+        idt = data.schema[self.idCol].dataType.simpleString()
         partial = spread_narrow_scan(
             data, VECTOR_MATH_BYTES_PER_SLOT).mapInPandas(
-            partial_topk, "query_id long, neighbor_id long, sim double"
+            partial_topk, f"query_id {idt}, neighbor_id {idt}, sim double"
         )
         return _topk_window(partial, k)
 
@@ -196,7 +210,7 @@ class LSHKNN:
         )
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
-        dim = len(data.select(self.vecCol).first()[0])
+        dim = vector_dim(data, self.vecCol)
         d = self._signature_bands(data, dim, "d")
         q = self._signature_bands(queries, dim, "q")
         cand = (
@@ -286,8 +300,9 @@ class IVFKNN:
         )
 
         vt = "array<double>"
+        idt = df.schema[id_col].dataType.simpleString()
         return spread_narrow_scan(df, VECTOR_MATH_BYTES_PER_SLOT).mapInPandas(
-            run, f"{prefix}_id long, {prefix}_vec {vt}, __cell int")
+            run, f"{prefix}_id {idt}, {prefix}_vec {vt}, __cell int")
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
         cent = self._fit_centroids(data)

@@ -163,13 +163,22 @@ def zip_with_index(df: DataFrame, start_index: int = 0,
     for pid, n in counts:
         offsets[pid] = acc
         acc += n
-    off = F.coalesce(*[
-        F.when(F.col("__pid") == pid, F.lit(o)) for pid, o in offsets.items()
-    ] or [F.lit(start_index)]).cast("long")
+    # Offsets attach via a broadcast join on a tiny (pid, offset)
+    # frame, NOT a coalesce(when...) chain: one branch per partition
+    # would blow past the JVM's 64KB generated-method limit (and
+    # quadratic analysis time) at the 10k-1M partition counts this
+    # module is for. The join build side is O(partitions) rows.
+    off_df = df.sparkSession.createDataFrame(
+        [(int(pid), int(o)) for pid, o in offsets.items()],
+        "__pid int, __off long")
     w = Window.partitionBy("__pid").orderBy("__mono")
-    return (tagged.withColumn(
-        col_name, (F.row_number().over(w) - 1 + off).cast("long"))
-        .drop("__pid", "__mono"))
+    return (tagged.join(F.broadcast(off_df), "__pid", "left")
+            .withColumn(
+                col_name,
+                (F.row_number().over(w) - 1
+                 + F.coalesce(F.col("__off"), F.lit(start_index)))
+                .cast("long"))
+            .drop("__pid", "__mono", "__off"))
 
 
 def zorder_key(cols, bits: int = 16) -> "F.Column":

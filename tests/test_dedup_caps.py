@@ -236,3 +236,67 @@ def test_duplicated_substring_spans_planted(spark):
     all_spans = {r.doc_id for r in
                  duplicated_substring_spans(df, k=40).collect()}
     assert 4 in all_spans and 3 not in all_spans
+
+
+def test_exact_dedup_null_and_separator_safety(spark):
+    """Key serialization must not collapse distinct keys: ('a', NULL)
+    vs (NULL, 'a') and separator-straddling values are all distinct;
+    true duplicates still dedup."""
+    from pyspark.sql import types as T
+
+    from mmlspark_spark.llm import ExactDeduplicator
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("c1", T.StringType()),
+        T.StructField("c2", T.StringType())])
+    rows = [
+        (1, "a", None), (2, None, "a"),          # null-position pair
+        (3, "x\x1fy", "z"), (4, "x", "y\x1fz"),  # separator straddle
+        (5, "dup", "dup"), (6, "dup", "dup"),    # a real duplicate
+        (7, None, None), (8, "", ""),            # null vs empty
+    ]
+    df = spark.createDataFrame(rows, schema)
+    kept = sorted(r.doc_id for r in
+                  ExactDeduplicator(keyCols=["c1", "c2"], idCol="doc_id")
+                  .transform(df).collect())
+    assert kept == [1, 2, 3, 4, 5, 7, 8]  # only the real dup dropped
+
+
+def test_minhash_verify_exact_is_candidate_bounded(spark):
+    """verifyExact computes true Jaccard for the LSH candidates and
+    filters on it — values must agree with the full exact operator."""
+    from mmlspark_spark.llm import MinHashLSHDeduplicator, ngram_jaccard_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    docs = [(1, base), (2, base + " exactly"), (3, "completely different "
+            "words that share no shingles with anything here at all "
+            "ever in any way shape or form truly")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = MinHashLSHDeduplicator(
+        numHashes=32, bands=16, threshold=0.3, verifyExact=True,
+        shingleSize=5).transform(df)
+    rows = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert (1, 2) in rows
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(
+        df, n=5, minJaccard=0.0).collect()}
+    assert rows[(1, 2)] == pytest.approx(exact[(1, 2)])
+    assert all(j >= 0.3 for j in rows.values())
+
+
+def test_simhash_non_divisor_bands(spark):
+    """bands that do not divide 64 must still bucket ALL fingerprint
+    bits: identical docs collide at hamming 0 and the operator runs
+    without silently ignoring the top bits."""
+    from mmlspark_spark.llm import SimHashDeduplicator
+
+    text = ("some reasonably long sentence with enough words to give "
+            "the fingerprint plenty of token votes today")
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "another unrelated piece of prose "
+          "entirely about different things altogether")],
+        ["doc_id", "text"])
+    out = SimHashDeduplicator(bands=5, maxHammingDistance=3).transform(df)
+    rows = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
+    assert rows.get((1, 2)) == 0

@@ -120,3 +120,44 @@ def test_embedding_pca_null_rows(spark):
     clean = EmbeddingPCA(inputCol="embedding", k=2).fit(
         df.filter("embedding is not null"))
     assert np.allclose(model.components, clean.components)
+
+
+def test_bruteforce_methods_agree_on_ties_and_zero_norms(spark):
+    """The two 'exact' methods must return the SAME result set: tied
+    similarities break to the lower neighbor id in both, and a
+    zero-norm vector scores 0.0 in both (not NULL-excluded)."""
+    from mmlspark_spark.llm import BruteForceKNN
+
+    rows = [
+        (7, [1.0, 0.0]), (3, [1.0, 0.0]),   # tie: ids 7 and 3 identical
+        (5, [0.0, 1.0]),
+        (9, [0.0, 0.0]),                    # zero-norm corpus vector
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame([(100, [1.0, 0.0])], ["vec_id", "embedding"])
+    res = {}
+    for m in ("expr", "numpy"):
+        knn = BruteForceKNN(k=1, method=m, excludeSelf=False)
+        res[m] = [(r.neighbor_id, round(r.sim, 9))
+                  for r in knn.search(df, q).collect()]
+    assert res["expr"] == res["numpy"]
+    assert res["expr"][0][0] == 3  # tie broken to the LOWER id
+    # zero vector present: full k=4 search returns it with sim 0.0 in both
+    for m in ("expr", "numpy"):
+        knn = BruteForceKNN(k=4, method=m, excludeSelf=False)
+        sims = {r.neighbor_id: r.sim for r in knn.search(df, q).collect()}
+        assert sims[9] == pytest.approx(0.0)
+
+
+def test_bruteforce_numpy_string_ids(spark):
+    """The numpy method must preserve non-long id types instead of
+    crashing on int() casts or a hardcoded long schema."""
+    from mmlspark_spark.llm import BruteForceKNN
+
+    df = spark.createDataFrame(
+        [("doc_a", [1.0, 0.0]), ("doc_b", [0.0, 1.0])],
+        ["vec_id", "embedding"])
+    q = spark.createDataFrame([("q1", [1.0, 0.1])], ["vec_id", "embedding"])
+    out = BruteForceKNN(k=1, method="numpy", excludeSelf=False).search(df, q)
+    rows = out.collect()
+    assert rows[0].query_id == "q1" and rows[0].neighbor_id == "doc_a"
