@@ -27,15 +27,24 @@ def token_count(text: Column | str) -> Column:
 
 
 def avg_token_length(text: Column | str) -> Column:
+    """NULL for token-less documents — a bare division would throw
+    DIVIDE_BY_ZERO under ANSI mode (Spark 4 default) and kill the
+    whole scoring job on one empty doc."""
     t = tokens(text)
     total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    return total.cast("double") / F.size(t)
+    n = F.size(t)
+    return F.when(n > 0, total.cast("double") / n)
 
 
 def stopword_ratio(text: Column | str, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
+    """Case-folded stopword density (sentence-initial 'The' counts —
+    case-sensitive matching systematically deflated the ratio and
+    mis-filtered clean prose under Gopher-style thresholds). NULL for
+    token-less documents (ANSI divide-by-zero guard)."""
     t = tokens(text)
-    sw = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
-    return sw.cast("double") / F.size(t)
+    sw = F.size(F.filter(t, lambda x: F.lower(x).isin(*stopwords)))
+    n = F.size(t)
+    return F.when(n > 0, sw.cast("double") / n)
 
 
 def word_shingles(text: Column | str, n: int = 5,
@@ -63,16 +72,18 @@ def word_shingles(text: Column | str, n: int = 5,
     NULL text also yields [] (the pre-round-5 contract: arrays_zip
     would otherwise propagate the NULL)."""
     c = F.col(text) if isinstance(text, str) else text
+    if not hashed:
+        # the unhashed variant IS distinct-of-raw-ngrams; one shared
+        # construction (raw_word_ngrams) instead of a drifting copy
+        return F.array_distinct(raw_word_ngrams(c, n))
     t = tokens(c)
     m = F.greatest(F.size(t) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(t, i + 1, m) for i in range(n)])
 
     def gram(s):
-        joined = F.concat_ws(" ", *[s[str(i)] for i in range(n)])
-        return F.xxhash64(joined) if hashed else joined
+        return F.xxhash64(F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
 
-    empty = F.array().cast("array<long>" if hashed else "array<string>")
-    return F.when(c.isNull(), empty).otherwise(
+    return F.when(c.isNull(), F.array().cast("array<long>")).otherwise(
         F.array_distinct(F.transform(zipped, gram)))
 
 

@@ -16,10 +16,11 @@ DataFrame and proves what it wrote:
   by its own task. ``maxRecordsPerFile`` caps file sizes inside a
   shard for HDFS/object-store-friendly blocks.
 - **A manifest is part of the artifact.** ``write_training_shards``
-  returns (and persists as ``_manifest.json``) per-shard row counts
-  and order-insensitive content checksums computed FROM THE WRITTEN
+  returns (and persists as ``_manifest.json`` via the Hadoop
+  FileSystem API, so remote schemes work) per-shard row counts and
+  order-insensitive whole-row checksums computed FROM THE WRITTEN
   FILES, not from the input plan — the manifest attests to what
-  landed on disk. Driver state: O(shards).
+  landed on disk, every column included. Driver state: O(shards).
 
 At 100 TB this is the standard export shape: the shuffle carries each
 row once, no driver bottleneck, and validation (count + checksum per
@@ -29,10 +30,44 @@ shard) reads column-pruned parquet.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API —
+    works for every scheme Spark can write parquet to (local, HDFS,
+    s3a, abfs). A driver-local ``open()`` would succeed for the data
+    and then fail for the manifest on any remote path."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _content_checksum(df: DataFrame) -> "F.Column":
+    """Order-insensitive checksum over EVERY non-shard column (sorted
+    for determinism): an id-only checksum would pass verification on a
+    corpus whose text was garbled but whose ids survived."""
+    cols = sorted(c for c in df.columns if c != "shard")
+    return F.bit_xor(F.xxhash64(F.struct(*cols)))
 
 
 def shard_assignment(idCol: str, numShards: int):
@@ -53,7 +88,11 @@ def write_training_shards(df: DataFrame, path: str, numShards: int,
     insensitive AND overflow-free (a sum of 64-bit hashes trips ANSI
     mode's long-overflow check)."""
     keyed = df.withColumn("shard", shard_assignment(idCol, numShards))
-    writer = (keyed.repartition(numShards, "shard")
+    # repartitionByRange, not hash repartition: hashing the shard ids
+    # collides ~1/e of them into shared tasks (stragglers writing 2-3
+    # directories while others idle); range partitioning on the exact
+    # int values gives ~one task per shard directory
+    writer = (keyed.repartitionByRange(numShards, "shard")
               .write.mode(mode).partitionBy("shard"))
     if maxRecordsPerFile:
         writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
@@ -63,7 +102,7 @@ def write_training_shards(df: DataFrame, path: str, numShards: int,
     written = spark.read.parquet(path)
     stats = (written.groupBy("shard")
              .agg(F.count("*").alias("rows"),
-                  F.bit_xor(F.xxhash64(F.col(idCol))).alias("checksum"))
+                  _content_checksum(written).alias("checksum"))
              .collect())
     manifest = {
         "numShards": numShards,
@@ -72,8 +111,8 @@ def write_training_shards(df: DataFrame, path: str, numShards: int,
             "rows": int(r["rows"]),
             "checksum": int(r["checksum"])} for r in stats},
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _fs_write_text(spark, f"{path}/_manifest.json",
+                   json.dumps(manifest, indent=1, sort_keys=True))
     return manifest
 
 
@@ -86,14 +125,14 @@ def read_training_shard(spark: SparkSession, path: str,
 
 
 def verify_training_shards(spark: SparkSession, path: str,
-                           idCol: str) -> dict:
+                           idCol: str = "doc_id") -> dict:
     """Recompute the manifest from disk and diff against the stored
     one; returns {"ok": bool, "mismatched": [shard, ...]}."""
-    with open(os.path.join(path, "_manifest.json")) as f:
-        stored = json.load(f)
-    live = (spark.read.parquet(path).groupBy("shard")
+    stored = json.loads(_fs_read_text(spark, f"{path}/_manifest.json"))
+    written = spark.read.parquet(path)
+    live = (written.groupBy("shard")
             .agg(F.count("*").alias("rows"),
-                 F.bit_xor(F.xxhash64(F.col(idCol))).alias("checksum"))
+                 _content_checksum(written).alias("checksum"))
             .collect())
     seen = {str(int(r["shard"])): (int(r["rows"]), int(r["checksum"]))
             for r in live}

@@ -34,7 +34,11 @@ class BenchmarkDecontaminator(Transformer):
     Standard decontamination (the n-gram-overlap rule used for LLM
     pretraining corpora): a corpus document is contaminated when it
     shares at least ``minShingles`` distinct word ``n``-gram shingles
-    with any benchmark text. ``transform(corpus)`` appends
+    with the benchmark SUITE as a whole (the union of all benchmark
+    texts' shingles — overlap is counted against the pooled set, not
+    per benchmark item; with ``minShingles > 1`` a document touching
+    several items lightly can therefore flag even though no single
+    item alone reaches the threshold). ``transform(corpus)`` appends
     ``contaminated_count`` (distinct shared shingles) and
     ``contaminated`` (count >= minShingles).
 
@@ -115,7 +119,11 @@ class SequencePacker(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         cap = int(self.maxTokens)
-        shard = F.col(self.idCol).cast("long") % self.numShards
+        # pmod, not %: Spark's % keeps the dividend's sign, so signed
+        # hash ids would land in shards -(n-1)..-1 that a consumer
+        # iterating 0..n-1 silently skips
+        shard = F.pmod(F.col(self.idCol).cast("long"),
+                       F.lit(int(self.numShards)))
         with_tokens = df.withColumn(
             "n_tokens", token_count(self.textCol).cast("int")
         ).withColumn("shard", shard)

@@ -1302,7 +1302,7 @@ def token_count_q(spark, sf_dir):
            CAST(len(t) AS INTEGER) AS n_tokens,
            round(CAST(len(list_filter(t, x -> length(x) >= 6)) AS DOUBLE) / len(t), 6)
              AS long_token_ratio,
-           round(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it')))
+           round(CAST(len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
                  AS DOUBLE) / len(t), 6) AS stopword_ratio
     FROM toks
     """,

@@ -200,21 +200,34 @@ class DistributedHTTPServer:
                 except socket.timeout:
                     continue
                 with conn:
+                    # accepted sockets come back BLOCKING regardless of
+                    # the listener's timeout — a half-open client that
+                    # sends nothing would wedge recv() forever and with
+                    # it the whole start() deadline
+                    conn.settimeout(2.0)
                     line = b""
-                    while not line.endswith(b"\n") and len(line) < 512:
-                        chunk = conn.recv(256)
-                        if not chunk:
-                            break
-                        line += chunk
+                    try:
+                        while not line.endswith(b"\n") and len(line) < 512:
+                            chunk = conn.recv(256)
+                            if not chunk:
+                                break
+                            line += chunk
+                    except socket.timeout:
+                        continue
                 # tolerate stray connections (port scans, LB probes,
                 # half-open registrations): skip anything that does not
-                # parse as "<pid> <host:port>"
+                # parse as "<pid> <host:port>" with a pid inside the
+                # fleet and a numeric port; first registration per pid
+                # wins (a duplicate/forged line must not overwrite a
+                # healthy server's address or inflate the quota)
                 try:
                     pid_s, addr = line.decode().strip().split(" ", 1)
                     pid = int(pid_s)
+                    host, port_s = addr.rsplit(":", 1)
+                    int(port_s)
                 except (ValueError, UnicodeDecodeError):
                     continue
-                if ":" in addr:
+                if 0 <= pid < n and host and pid not in got:
                     got[pid] = addr
         finally:
             reg.close()
