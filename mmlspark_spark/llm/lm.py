@@ -64,6 +64,11 @@ class NGramLanguageModel(Estimator):
 
     def __init__(self, textCol: str = "text", k: float = 0.5,
                  lowercase: bool = True):
+        if k <= 0:
+            raise ValueError(
+                "NGramLanguageModel needs k > 0: with k=0 an unseen "
+                "prefix word makes the smoothed denominator 0 and the "
+                "scoring job dies with DIVIDE_BY_ZERO under ANSI mode")
         super().__init__(textCol=textCol, k=k, lowercase=lowercase)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
@@ -89,6 +94,11 @@ class NGramLanguageModel(Estimator):
         # the single driver scalar; O(1) result, one count job that
         # also materializes the unigram cache
         vocab = uni.count()
+        if vocab == 0:
+            raise ValueError(
+                "NGramLanguageModel: fit corpus produced no tokens "
+                "(all texts empty/NULL) — a 0-vocab model would score "
+                "every bigram with a 0 denominator")
         return NGramLMModel(unigrams=uni, bigrams=bi, vocabSize=vocab,
                             textCol=self.textCol, k=self.k,
                             lowercase=self.lowercase)

@@ -54,8 +54,13 @@ def _uniform_key(idCol, seed: int):
     id and far from uniform — every small id passes every rate
     filter); the second step wraps for every id ≥ 1. Intermediates are
     bounded by (m-1)·a < 2⁶³."""
-    s0 = (F.col(idCol) + F.lit(seed)) % _M
-    return (((s0 * _A) % _M) * _A) % _M
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # id (xxhash64-derived ids are negative half the time) would yield
+    # a negative u that passes EVERY rate filter. pmod == % for
+    # non-negative ids, so the engine-parity contract (and the
+    # catalog oracle, which uses % on non-negative doc ids) holds.
+    s0 = F.pmod(F.col(idCol) + F.lit(seed), F.lit(_M))
+    return F.pmod(F.pmod(s0 * _A, F.lit(_M)) * _A, F.lit(_M))
 
 
 class DomainMixer(Transformer):
@@ -109,8 +114,11 @@ class DomainMixer(Transformer):
 
         counts = {r[0]: r[1] for r in
                   df.groupBy(self.domainCol).count().collect()}
+        # NULL is a legal domain value (groupBy counts it as a group);
+        # a bare sorted() would TypeError comparing None with str
         self.observedDroppedDomains = sorted(
-            d for d in counts if d not in self.weights)
+            (d for d in counts if d not in self.weights),
+            key=lambda d: (d is None, d if d is not None else ""))
         wsum = sum(Fraction(str(w)) for w in self.weights.values())
         return {
             d: int(Fraction(str(w)) / wsum * self.totalBudget)

@@ -58,7 +58,14 @@ def barrier_train(
     driver only ever receives the final model payload, never feature
     data.
     """
+    from mmlspark_spark.core.cache import persist_intermediate
+
     sc = prepared.sparkSession.sparkContext
+    # pin the prepared (featurized/cast) input ONCE: the shrink loop
+    # below runs a probe pass per attempt plus the barrier run itself,
+    # and without the pin each of those re-executes the full upstream
+    # lineage (tokenize/featurize/shuffle)
+    prepared = persist_intermediate(prepared)
     n = numTasks or prepared.rdd.getNumPartitions()
     n = max(1, min(n, sc.defaultParallelism))
 
@@ -84,6 +91,7 @@ def barrier_train(
         sizes = pre.rdd.mapPartitions(
             lambda it: iter([sum(1 for _ in it)])).collect()
         if sum(sizes) == 0:
+            prepared.unpersist()
             raise ValueError("cannot barrier-train on an empty dataset")
         nonempty = sum(1 for s in sizes if s)
         if nonempty == len(sizes):
@@ -123,7 +131,10 @@ def barrier_train(
         out = train_fn(*args, ctx) if pass_context else train_fn(*args)
         return iter([out] if out is not None else [])
 
-    results = pre.rdd.barrier().mapPartitions(run).collect()
+    try:
+        results = pre.rdd.barrier().mapPartitions(run).collect()
+    finally:
+        prepared.unpersist()
     if not results:
         raise ValueError("no barrier task returned a model payload")
     return results[0]

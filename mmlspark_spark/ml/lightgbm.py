@@ -175,12 +175,37 @@ class _LightGBMBase(Estimator):
         return self._fit_native_distributed(df)
 
 
+def _sparkml_output_schema(inner, schema: T.StructType) -> T.StructType:
+    """Output schema for a wrapped stock SparkML model: appends the
+    prediction/rawPrediction/probability columns the inner model adds
+    (a schema-preserving pass-through understated the output and broke
+    eager validation for downstream stages needing 'prediction').
+    Never mutates the caller's schema object."""
+    from pyspark.ml.linalg import VectorUDT
+
+    fields = list(schema.fields)
+    names = {f.name for f in fields}
+
+    def add(name, dt):
+        if name and name not in names:
+            fields.append(T.StructField(name, dt))
+            names.add(name)
+
+    if hasattr(inner, "getPredictionCol"):
+        add(inner.getPredictionCol(), T.DoubleType())
+    if hasattr(inner, "getRawPredictionCol"):
+        add(inner.getRawPredictionCol(), VectorUDT())
+    if hasattr(inner, "getProbabilityCol"):
+        add(inner.getProbabilityCol(), VectorUDT())
+    return T.StructType(fields)
+
+
 class _WrappedModel(Model):
     def __init__(self, inner=None):
         super().__init__(inner=inner)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
-        return schema
+        return _sparkml_output_schema(self.inner, schema)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         return self.inner.transform(df)
@@ -266,6 +291,13 @@ class LightGBMRanker(_LightGBMBase):
     def __init__(self, **kw):
         kw.setdefault("groupCol", "group")
         super().__init__(**kw)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        # eager contract: a missing group column must fail HERE with
+        # its name, not as an unresolved-column error inside _fit
+        out = super().transform_schema(schema)
+        self._require_cols(schema, self.groupCol)
+        return out
 
     def _fit(self, df: DataFrame):
         if not _have_lightgbm():

@@ -205,8 +205,17 @@ class VowpalWabbitInteractions(Transformer):
     def _transform(self, df: DataFrame) -> DataFrame:
         from pyspark.ml.feature import FeatureHasher
 
-        cross = F.concat_ws("\x1d", *[F.col(c).cast("string")
-                                      for c in self.inputCols])
+        # length-prefixed serialization, not concat_ws: concat_ws skips
+        # NULL arguments, so ('x', NULL) and (NULL, 'x') would collapse
+        # onto one crossed feature (same defect class as
+        # ExactDeduplicator's key — see llm/dedup.py)
+        parts = []
+        for c in self.inputCols:
+            s = F.col(c).cast("string")
+            parts.append(F.coalesce(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                F.lit("\x00")))
+        cross = F.concat(*parts)
         with_cross = df.withColumn("__cross__", cross)
         hasher = FeatureHasher(inputCols=self.inputCols + ["__cross__"],
                                outputCol=self.outputCol,
@@ -254,7 +263,9 @@ class _VWModel(Model):
         super().__init__(inner=inner)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
-        return schema
+        from mmlspark_spark.ml.lightgbm import _sparkml_output_schema
+
+        return _sparkml_output_schema(self.inner, schema)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         return self.inner.transform(df)
@@ -355,7 +366,11 @@ class _VWNativeFitMixin:
         import vowpalwabbit
 
         loss = "logistic" if self._classifier else "squared"
-        args = f"--quiet --loss_function={loss}"
+        # every tuning param the stage exposes must reach the native
+        # workspace — a silently-defaulted -l trained a materially
+        # different model than the barrier path honoring the same param
+        args = (f"--quiet --loss_function={loss}"
+                f" -l {self.learningRate} --random_seed {self.seed}")
         if self.l2:
             args += f" --l2 {self.l2}"
         ws = vowpalwabbit.Workspace(args)
@@ -508,11 +523,17 @@ class VowpalWabbitClassifier(_VWLearnerBase, _VWNativeFitMixin,
             return self._fit_native(df)
         from pyspark.ml.classification import LogisticRegression
 
+        # the native/barrier paths accept VW-convention ±1 labels
+        # (lab > 0 → positive); LogisticRegression demands {0,1} — remap
+        # so behavior does not depend on which path is installed
+        df01 = df.withColumn(
+            "__vw_label01",
+            F.when(F.col(self.labelCol) > 0, 1.0).otherwise(0.0))
         lr = LogisticRegression(
-            featuresCol=self.featuresCol, labelCol=self.labelCol,
+            featuresCol=self.featuresCol, labelCol="__vw_label01",
             predictionCol=self.predictionCol, maxIter=self.numPasses * 10,
             regParam=self.l2)
-        return _VWModel(inner=lr.fit(df))
+        return _VWModel(inner=lr.fit(df01))
 
 
 class VowpalWabbitRegressor(_VWLearnerBase, _VWNativeFitMixin,
