@@ -67,12 +67,20 @@ class _LIMEBase(Transformer):
         kernel_width, regularization = self.kernelWidth, self.regularization
         out_col, metrics_col = self.outputCol, self.metricsCol
 
-        src = df.withColumn(_ID, F.monotonically_increasing_id()).cache()
+        from mmlspark_spark.core.cache import (
+            attach_intermediates,
+            persist_intermediate,
+        )
+
+        # persisted with a release handle (NOT a bare .cache(), which
+        # leaked a pinned copy of the full input per transform call):
+        # src feeds both the sample generator and the final join
+        src = persist_intermediate(
+            df.withColumn(_ID, F.monotonically_increasing_id()))
         samples = sample_gen(src)
         scored = model.transform(samples)
         target = self._extract_target(scored, target_col, target_class)
 
-        n_states = len(state_cols)
         solve_schema = T.StructType([
             T.StructField(_ID, T.LongType()),
             T.StructField(out_col, T.ArrayType(T.DoubleType())),
@@ -93,7 +101,11 @@ class _LIMEBase(Transformer):
 
         fitted = (target.select(_ID, "__target__", "__distance__", *state_cols)
                   .groupBy(_ID).applyInPandas(solve, solve_schema))
-        return (src.hint("broadcast").join(fitted, _ID, "inner").drop(_ID))
+        # plain shuffle join: src and fitted have the SAME cardinality
+        # (one row per explained id), so a broadcast hint on either
+        # side would collect the whole explain batch to the driver
+        out = src.join(fitted, _ID, "inner").drop(_ID)
+        return attach_intermediates(out, src)
 
     @staticmethod
     def _extract_target(scored: DataFrame, target_col: str, target_class: int):
@@ -139,12 +151,19 @@ class TabularLIME(_LIMEBase):
         state_cols = [f"__state_{c}__" for c in input_cols]
 
         def gen(src: DataFrame) -> DataFrame:
-            keep = [f for f in src.schema.fields]
+            # continuous sample columns are DECLARED double regardless
+            # of the source type: the perturbations are Gaussian draws,
+            # and Arrow refuses to truncate float 3.7 into an int32
+            # field — an integer-typed age/count feature would crash
+            # the whole transform. Categorical columns keep the source
+            # type (samples draw from observed values). Non-input
+            # passthrough columns are not needed on samples.
             fields = ([T.StructField(_ID, T.LongType())]
-                      + [src.schema[c] for c in input_cols]
+                      + [src.schema[c] if c in cat_cols
+                         else T.StructField(c, T.DoubleType())
+                         for c in input_cols]
                       + [T.StructField(s, T.DoubleType()) for s in state_cols]
                       + [T.StructField("__distance__", T.DoubleType())])
-            # non-input passthrough columns are not needed on samples
             sample_schema = T.StructType(fields)
 
             def run(it):

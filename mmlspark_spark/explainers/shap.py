@@ -78,7 +78,12 @@ def _draw_coalitions(rng, m: int, num_samples: int):
         z = np.zeros(m)
         z[rng.choice(m, size=k, replace=False)] = 1.0
         zs.append(z)
-        ws.append(weights[k])
+        # UNIFORM regression weight: coalitions are already drawn with
+        # q(z) ∝ kernel(z) (k ∝ weights[k]·C(m,k), subset uniform given
+        # k), so the importance weight kernel/q is constant — weighting
+        # by weights[k] again would solve a kernel²-weighted regression
+        # and converge to non-Shapley values
+        ws.append(1.0)
     return np.array(zs), np.array(ws)
 
 
@@ -102,10 +107,23 @@ def _solve_shap(z: np.ndarray, y: np.ndarray, w: np.ndarray,
 
 
 class _SHAPBase(_LIMEBase):
+    def _base_value(self, bg_df: DataFrame) -> float:
+        """E[f(background)] — shared by the tabular and vector
+        explainers (was duplicated byte-for-byte in both)."""
+        scored = self.model.transform(bg_df)
+        t = self._extract_target(scored, self.targetCol, self.targetClass)
+        return float(t.agg(F.avg("__target__")).collect()[0][0])
+
     def _explain_shap(self, df: DataFrame, sample_gen, state_cols,
                       base: float) -> DataFrame:
+        from mmlspark_spark.core.cache import (
+            attach_intermediates,
+            persist_intermediate,
+        )
+
         out_col, metrics_col = self.outputCol, self.metricsCol
-        src = df.withColumn(_ID, F.monotonically_increasing_id()).cache()
+        src = persist_intermediate(
+            df.withColumn(_ID, F.monotonically_increasing_id()))
         samples = sample_gen(src)
         scored = self.model.transform(samples)
         target = self._extract_target(scored, self.targetCol, self.targetClass)
@@ -132,7 +150,11 @@ class _SHAPBase(_LIMEBase):
 
         fitted = (target.select(_ID, "__target__", "__weight__", *state_cols)
                   .groupBy(_ID).applyInPandas(solve, solve_schema))
-        return src.hint("broadcast").join(fitted, _ID, "inner").drop(_ID)
+        # plain join: both sides are one row per explained id — a
+        # broadcast hint on src would ship the whole explain batch to
+        # the driver
+        out = src.join(fitted, _ID, "inner").drop(_ID)
+        return attach_intermediates(out, src)
 
 
 class TabularSHAP(_SHAPBase):
@@ -147,18 +169,14 @@ class TabularSHAP(_SHAPBase):
                          metricsCol=metricsCol, numSamples=numSamples,
                          numBackgroundDraws=numBackgroundDraws, seed=seed)
 
-    def _base_value(self, bg_df: DataFrame) -> float:
-        scored = self.model.transform(bg_df)
-        t = self._extract_target(scored, self.targetCol, self.targetClass)
-        return float(t.agg(F.avg("__target__")).collect()[0][0])
-
     def _transform(self, df: DataFrame) -> DataFrame:
         input_cols = self.inputCols
         m = len(input_cols)
         background = self.backgroundData if self.backgroundData is not None else df
-        bg_df = background.select(*input_cols).limit(1000).cache()
+        bg_df = background.select(*input_cols).limit(1000).persist()
         pool = [tuple(r) for r in bg_df.collect()]
         base = self._base_value(bg_df)
+        bg_df.unpersist()  # both consumers have materialized
         num_samples, seed = self.numSamples, self.seed
         n_draws = self.numBackgroundDraws
         state_cols = [f"__state_{c}__" for c in input_cols]
@@ -208,17 +226,13 @@ class VectorSHAP(_SHAPBase):
                          metricsCol=metricsCol, numSamples=numSamples,
                          numBackgroundDraws=numBackgroundDraws, seed=seed)
 
-    def _base_value(self, bg_df: DataFrame) -> float:
-        scored = self.model.transform(bg_df)
-        t = self._extract_target(scored, self.targetCol, self.targetClass)
-        return float(t.agg(F.avg("__target__")).collect()[0][0])
-
     def _transform(self, df: DataFrame) -> DataFrame:
         input_col = self.inputCol
         background = self.backgroundData if self.backgroundData is not None else df
-        bg_df = background.select(input_col).limit(1000).cache()
+        bg_df = background.select(input_col).limit(1000).persist()
         pool = np.array([list(r[0]) for r in bg_df.collect()], dtype=np.float64)
         base = self._base_value(bg_df)
+        bg_df.unpersist()  # both consumers have materialized
         m = pool.shape[1]
         num_samples, seed = self.numSamples, self.seed
         n_draws = self.numBackgroundDraws

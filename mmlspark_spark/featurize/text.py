@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mmlspark_spark.core.base import Estimator, Model, Transformer
-from mmlspark_spark.functions.text_quality import tokens
 
 
 class UnicodeNormalize(Transformer):
@@ -102,10 +101,16 @@ def ngrams(toks, n: int):
     """Word n-grams of an array<string> column as a Catalyst expression
     (order-preserving, non-distinct — matches pyspark.ml NGram)."""
     t = F.col(toks) if isinstance(toks, str) else toks
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
+    m = F.size(t) - (n - 1)
+    # the when-guard is load-bearing: sequence(1, 0) yields the
+    # DESCENDING array [1, 0] and slice(t, 0, n) then throws
+    # INVALID_PARAMETER_VALUE.START — one empty document would abort
+    # the whole job
+    return F.when(
+        m >= 1,
+        F.transform(F.sequence(F.lit(1), m),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 class MultiNGram(Transformer):
@@ -151,8 +156,19 @@ class TextPreprocessor(Transformer):
                             + [T.StructField(self.outputCol, T.StringType(), True)])
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        mapping = dict(self.map)
         norm = self.normFunc
+        # keys must pass through the SAME normFunc as the text (the
+        # reference trie normalizes both): with normFunc='lower', a
+        # raw key 'Mr.' could never match the already-lowered text.
+        # Normalized-key collisions resolve to the last declaration.
+        def _nrm(k: str) -> str:
+            if norm == "lower":
+                return k.lower()
+            if norm == "upper":
+                return k.upper()
+            return k
+
+        mapping = {_nrm(k): v for k, v in dict(self.map).items()}
         if mapping:
             pattern = re.compile("|".join(
                 re.escape(k) for k in sorted(mapping, key=len, reverse=True)))

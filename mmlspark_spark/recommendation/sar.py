@@ -252,20 +252,37 @@ class SARModel(Model):
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.userCol)
+        # the item field keeps the FITTED item type (string ids are the
+        # common case) — a hardcoded LongType made the eager-schema
+        # contract wrong for any non-long item column
+        item_type = self.itemDataFrame.schema["item_i"].dataType
         return T.StructType(
             list(schema.fields)
             + [T.StructField("recommendations",
                              T.ArrayType(T.StructType([
-                                 T.StructField(self.itemCol, T.LongType()),
+                                 T.StructField(self.itemCol, item_type),
                                  T.StructField("score", T.DoubleType()),
                              ])))]
         )
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        """Attach top-10 recommendations to each user row."""
+        """Attach top-10 recommendations to each user row, best first.
+
+        collect_list gives NO ordering guarantee after a shuffle, so the
+        rank rides inside the collected struct and sort_array restores
+        it before the rank field is projected away — recommendations[0]
+        must always be the top item."""
+        ranked = self.recommend_for_all_users(10)
         recs = (
-            self.recommend_for_all_users(10)
-            .groupBy(self.userCol)
-            .agg(F.collect_list(F.struct(self.itemCol, "score")).alias("recommendations"))
-        )
+            ranked.groupBy(self.userCol)
+            .agg(F.sort_array(
+                F.collect_list(F.struct("rank", self.itemCol, "score")))
+                .alias("__r"))
+            .select(
+                self.userCol,
+                F.transform(
+                    "__r", lambda r: F.struct(
+                        r[self.itemCol].alias(self.itemCol),
+                        r["score"].alias("score")))
+                .alias("recommendations")))
         return df.join(recs, self.userCol, "left")

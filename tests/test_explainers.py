@@ -200,3 +200,42 @@ def test_image_lime_highlights_bright_region(spark, tmp_path):
     row = lime.transform(imgs).collect()[0]
     assert len(row.explanation) >= 2
     assert max(row.explanation) > 0.01  # some superpixel carries signal
+
+
+def test_tabular_lime_integer_feature_column(spark):
+    """Continuous features declared from integer source columns must
+    not crash the Arrow conversion (Gaussian draws are floats)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.ml import Pipeline
+
+    from mmlspark_spark.explainers import TabularLIME
+
+    rows = [(i, i % 50, float(2 * (i % 50)) + 1.0) for i in range(60)]
+    df = spark.createDataFrame(rows, ["rid", "age", "y"])  # age: int
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=["age"], outputCol="features"),
+        LinearRegression(featuresCol="features", labelCol="y")])
+    model = pipe.fit(df)
+    lime = TabularLIME(model=model, inputCols=["age"],
+                       targetCol="prediction", numSamples=30, seed=1)
+    out = lime.transform(df.limit(3)).collect()
+    assert len(out) == 3
+    # the single coefficient should be near the true slope 2.0
+    assert abs(out[0].explanation[0] - 2.0) < 0.5
+
+
+def test_sar_recommendations_array_sorted(spark):
+    """recommendations[0] must be the top-ranked item regardless of
+    collect_list's shuffle order."""
+    from mmlspark_spark.recommendation import SAR
+
+    ratings = [(u, i) for u in range(1, 6)
+               for i in [10, 11, 12, 13] if (u + i) % 3]
+    df = spark.createDataFrame(ratings, ["user", "item"])
+    model = SAR(userCol="user", itemCol="item", supportThreshold=1).fit(df)
+    out = model.transform(df.select("user").distinct())
+    for r in out.collect():
+        if r.recommendations:
+            scores = [x.score for x in r.recommendations]
+            assert scores == sorted(scores, reverse=True)

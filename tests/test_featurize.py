@@ -132,3 +132,33 @@ def test_count_selector(spark):
     assert model.indices == [0, 2]
     out = model.transform(df)
     assert out.collect()[0].sel.size == 2
+
+
+def test_multi_ngram_short_and_empty_docs(spark):
+    """Token arrays shorter than n yield [] instead of the
+    sequence(1,0)/slice(t,0,n) crash — one empty document must not
+    abort the job."""
+    from mmlspark_spark.featurize import MultiNGram
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a"]), (3, [])],
+        ["doc_id", "toks"])
+    out = MultiNGram(inputCol="toks", outputCol="g",
+                     lengths=[1, 2, 3]).transform(df)
+    got = {r.doc_id: r.g for r in out.collect()}
+    assert got[1] == ["a", "b", "c", "a b", "b c", "a b c"]
+    assert got[2] == ["a"]
+    assert got[3] == []
+
+
+def test_text_preprocessor_normalizes_keys(spark):
+    """Replacement-map keys pass through the same normFunc as the
+    text: an uppercase key must still match lowered input."""
+    from mmlspark_spark.featurize import TextPreprocessor
+
+    df = spark.createDataFrame([(1, "Mr. Smith sends Data")],
+                               ["doc_id", "text"])
+    out = TextPreprocessor(inputCol="text", outputCol="p",
+                           normFunc="lower",
+                           map={"Mr.": "mister", "Data": "<D>"}).transform(df)
+    assert out.collect()[0].p == "mister smith sends <D>"
