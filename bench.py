@@ -47,9 +47,13 @@ def _serving_latency(spark, n_requests: int = 20) -> dict | None:
 
     try:
         register_serving_source(spark)
+        from mmlspark_spark.streaming.serving import get_server_token
+
         port = start_serving_server("bench_serve")
         req = (spark.readStream.format("http_serving")
-               .option("port", str(port)).load())
+               .option("port", str(port))
+               .option("drainToken", get_server_token("bench_serve"))
+               .load())
         logic = req.select(
             "id",
             make_reply(F.upper(F.get_json_object(

@@ -76,7 +76,12 @@ def _path_length(tree: np.ndarray, x: np.ndarray) -> np.ndarray:
         leaf_idx = idx[is_leaf]
         if leaf_idx.size:
             sizes = tree[node[leaf_idx], 4]
-            out[leaf_idx] = depth[leaf_idx] + np.array([_c_factor(int(s)) for s in sizes])
+            # one _c_factor per DISTINCT leaf size, not per row: the
+            # per-row Python loop was the dominant interpreted cost of
+            # the otherwise-vectorized scoring hot path
+            uniq, inv = np.unique(sizes, return_inverse=True)
+            corr = np.array([_c_factor(int(u)) for u in uniq])
+            out[leaf_idx] = depth[leaf_idx] + corr[inv]
             active[leaf_idx] = False
         inner_idx = idx[~is_leaf]
         if inner_idx.size:
@@ -119,6 +124,13 @@ class IsolationForest(Estimator):
 
     def _fit(self, df: DataFrame) -> "IsolationForestModel":
         x = self._collect_sample(df)
+        if min(self.maxSamples, x.shape[0]) < 2:
+            # c(1) = 0 would divide every score 0/0 into NaN — fail at
+            # fit time with the reason, not at scoring with null labels
+            raise ValueError(
+                "IsolationForest needs >= 2 fit rows (and maxSamples "
+                f">= 2); got {x.shape[0]} rows, maxSamples="
+                f"{self.maxSamples}")
         rng = np.random.default_rng(self.seed)
         max_depth = int(np.ceil(np.log2(max(self.maxSamples, 2))))
         trees = []
@@ -158,6 +170,8 @@ class IsolationForestModel(Model):
         ])
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        from mmlspark_spark.ml.lightgbm import _features_to_array
+
         sc = df.sparkSession.sparkContext
         b_trees = sc.broadcast(self.trees)
         c_norm = self.cNorm
@@ -167,16 +181,32 @@ class IsolationForestModel(Model):
         def score_udf(vecs):
             import pandas as pd
 
-            x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-            if x.size == 0:
-                return pd.Series([], dtype=np.float64)
-            depths = np.zeros(x.shape[0], dtype=np.float64)
-            for tree in b_trees.value:
-                depths += _path_length(tree, x)
-            avg = depths / len(b_trees.value)
-            return pd.Series(np.power(2.0, -avg / c_norm))
+            vals = vecs.tolist()
+            # NULL features -> NULL score (never poison the batch's
+            # ndarray conversion; one failed upstream join must not
+            # kill a billion-row scoring job)
+            mask = [v is not None for v in vals]
+            out = [None] * len(vals)
+            if any(mask):
+                x = np.array([v for v in vals if v is not None],
+                             dtype=np.float64)
+                depths = np.zeros(x.shape[0], dtype=np.float64)
+                for tree in b_trees.value:
+                    depths += _path_length(tree, x)
+                scores = np.power(
+                    2.0, -(depths / len(b_trees.value)) / c_norm)
+                it = iter(scores)
+                for i, ok in enumerate(mask):
+                    if ok:
+                        out[i] = float(next(it))
+            return pd.Series(out, dtype="float64")
 
-        out = df.withColumn(self.scoreCol, score_udf(F.col(self.featuresCol)))
+        # VectorUDT cannot cross the Arrow boundary — convert to a
+        # plain array first (the repo-wide _features_to_array
+        # convention; ml/lightgbm.py, ml/vw.py)
+        arr = _features_to_array(df, self.featuresCol)
+        out = (arr.withColumn(self.scoreCol, score_udf(F.col("__feat")))
+               .drop("__feat"))
         return out.withColumn(
             self.predictionCol,
             (F.col(self.scoreCol) >= F.lit(thr)).cast("int"),

@@ -186,6 +186,15 @@ class SimpleHTTPTransformer(Transformer):
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.inputCol)
+        clash = [c for c in ("__request__", "__response__")
+                 if c in schema.fieldNames()]
+        if clash:
+            # the internal working columns are dropped at the end —
+            # silently overwriting then deleting a user column of the
+            # same name would destroy data with no error
+            raise ValueError(
+                f"SimpleHTTPTransformer: input already has internal "
+                f"column(s) {clash}; rename them first")
         return T.StructType(list(schema.fields) + [
             T.StructField(self.outputCol, self.outputDataType),
             T.StructField(self.errorCol, HTTP_RESPONSE_SCHEMA),

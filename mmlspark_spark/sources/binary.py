@@ -44,10 +44,14 @@ def read_binary_files(spark: SparkSession, path: str,
         reader = reader.option("pathGlobFilter", path_glob_filter)
     df = reader.load(path).select(
         F.col("path"), F.col("content").alias("bytes"))
-    if sample_ratio < 1.0:
-        df = df.sample(False, sample_ratio, seed)
     if inspect_zip:
         df = zip_expand(df)
+    if sample_ratio < 1.0:
+        # subsample AFTER zip expansion: the reference samples per
+        # RECORD inside the zip walk — sampling whole archives first
+        # would keep/drop 10k entries at a time (a one-zip dataset
+        # would be all-or-nothing)
+        df = df.sample(False, sample_ratio, seed)
     return df
 
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import base64
 import itertools
+import secrets
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -95,6 +96,12 @@ class _ServerState:
         ok = slot["event"].wait(timeout)
         with self.lock:
             self.pending.pop(rid, None)
+            if not ok:
+                # a timed-out request must leave the QUEUE too: with no
+                # consumer running, dead entries would accumulate
+                # unboundedly and flood the first real micro-batch with
+                # requests whose reply slots are already gone
+                self.queue = [t for t in self.queue if t[0] != rid]
         return slot["response"] if ok else None
 
 
@@ -110,6 +117,7 @@ def start_serving_server(name: str, host: str = "127.0.0.1",
         if name in _SERVERS:
             return _SERVERS[name][2]
         state = _ServerState()
+        drain_token = secrets.token_hex(16)
 
         class Handler(BaseHTTPRequestHandler):
             # HTTP/1.1 keep-alive: with the 1.0 default every request
@@ -124,6 +132,15 @@ def start_serving_server(name: str, host: str = "127.0.0.1",
 
             def do_POST(self):
                 if self.path == _INTERNAL_DRAIN:
+                    # token-gated: the drain endpoint shares the public
+                    # serving port, and an unauthenticated drain would
+                    # hand the whole pending queue (ids, headers,
+                    # bodies) to any client that guesses the path
+                    if self.headers.get("X-Drain-Token") != drain_token:
+                        self.send_response(403)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
                     rows = state.drain()
                     payload = json.dumps([
                         {"id": r[0], "method": r[1], "path": r[2],
@@ -168,7 +185,7 @@ def start_serving_server(name: str, host: str = "127.0.0.1",
 
         srv = _Server((host, port), Handler)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
-        _SERVERS[name] = (srv, state, srv.server_port)
+        _SERVERS[name] = (srv, state, srv.server_port, drain_token)
         return srv.server_port
 
 
@@ -180,11 +197,21 @@ def get_server_port(name: str) -> int:
     return _SERVERS[name][2]
 
 
+def get_server_token(name: str) -> str:
+    """The drain token the stream reader must present (pass as the
+    reader's ``drainToken`` option)."""
+    return _SERVERS[name][3]
+
+
 def stop_server(name: str):
     with _SERVERS_LOCK:
         entry = _SERVERS.pop(name, None)
     if entry:
         entry[0].shutdown()
+        # shutdown() only stops the serve loop; without server_close()
+        # the listening socket stays bound and an immediate restart on
+        # the same port dies with EADDRINUSE
+        entry[0].server_close()
 
 
 class _HTTPStreamReader(SimpleDataSourceStreamReader):
@@ -194,13 +221,16 @@ class _HTTPStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.host = options.get("host", "127.0.0.1")
         self.port = int(options["port"])  # required: start the server first
+        self.token = options.get("drainToken", "")
         self._retained: dict[tuple, list] = {}
 
     def _drain(self):
         import requests
 
         resp = requests.post(
-            f"http://{self.host}:{self.port}{_INTERNAL_DRAIN}", timeout=10)
+            f"http://{self.host}:{self.port}{_INTERNAL_DRAIN}",
+            headers={"X-Drain-Token": self.token}, timeout=10)
+        resp.raise_for_status()  # 403 = missing/stale drainToken option
         rows = []
         for r in resp.json():
             rows.append((r["id"], r["method"], r["path"], r["headers"],
@@ -245,13 +275,20 @@ def register_serving_source(spark) -> None:
     spark.dataSource.register(HTTPServingDataSource)
 
 
-def make_reply(col, status: int = 200) -> F.Column:
+def make_reply(col, status: int = 200, binary: bool = False) -> F.Column:
     """Build a reply struct from any column (ServingUDFs.makeReplyUDF,
-    ``ServingUDFs.scala:17-51``): JSON-serializes non-binary values."""
+    ``ServingUDFs.scala:17-51``): JSON-serializes values, or passes a
+    binary column through raw with ``binary=True`` (the reference's
+    binary fast path — JSON-wrapping bytes would hand the client a
+    base64 string inside an envelope instead of the payload)."""
     body = (col if isinstance(col, F.Column) else F.col(col))
+    if binary:
+        payload = body.cast("binary")
+    else:
+        payload = F.to_json(F.struct(body.alias("value"))).cast("binary")
     return F.struct(
         F.lit(status).alias("status"),
-        F.to_json(F.struct(body.alias("value"))).cast("binary").alias("body"),
+        payload.alias("body"),
     )
 
 

@@ -22,8 +22,11 @@ def test_http_serving_round_trip(spark, tmp_path):
     register_serving_source(spark)
     name = "t_serve"
     port = start_serving_server(name)
+    from mmlspark_spark.streaming.serving import get_server_token
+
     req = (spark.readStream.format("http_serving")
-           .option("port", str(port)).load())
+           .option("port", str(port))
+           .option("drainToken", get_server_token(name)).load())
     # logic: uppercase the "text" field of the JSON body
     logic = req.select(
         "id",
