@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from mmlspark_spark.core.base import Estimator, Model
+from mmlspark_spark.core.base import Estimator, Model, Transformer
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType)
@@ -40,6 +40,24 @@ def date_features(col: Column | str) -> Column:
     return F.array(*[e.cast("double") for e in (
         F.unix_millis(ts), F.year(c), F.dayofweek(c), F.month(c), F.dayofmonth(c),
     )])
+
+
+class _CoalesceText(Transformer):
+    """Internal: null text → empty string into a working column (the
+    tokenizer NPEs on nulls; numeric columns get mean-imputation, text
+    gets this)."""
+
+    def __init__(self, inputCol: str = "", outputCol: str = ""):
+        super().__init__(inputCol=inputCol, outputCol=outputCol)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(self.outputCol, T.StringType())])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.outputCol, F.coalesce(F.col(self.inputCol), F.lit("")))
 
 
 class Featurize(Estimator):
@@ -119,7 +137,13 @@ class Featurize(Estimator):
                                                 outputCols=[out],
                                                 handleInvalid="keep"))
                 else:
-                    stages.append(RegexTokenizer(inputCol=c, outputCol=f"{out}_tok",
+                    # RegexTokenizer NPEs on a null string — route the
+                    # text through a null-coalesced working column (the
+                    # input column itself is left untouched)
+                    stages.append(_CoalesceText(inputCol=c,
+                                                outputCol=f"{out}_txt"))
+                    stages.append(RegexTokenizer(inputCol=f"{out}_txt",
+                                                 outputCol=f"{out}_tok",
                                                  pattern=r"\s+"))
                     stages.append(HashingTF(inputCol=f"{out}_tok", outputCol=out,
                                             numFeatures=self.numFeatures))
@@ -225,8 +249,14 @@ class CountSelector(Estimator):
     def _fit(self, df: DataFrame) -> CountSelectorModel:
         from pyspark.ml.functions import vector_to_array
 
-        probe = df.select(self.inputCol).first()
-        dim = len(probe[0]) if probe else 0
+        from mmlspark_spark.functions.vector import vector_dim
+
+        # null-safe dimension probe with a real error on an empty /
+        # all-null frame (first()[0] raised an opaque TypeError)
+        dim = vector_dim(df, self.inputCol)
+        if dim == 0:
+            return CountSelectorModel(inputCol=self.inputCol,
+                                      outputCol=self.outputCol, indices=[])
         arr = vector_to_array(F.col(self.inputCol))
         maxes = df.agg(*[
             F.max(F.abs(arr[i])).alias(f"m{i}") for i in range(dim)

@@ -23,24 +23,37 @@ from mmlspark_spark.core.base import Transformer
 from mmlspark_spark.ml.train import SCORED_LABELS_COL, SCORED_PROBABILITIES_COL, SCORES_COL
 
 
-def auc_binary(df: DataFrame, label_col: str, score_col) -> float:
-    """AUROC via the Mann-Whitney rank statistic: one sort + one agg,
-    no driver-side curve construction.
-    AUC = (sum of positive ranks - nPos(nPos+1)/2) / (nPos * nNeg)."""
+def auc_binary(df: DataFrame, label_col: str, score_col,
+               positive_label: float = 1.0) -> float:
+    """AUROC via the Mann-Whitney rank statistic: one DISTRIBUTED sort
+    + one agg, no driver-side curve construction.
+    AUC = (sum of positive ranks - nPos(nPos+1)/2) / (nPos * nNeg).
+
+    Ranks come from a distributed range-sort + per-partition offsets
+    (``zip_with_index``), NOT a partition-less ``Window.orderBy`` —
+    the latter funnels the whole dataset through one task, which
+    contradicts the at-any-scale contract. Tie groups get averaged
+    ranks, so the statistic is deterministic even though equal scores
+    order arbitrarily. ``positive_label`` names the positive class
+    explicitly (hardcoding 1.0 silently inverted AUC for {1,2}-style
+    label encodings)."""
+    from mmlspark_spark.operators.scale import zip_with_index
+
     scored = df.select(
         F.col(label_col).cast("double").alias("y"),
         (F.col(score_col) if isinstance(score_col, str) else score_col)
         .cast("double").alias("s"),
     )
-    # average ranks for ties: rank over score, averaged within tie groups
-    w = Window.orderBy("s")
-    ranked = scored.withColumn("r", F.row_number().over(w))
+    ranked = zip_with_index(scored, start_index=1, col_name="r",
+                            order_by_col="s")
+    # average ranks within tie groups (hash-partitioned by s)
     ranked = ranked.withColumn(
         "ravg", F.avg("r").over(Window.partitionBy("s")))
+    pos = F.col("y") == F.lit(float(positive_label))
     agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1.0, F.col("ravg"))).alias("rpos"),
-        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("npos"),
-        F.sum(F.when(F.col("y") != 1.0, 1).otherwise(0)).alias("nneg"),
+        F.sum(F.when(pos, F.col("ravg"))).alias("rpos"),
+        F.sum(F.when(pos, 1).otherwise(0)).alias("npos"),
+        F.sum(F.when(~pos, 1).otherwise(0)).alias("nneg"),
     ).collect()[0]
     if not agg.npos or not agg.nneg:
         return float("nan")
@@ -119,9 +132,17 @@ class ComputeModelStatistics(Transformer):
         if len(classes) == 2 and self.scoredProbabilitiesCol in df.columns:
             from pyspark.ml.functions import vector_to_array
 
+            # positive class = the LARGER label value; its probability
+            # sits at its index in sorted label order (the convention
+            # the engine's own TrainClassifier produces). Hardcoding
+            # label 1.0 / index 1 returned AUC 0.0 for a perfect
+            # classifier under a {1,2} label encoding.
+            positive = max(classes)
+            pos_idx = sorted(classes).index(positive)
             auc = auc_binary(
                 df, self.labelCol,
-                vector_to_array(F.col(self.scoredProbabilitiesCol))[1])
+                vector_to_array(F.col(self.scoredProbabilitiesCol))[pos_idx],
+                positive_label=positive)
         else:
             auc = float("nan")
         return spark.createDataFrame(
@@ -149,6 +170,19 @@ class ComputePerInstanceStatistics(Transformer):
                          scoresCol=scoresCol, scoredLabelsCol=scoredLabelsCol,
                          scoredProbabilitiesCol=scoredProbabilitiesCol,
                          epsilon=epsilon)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        # eager contract: declare the appended metric columns and
+        # require the inputs each metric actually reads
+        if self.evaluationMetric == "regression":
+            self._require_cols(schema, self.labelCol, self.scoresCol)
+            added = [T.StructField("L1_loss", T.DoubleType()),
+                     T.StructField("L2_loss", T.DoubleType())]
+        else:
+            self._require_cols(schema, self.labelCol,
+                               self.scoredProbabilitiesCol)
+            added = [T.StructField("log_loss", T.DoubleType())]
+        return T.StructType(list(schema.fields) + added)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         y = F.col(self.labelCol).cast("double")

@@ -103,7 +103,11 @@ class SummarizeData(Transformer):
                         else F.percentile_approx(col, qs))
                 sketch_aggs.append(expr.alias(f"{c}__pq"))
 
-        if sketch_aggs:
+        if sketch_aggs and not decl_aggs:
+            # counts=False, basic=False: only the sketch pass exists —
+            # df.agg() with zero exprs would assert
+            wide = df.agg(*sketch_aggs).collect()[0].asDict()
+        elif sketch_aggs:
             # The two passes are independent jobs — overlap them.
             # Re-measured round 5 under local[32] contention suspicion:
             # overlapped best-of-3 0.893 s vs sequential 1.075 s vs
@@ -162,12 +166,16 @@ class ClassBalancerModel(Model):
                             + [T.StructField(self.outputCol, T.DoubleType(), True)])
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        w = self.weights
+        w = self.weights.withColumnRenamed(self.inputCol, "__cb_key")
         if self.broadcastJoin:
             w = F.broadcast(w)
-        # the join key would otherwise lead the output — restore the
-        # input column order (+ weight) to honor transform_schema
-        return (df.join(w, on=self.inputCol, how="left")
+        # eqNullSafe: fit's groupBy emits a weight row for a NULL label
+        # group, and a plain equi-join would never match it back —
+        # null-label rows silently got NULL weight. Column order is
+        # restored to honor transform_schema (the join key would
+        # otherwise lead the output).
+        return (df.join(w, F.col(self.inputCol).eqNullSafe(F.col("__cb_key")),
+                        how="left")
                 .select(*df.columns, self.outputCol))
 
 
@@ -248,8 +256,11 @@ class EnsembleByKey(Transformer):
                 # mean using aggregate over fixed dims (declared or probed once)
                 dim = self.vectorDims.get(c)
                 if dim is None:
-                    probe = df.select(F.col(c)).first()
-                    dim = len(probe[0]) if probe else 0
+                    # null-safe probe with a real error on empty/all-null
+                    # (None[0] / len(None) TypeErrors are opaque)
+                    from mmlspark_spark.functions.vector import vector_dim
+
+                    dim = vector_dim(df, c)
                 arr = vector_to_array(F.col(c))
                 aggs.append(F.array(*[F.avg(arr[i]) for i in range(dim)]).alias(n))
             else:
@@ -257,4 +268,7 @@ class EnsembleByKey(Transformer):
         agg = df.groupBy(*self.keys).agg(*aggs)
         if self.collapseGroup:
             return agg
-        return df.join(agg, on=list(self.keys), how="left")
+        # restore the declared column order — the join moves its keys
+        # to the front, violating transform_schema's layout
+        return (df.join(agg, on=list(self.keys), how="left")
+                .select(*df.columns, *self.colNames))

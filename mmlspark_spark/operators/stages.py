@@ -262,10 +262,21 @@ class StratifiedRepartition(Transformer):
                       for l, c in counts.items()}
 
         lbl = F.col(self.labelCol)
-        t_l = F.create_map(*[F.lit(v) for l, t in target.items()
-                             for v in (l, t)])[lbl]
-        c_l = F.create_map(*[F.lit(v) for l, c in counts.items()
-                             for v in (l, c)])[lbl]
+
+        def lookup(d: dict):
+            # NULL is a legal label value but an ILLEGAL map key
+            # (NULL_MAP_KEY kills the job) — route it through a
+            # when-branch and keep the typed map for the rest
+            nn = {l: v for l, v in d.items() if l is not None}
+            expr = (F.create_map(*[F.lit(x) for l, v in nn.items()
+                                   for x in (l, v)])[lbl]
+                    if nn else F.lit(None))
+            if None in d:
+                expr = F.when(lbl.isNull(), F.lit(d[None])).otherwise(expr)
+            return expr
+
+        t_l = lookup(target)
+        c_l = lookup(counts)
         w = Window.partitionBy(lbl).orderBy(F.rand(self.seed))
         ranked = df.withColumn("__r", F.row_number().over(w) - 1)
         copies = (F.floor(t_l / c_l)

@@ -74,3 +74,42 @@ def test_ensemble_by_key_vectors(spark):
     out = EnsembleByKey(keys=["k"], cols=["vec"]).transform(df)
     row = out.collect()[0]
     assert list(row.mean_vec) == [2.0, 3.0]
+
+
+def test_summarize_data_percentiles_only(spark):
+    """counts=False, basic=False must not assert on an empty
+    declarative agg list."""
+    from mmlspark_spark.operators import SummarizeData
+
+    df = spark.createDataFrame([(float(i),) for i in range(10)], ["x"])
+    out = SummarizeData(counts=False, basic=False, percentiles=True,
+                        exact=True).transform(df)
+    row = out.collect()[0]
+    assert row["median"] == pytest.approx(4.5)
+
+
+def test_ensemble_by_key_preserves_column_order(spark):
+    """collapseGroup=False output must match transform_schema's layout
+    (input columns first, aggregates appended)."""
+    from mmlspark_spark.operators import EnsembleByKey
+
+    df = spark.createDataFrame(
+        [(1.0, "k1", 2.0), (3.0, "k1", 4.0)], ["a", "key", "b"])
+    op = EnsembleByKey(keys=["key"], cols=["b"], collapseGroup=False)
+    out = op.transform(df)
+    assert out.columns == [f.name for f in
+                           op.transform_schema(df.schema).fields]
+
+
+def test_class_balancer_null_label_weight(spark):
+    """A NULL label group gets a weight like any other stratum —
+    equi-join semantics silently nulled it."""
+    from pyspark.sql import types as T
+
+    from mmlspark_spark.operators import ClassBalancer
+
+    schema = T.StructType([T.StructField("label", T.StringType())])
+    df = spark.createDataFrame([("a",), ("a",), (None,)], schema)
+    out = ClassBalancer(inputCol="label").fit(df).transform(df)
+    rows = {(r.label, r.weight) for r in out.collect()}
+    assert (None, 2.0) in rows and ("a", 1.0) in rows

@@ -162,3 +162,18 @@ def test_text_preprocessor_normalizes_keys(spark):
                            normFunc="lower",
                            map={"Mr.": "mister", "Data": "<D>"}).transform(df)
     assert out.collect()[0].p == "mister smith sends <D>"
+
+
+def test_featurize_null_text_high_cardinality(spark):
+    """A NULL in a high-cardinality text column must not NPE the
+    tokenizer at fit or transform time."""
+    from mmlspark_spark.featurize import Featurize
+
+    rows = [(i, f"word{i} text sample number {i}" if i else None,
+             float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "txt", "num"])
+    model = Featurize(inputCols=["txt", "num"], outputCol="features",
+                      oneHotMaxCategories=5).fit(df)
+    out = model.transform(df)
+    assert out.filter("features IS NULL").count() == 0
+    assert out.count() == 30

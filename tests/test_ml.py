@@ -175,3 +175,21 @@ def test_slice_map(spark):
         [({"a": 1.0, "b": 2.0, "c": 3.0},)], "m map<string,double>")
     out = df.select(slice_map("m", ["c", "a"]).alias("v")).collect()[0]
     assert list(out.v) == [3.0, 1.0]
+
+
+def test_auc_handles_nonstandard_label_encoding(spark):
+    """A perfect classifier must score AUC 1.0 under a {1,2} label
+    encoding (hardcoded positive=1.0/index-1 returned 0.0)."""
+    from pyspark.ml.linalg import Vectors
+
+    from mmlspark_spark.ml.stats import ComputeModelStatistics
+
+    rows = []
+    for i in range(20):
+        lab = 2.0 if i % 2 else 1.0
+        p2 = 0.9 if lab == 2.0 else 0.1
+        rows.append((lab, lab, Vectors.dense([1 - p2, p2])))
+    df = spark.createDataFrame(
+        rows, ["label", "scored_labels", "scored_probabilities"])
+    out = ComputeModelStatistics(evaluationMetric="classification").transform(df)
+    assert out.collect()[0]["AUC"] == pytest.approx(1.0)

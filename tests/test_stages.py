@@ -217,3 +217,20 @@ def test_stratified_sampler_exact_and_fraction(spark):
     # stratum (sampleBy treats absent keys as fraction 0)
     with _pytest.raises(ValueError, match="fractions"):
         StratifiedSampler(stratumCols=["grp"], exact=False).transform(df)
+
+
+def test_stratified_repartition_null_labels(spark):
+    """A NULL label is a legal stratum, not a NULL_MAP_KEY crash."""
+    from pyspark.sql import types as T
+
+    from mmlspark_spark.operators import StratifiedRepartition
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("label", T.StringType())])
+    rows = [(i, "a" if i % 3 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, schema)
+    out = StratifiedRepartition(labelCol="label",
+                                mode="original").transform(df)
+    got = sorted(r.id for r in out.collect())
+    assert got == list(range(30))  # nothing dropped, nothing crashed
