@@ -209,6 +209,13 @@ class AccessAnomalyModel(Model):
                             + [T.StructField(self.outputCol, T.DoubleType())])
 
     def _raw_scores(self, df: DataFrame) -> DataFrame:
+        # carry the ORIGINAL identity columns through scoring: the
+        # indexers map unseen values to idx 0, which has no vocab row,
+        # so an undo_transform round-trip restores unseen users /
+        # resources as NULL — destroying the identity of exactly the
+        # novel-access rows an anomaly detector exists to flag
+        df = (df.withColumn("__orig_u__", F.col(self.userCol))
+              .withColumn("__orig_r__", F.col(self.resCol)))
         indexed = self.resIndexModel.transform(self.userIndexModel.transform(df))
         uf = self.userFactors.select(
             F.col("id").alias("user_idx"), F.col("features").alias("__uf__"))
@@ -225,8 +232,17 @@ class AccessAnomalyModel(Model):
     def _transform(self, df: DataFrame) -> DataFrame:
         t, u, r = self.tenantCol, self.userCol, self.resCol
         scored = self.scalerModel.transform(self._raw_scores(df))
-        back = self.resIndexModel.undo_transform(
-            self.userIndexModel.undo_transform(scored))
+        # a tenant absent at fit time has no scaler stats (left-join
+        # miss → NULL): an unknown tenant is maximally anomalous, the
+        # same convention as the cross-component +inf gate below —
+        # never a silent NULL that a `score > threshold` filter drops
+        scored = scored.withColumn(
+            self.outputCol,
+            F.coalesce(F.col(self.outputCol), F.lit(float("inf"))))
+        back = (scored
+                .withColumn(u, F.col("__orig_u__"))
+                .withColumn(r, F.col("__orig_r__"))
+                .drop("__orig_u__", "__orig_r__"))
         if self.userComponents is not None:
             # Cross-component access: no path connects the user to the
             # resource, the affinity estimate is meaningless — score

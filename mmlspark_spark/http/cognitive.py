@@ -40,22 +40,39 @@ class _JsonServiceBase(Transformer):
         kwargs.setdefault("subscriptionKey", None)
         super().__init__(**kwargs)
 
+    CONTENT_TYPE = "application/json"
+
     def _entity(self, df: DataFrame) -> F.Column:
         raise NotImplementedError
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
+        clash = [c for c in ("__request__", "__response__")
+                 if c in schema.fieldNames()]
+        if clash:
+            # same guard as SimpleHTTPTransformer: the working columns
+            # are dropped at the end — silently destroying same-named
+            # user columns is worse than an eager error
+            raise ValueError(
+                f"{type(self).__name__}: input already has internal "
+                f"column(s) {clash}; rename them first")
         return T.StructType(list(schema.fields) + [
             T.StructField(self.outputCol, self.RESPONSE_TYPE),
             T.StructField(self.outputCol + "_error", HTTP_RESPONSE_SCHEMA),
         ])
 
-    def _transform(self, df: DataFrame) -> DataFrame:
+    def _headers(self) -> list:
+        """Content-Type (overridable per service — speech posts raw
+        audio, not JSON) + the subscription key when configured."""
         headers = [F.struct(F.lit("Content-Type").alias("name"),
-                            F.lit("application/json").alias("value"))]
+                            F.lit(self.CONTENT_TYPE).alias("value"))]
         if self.subscriptionKey:
             headers.append(F.struct(
                 F.lit("Ocp-Apim-Subscription-Key").alias("name"),
                 F.lit(self.subscriptionKey).alias("value")))
+        return headers
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        headers = self._headers()
         req = http_request(self.url, "POST",
                            entity=self._entity(df).cast("binary"),
                            headers=F.array(*headers))
@@ -387,9 +404,10 @@ class GenerateThumbnails(_ImageServiceBase):
     RESPONSE_TYPE = T.BinaryType()
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        # thumbnail bytes are not JSON; return the raw entity
-        headers = [F.struct(F.lit("Content-Type").alias("name"),
-                            F.lit("application/json").alias("value"))]
+        # thumbnail bytes are not JSON; return the raw entity. Headers
+        # come from the shared builder — a hand-rolled list here once
+        # silently dropped the subscription key
+        headers = self._headers()
         req = http_request(self.url, "POST",
                            entity=self._entity(df).cast("binary"),
                            headers=F.array(*headers))
@@ -526,6 +544,10 @@ class SpeechToText(_JsonServiceBase):
     """Audio bytes → transcript (SpeechToText.scala:22+; the SDK
     streaming variant is a documented delta — micro-batch POST here)."""
 
+    # raw audio entity — labeling WAV/PCM bytes application/json gets
+    # the request rejected (400/415) by the speech endpoint
+    CONTENT_TYPE = "audio/wav; codecs=audio/pcm; samplerate=16000"
+
     RESPONSE_TYPE = T.StructType([
         T.StructField("RecognitionStatus", T.StringType()),
         T.StructField("DisplayText", T.StringType()),
@@ -604,7 +626,15 @@ class BingImageSearch(_JsonServiceBase):
 # ---------------------------------------------------------------------------
 
 class Transliterate(Translate):
-    """TextTranslator.scala:244-262."""
+    """TextTranslator.scala:244-262. Own RESPONSE_TYPE: the
+    transliterate API returns (text, script) pairs, not the translate
+    endpoint's nested translations array — inheriting Translate's
+    schema parsed every successful response to NULLs."""
+
+    RESPONSE_TYPE = T.ArrayType(T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("script", T.StringType()),
+    ]))
 
 
 class Detect(Translate):

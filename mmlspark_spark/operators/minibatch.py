@@ -38,6 +38,13 @@ class FixedMiniBatchTransformer(Transformer):
     """
 
     def __init__(self, batchSize: int = 10, buffered: bool = False):  # noqa: D107
+        if batchSize < 1:
+            # batchSize=0 would spin the rebatch loop forever (pos
+            # never advances past a non-empty Arrow batch)
+            raise ValueError(f"batchSize must be >= 1, got {batchSize}")
+        # `buffered` is accepted for reference API parity only: the
+        # Arrow pipeline is inherently buffered, there is no separate
+        # buffering thread to enable
         super().__init__(batchSize=batchSize, buffered=buffered)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
@@ -113,18 +120,27 @@ class TimeIntervalMiniBatchTransformer(Transformer):
         def rebatch(it):
             acc: list[pd.DataFrame] = []
             deadline = time.monotonic() + wait_s
+            def flush(merged):
+                # honor maxBatchSize even when the accumulated buffer
+                # overshot it (an 8-row Arrow batch after a 9-row one
+                # must not emit a 17-row batch against a 10 cap) —
+                # downstream consumers are sized to the cap
+                if cap:
+                    for s in range(0, len(merged), cap):
+                        chunk = merged.iloc[s:s + cap]
+                        if len(chunk):
+                            yield _rows_to_batch_pdf(chunk)
+                elif len(merged):
+                    yield _rows_to_batch_pdf(merged)
+
             for pdf in it:
                 acc.append(pdf)
                 total = sum(len(p) for p in acc)
                 if time.monotonic() >= deadline or (cap and total >= cap):
-                    merged = pd.concat(acc, ignore_index=True)
-                    if len(merged):
-                        yield _rows_to_batch_pdf(merged)
+                    yield from flush(pd.concat(acc, ignore_index=True))
                     acc, deadline = [], time.monotonic() + wait_s
             if acc:
-                merged = pd.concat(acc, ignore_index=True)
-                if len(merged):
-                    yield _rows_to_batch_pdf(merged)
+                yield from flush(pd.concat(acc, ignore_index=True))
 
         return df.mapInPandas(rebatch, self.transform_schema(df.schema))
 
@@ -154,7 +170,11 @@ class FlattenBatch(Transformer):
                     if isinstance(f.dataType, T.ArrayType)]
         if not arr_cols:
             return df
-        zipped = df.withColumn("__z", F.explode(F.arrays_zip(*arr_cols)))
+        # explode_outer: a row whose arrays are all empty/NULL keeps
+        # its scalar columns (plain explode silently deleted the row —
+        # a batch->flatten round trip must be row-preserving)
+        zipped = df.withColumn(
+            "__z", F.explode_outer(F.arrays_zip(*arr_cols)))
         keep = [c for c in df.columns if c not in arr_cols]
         return zipped.select(
             *keep, *[F.col(f"__z.{c}").alias(c) for c in arr_cols]

@@ -48,6 +48,12 @@ def as_of_join(left: DataFrame, right: DataFrame, on,
                                   ).alias("s")).schema["s"].dataType
         ).alias("__r"),
     )
+    # right rows whose time casts to NULL (null / unparseable) must
+    # not participate: NULL sorts FIRST ascending, so such a row would
+    # become the "most recent" match for every left row preceding all
+    # genuine right times
+    right = right.filter(
+        F.col(rightTimeCol).cast("timestamp_ltz").isNotNull())
     tagged_r = right.select(
         *on, rt.alias("__t"), F.lit(0).alias("__is_left"),
         F.lit(None).cast(
