@@ -65,9 +65,18 @@ class CleanMissingData(Estimator):
         fills = {}
         for c in self.cols:
             v = row[c]
+            if v is None:
+                # an all-null (or empty) column has no statistic to
+                # impute from: na.fill(None) NPEs at transform time,
+                # and fabricating 0 imputes a value the data never
+                # contained — fail at fit with the column name
+                raise ValueError(
+                    f"CleanMissingData: column '{c}' has no non-null "
+                    f"values to compute a {mode} fill from; use "
+                    f"Custom/Remove mode for all-null columns")
             # integral columns need integral fills for na.fill to apply
             if isinstance(df.schema[c].dataType,
                           (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-                v = int(round(v)) if v is not None else 0
+                v = int(round(v))
             fills[c] = v
         return CleanMissingDataModel(cols=self.cols, fillValues=fills)

@@ -115,9 +115,14 @@ class RankingEvaluator:
         pred = F.col(self.predictionCol)
         label = F.col(self.labelCol)
         base = self.evaluate(df)
-        recall_ref = (F.size(F.array_intersect(
-            F.array_distinct(pred), F.array_distinct(label))).cast("double")
-            / F.size(pred))
+        # NULL-guarded like every other division here: ANSI mode
+        # (Spark 4 default) throws DIVIDE_BY_ZERO for a user with an
+        # empty prediction list
+        recall_ref = F.when(
+            F.size(pred) > 0,
+            F.size(F.array_intersect(
+                F.array_distinct(pred), F.array_distinct(label)))
+            .cast("double") / F.size(pred))
         first_hit = F.array_position(
             F.transform(pred, lambda p: F.array_contains(label, p)),
             F.lit(True))
@@ -191,9 +196,16 @@ class RankingAdapterModel:
             recs = self.recs_fn(self.model, self.k)
         else:
             recs = self.model.recommend_for_all_users(self.k)
-        pred = (recs.orderBy(self.userCol, "rank")
-                .groupBy(self.userCol)
-                .agg(F.collect_list(self.itemCol).alias("prediction")))
+        # rank rides inside the collected struct + sort_array:
+        # collect_list has NO ordering guarantee after the groupBy
+        # shuffle (the sar.py fix pattern) — scrambled prediction
+        # order silently corrupts ndcg/map/mrr
+        pred = (recs.groupBy(self.userCol)
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("rank", self.itemCol))).alias("__p"))
+                .select(self.userCol,
+                        F.transform("__p", lambda r: r[self.itemCol])
+                        .alias("prediction")))
         label = (test.groupBy(self.userCol)
                  .agg(F.collect_set(self.itemCol).alias("label")))
         return label.join(pred, self.userCol, "inner")
@@ -212,12 +224,23 @@ class RankingTrainValidationSplit:
         self.adapter, self.trainRatio, self.seed = adapter, trainRatio, seed
 
     def fit(self, df: DataFrame) -> dict:
+        from mmlspark_spark.core.cache import persist_intermediate
+
         user = self.adapter.userCol
-        w = Window.partitionBy(user).orderBy(F.xxhash64(
-            F.col(self.adapter.itemCol), F.lit(self.seed)))
-        counted = df.withColumn(
+        # hash over (user, item, seed): hashing the item alone made a
+        # given item systematically always-train (or always-test) for
+        # EVERY user, biasing the holdout. The ranked frame is pinned
+        # so the fit job and the evaluate job split against the SAME
+        # materialization — re-executing the plan re-ranks tied
+        # duplicate interactions arbitrarily, which can leak one
+        # physical row into both sides.
+        w = Window.partitionBy(user).orderBy(
+            F.xxhash64(F.col(user), F.col(self.adapter.itemCol),
+                       F.lit(self.seed)),
+            F.col(self.adapter.itemCol))
+        counted = persist_intermediate(df.withColumn(
             "__rn", F.row_number().over(w)
-        ).withColumn("__n", F.count("*").over(Window.partitionBy(user)))
+        ).withColumn("__n", F.count("*").over(Window.partitionBy(user))))
         train = counted.filter(
             F.col("__rn") <= F.greatest(
                 (F.col("__n") * self.trainRatio).cast("int"), F.lit(1))
@@ -231,4 +254,5 @@ class RankingTrainValidationSplit:
         metrics = RankingEvaluator(
             k=self.adapter.k, predictionCol="prediction", labelCol="label"
         ).evaluate(ranked)
+        counted.unpersist()
         return {"model": model, "metrics": metrics}

@@ -24,7 +24,7 @@ from mmlspark_spark.ml.train import SCORED_LABELS_COL, SCORED_PROBABILITIES_COL,
 
 
 def auc_binary(df: DataFrame, label_col: str, score_col,
-               positive_label: float = 1.0) -> float:
+               positive_label=1.0) -> float:
     """AUROC via the Mann-Whitney rank statistic: one DISTRIBUTED sort
     + one agg, no driver-side curve construction.
     AUC = (sum of positive ranks - nPos(nPos+1)/2) / (nPos * nNeg).
@@ -40,7 +40,7 @@ def auc_binary(df: DataFrame, label_col: str, score_col,
     from mmlspark_spark.operators.scale import zip_with_index
 
     scored = df.select(
-        F.col(label_col).cast("double").alias("y"),
+        F.col(label_col).alias("y"),  # raw: string labels must not cast
         (F.col(score_col) if isinstance(score_col, str) else score_col)
         .cast("double").alias("s"),
     )
@@ -49,7 +49,7 @@ def auc_binary(df: DataFrame, label_col: str, score_col,
     # average ranks within tie groups (hash-partitioned by s)
     ranked = ranked.withColumn(
         "ravg", F.avg("r").over(Window.partitionBy("s")))
-    pos = F.col("y") == F.lit(float(positive_label))
+    pos = F.col("y").eqNullSafe(F.lit(positive_label))
     agg = ranked.agg(
         F.sum(F.when(pos, F.col("ravg"))).alias("rpos"),
         F.sum(F.when(pos, 1).otherwise(0)).alias("npos"),
@@ -82,10 +82,13 @@ class ComputeModelStatistics(Transformer):
         return T.StructType([T.StructField(n, T.DoubleType(), True) for n in names])
 
     def confusion_matrix(self, df: DataFrame) -> DataFrame:
-        """(label, scored_label, count) — pivot client-side if needed."""
+        """(label, scored_label, count) — pivot client-side if needed.
+        Raw values, no double cast: string labels are legal (ANSI mode
+        would throw CAST_INVALID_INPUT), and Python-side numeric
+        comparisons coerce 1 == 1.0 anyway."""
         return (
-            df.groupBy(F.col(self.labelCol).cast("double").alias("label"),
-                       F.col(self.scoredLabelsCol).cast("double").alias("scored_label"))
+            df.groupBy(F.col(self.labelCol).alias("label"),
+                       F.col(self.scoredLabelsCol).alias("scored_label"))
             .agg(F.count("*").alias("count"))
         )
 
@@ -110,11 +113,15 @@ class ComputeModelStatistics(Transformer):
         )
 
     def _classification(self, df: DataFrame) -> DataFrame:
-        y = F.col(self.labelCol).cast("double")
-        p = F.col(self.scoredLabelsCol).cast("double")
+        # RAW equality (null-safe), not double casts: string labels
+        # (TrainClassifier now maps predictions back to label space)
+        # would throw CAST_INVALID_INPUT under ANSI mode; numeric
+        # comparisons coerce exactly as before
+        y = F.col(self.labelCol)
+        p = F.col(self.scoredLabelsCol)
         spark = df.sparkSession
         base = df.agg(
-            F.avg(F.when(y == p, 1.0).otherwise(0.0)).alias("accuracy"),
+            F.avg(F.when(y.eqNullSafe(p), 1.0).otherwise(0.0)).alias("accuracy"),
             # macro-averaged precision/recall computed below; keep counts
         ).collect()[0]
         cm = self.confusion_matrix(df).collect()

@@ -77,18 +77,27 @@ class TrainedClassifierModel(Model):
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         from pyspark.ml.linalg import VectorUDT
 
-        return T.StructType(list(schema.fields) + [
-            T.StructField(SCORES_COL, VectorUDT(), True),
-            T.StructField(SCORED_PROBABILITIES_COL, VectorUDT(), True),
-            T.StructField(SCORED_LABELS_COL, T.DoubleType(), True),
-        ])
+        fields = list(schema.fields)
+        inner = self.innerModel
+        # declare only what the inner learner actually emits: a
+        # LinearSVC has no probability column, and advertising one
+        # breaks the eager-validation contract downstream
+        if inner is None or inner.hasParam("rawPredictionCol"):
+            fields.append(T.StructField(SCORES_COL, VectorUDT(), True))
+        if inner is None or inner.hasParam("probabilityCol"):
+            fields.append(
+                T.StructField(SCORED_PROBABILITIES_COL, VectorUDT(), True))
+        if self.reindexLabel and self.levels is not None:
+            # predictions are mapped back to the ORIGINAL label space
+            lab_type = (schema[self.labelCol].dataType
+                        if self.labelCol in schema.fieldNames()
+                        else T.StringType())
+            fields.append(T.StructField(SCORED_LABELS_COL, lab_type, True))
+        else:
+            fields.append(T.StructField(SCORED_LABELS_COL, T.DoubleType(), True))
+        return T.StructType(fields)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        if self.reindexLabel and self.labelCol in df.columns:
-            from mmlspark_spark.featurize import ValueIndexerModel
-
-            df = ValueIndexerModel(inputCol=self.labelCol, outputCol="__label",
-                                   levels=self.levels).transform(df)
         scored = self.innerModel.transform(self.featurizer.transform(df))
         renames = {"rawPrediction": SCORES_COL,
                    "probability": SCORED_PROBABILITIES_COL,
@@ -96,6 +105,15 @@ class TrainedClassifierModel(Model):
         for old, new in renames.items():
             if old in scored.columns:
                 scored = scored.withColumnRenamed(old, new)
+        if self.reindexLabel and self.levels is not None:
+            # map index-space predictions back to the original label
+            # values (string labels previously came out as raw indices
+            # that nothing downstream could reconcile)
+            lut = F.array(*[F.lit(v) for v in self.levels])
+            scored = scored.withColumn(
+                SCORED_LABELS_COL,
+                F.element_at(
+                    lut, F.col(SCORED_LABELS_COL).cast("int") + 1))
         return scored.drop("__features", "__label")
 
 

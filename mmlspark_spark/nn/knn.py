@@ -5,8 +5,9 @@ feature matrix into a serializable BallTree, broadcast to executors;
 transform queries it per row with a bounded priority queue) and
 ``nn/ConditionalKNN.scala:31-120`` (per-query label conditioning).
 
-Spark-first shape: the index is a normalized numpy matrix broadcast
-once; queries run in ``mapInPandas`` — one BLAS matmul per Arrow batch
+Spark-first shape: the index is a numpy matrix broadcast once
+(max-inner-product semantics — pre-normalize the vectors for cosine);
+queries run in ``mapInPandas`` — one BLAS matmul per Arrow batch
 instead of a per-row tree walk, which on vector data of d ≤ ~1k is
 faster than a ball tree and exactly matches the reference's
 max-inner-product semantics (``BallTree.scala:26-268``).
@@ -35,6 +36,32 @@ def _to_matrix(rows) -> np.ndarray:
     return np.array([np.asarray(r, dtype=np.float64) for r in rows])
 
 
+def _check_index_size(df: DataFrame, what: str) -> None:
+    """Fail fast BEFORE collect(): checking len(rows) after the
+    collect cannot prevent the driver OOM it exists to prevent. One
+    cheap limit+count job."""
+    if df.limit(_MAX_INDEX_ROWS + 1).count() > _MAX_INDEX_ROWS:
+        raise ValueError(
+            f"{what} index would exceed {_MAX_INDEX_ROWS} rows; "
+            "use llm.LSHKNN at this scale")
+
+
+def _arrow_safe_features(df: DataFrame, feat_col: str):
+    """(df with feat_col as array<double>, restore_fn): VectorUDT
+    cannot cross the Arrow boundary in either direction, so the
+    column is converted for the mapInPandas pass and converted back
+    after."""
+    dt = df.schema[feat_col].dataType
+    if isinstance(dt, T.ArrayType):
+        return df, (lambda out: out)
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    converted = df.withColumn(feat_col, vector_to_array(F.col(feat_col)))
+    return converted, (
+        lambda out: out.withColumn(feat_col,
+                                   array_to_vector(F.col(feat_col))))
+
+
 class _KNNBase(Estimator):
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.featuresCol)
@@ -48,10 +75,8 @@ class KNN(_KNNBase):
                          outputCol=outputCol, k=k)
 
     def _fit(self, df: DataFrame) -> "KNNModel":
+        _check_index_size(df, "KNN")
         rows = df.select(self.featuresCol, self.valuesCol).collect()
-        if len(rows) > _MAX_INDEX_ROWS:
-            raise ValueError(
-                f"KNN index would hold {len(rows)} rows; use llm.LSHKNN at this scale")
         feats = _to_matrix([r[0] for r in rows])
         values = [r[1] for r in rows]
         return KNNModel(featuresCol=self.featuresCol, outputCol=self.outputCol,
@@ -78,6 +103,7 @@ class KNNModel(Model):
         b = sc.broadcast((self.indexFeatures, self.indexValues))
         k = self.k
         feat_col, out_col = self.featuresCol, self.outputCol
+        df, restore = _arrow_safe_features(df, feat_col)
         cols = df.columns
         out_schema = T.StructType(
             [df.schema[c] for c in cols]
@@ -102,7 +128,7 @@ class KNNModel(Model):
                 pdf[out_col] = res
                 yield pdf
 
-        return df.mapInPandas(query, out_schema)
+        return restore(df.mapInPandas(query, out_schema))
 
 
 class ConditionalKNN(_KNNBase):
@@ -117,11 +143,8 @@ class ConditionalKNN(_KNNBase):
                          outputCol=outputCol, k=k)
 
     def _fit(self, df: DataFrame) -> "ConditionalKNNModel":
+        _check_index_size(df, "ConditionalKNN")
         rows = df.select(self.featuresCol, self.valuesCol, self.labelCol).collect()
-        if len(rows) > _MAX_INDEX_ROWS:
-            raise ValueError(
-                f"ConditionalKNN index would hold {len(rows)} rows; "
-                "use llm.LSHKNN at this scale")
         feats = _to_matrix([r[0] for r in rows])
         values = [r[1] for r in rows]
         labels = [r[2] for r in rows]
@@ -155,6 +178,7 @@ class ConditionalKNNModel(Model):
         k = self.k
         feat_col, cond_col, out_col = (self.featuresCol, self.conditionerCol,
                                        self.outputCol)
+        df, restore = _arrow_safe_features(df, feat_col)
         out_schema = T.StructType(
             [df.schema[c] for c in df.columns]
             + [T.StructField(out_col, T.ArrayType(T.StructType([
@@ -184,4 +208,4 @@ class ConditionalKNNModel(Model):
                 pdf[out_col] = res
                 yield pdf
 
-        return df.mapInPandas(query, out_schema)
+        return restore(df.mapInPandas(query, out_schema))

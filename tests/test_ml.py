@@ -193,3 +193,40 @@ def test_auc_handles_nonstandard_label_encoding(spark):
         rows, ["label", "scored_labels", "scored_probabilities"])
     out = ComputeModelStatistics(evaluationMetric="classification").transform(df)
     assert out.collect()[0]["AUC"] == pytest.approx(1.0)
+
+
+def test_train_classifier_string_labels_end_to_end(spark):
+    """String labels: TrainClassifier maps predictions back to label
+    space and ComputeModelStatistics scores them without casts."""
+    from mmlspark_spark.ml import ComputeModelStatistics, TrainClassifier
+
+    rows = [(float(i % 50), "yes" if i % 2 else "no") for i in range(100)]
+    df = spark.createDataFrame(rows, ["x", "label"])
+    model = TrainClassifier(labelCol="label").fit(df)
+    scored = model.transform(df)
+    got = {r.label for r in
+           scored.select("scored_labels").distinct()
+           .withColumnRenamed("scored_labels", "label").collect()}
+    assert got <= {"yes", "no"}  # predictions live in label space
+    stats = ComputeModelStatistics(labelCol="label").transform(scored)
+    row = stats.collect()[0]
+    assert 0.0 <= row["accuracy"] <= 1.0
+    assert row["AUC"] == row["AUC"]  # not NaN
+
+
+def test_knn_vector_udt_features(spark):
+    """KNN scoring must handle SparkML VectorUDT features (the
+    VectorAssembler output) across the Arrow boundary."""
+    from pyspark.ml.linalg import Vectors
+
+    from mmlspark_spark.nn import KNN
+
+    df = spark.createDataFrame(
+        [(Vectors.dense([float(i), 0.0]), f"v{i}") for i in range(10)],
+        ["features", "values"])
+    model = KNN(k=2).fit(df)
+    out = model.transform(df)
+    row = out.filter("values = 'v9'").collect()[0]
+    assert row.output[0].value == "v9"  # self is its own max-IP hit
+    # the features column keeps its vector type through the round trip
+    assert out.schema["features"].dataType == df.schema["features"].dataType
