@@ -47,7 +47,11 @@ def slic_labels(img: np.ndarray, cell_size: float = 16.0,
     pix_pos = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.float64)
     pix_col = img.reshape(-1, c).astype(np.float64)
     centers_col = np.array([
-        pix_col[int(round(p[0])) * w + int(round(min(p[1], w - 1)))]
+        # clamp BOTH coordinates: round() can push a center to h or w
+        # for small cell sizes (banker's rounding on .5), indexing
+        # past the pixel array
+        pix_col[int(round(min(p[0], h - 1))) * w
+                + int(round(min(p[1], w - 1)))]
         for p in centers_pos
     ])
     # spatial distance is weighted so color dominates within a cell

@@ -35,7 +35,6 @@ from mmlspark_spark.explainers.regression import (
     weighted_lasso,
     weighted_least_squares,
 )
-from mmlspark_spark.explainers.shap import _coalition_weights
 from mmlspark_spark.explainers.superpixel import slic_labels
 from mmlspark_spark.sources.image import array_to_image, image_to_array
 
@@ -43,26 +42,20 @@ from mmlspark_spark.sources.image import array_to_image, image_to_array
 def _draw_variable_coalitions(rng, m: int, num_samples: int,
                               mode: str):
     """(z, weight) rows for a variable-width row. lime → Bernoulli(0.5)
-    masks with kernel weights from distance; shap → Shapley kernel."""
-    if m == 1:
-        return np.ones((1, 1)), np.ones(1)
+    masks with kernel weights from distance; shap → delegates to
+    shap.py's _draw_coalitions — ONE sampler, so the uniform-weight
+    importance correction and the exact-enumeration switch for small m
+    (common for short texts / few superpixels) apply here too. The
+    local re-implementation had re-introduced the kernel²
+    double-weighting bug that sampler's comments warn about."""
     if mode == "lime":
+        if m == 1:
+            return np.ones((1, 1)), np.ones(1)
         zs = (rng.random((num_samples, m)) < 0.5).astype(np.float64)
         return zs, np.ones(num_samples)
-    weights = _coalition_weights(m)
-    sizes = np.array(list(weights))
-    from math import comb
+    from mmlspark_spark.explainers.shap import _draw_coalitions
 
-    p = np.array([weights[k] * comb(m, k) for k in sizes], dtype=np.float64)
-    p /= p.sum()
-    zs, ws = [], []
-    for _ in range(num_samples):
-        k = int(rng.choice(sizes, p=p))
-        z = np.zeros(m)
-        z[rng.choice(m, size=k, replace=False)] = 1.0
-        zs.append(z)
-        ws.append(weights[k])
-    return np.array(zs), np.array(ws)
+    return _draw_coalitions(rng, m, num_samples)
 
 
 class _VariableWidthExplainer(_LIMEBase):
@@ -123,15 +116,26 @@ class _VariableWidthExplainer(_LIMEBase):
 
     def _explain_var(self, df: DataFrame, sample_gen,
                      feature_col_expr) -> DataFrame:
-        src = df.withColumn(_ID, F.monotonically_increasing_id()).cache()
+        from mmlspark_spark.core.cache import (
+            attach_intermediates,
+            persist_intermediate,
+        )
+
+        # persisted with a release handle + plain join: the same two
+        # fixes the tabular base classes carry — a bare .cache() leaks
+        # a pinned input copy per transform, and a broadcast hint on
+        # src would collect the whole explain batch (images included)
+        # to the driver
+        src = persist_intermediate(
+            df.withColumn(_ID, F.monotonically_increasing_id()))
         samples = sample_gen(src)
         scored = self.model.transform(samples)
         target = self._extract_target(scored, self.targetCol, self.targetClass)
         fitted = self._solve(target)
-        out = src.hint("broadcast").join(fitted, _ID, "inner")
+        out = src.join(fitted, _ID, "inner")
         if feature_col_expr is not None:
             out = out.withColumn(self.featureNamesCol, feature_col_expr)
-        return out.drop(_ID)
+        return attach_intermediates(out.drop(_ID), src)
 
 
 class TextLIME(_VariableWidthExplainer):
@@ -185,8 +189,22 @@ class TextLIME(_VariableWidthExplainer):
 
         return src.select(_ID, text_col).mapInPandas(run, schema)
 
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        # the inherited schema (outputCol + metricsCol) must also
+        # declare the token-name column this explainer appends
+        out = super().transform_schema(schema)
+        return T.StructType(
+            list(out.fields)
+            + [T.StructField(self.featureNamesCol,
+                             T.ArrayType(T.StringType()))])
+
     def _transform(self, df: DataFrame) -> DataFrame:
-        toks = F.slice(F.split(F.col(self.textCol), r"\s+"), 1, self.maxTokens)
+        # same tokenization as the sampler's str.split(): split +
+        # drop empties — raw Spark split keeps leading/trailing ""
+        # tokens, shifting every attribution off by one
+        from mmlspark_spark.functions.text_quality import tokens as _tokens
+
+        toks = F.slice(_tokens(F.col(self.textCol)), 1, self.maxTokens)
         return self._explain_var(df, self._sample_gen, toks)
 
 
@@ -227,6 +245,12 @@ class _ImageExplainerBase(_VariableWidthExplainer):
             for pdf in it:
                 rows = []
                 for _, row in pdf.iterrows():
+                    if row[in_col] is None:
+                        # DecodeImage emits null for undecodable files
+                        # by design; a null row must not crash the
+                        # batch (it is excluded from the output — the
+                        # final inner join never sees its id)
+                        continue
                     img = image_to_array(row[in_col])
                     labels = slic_labels(img, cell, modif)
                     uniq = np.unique(labels)

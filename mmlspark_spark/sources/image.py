@@ -71,6 +71,12 @@ def decode_bmp(blob: bytes):
     flip = h > 0
     h = abs(h)
     row_size = (w * 3 + 3) & ~3
+    if data_off + row_size * h > len(blob):
+        # truncated pixel data: return None like every other malformed
+        # case — an unguarded frombuffer ValueError here escapes the
+        # no-Pillow path's exception handling and kills the task,
+        # breaking the decode-to-null fault-tolerance contract
+        return None
     px = np.frombuffer(blob, dtype=np.uint8, offset=data_off,
                        count=row_size * h).reshape(h, row_size)
     img = px[:, : w * 3].reshape(h, w, 3)  # BMP stores BGR already

@@ -226,6 +226,13 @@ class ImageSetAugmenter(Transformer):
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.inputCol)
+        if self.outputCol != self.inputCol                 and self.outputCol not in schema.fieldNames():
+            # a distinct outputCol is a NEW column — the eager contract
+            # must declare it
+            return T.StructType(
+                list(schema.fields)
+                + [T.StructField(self.outputCol,
+                                 schema[self.inputCol].dataType)])
         return schema
 
     def _transform(self, df: DataFrame) -> DataFrame:
