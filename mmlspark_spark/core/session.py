@@ -67,7 +67,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Probe the footer locally (pyarrow, no Spark job) and flip the
+        # legacy nanos conf ONLY for a nanos file. The conf cannot be
+        # restored after the read — the scan consults it lazily at
+        # execution — but gating it on the actual file type means a
+        # micros-generation session never carries the side effect
+        # (which would silently read OTHER tables' genuine
+        # TIMESTAMP(NANOS) columns as longs for the session's rest).
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(f"{sf_dir}/{name}.parquet")
+        if any(str(schema.field(i).type) == "timestamp[ns]"
+               for i in range(len(schema.names))):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):  # nanos-as-long generation

@@ -32,7 +32,11 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 URL_PATTERN = r"https?://[^\s]+"
-DOMAIN_PATTERN = r"https?://([^/\s:]+)"
+# optional userinfo ("user:pass@") is skipped — without it the capture
+# stopped at the credential's ':' and returned the username as the
+# "domain"; the host class also excludes '@' so a credentialed URL
+# can never leak its userinfo into domain-level filtering
+DOMAIN_PATTERN = r"https?://(?:[^/\s@]+@)?([^/\s:@]+)"
 
 
 def redact_pii(text: Column | str, kinds=tuple(PII_PATTERNS),
@@ -43,11 +47,18 @@ def redact_pii(text: Column | str, kinds=tuple(PII_PATTERNS),
     as the more specific kind first. Idempotent: tokens contain no
     redactable substrings."""
     col = F.col(text) if isinstance(text, str) else text
-    for kind in kinds:
-        if kind not in PII_PATTERNS:
-            raise ValueError(f"unknown PII kind {kind!r}")
-        col = F.regexp_replace(col, PII_PATTERNS[kind],
-                               tokenFormat.format(kind=kind.upper()))
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kind(s) {unknown!r}")
+    # iterate in canonical PII_PATTERNS order regardless of how the
+    # caller ordered `kinds`: running a later pattern first (ip before
+    # email) shreds composite strings the documented email-first
+    # ordering exists to protect
+    wanted = set(kinds)
+    for kind, pattern in PII_PATTERNS.items():
+        if kind in wanted:
+            col = F.regexp_replace(col, pattern,
+                                   tokenFormat.format(kind=kind.upper()))
     return col
 
 

@@ -46,8 +46,12 @@ class RangeHyperParam:
             v = math.exp(rng.uniform(math.log(self.lo), math.log(self.hi)))
         else:
             v = rng.uniform(self.lo, self.hi)
-        if isinstance(self.lo, int) and isinstance(self.hi, int) and not self.isLog:
-            return rng.randrange(self.lo, self.hi)
+        if isinstance(self.lo, int) and isinstance(self.hi, int):
+            # int endpoints → int samples on BOTH scales: a log-scale
+            # draw of 23.52 for maxDepth crashes TypeConverters.toInt —
+            # and log-scale int ranges are the canonical isLog use
+            return min(int(round(v)) if self.isLog
+                       else rng.randrange(self.lo, self.hi), self.hi - 1)
         return v
 
 
@@ -72,6 +76,9 @@ class FindBestModel(Estimator):
                          evaluationMetric=evaluationMetric)
 
     def _fit(self, df: DataFrame) -> Model:
+        if not self.models:
+            raise ValueError(
+                "FindBestModel needs at least one fitted model")
         higher = _HIGHER_IS_BETTER.get(self.metric, True)
         with ThreadPoolExecutor(max_workers=min(8, len(self.models) or 1)) as ex:
             scores = list(ex.map(
@@ -112,7 +119,25 @@ class TuneHyperparameters(Estimator):
             configs.append(cfg)
         return configs
 
+    def _apply_config(self, cfg: dict) -> Estimator:
+        """One copy of the copy-estimator / set-params logic — it was
+        duplicated between CV scoring and the final refit and the two
+        could silently drift."""
+        est = self.estimator.copy()
+        inner = est.model.copy() if getattr(est, "model", None) else None
+        if inner is not None:
+            inner.setParams(**cfg)
+            est.set("model", inner)
+        else:
+            for k, v in cfg.items():
+                est.set(k, v)
+        return est
+
     def _fit(self, df: DataFrame) -> Model:
+        if self.numFolds < 2:
+            raise ValueError(
+                f"TuneHyperparameters needs numFolds >= 2 (k-fold CV "
+                f"must hold out one fold); got {self.numFolds}")
         folds = df.randomSplit([1.0] * self.numFolds, seed=self.seed)
         higher = _HIGHER_IS_BETTER.get(self.metric, True)
         configs = self._sample_configs()
@@ -125,15 +150,7 @@ class TuneHyperparameters(Estimator):
                 for j, f in enumerate(folds):
                     if j != i:
                         train = f if train is None else train.union(f)
-                est = self.estimator.copy()
-                inner = est.model.copy() if getattr(est, "model", None) else None
-                if inner is not None:
-                    inner.setParams(**cfg)
-                    est.set("model", inner)
-                else:
-                    for k, v in cfg.items():
-                        est.set(k, v)
-                model = est.fit(train)
+                model = self._apply_config(cfg).fit(train)
                 scores.append(_evaluate(model, test, self.metric,
                                         self.evaluationMetric))
             return sum(scores) / len(scores)
@@ -144,12 +161,4 @@ class TuneHyperparameters(Estimator):
         best_i = (max if higher else min)(
             range(len(results)), key=lambda i: results[i])
         self.best_params, self.best_metric = configs[best_i], results[best_i]
-        est = self.estimator.copy()
-        inner = est.model.copy() if getattr(est, "model", None) else None
-        if inner is not None:
-            inner.setParams(**self.best_params)
-            est.set("model", inner)
-        else:
-            for k, v in self.best_params.items():
-                est.set(k, v)
-        return est.fit(df)
+        return self._apply_config(self.best_params).fit(df)

@@ -33,7 +33,8 @@ def ips_estimate(df: DataFrame, actionCol: str = "action",
                  probCol: str = "probability", rewardCol: str = "reward",
                  targetActionCol: str = "target_action") -> float:
     w = _weight(actionCol, probCol, targetActionCol)
-    return float(df.agg(F.avg(F.col(rewardCol) * w)).collect()[0][0])
+    v = df.agg(F.avg(F.col(rewardCol) * w)).collect()[0][0]
+    return float(v) if v is not None else 0.0  # empty/all-null logs
 
 
 def snips_estimate(df: DataFrame, actionCol: str = "action",
@@ -119,12 +120,10 @@ class VowpalWabbitContextualBandit(Estimator):
         from concurrent.futures import ThreadPoolExecutor
 
         def _one(params: dict):
-            est = VowpalWabbitContextualBandit(
-                sharedCol=self.sharedCol, featuresCol=self.featuresCol,
-                chosenActionCol=self.chosenActionCol, labelCol=self.labelCol,
-                probabilityCol=self.probabilityCol,
-                predictionCol=self.predictionCol, epsilon=self.epsilon,
-                numPasses=self.numPasses, l2=self.l2)
+            # copy() clones every param through the Params machinery —
+            # re-enumerating the constructor by hand silently dropped
+            # any param added after the list was written
+            est = self.copy()
             for k, v in params.items():
                 est.set(k, v)
             return est.fit(df)
@@ -180,18 +179,24 @@ class VowpalWabbitContextualBanditModel(Model):
         cols = df.columns
         eps = float(self.epsilon)
         with_id = df.withColumn("__id", F.monotonically_increasing_id())
+        # a row with an empty/null action set must survive to the
+        # output (with a null prediction), not silently vanish from a
+        # row-preserving transform: only rows WITH actions flow through
+        # the explode/score path, and the final left join restores the
+        # rest (their __z stays null → probs null)
         exploded = with_id.select(
-            "__id", F.struct(*cols).alias("__ctx"),
-            F.posexplode(self.featuresCol).alias("__pos", "__act"))
+            "__id",
+            F.posexplode(self.featuresCol).alias("__pos", "__act"),
+            F.col(self.sharedCol).alias("__shared"))
         assembled = VectorAssembler(
             inputCols=["__shared", "__act"], outputCol="__x",
-        ).transform(
-            exploded.withColumn("__shared", F.col("__ctx")[self.sharedCol]))
+        ).transform(exploded)
         scored = self.inner.transform(assembled)
-        grouped = (scored.groupBy("__id")
-                   .agg(F.first("__ctx").alias("__ctx"),
-                        F.array_sort(F.collect_list(
-                            F.struct("__pos", "__q"))).alias("__z")))
+        per_id = (scored.groupBy("__id")
+                  .agg(F.array_sort(F.collect_list(
+                      F.struct("__pos", "__q"))).alias("__z")))
+        grouped = (with_id.select("__id", F.struct(*cols).alias("__ctx"))
+                   .join(per_id, "__id", "left"))
         costs = F.expr("transform(__z, x -> x.__q)")
         # first argmin (1-based); epsilon-greedy over K actions
         best = F.array_position(costs, F.array_min(costs))

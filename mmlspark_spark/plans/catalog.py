@@ -3362,7 +3362,7 @@ def pii_redact(spark, sf_dir):
       array_to_string(regexp_extract_all(
         'see https://site' || (doc_id % 10)
           || '.example.org/p?x=1 and http://cdn.example.net/img ' || text,
-        'https?://([^/\s:]+)', 1), ' ') AS domains
+        'https?://(?:[^/\s@]+@)?([^/\s:@]+)', 1), ' ') AS domains
     FROM documents WHERE doc_id < 1000
     """,
 )
