@@ -22,22 +22,31 @@ from pyspark.sql import types as T
 from mmlspark_spark.core.base import Estimator, Model
 
 
-class _PerPartitionScalerBase(Estimator):
+class _ScalerSchemaMixin:
+    """One copy of the scaler schema contract (it was duplicated
+    byte-for-byte between estimator and model bases), including the
+    internal-stats-column clash check."""
+
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         cols = [self.inputCol] + ([self.partitionKey] if self.partitionKey else [])
         self._require_cols(schema, *cols)
+        clash = [c for c in ("__mean__", "__std__", "__min__", "__max__")
+                 if c in schema.fieldNames()]
+        if clash:
+            raise ValueError(
+                f"{type(self).__name__}: input already has internal "
+                f"stats column(s) {clash}; rename them first")
         return T.StructType(
             list(schema.fields) + [T.StructField(self.outputCol, T.DoubleType())]
         )
 
 
-class _ScalerModelBase(Model):
-    def transform_schema(self, schema: T.StructType) -> T.StructType:
-        cols = [self.inputCol] + ([self.partitionKey] if self.partitionKey else [])
-        self._require_cols(schema, *cols)
-        return T.StructType(
-            list(schema.fields) + [T.StructField(self.outputCol, T.DoubleType())]
-        )
+class _PerPartitionScalerBase(_ScalerSchemaMixin, Estimator):
+    pass
+
+
+class _ScalerModelBase(_ScalerSchemaMixin, Model):
+    pass
 
 
 class StandardScalarScalerModel(_ScalerModelBase):
@@ -58,6 +67,14 @@ class StandardScalarScalerModel(_ScalerModelBase):
             return (joined.withColumn(self.outputCol, norm)
                     .select(*df.columns, self.outputCol))
         mean, std = self.stats["__mean__"], self.stats["__std__"]
+        if mean is None:  # fit data empty/all-null: no stats to apply
+            return df.withColumn(self.outputCol,
+                                 F.lit(None).cast("double"))
+        if not std:
+            # constant column: same x - mean fallback the partitioned
+            # path takes (a bare division would be NULL or an ANSI
+            # DIVIDE_BY_ZERO depending on mode)
+            return df.withColumn(self.outputCol, x - F.lit(mean))
         return df.withColumn(
             self.outputCol, F.lit(self.coefficientFactor) * (x - mean) / std
         )
@@ -104,9 +121,16 @@ class LinearScalarScalerModel(_ScalerModelBase):
             b = F.when(delta != 0,
                        self.maxRequiredValue - a * F.col("__max__")
                        ).otherwise(F.lit((self.minRequiredValue + self.maxRequiredValue) / 2.0))
-            return (joined.withColumn(self.outputCol, a * x + b)
+            # a partition key NEVER seen at fit time has no stats: the
+            # output must be NULL, not the fabricated range midpoint
+            # the delta==0 branch would otherwise invent
+            scaled = F.when(F.col("__min__").isNotNull(), a * x + b)
+            return (joined.withColumn(self.outputCol, scaled)
                     .select(*df.columns, self.outputCol))
         lo, hi = self.stats["__min__"], self.stats["__max__"]
+        if lo is None or hi is None:  # fit data empty/all-null
+            return df.withColumn(self.outputCol,
+                                 F.lit(None).cast("double"))
         delta = hi - lo
         a = req_delta / delta if delta != 0.0 else 0.0
         b = (self.maxRequiredValue - a * hi if delta != 0.0

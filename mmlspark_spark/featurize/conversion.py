@@ -40,6 +40,8 @@ class DataConversion(Transformer):
             return T.DateType()
         if self.convertTo == "timestamp":
             return T.TimestampType()
+        if self.convertTo == "toCategorical":
+            return T.IntegerType()
         raise ValueError(f"DataConversion: unknown target {self.convertTo}")
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
@@ -67,6 +69,19 @@ class DataConversion(Transformer):
         return col.cast(self._target_type())
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        if self.convertTo == "toCategorical":
+            # reference DataConversion.scala's toCategorical mode: each
+            # column routes through the ValueIndexer (sorted-distinct
+            # vocabulary, metadata-carried categorical). Fitting inside
+            # a transform runs one small distinct job per column — the
+            # same work the reference's indexer does.
+            from mmlspark_spark.featurize import ValueIndexer
+
+            for c in self.cols:
+                df = (ValueIndexer(inputCol=c, outputCol=f"__{c}_idx__")
+                      .fit(df).transform(df)
+                      .drop(c).withColumnRenamed(f"__{c}_idx__", c))
+            return df
         for c in self.cols:
             df = df.withColumn(c, self._convert(df, c))
         return df

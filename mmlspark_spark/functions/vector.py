@@ -73,10 +73,28 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity of two array<numeric> columns (cast to double)."""
+    """Cosine similarity of two array<numeric> columns (cast to double).
+
+    ONE aggregate pass accumulating (dot, ||a||2, ||b||2) together —
+    the dot/norm composition traversed (and re-cast) both arrays three
+    times per row, which tripled the hot cost on O(pairs) join filters
+    like semantic_dedup. Each accumulator adds in the same element
+    order as the separate aggregates did, so values are bit-identical
+    (norms still combine as sqrt(na)·sqrt(nb))."""
     ad = F.transform(_c(a), lambda x: x.cast("double"))
     bd = F.transform(_c(b), lambda x: x.cast("double"))
-    return dot(ad, bd) / (norm(ad) * norm(bd))
+    zero = F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("na"),
+                    F.lit(0.0).alias("nb"))
+    acc = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: F.struct(
+            x.alias("x"), y.alias("y"))),
+        zero,
+        lambda s, v: F.struct(
+            (s["d"] + v["x"] * v["y"]).alias("d"),
+            (s["na"] + v["x"] * v["x"]).alias("na"),
+            (s["nb"] + v["y"] * v["y"]).alias("nb")),
+    )
+    return acc["d"] / (F.sqrt(acc["na"]) * F.sqrt(acc["nb"]))
 
 
 def vector_dim(df, vecCol: str) -> int:

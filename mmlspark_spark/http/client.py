@@ -9,25 +9,30 @@ Arrow batches and tasks that land on the same worker).
 
 from __future__ import annotations
 
+import threading
 import time
 
-_SESSIONS: dict = {}
+# per-THREAD sessions: requests.Session is not thread-safe (concurrent
+# cookie-jar mutation races), and HTTPTransformer fans requests out
+# over a ThreadPoolExecutor — each worker thread gets its own pooled
+# session instead of sharing one
+_SESSIONS = threading.local()
 
 RETRYABLE_STATUSES = frozenset({429} | set(range(500, 600)))
 
 
 def get_session():
-    """One requests.Session per worker process (connection pooling)."""
+    """One requests.Session per worker THREAD (connection pooling)."""
     import requests
 
-    s = _SESSIONS.get("default")
+    s = getattr(_SESSIONS, "session", None)
     if s is None:
         s = requests.Session()
         adapter = requests.adapters.HTTPAdapter(pool_connections=32,
                                                 pool_maxsize=32)
         s.mount("http://", adapter)
         s.mount("https://", adapter)
-        _SESSIONS["default"] = s
+        _SESSIONS.session = s
     return s
 
 
@@ -41,10 +46,16 @@ def send_with_retries(row: dict, timeout: float,
     """
     import requests
 
+    if row is None:
+        # a conditionally-built request column yields null structs; the
+        # contract is an error row, never a task-killing AttributeError
+        return {"statusCode": -1, "reasonPhrase": "null request row",
+                "headers": [], "entity": None}
     session = get_session()
     headers = {h["name"]: h["value"] for h in (row.get("headers") or [])}
     attempts = [None] + list(backoffs)
     last_err = None
+    last_resp = None
     for backoff in attempts:
         if backoff:
             time.sleep(backoff)
@@ -59,12 +70,26 @@ def send_with_retries(row: dict, timeout: float,
             continue
         if resp.status_code in RETRYABLE_STATUSES:
             last_err = f"HTTP {resp.status_code}"
+            last_resp = resp
             continue
         return {
             "statusCode": int(resp.status_code),
             "reasonPhrase": resp.reason or "",
             "headers": [{"name": k, "value": v} for k, v in resp.headers.items()],
             "entity": resp.content,
+        }
+    if last_resp is not None:
+        # retries exhausted on a real HTTP status: return THAT response
+        # (status, Retry-After headers, error body) so throttling is
+        # distinguishable from a connection failure — -1 is reserved
+        # for connection-level errors (the reference's
+        # AdvancedHTTPHandling contract)
+        return {
+            "statusCode": int(last_resp.status_code),
+            "reasonPhrase": last_resp.reason or "",
+            "headers": [{"name": k, "value": v}
+                        for k, v in last_resp.headers.items()],
+            "entity": last_resp.content,
         }
     return {"statusCode": -1, "reasonPhrase": last_err or "request failed",
             "headers": [], "entity": None}
