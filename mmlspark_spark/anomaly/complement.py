@@ -48,7 +48,13 @@ class ComplementAccessTransformer(Transformer):
             agg for c in self.indexedColNames
             for agg in (F.min(c).alias(f"__min_{c}__"), F.max(c).alias(f"__max_{c}__"))
         ])
-        cand = src.join(F.broadcast(limits), pk)
+        # eqNullSafe: a NULL partition key is a legal tenant value and
+        # must match its own limits row (an equi-join would silently
+        # drop every null-tenant row from negative sampling)
+        lim = limits.withColumnRenamed(pk, "__lim_pk__")
+        cand = (src.join(F.broadcast(lim),
+                         F.col(pk).eqNullSafe(F.col("__lim_pk__")))
+                .drop("__lim_pk__"))
         # factor candidate draws per observed row, seeded and codegen'd
         draws = F.array(*[F.lit(i) for i in range(self.complementsetFactor)])
         cand = cand.withColumn("__draw__", F.explode(draws))

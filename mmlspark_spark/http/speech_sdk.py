@@ -109,6 +109,15 @@ class SpeechToTextSDK(Transformer):
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.audioCol)
+        clash = [c for c in (self.outputCol, self.errorCol)
+                 if c in schema.fieldNames()]
+        if clash:
+            # eager contract: a duplicate output column would otherwise
+            # surface as a worker-side schema/column-count mismatch
+            # hours into the run
+            raise ValueError(
+                f"SpeechToTextSDK: input already has column(s) {clash}; "
+                f"rename them or change outputCol/errorCol")
         return T.StructType(
             list(schema.fields)
             + [T.StructField(self.outputCol, SEGMENT_SCHEMA),

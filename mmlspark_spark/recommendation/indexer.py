@@ -36,14 +36,19 @@ class RecommendationIndexer(Estimator):
         )
 
     def _fit(self, df: DataFrame) -> "RecommendationIndexerModel":
-        user_model = StringIndexer(
-            inputCol=self.userInputCol, outputCol=self.userOutputCol,
+        # ONE multi-column fit: two separate StringIndexer fits scanned
+        # the interactions table twice to build the two label maps
+        both = StringIndexer(
+            inputCols=[self.userInputCol, self.itemInputCol],
+            outputCols=[self.userOutputCol, self.itemOutputCol],
             handleInvalid="skip", stringOrderType="alphabetAsc",
         ).fit(df)
-        item_model = StringIndexer(
-            inputCol=self.itemInputCol, outputCol=self.itemOutputCol,
-            handleInvalid="skip", stringOrderType="alphabetAsc",
-        ).fit(df)
+        user_model = StringIndexerModel.from_labels(
+            both.labelsArray[0], inputCol=self.userInputCol,
+            outputCol=self.userOutputCol, handleInvalid="skip")
+        item_model = StringIndexerModel.from_labels(
+            both.labelsArray[1], inputCol=self.itemInputCol,
+            outputCol=self.itemOutputCol, handleInvalid="skip")
         return RecommendationIndexerModel(
             userIndexModel=user_model, itemIndexModel=item_model,
             userInputCol=self.userInputCol, userOutputCol=self.userOutputCol,
@@ -73,11 +78,19 @@ class RecommendationIndexerModel(Model):
     def _transform(self, df: DataFrame) -> DataFrame:
         return self.itemIndexModel.transform(self.userIndexModel.transform(df))
 
+    @staticmethod
+    def _recover_name(df: DataFrame, preferred: str) -> str:
+        # the transformed frame usually still CARRIES the original
+        # column; IndexToString refuses to overwrite, so fall back to
+        # a _recovered suffix instead of throwing
+        return (preferred if preferred not in df.columns
+                else f"{preferred}_recovered")
+
     def recover_user(self, df: DataFrame, inputCol: str | None = None,
                      outputCol: str | None = None) -> DataFrame:
         return IndexToString(
             inputCol=inputCol or self.userOutputCol,
-            outputCol=outputCol or self.userInputCol,
+            outputCol=outputCol or self._recover_name(df, self.userInputCol),
             labels=self.userIndexModel.labels,
         ).transform(df)
 
@@ -85,6 +98,6 @@ class RecommendationIndexerModel(Model):
                      outputCol: str | None = None) -> DataFrame:
         return IndexToString(
             inputCol=inputCol or self.itemOutputCol,
-            outputCol=outputCol or self.itemInputCol,
+            outputCol=outputCol or self._recover_name(df, self.itemInputCol),
             labels=self.itemIndexModel.labels,
         ).transform(df)

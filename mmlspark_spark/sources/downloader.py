@@ -91,10 +91,20 @@ class ModelDownloader:
             return path
         import urllib.request
 
-        urllib.request.urlretrieve(schema.uri, path)  # noqa: S310
-        if schema.hash and self._sha256(path) != schema.hash:
-            os.remove(path)
+        # download to a temp path + atomic rename: writing straight to
+        # the final path leaves an interrupted download as a partial
+        # file that a later hash-less lookup would serve as a cache hit
+        tmp = path + ".part"
+        try:
+            urllib.request.urlretrieve(schema.uri, tmp)  # noqa: S310
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+        if schema.hash and self._sha256(tmp) != schema.hash:
+            os.remove(tmp)
             raise IOError(f"hash mismatch for model {schema.name}")
+        os.replace(tmp, path)
         with open(self._meta_path(schema.name), "w") as f:
             f.write(schema.to_json())
         return path
