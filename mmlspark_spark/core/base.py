@@ -118,8 +118,14 @@ class Transformer(
         self._init_params(**kwargs)
 
     def transform(self, dataset: DataFrame, params=None) -> DataFrame:
+        if params:
+            # validate on the COPY the overridden params produce —
+            # validating self and then letting the base class run
+            # copy(params)._transform would skip the eager contract
+            # for exactly the params being overridden
+            return self.copy(params).transform(dataset)
         self.transform_schema(dataset.schema)  # eager validation
-        return super().transform(dataset, params)
+        return super().transform(dataset)
 
 
 class Model(Transformer):
@@ -137,5 +143,7 @@ class Estimator(
         self._init_params(**kwargs)
 
     def fit(self, dataset: DataFrame, params=None):
+        if params and not isinstance(params, (list, tuple)):
+            return self.copy(params).fit(dataset)
         self.transform_schema(dataset.schema)
         return super().fit(dataset, params)

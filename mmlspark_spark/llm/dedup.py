@@ -456,9 +456,16 @@ class SimHashDeduplicator(Transformer):
         ])
 
     def fingerprints(self, df: DataFrame) -> DataFrame:
-        return _spread_narrow_scan(df).select(
+        # NULL text → NULL fingerprint; such docs carry no content to
+        # compare and would otherwise ALL collide into one
+        # (band, NULL-chunk) bucket — a corpus with many null texts
+        # materializes a quadratic ghost bucket (or spuriously trips
+        # the hot-bucket cap) for rows the hamming filter discards
+        # anyway
+        return (_spread_narrow_scan(df).select(
             F.col(self.idCol).alias("__id"),
             simhash(self.textCol).alias("__sh"))
+            .filter(F.col("__sh").isNotNull()))
 
     def _transform(self, df: DataFrame) -> DataFrame:
         # The fingerprint subtree is map-only (no exchange underneath),

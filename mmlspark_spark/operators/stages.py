@@ -171,11 +171,20 @@ class Timer(Transformer):
             self.stage, "transform_schema") else schema
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        from mmlspark_spark.core.cache import (
+            attach_intermediates,
+            persist_intermediate,
+        )
+
         t0 = time.time()
         out = self.stage.transform(df)
         if not self.disableMaterialization:
-            out = out.cache()
+            # release handle attached (a bare .cache() pinned one frame
+            # per timed stage for the session); caller frees via
+            # core.cache.release_intermediates
+            out = persist_intermediate(out)
             out.count()
+            out = attach_intermediates(out, out)
         self.last_elapsed = time.time() - t0
         return out
 
@@ -333,12 +342,16 @@ class MultiColumnAdapter(Transformer):
     def _clones(self):
         for i, o in zip(self.inputCols, self.outputCols):
             c = self.baseStage.copy()
-            c.set("inputCol", i).set("outputCol", o)
+            # _set, not set(name, value): stock SparkML Params.set
+            # requires a Param object and returns None, so the engine
+            # idiom crashed on any stock base stage (Tokenizer etc.)
+            c._set(inputCol=i, outputCol=o)
             yield c
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         for c in self._clones():
-            schema = c.transform_schema(schema)
+            if hasattr(c, "transform_schema"):  # stock stages lack it
+                schema = c.transform_schema(schema)
         return schema
 
     def _transform(self, df: DataFrame) -> DataFrame:
@@ -362,7 +375,10 @@ class StratifiedSampler(Transformer):
     - ``exact=False``: seeded Bernoulli via ``sampleBy`` with
       ``fractions`` (per-stratum fraction dict over the FIRST stratum
       column, Spark's native stratified sampler) — cheaper at scale
-      (no window shuffle), sample-exactness traded away.
+      (no window shuffle), sample-exactness traded away. Persistence
+      note: save/load serializes params as JSON, so ``fractions`` keys
+      must be strings; numeric-keyed dicts work at transform time but
+      cannot be persisted.
 
     Scale: the exact mode is one shuffle on the stratum key; skew
     (one giant stratum) is the normal window-skew case AQE handles,
