@@ -77,11 +77,15 @@ class DataConversion(Transformer):
             # same work the reference's indexer does.
             from mmlspark_spark.featurize import ValueIndexer
 
+            original_cols = df.columns
             for c in self.cols:
                 df = (ValueIndexer(inputCol=c, outputCol=f"__{c}_idx__")
                       .fit(df).transform(df)
                       .drop(c).withColumnRenamed(f"__{c}_idx__", c))
-            return df
+            # drop+rename moved each converted column to the end;
+            # transform_schema declares in-place conversion, so restore
+            # the original column order (eager-schema contract).
+            return df.select(*original_cols)
         for c in self.cols:
             df = df.withColumn(c, self._convert(df, c))
         return df

@@ -24,6 +24,7 @@ from mmlspark_spark.core.cache import (
     attach_intermediates,
     persist_intermediate,
 )
+from mmlspark_spark.functions.keys import content_hash128
 from mmlspark_spark.functions.text_quality import tokens, word_shingles
 from mmlspark_spark.operators.scale import spread_narrow_scan as _spread_narrow_scan
 
@@ -45,23 +46,10 @@ class ExactDeduplicator(Transformer):
         return schema
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        # Null-safe, unambiguous key serialization. concat_ws SKIPS
-        # null arguments — ('a', NULL) and (NULL, 'a') would collapse
-        # to the same key and silently delete a non-duplicate row —
-        # and a raw separator can occur inside values. Length-prefixing
-        # every value ("<len>:<value>") makes boundaries explicit with
-        # no escapable separator, and NULL gets its own marker (cannot
-        # collide with a value: values start with a digit). Multi-arg
-        # xxhash64 is NOT the fix: Spark's hash expressions also skip
-        # null children.
-        parts = []
-        for c in self.keyCols:
-            s = F.col(c).cast("string")
-            parts.append(F.coalesce(
-                F.concat(F.length(s).cast("string"), F.lit(":"), s),
-                F.lit("\x00")))
-        key = F.concat(*parts)
-        h1, h2 = F.xxhash64(key), F.md5(key)
+        # Null-safe, unambiguous key serialization — see
+        # functions/keys.py for why concat_ws and multi-arg xxhash64
+        # both silently collide ('a', NULL) with (NULL, 'a').
+        h1, h2 = content_hash128(self.keyCols)
         w = Window.partitionBy(h1, h2).orderBy(F.col(self.idCol))
         return (
             df.withColumn("__rn", F.row_number().over(w))

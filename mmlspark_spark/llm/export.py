@@ -124,10 +124,12 @@ def read_training_shard(spark: SparkSession, path: str,
             .filter(F.col("shard") == shard).drop("shard"))
 
 
-def verify_training_shards(spark: SparkSession, path: str,
-                           idCol: str = "doc_id") -> dict:
+def verify_training_shards(spark: SparkSession, path: str) -> dict:
     """Recompute the manifest from disk and diff against the stored
-    one; returns {"ok": bool, "mismatched": [shard, ...]}."""
+    one; returns {"ok": bool, "mismatched": [shard, ...]}. The
+    checksum covers every column, so verification is content-based —
+    no id column is needed (shard membership is re-derivable from
+    ``shard_assignment`` if a caller wants to audit placement)."""
     stored = json.loads(_fs_read_text(spark, f"{path}/_manifest.json"))
     written = spark.read.parquet(path)
     live = (written.groupBy("shard")

@@ -135,7 +135,18 @@ class NGramLMModel(Model):
             self._require_cols(df.schema, self.idCol)
             keyed = df.withColumn("__lm_row", F.col(self.idCol))
         else:
-            keyed = df.withColumn("__lm_row", F.monotonically_increasing_id())
+            # The synthetic key feeds BOTH sides of the join-back below
+            # (explode/score subtree AND the final join). A
+            # nondeterministic expression evaluated independently per
+            # subtree can assign DIFFERENT ids when upstream is itself
+            # nondeterministic (sample, rand filter, re-executed
+            # shuffle) and scores would attach to the wrong rows —
+            # localCheckpoint pins one materialization for both
+            # consumers (same hazard zip_with_index pins,
+            # operators/scale.py:140-158).
+            keyed = (df.withColumn("__lm_row",
+                                   F.monotonically_increasing_id())
+                     .localCheckpoint())
         src = _prep(self.textCol, self.lowercase)
         ex = keyed.select(
             "__lm_row", F.explode(raw_word_ngrams(src, 2)).alias("b")

@@ -59,7 +59,11 @@ def _uniform_key(idCol, seed: int):
     # a negative u that passes EVERY rate filter. pmod == % for
     # non-negative ids, so the engine-parity contract (and the
     # catalog oracle, which uses % on non-negative doc ids) holds.
-    s0 = F.pmod(F.col(idCol) + F.lit(seed), F.lit(_M))
+    # cast to long FIRST: an int-typed id column would otherwise make
+    # s0 * _A a 32-bit multiply, which overflows (ANSI throw) for any
+    # s0 > 2^31/48271 ≈ 44k — the int64 bound below assumes 64-bit
+    # intermediates.
+    s0 = F.pmod(F.col(idCol).cast("long") + F.lit(seed), F.lit(_M))
     return F.pmod(F.pmod(s0 * _A, F.lit(_M)) * _A, F.lit(_M))
 
 
@@ -143,7 +147,12 @@ class DomainMixer(Transformer):
         return df.filter((u.cast("double") / _M) < rcol)
 
     def _domain_case(self, mapping: dict, default):
+        # eqNullSafe, not ==: _quotas deliberately treats NULL as a
+        # legal domain value, so a user-listed None key must match NULL
+        # rows instead of falling through to the default quota/rate
+        # (== against NULL is never true and would silently drop them).
         col = default
         for d, v in mapping.items():
-            col = F.when(F.col(self.domainCol) == d, F.lit(v)).otherwise(col)
+            col = F.when(F.col(self.domainCol).eqNullSafe(F.lit(d)),
+                         F.lit(v)).otherwise(col)
         return col

@@ -205,17 +205,13 @@ class VowpalWabbitInteractions(Transformer):
     def _transform(self, df: DataFrame) -> DataFrame:
         from pyspark.ml.feature import FeatureHasher
 
-        # length-prefixed serialization, not concat_ws: concat_ws skips
-        # NULL arguments, so ('x', NULL) and (NULL, 'x') would collapse
-        # onto one crossed feature (same defect class as
-        # ExactDeduplicator's key — see llm/dedup.py)
-        parts = []
-        for c in self.inputCols:
-            s = F.col(c).cast("string")
-            parts.append(F.coalesce(
-                F.concat(F.length(s).cast("string"), F.lit(":"), s),
-                F.lit("\x00")))
-        cross = F.concat(*parts)
+        # Null-safe length-prefixed serialization shared with
+        # ExactDeduplicator (functions/keys.py) — concat_ws skips NULL
+        # arguments, so ('x', NULL) and (NULL, 'x') would collapse
+        # onto one crossed feature.
+        from mmlspark_spark.functions.keys import null_safe_key
+
+        cross = null_safe_key(self.inputCols)
         with_cross = df.withColumn("__cross__", cross)
         hasher = FeatureHasher(inputCols=self.inputCols + ["__cross__"],
                                outputCol=self.outputCol,

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from mmlspark_spark.functions.keys import content_hash128
+
 
 def windowed_agg(df: DataFrame, timeCol: str, window: str,
                  aggs: dict, watermark: str = "10 minutes",
@@ -107,10 +109,13 @@ def streaming_dedup(df: DataFrame, keyCols, timeCol: str,
     State-store discipline (what makes this run forever): the
     watermark bounds how long a key is remembered, so state is
     O(distinct keys per horizon), not O(stream); and with ``hashKeys``
-    (default) the state key is a 128-bit content hash (two independent
-    xxhash64 lanes — the ExactDeduplicator key shape), so each entry
-    costs 16 B however large the document is. Raw multi-KB text as a
-    state key is how streaming dedup OOMs at scale.
+    (default) the state key is a 128-bit content hash over the
+    null-safe length-prefixed key serialization shared with
+    ``ExactDeduplicator`` (functions/keys.py — multi-arg xxhash64
+    would skip null children and collide ('a', NULL) with
+    (NULL, 'a')), so each entry costs ~24 B however large the
+    document is. Raw multi-KB text as a state key is how streaming
+    dedup OOMs at scale.
 
     Duplicates separated by more than the watermark re-emit (their
     state has been reclaimed) — the horizon is the dedup guarantee,
@@ -120,7 +125,7 @@ def streaming_dedup(df: DataFrame, keyCols, timeCol: str,
     d = df.withWatermark(timeCol, watermark)
     if not hashKeys:
         return d.dropDuplicatesWithinWatermark(keys)
-    d = (d.withColumn("__dk1", F.xxhash64(*keys))
-         .withColumn("__dk2", F.xxhash64(F.lit(1), *keys)))
+    h1, h2 = content_hash128(keys)
+    d = d.withColumn("__dk1", h1).withColumn("__dk2", h2)
     return (d.dropDuplicatesWithinWatermark(["__dk1", "__dk2"])
             .drop("__dk1", "__dk2"))

@@ -129,6 +129,24 @@ def test_domain_mixer_rate_mode_approximates_quota(spark):
     assert "Exchange" not in plan
 
 
+def test_domain_mixer_null_domain_in_weights(spark):
+    """A NULL domain the user explicitly weights is a legal bucket:
+    it must receive its quota (eqNullSafe match), not silently fall
+    through to the 0 default while absent from observedDroppedDomains."""
+    from mmlspark_spark.llm import DomainMixer
+
+    rows = [(i, "a") for i in range(40)] + [(40 + i, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, domain string")
+    mixer = DomainMixer(domainCol="domain", idCol="doc_id",
+                        weights={"a": 1, None: 1}, totalBudget=40,
+                        exact=True, seed=3)
+    out = mixer.transform(df)
+    by_dom = {r.domain: r["count"] for r in
+              out.groupBy("domain").count().collect()}
+    assert by_dom == {"a": 20, None: 20}
+    assert mixer.observedDroppedDomains == []
+
+
 def test_domain_mixer_validation(spark):
     from mmlspark_spark.llm import DomainMixer
 
@@ -356,11 +374,11 @@ def test_training_shard_export_roundtrip(spark, sf_dir, tmp_path):
     assert got0.count() == expect0
     assert "shard" not in got0.columns
 
-    assert verify_training_shards(spark, path, "doc_id")["ok"]
+    assert verify_training_shards(spark, path)["ok"]
 
     # corruption detection: drop one shard directory
     import shutil
 
     shutil.rmtree(f"{path}/shard=1")
-    v = verify_training_shards(spark, path, "doc_id")
+    v = verify_training_shards(spark, path)
     assert not v["ok"] and v["mismatched"] == ["1"]

@@ -214,3 +214,37 @@ def test_streaming_dedup_drops_copies(spark, tmp_path):
         assert spark.sql("SELECT * FROM sd_out").columns == ["ts", "text"]
     finally:
         q.stop()
+
+
+def test_streaming_dedup_null_key_no_collision(spark, tmp_path):
+    """('a', NULL) and (NULL, 'a') are DISTINCT keys: the hashed state
+    key uses the null-safe length-prefixed serialization, not multi-arg
+    xxhash64 (which skips null children and would collide them)."""
+    import json as _json
+
+    from mmlspark_spark.streaming import streaming_dedup
+
+    src = tmp_path / "sdn_src"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"ts": "2026-01-01T00:00:00", "k1": "a", "k2": None},
+        {"ts": "2026-01-01T00:00:01", "k1": None, "k2": "a"},
+        {"ts": "2026-01-01T00:00:02", "k1": "a", "k2": None},  # true dup
+    ]))
+    stream = (spark.readStream
+              .schema("ts timestamp, k1 string, k2 string")
+              .json(str(src)))
+    out = streaming_dedup(stream, ["k1", "k2"], "ts", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("sdn_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sdn_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            ((r.k1, r.k2)
+             for r in spark.sql("SELECT k1, k2 FROM sdn_out").collect()),
+            key=str)
+        assert got == sorted([(None, "a"), ("a", None)], key=str)
+    finally:
+        q.stop()
