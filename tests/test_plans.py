@@ -184,6 +184,48 @@ def test_ngram_lm_score_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_tpch_q19_lineitem_never_shuffles(spark, sf_dir):
+    """Q19 is one broadcast join + a scalar aggregate: the only
+    exchange allowed is the single-partition gather for the final
+    agg — lineitem must not hash-shuffle and the disjunctive
+    predicate must not degrade the join to a nested loop."""
+    p = _plan(spark, "tpch_q19", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q4_exists_is_semi_join(spark, sf_dir):
+    """The EXISTS decorrelates to ONE semi hash join (lineitem scanned
+    once), never a per-order re-probe (nested loop) or a full inner
+    join + distinct."""
+    p = _plan(spark, "tpch_q4", sf_dir)
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q2_q11_q21_decorrelate_without_cartesian(spark, sf_dir):
+    """The three correlated-subquery shapes must plan as hash joins on
+    their decorrelation keys — a correlated re-scan would appear as a
+    nested-loop/cartesian node."""
+    for name in ("tpch_q2", "tpch_q11", "tpch_q21"):
+        p = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in p, name
+        # the one-row threshold frames in q11 broadcast; everything
+        # else is a hash join
+        assert "SortMergeJoin" not in p or name == "tpch_q21", name
+
+
+def test_tpch_q20_all_probes_are_semi(spark, sf_dir):
+    """Both nested INs become semi joins — the plan must contain no
+    row-multiplying join of lineitem against part or supplier."""
+    p = _plan(spark, "tpch_q20", sf_dir)
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
 def test_kmeans_assign_is_map_only(spark, sf_dir):
     """The assignment pass broadcasts centroids inside the UDF closure
     — the plan over the embeddings scan must contain no join and no
