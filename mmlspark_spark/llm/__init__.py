@@ -1,5 +1,6 @@
 from mmlspark_spark.llm.dedup import (
     ExactDeduplicator,
+    IncrementalDeduplicator,
     MinHashLSHDeduplicator,
     SimHashDeduplicator,
     connected_components,
@@ -33,6 +34,7 @@ from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
 
 __all__ = [
     "ExactDeduplicator",
+    "IncrementalDeduplicator",
     "MinHashLSHDeduplicator",
     "SimHashDeduplicator",
     "ngram_jaccard_pairs",

@@ -24,7 +24,7 @@ from mmlspark_spark.core.cache import (
     attach_intermediates,
     persist_intermediate,
 )
-from mmlspark_spark.functions.keys import content_hash128
+from mmlspark_spark.functions.keys import content_hash128, null_safe_key
 from mmlspark_spark.functions.text_quality import tokens, word_shingles
 from mmlspark_spark.operators.scale import spread_narrow_scan as _spread_narrow_scan
 
@@ -832,3 +832,150 @@ def duplicated_substring_spans(
                  F.max("__end").alias("span_end"))
             .select(F.col("__id").alias(idCol),
                     "span_start", "span_end"))
+
+
+def _bit_at(pos):
+    """1L << (pos % 64) with a COLUMN shift amount — the PySpark
+    ``F.shiftleft`` wrapper only accepts a python-int numBits, so the
+    SQL function is invoked directly."""
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("long"),
+        F.pmod(pos, F.lit(64)).cast("int"))
+
+
+class IncrementalDeduplicator(Transformer):
+    """Dedup an incoming batch against an already-ingested reference
+    corpus — the always-on ingestion companion to ``ExactDeduplicator``
+    (which dedups WITHIN one frame) and ``streaming_dedup`` (which
+    dedups a live stream within a watermark horizon). A daily crawl
+    drop is checked against the historical registry; rows whose key
+    already exists are dropped (``mode='drop'``) or flagged
+    (``mode='flag'``, appends boolean ``is_duplicate``).
+
+    Scale design — why this is not just an anti join. The naive form
+    shuffles the ENTIRE incoming batch against the reference on the
+    join key; at 100 TB/day of incoming against a multi-PB registry
+    that shuffle dominates the pipeline. Spark's own runtime
+    bloom-filter injection (InjectRuntimeFilter) solves this for
+    semi/inner joins but deliberately never fires for anti joins (an
+    over-approximating filter cannot prune the probe side of an anti
+    join). So this operator builds the bloom explicitly and splits the
+    batch in two exact phases:
+
+    1. BUILD: one aggregation over the reference computes a Bloom
+       bitset (``bloomBits`` bits, ``bloomHashes`` independent
+       xxhash64 lanes) as ~``bloomBits``/64 packed longs, collected to
+       the driver and embedded as an array literal — ~16 KB plan
+       weight per 2^17 bits.
+    2. PROBE, map-only: every incoming row evaluates ``might_contain``
+       as pure codegen expressions (element_at + bit test on the
+       literal array). Bloom negatives are DEFINITELY new (no false
+       negatives) and pass through WITHOUT EVER SHUFFLING — at real
+       duplicate rates (a few %) this is almost the whole batch.
+    3. CONFIRM: only bloom positives (true dups + FP rate ~0.1% at
+       the default 20 bits/key) join the reference on the 128-bit
+       content hash for an exact verdict.
+
+    The result is byte-identical to the plain anti join (the bloom
+    only routes rows, never decides), so the catalog oracle is a plain
+    SQL anti join. ``bloomBits=0`` disables the filter and degrades to
+    the single anti join — use that when the reference is too large
+    for a driver-held bitset (>~2^24 bits; at that point bucket both
+    sides on the hash instead, operators/scale.py:bucketed_join).
+
+    Reference cost: the registry never needs raw text — pre-reduce it
+    to its two hash-lane columns once (`reference_registry`) and reuse
+    across batches.
+    """
+
+    def __init__(self, referenceDf: DataFrame = None, keyCols=("text",),
+                 mode: str = "drop", bloomBits: int = 1 << 20,
+                 bloomHashes: int = 5):
+        if mode not in ("drop", "flag"):
+            raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+        if bloomBits and (bloomBits & 63):
+            raise ValueError("bloomBits must be a multiple of 64")
+        super().__init__(referenceDf=referenceDf, keyCols=list(keyCols),
+                         mode=mode, bloomBits=bloomBits,
+                         bloomHashes=bloomHashes)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, *self.keyCols)
+        if self.mode == "flag":
+            return T.StructType(list(schema.fields) + [
+                T.StructField("is_duplicate", T.BooleanType(), False)])
+        return schema
+
+    def _registry(self) -> DataFrame:
+        h1, h2 = content_hash128(self.keyCols)
+        return (self.referenceDf
+                .select(h1.alias("__rh1"), h2.alias("__rh2")).distinct())
+
+    def _positions(self, key):
+        """The k bloom bit positions of a key expression — independent
+        xxhash64 lanes (seed column prefix), identical on the build
+        (reference) and probe (incoming) sides."""
+        return [F.pmod(F.xxhash64(F.lit(i), key), F.lit(self.bloomBits))
+                for i in range(self.bloomHashes)]
+
+    def _might_contain(self, key):
+        """Pure-Catalyst bloom probe: k xxhash64 lanes -> bit tests
+        against a literal bitset built by ONE reference aggregation
+        (positions -> packed 64-bit words via bit_or, dense-filled on
+        the driver, <= bloomBits/64 result rows)."""
+        ref_key = null_safe_key(self.keyCols)
+        word_rows = (self.referenceDf
+                     .select(F.explode(F.array(*[
+                         p.cast("long")
+                         for p in self._positions(ref_key)])).alias("__p"))
+                     .groupBy(F.shiftrightunsigned("__p", 6).alias("__w"))
+                     .agg(F.bit_or(_bit_at("__p")).alias("__bits"))
+                     .collect())
+        words = [0] * (self.bloomBits // 64)
+        for r in word_rows:
+            words[int(r["__w"])] = int(r["__bits"])
+        bitset = F.lit(words).cast("array<long>")
+        probe = F.lit(True)
+        for p in self._positions(key):
+            word = F.element_at(bitset,
+                                (F.shiftrightunsigned(p, 6) + 1).cast("int"))
+            probe = probe & (word.bitwiseAND(_bit_at(p)) != 0)
+        return probe
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        reg = self._registry()
+        h1, h2 = content_hash128(self.keyCols)
+        keyed = df.withColumn("__ih1", h1).withColumn("__ih2", h2)
+        cond = ((F.col("__ih1") == F.col("__rh1"))
+                & (F.col("__ih2") == F.col("__rh2")))
+        if not self.bloomBits:
+            if self.mode == "drop":
+                return (keyed.join(reg, cond, "left_anti")
+                        .drop("__ih1", "__ih2"))
+            # registry hashes are distinct, so the left join is 1:0/1:1
+            return (keyed
+                    .join(reg.select(F.col("__rh1"), F.col("__rh2"),
+                                     F.lit(True).alias("__dup")),
+                          cond, "left")
+                    .withColumn("is_duplicate",
+                                F.coalesce("__dup", F.lit(False)))
+                    .drop("__ih1", "__ih2", "__rh1", "__rh2", "__dup"))
+        key = null_safe_key(self.keyCols)
+        might = self._might_contain(key)
+        keyed = keyed.withColumn("__bloom", might)
+        fast_new = keyed.filter(~F.col("__bloom"))      # map-only, no shuffle
+        candidates = keyed.filter(F.col("__bloom"))     # dups + ~0.1% FPs
+        if self.mode == "drop":
+            confirmed_new = candidates.join(reg, cond, "left_anti")
+            return (fast_new.unionByName(confirmed_new)
+                    .drop("__bloom", "__ih1", "__ih2"))
+        dup_flagged = (candidates
+                       .join(reg.select("__rh1", "__rh2",
+                                        F.lit(True).alias("__dup")),
+                             cond, "left")
+                       .withColumn("is_duplicate",
+                                   F.coalesce("__dup", F.lit(False)))
+                       .drop("__dup", "__rh1", "__rh2"))
+        return (fast_new.withColumn("is_duplicate", F.lit(False))
+                .unionByName(dup_flagged)
+                .drop("__bloom", "__ih1", "__ih2"))

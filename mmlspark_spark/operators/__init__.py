@@ -15,6 +15,7 @@ from mmlspark_spark.operators.stages import (
 )
 from mmlspark_spark.operators.aggregates import (
     ClassBalancer,
+    HeavyHitters,
     ClassBalancerModel,
     EnsembleByKey,
     SummarizeData,
@@ -31,7 +32,8 @@ __all__ = [
     "Cacher", "DropColumns", "DropMissingData", "Explode", "Lambda",
     "MultiColumnAdapter", "RenameColumn", "Repartition", "SelectColumns",
     "StratifiedRepartition", "StratifiedSampler", "Timer", "UDFTransformer",
-    "ClassBalancer", "ClassBalancerModel", "EnsembleByKey", "SummarizeData",
+    "ClassBalancer", "ClassBalancerModel", "EnsembleByKey", "HeavyHitters",
+    "SummarizeData",
     "DynamicMiniBatchTransformer", "FixedMiniBatchTransformer",
     "FlattenBatch", "PartitionConsolidator", "TimeIntervalMiniBatchTransformer",
 ]

@@ -272,3 +272,60 @@ class EnsembleByKey(Transformer):
         # to the front, violating transform_schema's layout
         return (df.join(agg, on=list(self.keys), how="left")
                 .select(*df.columns, *self.colNames))
+
+
+class HeavyHitters(Transformer):
+    """Exact top-k most frequent values of a column — the hot-key /
+    vocabulary-head detector a curation pipeline runs before choosing
+    stopword lists, shingle caps (``maxDocsPerShingle``), or join-skew
+    salting factors. With ``tokenize=True`` the input column is
+    whitespace-tokenized first (heavy TOKENS of a document corpus).
+
+    Output: (value, cnt), ``k`` rows, ties broken by value ascending so
+    the result is deterministic and engine-reproducible.
+
+    Scale: the count is one partial-aggregated groupBy (map-side
+    combine shrinks each partition to its local distinct values before
+    the exchange), and the top-k is ``orderBy(...).limit(k)``, which
+    Spark executes as TakeOrderedAndProject — a per-partition bounded
+    heap plus a driver merge of p×k rows, never a global sort. The
+    whole job shuffles |distinct values| rows, not |rows|. When even
+    |distinct| is too wide (e.g. shingles at 100 TB), pre-filter with
+    ``minCount`` after a first pass, or cap the universe upstream —
+    an approximate CMS/SpaceSaving sketch trades exactness for one
+    pass and is deliberately NOT the default (this operator feeds
+    thresholds that downstream ops treat as exact)."""
+
+    def __init__(self, inputCol: str = "text", k: int = 100,
+                 minCount: int = 1, tokenize: bool = False,
+                 outputValueCol: str = "value",
+                 outputCountCol: str = "cnt"):
+        super().__init__(inputCol=inputCol, k=k, minCount=minCount,
+                         tokenize=tokenize, outputValueCol=outputValueCol,
+                         outputCountCol=outputCountCol)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.inputCol)
+        src = schema[self.inputCol].dataType
+        vt = T.StringType() if self.tokenize else src
+        return T.StructType([
+            T.StructField(self.outputValueCol, vt),
+            T.StructField(self.outputCountCol, T.LongType(), False)])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from mmlspark_spark.functions.text_quality import tokens
+
+        if self.tokenize:
+            vals = df.select(
+                F.explode(tokens(self.inputCol)).alias(self.outputValueCol))
+        else:
+            vals = df.select(F.col(self.inputCol).alias(self.outputValueCol))
+        counted = (vals.groupBy(self.outputValueCol)
+                   .agg(F.count("*").alias(self.outputCountCol)))
+        if self.minCount > 1:
+            counted = counted.filter(
+                F.col(self.outputCountCol) >= self.minCount)
+        return (counted
+                .orderBy(F.col(self.outputCountCol).desc(),
+                         F.col(self.outputValueCol))
+                .limit(self.k))

@@ -67,6 +67,7 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 _WINDOW_PRIORITY = (
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
+    "incremental_dedup", "heavy_hitters",
     "domain_mix", "ngram_lm_score",
     "exact_dedup", "data_conversion",
     "broadcast_join_revenue", "join_multi", "semi_join", "anti_join",
@@ -3801,3 +3802,55 @@ def url_extract(spark, sf_dir):
     return planted.select(
         "doc_id",
         F.array_join(extract_domains("text"), " ").alias("domains"))
+
+
+@register(
+    "incremental_dedup",
+    oracle="""
+    SELECT d.doc_id
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents r
+      WHERE r.doc_id % 5 = 0
+        AND (r.text = d.text OR (r.text IS NULL AND d.text IS NULL)))
+    """,
+)
+def incremental_dedup_q(spark, sf_dir):
+    """Ingestion-time dedup of a batch against an already-ingested
+    registry (here: every 5th document plays the registry) via
+    llm.IncrementalDeduplicator — bloom negatives pass MAP-ONLY
+    without shuffling; only bloom positives take the exact confirm
+    join, and the result is byte-identical to the plain anti join the
+    oracle states."""
+    from mmlspark_spark.llm import IncrementalDeduplicator
+
+    docs = _t(spark, sf_dir, "documents")
+    reference = docs.filter(F.col("doc_id") % 5 == 0)
+    dedup = IncrementalDeduplicator(
+        referenceDf=reference, keyCols=["text"], mode="drop",
+        bloomBits=1 << 17, bloomHashes=5)
+    return dedup.transform(docs).select("doc_id")
+
+
+@register(
+    "heavy_hitters",
+    oracle=r"""
+    SELECT value, cnt FROM (
+      SELECT t AS value, count(*) AS cnt
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS t
+            FROM documents)
+      GROUP BY t)
+    ORDER BY cnt DESC, value LIMIT 50
+    """,
+)
+def heavy_hitters_q(spark, sf_dir):
+    """Exact top-50 most frequent tokens of the corpus via
+    operators.HeavyHitters — the hot-key detector that feeds shingle
+    caps and skew-salting factors. Partial-aggregated groupBy over
+    |distinct tokens| + TakeOrderedAndProject (no global sort); ties
+    broken by token so the LIMIT boundary is deterministic."""
+    from mmlspark_spark.operators import HeavyHitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return HeavyHitters(inputCol="text", k=50, tokenize=True).transform(docs)

@@ -300,3 +300,84 @@ def test_simhash_non_divisor_bands(spark):
     out = SimHashDeduplicator(bands=5, maxHammingDistance=3).transform(df)
     rows = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
     assert rows.get((1, 2)) == 0
+
+
+def test_incremental_dedup_exactness_and_nulls(spark):
+    """Bloom-routed two-phase result must be byte-identical to the
+    plain anti join (bloomBits=0), including NULL keys and at a
+    deliberately tiny bloom (high FP rate -> confirm join does real
+    work)."""
+    from mmlspark_spark.llm import IncrementalDeduplicator
+
+    ref = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(0, 200, 3)] + [(999, None)],
+        "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(80)] + [(500, None), (501, "new")],
+        "doc_id long, text string")
+    for bits in (0, 64 * 4, 1 << 12):   # none / tiny (FP-heavy) / normal
+        out = IncrementalDeduplicator(
+            referenceDf=ref, keyCols=["text"], mode="drop",
+            bloomBits=bits).transform(inc)
+        got = sorted(r.doc_id for r in out.collect())
+        expect = sorted([i for i in range(80) if i % 3 != 0] + [501])
+        assert got == expect, bits
+    flagged = IncrementalDeduplicator(
+        referenceDf=ref, keyCols=["text"], mode="flag",
+        bloomBits=1 << 12).transform(inc)
+    assert flagged.columns == ["doc_id", "text", "is_duplicate"]
+    dup_ids = sorted(r.doc_id for r in
+                     flagged.filter("is_duplicate").collect())
+    assert dup_ids == [i for i in range(80) if i % 3 == 0] + [500]
+
+
+def test_incremental_dedup_bloom_negatives_skip_the_join(spark):
+    """The scale contract: rows the bloom rejects must flow through a
+    plan branch with NO join — assert the filter side of the union
+    contains the literal-bitset probe and the only joins hang under
+    the candidate branch."""
+    from mmlspark_spark.llm import IncrementalDeduplicator
+
+    ref = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    inc = spark.createDataFrame([(1, "a"), (2, "b")],
+                                "doc_id long, text string")
+    out = IncrementalDeduplicator(
+        referenceDf=ref, keyCols=["text"], mode="drop",
+        bloomBits=1 << 10).transform(inc)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one union of (map-only filter branch, confirm-join branch)
+    assert plan.count("Join") == 1
+    assert "Union" in plan
+    assert sorted(r.doc_id for r in out.collect()) == [2]
+
+
+def test_incremental_dedup_validation(spark):
+    from mmlspark_spark.llm import IncrementalDeduplicator
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        IncrementalDeduplicator(mode="purge")
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        IncrementalDeduplicator(bloomBits=100)
+
+
+def test_heavy_hitters_exact_topk(spark):
+    """Hand-computed frequencies, tie-break by value, minCount gate,
+    and the no-global-sort plan (TakeOrderedAndProject)."""
+    from mmlspark_spark.operators import HeavyHitters
+
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("b c d",), ("a e",)], ["text"])
+    out = HeavyHitters(inputCol="text", k=3, tokenize=True).transform(df)
+    assert [(r.value, r.cnt) for r in out.collect()] == [
+        ("a", 4), ("b", 3), ("c", 2)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+    gated = HeavyHitters(inputCol="text", k=10, tokenize=True,
+                         minCount=2).transform(df)
+    assert {r.value for r in gated.collect()} == {"a", "b", "c"}
+    # untokenized mode counts whole values
+    vals = spark.createDataFrame([("x",), ("x",), ("y",)], ["text"])
+    out2 = HeavyHitters(inputCol="text", k=1).transform(vals)
+    assert [(r.value, r.cnt) for r in out2.collect()] == [("x", 2)]
