@@ -1,6 +1,7 @@
 from mmlspark_spark.llm.dedup import (
     ExactDeduplicator,
     IncrementalDeduplicator,
+    LineDeduplicator,
     MinHashLSHDeduplicator,
     SimHashDeduplicator,
     connected_components,
@@ -35,6 +36,7 @@ from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
 __all__ = [
     "ExactDeduplicator",
     "IncrementalDeduplicator",
+    "LineDeduplicator",
     "MinHashLSHDeduplicator",
     "SimHashDeduplicator",
     "ngram_jaccard_pairs",

@@ -979,3 +979,83 @@ class IncrementalDeduplicator(Transformer):
         return (fast_new.withColumn("is_duplicate", F.lit(False))
                 .unionByName(dup_flagged)
                 .drop("__bloom", "__ih1", "__ih2"))
+
+
+class LineDeduplicator(Transformer):
+    """CCNet-style line-level deduplication: a line that occurs in
+    more than ``maxDocFrequency`` distinct documents is boilerplate
+    (cookie banners, navigation, license footers) and is removed from
+    EVERY document; each document's surviving lines are reassembled in
+    their original order. This is document REWRITING — the complement
+    of ExactDeduplicator's row dropping — and the standard first pass
+    of web-corpus pipelines (CCNet dedups paragraphs/lines against
+    shard frequencies before any doc-level dedup).
+
+    Docs whose every line is boilerplate: dropped when ``dropEmpty``
+    (default — an all-boilerplate doc carries no signal), else kept
+    with empty text. A null text has no lines and behaves like an
+    all-boilerplate doc.
+
+    ``normalize=True`` computes frequencies over lower(trim(line))
+    (CCNet normalizes before hashing) while rewriting the ORIGINAL
+    lines; default False keeps count and rewrite keys identical.
+
+    Scale: lines shuffle as two fixed-width hash lanes, never raw
+    text (the doc-frequency agg is (hash, id)-distinct then a count —
+    both 8-16 B keys). The hot-line set is intrinsically SMALL — at
+    most |corpus lines| / maxDocFrequency lines can exceed the
+    threshold — so it broadcasts, and the removal is a map-side
+    broadcast anti join. Reassembly is one groupBy(doc) of
+    (pos, line) structs sorted in-array; the only per-doc state is
+    the doc's own lines.
+    """
+
+    def __init__(self, idCol: str = "doc_id", textCol: str = "text",
+                 maxDocFrequency: int = 5, sep: str = "\n",
+                 normalize: bool = False, dropEmpty: bool = True):
+        if maxDocFrequency < 1:
+            raise ValueError("maxDocFrequency must be >= 1")
+        super().__init__(idCol=idCol, textCol=textCol,
+                         maxDocFrequency=maxDocFrequency, sep=sep,
+                         normalize=normalize, dropEmpty=dropEmpty)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.idCol, self.textCol)
+        return schema
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        import re as _re
+
+        sep_re = _re.escape(self.sep)
+        lines = df.select(
+            F.col(self.idCol).alias("__id"),
+            F.posexplode(F.split(F.col(self.textCol), sep_re))
+            .alias("__pos", "__line"))
+        key = (F.lower(F.trim("__line")) if self.normalize
+               else F.col("__line"))
+        lines = lines.withColumn("__lh1", F.xxhash64(key)) \
+                     .withColumn("__lh2", F.md5(key))
+        # doc frequency = distinct docs per line: two-stage on
+        # fixed-width keys (a line repeated inside one doc counts once)
+        hot = (lines.select("__lh1", "__lh2", "__id").distinct()
+               .groupBy("__lh1", "__lh2")
+               .agg(F.count("*").alias("__df"))
+               .filter(F.col("__df") > self.maxDocFrequency)
+               .select(F.col("__lh1").alias("__hh1"),
+                       F.col("__lh2").alias("__hh2")))
+        kept = lines.join(
+            F.broadcast(hot),
+            (F.col("__lh1") == F.col("__hh1"))
+            & (F.col("__lh2") == F.col("__hh2")), "left_anti")
+        rebuilt = (kept.groupBy("__id")
+                   .agg(F.concat_ws(self.sep, F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__pos", "__line"))),
+                       lambda s: s["__line"])).alias("__text")))
+        how = "inner" if self.dropEmpty else "left"
+        joined = df.join(rebuilt, df[self.idCol] == rebuilt["__id"], how)
+        text = (F.col("__text") if self.dropEmpty
+                else F.coalesce("__text", F.lit("")))
+        return joined.select(*[
+            text.alias(c) if c == self.textCol else df[c]
+            for c in df.columns])

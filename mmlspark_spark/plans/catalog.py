@@ -67,7 +67,7 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 _WINDOW_PRIORITY = (
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
-    "incremental_dedup", "heavy_hitters",
+    "incremental_dedup", "heavy_hitters", "line_dedup",
     "domain_mix", "ngram_lm_score",
     "exact_dedup", "data_conversion",
     "broadcast_join_revenue", "join_multi", "semi_join", "anti_join",
@@ -3854,3 +3854,42 @@ def heavy_hitters_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return HeavyHitters(inputCol="text", k=50, tokenize=True).transform(docs)
+
+
+@register(
+    "line_dedup",
+    oracle="""
+    WITH docs2 AS (
+      SELECT doc_id,
+             'subscribe to our newsletter' || chr(10) || text || chr(10)
+               || 'topic ' || (doc_id % 40) AS text
+      FROM documents),
+    ex AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM docs2),
+    hot AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS df FROM ex GROUP BY line)
+      WHERE df > 20)
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM ex WHERE line NOT IN (SELECT line FROM hot)
+    GROUP BY doc_id
+    """,
+)
+def line_dedup_q(spark, sf_dir):
+    """CCNet-style boilerplate-line removal via llm.LineDeduplicator
+    (planted: a footer in every doc — removed everywhere — and a
+    'topic N' line shared by ~12 docs — under the threshold, kept).
+    Lines shuffle as fixed-width hash lanes; the hot-line set
+    broadcasts into a map-side anti join; docs reassemble in original
+    line order."""
+    from mmlspark_spark.llm import LineDeduplicator
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("subscribe to our newsletter\n"), F.col("text"),
+                 F.lit("\ntopic "),
+                 (F.col("doc_id") % 40).cast("string")).alias("text"))
+    return LineDeduplicator(maxDocFrequency=20).transform(docs)

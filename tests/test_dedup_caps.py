@@ -381,3 +381,49 @@ def test_heavy_hitters_exact_topk(spark):
     vals = spark.createDataFrame([("x",), ("x",), ("y",)], ["text"])
     out2 = HeavyHitters(inputCol="text", k=1).transform(vals)
     assert [(r.value, r.cnt) for r in out2.collect()] == [("x", 2)]
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    """Footer present in >maxDocFrequency docs is removed everywhere;
+    per-doc lines keep their original order; all-boilerplate docs drop
+    (or survive empty with dropEmpty=False); normalize=True folds
+    case/whitespace for the frequency count but rewrites originals."""
+    from mmlspark_spark.llm import LineDeduplicator
+
+    rows = [(i, f"FOOTER\nbody {i}\nmid {i % 3}") for i in range(10)]
+    rows.append((99, "FOOTER"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = LineDeduplicator(maxDocFrequency=4).transform(df)
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert 99 not in got                       # all lines were boilerplate
+    assert got[0] == "body 0\nmid 0"           # order kept, footer gone
+    assert len(got) == 10
+
+    kept = LineDeduplicator(maxDocFrequency=4,
+                            dropEmpty=False).transform(df)
+    g2 = {r.doc_id: r.text for r in kept.collect()}
+    assert g2[99] == ""
+    assert kept.columns == df.columns
+
+    norm_df = spark.createDataFrame(
+        [(i, f"  footer  \nbody {i}") for i in range(5)]
+        + [(50, "FOOTER\nbody x")], "doc_id long, text string")
+    gn = {r.doc_id: r.text for r in
+          LineDeduplicator(maxDocFrequency=4,
+                           normalize=True).transform(norm_df).collect()}
+    assert gn[50] == "body x"                  # folded into the hot key
+    assert gn[0] == "body 0"
+
+
+def test_line_dedup_hot_join_is_broadcast_anti(spark):
+    """The removal join must be a broadcast anti join (hot set is
+    bounded by lines/threshold) — never a shuffle of the line frame
+    against itself."""
+    from mmlspark_spark.llm import LineDeduplicator
+
+    df = spark.createDataFrame(
+        [(i, f"a\nb {i}") for i in range(8)], "doc_id long, text string")
+    out = LineDeduplicator(maxDocFrequency=3).transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
