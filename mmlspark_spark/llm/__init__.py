@@ -26,10 +26,12 @@ from mmlspark_spark.llm.mixing import DomainMixer
 from mmlspark_spark.llm.packing import BenchmarkDecontaminator, SequencePacker
 from mmlspark_spark.llm.quality import QualityFilter
 from mmlspark_spark.llm.scrub import (
+    MarkupStripper,
     PIIRedactor,
     extract_domains,
     extract_urls,
     redact_pii,
+    strip_markup,
 )
 from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
 
@@ -60,6 +62,8 @@ __all__ = [
     "read_training_shard",
     "verify_training_shards",
     "shard_assignment",
+    "MarkupStripper",
+    "strip_markup",
     "PIIRedactor",
     "redact_pii",
     "extract_urls",

@@ -92,3 +92,49 @@ class PIIRedactor(Transformer):
         return df.withColumn(
             self.outputCol,
             redact_pii(self.textCol, self.kinds, self.tokenFormat))
+
+
+# Markup stripping — ordered chain (script/style bodies first, then
+# tags, then entities, then whitespace normalization). Patterns stay
+# in the Java-regex ∩ RE2 subset (non-greedy + (?s) are in both; no
+# lookaround) so the DuckDB oracle runs byte-identical semantics.
+_MARKUP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?s)<script\b[^>]*>.*?</script>", " "),   # script incl. body
+    (r"(?s)<style\b[^>]*>.*?</style>", " "),     # style incl. body
+    (r"(?s)<!--.*?-->", " "),                    # comments
+    (r"<[^>]+>", " "),                           # any remaining tag
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;|&apos;", "'"),
+    (r"\s+", " "),                               # collapse whitespace
+)
+
+
+def strip_markup(text: Column | str) -> Column:
+    """HTML/markup → plain text: drop script/style bodies, comments
+    and tags, decode the common entities, collapse whitespace. The
+    standard pre-tokenization cleanup of web-extracted corpora
+    (trafilatura-lite); map-only regexp chain, zero shuffles."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pattern, repl in _MARKUP_STEPS:
+        col = F.regexp_replace(col, pattern, repl)
+    return F.trim(col)
+
+
+class MarkupStripper(Transformer):
+    """Map-only markup-strip stage: ``textCol`` → ``outputCol`` via
+    :func:`strip_markup`."""
+
+    def __init__(self, textCol: str = "text", outputCol: str = "clean"):
+        super().__init__(textCol=textCol, outputCol=outputCol)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.textCol)
+        return T.StructType(list(schema.fields)
+                            + [T.StructField(self.outputCol, T.StringType())])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.outputCol, strip_markup(self.textCol))

@@ -68,6 +68,7 @@ _WINDOW_PRIORITY = (
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
     "incremental_dedup", "heavy_hitters", "line_dedup",
+    "markup_strip", "perplexity_prune",
     "domain_mix", "ngram_lm_score",
     "exact_dedup", "data_conversion",
     "broadcast_join_revenue", "join_multi", "semi_join", "anti_join",
@@ -3893,3 +3894,120 @@ def line_dedup_q(spark, sf_dir):
                  F.lit("\ntopic "),
                  (F.col("doc_id") % 40).cast("string")).alias("text"))
     return LineDeduplicator(maxDocFrequency=20).transform(docs)
+
+
+@register(
+    "markup_strip",
+    oracle=r"""
+    SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(
+               '<html><head><style>p { color: #' || (doc_id % 10)
+                 || '; }</style><script type="text/javascript">var x = '
+                 || doc_id || ';</script></head><body><!-- id '
+                 || doc_id || ' --><p class="a">' || text
+                 || '</p>&nbsp;&amp;&lt;tag&gt; &quot;q&#39;</body></html>',
+               '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' ', 'g'),
+               '&amp;', '&', 'g'),
+               '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+               '&#39;|&apos;', '''', 'g'),
+               '\s+', ' ', 'g')) AS clean
+    FROM documents
+    """,
+)
+def markup_strip_q(spark, sf_dir):
+    """Web-corpus markup stripping via llm.MarkupStripper (planted
+    HTML shell around each document: script + style bodies, comments,
+    tags, the common entities). Pure regexp chain, map-only — the
+    oracle replays the identical RE2-subset patterns with DuckDB's
+    'g' flag."""
+    from mmlspark_spark.llm import MarkupStripper
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p { color: #"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit('; }</style><script type="text/javascript">var x = '),
+            F.col("doc_id").cast("string"),
+            F.lit(";</script></head><body><!-- id "),
+            F.col("doc_id").cast("string"),
+            F.lit(' --><p class="a">'), F.col("text"),
+            F.lit("</p>&nbsp;&amp;&lt;tag&gt; &quot;q&#39;</body></html>"),
+        ).alias("text"))
+    return (MarkupStripper(textCol="text", outputCol="clean")
+            .transform(planted).select("doc_id", "clean"))
+
+
+@register(
+    "perplexity_prune",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), uc AS (
+      SELECT w, count(*) AS uc
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), v AS (SELECT count(*) AS v FROM uc),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks
+    ), bc AS (SELECT b, count(*) AS bc FROM bg GROUP BY b),
+    scored AS (
+      SELECT g.doc_id,
+             round(avg(ln((coalesce(bc.bc, 0) + 0.5)
+                          / (coalesce(uc.uc, 0)
+                             + 0.5 * (SELECT v FROM v)))), 6)
+               AS avg_logprob
+      FROM bg g LEFT JOIN bc ON g.b = bc.b LEFT JOIN uc ON g.w1 = uc.w
+      GROUP BY g.doc_id
+    ), thr AS (
+      SELECT quantile_cont(avg_logprob, 0.75) AS thr FROM scored)
+    SELECT doc_id, avg_logprob
+    FROM scored WHERE avg_logprob >= (SELECT thr FROM thr)
+    """)
+def perplexity_prune(spark, sf_dir):
+    """CCNet perplexity pruning as one pipeline: bigram-LM score every
+    document (NGramLanguageModel, exact integer counts -> engine-
+    portable probabilities), keep the most-fluent quartile. The
+    quartile THRESHOLD comes from one exact-percentile aggregate
+    broadcast back as a one-row frame — NOT from a global ntile sort,
+    which would single-partition 100 TB; both engines use the same
+    (n-1)p linear interpolation, and scores are 6dp-rounded before the
+    compare so the boundary cannot flip. Docs with no bigrams score
+    NULL and fall out on both sides."""
+    from mmlspark_spark.core.cache import (
+        attach_intermediates,
+        persist_intermediate,
+        propagate_intermediates,
+    )
+    from mmlspark_spark.llm import NGramLanguageModel
+
+    docs = _t(spark, sf_dir, "documents")
+    model = NGramLanguageModel(textCol="text", k=0.5, lowercase=True).fit(docs)
+    model.set("idCol", "doc_id")
+    raw = model.transform(docs)  # carries the persisted count frames
+    # scored feeds BOTH the percentile aggregate and the filter —
+    # persist it or the whole LM scoring dataflow runs twice
+    scored = persist_intermediate(raw.select(
+        "doc_id", F.round("avg_logprob", 6).alias("avg_logprob")))
+    thr = scored.agg(
+        F.percentile("avg_logprob", F.lit(0.75)).alias("__thr"))
+    out = (scored.crossJoin(F.broadcast(thr))
+           .filter(F.col("avg_logprob") >= F.col("__thr"))
+           .select("doc_id", "avg_logprob"))
+    out = propagate_intermediates(raw, out)
+    return attach_intermediates(out, scored)

@@ -393,3 +393,25 @@ def test_url_and_domain_extraction(spark):
                     extract_domains("text").alias("d")).collect()[0]
     assert row.u == ["https://a.example.org/x?y=1", "http://b.net:8080/z"]
     assert row.d == ["a.example.org", "b.net"]
+
+
+def test_markup_stripper(spark):
+    """Script/style bodies vanish entirely, tags drop, entities decode,
+    whitespace collapses — and stripping already-clean text is the
+    identity (idempotence)."""
+    from mmlspark_spark.llm import MarkupStripper
+
+    html = ('<html><head><style>p{color:red}</style>'
+            '<script>var x = "<p>not text</p>";</script></head>'
+            '<body><!-- hidden --><p class="a">Hello &amp;'
+            ' <b>world</b>&nbsp;&lt;3&#39;s</p></body></html>')
+    df = spark.createDataFrame([(1, html), (2, "plain text")],
+                               ["doc_id", "text"])
+    out = {r.doc_id: r.clean for r in
+           MarkupStripper().transform(df).collect()}
+    assert out[1] == "Hello & world <3's"
+    assert out[2] == "plain text"
+    # idempotent on its own output
+    df2 = spark.createDataFrame([(1, out[1])], ["doc_id", "text"])
+    again = MarkupStripper().transform(df2).collect()[0].clean
+    assert again == out[1]
