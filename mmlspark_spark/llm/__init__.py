@@ -34,6 +34,7 @@ from mmlspark_spark.llm.scrub import (
     strip_markup,
 )
 from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
+from mmlspark_spark.llm.tokenizer import BPETokenizer, BPETokenizerModel
 
 __all__ = [
     "ExactDeduplicator",
@@ -64,6 +65,8 @@ __all__ = [
     "shard_assignment",
     "MarkupStripper",
     "strip_markup",
+    "BPETokenizer",
+    "BPETokenizerModel",
     "PIIRedactor",
     "redact_pii",
     "extract_urls",

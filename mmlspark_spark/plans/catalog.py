@@ -88,16 +88,21 @@ _WINDOW_PRIORITY = (
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    """Never-driver-checked oracled queries first, then the remaining
-    oracled queries, then rows-only (stable within each group by
-    registration order): the driver correctness-checks a window of the
-    first N registered queries, and an oracled query carries strictly
-    more evidence than a rows-only one. The SAME ordering drives every
-    exported view (queries(), oracle_sql()) so positional consumers
-    can never mispair them."""
+    """Priority-listed oracled queries first IN LIST ORDER, then the
+    remaining oracled queries (stable by registration order), then
+    rows-only: the driver correctness-checks a window of the first N
+    entries, and an oracled query carries strictly more evidence than
+    a rows-only one. List position matters — a sort key of mere
+    membership would fall back to registration order inside the
+    priority group, silently parking late-registered queries outside
+    the window. The SAME ordering drives every exported view
+    (queries(), oracle_sql()) so positional consumers can never
+    mispair them."""
+    rank = {n: i for i, n in enumerate(_WINDOW_PRIORITY)}
     return sorted(
         CATALOG.values(),
-        key=lambda s: (s.oracle is None, s.name not in _WINDOW_PRIORITY))
+        key=lambda s: (s.oracle is None,
+                       rank.get(s.name, len(_WINDOW_PRIORITY))))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4011,3 +4016,21 @@ def perplexity_prune(spark, sf_dir):
            .select("doc_id", "avg_logprob"))
     out = propagate_intermediates(raw, out)
     return attach_intermediates(out, scored)
+
+
+@register("bpe_tokenize", oracle=None)
+def bpe_tokenize_q(spark, sf_dir):
+    """Learned-subword tokenization (llm.BPETokenizer): fit a BPE
+    merge table from the corpus word histogram (one vocabulary-sized
+    shuffle; merge learning is driver-side over the histogram,
+    corpus-size-independent), then tokenize map-only with per-word
+    memoization. Rows-only: the merge loop is iterative and
+    data-dependent, not SQL-expressible — semantics are pinned by
+    hand-computed merge tests (tests/test_curation.py)."""
+    from mmlspark_spark.llm import BPETokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    model = BPETokenizer(textCol="text", numMerges=200,
+                         lowercase=True).fit(docs)
+    return (model.transform(docs)
+            .select("doc_id", F.size("bpe_tokens").alias("n_bpe_tokens")))

@@ -80,3 +80,21 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_window_priority_order_is_respected():
+    """_ordered_specs must place priority-listed queries at the FRONT
+    in list order — a membership-only sort key silently falls back to
+    registration order and parks late-registered queries outside the
+    driver's ~50-query window (the round-6 bug this pins)."""
+    from mmlspark_spark.plans.catalog import _WINDOW_PRIORITY, _ordered_specs
+
+    names = [s.name for s in _ordered_specs()]
+    listed = [n for n in _WINDOW_PRIORITY if n in set(names)]
+    assert names[:len(listed)] == listed
+    # and every oracled query still precedes every rows-only query
+    from mmlspark_spark.plans.catalog import CATALOG
+    first_rows_only = min(
+        i for i, n in enumerate(names) if CATALOG[n].oracle is None)
+    assert all(CATALOG[n].oracle is not None
+               for n in names[:first_rows_only])

@@ -382,3 +382,67 @@ def test_training_shard_export_roundtrip(spark, sf_dir, tmp_path):
     shutil.rmtree(f"{path}/shard=1")
     v = verify_training_shards(spark, path)
     assert not v["ok"] and v["mismatched"] == ["1"]
+
+
+def test_bpe_learn_merges_hand_computed():
+    """Sennrich's running example shape: 'ab' dominates, so (a, b) is
+    the first merge; ties break lexicographically."""
+    from mmlspark_spark.llm.tokenizer import _learn_merges, _encode_word
+
+    hist = {"abab": 10, "abc": 5}
+    merges = _learn_merges(hist, 3)
+    # pair counts round 1: (a,b)=25, (b,a)=10, (b,c)=5, (c,</w>)=5,
+    # (b,</w>)=10 -> best (a,b)
+    assert merges[0] == ("a", "b")
+    # round 2 over merged symbols: ('ab','ab')=10, ('ab','</w>')=10,
+    # ('ab','c')=5, ('c','</w>')=5 -> tie 10/10 -> lexicographic:
+    # ('ab','</w>') < ('ab','ab')
+    assert merges[1] == ("ab", _lm_end())
+
+    # full table collapses the whole word into one symbol
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert _encode_word("abab", ranks) == ["abab" + _lm_end()]
+    # with only the first merge, the word splits at merge boundaries
+    assert _encode_word("abab", {("a", "b"): 0}) == [
+        "ab", "ab", _lm_end()]
+
+
+def _lm_end():
+    from mmlspark_spark.llm.tokenizer import _END
+    return _END
+
+
+def test_bpe_fit_transform_roundtrip(spark):
+    """End-to-end: fit on a tiny corpus, tokens re-concatenate to the
+    original words (</w> marks word ends), cache path included, and
+    the transform plan is map-only (no joins/aggregations)."""
+    from mmlspark_spark.llm import BPETokenizer
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower"), (2, "newest newest widest"),
+         (3, None)],
+        "doc_id long, text string")
+    model = BPETokenizer(numMerges=10, lowercase=True).fit(df)
+    out = model.transform(df)
+    assert out.columns == ["doc_id", "text", "bpe_tokens"]
+    rows = {r.doc_id: r.bpe_tokens for r in out.collect()}
+    assert rows[3] is None
+    from mmlspark_spark.llm.tokenizer import _END
+    for doc_id, text in ((1, "low low low lower lower"),
+                         (2, "newest newest widest")):
+        joined = "".join(rows[doc_id]).replace(_END, " ").strip()
+        assert joined == text, (doc_id, rows[doc_id])
+    # frequent whole words become single symbols
+    assert "low" + _END in rows[1]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_bpe_determinism_across_partitionings(spark):
+    from mmlspark_spark.llm import BPETokenizer
+
+    rows = [(i, f"token{i % 7} shared common words here") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m1 = BPETokenizer(numMerges=20).fit(df)
+    m2 = BPETokenizer(numMerges=20).fit(df.repartition(13))
+    assert m1.merges == m2.merges
