@@ -15,11 +15,12 @@ from mmlspark_spark.operators.stages import (
 )
 from mmlspark_spark.operators.aggregates import (
     ClassBalancer,
-    HeavyHitters,
     ClassBalancerModel,
     EnsembleByKey,
+    HeavyHitters,
     SummarizeData,
 )
+from mmlspark_spark.operators.cdc import SCD2Merge
 from mmlspark_spark.operators.minibatch import (
     DynamicMiniBatchTransformer,
     FixedMiniBatchTransformer,
@@ -33,7 +34,7 @@ __all__ = [
     "MultiColumnAdapter", "RenameColumn", "Repartition", "SelectColumns",
     "StratifiedRepartition", "StratifiedSampler", "Timer", "UDFTransformer",
     "ClassBalancer", "ClassBalancerModel", "EnsembleByKey", "HeavyHitters",
-    "SummarizeData",
+    "SCD2Merge", "SummarizeData",
     "DynamicMiniBatchTransformer", "FixedMiniBatchTransformer",
     "FlattenBatch", "PartitionConsolidator", "TimeIntervalMiniBatchTransformer",
 ]

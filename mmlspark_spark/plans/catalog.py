@@ -69,6 +69,7 @@ _WINDOW_PRIORITY = (
     "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
     "incremental_dedup", "heavy_hitters", "line_dedup",
     "markup_strip", "perplexity_prune",
+    "scd2_merge", "funnel_steps", "group_percentiles",
     "domain_mix", "ngram_lm_score",
     "exact_dedup", "data_conversion",
     "broadcast_join_revenue", "join_multi", "semi_join", "anti_join",
@@ -4034,3 +4035,114 @@ def bpe_tokenize_q(spark, sf_dir):
                          lowercase=True).fit(docs)
     return (model.transform(docs)
             .select("doc_id", F.size("bpe_tokens").alias("n_bpe_tokens")))
+
+
+@register(
+    "scd2_merge",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           TRUE AS is_current, CAST(NULL AS VARCHAR) AS batch_id
+    FROM customer WHERE c_custkey % 7 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           FALSE, NULL
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 100, 4),
+           c_mktsegment, TRUE, 'B1'
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+           c_mktsegment, TRUE, 'B1'
+    FROM customer WHERE c_custkey % 100 = 0
+    """)
+def scd2_merge_q(spark, sf_dir):
+    """MERGE INTO / SCD Type-2 apply (operators.SCD2Merge): a change
+    batch (every 7th customer's balance moves; every 100th customer
+    re-arrives under a new key) merges into the dimension — old
+    versions retire to history, new versions and inserts stamp the
+    batch id. The oracle derives the expected classification
+    INDEPENDENTLY (set algebra over the planted batch), so it checks
+    the merge semantics, not the operator's own join."""
+    from mmlspark_spark.operators import SCD2Merge
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = (cust.filter(F.col("c_custkey") % 7 == 0)
+               .withColumn("c_acctbal",
+                           F.round(F.col("c_acctbal") + 100, 4)))
+    inserts = (cust.filter(F.col("c_custkey") % 100 == 0)
+               .withColumn("c_custkey", F.col("c_custkey") + 1000000))
+    merge = SCD2Merge(changesDf=updates.unionByName(inserts),
+                      keyCols=["c_custkey"], batchId="B1")
+    return merge.transform(cust)
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 'step1_view' AS step, count(*) AS users FROM t1
+    UNION ALL SELECT 'step2_click', count(*) FROM t2
+    UNION ALL SELECT 'step3_purchase', count(*) FROM t3
+    """)
+def funnel_steps_q(spark, sf_dir):
+    """Ordered-funnel analysis (view -> click -> purchase, each step
+    strictly after the user's first arrival at the previous step) —
+    the product-analytics staple. Each step is a conditional min
+    aggregate; the per-step user frames are user-cardinality small
+    and broadcast into the next step's filter, so events scans stay
+    map-filtered and only aggregate shuffles move data."""
+    ev = _t(spark, sf_dir, "events")
+    t1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("__t1")))
+    t2 = (ev.filter(F.col("event_type") == "click")
+          .join(F.broadcast(t1.withColumnRenamed("user_id", "__u1")),
+                (F.col("user_id") == F.col("__u1"))
+                & (F.col("ts") > F.col("__t1")))
+          .groupBy("user_id").agg(F.min("ts").alias("__t2")))
+    t3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(F.broadcast(t2.withColumnRenamed("user_id", "__u2")),
+                (F.col("user_id") == F.col("__u2"))
+                & (F.col("ts") > F.col("__t2")))
+          .groupBy("user_id").agg(F.min("ts").alias("__t3")))
+    def step(df, name):
+        return df.agg(F.lit(name).alias("step"),
+                      F.count("*").alias("users"))
+    return (step(t1, "step1_view")
+            .unionByName(step(t2, "step2_click"))
+            .unionByName(step(t3, "step3_purchase")))
+
+
+@register(
+    "group_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """)
+def group_percentiles_q(spark, sf_dir):
+    """Exact per-group percentiles (latency/value SLO reporting):
+    one ObjectHashAggregate pass computes all three quantiles per
+    group — Spark's percentile and DuckDB's quantile_cont share the
+    (n-1)p linear-interpolation definition, so the values compare
+    hash-exact at 6dp. At 100 TB swap in approx_percentile (t-digest)
+    — same plan shape, bounded state; the exact form is the oracled
+    contract."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+                 F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"))
+            .orderBy("event_type"))

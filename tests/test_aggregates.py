@@ -113,3 +113,69 @@ def test_class_balancer_null_label_weight(spark):
     out = ClassBalancer(inputCol="label").fit(df).transform(df)
     rows = {(r.label, r.weight) for r in out.collect()}
     assert (None, 2.0) in rows and ("a", 1.0) in rows
+
+
+def test_scd2_merge_classification(spark):
+    """Unchanged passthrough, history row + stamped update for real
+    changes (NULL->value is a change), no history for no-op updates,
+    stamped inserts — and the batch-side join is broadcast."""
+    from mmlspark_spark.operators import SCD2Merge
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0)],
+        "id long, name string, bal double")
+    ch = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, bal double")
+    out = SCD2Merge(changesDf=ch, keyCols=["id"],
+                    batchId="B7").transform(dim)
+    assert out.columns == ["id", "name", "bal", "is_current", "batch_id"]
+    rows = sorted(((r.id, r.name, r.bal, r.is_current, r.batch_id)
+                   for r in out.collect()), key=str)
+    assert rows == sorted([
+        (1, "a", 10.0, True, None),     # untouched
+        (2, "b", None, False, None),    # history: NULL->20 is a change
+        (2, "b", 20.0, True, "B7"),     # updated, stamped
+        (3, "c", 30.0, True, None),     # no-op update: no history row
+        (4, "d", 40.0, True, "B7"),     # insert, stamped
+    ], key=str)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_merge_idempotent_reapply(spark):
+    """Re-applying the same batch to the merged CURRENT state is a
+    no-op (every batch row now equals its current row) — the merge
+    must not spawn duplicate history."""
+    from mmlspark_spark.operators import SCD2Merge
+
+    dim = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, bal double")
+    ch = spark.createDataFrame([(2, 25.0)], "id long, bal double")
+    m = SCD2Merge(changesDf=ch, keyCols=["id"], batchId="B1")
+    state1 = m.transform(dim)
+    current = state1.filter("is_current").drop("is_current", "batch_id")
+    state2 = SCD2Merge(changesDf=ch, keyCols=["id"],
+                       batchId="B2").transform(current)
+    rows = sorted(((r.id, r.bal, r.is_current, r.batch_id)
+                   for r in state2.collect()), key=str)
+    assert rows == sorted([
+        (1, 10.0, True, None),
+        (2, 25.0, True, None),   # equals current -> untouched, no B2
+    ], key=str)
+
+
+def test_scd2_merge_tracked_cols_subset(spark):
+    """Only trackedCols participate in change detection: a change
+    confined to an untracked column is a no-op."""
+    from mmlspark_spark.operators import SCD2Merge
+
+    dim = spark.createDataFrame([(1, "x", 1.0)],
+                                "id long, name string, score double")
+    ch = spark.createDataFrame([(1, "x", 99.0)],
+                               "id long, name string, score double")
+    out = SCD2Merge(changesDf=ch, keyCols=["id"], trackedCols=["name"],
+                    batchId="B1").transform(dim)
+    rows = [(r.id, r.name, r.score, r.is_current, r.batch_id)
+            for r in out.collect()]
+    assert rows == [(1, "x", 1.0, True, None)]
