@@ -43,9 +43,13 @@ def _test_objects(spark):
     from mmlspark_spark.llm.dedup import (
         EmbeddingDeduplicator,
         ExactDeduplicator,
+        IncrementalDeduplicator,
+        LineDeduplicator,
         MinHashLSHDeduplicator,
         SimHashDeduplicator,
     )
+    from mmlspark_spark.llm.scrub import MarkupStripper
+    from mmlspark_spark.operators import HeavyHitters, SCD2Merge
     from mmlspark_spark.operators import (
         Cacher,
         DropColumns,
@@ -91,6 +95,16 @@ def _test_objects(spark):
          ComplementAccessTransformer(partitionKey="tenant",
                                      indexedColNames=("user_idx", "res_idx"),
                                      complementsetFactor=2, seed=1), pairs),
+        ("IncrementalDedup",
+         IncrementalDeduplicator(referenceDf=docs.limit(1),
+                                 keyCols=["text"], bloomBits=1 << 10), docs),
+        ("LineDedup", LineDeduplicator(maxDocFrequency=1,
+                                       dropEmpty=False), docs),
+        ("MarkupStripper", MarkupStripper(), docs),
+        ("HeavyHitters", HeavyHitters(inputCol="text", k=3,
+                                      tokenize=True), docs),
+        ("SCD2Merge", SCD2Merge(changesDf=docs.limit(1), keyCols=["doc_id"],
+                                batchId="B"), docs),
     ]
 
 
@@ -166,11 +180,15 @@ def test_save_load_roundtrip(spark, tmp_path):
     from mmlspark_spark.featurize import DataConversion, UnicodeNormalize
     from mmlspark_spark.llm.dedup import (
         ExactDeduplicator,
+        LineDeduplicator,
         MinHashLSHDeduplicator,
         SimHashDeduplicator,
     )
+    from mmlspark_spark.llm.scrub import MarkupStripper
+    from mmlspark_spark.llm.tokenizer import BPETokenizerModel
     from mmlspark_spark.operators import (
         DropColumns,
+        HeavyHitters,
         Explode,
         FixedMiniBatchTransformer,
         RenameColumn,
@@ -193,6 +211,12 @@ def test_save_load_roundtrip(spark, tmp_path):
                                     complementsetFactor=3, seed=9),
         DataConversion(cols=["x"], convertTo="double"),
         UnicodeNormalize(inputCol="text", outputCol="norm", form="NFKC"),
+        LineDeduplicator(maxDocFrequency=7, sep="|", normalize=True,
+                         dropEmpty=False),
+        MarkupStripper(textCol="t", outputCol="c"),
+        HeavyHitters(inputCol="w", k=9, minCount=2, tokenize=True),
+        BPETokenizerModel(merges=[("a", "b"), ("ab", "</w>")],
+                          textCol="text", outputCol="toks"),
     ]
     failures = []
     for i, stage in enumerate(stages):
