@@ -70,6 +70,7 @@ _WINDOW_PRIORITY = (
     "incremental_dedup", "heavy_hitters", "line_dedup",
     "markup_strip", "perplexity_prune",
     "scd2_merge", "funnel_steps", "group_percentiles",
+    "rolling_revenue",
     "domain_mix", "ngram_lm_score",
     "exact_dedup", "data_conversion",
     "broadcast_join_revenue", "join_multi", "semi_join", "anti_join",
@@ -4146,3 +4147,34 @@ def group_percentiles_q(spark, sf_dir):
                  F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
                  F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"))
             .orderBy("event_type"))
+
+
+@register(
+    "rolling_revenue",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+             PARTITION BY l_suppkey ORDER BY l_shipdate
+             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW),
+             4) AS rolling_90d
+    FROM lineitem WHERE l_suppkey < 10
+    """)
+def rolling_revenue_q(spark, sf_dir):
+    """Time-RANGE window frame (90-day trailing revenue per supplier)
+    — the rangeBetween face of SURVEY §2.5 (row-frame windows are
+    covered by sessionize/top_k). Spark's rangeBetween needs a numeric
+    ordering key, so the frame runs over unix_micros(shipdate) with a
+    90-day micros radius — peer rows (equal timestamps) enter the
+    frame together in both engines, which is what makes RANGE (not
+    ROWS) the deterministic choice under ties. Parquet timestamps load
+    as TIMESTAMP_NTZ (Spark 4), which unix_micros rejects - the cast
+    to TIMESTAMP is exact under the session UTC timezone. One shuffle
+    on the partition key; frame state is a running sum, never the
+    partition."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
+    w = (Window.partitionBy("l_suppkey")
+         .orderBy(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+         .rangeBetween(-90 * 86400 * 1_000_000, 0))
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 4).alias("rolling_90d"))
