@@ -16,10 +16,14 @@ from mmlspark_spark.streaming.serving import (
     reply_batch,
     serving_sink,
 )
-from mmlspark_spark.streaming.stateful import streaming_dedup
+from mmlspark_spark.streaming.stateful import (
+    streaming_dedup,
+    streaming_dedup_against_registry,
+)
 
 __all__ = [
     "REQUEST_SCHEMA", "HTTPServingDataSource", "register_serving_source",
     "make_reply", "reply_batch", "serving_sink", "DistributedHTTPServer",
     "streaming_dedup",
+    "streaming_dedup_against_registry",
 ]

@@ -129,3 +129,30 @@ def streaming_dedup(df: DataFrame, keyCols, timeCol: str,
     d = d.withColumn("__dk1", h1).withColumn("__dk2", h2)
     return (d.dropDuplicatesWithinWatermark(["__dk1", "__dk2"])
             .drop("__dk1", "__dk2"))
+
+
+def streaming_dedup_against_registry(df: DataFrame, registry: DataFrame,
+                                     keyCols) -> DataFrame:
+    """Drop stream rows whose key already exists in a STATIC registry
+    (the historical-corpus face of ``streaming_dedup``, which only
+    remembers keys within its own watermark horizon; batch sibling:
+    ``llm.IncrementalDeduplicator``). Compose the two for full
+    coverage: registry anti-join for everything ingested before the
+    stream started, then watermark dedup for in-stream copies.
+
+    Implementation is a stream-static LEFT ANTI join on the 128-bit
+    null-safe content hash — Structured Streaming supports
+    stream-static equi-joins with no state store AT ALL (the static
+    side is re-scannable per micro-batch; persist() it so each batch
+    reads the reduced hash frame, not the raw registry). Keys hash
+    through functions/keys.py so ('a', NULL) vs (NULL, 'a') never
+    collide and the join carries 24 B/row however large the document.
+    """
+    keys = [keyCols] if isinstance(keyCols, str) else list(keyCols)
+    h1, h2 = content_hash128(keys)
+    reg = (registry
+           .select(h1.alias("__rk1"), h2.alias("__rk2")).distinct())
+    d = df.withColumn("__sk1", h1).withColumn("__sk2", h2)
+    return (d.join(reg, (F.col("__sk1") == F.col("__rk1"))
+                   & (F.col("__sk2") == F.col("__rk2")), "left_anti")
+            .drop("__sk1", "__sk2"))

@@ -248,3 +248,38 @@ def test_streaming_dedup_null_key_no_collision(spark, tmp_path):
         assert got == sorted([(None, "a"), ("a", None)], key=str)
     finally:
         q.stop()
+
+
+def test_streaming_dedup_against_registry(spark, tmp_path):
+    """Stream-static anti join: rows whose text exists in the static
+    registry never emit, regardless of watermark horizons; fresh rows
+    pass. No state store involved."""
+    import json as _json
+
+    from mmlspark_spark.streaming import streaming_dedup_against_registry
+
+    registry = spark.createDataFrame(
+        [(1, "already ingested"), (2, "also known")], ["doc_id", "text"])
+    src = tmp_path / "sr_src"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"ts": "2026-01-01T00:00:00", "text": "already ingested"},
+        {"ts": "2026-01-01T00:00:01", "text": "brand new"},
+        {"ts": "2026-01-01T00:00:02", "text": "also known"},
+        {"ts": "2026-01-01T00:00:03", "text": "another new"},
+    ]))
+    stream = (spark.readStream.schema("ts timestamp, text string")
+              .json(str(src)))
+    out = streaming_dedup_against_registry(stream, registry, "text")
+    q = (out.writeStream.format("memory").queryName("sr_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sr_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = sorted(r.text for r in
+                     spark.sql("SELECT text FROM sr_out").collect())
+        assert got == ["another new", "brand new"]
+        assert spark.sql("SELECT * FROM sr_out").columns == ["ts", "text"]
+    finally:
+        q.stop()
