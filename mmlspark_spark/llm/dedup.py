@@ -24,7 +24,7 @@ from mmlspark_spark.core.cache import (
     attach_intermediates,
     persist_intermediate,
 )
-from mmlspark_spark.functions.keys import content_hash128, null_safe_key
+from mmlspark_spark.functions.keys import content_hash128
 from mmlspark_spark.functions.text_quality import tokens, word_shingles
 from mmlspark_spark.operators.scale import spread_narrow_scan as _spread_narrow_scan
 
@@ -883,21 +883,36 @@ class IncrementalDeduplicator(Transformer):
     for a driver-held bitset (>~2^24 bits; at that point bucket both
     sides on the hash instead, operators/scale.py:bucketed_join).
 
-    Reference cost: the registry never needs raw text — pre-reduce it
-    to its two hash-lane columns once (`reference_registry`) and reuse
-    across batches.
+    Reference cost: the registry never needs raw text, and both the
+    bloom build AND the confirm join run off the SAME reduced
+    two-hash-lane frame (bloom positions derive from the first lane),
+    which is persisted inside ``transform`` so the reference scans
+    ONCE per batch — the persisted handle attaches to the output for
+    ``core.cache.release_intermediates``. A long-lived registry
+    should store just the two lanes: build it with the
+    ``reference_registry`` static helper and pass it with
+    ``referenceIsRegistry=True`` to skip re-hashing entirely.
     """
 
     def __init__(self, referenceDf: DataFrame = None, keyCols=("text",),
                  mode: str = "drop", bloomBits: int = 1 << 20,
-                 bloomHashes: int = 5):
+                 bloomHashes: int = 5, referenceIsRegistry: bool = False):
         if mode not in ("drop", "flag"):
             raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
         if bloomBits and (bloomBits & 63):
             raise ValueError("bloomBits must be a multiple of 64")
         super().__init__(referenceDf=referenceDf, keyCols=list(keyCols),
                          mode=mode, bloomBits=bloomBits,
-                         bloomHashes=bloomHashes)
+                         bloomHashes=bloomHashes,
+                         referenceIsRegistry=referenceIsRegistry)
+
+    @staticmethod
+    def reference_registry(df: DataFrame, keyCols=("text",)) -> DataFrame:
+        """Reduce a corpus to its distinct two-hash-lane registry frame
+        (columns ``__rh1``, ``__rh2``) — store THIS across batches, not
+        raw text, and pass it back with ``referenceIsRegistry=True``."""
+        h1, h2 = content_hash128(list(keyCols))
+        return df.select(h1.alias("__rh1"), h2.alias("__rh2")).distinct()
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, *self.keyCols)
@@ -907,27 +922,29 @@ class IncrementalDeduplicator(Transformer):
         return schema
 
     def _registry(self) -> DataFrame:
-        h1, h2 = content_hash128(self.keyCols)
-        return (self.referenceDf
-                .select(h1.alias("__rh1"), h2.alias("__rh2")).distinct())
+        if self.referenceIsRegistry:
+            return self.referenceDf
+        return self.reference_registry(self.referenceDf, self.keyCols)
 
-    def _positions(self, key):
-        """The k bloom bit positions of a key expression — independent
-        xxhash64 lanes (seed column prefix), identical on the build
-        (reference) and probe (incoming) sides."""
-        return [F.pmod(F.xxhash64(F.lit(i), key), F.lit(self.bloomBits))
+    def _positions(self, h1):
+        """The k bloom bit positions derived from the FIRST hash lane
+        (re-hashed with a seed prefix per lane) — both sides compute
+        them from their h1, so a stored hash-only registry suffices
+        to build the bloom; no raw key needed."""
+        return [F.pmod(F.xxhash64(F.lit(i), h1), F.lit(self.bloomBits))
                 for i in range(self.bloomHashes)]
 
-    def _might_contain(self, key):
-        """Pure-Catalyst bloom probe: k xxhash64 lanes -> bit tests
-        against a literal bitset built by ONE reference aggregation
-        (positions -> packed 64-bit words via bit_or, dense-filled on
-        the driver, <= bloomBits/64 result rows)."""
-        ref_key = null_safe_key(self.keyCols)
-        word_rows = (self.referenceDf
+    def _might_contain(self, reg: DataFrame, h1):
+        """Pure-Catalyst bloom probe: k position lanes -> bit tests
+        against a literal bitset built by ONE aggregation over the
+        (already persisted) registry frame (positions -> packed 64-bit
+        words via bit_or, dense-filled on the driver, <= bloomBits/64
+        result rows)."""
+        word_rows = (reg
                      .select(F.explode(F.array(*[
                          p.cast("long")
-                         for p in self._positions(ref_key)])).alias("__p"))
+                         for p in self._positions(F.col("__rh1"))]))
+                      .alias("__p"))
                      .groupBy(F.shiftrightunsigned("__p", 6).alias("__w"))
                      .agg(F.bit_or(_bit_at("__p")).alias("__bits"))
                      .collect())
@@ -936,39 +953,43 @@ class IncrementalDeduplicator(Transformer):
             words[int(r["__w"])] = int(r["__bits"])
         bitset = F.lit(words).cast("array<long>")
         probe = F.lit(True)
-        for p in self._positions(key):
+        for p in self._positions(h1):
             word = F.element_at(bitset,
                                 (F.shiftrightunsigned(p, 6) + 1).cast("int"))
             probe = probe & (word.bitwiseAND(_bit_at(p)) != 0)
         return probe
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        reg = self._registry()
+        # persisted: the registry feeds the bloom build AND the confirm
+        # join — one reference scan per batch, not two
+        reg = persist_intermediate(self._registry())
         h1, h2 = content_hash128(self.keyCols)
         keyed = df.withColumn("__ih1", h1).withColumn("__ih2", h2)
         cond = ((F.col("__ih1") == F.col("__rh1"))
                 & (F.col("__ih2") == F.col("__rh2")))
         if not self.bloomBits:
             if self.mode == "drop":
-                return (keyed.join(reg, cond, "left_anti")
-                        .drop("__ih1", "__ih2"))
+                return attach_intermediates(
+                    keyed.join(reg, cond, "left_anti")
+                    .drop("__ih1", "__ih2"), reg)
             # registry hashes are distinct, so the left join is 1:0/1:1
-            return (keyed
-                    .join(reg.select(F.col("__rh1"), F.col("__rh2"),
-                                     F.lit(True).alias("__dup")),
-                          cond, "left")
-                    .withColumn("is_duplicate",
-                                F.coalesce("__dup", F.lit(False)))
-                    .drop("__ih1", "__ih2", "__rh1", "__rh2", "__dup"))
-        key = null_safe_key(self.keyCols)
-        might = self._might_contain(key)
+            return attach_intermediates(
+                keyed
+                .join(reg.select(F.col("__rh1"), F.col("__rh2"),
+                                 F.lit(True).alias("__dup")),
+                      cond, "left")
+                .withColumn("is_duplicate",
+                            F.coalesce("__dup", F.lit(False)))
+                .drop("__ih1", "__ih2", "__rh1", "__rh2", "__dup"), reg)
+        might = self._might_contain(reg, F.col("__ih1"))
         keyed = keyed.withColumn("__bloom", might)
         fast_new = keyed.filter(~F.col("__bloom"))      # map-only, no shuffle
         candidates = keyed.filter(F.col("__bloom"))     # dups + ~0.1% FPs
         if self.mode == "drop":
             confirmed_new = candidates.join(reg, cond, "left_anti")
-            return (fast_new.unionByName(confirmed_new)
-                    .drop("__bloom", "__ih1", "__ih2"))
+            return attach_intermediates(
+                fast_new.unionByName(confirmed_new)
+                .drop("__bloom", "__ih1", "__ih2"), reg)
         dup_flagged = (candidates
                        .join(reg.select("__rh1", "__rh2",
                                         F.lit(True).alias("__dup")),
@@ -976,9 +997,10 @@ class IncrementalDeduplicator(Transformer):
                        .withColumn("is_duplicate",
                                    F.coalesce("__dup", F.lit(False)))
                        .drop("__dup", "__rh1", "__rh2"))
-        return (fast_new.withColumn("is_duplicate", F.lit(False))
-                .unionByName(dup_flagged)
-                .drop("__bloom", "__ih1", "__ih2"))
+        return attach_intermediates(
+            fast_new.withColumn("is_duplicate", F.lit(False))
+            .unionByName(dup_flagged)
+            .drop("__bloom", "__ih1", "__ih2"), reg)
 
 
 class LineDeduplicator(Transformer):
@@ -1033,8 +1055,11 @@ class LineDeduplicator(Transformer):
             .alias("__pos", "__line"))
         key = (F.lower(F.trim("__line")) if self.normalize
                else F.col("__line"))
-        lines = lines.withColumn("__lh1", F.xxhash64(key)) \
-                     .withColumn("__lh2", F.md5(key))
+        # the shared two-lane content hash (functions/keys.py) — keep
+        # every dedup path on one key/hash scheme
+        lh1, lh2 = content_hash128([key])
+        lines = (lines.withColumn("__lh1", lh1)
+                 .withColumn("__lh2", lh2))
         # doc frequency = distinct docs per line: two-stage on
         # fixed-width keys (a line repeated inside one doc counts once)
         hot = (lines.select("__lh1", "__lh2", "__id").distinct()

@@ -103,12 +103,16 @@ _MARKUP_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?s)<style\b[^>]*>.*?</style>", " "),     # style incl. body
     (r"(?s)<!--.*?-->", " "),                    # comments
     (r"<[^>]+>", " "),                           # any remaining tag
+    # entity decode — &amp; strictly LAST: decoding it first turns a
+    # double-escaped '&amp;lt;' (the literal text "&lt;") into '&lt;'
+    # which the later steps would then decode AGAIN to '<'. With &amp;
+    # last, each entity decodes exactly once.
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;|&apos;", "'"),
+    (r"&amp;", "&"),
     (r"\s+", " "),                               # collapse whitespace
 )
 

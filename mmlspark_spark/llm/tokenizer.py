@@ -28,27 +28,66 @@ from mmlspark_spark.core.base import Estimator, Model
 
 _END = "</w>"
 
+# EXACTLY Java regex \s (ASCII-only), the splitter functions/
+# text_quality.tokens() uses at fit time. Python's str.split() /
+# re \s default to UNICODE whitespace (NBSP, ideographic space, ...),
+# which would make the encoder see different word boundaries than the
+# fitted histogram — merges learned for words the encoder never
+# produces, real words encoded with no merges.
+import re as _re
+
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _java_ws_split(text: str) -> list[str]:
+    return [w for w in _JAVA_WS.split(text) if w]
+
 
 def _learn_merges(word_counts: dict[str, int], num_merges: int,
                   ) -> list[tuple[str, str]]:
     """Classic BPE on a word histogram: repeatedly merge the most
     frequent adjacent symbol pair. Ties break lexicographically so
     the learned table is deterministic across runs and partitionings
-    (plain max-by-count would depend on dict iteration order)."""
-    words = {tuple(w) + (_END,): c for w, c in word_counts.items() if w}
+    (plain max-by-count would depend on dict iteration order).
+
+    Incremental (Sennrich-style): pair counts update only for the
+    words that CONTAIN the merged pair - a from-scratch recount per
+    iteration is O(numMerges x total symbols) (~10^10 driver ops at
+    the default 1000 merges over a 10^6-word histogram) where this is
+    O(touched words) per merge, Zipf-small. The best pair comes from
+    a lazy max-heap: stale entries are discarded when their recorded
+    count no longer matches the live count; ties pop the
+    lexicographically smallest pair, preserving the deterministic
+    contract."""
+    import heapq
+
+    vocab: list[list] = [[list(w) + [_END], c]
+                         for w, c in word_counts.items() if w]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, (sym, c) in enumerate(vocab):
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(idx)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, c in words.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + c
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    while len(merges) < num_merges and heap:
+        negc, best = heapq.heappop(heap)
+        live = pair_counts.get(best, 0)
+        if live <= 0 or -negc != live:
+            continue  # stale or exhausted entry
         merges.append(best)
         merged = best[0] + best[1]
-        out: dict[tuple, int] = {}
-        for sym, c in words.items():
+        touched: set[tuple[str, str]] = set()
+        for idx in list(pair_words.get(best, ())):
+            sym, c = vocab[idx]
+            for p in zip(sym, sym[1:]):
+                pair_counts[p] -= c
+                touched.add(p)
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(idx)
             new = []
             i = 0
             while i < len(sym):
@@ -59,9 +98,15 @@ def _learn_merges(word_counts: dict[str, int], num_merges: int,
                 else:
                     new.append(sym[i])
                     i += 1
-            key = tuple(new)
-            out[key] = out.get(key, 0) + c
-        words = out
+            vocab[idx][0] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(idx)
+                touched.add(p)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
@@ -112,7 +157,7 @@ class BPETokenizerModel(Model):
                 if text is None:
                     return None
                 toks: list[str] = []
-                for w in (text.lower() if lower else text).split():
+                for w in _java_ws_split(text.lower() if lower else text):
                     hit = cache.get(w)
                     if hit is None:
                         hit = cache[w] = _encode_word(w, ranks)

@@ -35,16 +35,26 @@ class SCD2Merge(Transformer):
     id): stamping with now() inside the plan would be nondeterministic
     under task retries.
 
+    Duplicate keys in the change batch are REJECTED eagerly (one
+    aggregate over the small batch at transform time) — a multi-match
+    batch would fan the join out and leave two ``is_current`` rows for
+    one key, the exact corruption SQL MERGE raises on. Pre-reduce the
+    batch to one row per key (e.g. latest by a change-sequence column)
+    before merging.
+
     Scale: Spark cannot broadcast a FULL OUTER join, so the merge is
     deliberately split into (a) dim LEFT JOIN changes — a broadcast
     hash join when the batch is small (``broadcastChanges``), which is
     the common daily-CDC case, classifying unchanged/history/updated
-    rows with pure expressions — and (b) inserts via changes LEFT ANTI
-    the dimension's KEY PROJECTION (only the key columns of the big
-    side shuffle, column-pruned at the scan). State grows only by
-    changed+new rows per batch; key the dimension's bucketing to the
-    merge key so repeated daily merges co-locate
-    (operators/scale.py:bucketed_join).
+    rows with pure expressions; the joined frame is persisted for its
+    three consumers, so the dimension scans ONCE for the
+    classification — and (b) inserts via changes LEFT ANTI the
+    dimension's KEY PROJECTION (only the key columns of the big side
+    scan again, column-pruned). State grows only by changed+new rows
+    per batch; key the dimension's bucketing to the merge key so
+    repeated daily merges co-locate (operators/scale.py:bucketed_join).
+    The caller should release the persisted frame after its action
+    (core.cache.release_intermediates, as bench.py does).
     """
 
     def __init__(self, changesDf: DataFrame = None, keyCols=("id",),
@@ -68,8 +78,23 @@ class SCD2Merge(Transformer):
             T.StructField(self.batchCol, T.StringType())])
 
     def _transform(self, dim: DataFrame) -> DataFrame:
+        from mmlspark_spark.core.cache import (
+            attach_intermediates,
+            persist_intermediate,
+        )
+
         data_cols = [c for c in dim.columns if c not in self.keyCols]
         tracked = self.trackedCols or data_cols
+        # Eager multi-match guard: duplicate keys in the batch would
+        # fan the join out into two is_current rows per key.
+        dup = (self.changesDf.groupBy(*self.keyCols).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            dup_key = tuple(dup[0][k] for k in self.keyCols)
+            raise ValueError(
+                f"change batch has multiple rows for key {dup_key!r}; "
+                "reduce to one row per key (e.g. latest by change "
+                "sequence) before merging")
         ch = self.changesDf.select(
             *[F.col(c).alias(f"__c_{c}") for c in dim.columns])
         if self.broadcastChanges:
@@ -81,9 +106,13 @@ class SCD2Merge(Transformer):
         for k in self.keyCols:
             c = dim[k].eqNullSafe(F.col(f"__c_{k}"))
             cond = c if cond is None else (cond & c)
-        j = (dim.withColumn("__h1", h_old_1).withColumn("__h2", h_old_2)
-             .join(ch.withColumn("__n1", h_new_1).withColumn("__n2", h_new_2),
-                   cond, "left"))
+        # persisted: unchanged/history/updated each consume j — without
+        # it the dimension re-scans (and the batch re-broadcasts) per
+        # branch
+        j = persist_intermediate(
+            dim.withColumn("__h1", h_old_1).withColumn("__h2", h_old_2)
+            .join(ch.withColumn("__n1", h_new_1).withColumn("__n2", h_new_2),
+                  cond, "left"))
         in_ch = F.col("__n1").isNotNull()
         changed = in_ch & ((F.col("__h1") != F.col("__n1"))
                            | (F.col("__h2") != F.col("__n2")))
@@ -114,5 +143,6 @@ class SCD2Merge(Transformer):
                 *[F.col(c).alias(f"__c_{c}") for c in dim.columns])
             .join(dim_keys, key_cond, "left_anti"),
             "new", True, True)
-        return (unchanged.unionByName(history)
-                .unionByName(updated).unionByName(inserted))
+        out = (unchanged.unionByName(history)
+               .unionByName(updated).unionByName(inserted))
+        return attach_intermediates(out, j)

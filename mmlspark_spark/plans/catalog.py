@@ -56,14 +56,15 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     mixing.py/lm.py changed under them this round (eqNullSafe quota
 #     case, id-cast, localCheckpoint row-key pinning), so they rotate
 #     back for re-confirmation;
-# (c) the 41 oracled queries last driver-checked in round 4 — the
+# (c) the oracled queries last driver-checked in round 4 — the
 #     round-5 window rotated them out, and dedup.py (shared null-safe
 #     key extraction) and conversion.py changed under exact_dedup /
 #     data_conversion since. Every round-5 window entry was just
 #     confirmed 50/50 hash-exact, so the whole round-5 set yields its
-#     slots. The two stable, untouched-since-round-3 paths
-#     (index_to_value_roundtrip, json_extract) sit last and may fall
-#     off the ~50 edge.
+#     slots. The list is 61 entries against a ~50-slot window: the
+#     LAST ~11 (sar_item_similarity .. json_extract — r4-green, paths
+#     untouched this round) sit beyond the edge and are the explicit
+#     round-7 rotation backlog, ordered least-recently-risky last.
 _WINDOW_PRIORITY = (
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
@@ -3920,11 +3921,11 @@ def line_dedup_q(spark, sf_dir):
                '(?s)<!--.*?-->', ' ', 'g'),
                '<[^>]+>', ' ', 'g'),
                '&nbsp;', ' ', 'g'),
-               '&amp;', '&', 'g'),
                '&lt;', '<', 'g'),
                '&gt;', '>', 'g'),
                '&quot;', '"', 'g'),
                '&#39;|&apos;', '''', 'g'),
+               '&amp;', '&', 'g'),
                '\s+', ' ', 'g')) AS clean
     FROM documents
     """,

@@ -179,3 +179,18 @@ def test_scd2_merge_tracked_cols_subset(spark):
     rows = [(r.id, r.name, r.score, r.is_current, r.batch_id)
             for r in out.collect()]
     assert rows == [(1, "x", 1.0, True, None)]
+
+
+def test_scd2_merge_rejects_duplicate_batch_keys(spark):
+    """A batch with two rows for one key would fan the join out into
+    two is_current rows — SQL MERGE raises on multiple matches, and
+    so does SCD2Merge (eagerly, at transform time)."""
+    import pytest as _pytest
+
+    from mmlspark_spark.operators import SCD2Merge
+
+    dim = spark.createDataFrame([(1, 10.0)], "id long, bal double")
+    ch = spark.createDataFrame([(1, 20.0), (1, 30.0)],
+                               "id long, bal double")
+    with _pytest.raises(ValueError, match="multiple rows"):
+        SCD2Merge(changesDf=ch, keyCols=["id"]).transform(dim)

@@ -446,3 +446,62 @@ def test_bpe_determinism_across_partitionings(spark):
     m1 = BPETokenizer(numMerges=20).fit(df)
     m2 = BPETokenizer(numMerges=20).fit(df.repartition(13))
     assert m1.merges == m2.merges
+
+
+def test_bpe_incremental_matches_naive_recount():
+    """The heap/incremental learner must produce the exact merge
+    sequence of a from-scratch recount (same count, lexicographic
+    tie-break) on a histogram with ties, overlaps ('aaaa'), and
+    single-char words."""
+    from mmlspark_spark.llm.tokenizer import _END, _learn_merges
+
+    def naive(word_counts, num_merges):
+        words = {tuple(w) + (_END,): c
+                 for w, c in word_counts.items() if w}
+        merges = []
+        for _ in range(num_merges):
+            pairs = {}
+            for sym, c in words.items():
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + c
+            pairs = {p: c for p, c in pairs.items() if c > 0}
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            merged = best[0] + best[1]
+            out = {}
+            for sym, c in words.items():
+                new, i = [], 0
+                while i < len(sym):
+                    if (i + 1 < len(sym) and sym[i] == best[0]
+                            and sym[i + 1] == best[1]):
+                        new.append(merged)
+                        i += 2
+                    else:
+                        new.append(sym[i])
+                        i += 1
+                key = tuple(new)
+                out[key] = out.get(key, 0) + c
+            words = out
+        return merges
+
+    hist = {"aaaa": 3, "aab": 5, "abab": 2, "ba": 7, "b": 4,
+            "cdcd": 5, "dcdc": 5, "x": 1}
+    for k in (1, 3, 8, 30):
+        assert _learn_merges(dict(hist), k) == naive(dict(hist), k), k
+
+
+def test_bpe_encoder_matches_fit_word_boundaries(spark):
+    """fit tokenizes with Java-regex \\s+ (ASCII); the encoder must
+    split identically — an NBSP-joined word is ONE word on both
+    sides, so its learned merges apply at encode time."""
+    from mmlspark_spark.llm import BPETokenizer
+    from mmlspark_spark.llm.tokenizer import _END
+
+    text = "foo bar foo bar foo bar"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    model = BPETokenizer(numMerges=16, lowercase=True).fit(df)
+    toks = model.transform(df).collect()[0].bpe_tokens
+    # enough merges to collapse the (single) frequent word entirely
+    assert toks == ["foo bar" + _END] * 3

@@ -411,6 +411,12 @@ def test_markup_stripper(spark):
            MarkupStripper().transform(df).collect()}
     assert out[1] == "Hello & world <3's"
     assert out[2] == "plain text"
+    # double-escaped entities decode exactly ONCE: '&amp;lt;tag&amp;gt;'
+    # is the literal text '&lt;tag&gt;', not a tag
+    df3 = spark.createDataFrame([(1, "use &amp;lt;tag&amp;gt; now")],
+                                ["doc_id", "text"])
+    assert (MarkupStripper().transform(df3).collect()[0].clean
+            == "use &lt;tag&gt; now")
     # idempotent on its own output
     df2 = spark.createDataFrame([(1, out[1])], ["doc_id", "text"])
     again = MarkupStripper().transform(df2).collect()[0].clean
