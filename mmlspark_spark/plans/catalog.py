@@ -71,7 +71,7 @@ _WINDOW_PRIORITY = (
     "incremental_dedup", "heavy_hitters", "line_dedup",
     "markup_strip", "perplexity_prune",
     "scd2_merge", "funnel_steps", "group_percentiles",
-    "rolling_revenue",
+    "rolling_revenue", "pagerank", "pagerank",
     "domain_mix", "ngram_lm_score",
     "exact_dedup", "data_conversion",
     "broadcast_join_revenue", "join_multi", "semi_join", "anti_join",
@@ -4179,3 +4179,56 @@ def rolling_revenue_q(spark, sf_dir):
     return li.select(
         "l_suppkey", "l_orderkey", "l_linenumber",
         F.round(F.sum("l_extendedprice").over(w), 4).alias("rolling_90d"))
+
+
+@register(
+    "pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 AS rank FROM n),
+    r1 AS (
+      SELECT n.node, 0.15 + 0.85 * coalesce(sum(r0.rank / deg.d), 0) AS rank
+      FROM n LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN deg ON e.src = deg.src
+      LEFT JOIN r0 ON r0.node = e.src
+      GROUP BY n.node),
+    r2 AS (
+      SELECT n.node, 0.15 + 0.85 * coalesce(sum(r1.rank / deg.d), 0) AS rank
+      FROM n LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN deg ON e.src = deg.src
+      LEFT JOIN r1 ON r1.node = e.src
+      GROUP BY n.node),
+    r3 AS (
+      SELECT n.node, 0.15 + 0.85 * coalesce(sum(r2.rank / deg.d), 0) AS rank
+      FROM n LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN deg ON e.src = deg.src
+      LEFT JOIN r2 ON r2.node = e.src
+      GROUP BY n.node)
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """)
+def pagerank_q(spark, sf_dir):
+    """Fixed-iteration PageRank over the customer->supplier purchase
+    graph (operators.pagerank — the iterative-dataflow pattern: one
+    src join + one dst aggregate per iteration, persisted edge/degree
+    frames, lineage cut by checkpoint interval). Node ids are
+    type-prefixed ('c'/'s') because customer and supplier keys share
+    the integer space. The oracle unrolls the three iterations as
+    chained CTEs — probabilities verify hash-exact at 6dp."""
+    from mmlspark_spark.operators import pagerank as _pr
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string")).alias("src"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string")).alias("dst")))
+    ranks = _pr(edges, iterations=3, damping=0.85)
+    from mmlspark_spark.core.cache import propagate_intermediates
+
+    out = ranks.select("node", F.round("rank", 6).alias("rank"))
+    return propagate_intermediates(ranks, out)

@@ -149,3 +149,44 @@ def test_zorder_repartitioner_improves_locality(spark, sf_dir):
         .transform(orders))
     for c in cols:
         assert z[c] < base[c] * 0.7, (c, z[c], base[c])
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Hand graph: ranks must equal the same non-normalized
+    contribution recurrence computed in numpy, iteration for
+    iteration (including a dangling node)."""
+    import numpy as np
+
+    from mmlspark_spark.operators import pagerank
+
+    # a->b, a->c, b->c, d dangling (only receives from c? no: c->d)
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank
+           for r in pagerank(df, iterations=4, damping=0.85).collect()}
+
+    nodes = ["a", "b", "c", "d"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    out = {"a": ["b", "c"], "b": ["c"], "c": ["d"]}
+    r = np.ones(4)
+    for _ in range(4):
+        nxt = np.full(4, 0.15)
+        for s, dsts in out.items():
+            for t in dsts:
+                nxt[idx[t]] += 0.85 * r[idx[s]] / len(dsts)
+        r = nxt
+    for n in nodes:
+        assert got[n] == pytest.approx(r[idx[n]], rel=1e-9), n
+
+
+def test_pagerank_checkpoint_interval_preserves_values(spark):
+    """Lineage cuts must not change the numbers."""
+    from mmlspark_spark.operators import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], ["src", "dst"])
+    a = {r.node: round(r.rank, 9) for r in
+         pagerank(df, iterations=6, checkpointInterval=2).collect()}
+    b = {r.node: round(r.rank, 9) for r in
+         pagerank(df, iterations=6, checkpointInterval=0).collect()}
+    assert a == b
