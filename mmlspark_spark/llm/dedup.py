@@ -961,8 +961,16 @@ class IncrementalDeduplicator(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         # persisted: the registry feeds the bloom build AND the confirm
-        # join — one reference scan per batch, not two
-        reg = persist_intermediate(self._registry())
+        # join — one reference scan per batch, not two. When the caller
+        # hands us an already-reduced registry (referenceIsRegistry)
+        # the frame is THEIRS: do not persist it (persist returns self,
+        # so attaching it would let release_intermediates unpersist a
+        # cross-batch frame the caller still uses).
+        if self.referenceIsRegistry:
+            reg, owned = self.referenceDf, []
+        else:
+            reg = persist_intermediate(self._registry())
+            owned = [reg]
         h1, h2 = content_hash128(self.keyCols)
         keyed = df.withColumn("__ih1", h1).withColumn("__ih2", h2)
         cond = ((F.col("__ih1") == F.col("__rh1"))
@@ -971,7 +979,7 @@ class IncrementalDeduplicator(Transformer):
             if self.mode == "drop":
                 return attach_intermediates(
                     keyed.join(reg, cond, "left_anti")
-                    .drop("__ih1", "__ih2"), reg)
+                    .drop("__ih1", "__ih2"), *owned)
             # registry hashes are distinct, so the left join is 1:0/1:1
             return attach_intermediates(
                 keyed
@@ -980,7 +988,7 @@ class IncrementalDeduplicator(Transformer):
                       cond, "left")
                 .withColumn("is_duplicate",
                             F.coalesce("__dup", F.lit(False)))
-                .drop("__ih1", "__ih2", "__rh1", "__rh2", "__dup"), reg)
+                .drop("__ih1", "__ih2", "__rh1", "__rh2", "__dup"), *owned)
         might = self._might_contain(reg, F.col("__ih1"))
         keyed = keyed.withColumn("__bloom", might)
         fast_new = keyed.filter(~F.col("__bloom"))      # map-only, no shuffle
@@ -989,7 +997,7 @@ class IncrementalDeduplicator(Transformer):
             confirmed_new = candidates.join(reg, cond, "left_anti")
             return attach_intermediates(
                 fast_new.unionByName(confirmed_new)
-                .drop("__bloom", "__ih1", "__ih2"), reg)
+                .drop("__bloom", "__ih1", "__ih2"), *owned)
         dup_flagged = (candidates
                        .join(reg.select("__rh1", "__rh2",
                                         F.lit(True).alias("__dup")),
@@ -1000,7 +1008,7 @@ class IncrementalDeduplicator(Transformer):
         return attach_intermediates(
             fast_new.withColumn("is_duplicate", F.lit(False))
             .unionByName(dup_flagged)
-            .drop("__bloom", "__ih1", "__ih2"), reg)
+            .drop("__bloom", "__ih1", "__ih2"), *owned)
 
 
 class LineDeduplicator(Transformer):

@@ -87,8 +87,11 @@ class SCD2Merge(Transformer):
         tracked = self.trackedCols or data_cols
         # Eager multi-match guard: duplicate keys in the batch would
         # fan the join out into two is_current rows per key.
-        dup = (self.changesDf.groupBy(*self.keyCols).count()
-               .filter(F.col("count") > 1).limit(1).collect())
+        # reserved alias, not .count(): a key column literally named
+        # "count" would make F.col("count") ambiguous
+        dup = (self.changesDf.groupBy(*self.keyCols)
+               .agg(F.count("*").alias("__n"))
+               .filter(F.col("__n") > 1).limit(1).collect())
         if dup:
             dup_key = tuple(dup[0][k] for k in self.keyCols)
             raise ValueError(

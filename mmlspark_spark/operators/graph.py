@@ -20,6 +20,14 @@ def pagerank(edges: DataFrame, srcCol: str = "src", dstCol: str = "dst",
     each node starting at 1.0 — dangling nodes simply contribute
     nothing). Returns (node, rank).
 
+    SIMPLE-GRAPH semantics: parallel (repeated) edges are
+    deduplicated before ranking — an edge either exists or it does
+    not, matching the catalog oracle's SELECT DISTINCT. If edge
+    multiplicity should carry weight, pre-aggregate it into a weight
+    column and divide contributions by the weighted out-degree
+    instead (not implemented here; say so rather than silently
+    ignoring repetition).
+
     Scale shape: per iteration ONE join of the edge list against the
     current ranks on src (both sides hash-partitioned on the same key,
     so AQE reuses the partitioning) and ONE aggregate on dst; rank

@@ -71,7 +71,7 @@ _WINDOW_PRIORITY = (
     "incremental_dedup", "heavy_hitters", "line_dedup",
     "markup_strip", "perplexity_prune",
     "scd2_merge", "funnel_steps", "group_percentiles",
-    "rolling_revenue", "pagerank", "pagerank",
+    "rolling_revenue", "pagerank",
     "domain_mix", "ngram_lm_score",
     "exact_dedup", "data_conversion",
     "broadcast_join_revenue", "join_multi", "semi_join", "anti_join",
@@ -3835,10 +3835,14 @@ def incremental_dedup_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     reference = docs.filter(F.col("doc_id") % 5 == 0)
+    from mmlspark_spark.core.cache import propagate_intermediates
+
     dedup = IncrementalDeduplicator(
         referenceDf=reference, keyCols=["text"], mode="drop",
         bloomBits=1 << 17, bloomHashes=5)
-    return dedup.transform(docs).select("doc_id")
+    out = dedup.transform(docs)
+    # select() would strip the persisted-registry handle (cache leak)
+    return propagate_intermediates(out, out.select("doc_id"))
 
 
 @register(
