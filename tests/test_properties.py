@@ -132,3 +132,24 @@ def test_repetition_metrics_hand_checked(spark):
     # "p q p q ...": 9 bigrams, 2 distinct -> 7/9 duplicated
     assert abs(got[3].d2 - 7 / 9) < 1e-9
     assert got[4].d2 == 0.0
+
+
+PAIRS = st.tuples(st.none() | TEXTS, st.none() | TEXTS)
+
+
+@settings(max_examples=25, deadline=None)
+@given(PAIRS, PAIRS)
+def test_null_safe_key_injective_on_tuples(dedup_spark_holder, a, b):
+    """null_safe_key(t1) == null_safe_key(t2) IFF t1 == t2 — the
+    property concat_ws and multi-arg hash both violate (they skip
+    nulls, colliding ('x', None) with (None, 'x'))."""
+    from mmlspark_spark.functions.keys import null_safe_key
+
+    spark = dedup_spark_holder
+    df = spark.createDataFrame(
+        [(a[0], a[1], b[0], b[1])],
+        "a1 string, a2 string, b1 string, b2 string")
+    row = df.select(
+        null_safe_key([F.col("a1"), F.col("a2")]).alias("ka"),
+        null_safe_key([F.col("b1"), F.col("b2")]).alias("kb")).collect()[0]
+    assert (row.ka == row.kb) == (a == b), (a, b)
