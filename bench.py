@@ -232,6 +232,27 @@ def main() -> None:
         for k, v in dserving.items():
             print(f"# {k}: {v}", file=sys.stderr)
 
+    # Side metrics: round-6 curation/warehouse operators, best-of-2.
+    # NOT part of the headline total (its membership is frozen for
+    # cross-round comparability) — reported so throughput regressions
+    # in the newer surface are visible round over round.
+    curation: dict[str, float] = {}
+    for name in ("markup_strip", "line_dedup", "incremental_dedup",
+                 "bpe_tokenize", "scd2_merge", "pagerank"):
+        spec = CATALOG.get(name)
+        if spec is None:
+            continue
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.count()
+            elapsed = time.time() - t0
+            release_intermediates(df)
+            best = elapsed if best is None else min(best, elapsed)
+        curation[name] = round(best, 3)
+        print(f"# {name}: {curation[name]}s", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_queries_total",
@@ -242,6 +263,8 @@ def main() -> None:
     }
     if serving is not None:
         payload["serving"] = serving
+    if curation:
+        payload["curation"] = curation
     print(json.dumps(payload))
     spark.stop()
 
