@@ -71,7 +71,7 @@ _WINDOW_PRIORITY = (
     "incremental_dedup", "heavy_hitters", "line_dedup",
     "markup_strip", "perplexity_prune",
     "scd2_merge", "funnel_steps", "group_percentiles",
-    "rolling_revenue", "pagerank",
+    "rolling_revenue", "pagerank", "corpus_report",
     "domain_mix", "ngram_lm_score",
     "exact_dedup", "data_conversion",
     "broadcast_join_revenue", "join_multi", "semi_join", "anti_join",
@@ -4236,3 +4236,46 @@ def pagerank_q(spark, sf_dir):
 
     out = ranks.select("node", F.round("rank", 6).alias("rank"))
     return propagate_intermediates(ranks, out)
+
+
+@register(
+    "corpus_report",
+    oracle="""
+    SELECT CASE WHEN grouping(lang) = 1 THEN '<all>'
+                ELSE coalesce(lang, '<null>') END AS lang,
+           CASE WHEN grouping(source) = 1 THEN '<all>'
+                ELSE coalesce(source, '<null>') END AS source,
+           count(*) AS docs,
+           sum(len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> ''))) AS tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    """)
+def corpus_report_q(spark, sf_dir):
+    """Corpus composition report — the first artifact a curation run
+    produces: doc/token/char totals at every roll-up level in ONE
+    aggregation pass via GROUPING SETS (the generalized face of the
+    cube/rollup queries; Spark expands the sets map-side, so the
+    corpus scans once, not once per level). Roll-up cells are labelled
+    via grouping() — coalesce alone could not distinguish the <all>
+    cell from a document whose lang/source is genuinely NULL."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")))
+    return (docs
+            .groupingSets([["lang", "source"], ["lang"], ["source"], []],
+                          "lang", "source")
+            .agg(F.count("*").alias("docs"),
+                 F.sum(tok).alias("tokens"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 # grouping() only resolves inside the aggregate
+                 F.grouping("lang").alias("__gl"),
+                 F.grouping("source").alias("__gs"))
+            .select(
+                F.when(F.col("__gl") == 1, "<all>")
+                .otherwise(F.coalesce("lang", F.lit("<null>")))
+                .alias("lang"),
+                F.when(F.col("__gs") == 1, "<all>")
+                .otherwise(F.coalesce("source", F.lit("<null>")))
+                .alias("source"),
+                "docs", "tokens", "avg_chars"))

@@ -283,3 +283,43 @@ def test_streaming_dedup_against_registry(spark, tmp_path):
         assert spark.sql("SELECT * FROM sr_out").columns == ["ts", "text"]
     finally:
         q.stop()
+
+
+def test_pure_expression_stages_work_on_streams(spark, tmp_path):
+    """Batch/stream unification: the map-only curation stages
+    (MarkupStripper, PIIRedactor, QualityFilter) are pure Catalyst
+    expression chains, so the SAME transformer instance applies to a
+    streaming frame unchanged — no collect, no state, no rewrite."""
+    import json as _json
+
+    from mmlspark_spark.llm import MarkupStripper, PIIRedactor, QualityFilter
+
+    src = tmp_path / "pe_src"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"doc_id": 1,
+         "text": "<p>contact a.b@example.com for the "
+                 + "long enough body of text " * 20 + "</p>"},
+        {"doc_id": 2, "text": "<b>short</b>"},
+    ]))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .json(str(src)))
+    cleaned = MarkupStripper(textCol="text", outputCol="text2") \
+        .transform(stream)
+    redacted = PIIRedactor(textCol="text2", outputCol="scrubbed") \
+        .transform(cleaned)
+    flagged = QualityFilter(textCol="scrubbed", minChars=50,
+                            minTokens=10).transform(redacted)
+    filtered = flagged.filter("keep")
+    q = (filtered.writeStream.format("memory").queryName("pe_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "pe_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM pe_out").collect()
+        assert [r.doc_id for r in rows] == [1]     # short doc filtered
+        assert "<EMAIL>" in rows[0].scrubbed       # PII redacted
+        assert "<p>" not in rows[0].scrubbed       # markup stripped
+    finally:
+        q.stop()
