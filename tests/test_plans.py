@@ -233,3 +233,47 @@ def test_kmeans_assign_is_map_only(spark, sf_dir):
     p = _plan(spark, "embedding_kmeans_assign", sf_dir)
     assert "Join" not in p
     assert "ArrowEvalPython" in p
+
+
+def test_lint_plan_flags_and_passes(spark, sf_dir):
+    """The linter flags cartesian joins, row-at-a-time UDFs, and
+    shuffle storms, and stays quiet on the engine's own headline
+    plans."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from mmlspark_spark.plans import assert_scalable, lint_plan
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    cart = a.crossJoin(b)
+    # a tiny crossJoin plans as BroadcastNestedLoopJoin; with the
+    # broadcast path disabled it degrades to CartesianProduct — the
+    # linter flags both quadratic forms
+    assert any("CartesianProduct" in f or "BroadcastNestedLoopJoin" in f
+               for f in lint_plan(cart))
+
+    slow_udf = F.udf(lambda s: s, StringType())
+    udfy = a.select(slow_udf(F.col("id").cast("string")))
+    assert any("BatchEvalPython" in f for f in lint_plan(udfy))
+
+    # consecutive repartitions collapse (CollapseRepartition), so
+    # build real distinct exchanges: shuffle -> agg -> shuffled join
+    shuffles = (a.repartition(5, "id")
+                .groupBy((F.col("id") % 2).alias("g"))
+                .count()
+                .join(b.repartition(7, "id2"),
+                      F.col("g") == F.col("id2") % 2))
+    assert any("exchanges" in f for f in lint_plan(shuffles,
+                                                   maxExchanges=2))
+
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="scale lint"):
+        assert_scalable(cart)
+
+    # headline plans pass the lint clean
+    from mmlspark_spark.plans.catalog import CATALOG
+    for name in ("tpch_q1", "broadcast_join_revenue", "sessionize"):
+        df = CATALOG[name].fn(spark, sf_dir)
+        assert lint_plan(df) == [], name
+        assert assert_scalable(df) is df
