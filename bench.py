@@ -186,6 +186,20 @@ def _distributed_serving_latency(spark, n_requests: int = 50) -> dict | None:
         return None
 
 
+def _best_of(spec, spark, sf_dir: str, runs: int) -> tuple[float, int]:
+    """Best-of-N timing of one catalog query: full materialization via
+    count(), persisted intermediates released after every run."""
+    best, n = None, 0
+    for _ in range(runs):
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        elapsed = time.time() - t0
+        release_intermediates(df)
+        best = elapsed if best is None else min(best, elapsed)
+    return best, n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -207,14 +221,7 @@ def main() -> None:
     # reported a number ~70% above steady state.
     times: dict[str, float] = {}
     for spec in headline:
-        best, n = None, 0
-        for _ in range(3):
-            t0 = time.time()
-            df = spec.fn(spark, sf_dir)
-            n = df.count()
-            elapsed = time.time() - t0
-            release_intermediates(df)  # free persisted dedup subtrees
-            best = elapsed if best is None else min(best, elapsed)
+        best, n = _best_of(spec, spark, sf_dir, runs=3)
         times[spec.name] = round(best, 3)
         print(f"# {spec.name}: {times[spec.name]}s ({n} rows)", file=sys.stderr)
 
@@ -242,14 +249,11 @@ def main() -> None:
         spec = CATALOG.get(name)
         if spec is None:
             continue
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            df = spec.fn(spark, sf_dir)
-            df.count()
-            elapsed = time.time() - t0
-            release_intermediates(df)
-            best = elapsed if best is None else min(best, elapsed)
+        try:
+            best, _ = _best_of(spec, spark, sf_dir, runs=2)
+        except Exception as e:  # advisory metrics never block the JSON
+            print(f"# {name}: FAILED {type(e).__name__}", file=sys.stderr)
+            continue
         curation[name] = round(best, 3)
         print(f"# {name}: {curation[name]}s", file=sys.stderr)
 

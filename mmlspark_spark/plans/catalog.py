@@ -61,8 +61,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     key extraction) and conversion.py changed under exact_dedup /
 #     data_conversion since. Every round-5 window entry was just
 #     confirmed 50/50 hash-exact, so the whole round-5 set yields its
-#     slots. The list is 61 entries against a ~50-slot window: the
-#     LAST ~11 (sar_item_similarity .. json_extract — r4-green, paths
+#     slots. The list is 63 entries against a ~50-slot window: the
+#     LAST ~13 (decontamination .. json_extract — r4-green, paths
 #     untouched this round) sit beyond the edge and are the explicit
 #     round-7 rotation backlog, ordered least-recently-risky last.
 _WINDOW_PRIORITY = (

@@ -10,10 +10,8 @@ for the failure modes this engine's own development kept hitting:
 - row-at-a-time Python UDFs on the data path (``BatchEvalPython`` —
   each row round-trips the Python pickler; Arrow-batched
   ``ArrowEvalPython``/``mapInPandas`` are 10-100x faster);
-- scans that read every column (no ReadSchema pruning) while the
-  query projects few — a sign the projection never reached Parquet;
-- filterable scans with empty PushedFilters (predicate stuck above
-  the scan, so row groups cannot be skipped);
+- scans that evaluate filters without pushing any to the parquet
+  reader (predicate stuck above the row-group level);
 - an exchange (shuffle) count beyond a configurable budget.
 
 Findings are advisory strings, not errors: some plans legitimately
@@ -23,6 +21,8 @@ before the cluster pays for it.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame
 
@@ -45,11 +45,18 @@ def lint_plan(df: DataFrame, maxExchanges: int = 8) -> list[str]:
             "BatchEvalPython: row-at-a-time Python UDF on the data "
             "path — convert to a pandas_udf / mapInPandas (Arrow "
             "batches) or a built-in expression")
-    n_exchanges = plan.count("Exchange")
+    # count only SHUFFLE exchanges: BroadcastExchange moves a small
+    # frame once (that is the cheap path we recommend), and AQE's
+    # ReusedExchange references a shuffle that executes once — a raw
+    # substring count would call a shuffle-free 9-dimension star join
+    # a shuffle storm.
+    n_exchanges = len(re.findall(
+        r"\bExchange (?:hashpartitioning|rangepartitioning|"
+        r"SinglePartition)", plan))
     if n_exchanges > maxExchanges:
         findings.append(
-            f"{n_exchanges} exchanges (> {maxExchanges}): every one is "
-            "a full shuffle — look for repeated re-partitioning, "
+            f"{n_exchanges} shuffle exchanges (> {maxExchanges}): every "
+            "one is a full shuffle — look for repeated re-partitioning, "
             "unpersisted multi-consumer subtrees, or joins that could "
             "share a partitioning")
     for line in plan.splitlines():
