@@ -21,6 +21,7 @@ from mmlspark_spark.operators.aggregates import (
     SummarizeData,
 )
 from mmlspark_spark.operators.cdc import SCD2Merge
+from mmlspark_spark.operators.compaction import compact_parquet
 from mmlspark_spark.operators.graph import pagerank
 from mmlspark_spark.operators.minibatch import (
     DynamicMiniBatchTransformer,
@@ -35,7 +36,7 @@ __all__ = [
     "MultiColumnAdapter", "RenameColumn", "Repartition", "SelectColumns",
     "StratifiedRepartition", "StratifiedSampler", "Timer", "UDFTransformer",
     "ClassBalancer", "ClassBalancerModel", "EnsembleByKey", "HeavyHitters",
-    "SCD2Merge", "SummarizeData", "pagerank",
+    "SCD2Merge", "SummarizeData", "compact_parquet", "pagerank",
     "DynamicMiniBatchTransformer", "FixedMiniBatchTransformer",
     "FlattenBatch", "PartitionConsolidator", "TimeIntervalMiniBatchTransformer",
 ]

@@ -190,3 +190,41 @@ def test_pagerank_checkpoint_interval_preserves_values(spark):
     b = {r.node: round(r.rank, 9) for r in
          pagerank(df, iterations=6, checkpointInterval=0).collect()}
     assert a == b
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
+    """50 tiny files -> few target-sized files; row set identical;
+    a sortBy compaction clusters values for footer-stat pruning."""
+    from mmlspark_spark.operators import compact_parquet
+
+    path = str(tmp_path / "ds")
+    spark.range(5000).selectExpr("id", "id % 7 AS k") \
+        .repartition(50).write.parquet(path)
+    before = spark.read.parquet(path)
+    expected = sorted(r.id for r in before.collect())
+
+    stats = compact_parquet(spark, path, targetFileSizeBytes=1 << 20)
+    assert stats["files_before"] == 50
+    assert stats["files_after"] == stats["target_files"] < 50
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == expected
+    # no tmp/backup residue
+    import os
+    assert not os.path.exists(path + ".__compact_tmp")
+    assert not os.path.exists(path + ".__compact_old")
+
+    # sorted compaction: each output file covers a disjoint id range
+    stats2 = compact_parquet(spark, path, targetFileSizeBytes=8 << 10,
+                             sortBy=["id"])
+    assert stats2["files_after"] > 1
+    import glob
+
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        t = pq.read_table(f, columns=["id"])
+        ids = t.column("id").to_pylist()
+        ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint -> min/max stats prune scans
