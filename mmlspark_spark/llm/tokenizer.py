@@ -151,7 +151,12 @@ class BPETokenizerModel(Model):
         def encode(batches: Iterator) -> Iterator:
             import pandas as pd
 
+            # Zipf makes the hit rate extreme, but the tail is
+            # unbounded — cap the memo so a worker streaming billions
+            # of rows cannot grow it past ~1M entries (rare words just
+            # re-encode; they are rare by construction).
             cache: dict[str, list[str]] = {}
+            cache_cap = 1_000_000
 
             def enc_text(text):
                 if text is None:
@@ -160,7 +165,9 @@ class BPETokenizerModel(Model):
                 for w in _java_ws_split(text.lower() if lower else text):
                     hit = cache.get(w)
                     if hit is None:
-                        hit = cache[w] = _encode_word(w, ranks)
+                        hit = _encode_word(w, ranks)
+                        if len(cache) < cache_cap:
+                            cache[w] = hit
                     toks.extend(hit)
                 return toks
 
