@@ -193,9 +193,14 @@ def _best_of(spec, spark, sf_dir: str, runs: int) -> tuple[float, int]:
     for _ in range(runs):
         t0 = time.time()
         df = spec.fn(spark, sf_dir)
-        n = df.count()
-        elapsed = time.time() - t0
-        release_intermediates(df)
+        try:
+            n = df.count()
+            elapsed = time.time() - t0
+        finally:
+            # even when count() throws (curation metrics catch and
+            # continue), persisted intermediates must not leak into
+            # the rest of the bench
+            release_intermediates(df)
         best = elapsed if best is None else min(best, elapsed)
     return best, n
 

@@ -15,21 +15,30 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
-def _data_size_and_files(spark: SparkSession, path: str) -> tuple[int, int]:
-    """(total bytes, file count) of the dataset's data files, via the
-    Hadoop FS API so every scheme Spark can read works (local, HDFS,
-    s3a, abfs)."""
+def _data_size_and_files(spark: SparkSession, path: str,
+                         ) -> tuple[int, int, bool]:
+    """(total bytes, file count, is_hive_partitioned) of the dataset's
+    DATA files, via the Hadoop FS API so every scheme Spark can read
+    works (local, HDFS, s3a, abfs). Files under hidden directories
+    (``_temporary`` from a crashed writer, ``.hive-staging``) are
+    excluded the way Spark's own file index excludes them — counting
+    them would size the rewrite on bytes it never reads."""
     fs, jpath = _fs(spark, path)
+    root = jpath.toUri().getPath()
     total = files = 0
+    partitioned = False
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue  # manifests, _SUCCESS, hidden checksums
+        rel = st.getPath().toUri().getPath()[len(root):].lstrip("/")
+        parts = rel.split("/")
+        if any(p.startswith(("_", ".")) for p in parts):
+            continue  # manifests, _SUCCESS, _temporary/, .staging/
+        if any("=" in p for p in parts[:-1]):
+            partitioned = True
         total += st.getLen()
         files += 1
-    return total, files
+    return total, files, partitioned
 
 
 def compact_parquet(spark: SparkSession, path: str,
@@ -44,27 +53,62 @@ def compact_parquet(spark: SparkSession, path: str,
     which case ``repartitionByRange`` + ``sortWithinPartitions``
     produces size-balanced, stat-clustered files (the Z-order sibling
     is operators/scale.py:ZOrderRepartitioner). The rewrite lands in
-    ``<path>.__compact_tmp`` and swaps in with two FS renames, so a
-    mid-rewrite failure leaves the original dataset untouched (the
-    swap itself is two metadata ops, not atomic across both — the
-    stale tmp dir is detectable and re-runnable).
+    ``<path>.__compact_tmp`` and swaps in with two FS renames.
+
+    Safety contract:
+
+    - a crash BEFORE the swap leaves the original untouched (only the
+      tmp dir exists);
+    - a crash BETWEEN the two renames leaves the data in
+      ``<path>.__compact_old`` — the next ``compact_parquet`` call on
+      the same path detects the orphan and RESTORES it before doing
+      anything else, so the operation is re-runnable;
+    - on object stores (s3a) directory rename is a non-atomic
+      copy+delete, so the swap window is O(data) — prefer running
+      compaction from a single maintenance job, never concurrently
+      with writers (true of every rename-swap compactor);
+    - HIVE-PARTITIONED datasets (``k=v`` subdirectories) are REFUSED:
+      a root-level rewrite would silently flatten the layout and break
+      subdirectory readers + partition pruning. Compact each partition
+      directory instead.
+    - an empty / data-free path is a NO-OP (a streaming sink that has
+      not produced data yet must not crash the maintenance job).
 
     Returns {"files_before", "files_after", "bytes", "target_files"}.
     """
-    total, files_before = _data_size_and_files(spark, path)
+    fs, jpath = _fs(spark, path)
+    backup = path.rstrip("/") + ".__compact_old"
+    _, jbackup = _fs(spark, backup)
+    if fs.exists(jbackup) and not fs.exists(jpath):
+        # interrupted swap from a previous run: restore, then proceed
+        if not fs.rename(jbackup, jpath):
+            raise IOError(
+                f"found orphaned {backup} but could not restore it")
+    total, files_before, partitioned = _data_size_and_files(spark, path)
+    if partitioned:
+        raise ValueError(
+            f"{path} is hive-partitioned (k=v subdirectories): a root "
+            "rewrite would flatten the layout — compact each partition "
+            "directory instead")
+    if files_before == 0:
+        return {"files_before": 0, "files_after": 0, "bytes": 0,
+                "target_files": 0}
     target_files = max(1, -(-total // targetFileSizeBytes))
+    if files_before <= target_files and not sortBy:
+        # already compact — but a sortBy compaction still rewrites:
+        # its point is the clustered layout, not the file count
+        return {"files_before": files_before,
+                "files_after": files_before, "bytes": int(total),
+                "target_files": int(target_files)}
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact_tmp"
-    backup = path.rstrip("/") + ".__compact_old"
     if sortBy:
         out = (df.repartitionByRange(target_files, *sortBy)
                .sortWithinPartitions(*sortBy))
     else:
         out = df.coalesce(target_files)
     out.write.mode("overwrite").parquet(tmp)
-    fs, jpath = _fs(spark, path)
     _, jtmp = _fs(spark, tmp)
-    _, jbackup = _fs(spark, backup)
     if fs.exists(jbackup):
         fs.delete(jbackup, True)
     if not fs.rename(jpath, jbackup):
@@ -74,6 +118,6 @@ def compact_parquet(spark: SparkSession, path: str,
         fs.rename(jbackup, jpath)
         raise IOError(f"compaction swap failed: could not move {tmp}")
     fs.delete(jbackup, True)
-    _, files_after = _data_size_and_files(spark, path)
+    _, files_after, _ = _data_size_and_files(spark, path)
     return {"files_before": files_before, "files_after": files_after,
             "bytes": int(total), "target_files": int(target_files)}

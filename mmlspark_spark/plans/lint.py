@@ -52,7 +52,7 @@ def lint_plan(df: DataFrame, maxExchanges: int = 8) -> list[str]:
     # a shuffle storm.
     n_exchanges = len(re.findall(
         r"\bExchange (?:hashpartitioning|rangepartitioning|"
-        r"SinglePartition)", plan))
+        r"RoundRobinPartitioning|SinglePartition)", plan))
     if n_exchanges > maxExchanges:
         findings.append(
             f"{n_exchanges} shuffle exchanges (> {maxExchanges}): every "

@@ -228,3 +228,40 @@ def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint -> min/max stats prune scans
+
+
+def test_compact_parquet_guards(spark, tmp_path):
+    """Hive-partitioned datasets are refused (a root rewrite would
+    flatten the layout); empty/data-free paths no-op; already-compact
+    datasets no-op; an orphaned backup from an interrupted swap is
+    restored on the next run."""
+    import os
+
+    from mmlspark_spark.operators import compact_parquet
+
+    part = str(tmp_path / "part_ds")
+    spark.range(100).selectExpr("id", "id % 3 AS k") \
+        .write.partitionBy("k").parquet(part)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, part)
+
+    empty = str(tmp_path / "empty_ds")
+    os.makedirs(empty)
+    open(os.path.join(empty, "_SUCCESS"), "w").close()
+    assert compact_parquet(spark, empty)["files_after"] == 0
+
+    small = str(tmp_path / "small_ds")
+    spark.range(10).coalesce(1).write.parquet(small)
+    stats = compact_parquet(spark, small, targetFileSizeBytes=1 << 20)
+    assert stats["files_before"] == stats["files_after"] == 1
+
+    # simulate a crash between the two swap renames: path moved to
+    # backup, new data never moved in
+    victim = str(tmp_path / "victim_ds")
+    spark.range(50).repartition(5).write.parquet(victim)
+    os.rename(victim, victim + ".__compact_old")
+    stats = compact_parquet(spark, victim, targetFileSizeBytes=1 << 20)
+    assert stats["files_after"] == 1
+    assert sorted(r.id for r in
+                  spark.read.parquet(victim).collect()) == list(range(50))
+    assert not os.path.exists(victim + ".__compact_old")
