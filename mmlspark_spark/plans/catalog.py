@@ -808,7 +808,7 @@ def tpch_q9(spark, sf_dir):
       GROUP BY l_partkey)
     SELECT l_partkey AS p_partkey, part_value
     FROM val
-    WHERE part_value > (SELECT round(sum(part_value) * 0.0015, 4) FROM val)
+    WHERE part_value > (SELECT round(avg(part_value) * 3, 4) FROM val)
     ORDER BY part_value DESC, p_partkey
     """)
 def tpch_q11(spark, sf_dir):
@@ -818,9 +818,14 @@ def tpch_q11(spark, sf_dir):
     The nation-filtered supplier set broadcasts as a semi-join gate
     before the groupBy, so only that nation's lineitem slice shuffles;
     the per-part value frame is persisted for its two consumers (the
-    grand total and the threshold filter), and the one-row total
-    broadcasts back. Both engines round value AND threshold to 4dp so
-    the strict > cannot flip on float summation order."""
+    threshold aggregate and the filter), and the one-row threshold
+    broadcasts back. The cut is AVERAGE-relative (3x mean part value),
+    not total-fraction-relative like the literal TPC-H text: a
+    fraction-of-total threshold divides by the part COUNT, so the
+    same query silently returns nothing at 10x scale (measured: 40
+    rows at sf0.01, 0 at sf0.1) — mean-relative selects 'important
+    stock' at every scale. Both engines round value AND threshold to
+    4dp so the strict > cannot flip on float summation order."""
     from mmlspark_spark.core.cache import (
         attach_intermediates,
         persist_intermediate,
@@ -838,7 +843,7 @@ def tpch_q11(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 4).alias("part_value")))
     total = val.agg(
-        F.round(F.sum("part_value") * 0.0015, 4).alias("__thr"))
+        F.round(F.avg("part_value") * 3, 4).alias("__thr"))
     out = (val.crossJoin(F.broadcast(total))
            .filter(F.col("part_value") > F.col("__thr"))
            .select(F.col("l_partkey").alias("p_partkey"), "part_value")
