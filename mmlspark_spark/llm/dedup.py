@@ -30,7 +30,16 @@ from mmlspark_spark.operators.scale import spread_narrow_scan as _spread_narrow_
 
 
 class ExactDeduplicator(Transformer):
-    """Keep one row (lowest ``idCol``) per distinct value of ``keyCols``.
+    """Keep one row per distinct value of ``keyCols``.
+
+    Survivorship: by default the lowest ``idCol`` wins. When the dedup
+    key is a NORMALIZED form (a URL, a lowercased/trimmed text, a
+    content fingerprint column) the group's rows genuinely differ, and
+    ``tieBreakCol``/``tieBreakDesc`` choose which original survives —
+    e.g. ``tieBreakCol="n_chars", tieBreakDesc=True`` keeps the
+    longest document per URL, the standard web-crawl policy. ``idCol``
+    always breaks remaining ties, so the winner is deterministic under
+    any partitioning.
 
     Scale: dedups by 128 bits of hash (xxhash64 ⊕ md5) so the shuffle key
     is fixed-width even when the key is a 100 KB document; collision
@@ -38,11 +47,16 @@ class ExactDeduplicator(Transformer):
     partition keeps exactly one deterministic winner.
     """
 
-    def __init__(self, keyCols=("text",), idCol: str = "doc_id"):  # noqa: D107
-        super().__init__(keyCols=list(keyCols), idCol=idCol)
+    def __init__(self, keyCols=("text",), idCol: str = "doc_id",
+                 tieBreakCol: str | None = None,
+                 tieBreakDesc: bool = False):  # noqa: D107
+        super().__init__(keyCols=list(keyCols), idCol=idCol,
+                         tieBreakCol=tieBreakCol, tieBreakDesc=tieBreakDesc)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, *self.keyCols, self.idCol)
+        if self.tieBreakCol:
+            self._require_cols(schema, self.tieBreakCol)
         return schema
 
     def _transform(self, df: DataFrame) -> DataFrame:
@@ -50,7 +64,14 @@ class ExactDeduplicator(Transformer):
         # functions/keys.py for why concat_ws and multi-arg xxhash64
         # both silently collide ('a', NULL) with (NULL, 'a').
         h1, h2 = content_hash128(self.keyCols)
-        w = Window.partitionBy(h1, h2).orderBy(F.col(self.idCol))
+        order = [F.col(self.idCol)]
+        if self.tieBreakCol:
+            tb = F.col(self.tieBreakCol)
+            # nulls last in either direction: a row missing the
+            # survivorship signal must never beat one that has it
+            order = [tb.desc_nulls_last() if self.tieBreakDesc
+                     else tb.asc_nulls_last(), F.col(self.idCol)]
+        w = Window.partitionBy(h1, h2).orderBy(*order)
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

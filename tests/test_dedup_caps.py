@@ -427,3 +427,26 @@ def test_line_dedup_hot_join_is_broadcast_anti(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_survivorship_tiebreak(spark):
+    """Normalized-key dedup keeps the chosen survivor: longest doc per
+    URL (tieBreakDesc on a length column), nulls never win, id breaks
+    remaining ties deterministically."""
+    from mmlspark_spark.llm import ExactDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, "u1", "short", 5), (2, "u1", "longer doc", 10),
+         (3, "u1", None, None), (4, "u2", "only", 4),
+         (5, "u3", "a", 1), (6, "u3", "b", 1)],
+        "doc_id long, url string, text string, n_chars int")
+    out = ExactDeduplicator(keyCols=["url"], idCol="doc_id",
+                            tieBreakCol="n_chars",
+                            tieBreakDesc=True).transform(df)
+    got = {r.url: r.doc_id for r in out.collect()}
+    assert got == {"u1": 2, "u2": 4, "u3": 5}  # longest; null last; min id
+    # default policy unchanged: lowest id
+    out2 = ExactDeduplicator(keyCols=["url"],
+                             idCol="doc_id").transform(df)
+    assert {r.url: r.doc_id for r in out2.collect()} == {
+        "u1": 1, "u2": 4, "u3": 5}
