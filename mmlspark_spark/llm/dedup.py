@@ -67,8 +67,13 @@ class ExactDeduplicator(Transformer):
         order = [F.col(self.idCol)]
         if self.tieBreakCol:
             tb = F.col(self.tieBreakCol)
-            # nulls last in either direction: a row missing the
-            # survivorship signal must never beat one that has it
+            # a row MISSING the survivorship signal must never beat one
+            # that has it: nulls_last covers NULL, but Spark sorts NaN
+            # GREATER than every double — in desc mode a NaN-scored row
+            # would win — so float NaN folds to NULL first
+            if isinstance(df.schema[self.tieBreakCol].dataType,
+                          (T.FloatType, T.DoubleType)):
+                tb = F.when(F.isnan(tb), F.lit(None)).otherwise(tb)
             order = [tb.desc_nulls_last() if self.tieBreakDesc
                      else tb.asc_nulls_last(), F.col(self.idCol)]
         w = Window.partitionBy(h1, h2).orderBy(*order)

@@ -804,7 +804,7 @@ def tpch_q9(spark, sf_dir):
       SELECT l_partkey, round(sum(l_extendedprice), 4) AS part_value
       FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_7'
+      WHERE n_name = 'NATION_3'
       GROUP BY l_partkey)
     SELECT l_partkey AS p_partkey, part_value
     FROM val
@@ -824,7 +824,10 @@ def tpch_q11(spark, sf_dir):
     fraction-of-total threshold divides by the part COUNT, so the
     same query silently returns nothing at 10x scale (measured: 40
     rows at sf0.01, 0 at sf0.1) — mean-relative selects 'important
-    stock' at every scale. Both engines round value AND threshold to
+    stock' at every scale (NATION_3 has suppliers at every test SF,
+    so even the sf0.001 local oracle check exercises the threshold —
+    a nation empty at test scale would compare empty-vs-empty and
+    verify nothing). Both engines round value AND threshold to
     4dp so the strict > cannot flip on float summation order."""
     from mmlspark_spark.core.cache import (
         attach_intermediates,
@@ -833,7 +836,7 @@ def tpch_q11(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     nat_supp = (supp.join(F.broadcast(nat),
                           supp.s_nationkey == nat.n_nationkey)
                 .select("s_suppkey"))

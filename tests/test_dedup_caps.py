@@ -450,3 +450,17 @@ def test_exact_dedup_survivorship_tiebreak(spark):
                              idCol="doc_id").transform(df)
     assert {r.url: r.doc_id for r in out2.collect()} == {
         "u1": 1, "u2": 4, "u3": 5}
+
+
+def test_exact_dedup_tiebreak_nan_never_wins(spark):
+    """Spark sorts NaN greater than every double — without folding to
+    NULL, a NaN-scored row would win desc survivorship."""
+    from mmlspark_spark.llm import ExactDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, "u1", 0.9), (2, "u1", float("nan")), (3, "u1", None)],
+        "doc_id long, url string, score double")
+    out = ExactDeduplicator(keyCols=["url"], idCol="doc_id",
+                            tieBreakCol="score",
+                            tieBreakDesc=True).transform(df)
+    assert [r.doc_id for r in out.collect()] == [1]
