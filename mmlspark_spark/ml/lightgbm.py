@@ -73,6 +73,16 @@ class _LightGBMBase(Estimator):
         kw.setdefault("nativeSampleLimit", 1_000_000)
         kw.setdefault("sampleFit", False)
         kw.setdefault("numTasks", 0)  # 0 = one task per input partition
+        # "data" | "voting" | "feature" — reference LightGBMParams
+        # parallelism ("data_parallel"/"voting_parallel"/
+        # "feature_parallel" accepted as aliases). Voting-parallel
+        # trades exact split finding for O(top_k) histogram traffic:
+        # each worker votes its local top-k features and only those
+        # histograms are merged (Meng et al., NIPS 2016) — the scale
+        # path when feature count × machines makes full data-parallel
+        # merges network-bound.
+        kw.setdefault("parallelism", "data")
+        kw.setdefault("topK", 20)  # voting-parallel vote size
         super().__init__(**kw)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
@@ -134,16 +144,34 @@ class _LightGBMBase(Estimator):
         )
         return self._make_model(booster.model_to_string())
 
+    def _tree_learner(self) -> tuple[str, dict]:
+        """Map the reference's ``parallelism`` param to LightGBM's
+        ``tree_learner`` (+ learner-specific params). Reference
+        ``params/LightGBMParams.scala`` (parallelism, topK) +
+        ``TrainUtils.scala:236-291`` (voting-parallel wiring)."""
+        mode = str(self.parallelism).lower().replace("_parallel", "")
+        learners = {"data": "data", "voting": "voting",
+                    "feature": "feature", "serial": "data"}
+        if mode not in learners:
+            raise ValueError(
+                f"parallelism must be one of data/voting/feature "
+                f"(got {self.parallelism!r})")
+        extra = {"top_k": int(self.topK)} if mode == "voting" else {}
+        return learners[mode], extra
+
     def _fit_native_distributed(self, df: DataFrame) -> "LightGBMNativeModel":
         """Barrier gang-scheduled data-parallel native training
         (reference ``LightGBMBase.scala:392-432,475-484``): every task
         trains on its own partition, synchronizing histograms over the
         allGather-exchanged machine list; the boosters converge
-        identically, so partition 0's model string is THE model."""
+        identically, so partition 0's model string is THE model.
+        ``parallelism="voting"`` switches the histogram merge to
+        top-k voting (reference ``TrainUtils.scala:236-291``)."""
         from mmlspark_spark.ml.barrier import barrier_train
 
         params = self._native_params()
         rounds = self.numIterations
+        learner, learner_extra = self._tree_learner()
 
         def train_fn(X, y, machines, port, pid, extra):
             import lightgbm
@@ -151,11 +179,12 @@ class _LightGBMBase(Estimator):
             p = dict(params)
             if len(machines) > 1:
                 p.update(
-                    tree_learner="data",
+                    tree_learner=learner,
                     machines=",".join(machines),
                     local_listen_port=port,
                     num_machines=len(machines),
                     pre_partition=True,
+                    **learner_extra,
                 )
             booster = lightgbm.train(
                 p, lightgbm.Dataset(X, label=y), num_boost_round=rounds)

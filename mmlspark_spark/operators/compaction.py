@@ -63,6 +63,10 @@ def compact_parquet(spark: SparkSession, path: str,
       ``<path>.__compact_old`` — the next ``compact_parquet`` call on
       the same path detects the orphan and RESTORES it before doing
       anything else, so the operation is re-runnable;
+    - a crash AFTER the swap but before the backup delete leaves a
+      STALE ``.__compact_old`` — every subsequent call deletes it once
+      ``<path>`` is confirmed live (has data files), so an external
+      delete of the dataset can never resurrect the stale backup;
     - on object stores (s3a) directory rename is a non-atomic
       copy+delete, so the swap window is O(data) — prefer running
       compaction from a single maintenance job, never concurrently
@@ -79,11 +83,27 @@ def compact_parquet(spark: SparkSession, path: str,
     fs, jpath = _fs(spark, path)
     backup = path.rstrip("/") + ".__compact_old"
     _, jbackup = _fs(spark, backup)
-    if fs.exists(jbackup) and not fs.exists(jpath):
-        # interrupted swap from a previous run: restore, then proceed
-        if not fs.rename(jbackup, jpath):
-            raise IOError(
-                f"found orphaned {backup} but could not restore it")
+    if fs.exists(jbackup):
+        restore = not fs.exists(jpath)
+        if not restore:
+            # Path exists alongside a backup. If it holds data, the
+            # previous swap COMPLETED and the backup is a stale
+            # leftover from a crash between rename #2 and the backup
+            # delete — remove it on every run, or a later external
+            # delete of <path> would resurrect stale data as live.
+            # An empty <path> (recreated by other tooling) is treated
+            # as the interrupted-swap case instead.
+            _, live_files, _ = _data_size_and_files(spark, path)
+            if live_files > 0:
+                fs.delete(jbackup, True)
+            else:
+                fs.delete(jpath, True)
+                restore = True
+        if restore:
+            # interrupted swap from a previous run: restore, proceed
+            if not fs.rename(jbackup, jpath):
+                raise IOError(
+                    f"found orphaned {backup} but could not restore it")
     total, files_before, partitioned = _data_size_and_files(spark, path)
     if partitioned:
         raise ValueError(

@@ -48,64 +48,58 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 
 
 # Driver correctness-checks a window of the first ~50 entries of
-# queries(). Round-6 priority, in order of evidence need:
-# (a) the 9 TPC-H shapes added this round (q2/q4/q9/q11/q12/q16/q19/
-#     q20/q21 — the suite is now all 22) — oracled at birth, never
-#     driver-checked;
-# (b) domain_mix / ngram_lm_score — hash-green in round 5, but
-#     mixing.py/lm.py changed under them this round (eqNullSafe quota
-#     case, id-cast, localCheckpoint row-key pinning), so they rotate
-#     back for re-confirmation;
-# (c) the oracled queries last driver-checked in round 4 — the
-#     round-5 window rotated them out, and dedup.py (shared null-safe
-#     key extraction) and conversion.py changed under exact_dedup /
-#     data_conversion since. Every round-5 window entry was just
-#     confirmed 50/50 hash-exact, so the whole round-5 set yields its
-#     slots. The list is 63 entries against a ~50-slot window: the
-#     LAST ~13 (decontamination .. json_extract — r4-green, paths
-#     untouched this round) sit beyond the edge and are the explicit
-#     round-7 rotation backlog, ordered least-recently-risky last.
+# queries(). Round-7 priority, in order of evidence need:
+# (a) the two round-6 hash REDS, re-confirmed after their HUGEINT
+#     oracle fix (tpch_q12, corpus_report), plus
+#     train_classifier_metrics whose oracle changed this round
+#     (DECIMAL-literal → DOUBLE, caught by the new dialect lint);
+# (b) the two queries with NO driver row in any round — vw_featurizer
+#     and bpe_tokenize, both rows-only by design; the priority list
+#     now ranks ahead of the oracled-first rule precisely so they can
+#     enter the window at all (see _ordered_specs);
+# (c) minhash_dedup — rows-only, last driver row round 2;
+# (d) the 13-entry round-6 backlog (r4-green, rotated out since:
+#     decontamination .. json_extract);
+# (e) 31 slots of round-5 greens, heaviest/riskiest first (full
+#     TPC-H r5 residue, then curation). The ~17 remaining r5 entries
+#     (select_project .. tabular_shap_exact — identity-ish stages,
+#     paths untouched) are the round-8 rotation backlog.
 _WINDOW_PRIORITY = (
-    "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q12",
-    "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
-    "incremental_dedup", "heavy_hitters", "line_dedup",
-    "markup_strip", "perplexity_prune",
-    "scd2_merge", "funnel_steps", "group_percentiles",
-    "rolling_revenue", "pagerank", "corpus_report",
-    "domain_mix", "ngram_lm_score",
-    "exact_dedup", "data_conversion",
-    "broadcast_join_revenue", "join_multi", "semi_join", "anti_join",
-    "top_k_per_group", "pivot_status", "rollup_counts", "sessionize",
-    "window_hourly_agg", "value_indexer", "clean_missing",
-    "ts_featurize", "date_featurize", "multi_ngram", "page_splitter",
-    "token_count", "quality_score", "lang_stats", "text_metrics",
-    "repetition_metrics", "text_preprocessor", "count_selector",
-    "ngram_jaccard", "knn_bruteforce", "embedding_stats",
-    "embedding_dedup", "decontamination",
-    "sar_affinity", "sar_item_similarity", "sar_recommend",
-    "tenant_standard_scaler", "tenant_linear_scaler", "id_indexer",
-    "per_instance_log_loss", "model_statistics", "ranking_metrics",
-    "featurize_numeric",
-    "index_to_value_roundtrip", "json_extract",
+    "tpch_q12", "corpus_report", "train_classifier_metrics",
+    "vw_featurizer", "bpe_tokenize", "minhash_dedup",
+    "decontamination", "sar_affinity", "sar_item_similarity",
+    "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
+    "id_indexer", "per_instance_log_loss", "model_statistics",
+    "ranking_metrics", "featurize_numeric", "index_to_value_roundtrip",
+    "json_extract",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17",
+    "tpch_q18", "tpch_q22",
+    "zorder_key", "curation_pipeline", "substring_dedup_spans",
+    "embedding_covariance", "quality_filter", "stratified_sample",
+    "dedup_resolve", "embedding_kmeans_assign", "semantic_dedup",
+    "lang_id_heuristic", "doc_fingerprint", "sequence_packing",
+    "pii_redact", "url_extract", "summarize_data", "class_balancer",
+    "ensemble_by_key", "asof_join",
 )
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    """Priority-listed oracled queries first IN LIST ORDER, then the
-    remaining oracled queries (stable by registration order), then
-    rows-only: the driver correctness-checks a window of the first N
-    entries, and an oracled query carries strictly more evidence than
-    a rows-only one. List position matters — a sort key of mere
-    membership would fall back to registration order inside the
-    priority group, silently parking late-registered queries outside
-    the window. The SAME ordering drives every exported view
-    (queries(), oracle_sql()) so positional consumers can never
-    mispair them."""
+    """Priority-listed queries first IN LIST ORDER (including
+    rows-only entries — the only way a rows-only query can ever enter
+    the driver's window, since everything after the priority block is
+    oracled-first), then the remaining oracled queries (stable by
+    registration order), then the remaining rows-only. List position
+    matters — a sort key of mere membership would fall back to
+    registration order inside the priority group, silently parking
+    late-registered queries outside the window. The SAME ordering
+    drives every exported view (queries(), oracle_sql()) so positional
+    consumers can never mispair them."""
     rank = {n: i for i, n in enumerate(_WINDOW_PRIORITY)}
     return sorted(
         CATALOG.values(),
-        key=lambda s: (s.oracle is None,
-                       rank.get(s.name, len(_WINDOW_PRIORITY))))
+        key=lambda s: (rank.get(s.name, len(_WINDOW_PRIORITY)),
+                       s.oracle is None))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -859,10 +853,10 @@ def tpch_q11(spark, sf_dir):
     oracle="""
     SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
                 THEN 'FAST' ELSE 'SLOW' END AS ship_mode,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -2985,7 +2979,8 @@ def unicode_normalize(spark, sf_dir):
 @register(
     "train_classifier_metrics",
     oracle="""
-    SELECT 1.0 AS accuracy, 1.0 AS precision, 1.0 AS recall, 1.0 AS AUC,
+    SELECT CAST(1.0 AS DOUBLE) AS accuracy, CAST(1.0 AS DOUBLE) AS precision,
+           CAST(1.0 AS DOUBLE) AS recall, CAST(1.0 AS DOUBLE) AS AUC,
            CAST(sum(CASE WHEN l_extendedprice > 35000 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_pos,
            CAST(sum(CASE WHEN l_extendedprice < 25000 THEN 1 ELSE 0 END)
@@ -4254,8 +4249,8 @@ def pagerank_q(spark, sf_dir):
            CASE WHEN grouping(source) = 1 THEN '<all>'
                 ELSE coalesce(source, '<null>') END AS source,
            count(*) AS docs,
-           sum(len(list_filter(string_split_regex(text, '\\s+'),
-                               x -> x <> ''))) AS tokens,
+           CAST(sum(len(list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                               x -> x <> ''))) AS BIGINT) AS tokens,
            round(avg(n_chars), 4) AS avg_chars
     FROM documents
     GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
@@ -4269,7 +4264,10 @@ def corpus_report_q(spark, sf_dir):
     via grouping() — coalesce alone could not distinguish the <all>
     cell from a document whose lang/source is genuinely NULL."""
     docs = _t(spark, sf_dir, "documents")
-    tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")))
+    # Explicit ASCII whitespace class: Java-regex \s and DuckDB-RE2 \s
+    # disagree on \x0B and Unicode spaces, so both sides pin the class.
+    tok = F.size(F.filter(F.split("text", r"[ \t\n\r]+"),
+                          lambda x: x != F.lit("")))
     return (docs
             .groupingSets([["lang", "source"], ["lang"], ["source"], []],
                           "lang", "source")

@@ -42,6 +42,81 @@ ORACLE_SPECS = [s for s in CATALOG.values() if s.oracle is not None]
 ROWS_ONLY_SPECS = [s for s in CATALOG.values() if s.oracle is None]
 
 
+def _duck_family(t) -> str:
+    """Collapse a DuckDB type to a comparison family. HUGEINT is
+    deliberately NOT an int: the driver's hasher normalizes int128
+    differently than int64, which cost tpch_q12/corpus_report their
+    hash-green in round 6 — the lint below makes that class impossible."""
+    s = str(t).upper()
+    if s in ("HUGEINT", "UHUGEINT", "INT128", "UINT128"):
+        return "hugeint"
+    if "INT" in s:
+        return "int"
+    if s in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s in ("VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR"):
+        return "str"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s.endswith("[]") or s.startswith("LIST") or s.startswith("ARRAY"):
+        return "list"
+    if s.startswith("STRUCT"):
+        return "struct"
+    if s.startswith("MAP"):
+        return "map"
+    return s
+
+
+def _spark_family(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    return type(dt).__name__
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_oracle_dialect_lint(spec):
+    """Every oracle's output types must be driver-hashable: DuckDB
+    promotes a bare integer sum() to HUGEINT, which the driver's
+    hasher normalizes differently than Spark's BIGINT — wrap integer
+    aggregates in CAST(... AS BIGINT) or round(). Type introspection
+    via .types is plan-only (no execution), so this lint is cheap."""
+    from tests.conftest import SF_DIR
+
+    con = duck_con(SF_DIR)
+    rel = con.sql(spec.oracle)
+    bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+           if _duck_family(t) in ("hugeint", "decimal")]
+    assert not bad, (
+        f"{spec.name}: oracle emits hasher-ambiguous types {bad}; "
+        f"CAST integer sums to BIGINT / decimals to DOUBLE")
+
+
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
 def test_query_matches_oracle(spark, sf_dir, spec):
     sdf = spec.fn(spark, sf_dir)
@@ -56,6 +131,13 @@ def test_query_matches_oracle(spark, sf_dir, spec):
     assert sorted(scols) == sorted(ocols), (
         f"{spec.name}: column mismatch {sorted(scols)} vs {sorted(ocols)}"
     )
+    sfam = {f.name: _spark_family(f.dataType) for f in sdf.schema.fields}
+    ofam = dict(zip(ora.columns, (_duck_family(t) for t in ora.types)))
+    fam_bad = [(c, sfam[c], ofam[c]) for c in sorted(sfam)
+               if sfam[c] != ofam[c]]
+    assert not fam_bad, (
+        f"{spec.name}: dtype-family mismatch (col, spark, oracle): {fam_bad}"
+    )
     assert len(srows) == len(orows), (
         f"{spec.name}: row count {len(srows)} vs oracle {len(orows)}"
     )
@@ -65,6 +147,38 @@ def test_query_matches_oracle(spark, sf_dir, spec):
     assert not mismatches, (
         f"{spec.name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
     )
+
+
+def test_corpus_tokenizer_whitespace_parity(spark):
+    """corpus_report pins its tokenizer to an explicit ASCII whitespace
+    class because Java-regex \\s and DuckDB-RE2 \\s disagree on \\x0B
+    and Unicode spaces. Plant both in a fixture and assert the Spark
+    expression and the oracle expression produce identical token counts
+    — so a future testdata refresh containing them can't silently
+    diverge the two engines."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "plain one two",
+        "vt\x0bsplit stays one token",       # \x0B: Java \s yes, RE2 \s no
+        "nbsp joined",                  # U+00A0: neither side splits
+        "tabs\tand\nnewlines\rhere",
+        "  leading and  trailing  ",
+        "",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+    tok = F.size(F.filter(F.split("text", r"[ \t\n\r]+"),
+                          lambda x: x != F.lit("")))
+    got = [r[0] for r in sdf.select(tok).collect()]
+
+    con = duckdb.connect()
+    want = [con.sql(
+        "SELECT len(list_filter(string_split_regex(?, '[ \\t\\n\\r]+'),"
+        " x -> x <> ''))", params=[t]).fetchone()[0] for t in texts]
+    assert got == want, f"spark {got} vs duckdb {want}"
+    # "vt\x0bsplit" must stay one token under the pinned class
+    assert got[1] == 4
+    assert got[2] == 1
 
 
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
@@ -92,9 +206,14 @@ def test_window_priority_order_is_respected():
     names = [s.name for s in _ordered_specs()]
     listed = [n for n in _WINDOW_PRIORITY if n in set(names)]
     assert names[:len(listed)] == listed
-    # and every oracled query still precedes every rows-only query
+    # outside the priority block, every oracled query still precedes
+    # every rows-only query (the priority list itself may rank
+    # rows-only entries into the window deliberately — that is the
+    # only way they can ever get a driver row)
     from mmlspark_spark.plans.catalog import CATALOG
+    tail = names[len(listed):]
     first_rows_only = min(
-        i for i, n in enumerate(names) if CATALOG[n].oracle is None)
+        (i for i, n in enumerate(tail) if CATALOG[n].oracle is None),
+        default=len(tail))
     assert all(CATALOG[n].oracle is not None
-               for n in names[:first_rows_only])
+               for n in tail[:first_rows_only])

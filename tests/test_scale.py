@@ -265,3 +265,25 @@ def test_compact_parquet_guards(spark, tmp_path):
     assert sorted(r.id for r in
                   spark.read.parquet(victim).collect()) == list(range(50))
     assert not os.path.exists(victim + ".__compact_old")
+
+    # simulate a crash AFTER the swap but before the backup delete:
+    # live data present, stale backup beside it. Every run must clean
+    # the stale backup (even a no-op run) so a later external delete
+    # of the dataset cannot resurrect it as live data.
+    stale = str(tmp_path / "stale_ds")
+    spark.range(20).coalesce(1).write.parquet(stale)
+    spark.range(999).coalesce(1).write.parquet(stale + ".__compact_old")
+    stats = compact_parquet(spark, stale, targetFileSizeBytes=1 << 20)
+    assert stats["files_before"] == stats["files_after"] == 1  # no-op run
+    assert not os.path.exists(stale + ".__compact_old")
+    assert spark.read.parquet(stale).count() == 20
+
+    # an EMPTY recreated path beside a backup is the interrupted-swap
+    # case: restore the backup rather than deleting it
+    hollow = str(tmp_path / "hollow_ds")
+    spark.range(7).coalesce(1).write.parquet(hollow + ".__compact_old")
+    os.makedirs(hollow)
+    open(os.path.join(hollow, "_SUCCESS"), "w").close()
+    compact_parquet(spark, hollow, targetFileSizeBytes=1 << 20)
+    assert spark.read.parquet(hollow).count() == 7
+    assert not os.path.exists(hollow + ".__compact_old")
