@@ -68,15 +68,44 @@ def lint_plan(df: DataFrame, maxExchanges: int = 8) -> list[str]:
         # but cannot skip row groups, usually a cast/UDF wrapping the
         # filtered column. A Filter node elsewhere in the plan is NOT
         # evidence (windows/joins introduce unrelated filters).
-        if ("PushedFilters: []" in line
-                and "DataFilters: []" not in line
-                and "DataFilters: " in line):
+        if "DataFilters: []" in line or "DataFilters: " not in line:
+            continue
+        m = re.search(r"DataFilters: \[(.*?)\], Format:", line)
+        filters = m.group(1) if m else ""
+        # The FIXABLE shape, flagged regardless of what else pushed:
+        # a cast of a BARE column compared to a literal. Comparing in
+        # the column's own type makes the predicate pushable, so this
+        # is always a one-line fix with real row-group-skip value.
+        cast_cmp = re.search(
+            r"\(cast\(\w+#\d+\w* as \w+\) (?:=|<|>|<=|>=) [^()]+\)",
+            filters)
+        if cast_cmp:
             findings.append(
-                "parquet scan evaluates DataFilters but pushed none "
-                "to the reader (PushedFilters empty): no row-group "
-                "skipping — check for casts/UDFs wrapping the "
-                "filtered column")
+                f"cast-wrapped column comparison ({cast_cmp.group(0)}) "
+                "evaluated per row instead of pushed to the parquet "
+                "reader — compare in the column's own type and the "
+                "predicate pushes")
             break
+        if "PushedFilters: []" in line:
+            # Nothing pushed at all. Only flag when a PUSHABLE-LOOKING
+            # predicate is present: a filter whose every predicate
+            # wraps the column in a computed expression (md5(text),
+            # size(split(...)), CASE WHEN ...) is inherently
+            # un-pushable — parquet readers evaluate plain
+            # column/literal comparisons only — and flagging it tells
+            # the reviewer to "fix" something that has no fix.
+            pushable = re.search(
+                r"(?:isnotnull|isnull)\(\w+#\d+\w*\)"
+                r"|\(\w+#\d+\w* (?:=|<|>|<=|>=|<=>) [^()]+\)"
+                r"|\w+#\d+\w* IN \(", filters)
+            if pushable:
+                findings.append(
+                    "parquet scan evaluates pushable-looking "
+                    f"DataFilters ({pushable.group(0)}) but pushed "
+                    "none to the reader (PushedFilters empty): no "
+                    "row-group skipping — check for casts/UDFs "
+                    "wrapping the filtered column")
+                break
     return findings
 
 

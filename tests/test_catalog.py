@@ -41,6 +41,38 @@ def _norm_rows(cols, rows):
 ORACLE_SPECS = [s for s in CATALOG.values() if s.oracle is not None]
 ROWS_ONLY_SPECS = [s for s in CATALOG.values() if s.oracle is None]
 
+# Catalog-wide scale-lint contract: every query's physical plan passes
+# lint_plan (budget 12 shuffles) except these JUSTIFIED allowances —
+# each is a deliberate plan shape, not an accident. "bnlj" = a
+# crossJoin of a ONE-ROW global aggregate (threshold/scaler frame):
+# the broadcast side holds exactly one row, so the "nested loop" is a
+# single comparison per probe row — O(N), scale-safe. "exchanges" =
+# iterative algorithms (per-iteration join+agg) whose shuffle count is
+# iterations × constant, not data-dependent.
+ALLOWED_LINT = {
+    "tpch_q11": {"BroadcastNestedLoopJoin"},     # one-row threshold
+    "tpch_q22": {"BroadcastNestedLoopJoin"},     # one-row avg balance
+    "class_balancer": {"BroadcastNestedLoopJoin"},   # one-row max
+    "train_classifier_metrics": {"BroadcastNestedLoopJoin"},
+    # one-row cutoff crossJoin + LM fit/score: per-n-gram-order count
+    # aggregations make the shuffle count order × constant (11-13
+    # observed depending on exchange reuse), never data-dependent
+    "perplexity_prune": {"BroadcastNestedLoopJoin", "exchanges"},
+    "embedding_dedup": {"BroadcastNestedLoopJoin"},   # one-row norm
+    "access_anomaly": {"BroadcastNestedLoopJoin", "exchanges"},  # ALS
+    "sar_recommend": {"exchanges"},              # affinity+sim+topk
+    "pagerank": {"exchanges"},                   # per-iteration shuffle
+}
+
+
+def _assert_plan_lint(name: str, sdf):
+    from mmlspark_spark.plans import lint_plan
+
+    allowed = ALLOWED_LINT.get(name, set())
+    bad = [f for f in lint_plan(sdf, maxExchanges=12)
+           if not any(tag in f for tag in allowed)]
+    assert not bad, f"{name}: un-allowlisted scale-lint findings: {bad}"
+
 
 def _duck_family(t) -> str:
     """Collapse a DuckDB type to a comparison family. HUGEINT is
@@ -120,6 +152,7 @@ def test_oracle_dialect_lint(spec):
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
 def test_query_matches_oracle(spark, sf_dir, spec):
     sdf = spec.fn(spark, sf_dir)
+    _assert_plan_lint(spec.name, sdf)
     scols = sdf.columns
     srows = sdf.collect()
 
@@ -184,6 +217,7 @@ def test_corpus_tokenizer_whitespace_parity(spark):
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
 def test_rows_only_query_runs(spark, sf_dir, spec):
     sdf = spec.fn(spark, sf_dir)
+    _assert_plan_lint(spec.name, sdf)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
 

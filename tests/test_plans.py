@@ -271,6 +271,20 @@ def test_lint_plan_flags_and_passes(spark, sf_dir):
     with _pytest.raises(AssertionError, match="scale lint"):
         assert_scalable(cart)
 
+    # pushdown rule: a cast-wrapped BARE-column comparison is the
+    # FIXABLE unpushed shape (compare in the column's own type and it
+    # pushes) — flagged; a filter over a computed expression
+    # (md5/size/split) has nothing to push — NOT flagged.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fixable = docs.filter(
+        F.col("doc_id").cast("string") == "5").select("doc_id")
+    assert any("cast-wrapped" in f for f in lint_plan(fixable)), \
+        lint_plan(fixable)
+    inherent = docs.filter(
+        F.md5(F.col("text").cast("binary")) == "00").select("doc_id")
+    assert not any("cast-wrapped" in f or "PushedFilters" in f
+                   for f in lint_plan(inherent)), lint_plan(inherent)
+
     # headline plans pass the lint clean
     from mmlspark_spark.plans.catalog import CATALOG
     for name in ("tpch_q1", "broadcast_join_revenue", "sessionize"):
