@@ -79,22 +79,42 @@ class DomainMixer(Transformer):
     matters more than the ratios).
 
     ``idCol`` must be a unique integer id (the sampling key).
+
+    ``temperature``: instead of explicit ``weights``, derive them from
+    the observed counts as count^α (α<1 flattens the mixture toward
+    rare domains — the multilingual temperature-sampling recipe from
+    XLM-R/mT5; α=1 reproduces the corpus, α=0 is uniform-over-domains).
+    Every observed domain participates (nothing is dropped). For
+    engine-reproducible quotas the float weight is QUANTIZED to an
+    integer — ``floor(count^α × 10⁶)`` — and the quota is the exact
+    integer ``budget × w_d // Σw``: after the one quantized pow, all
+    arithmetic is integral, so an oracle can replay it bit-for-bit.
+    Mutually exclusive with ``weights``.
     """
 
     def __init__(self, domainCol: str = "source", idCol: str = "doc_id",
                  weights: dict | None = None, totalBudget: int = 1000,
-                 exact: bool = True, seed: int = 42):
+                 exact: bool = True, seed: int = 42,
+                 temperature: float | None = None):
+        if temperature is not None and weights:
+            raise ValueError(
+                "pass either explicit `weights` or `temperature` "
+                "(count^alpha derived weights), not both")
+        if temperature is not None and not 0.0 <= temperature <= 1.0:
+            raise ValueError(
+                f"temperature must be in [0, 1], got {temperature}")
         super().__init__(domainCol=domainCol, idCol=idCol,
                          weights=dict(weights or {}),
-                         totalBudget=totalBudget, exact=exact, seed=seed)
+                         totalBudget=totalBudget, exact=exact, seed=seed,
+                         temperature=temperature)
         self.observedDroppedDomains: list = []
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.domainCol, self.idCol)
-        if not self.weights:
+        if not self.weights and self.temperature is None:
             raise ValueError(
-                "DomainMixer needs a non-empty `weights` dict; domains "
-                "missing from it are DROPPED")
+                "DomainMixer needs a non-empty `weights` dict (domains "
+                "missing from it are DROPPED) or a `temperature`")
         if not schema[self.idCol].dataType.typeName() in (
                 "integer", "long", "short"):
             raise ValueError(
@@ -118,6 +138,22 @@ class DomainMixer(Transformer):
 
         counts = {r[0]: r[1] for r in
                   df.groupBy(self.domainCol).count().collect()}
+        if self.temperature is not None:
+            # count^α quantized to an integer weight; thereafter the
+            # quota is PURE integer arithmetic (budget·w // Σw), so
+            # both engines land on identical quotas. math.pow is the
+            # only float step; the ×10⁶ quantization makes a cross-
+            # libm last-ulp difference change the weight only when
+            # count^α·10⁶ sits within one ulp of an integer.
+            import math
+
+            self.observedDroppedDomains = []
+            w_int = {d: int(math.floor(
+                math.pow(c, self.temperature) * 1_000_000))
+                for d, c in counts.items()}
+            tot = sum(w_int.values())
+            return {d: self.totalBudget * w // tot
+                    for d, w in w_int.items()}, counts
         # NULL is a legal domain value (groupBy counts it as a group);
         # a bare sorted() would TypeError comparing None with str
         self.observedDroppedDomains = sorted(

@@ -52,7 +52,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # (a) the two round-6 hash REDS, re-confirmed after their HUGEINT
 #     oracle fix (tpch_q12, corpus_report), plus
 #     train_classifier_metrics whose oracle changed this round
-#     (DECIMAL-literal → DOUBLE, caught by the new dialect lint);
+#     (DECIMAL-literal → DOUBLE, caught by the new dialect lint), plus
+#     domain_temperature_mix (new this round, oracled at birth);
 # (b) the two queries with NO driver row in any round — vw_featurizer
 #     and bpe_tokenize, both rows-only by design; the priority list
 #     now ranks ahead of the oracled-first rule precisely so they can
@@ -60,12 +61,16 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # (c) minhash_dedup — rows-only, last driver row round 2;
 # (d) the 13-entry round-6 backlog (r4-green, rotated out since:
 #     decontamination .. json_extract);
-# (e) 31 slots of round-5 greens, heaviest/riskiest first (full
-#     TPC-H r5 residue, then curation). The ~17 remaining r5 entries
-#     (select_project .. tabular_shap_exact — identity-ish stages,
-#     paths untouched) are the round-8 rotation backlog.
+# (e) 30 slots of round-5 greens, heaviest/riskiest first (full
+#     TPC-H r5 residue, then curation). Round-8 rotation backlog:
+#     asof_join + the ~17 remaining r5 entries (select_project ..
+#     tabular_shap_exact — identity-ish stages, paths untouched) and
+#     the r2-stale rows-only batch (summarize_data_approx,
+#     text_featurize_pipeline, simhash_dedup, knn_lsh, knn_ivf,
+#     access_anomaly, tabular_lime, tabular_shap) if slots allow.
 _WINDOW_PRIORITY = (
     "tpch_q12", "corpus_report", "train_classifier_metrics",
+    "domain_temperature_mix",
     "vw_featurizer", "bpe_tokenize", "minhash_dedup",
     "decontamination", "sar_affinity", "sar_item_similarity",
     "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
@@ -80,7 +85,7 @@ _WINDOW_PRIORITY = (
     "dedup_resolve", "embedding_kmeans_assign", "semantic_dedup",
     "lang_id_heuristic", "doc_fingerprint", "sequence_packing",
     "pii_redact", "url_extract", "summarize_data", "class_balancer",
-    "ensemble_by_key", "asof_join",
+    "ensemble_by_key",
 )
 
 
@@ -2228,6 +2233,50 @@ def domain_mix(spark, sf_dir):
         domainCol="lang", idCol="doc_id",
         weights={"en": 10, "de": 4, "fr": 3, "es": 2, "zh": 1},
         totalBudget=300, exact=True, seed=42)
+    return mixer.transform(docs).select("doc_id", "lang")
+
+
+@register(
+    "domain_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang,
+             CAST(floor(pow(cnt, 0.5) * 1000000) AS BIGINT) AS wi
+      FROM counts
+    ), q AS (
+      SELECT lang,
+             300 * wi // (SELECT CAST(sum(wi) AS BIGINT) FROM w) AS quota
+      FROM w
+    ), ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ((((doc_id + 42) % 2147483647) * 48271 % 2147483647)
+                         * 48271) % 2147483647,
+                        doc_id) AS rn
+      FROM documents)
+    SELECT r.doc_id, r.lang FROM ranked r JOIN q USING (lang)
+    WHERE rn <= quota
+    """)
+def domain_temperature_mix(spark, sf_dir):
+    """Temperature-sampled mixture (DomainMixer(temperature=0.5)):
+    weights derived from the observed per-lang counts as count^0.5 —
+    the XLM-R/mT5 recipe that flattens a head-heavy corpus toward its
+    rare domains (en dominates this table ~3:1 over each other lang;
+    at α=0.5 its quota share shrinks toward parity). The float pow is
+    quantized to an integer weight (floor(count^α·10⁶)) and the quota
+    is exact integer arithmetic (budget·w // Σw), so the oracle
+    replays quota derivation AND the Lehmer-ranked fill bit-for-bit —
+    membership-exact like domain_mix, but with the weights COMPUTED
+    from the data instead of given."""
+    from mmlspark_spark.llm import DomainMixer
+
+    docs = _t(spark, sf_dir, "documents")
+    mixer = DomainMixer(domainCol="lang", idCol="doc_id",
+                        temperature=0.5, totalBudget=300,
+                        exact=True, seed=42)
     return mixer.transform(docs).select("doc_id", "lang")
 
 

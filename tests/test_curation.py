@@ -147,6 +147,60 @@ def test_domain_mixer_null_domain_in_weights(spark):
     assert mixer.observedDroppedDomains == []
 
 
+def test_domain_mixer_temperature_quotas(spark):
+    """temperature=α derives weights count^α: α=1 reproduces the
+    corpus proportions, α=0 is uniform-over-domains, α=0.5 sits
+    between (hand-computed against the documented quantized-integer
+    quota arithmetic). No domain is dropped."""
+    import math
+
+    from mmlspark_spark.llm import DomainMixer
+
+    df = _mix_df(spark)  # a:100 b:50 c:10
+
+    def quotas(alpha, budget):
+        mixer = DomainMixer(domainCol="domain", idCol="doc_id",
+                            temperature=alpha, totalBudget=budget,
+                            exact=True, seed=7)
+        out = mixer.transform(df)
+        assert mixer.observedDroppedDomains == []
+        return {r.domain: r["count"] for r in
+                out.groupBy("domain").count().collect()}
+
+    # α=1: proportional — 100/160, 50/160, 10/160 of 80
+    assert quotas(1.0, 80) == {"a": 50, "b": 25, "c": 5}
+    # α=0: every weight 10⁶ → uniform 20 each (c caps at its 10 rows)
+    assert quotas(0.0, 60) == {"a": 20, "b": 20, "c": 10}
+    # α=0.5: exact replay of the quantized-integer arithmetic
+    avail = {"a": 100, "b": 50, "c": 10}
+    w = {d: int(math.floor(math.sqrt(c) * 1_000_000))
+         for d, c in avail.items()}
+    tot = sum(w.values())
+    # a quota above a domain's row count caps at the rows it has
+    expect = {d: min(80 * wi // tot, avail[d]) for d, wi in w.items()}
+    assert quotas(0.5, 80) == expect
+    # and the α=0.5 mixture is flatter than the corpus: a's share
+    # drops below its 62.5% corpus share, c's rises above 6.25%
+    q = quotas(0.5, 80)
+    n = sum(q.values())
+    assert q["a"] / n < 0.625 and q["c"] / n > 0.0625
+
+
+def test_domain_mixer_temperature_rate_mode(spark):
+    """Temperature weights compose with the zero-shuffle rate mode."""
+    from mmlspark_spark.llm import DomainMixer
+
+    df = _mix_df(spark)
+    out = DomainMixer(domainCol="domain", idCol="doc_id",
+                      temperature=0.5, totalBudget=80,
+                      exact=False, seed=7).transform(df)
+    rows = out.collect()
+    assert {r.domain for r in rows} == {"a", "b", "c"}
+    assert 40 <= len(rows) <= 120
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_domain_mixer_validation(spark):
     from mmlspark_spark.llm import DomainMixer
 
@@ -154,6 +208,12 @@ def test_domain_mixer_validation(spark):
     with pytest.raises(ValueError, match="weights"):
         DomainMixer(domainCol="domain", idCol="doc_id",
                     weights={}).transform(df)
+    with pytest.raises(ValueError, match="not both"):
+        DomainMixer(domainCol="domain", idCol="doc_id",
+                    weights={"a": 1}, temperature=0.5)
+    with pytest.raises(ValueError, match="temperature"):
+        DomainMixer(domainCol="domain", idCol="doc_id",
+                    temperature=1.5)
     strdf = df.withColumn("doc_id", F.col("doc_id").cast("string"))
     with pytest.raises(ValueError, match="integer"):
         DomainMixer(domainCol="domain", idCol="doc_id",
