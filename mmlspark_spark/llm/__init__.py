@@ -22,7 +22,7 @@ from mmlspark_spark.llm.export import (
     write_training_shards,
 )
 from mmlspark_spark.llm.lm import NGramLanguageModel, NGramLMModel
-from mmlspark_spark.llm.mixing import DomainMixer
+from mmlspark_spark.llm.mixing import DomainMixer, HashSplitter
 from mmlspark_spark.llm.packing import BenchmarkDecontaminator, SequencePacker
 from mmlspark_spark.llm.quality import QualityFilter
 from mmlspark_spark.llm.scrub import (
@@ -56,6 +56,7 @@ __all__ = [
     "NGramLanguageModel",
     "NGramLMModel",
     "DomainMixer",
+    "HashSplitter",
     "EmbeddingKMeans",
     "EmbeddingKMeansModel",
     "semantic_dedup",

@@ -192,3 +192,70 @@ class DomainMixer(Transformer):
             col = F.when(F.col(self.domainCol).eqNullSafe(F.lit(d)),
                          F.lit(v)).otherwise(col)
         return col
+
+
+class HashSplitter(Transformer):
+    """Deterministic train/val/test assignment from an integer id.
+
+    The standard dataset-split contract for training pipelines: a
+    row's split is a PURE FUNCTION of its id (the same Lehmer uniform
+    ``DomainMixer`` samples with), so the assignment is reproducible
+    across runs, partitionings, engines — and, critically, across
+    corpus GROWTH: adding new documents never moves an existing
+    document between splits (a ``randomSplit`` reshuffles everything
+    every run, leaking yesterday's test set into today's train set).
+
+    ``splits``: ordered dict name → fraction; fractions are read as
+    exact decimals (``Fraction(str(f))``) and must sum to exactly 1.
+    Split boundaries are exact integer thresholds on the uniform key —
+    ``t_i = floor(cumulative_i × m)`` — so an oracle can replay the
+    assignment bit-for-bit.
+
+    Zero shuffles: the assignment is one CASE expression over a map
+    stage. Per-split frames are ``df.filter(col(outputCol) == name)``
+    — still shuffle-free.
+    """
+
+    def __init__(self, idCol: str = "doc_id", splits: dict | None = None,
+                 outputCol: str = "split", seed: int = 42):
+        from fractions import Fraction
+
+        splits = dict(splits or
+                      {"train": 0.9, "val": 0.05, "test": 0.05})
+        if sum(Fraction(str(f)) for f in splits.values()) != 1:
+            raise ValueError(
+                f"split fractions must sum to exactly 1, got "
+                f"{dict(splits)}")
+        if any(Fraction(str(f)) <= 0 for f in splits.values()):
+            raise ValueError("every split fraction must be > 0")
+        super().__init__(idCol=idCol, splits=splits, outputCol=outputCol,
+                         seed=seed)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.idCol)
+        if schema[self.idCol].dataType.typeName() not in (
+                "integer", "long", "short"):
+            raise ValueError(
+                f"HashSplitter idCol '{self.idCol}' must be an integer "
+                f"id column; got "
+                f"{schema[self.idCol].dataType.simpleString()}")
+        return T.StructType(
+            list(schema.fields)
+            + [T.StructField(self.outputCol, T.StringType(), False)])
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from fractions import Fraction
+
+        u = _uniform_key(self.idCol, self.seed)
+        names = list(self.splits)
+        cum = Fraction(0)
+        col = F.lit(names[-1])  # u < m always → last split is the else
+        # build the CASE back-to-front so earlier splits win their
+        # [t_{i-1}, t_i) interval
+        thresholds = []
+        for name in names[:-1]:
+            cum += Fraction(str(self.splits[name]))
+            thresholds.append((name, int(cum * _M)))  # floor: exact ints
+        for name, t in reversed(thresholds):
+            col = F.when(u < F.lit(t), F.lit(name)).otherwise(col)
+        return df.withColumn(self.outputCol, col)

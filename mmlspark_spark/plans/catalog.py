@@ -53,7 +53,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     oracle fix (tpch_q12, corpus_report), plus
 #     train_classifier_metrics whose oracle changed this round
 #     (DECIMAL-literal → DOUBLE, caught by the new dialect lint), plus
-#     domain_temperature_mix (new this round, oracled at birth);
+#     domain_temperature_mix + hash_split (new this round, oracled at
+#     birth);
 # (b) the two queries with NO driver row in any round — vw_featurizer
 #     and bpe_tokenize, both rows-only by design; the priority list
 #     now ranks ahead of the oracled-first rule precisely so they can
@@ -61,16 +62,17 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # (c) minhash_dedup — rows-only, last driver row round 2;
 # (d) the 13-entry round-6 backlog (r4-green, rotated out since:
 #     decontamination .. json_extract);
-# (e) 30 slots of round-5 greens, heaviest/riskiest first (full
+# (e) 29 slots of round-5 greens, heaviest/riskiest first (full
 #     TPC-H r5 residue, then curation). Round-8 rotation backlog:
-#     asof_join + the ~17 remaining r5 entries (select_project ..
+#     asof_join, ensemble_by_key + the ~17 remaining r5 entries
+#     (select_project ..
 #     tabular_shap_exact — identity-ish stages, paths untouched) and
 #     the r2-stale rows-only batch (summarize_data_approx,
 #     text_featurize_pipeline, simhash_dedup, knn_lsh, knn_ivf,
 #     access_anomaly, tabular_lime, tabular_shap) if slots allow.
 _WINDOW_PRIORITY = (
     "tpch_q12", "corpus_report", "train_classifier_metrics",
-    "domain_temperature_mix",
+    "domain_temperature_mix", "hash_split",
     "vw_featurizer", "bpe_tokenize", "minhash_dedup",
     "decontamination", "sar_affinity", "sar_item_similarity",
     "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
@@ -85,7 +87,6 @@ _WINDOW_PRIORITY = (
     "dedup_resolve", "embedding_kmeans_assign", "semantic_dedup",
     "lang_id_heuristic", "doc_fingerprint", "sequence_packing",
     "pii_redact", "url_extract", "summarize_data", "class_balancer",
-    "ensemble_by_key",
 )
 
 
@@ -2278,6 +2279,36 @@ def domain_temperature_mix(spark, sf_dir):
                         temperature=0.5, totalBudget=300,
                         exact=True, seed=42)
     return mixer.transform(docs).select("doc_id", "lang")
+
+
+@register(
+    "hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN u < 1932735282 THEN 'train'
+                WHEN u < 2040109464 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ((((doc_id + 42) % 2147483647) * 48271 % 2147483647)
+                  * 48271) % 2147483647 AS u
+          FROM documents)
+    """)
+def hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (HashSplitter 90/5/5): a
+    row's split is a pure function of its id via the Lehmer uniform,
+    so assignment survives corpus growth (new docs never move old docs
+    between splits — randomSplit reshuffles every run and leaks test
+    into train). Thresholds are exact integers floor(cum_frac × m)
+    (1932735282 = ⌊0.9·(2³¹−1)⌋, 2040109464 = ⌊0.95·(2³¹−1)⌋), so the
+    oracle replays the assignment bit-for-bit. The whole operator is
+    one CASE expression on a map stage — zero shuffles at any scale."""
+    from mmlspark_spark.llm import HashSplitter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = HashSplitter(idCol="doc_id",
+                       splits={"train": 0.9, "val": 0.05, "test": 0.05},
+                       seed=42).transform(docs)
+    return out.select("doc_id", "split")
 
 
 @register(

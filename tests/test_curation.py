@@ -201,6 +201,52 @@ def test_domain_mixer_temperature_rate_mode(spark):
     assert "Exchange" not in plan
 
 
+def test_hash_splitter_deterministic_and_stable_under_growth(spark):
+    """Split is a pure function of the id: repartitioning never moves
+    a row, and growing the corpus never reassigns an existing row —
+    THE property randomSplit lacks. Fractions are honored within
+    hash-uniformity tolerance, every row is assigned, zero shuffles."""
+    from mmlspark_spark.llm import HashSplitter
+
+    sp = HashSplitter(idCol="doc_id",
+                      splits={"train": 0.8, "val": 0.1, "test": 0.1},
+                      seed=11)
+    small = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = sp.transform(small)
+    assign = {r.doc_id: r.split for r in out.collect()}
+    assert len(assign) == 500  # every row assigned exactly once
+    frac = {s: sum(1 for v in assign.values() if v == s) / 500
+            for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.8) < 0.06
+    assert abs(frac["val"] - 0.1) < 0.04
+    assert abs(frac["test"] - 0.1) < 0.04
+
+    again = {r.doc_id: r.split
+             for r in sp.transform(small.repartition(13)).collect()}
+    assert again == assign
+
+    grown = spark.range(2000).withColumnRenamed("id", "doc_id")
+    grown_assign = {r.doc_id: r.split
+                    for r in sp.transform(grown).collect()}
+    assert all(grown_assign[i] == assign[i] for i in assign)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_splitter_validation(spark):
+    from mmlspark_spark.llm import HashSplitter
+
+    with pytest.raises(ValueError, match="sum to exactly 1"):
+        HashSplitter(splits={"train": 0.9, "test": 0.05})
+    with pytest.raises(ValueError, match="> 0"):
+        HashSplitter(splits={"train": 1.5, "test": -0.5})
+    df = _mix_df(spark).withColumn("doc_id",
+                                   F.col("doc_id").cast("string"))
+    with pytest.raises(ValueError, match="integer"):
+        HashSplitter(idCol="doc_id").transform(df)
+
+
 def test_domain_mixer_validation(spark):
     from mmlspark_spark.llm import DomainMixer
 
