@@ -34,7 +34,11 @@ from mmlspark_spark.llm.scrub import (
     strip_markup,
 )
 from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
-from mmlspark_spark.llm.tokenizer import BPETokenizer, BPETokenizerModel
+from mmlspark_spark.llm.tokenizer import (
+    BPETokenizer,
+    BPETokenizerModel,
+    build_vocabulary,
+)
 
 __all__ = [
     "ExactDeduplicator",
@@ -67,6 +71,7 @@ __all__ = [
     "MarkupStripper",
     "strip_markup",
     "BPETokenizer",
+    "build_vocabulary",
     "BPETokenizerModel",
     "PIIRedactor",
     "redact_pii",

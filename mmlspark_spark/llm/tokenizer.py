@@ -226,3 +226,41 @@ class BPETokenizer(Estimator):
         return BPETokenizerModel(
             merges=merges, textCol=self.textCol,
             outputCol=self.outputCol, lowercase=self.lowercase)
+
+
+def build_vocabulary(df: DataFrame, textCol: str = "text",
+                     minCount: int = 2,
+                     maxVocab: int | None = None) -> DataFrame:
+    """Distributed word-level vocabulary: (token_id, word, freq).
+
+    The standalone form of what TextFeaturizer's CountVectorizer does
+    internally, exposed because LLM pipelines need the artifact itself
+    (vocab files for tokenizers, frequency tables for LM smoothing,
+    OOV analysis). Tokenization uses the same ASCII whitespace class
+    as the BPE fit (``_JAVA_WS``), so the two artifacts agree on word
+    boundaries.
+
+    Deterministic ids: rank by (freq DESC, word ASC) — ties break
+    lexicographically, so ids are stable across runs, partitionings,
+    and engines (the ``vocab_build`` catalog query verifies the whole
+    table hash-exact against DuckDB).
+
+    Scale: the corpus-sized work is ONE tokenize + groupBy(word)
+    shuffle; the ranking window is a single-partition sort over the
+    RESULT, which is vocabulary-sized (Heaps' law: ~10⁶ rows for web
+    corpora — MBs, not TBs), so the global sort that would be a
+    scale bug over documents is harmless over the histogram.
+    """
+    from pyspark.sql.window import Window
+
+    hist = (df.select(F.explode(
+                F.split(F.col(textCol), r"[ \t\n\x0B\f\r]+")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").count()
+            .filter(F.col("count") >= minCount))
+    w = Window.orderBy(F.col("count").desc(), "word")
+    out = hist.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long"))
+    if maxVocab is not None:
+        out = out.filter(F.col("token_id") < maxVocab)
+    return out.select("token_id", "word", F.col("count").alias("freq"))

@@ -53,8 +53,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     oracle fix (tpch_q12, corpus_report), plus
 #     train_classifier_metrics whose oracle changed this round
 #     (DECIMAL-literal → DOUBLE, caught by the new dialect lint), plus
-#     domain_temperature_mix + hash_split (new this round, oracled at
-#     birth);
+#     domain_temperature_mix + hash_split + vocab_build (new this
+#     round, oracled at birth);
 # (b) the two queries with NO driver row in any round — vw_featurizer
 #     and bpe_tokenize, both rows-only by design; the priority list
 #     now ranks ahead of the oracled-first rule precisely so they can
@@ -62,17 +62,17 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # (c) minhash_dedup — rows-only, last driver row round 2;
 # (d) the 13-entry round-6 backlog (r4-green, rotated out since:
 #     decontamination .. json_extract);
-# (e) 29 slots of round-5 greens, heaviest/riskiest first (full
+# (e) 28 slots of round-5 greens, heaviest/riskiest first (full
 #     TPC-H r5 residue, then curation). Round-8 rotation backlog:
-#     asof_join, ensemble_by_key + the ~17 remaining r5 entries
-#     (select_project ..
+#     asof_join, ensemble_by_key, class_balancer + the ~17 remaining
+#     r5 entries (select_project ..
 #     tabular_shap_exact — identity-ish stages, paths untouched) and
 #     the r2-stale rows-only batch (summarize_data_approx,
 #     text_featurize_pipeline, simhash_dedup, knn_lsh, knn_ivf,
 #     access_anomaly, tabular_lime, tabular_shap) if slots allow.
 _WINDOW_PRIORITY = (
     "tpch_q12", "corpus_report", "train_classifier_metrics",
-    "domain_temperature_mix", "hash_split",
+    "domain_temperature_mix", "hash_split", "vocab_build",
     "vw_featurizer", "bpe_tokenize", "minhash_dedup",
     "decontamination", "sar_affinity", "sar_item_similarity",
     "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
@@ -86,7 +86,7 @@ _WINDOW_PRIORITY = (
     "embedding_covariance", "quality_filter", "stratified_sample",
     "dedup_resolve", "embedding_kmeans_assign", "semantic_dedup",
     "lang_id_heuristic", "doc_fingerprint", "sequence_packing",
-    "pii_redact", "url_extract", "summarize_data", "class_balancer",
+    "pii_redact", "url_extract", "summarize_data",
 )
 
 
@@ -2279,6 +2279,37 @@ def domain_temperature_mix(spark, sf_dir):
                         temperature=0.5, totalBudget=300,
                         exact=True, seed=42)
     return mixer.transform(docs).select("doc_id", "lang")
+
+
+@register(
+    "vocab_build",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(
+               string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+               x -> x <> '')) AS word
+      FROM documents
+    ), hist AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM words GROUP BY word HAVING count(*) >= 3
+    )
+    SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) - 1
+                AS BIGINT) AS token_id,
+           word, freq
+    FROM hist
+    """)
+def vocab_build(spark, sf_dir):
+    """Distributed word-level vocabulary (build_vocabulary, minCount=3)
+    — the artifact LLM pipelines ship to tokenizers / LM smoothing.
+    Corpus-scale work is one tokenize + groupBy(word) shuffle; the
+    deterministic (freq DESC, word ASC) id ranking runs over the
+    vocabulary-sized histogram (Heaps' law — MBs at 100 TB corpus
+    scale), where a single-partition sort is harmless. Hash-exact:
+    tokenize class, tie-break, and id arithmetic all replay in SQL."""
+    from mmlspark_spark.llm import build_vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_vocabulary(docs, textCol="text", minCount=3)
 
 
 @register(

@@ -234,6 +234,26 @@ def test_hash_splitter_deterministic_and_stable_under_growth(spark):
     assert "Exchange" not in plan
 
 
+def test_build_vocabulary_hand_computed(spark):
+    """Deterministic word vocab: freq-desc ids, lexicographic
+    tie-break, minCount filter, maxVocab cap, \\x0B splits (the BPE
+    whitespace class)."""
+    from mmlspark_spark.llm import build_vocabulary
+
+    df = spark.createDataFrame(
+        [("b a a",), ("a c\x0bb",), ("d",)], ["text"])
+    rows = build_vocabulary(df, minCount=1).collect()
+    got = [(r.token_id, r.word, r.freq) for r in
+           sorted(rows, key=lambda r: r.token_id)]
+    # a:3, b:2, c:1, d:1 — c before d lexicographically
+    assert got == [(0, "a", 3), (1, "b", 2), (2, "c", 1), (3, "d", 1)]
+
+    capped = build_vocabulary(df, minCount=2).collect()
+    assert {(r.token_id, r.word) for r in capped} == {(0, "a"), (1, "b")}
+    top = build_vocabulary(df, minCount=1, maxVocab=3).collect()
+    assert {r.word for r in top} == {"a", "b", "c"}
+
+
 def test_hash_splitter_validation(spark):
     from mmlspark_spark.llm import HashSplitter
 
