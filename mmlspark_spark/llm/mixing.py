@@ -214,6 +214,12 @@ class HashSplitter(Transformer):
     Zero shuffles: the assignment is one CASE expression over a map
     stage. Per-split frames are ``df.filter(col(outputCol) == name)``
     — still shuffle-free.
+
+    NULL ids FAIL the job (a ``raise_error`` branch in the same CASE —
+    no extra scan or pre-pass): a NULL id has no hash, and letting it
+    fall through the CASE would silently park every NULL row in the
+    last split — a skewed-leakage bug that surfaces only at
+    evaluation time. Drop or fill NULL ids first.
     """
 
     def __init__(self, idCol: str = "doc_id", splits: dict | None = None,
@@ -258,4 +264,9 @@ class HashSplitter(Transformer):
             thresholds.append((name, int(cum * _M)))  # floor: exact ints
         for name, t in reversed(thresholds):
             col = F.when(u < F.lit(t), F.lit(name)).otherwise(col)
+        # NULL-id guard INSIDE the same expression: no pre-pass scan
+        col = F.when(F.col(self.idCol).isNull(), F.raise_error(F.lit(
+            f"HashSplitter idCol '{self.idCol}' contains a NULL id — "
+            "a NULL has no deterministic hash; drop or fill first"))
+            .cast("string")).otherwise(col)
         return df.withColumn(self.outputCol, col)

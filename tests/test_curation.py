@@ -266,6 +266,14 @@ def test_hash_splitter_validation(spark):
     with pytest.raises(ValueError, match="integer"):
         HashSplitter(idCol="doc_id").transform(df)
 
+    # NULL ids fail the job (lazily, no pre-pass) instead of silently
+    # landing every NULL row in the last split
+    nulls = spark.createDataFrame(
+        [(1,), (None,)], "doc_id int")
+    out = HashSplitter(idCol="doc_id").transform(nulls)
+    with pytest.raises(Exception, match="NULL id"):
+        out.collect()
+
 
 def test_domain_mixer_validation(spark):
     from mmlspark_spark.llm import DomainMixer
