@@ -64,7 +64,15 @@ def _uniform_key(idCol, seed: int):
     # s0 > 2^31/48271 ≈ 44k — the int64 bound below assumes 64-bit
     # intermediates.
     s0 = F.pmod(F.col(idCol).cast("long") + F.lit(seed), F.lit(_M))
-    return F.pmod(F.pmod(s0 * _A, F.lit(_M)) * _A, F.lit(_M))
+    u = F.pmod(F.pmod(s0 * _A, F.lit(_M)) * _A, F.lit(_M))
+    # NULL-id guard inside the expression (no pre-pass scan): a NULL
+    # id would otherwise propagate u=NULL, which sorts FIRST under the
+    # exact mode's window (preferentially selected!) and silently
+    # fails every rate filter — both wrong, both invisible. Fail the
+    # job at the first NULL instead.
+    return F.when(F.col(idCol).isNull(), F.raise_error(F.lit(
+        f"deterministic sampling key '{idCol}' contains a NULL id — "
+        "drop or fill NULL ids first")).cast("long")).otherwise(u)
 
 
 class DomainMixer(Transformer):
@@ -264,9 +272,5 @@ class HashSplitter(Transformer):
             thresholds.append((name, int(cum * _M)))  # floor: exact ints
         for name, t in reversed(thresholds):
             col = F.when(u < F.lit(t), F.lit(name)).otherwise(col)
-        # NULL-id guard INSIDE the same expression: no pre-pass scan
-        col = F.when(F.col(self.idCol).isNull(), F.raise_error(F.lit(
-            f"HashSplitter idCol '{self.idCol}' contains a NULL id — "
-            "a NULL has no deterministic hash; drop or fill first"))
-            .cast("string")).otherwise(col)
+        # NULL ids fail inside _uniform_key's guard — no pre-pass scan
         return df.withColumn(self.outputCol, col)

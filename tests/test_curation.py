@@ -274,6 +274,17 @@ def test_hash_splitter_validation(spark):
     with pytest.raises(Exception, match="NULL id"):
         out.collect()
 
+    # DomainMixer shares the guard: a NULL id would otherwise sort
+    # FIRST in the exact-mode window (preferentially selected)
+    from mmlspark_spark.llm import DomainMixer
+
+    nulldom = spark.createDataFrame(
+        [(1, "a"), (None, "a")], "doc_id int, domain string")
+    mix = DomainMixer(domainCol="domain", idCol="doc_id",
+                      weights={"a": 1}, totalBudget=1)
+    with pytest.raises(Exception, match="NULL id"):
+        mix.transform(nulldom).collect()
+
 
 def test_domain_mixer_validation(spark):
     from mmlspark_spark.llm import DomainMixer
