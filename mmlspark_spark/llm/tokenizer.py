@@ -253,7 +253,14 @@ def build_vocabulary(df: DataFrame, textCol: str = "text",
     """
     from pyspark.sql.window import Window
 
-    hist = (df.select(F.explode(
+    from mmlspark_spark.operators.scale import spread_narrow_scan
+
+    # prune to the text column BEFORE the narrow-scan spread so the
+    # (small-input-only) repartition moves text bytes, nothing else;
+    # safe for this aggregation — counts are exact integers, so
+    # repartitioning cannot move the result (unlike float sums)
+    src = spread_narrow_scan(df.select(F.col(textCol)))
+    hist = (src.select(F.explode(
                 F.split(F.col(textCol), r"[ \t\n\x0B\f\r]+")).alias("word"))
             .filter(F.col("word") != "")
             .groupBy("word").count()
