@@ -78,7 +78,8 @@ def shard_assignment(idCol: str, numShards: int):
 
 def write_training_shards(df: DataFrame, path: str, numShards: int,
                           idCol: str, maxRecordsPerFile: int = 0,
-                          mode: str = "overwrite") -> dict:
+                          mode: str = "overwrite",
+                          orderSeed: int | None = None) -> dict:
     """Write ``df`` as ``numShards`` hash-sharded parquet directories
     under ``path`` plus a ``_manifest.json``; returns the manifest.
 
@@ -86,14 +87,35 @@ def write_training_shards(df: DataFrame, path: str, numShards: int,
     {"rows": r, "checksum": c}, ...}}`` where checksum is the XOR of
     ``xxhash64(id)`` over the shard's rows as written — order-
     insensitive AND overflow-free (a sum of 64-bit hashes trips ANSI
-    mode's long-overflow check)."""
+    mode's long-overflow check).
+
+    ``orderSeed``: also fix the WITHIN-shard row order to a
+    deterministic pseudo-random permutation (sort by
+    ``xxhash64(seed, id)``) — the "global shuffle" trainers need for
+    decorrelated batches, reproducible across re-exports (shuffle
+    arrival order, the default, is not). Costs a sort within each
+    write task, no extra shuffle. Caveat: the order is deterministic
+    per FILE; a shard split across several files (``maxRecordsPerFile``)
+    is only read back in a stable order if the reader lists files
+    deterministically — keep one file per shard when exact replay
+    order matters."""
     keyed = df.withColumn("shard", shard_assignment(idCol, numShards))
     # repartitionByRange, not hash repartition: hashing the shard ids
     # collides ~1/e of them into shared tasks (stragglers writing 2-3
     # directories while others idle); range partitioning on the exact
     # int values gives ~one task per shard directory
-    writer = (keyed.repartitionByRange(numShards, "shard")
-              .write.mode(mode).partitionBy("shard"))
+    arranged = keyed.repartitionByRange(numShards, "shard")
+    if orderSeed is not None:
+        # "shard" leads the sort: the dynamic-partition writer REQUIRES
+        # its output ordered by the partition columns and inserts its
+        # own (unstable) sort when it is not — which would silently
+        # discard the seeded permutation. With the requirement already
+        # satisfied, no extra sort is inserted and the within-shard
+        # hash order survives into the files.
+        arranged = arranged.sortWithinPartitions(
+            "shard", F.xxhash64(F.lit(orderSeed), F.col(idCol)),
+            F.col(idCol))
+    writer = arranged.write.mode(mode).partitionBy("shard")
     if maxRecordsPerFile:
         writer = writer.option("maxRecordsPerFile", maxRecordsPerFile)
     writer.parquet(path)
