@@ -23,7 +23,11 @@ from mmlspark_spark.llm.export import (
 )
 from mmlspark_spark.llm.lm import NGramLanguageModel, NGramLMModel
 from mmlspark_spark.llm.mixing import DomainMixer, HashSplitter
-from mmlspark_spark.llm.packing import BenchmarkDecontaminator, SequencePacker
+from mmlspark_spark.llm.packing import (
+    BenchmarkDecontaminator,
+    SequencePacker,
+    chunk_documents,
+)
 from mmlspark_spark.llm.quality import QualityFilter
 from mmlspark_spark.llm.scrub import (
     MarkupStripper,
@@ -72,6 +76,7 @@ __all__ = [
     "strip_markup",
     "BPETokenizer",
     "build_vocabulary",
+    "chunk_documents",
     "BPETokenizerModel",
     "PIIRedactor",
     "redact_pii",

@@ -134,3 +134,56 @@ class SequencePacker(Transformer):
         return (with_tokens
                 .withColumn("seq_index", F.floor(cum_before / cap))
                 .withColumn("seq_offset", cum_before % cap))
+
+
+def chunk_documents(df: DataFrame, idCol: str = "doc_id",
+                    textCol: str = "text", chunkTokens: int = 64,
+                    stride: int | None = None) -> DataFrame:
+    """Overlap-stride chunking: cut each document into token windows
+    of ``chunkTokens``, starting every ``stride`` tokens (stride <
+    chunkTokens => overlapping windows -- the retrieval/eval-prep
+    layout, where SequencePacker's concat-then-chunk is the
+    pretraining one). Returns (id, chunk_id, n_tokens, chunk).
+
+    Pure Catalyst, no shuffle, no Python: tokenize ONCE per row behind
+    an ``explode(array(...))`` Generate barrier -- without it,
+    CollapseProject re-inlines the tokenize expression into every
+    ``slice`` lambda, making the map work O(tokens x chunks) per
+    document (quadratic for long docs; the same pitfall that took
+    minhash 5s->165s) -- then ``sequence()`` the start offsets,
+    ``transform``+``slice`` the windows over the materialized token
+    attribute, and ``posexplode``. Chunk starts cover every token
+    (last window may be short); empty/whitespace-only documents
+    produce no chunks. Tokens are the pinned ASCII-whitespace split
+    (engine-parity with the corpus_report tokenizer), so the
+    ``chunk_overlap`` catalog query verifies hash-exact.
+    """
+    if stride is None:
+        stride = chunkTokens
+    if stride <= 0 or chunkTokens <= 0:
+        raise ValueError("chunkTokens and stride must be positive")
+    if stride > chunkTokens:
+        raise ValueError(
+            f"stride ({stride}) > chunkTokens ({chunkTokens}) would "
+            "skip tokens between consecutive chunks")
+    toks = F.filter(F.split(F.col(textCol), r"[ \t\n\r]+"),
+                    lambda x: x != F.lit(""))
+    # Generate barrier: __toks is a bound attribute downstream, so the
+    # regex tokenization runs exactly once per row
+    tok_df = df.select(F.col(idCol),
+                       F.explode(F.array(toks)).alias("__toks"))
+    toks_attr = F.col("__toks")
+    starts = F.when(
+        F.size(toks_attr) > 0,
+        F.sequence(F.lit(0), F.size(toks_attr) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.slice(toks_attr, s + 1, chunkTokens))
+    exploded = tok_df.select(
+        F.col(idCol),
+        F.posexplode(chunks).alias("chunk_id", "__chunk"))
+    return exploded.select(
+        idCol, "chunk_id",
+        F.size("__chunk").alias("n_tokens"),
+        F.concat_ws(" ", "__chunk").alias("chunk"))

@@ -53,8 +53,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     oracle fix (tpch_q12, corpus_report), plus
 #     train_classifier_metrics whose oracle changed this round
 #     (DECIMAL-literal → DOUBLE, caught by the new dialect lint), plus
-#     domain_temperature_mix + hash_split + vocab_build (new this
-#     round, oracled at birth);
+#     domain_temperature_mix + hash_split + vocab_build +
+#     chunk_overlap (new this round, oracled at birth);
 # (b) the two queries with NO driver row in any round — vw_featurizer
 #     and bpe_tokenize, both rows-only by design; the priority list
 #     now ranks ahead of the oracled-first rule precisely so they can
@@ -64,8 +64,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     decontamination .. json_extract);
 # (e) 28 slots of round-5 greens, heaviest/riskiest first (full
 #     TPC-H r5 residue, then curation). Round-8 rotation backlog:
-#     asof_join, ensemble_by_key, class_balancer + the ~17 remaining
-#     r5 entries (select_project ..
+#     asof_join, ensemble_by_key, class_balancer, summarize_data +
+#     the ~17 remaining r5 entries (select_project ..
 #     tabular_shap_exact — identity-ish stages, paths untouched) and
 #     the r2-stale rows-only batch (summarize_data_approx,
 #     text_featurize_pipeline, simhash_dedup, knn_lsh, knn_ivf,
@@ -73,6 +73,7 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 _WINDOW_PRIORITY = (
     "tpch_q12", "corpus_report", "train_classifier_metrics",
     "domain_temperature_mix", "hash_split", "vocab_build",
+    "chunk_overlap",
     "vw_featurizer", "bpe_tokenize", "minhash_dedup",
     "decontamination", "sar_affinity", "sar_item_similarity",
     "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
@@ -86,7 +87,7 @@ _WINDOW_PRIORITY = (
     "embedding_covariance", "quality_filter", "stratified_sample",
     "dedup_resolve", "embedding_kmeans_assign", "semantic_dedup",
     "lang_id_heuristic", "doc_fingerprint", "sequence_packing",
-    "pii_redact", "url_extract", "summarize_data",
+    "pii_redact", "url_extract",
 )
 
 
@@ -2279,6 +2280,45 @@ def domain_temperature_mix(spark, sf_dir):
                         temperature=0.5, totalBudget=300,
                         exact=True, seed=42)
     return mixer.transform(docs).select("doc_id", "lang")
+
+
+@register(
+    "chunk_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                                 x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS st
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(st // 16 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, st + 1, st + 32)) AS BIGINT)
+             AS n_tokens,
+           array_to_string(list_slice(toks, st + 1, st + 32), ' ')
+             AS chunk
+    FROM s
+    """)
+def chunk_overlap(spark, sf_dir):
+    """Overlap-stride chunking (chunk_documents, 32-token windows
+    every 16): the retrieval/eval-prep layout — consecutive chunks
+    share half their tokens so no boundary-straddling span is lost.
+    Map-only plan: tokenize once per row behind a Generate barrier
+    (CollapseProject would otherwise re-inline the tokenize into every
+    slice, O(tokens × chunks) per doc), then sequence+slice+posexplode
+    — no shuffle at any scale. The oracle replays windows, stride
+    arithmetic and the whitespace class token-for-token."""
+    from mmlspark_spark.llm import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, idCol="doc_id", textCol="text",
+                          chunkTokens=32, stride=16)
+    return out.select("doc_id",
+                      F.col("chunk_id").cast("long").alias("chunk_id"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "chunk")
 
 
 @register(

@@ -566,6 +566,36 @@ def test_training_shard_export_order_seed(spark, tmp_path):
         assert hashes == sorted(hashes)
 
 
+def test_chunk_documents_hand_computed(spark):
+    """Overlap windows: 10 tokens, chunk 4, stride 2 → starts
+    0,2,4,6,8; last windows short; empty text yields no chunks;
+    stride > chunk is rejected. The tokenize-once Generate barrier is
+    pinned by counting 'split(' in the plan."""
+    from mmlspark_spark.llm import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, ""), (3, None)],
+                               "doc_id int, text string")
+    out = chunk_documents(df, chunkTokens=4, stride=2)
+    rows = sorted(((r.doc_id, r.chunk_id, r.n_tokens, r.chunk)
+                   for r in out.collect()))
+    assert rows == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w2 w3 w4 w5"),
+        (1, 2, 4, "w4 w5 w6 w7"),
+        (1, 3, 4, "w6 w7 w8 w9"),
+        (1, 4, 2, "w8 w9"),
+    ]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunkTokens=4, stride=8)
+
+    # tokenize-once: the regex split appears exactly once in the plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(text") == 1, plan
+
+
 def test_bpe_learn_merges_hand_computed():
     """Sennrich's running example shape: 'ab' dominates, so (a, b) is
     the first merge; ties break lexicographically."""
