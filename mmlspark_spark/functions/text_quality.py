@@ -14,6 +14,19 @@ from pyspark.sql import functions as F
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
+# The repo's TWO whitespace tokenization classes, defined ONCE so
+# copies cannot drift (the round-6 corpus_report hash regression was
+# exactly a \s dialect divergence):
+# - JAVA_WS_RE: Java regex \s spelled out (ASCII) — what `tokens()`'s
+#   historical `\s+` matches in Spark; the BPE fit and build_vocabulary
+#   use it so their artifacts agree on word boundaries.
+# - PINNED_WS_RE: the cross-engine-pinned subset (drops \x0B, where
+#   Java \s and DuckDB-RE2 \s disagree; \f kept out for symmetry) used
+#   by the operators whose oracles replay tokenization in SQL
+#   (corpus_report, chunk_documents).
+JAVA_WS_RE = r"[ \t\n\x0B\f\r]+"
+PINNED_WS_RE = r"[ \t\n\r]+"
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization, empty tokens dropped (leading/trailing

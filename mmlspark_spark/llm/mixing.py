@@ -92,7 +92,10 @@ class DomainMixer(Transformer):
     the observed counts as count^α (α<1 flattens the mixture toward
     rare domains — the multilingual temperature-sampling recipe from
     XLM-R/mT5; α=1 reproduces the corpus, α=0 is uniform-over-domains).
-    Every observed domain participates (nothing is dropped). For
+    Every observed domain participates in the weighting; a domain
+    whose integer quota still floors to 0 (tiny weight share × modest
+    budget) contributes no rows and is REPORTED via
+    ``observedDroppedDomains`` — never silently lost. For
     engine-reproducible quotas the float weight is QUANTIZED to an
     integer — ``floor(count^α × 10⁶)`` — and the quota is the exact
     integer ``budget × w_d // Σw``: after the one quantized pow, all
@@ -155,13 +158,21 @@ class DomainMixer(Transformer):
             # count^α·10⁶ sits within one ulp of an integer.
             import math
 
-            self.observedDroppedDomains = []
             w_int = {d: int(math.floor(
                 math.pow(c, self.temperature) * 1_000_000))
                 for d, c in counts.items()}
             tot = sum(w_int.values())
-            return {d: self.totalBudget * w // tot
-                    for d, w in w_int.items()}, counts
+            quotas = {d: self.totalBudget * w // tot
+                      for d, w in w_int.items()}
+            # every domain participates in WEIGHTING, but a quota can
+            # still floor to 0 (tiny weight share × modest budget) —
+            # that domain contributes no rows, which is silent corpus
+            # loss unless reported (the exact failure mode the class
+            # docstring warns about)
+            self.observedDroppedDomains = sorted(
+                (d for d, q in quotas.items() if q == 0),
+                key=lambda d: (d is None, d if d is not None else ""))
+            return quotas, counts
         # NULL is a legal domain value (groupBy counts it as a group);
         # a bare sorted() would TypeError comparing None with str
         self.observedDroppedDomains = sorted(

@@ -166,7 +166,9 @@ def chunk_documents(df: DataFrame, idCol: str = "doc_id",
         raise ValueError(
             f"stride ({stride}) > chunkTokens ({chunkTokens}) would "
             "skip tokens between consecutive chunks")
-    toks = F.filter(F.split(F.col(textCol), r"[ \t\n\r]+"),
+    from mmlspark_spark.functions.text_quality import PINNED_WS_RE
+
+    toks = F.filter(F.split(F.col(textCol), PINNED_WS_RE),
                     lambda x: x != F.lit(""))
     # Generate barrier: __toks is a bound attribute downstream, so the
     # regex tokenization runs exactly once per row

@@ -33,10 +33,13 @@ _END = "</w>"
 # re \s default to UNICODE whitespace (NBSP, ideographic space, ...),
 # which would make the encoder see different word boundaries than the
 # fitted histogram — merges learned for words the encoder never
-# produces, real words encoded with no merges.
+# produces, real words encoded with no merges. Single source of truth:
+# functions/text_quality.JAVA_WS_RE (shared with build_vocabulary).
 import re as _re
 
-_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+from mmlspark_spark.functions.text_quality import JAVA_WS_RE
+
+_JAVA_WS = _re.compile(JAVA_WS_RE)
 
 
 def _java_ws_split(text: str) -> list[str]:
@@ -261,7 +264,7 @@ def build_vocabulary(df: DataFrame, textCol: str = "text",
     # repartitioning cannot move the result (unlike float sums)
     src = spread_narrow_scan(df.select(F.col(textCol)))
     hist = (src.select(F.explode(
-                F.split(F.col(textCol), r"[ \t\n\x0B\f\r]+")).alias("word"))
+                F.split(F.col(textCol), JAVA_WS_RE)).alias("word"))
             .filter(F.col("word") != "")
             .groupBy("word").count()
             .filter(F.col("count") >= minCount))

@@ -84,6 +84,11 @@ class _LightGBMBase(Estimator):
         kw.setdefault("parallelism", "data")
         kw.setdefault("topK", 20)  # voting-parallel vote size
         super().__init__(**kw)
+        # validate EAGERLY: the barrier path is the only consumer, so
+        # a typo'd value would otherwise surface only on a host with
+        # the native package and sampleFit off — or never (GBT
+        # fallback), letting a user believe they benchmarked voting
+        self._tree_learner()
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.featuresCol, self.labelCol)
@@ -151,11 +156,16 @@ class _LightGBMBase(Estimator):
         ``TrainUtils.scala:236-291`` (voting-parallel wiring)."""
         mode = str(self.parallelism).lower().replace("_parallel", "")
         learners = {"data": "data", "voting": "voting",
-                    "feature": "feature", "serial": "data"}
+                    "feature": "feature"}
         if mode not in learners:
+            # no silent "serial" alias: serial with >1 barrier tasks
+            # would train disconnected workers and return partition
+            # 0's shard-only model — single-machine training is
+            # sampleFit=True or numTasks=1, both already data-safe
             raise ValueError(
                 f"parallelism must be one of data/voting/feature "
-                f"(got {self.parallelism!r})")
+                f"(got {self.parallelism!r}); for single-machine "
+                "training use sampleFit=True or numTasks=1")
         extra = {"top_k": int(self.topK)} if mode == "voting" else {}
         return learners[mode], extra
 

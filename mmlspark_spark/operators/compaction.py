@@ -66,7 +66,11 @@ def compact_parquet(spark: SparkSession, path: str,
     - a crash AFTER the swap but before the backup delete leaves a
       STALE ``.__compact_old`` — every subsequent call deletes it once
       ``<path>`` is confirmed live (has data files), so an external
-      delete of the dataset can never resurrect the stale backup;
+      delete of the dataset can never resurrect the stale backup; if
+      ``<path>`` exists but holds NO data files while a backup exists
+      (e.g. a restarted streaming sink recreated the directory with
+      only hidden metadata), the state is ambiguous and the call
+      RAISES instead of guessing;
     - on object stores (s3a) directory rename is a non-atomic
       copy+delete, so the swap window is O(data) — prefer running
       compaction from a single maintenance job, never concurrently
@@ -84,26 +88,31 @@ def compact_parquet(spark: SparkSession, path: str,
     backup = path.rstrip("/") + ".__compact_old"
     _, jbackup = _fs(spark, backup)
     if fs.exists(jbackup):
-        restore = not fs.exists(jpath)
-        if not restore:
+        if not fs.exists(jpath):
+            # interrupted swap from a previous run: restore, proceed
+            if not fs.rename(jbackup, jpath):
+                raise IOError(
+                    f"found orphaned {backup} but could not restore it")
+        else:
             # Path exists alongside a backup. If it holds data, the
             # previous swap COMPLETED and the backup is a stale
             # leftover from a crash between rename #2 and the backup
             # delete — remove it on every run, or a later external
             # delete of <path> would resurrect stale data as live.
-            # An empty <path> (recreated by other tooling) is treated
-            # as the interrupted-swap case instead.
+            # A data-FILE-free <path> is AMBIGUOUS: it may be a
+            # restarted streaming sink that recreated the directory
+            # with only hidden metadata (_spark_metadata) — deleting
+            # it would destroy the sink's commit log, and restoring
+            # the backup would resurrect pre-compaction rows under a
+            # new lineage. Never guess: demand manual resolution.
             _, live_files, _ = _data_size_and_files(spark, path)
             if live_files > 0:
                 fs.delete(jbackup, True)
             else:
-                fs.delete(jpath, True)
-                restore = True
-        if restore:
-            # interrupted swap from a previous run: restore, proceed
-            if not fs.rename(jbackup, jpath):
                 raise IOError(
-                    f"found orphaned {backup} but could not restore it")
+                    f"both {path} (no data files) and {backup} exist "
+                    "— ambiguous state; restore or delete the backup "
+                    "manually before compacting")
     total, files_before, partitioned = _data_size_and_files(spark, path)
     if partitioned:
         raise ValueError(

@@ -4416,8 +4416,11 @@ def corpus_report_q(spark, sf_dir):
     cell from a document whose lang/source is genuinely NULL."""
     docs = _t(spark, sf_dir, "documents")
     # Explicit ASCII whitespace class: Java-regex \s and DuckDB-RE2 \s
-    # disagree on \x0B and Unicode spaces, so both sides pin the class.
-    tok = F.size(F.filter(F.split("text", r"[ \t\n\r]+"),
+    # disagree on \x0B and Unicode spaces, so both sides pin the class
+    # (single source: functions/text_quality.PINNED_WS_RE).
+    from mmlspark_spark.functions.text_quality import PINNED_WS_RE
+
+    tok = F.size(F.filter(F.split("text", PINNED_WS_RE),
                           lambda x: x != F.lit("")))
     return (docs
             .groupingSets([["lang", "source"], ["lang"], ["source"], []],

@@ -29,7 +29,25 @@ from pyspark.sql import DataFrame
 
 def lint_plan(df: DataFrame, maxExchanges: int = 8) -> list[str]:
     """Return advisory findings about ``df``'s physical plan."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Stringify with the metadata abbreviation limit raised: the
+    # default spark.sql.maxMetadataStringLength=100 truncates a scan's
+    # DataFilters list after ~1-2 predicates ("..., Format:" never
+    # appears), which would silently blind the pushdown rules below on
+    # exactly the multi-predicate scans they exist for.
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    try:
+        spark.conf.set(key, "100000")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
     findings: list[str] = []
     if "CartesianProduct" in plan:
         findings.append(
@@ -71,7 +89,19 @@ def lint_plan(df: DataFrame, maxExchanges: int = 8) -> list[str]:
         if "DataFilters: []" in line or "DataFilters: " not in line:
             continue
         m = re.search(r"DataFilters: \[(.*?)\], Format:", line)
-        filters = m.group(1) if m else ""
+        if m is None:
+            # metadata still abbreviated despite the raised limit —
+            # never go silently blind: keep the conservative legacy
+            # rule (nothing pushed + some data filter = flag)
+            if "PushedFilters: []" in line:
+                findings.append(
+                    "parquet scan evaluates DataFilters (unparseable/"
+                    "truncated metadata) and pushed none to the "
+                    "reader (PushedFilters empty): no row-group "
+                    "skipping — inspect the scan manually")
+                break
+            continue
+        filters = m.group(1)
         # The FIXABLE shape, flagged regardless of what else pushed:
         # a cast of a BARE column compared to a literal. Comparing in
         # the column's own type makes the predicate pushable, so this

@@ -185,6 +185,15 @@ def test_domain_mixer_temperature_quotas(spark):
     n = sum(q.values())
     assert q["a"] / n < 0.625 and q["c"] / n > 0.0625
 
+    # a quota that floors to 0 is REPORTED, never silently lost:
+    # α=1 budget 10 → c's quota = 10·10/160 = 0
+    mixer = DomainMixer(domainCol="domain", idCol="doc_id",
+                        temperature=1.0, totalBudget=10,
+                        exact=True, seed=7)
+    out = mixer.transform(df)
+    assert "c" not in {r.domain for r in out.collect()}
+    assert mixer.observedDroppedDomains == ["c"]
+
 
 def test_domain_mixer_temperature_rate_mode(spark):
     """Temperature weights compose with the zero-shuffle rate mode."""

@@ -193,8 +193,14 @@ def test_lightgbm_parallelism_param_mapping():
     assert LightGBMClassifier()._tree_learner() == ("data", {})
     assert LightGBMClassifier(
         parallelism="feature")._tree_learner() == ("feature", {})
+    # invalid values fail at CONSTRUCTION — before any fit path (GBT
+    # fallback / sampleFit) could silently swallow the typo
     with pytest.raises(ValueError, match="parallelism"):
-        LightGBMClassifier(parallelism="tree")._tree_learner()
+        LightGBMClassifier(parallelism="tree")
+    # and no silent "serial" alias (would train disconnected workers
+    # on >1 barrier tasks)
+    with pytest.raises(ValueError, match="parallelism"):
+        LightGBMClassifier(parallelism="serial")
 
 
 def test_lightgbm_voting_parallel_matches_data_parallel(spark):

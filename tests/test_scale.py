@@ -278,12 +278,14 @@ def test_compact_parquet_guards(spark, tmp_path):
     assert not os.path.exists(stale + ".__compact_old")
     assert spark.read.parquet(stale).count() == 20
 
-    # an EMPTY recreated path beside a backup is the interrupted-swap
-    # case: restore the backup rather than deleting it
+    # an EMPTY recreated path beside a backup is AMBIGUOUS (could be a
+    # restarted streaming sink's metadata-only directory): the call
+    # must refuse and touch NEITHER artifact
     hollow = str(tmp_path / "hollow_ds")
     spark.range(7).coalesce(1).write.parquet(hollow + ".__compact_old")
     os.makedirs(hollow)
     open(os.path.join(hollow, "_SUCCESS"), "w").close()
-    compact_parquet(spark, hollow, targetFileSizeBytes=1 << 20)
-    assert spark.read.parquet(hollow).count() == 7
-    assert not os.path.exists(hollow + ".__compact_old")
+    with pytest.raises(IOError, match="ambiguous"):
+        compact_parquet(spark, hollow, targetFileSizeBytes=1 << 20)
+    assert os.path.exists(os.path.join(hollow, "_SUCCESS"))
+    assert spark.read.parquet(hollow + ".__compact_old").count() == 7
