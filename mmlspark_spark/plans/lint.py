@@ -27,27 +27,89 @@ import re
 from pyspark.sql import DataFrame
 
 
+def _iter_scans(jnode):
+    """Yield every FileSourceScanExec in the physical tree, descending
+    through AQE roots (initialPlan), cached relations
+    (InMemoryTableScanExec -> cachedPlan), AQE query stages and reused
+    exchanges/subqueries — the places a plain children() walk (and the
+    rendered plan STRING, whose metadata is abbreviated at
+    materialize-time) loses scans."""
+    name = jnode.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _iter_scans(jnode.initialPlan())
+        return
+    if name == "InMemoryTableScanExec":
+        yield from _iter_scans(jnode.relation().cachedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _iter_scans(jnode.plan())
+        return
+    if "FileSourceScan" in name:
+        yield jnode
+        return
+    ch = jnode.children()
+    for i in range(ch.size()):
+        yield from _iter_scans(ch.apply(i))
+
+
+def _scan_pushdown_findings(jplan) -> list[str]:
+    """Pushdown findings from the JVM tree's own dataFilters()/
+    metadata() — NEVER from the rendered plan string, whose metadata
+    values are abbreviated to spark.sql.maxMetadataStringLength chars
+    at materialize-time (a multi-predicate scan renders as
+    "DataFilters: [isnotnull(x#1), (ca..., Format:" and any string
+    parse goes blind)."""
+    findings: list[str] = []
+    for scan in _iter_scans(jplan):
+        dfs = scan.dataFilters()
+        if dfs.size() == 0:
+            continue
+        filters = ", ".join(
+            dfs.apply(i).toString() for i in range(dfs.size()))
+        md = scan.metadata()
+        pushed = md.apply("PushedFilters") if md.contains(
+            "PushedFilters") else "[]"
+        # The FIXABLE shape, flagged regardless of what else pushed:
+        # a cast of a BARE column compared to a literal. Comparing in
+        # the column's own type makes the predicate pushable, so this
+        # is always a one-line fix with real row-group-skip value.
+        cast_cmp = re.search(
+            r"\(cast\(\w+#\d+\w* as \w+\) (?:=|<|>|<=|>=) [^()]+\)",
+            filters)
+        if cast_cmp:
+            findings.append(
+                f"cast-wrapped column comparison ({cast_cmp.group(0)}) "
+                "evaluated per row instead of pushed to the parquet "
+                "reader — compare in the column's own type and the "
+                "predicate pushes")
+            break
+        if pushed == "[]":
+            # Nothing pushed at all. Only flag when a PUSHABLE-LOOKING
+            # predicate is present: a filter whose every predicate
+            # wraps the column in a computed expression (md5(text),
+            # size(split(...)), CASE WHEN ...) is inherently
+            # un-pushable — parquet readers evaluate plain
+            # column/literal comparisons only — and flagging it tells
+            # the reviewer to "fix" something that has no fix.
+            pushable = re.search(
+                r"(?:isnotnull|isnull)\(\w+#\d+\w*\)"
+                r"|\(\w+#\d+\w* (?:=|<|>|<=|>=|<=>) [^()]+\)"
+                r"|\w+#\d+\w* IN \(", filters)
+            if pushable:
+                findings.append(
+                    "parquet scan evaluates pushable-looking "
+                    f"DataFilters ({pushable.group(0)}) but pushed "
+                    "none to the reader (PushedFilters empty): no "
+                    "row-group skipping — check for casts/UDFs "
+                    "wrapping the filtered column")
+                break
+    return findings
+
+
 def lint_plan(df: DataFrame, maxExchanges: int = 8) -> list[str]:
     """Return advisory findings about ``df``'s physical plan."""
-    # Stringify with the metadata abbreviation limit raised: the
-    # default spark.sql.maxMetadataStringLength=100 truncates a scan's
-    # DataFilters list after ~1-2 predicates ("..., Format:" never
-    # appears), which would silently blind the pushdown rules below on
-    # exactly the multi-predicate scans they exist for.
-    spark = df.sparkSession
-    key = "spark.sql.maxMetadataStringLength"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    try:
-        spark.conf.set(key, "100000")
-        plan = df._jdf.queryExecution().executedPlan().toString()
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    jplan = df._jdf.queryExecution().executedPlan()
+    plan = jplan.toString()
     findings: list[str] = []
     if "CartesianProduct" in plan:
         findings.append(
@@ -77,65 +139,7 @@ def lint_plan(df: DataFrame, maxExchanges: int = 8) -> list[str]:
             "one is a full shuffle — look for repeated re-partitioning, "
             "unpersisted multi-consumer subtrees, or joins that could "
             "share a partitioning")
-    for line in plan.splitlines():
-        if "FileScan parquet" not in line:
-            continue
-        # precise signal: the scan owns a data filter (DataFilters
-        # non-empty) yet nothing reached the parquet reader
-        # (PushedFilters empty) — the predicate is evaluated per row
-        # but cannot skip row groups, usually a cast/UDF wrapping the
-        # filtered column. A Filter node elsewhere in the plan is NOT
-        # evidence (windows/joins introduce unrelated filters).
-        if "DataFilters: []" in line or "DataFilters: " not in line:
-            continue
-        m = re.search(r"DataFilters: \[(.*?)\], Format:", line)
-        if m is None:
-            # metadata still abbreviated despite the raised limit —
-            # never go silently blind: keep the conservative legacy
-            # rule (nothing pushed + some data filter = flag)
-            if "PushedFilters: []" in line:
-                findings.append(
-                    "parquet scan evaluates DataFilters (unparseable/"
-                    "truncated metadata) and pushed none to the "
-                    "reader (PushedFilters empty): no row-group "
-                    "skipping — inspect the scan manually")
-                break
-            continue
-        filters = m.group(1)
-        # The FIXABLE shape, flagged regardless of what else pushed:
-        # a cast of a BARE column compared to a literal. Comparing in
-        # the column's own type makes the predicate pushable, so this
-        # is always a one-line fix with real row-group-skip value.
-        cast_cmp = re.search(
-            r"\(cast\(\w+#\d+\w* as \w+\) (?:=|<|>|<=|>=) [^()]+\)",
-            filters)
-        if cast_cmp:
-            findings.append(
-                f"cast-wrapped column comparison ({cast_cmp.group(0)}) "
-                "evaluated per row instead of pushed to the parquet "
-                "reader — compare in the column's own type and the "
-                "predicate pushes")
-            break
-        if "PushedFilters: []" in line:
-            # Nothing pushed at all. Only flag when a PUSHABLE-LOOKING
-            # predicate is present: a filter whose every predicate
-            # wraps the column in a computed expression (md5(text),
-            # size(split(...)), CASE WHEN ...) is inherently
-            # un-pushable — parquet readers evaluate plain
-            # column/literal comparisons only — and flagging it tells
-            # the reviewer to "fix" something that has no fix.
-            pushable = re.search(
-                r"(?:isnotnull|isnull)\(\w+#\d+\w*\)"
-                r"|\(\w+#\d+\w* (?:=|<|>|<=|>=|<=>) [^()]+\)"
-                r"|\w+#\d+\w* IN \(", filters)
-            if pushable:
-                findings.append(
-                    "parquet scan evaluates pushable-looking "
-                    f"DataFilters ({pushable.group(0)}) but pushed "
-                    "none to the reader (PushedFilters empty): no "
-                    "row-group skipping — check for casts/UDFs "
-                    "wrapping the filtered column")
-                break
+    findings.extend(_scan_pushdown_findings(jplan))
     return findings
 
 

@@ -284,17 +284,30 @@ def test_lint_plan_flags_and_passes(spark, sf_dir):
         F.md5(F.col("text").cast("binary")) == "00").select("doc_id")
     assert not any("cast-wrapped" in f or "PushedFilters" in f
                    for f in lint_plan(inherent)), lint_plan(inherent)
-    # MULTI-predicate scan: the default 100-char metadata abbreviation
-    # would truncate DataFilters ("..., Format:" never appears) and
-    # silently blind the rule — lint_plan raises the limit while
-    # stringifying (and restores it) so this still flags
+    # MULTI-predicate scan: the rendered plan string abbreviates
+    # DataFilters at 100 chars ("..., Format:" — any string parse goes
+    # blind), so the pushdown rules read the JVM tree's dataFilters()
+    # directly; this must still flag
     multi = docs.filter(
         (F.col("doc_id").cast("string") == "5")
         & (F.col("lang") != "xx") & (F.col("source") != "yy")
         & (F.col("n_chars") > 0)).select("doc_id")
     assert any("cast-wrapped" in f for f in lint_plan(multi)), \
         lint_plan(multi)
-    assert spark.conf.get("spark.sql.maxMetadataStringLength") == "100"
+
+    # and a CACHED computed-expression filter (curation_pipeline shape:
+    # FileScan under InMemoryRelation, un-pushable CASE filter) stays
+    # un-flagged — the cached subtree is walked, not string-parsed
+    cached = docs.filter(
+        F.when(F.length("text") < 5, False).otherwise(True)).persist()
+    try:
+        cached.count()
+        downstream = cached.select("doc_id")
+        assert not any("PushedFilters" in f or "cast-wrapped" in f
+                       for f in lint_plan(downstream)), \
+            lint_plan(downstream)
+    finally:
+        cached.unpersist()
 
     # headline plans pass the lint clean
     from mmlspark_spark.plans.catalog import CATALOG
