@@ -8,6 +8,7 @@ from mmlspark_spark.llm.dedup import (
     duplicated_substring_spans,
     ngram_jaccard_pairs,
     resolve_duplicate_clusters,
+    winnow_fingerprints,
 )
 from mmlspark_spark.llm.clustering import (
     EmbeddingKMeans,
@@ -54,6 +55,7 @@ __all__ = [
     "duplicated_substring_spans",
     "connected_components",
     "resolve_duplicate_clusters",
+    "winnow_fingerprints",
     "BruteForceKNN",
     "LSHKNN",
     "SequencePacker",

@@ -1118,3 +1118,67 @@ class LineDeduplicator(Transformer):
         return joined.select(*[
             text.alias(c) if c == self.textCol else df[c]
             for c in df.columns])
+
+
+def winnow_fingerprints(df: DataFrame, idCol: str = "doc_id",
+                        textCol: str = "text", k: int = 4,
+                        window: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the
+    MOSS algorithm): k-gram rolling hashes, then from every window of
+    ``window`` consecutive gram hashes select the minimum (rightmost
+    on ties). Guarantees any shared run of k + window - 1 tokens
+    between two documents shares at least one selected fingerprint —
+    the local, position-aware complement to MinHash's whole-document
+    signatures (use it for copy/quote detection where the MATCH SPAN
+    matters, not just document-level similarity).
+
+    Returns (id, pos, fp): gram position + fingerprint, DISTINCT per
+    document. All hashing is portable modular arithmetic (the
+    doc_fingerprint_portable Rabin-Karp family), so the
+    ``winnow_fingerprint`` catalog query replays the whole selection
+    hash-exact in DuckDB.
+
+    Scale shape: three Generate barriers (token hashes → gram hashes →
+    selected structs) keep each per-row array computed ONCE
+    (CollapseProject would otherwise re-inline the tokenize into every
+    window min — the chunk_documents pitfall); per-row work is
+    O(tokens·k + grams·window) map-side; the only shuffle is the final
+    DISTINCT over (id, pos, fp) — fixed-width rows, never documents.
+    """
+    from mmlspark_spark.functions.text_quality import _FP_MOD
+
+    m = F.lit(_FP_MOD).cast("long")
+    tokh_expr = F.transform(
+        tokens(F.col(textCol)),
+        lambda t: F.aggregate(
+            F.split(t, ""), F.lit(0).cast("long"),
+            lambda a, c: F.pmod(a * 131 + F.ascii(c), m)))
+    d1 = df.select(F.col(idCol),
+                   F.explode(F.array(tokh_expr)).alias("__tokh"))
+    th = F.col("__tokh")
+    grams_expr = F.when(
+        F.size(th) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(th) - k),
+            lambda i: F.aggregate(
+                F.slice(th, i + 1, k), F.lit(0).cast("long"),
+                lambda a, h: F.pmod(a * 31 + h, m))),
+    ).otherwise(F.array().cast("array<long>"))
+    d2 = d1.select(F.col(idCol),
+                   F.explode(F.array(grams_expr)).alias("__grams"))
+    g = F.col("__grams")
+    G = F.size(g)
+    W = F.least(F.lit(window), G)
+    win = lambda s: F.slice(g, s + 1, W)  # noqa: E731
+    sel = F.transform(
+        F.sequence(F.lit(0), G - W),
+        lambda s: F.struct(
+            (s + W - F.array_position(F.reverse(win(s)),
+                                      F.array_min(win(s))))
+            .cast("long").alias("pos"),
+            F.array_min(win(s)).alias("fp")))
+    return (d2.filter(G > 0)
+            .select(F.col(idCol), F.explode(sel).alias("__e"))
+            .select(idCol, F.col("__e.pos").alias("pos"),
+                    F.col("__e.fp").alias("fp"))
+            .distinct())

@@ -54,7 +54,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     train_classifier_metrics whose oracle changed this round
 #     (DECIMAL-literal → DOUBLE, caught by the new dialect lint), plus
 #     domain_temperature_mix + hash_split + vocab_build +
-#     chunk_overlap (new this round, oracled at birth);
+#     chunk_overlap + winnow_fingerprint (new this round, oracled at
+#     birth);
 # (b) the two queries with NO driver row in any round — vw_featurizer
 #     and bpe_tokenize, both rows-only by design; the priority list
 #     now ranks ahead of the oracled-first rule precisely so they can
@@ -64,8 +65,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     decontamination .. json_extract);
 # (e) 28 slots of round-5 greens, heaviest/riskiest first (full
 #     TPC-H r5 residue, then curation). Round-8 rotation backlog:
-#     asof_join, ensemble_by_key, class_balancer, summarize_data +
-#     the ~17 remaining r5 entries (select_project ..
+#     asof_join, ensemble_by_key, class_balancer, summarize_data,
+#     url_extract + the ~17 remaining r5 entries (select_project ..
 #     tabular_shap_exact — identity-ish stages, paths untouched) and
 #     the r2-stale rows-only batch (summarize_data_approx,
 #     text_featurize_pipeline, simhash_dedup, knn_lsh, knn_ivf,
@@ -73,7 +74,7 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 _WINDOW_PRIORITY = (
     "tpch_q12", "corpus_report", "train_classifier_metrics",
     "domain_temperature_mix", "hash_split", "vocab_build",
-    "chunk_overlap",
+    "chunk_overlap", "winnow_fingerprint",
     "vw_featurizer", "bpe_tokenize", "minhash_dedup",
     "decontamination", "sar_affinity", "sar_item_similarity",
     "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
@@ -87,7 +88,7 @@ _WINDOW_PRIORITY = (
     "embedding_covariance", "quality_filter", "stratified_sample",
     "dedup_resolve", "embedding_kmeans_assign", "semantic_dedup",
     "lang_id_heuristic", "doc_fingerprint", "sequence_packing",
-    "pii_redact", "url_extract",
+    "pii_redact",
 )
 
 
@@ -3088,6 +3089,59 @@ def doc_fingerprint_query(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     return docs.select(
         "doc_id", doc_fingerprint_portable("text").alias("fingerprint"))
+
+
+@register(
+    "winnow_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 300
+    ), th AS (
+      SELECT doc_id, list_transform(toks,
+        t -> list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)),
+             (a, c) -> (a * 131 + c) % 562949953421231)) AS tokh
+      FROM t
+    ), g AS (
+      SELECT doc_id,
+        CASE WHEN len(tokh) >= 4 THEN
+          list_transform(range(0, len(tokh) - 3),
+            i -> list_reduce(list_prepend(0::BIGINT,
+                               list_slice(tokh, i + 1, i + 4)),
+                 (a, h) -> (a * 31 + h) % 562949953421231))
+        ELSE [] END AS grams
+      FROM th
+    ), w AS (
+      SELECT doc_id, grams, least(4, len(grams)) AS W
+      FROM g WHERE len(grams) > 0
+    ), sel AS (
+      SELECT doc_id,
+        unnest(list_transform(range(0, len(grams) - W + 1),
+          s -> {'pos': s + W - list_position(
+                         list_reverse(list_slice(grams, s + 1, s + W)),
+                         list_min(list_slice(grams, s + 1, s + W))),
+                'fp': list_min(list_slice(grams, s + 1, s + W))})) AS e
+      FROM w
+    )
+    SELECT DISTINCT doc_id, CAST(e.pos AS BIGINT) AS pos,
+           CAST(e.fp AS BIGINT) AS fp
+    FROM sel
+    """)
+def winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): 4-gram
+    Rabin-Karp rolling hashes, window-4 rightmost-min selection — the
+    position-aware local fingerprint family for copy/quote detection
+    (any shared 7-token run is guaranteed a common fingerprint).
+    Pure modular arithmetic throughout, so the oracle replays token
+    hashing, gram folding AND the window argmin selection hash-exact.
+    Map-side except the final fixed-width DISTINCT."""
+    from mmlspark_spark.llm import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnow_fingerprints(docs, idCol="doc_id", textCol="text",
+                               k=4, window=4)
 
 
 @register("knn_ivf", oracle=None)

@@ -605,6 +605,41 @@ def test_chunk_documents_hand_computed(spark):
     assert plan.count("split(text") == 1, plan
 
 
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing invariants (Schleimer et al. 2003): (1) the guarantee
+    — two documents sharing a run of k+window-1 tokens share at least
+    one (fp) fingerprint; (2) rightmost-min tie-break — a constant
+    document (all gram hashes equal) selects the RIGHTMOST gram of
+    each window, one fingerprint per position from window-1 on;
+    (3) short docs (< k tokens) produce nothing; (4) plan stays
+    tokenize-once (single split( in the optimized plan)."""
+    from mmlspark_spark.llm import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = k+w-1
+    df = spark.createDataFrame(
+        [(1, "x1 y1 " + shared + " z1"),
+         (2, "p2 q2 r2 s2 " + shared),
+         (3, "too short"),
+         (4, "const const const const const const")],
+        "doc_id int, text string")
+    out = winnow_fingerprints(df, k=4, window=4)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    # (1) guarantee: overlapping fp values between doc 1 and 2
+    fps1 = {fp for _, fp in by_doc[1]}
+    fps2 = {fp for _, fp in by_doc[2]}
+    assert fps1 & fps2, (fps1, fps2)
+    # (3) <k tokens -> no fingerprints
+    assert 3 not in by_doc
+    # (2) constant doc: 6 tokens -> 3 grams, all equal; W=3,
+    # single window selects the rightmost gram (pos 2)
+    assert by_doc[4] == {(2, next(fp for _, fp in by_doc[4]))}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(text") == 1, plan
+
+
 def test_bpe_learn_merges_hand_computed():
     """Sennrich's running example shape: 'ab' dominates, so (a, b) is
     the first merge; ties break lexicographically."""
