@@ -33,6 +33,7 @@ from mmlspark_spark.llm.quality import QualityFilter
 from mmlspark_spark.llm.scrub import (
     MarkupStripper,
     PIIRedactor,
+    canonicalize_url,
     extract_domains,
     extract_urls,
     redact_pii,
@@ -83,5 +84,6 @@ __all__ = [
     "PIIRedactor",
     "redact_pii",
     "extract_urls",
+    "canonicalize_url",
     "extract_domains",
 ]

@@ -142,3 +142,43 @@ class MarkupStripper(Transformer):
 
     def _transform(self, df: DataFrame) -> DataFrame:
         return df.withColumn(self.outputCol, strip_markup(self.textCol))
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL form for URL-keyed dedup / domain aggregation:
+    lowercase scheme+host, default port stripped (http:80 / https:443),
+    fragment dropped, tracking params removed (utm_*, fbclid, gclid),
+    remaining query params SORTED, trailing path slashes collapsed
+    (empty path → ``/``). Path case and param values are preserved —
+    they are significant to most origin servers.
+
+    Pure column expressions over conservative regex character classes
+    (``[^/?#]`` etc.) that mean the same thing in Java regex and
+    DuckDB's RE2, so the ``url_canonicalize`` catalog query replays the
+    whole normalization hash-exact. Map-only at any scale: canonical
+    keys make URL dedup an exact groupBy instead of a fuzzy match.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    keep = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid)=")))
+    qs = F.concat_ws("&", keep)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path_norm = F.coalesce(
+        F.nullif(F.regexp_replace(path, r"/+$", ""), F.lit("")),
+        F.lit("/"))
+    return F.concat(
+        scheme, F.lit("://"), host, port_part, path_norm,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")))

@@ -54,8 +54,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     train_classifier_metrics whose oracle changed this round
 #     (DECIMAL-literal → DOUBLE, caught by the new dialect lint), plus
 #     domain_temperature_mix + hash_split + vocab_build +
-#     chunk_overlap + winnow_fingerprint (new this round, oracled at
-#     birth);
+#     chunk_overlap + winnow_fingerprint + url_canonicalize (new this
+#     round, oracled at birth);
 # (b) the two queries with NO driver row in any round — vw_featurizer
 #     and bpe_tokenize, both rows-only by design; the priority list
 #     now ranks ahead of the oracled-first rule precisely so they can
@@ -66,7 +66,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # (e) 28 slots of round-5 greens, heaviest/riskiest first (full
 #     TPC-H r5 residue, then curation). Round-8 rotation backlog:
 #     asof_join, ensemble_by_key, class_balancer, summarize_data,
-#     url_extract + the ~17 remaining r5 entries (select_project ..
+#     url_extract, pii_redact + the ~17 remaining r5 entries
+#     (select_project ..
 #     tabular_shap_exact — identity-ish stages, paths untouched) and
 #     the r2-stale rows-only batch (summarize_data_approx,
 #     text_featurize_pipeline, simhash_dedup, knn_lsh, knn_ivf,
@@ -74,7 +75,7 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 _WINDOW_PRIORITY = (
     "tpch_q12", "corpus_report", "train_classifier_metrics",
     "domain_temperature_mix", "hash_split", "vocab_build",
-    "chunk_overlap", "winnow_fingerprint",
+    "chunk_overlap", "winnow_fingerprint", "url_canonicalize",
     "vw_featurizer", "bpe_tokenize", "minhash_dedup",
     "decontamination", "sar_affinity", "sar_item_similarity",
     "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
@@ -88,7 +89,6 @@ _WINDOW_PRIORITY = (
     "embedding_covariance", "quality_filter", "stratified_sample",
     "dedup_resolve", "embedding_kmeans_assign", "semantic_dedup",
     "lang_id_heuristic", "doc_fingerprint", "sequence_packing",
-    "pii_redact",
 )
 
 
@@ -3142,6 +3142,68 @@ def winnow_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return winnow_fingerprints(docs, idCol="doc_id", textCol="text",
                                k=4, window=4)
+
+
+@register(
+    "url_canonicalize",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://Site' || (doc_id % 10)
+               || '.Example.ORG:443/Path' || (doc_id % 3)
+               || '/?b=2&utm_source=x&a=1&fbclid=zz#frag' || doc_id AS u
+      FROM documents WHERE doc_id < 1000
+    ), parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+        regexp_extract(u, '\?([^#]*)', 1) AS query
+      FROM raw
+    ), comps AS (
+      SELECT doc_id, scheme,
+        lower(regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1),
+                             '^([^:]*)', 1)) AS host,
+        regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1),
+                       ':([0-9]+)$', 1) AS port,
+        regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path,
+        array_to_string(list_sort(list_filter(string_split(query, '&'),
+          p -> p <> '' AND NOT regexp_matches(
+                 p, '^(utm_[^=]*|fbclid|gclid)='))), '&') AS qs
+      FROM parts
+    )
+    SELECT doc_id,
+      scheme || '://' || host
+      || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443') THEN ''
+              ELSE ':' || port END
+      || coalesce(nullif(regexp_replace(path, '/+$', ''), ''), '/')
+      || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical
+    FROM comps
+    """)
+def url_canonicalize(spark, sf_dir):
+    """URL canonicalization (canonicalize_url) — the key-maker for
+    URL-level dedup and domain aggregation: lowercase scheme/host,
+    default-port strip, fragment drop, tracking-param removal
+    (utm_*/fbclid/gclid), sorted query params, trailing-slash
+    collapse. Planted messy URLs (mixed case, :443, utm noise,
+    per-doc fragment) exercise every rule; the oracle replays the
+    whole normalization with the same conservative regex classes.
+    Map-only — canonical keys turn URL dedup into an exact groupBy."""
+    from mmlspark_spark.llm import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Site"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(".Example.ORG:443/Path"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("/?b=2&utm_source=x&a=1&fbclid=zz#frag"),
+            F.col("doc_id").cast("string"),
+        ).alias("u"))
+    return planted.select(
+        "doc_id", canonicalize_url("u").alias("canonical"))
 
 
 @register("knn_ivf", oracle=None)

@@ -395,6 +395,31 @@ def test_url_and_domain_extraction(spark):
     assert row.d == ["a.example.org", "b.net"]
 
 
+def test_canonicalize_url(spark):
+    """Every rule hand-checked: case folding (scheme/host only),
+    default-port strip (kept for non-default), fragment drop, tracking
+    params out, surviving params sorted, trailing slashes collapsed,
+    empty path -> '/', path case preserved."""
+    from mmlspark_spark.llm import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/B/?b=2&utm_source=x&a=1#frag",
+         "https://www.example.com/A/B?a=1&b=2"),
+        ("http://host.net:80/", "http://host.net/"),
+        ("http://host.net:8080/p?fbclid=1&z=9&gclid=2",
+         "http://host.net:8080/p?z=9"),
+        ("https://h.org", "https://h.org/"),
+        ("http://h.org//img//", "http://h.org//img"),
+        ("https://h.org/p?utm_campaign=a&utm_medium=b",
+         "https://h.org/p"),
+    ]
+    df = spark.createDataFrame(cases, ["u", "want"])
+    got = df.select("want",
+                    canonicalize_url("u").alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, (r.got, r.want)
+
+
 def test_markup_stripper(spark):
     """Script/style bodies vanish entirely, tags drop, entities decode,
     whitespace collapses — and stripping already-clean text is the
