@@ -27,6 +27,7 @@ from mmlspark_spark.llm.mixing import DomainMixer, HashSplitter
 from mmlspark_spark.llm.packing import (
     BenchmarkDecontaminator,
     SequencePacker,
+    cdc_chunks,
     chunk_documents,
 )
 from mmlspark_spark.llm.quality import QualityFilter
@@ -79,6 +80,7 @@ __all__ = [
     "strip_markup",
     "BPETokenizer",
     "build_vocabulary",
+    "cdc_chunks",
     "chunk_documents",
     "BPETokenizerModel",
     "PIIRedactor",

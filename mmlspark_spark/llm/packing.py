@@ -189,3 +189,82 @@ def chunk_documents(df: DataFrame, idCol: str = "doc_id",
         idCol, "chunk_id",
         F.size("__chunk").alias("n_tokens"),
         F.concat_ws(" ", "__chunk").alias("chunk"))
+
+
+def cdc_chunks(df: DataFrame, idCol: str = "doc_id",
+               textCol: str = "text", k: int = 4,
+               maskBits: int = 4) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync/FastCDC family, at
+    token granularity): cut after every k-token window whose rolling
+    hash ≡ 0 (mod 2^maskBits) — so chunk boundaries are a function of
+    LOCAL CONTENT, not position. Insert a sentence into a document and
+    only the chunks around the edit change, while every fixed-stride
+    window downstream of the edit shifts (the property that makes CDC
+    the right unit for chunk-level dedup of evolving corpora; expected
+    chunk length ≈ 2^maskBits + k tokens).
+
+    Returns (id, chunk_id, start, n_tokens, chunk) — start is the
+    0-based token offset. Same portable Rabin-Karp hash family as
+    winnow_fingerprints, so the ``cdc_chunks`` catalog query replays
+    boundary selection and chunk extraction hash-exact in DuckDB.
+    Map-only: two Generate barriers (token hashes → gram hashes) keep
+    the per-row arrays computed once; no shuffle at any scale.
+    """
+    from mmlspark_spark.functions.text_quality import _FP_MOD, tokens
+
+    if k <= 0 or maskBits <= 0:
+        raise ValueError("k and maskBits must be positive")
+    m = F.lit(_FP_MOD).cast("long")
+    mask = F.lit(2 ** maskBits).cast("long")
+    tokh_and_toks = F.struct(
+        tokens(F.col(textCol)).alias("toks"),
+        F.transform(
+            tokens(F.col(textCol)),
+            lambda t: F.aggregate(
+                F.split(t, ""), F.lit(0).cast("long"),
+                lambda a, c: F.pmod(a * 131 + F.ascii(c), m))).alias("th"))
+    d1 = df.select(F.col(idCol),
+                   F.explode(F.array(tokh_and_toks)).alias("__s"))
+    toks = F.col("__s.toks")
+    th = F.col("__s.th")
+    n = F.size(th)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.aggregate(
+                F.slice(th, i + 1, k), F.lit(0).cast("long"),
+                lambda a, h: F.pmod(a * 31 + h, m))),
+    ).otherwise(F.array().cast("array<long>"))
+    d2 = d1.select(F.col(idCol), toks.alias("__toks"),
+                   F.explode(F.array(grams)).alias("__grams"))
+    g = F.col("__grams")
+    tk = F.col("__toks")
+    nt = F.size(tk)
+    # cut AFTER the window end (position i+k) for every matching gram;
+    # 0 and n close the first/last chunk; sorted+distinct handles a
+    # match in the final window (i+k == n) colliding with the n cut
+    cuts = F.array_sort(F.array_distinct(F.concat(
+        F.array(F.lit(0)),
+        F.transform(
+            F.filter(F.sequence(F.lit(0), F.greatest(F.size(g) - 1,
+                                                     F.lit(0))),
+                     lambda i: (F.size(g) > 0)
+                     & (F.pmod(F.element_at(g, i + 1), mask) == 0)),
+            lambda i: i + k),
+        F.array(nt))))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(cuts) - 2),
+        lambda j: F.struct(
+            F.element_at(cuts, j + 1).alias("start"),
+            F.slice(tk, F.element_at(cuts, j + 1) + 1,
+                    F.element_at(cuts, j + 2)
+                    - F.element_at(cuts, j + 1)).alias("c")))
+    return (d2.filter(nt > 0)
+            .select(F.col(idCol),
+                    F.posexplode(chunks).alias("chunk_id", "__c"))
+            .select(idCol, "chunk_id",
+                    F.col("__c.start").cast("long").alias("start"),
+                    F.size("__c.c").cast("long").alias("n_tokens"),
+                    F.concat_ws(" ", "__c.c").alias("chunk"))
+            .filter(F.col("n_tokens") > 0))

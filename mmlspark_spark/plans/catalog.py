@@ -54,8 +54,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     train_classifier_metrics whose oracle changed this round
 #     (DECIMAL-literal → DOUBLE, caught by the new dialect lint), plus
 #     domain_temperature_mix + hash_split + vocab_build +
-#     chunk_overlap + winnow_fingerprint + url_canonicalize (new this
-#     round, oracled at birth);
+#     chunk_overlap + winnow_fingerprint + url_canonicalize +
+#     cdc_chunks (new this round, oracled at birth);
 # (b) the two queries with NO driver row in any round — vw_featurizer
 #     and bpe_tokenize, both rows-only by design; the priority list
 #     now ranks ahead of the oracled-first rule precisely so they can
@@ -66,8 +66,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # (e) 28 slots of round-5 greens, heaviest/riskiest first (full
 #     TPC-H r5 residue, then curation). Round-8 rotation backlog:
 #     asof_join, ensemble_by_key, class_balancer, summarize_data,
-#     url_extract, pii_redact + the ~17 remaining r5 entries
-#     (select_project ..
+#     url_extract, pii_redact, sequence_packing + the ~17 remaining
+#     r5 entries (select_project ..
 #     tabular_shap_exact — identity-ish stages, paths untouched) and
 #     the r2-stale rows-only batch (summarize_data_approx,
 #     text_featurize_pipeline, simhash_dedup, knn_lsh, knn_ivf,
@@ -76,6 +76,7 @@ _WINDOW_PRIORITY = (
     "tpch_q12", "corpus_report", "train_classifier_metrics",
     "domain_temperature_mix", "hash_split", "vocab_build",
     "chunk_overlap", "winnow_fingerprint", "url_canonicalize",
+    "cdc_chunks",
     "vw_featurizer", "bpe_tokenize", "minhash_dedup",
     "decontamination", "sar_affinity", "sar_item_similarity",
     "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
@@ -88,7 +89,7 @@ _WINDOW_PRIORITY = (
     "zorder_key", "curation_pipeline", "substring_dedup_spans",
     "embedding_covariance", "quality_filter", "stratified_sample",
     "dedup_resolve", "embedding_kmeans_assign", "semantic_dedup",
-    "lang_id_heuristic", "doc_fingerprint", "sequence_packing",
+    "lang_id_heuristic", "doc_fingerprint",
 )
 
 
@@ -3142,6 +3143,66 @@ def winnow_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return winnow_fingerprints(docs, idCol="doc_id", textCol="text",
                                k=4, window=4)
+
+
+@register(
+    "cdc_chunks",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 300
+    ), th AS (
+      SELECT doc_id, toks, list_transform(toks,
+        t -> list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)),
+             (a, c) -> (a * 131 + c) % 562949953421231)) AS tokh
+      FROM t
+    ), g AS (
+      SELECT doc_id, toks,
+        CASE WHEN len(tokh) >= 4 THEN
+          list_transform(range(0, len(tokh) - 3),
+            i -> list_reduce(list_prepend(0::BIGINT,
+                               list_slice(tokh, i + 1, i + 4)),
+                 (a, h) -> (a * 31 + h) % 562949953421231))
+        ELSE [] END AS grams
+      FROM th
+    ), c AS (
+      SELECT doc_id, toks,
+        list_sort(list_distinct(
+          [0] || list_transform(
+                   list_filter(range(0, len(grams)),
+                               i -> grams[i + 1] % 16 = 0),
+                   i -> i + 4)
+              || [len(toks)])) AS cuts
+      FROM g WHERE len(toks) > 0
+    ), sel AS (
+      SELECT doc_id, toks, cuts, unnest(range(0, len(cuts) - 1)) AS j
+      FROM c
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+           CAST(cuts[j + 1] AS BIGINT) AS start,
+           CAST(cuts[j + 2] - cuts[j + 1] AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, cuts[j + 1] + 1,
+                                      cuts[j + 2]), ' ') AS chunk
+    FROM sel WHERE cuts[j + 2] - cuts[j + 1] > 0
+    """)
+def cdc_chunks_q(spark, sf_dir):
+    """Content-defined chunking (cdc_chunks, k=4, maskBits=4): chunk
+    boundaries fall where the local 4-gram rolling hash ≡ 0 (mod 16),
+    so an edit moves only the chunks around it — fixed-stride windows
+    downstream of an insertion all shift (chunk_overlap shows that
+    layout; this is the dedup-stable one, the LBFS/FastCDC idea at
+    token granularity). The oracle replays token hashing, gram
+    folding, boundary selection and chunk extraction hash-exact."""
+    from mmlspark_spark.llm import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = cdc_chunks(docs, idCol="doc_id", textCol="text",
+                     k=4, maskBits=4)
+    return out.select("doc_id",
+                      F.col("chunk_id").cast("long").alias("chunk_id"),
+                      "start", "n_tokens", "chunk")
 
 
 @register(

@@ -640,6 +640,54 @@ def test_winnow_fingerprints_properties(spark):
     assert plan.count("split(text") == 1, plan
 
 
+def test_cdc_chunks_edit_stability(spark):
+    """The CDC property fixed-stride chunking lacks: inserting a
+    sentence changes only the chunks AROUND the edit — chunk content
+    downstream of the insertion point is identical (boundaries are
+    functions of local content, not position). Also: every token
+    appears in exactly one chunk, offsets partition the document, and
+    short/empty docs behave."""
+    import numpy as np
+
+    from mmlspark_spark.llm import cdc_chunks
+
+    rng = np.random.default_rng(5)
+    words = [f"tok{rng.integers(0, 500)}" for _ in range(300)]
+    original = " ".join(words)
+    edited = " ".join(words[:150] + ["INSERTED", "SENTENCE", "HERE"]
+                      + words[150:])
+    df = spark.createDataFrame(
+        [(1, original), (2, edited), (3, "")],
+        "doc_id int, text string")
+    out = cdc_chunks(df, k=4, maskBits=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in (1, 2):
+        rows = sorted(by_doc[d], key=lambda r: r.chunk_id)
+        # chunks partition the token stream exactly
+        pos = 0
+        for r in rows:
+            assert r.start == pos
+            pos += r.n_tokens
+        n_tokens_doc = 300 if d == 1 else 303
+        assert pos == n_tokens_doc
+    assert 3 not in by_doc
+    # edit stability: the tail chunks (clear of the edit) match
+    chunks1 = [r.chunk for r in sorted(by_doc[1],
+                                       key=lambda r: r.chunk_id)]
+    chunks2 = [r.chunk for r in sorted(by_doc[2],
+                                       key=lambda r: r.chunk_id)]
+    shared_tail = 0
+    while (shared_tail < min(len(chunks1), len(chunks2))
+           and chunks1[-1 - shared_tail] == chunks2[-1 - shared_tail]):
+        shared_tail += 1
+    assert shared_tail >= 1, (chunks1[-3:], chunks2[-3:])
+    # and both docs actually split into several chunks (mask 8 over
+    # 300 tokens: expected ~30+ boundaries)
+    assert len(chunks1) > 3 and len(chunks2) > 3
+
+
 def test_bpe_learn_merges_hand_computed():
     """Sennrich's running example shape: 'ab' dominates, so (a, b) is
     the first merge; ties break lexicographically."""
