@@ -640,6 +640,21 @@ def test_winnow_fingerprints_properties(spark):
     assert plan.count("split(text") == 1, plan
 
 
+def test_chunk_documents_reconstruction(spark):
+    """With stride == chunkTokens (no overlap) the chunks PARTITION
+    the token stream: concatenating them in chunk_id order reproduces
+    the tokenized document exactly — no token lost or duplicated."""
+    from mmlspark_spark.llm import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(157))  # non-multiple of 32
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(chunk_documents(df, chunkTokens=32).collect(),
+                  key=lambda r: r.chunk_id)
+    rebuilt = " ".join(r.chunk for r in rows)
+    assert rebuilt == text
+    assert [r.n_tokens for r in rows] == [32, 32, 32, 32, 29]
+
+
 def test_cdc_chunks_edit_stability(spark):
     """The CDC property fixed-stride chunking lacks: inserting a
     sentence changes only the chunks AROUND the edit — chunk content

@@ -419,6 +419,15 @@ def test_canonicalize_url(spark):
     for r in got:
         assert r.got == r.want, (r.got, r.want)
 
+    # IDEMPOTENCE — the defining canonicalizer property: applying the
+    # normalization to an already-canonical URL is the identity, so
+    # keys stay stable no matter how many pipeline stages re-apply it
+    twice = df.select(
+        canonicalize_url("u").alias("once"),
+        canonicalize_url(canonicalize_url("u")).alias("twice")).collect()
+    for r in twice:
+        assert r.once == r.twice, (r.once, r.twice)
+
 
 def test_markup_stripper(spark):
     """Script/style bodies vanish entirely, tags drop, entities decode,
