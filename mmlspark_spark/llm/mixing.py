@@ -53,7 +53,15 @@ def _uniform_key(idCol, seed: int):
     wraps the modulus for id < m/a ≈ 44k (u would then be monotone in
     id and far from uniform — every small id passes every rate
     filter); the second step wraps for every id ≥ 1. Intermediates are
-    bounded by (m-1)·a < 2⁶³."""
+    bounded by (m-1)·a < 2⁶³.
+
+    Honest limit: the two steps collapse algebraically to ONE multiply
+    by a² mod m, so u is LINEAR in the id — sequential ids form an
+    arithmetic progression mod m. That is exactly what a deterministic
+    RANKING or rate filter needs (a wrapping permutation uncorrelated
+    with ingest order), but NOT what narrow threshold bands need:
+    ``HashSplitter`` uses the nonlinear ``_mixed_uniform_key``
+    instead."""
     # pmod, not %: Spark's % keeps the dividend's sign, so a negative
     # id (xxhash64-derived ids are negative half the time) would yield
     # a negative u that passes EVERY rate filter. pmod == % for
@@ -213,12 +221,37 @@ class DomainMixer(Transformer):
         return col
 
 
+def _mixed_uniform_key(idCol, seed: int):
+    """Nonlinear deterministic uniform in [0, m) — HashSplitter's key.
+
+    The plain Lehmer key is LINEAR in the id (the two multiplicative
+    steps collapse to one multiply by A² mod m), so sequential ids map
+    to an arithmetic progression mod m: a lattice, fine for RANKING
+    (DomainMixer needs only a deterministic permutation) but wrong for
+    THRESHOLD splits, where a small batch of consecutive ids can leave
+    a narrow band (a 5% test split) completely empty. Interleaving an
+    xorshift between the multiplies breaks the linearity while staying
+    engine-portable (integer *, %, xor, >> exist in both Spark and
+    DuckDB) and ANSI-safe (intermediates < 2⁴⁷)."""
+    idc = F.col(idCol).cast("long")
+    h = F.pmod(idc + F.lit(seed), F.lit(_M))
+    h = F.pmod(h * _A, F.lit(_M))
+    h = h.bitwiseXOR(F.shiftright(h, 15))
+    h = F.pmod(h * _A, F.lit(_M))
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    u = F.pmod(h, F.lit(_M))
+    return F.when(F.col(idCol).isNull(), F.raise_error(F.lit(
+        f"deterministic sampling key '{idCol}' contains a NULL id — "
+        "drop or fill NULL ids first")).cast("long")).otherwise(u)
+
+
 class HashSplitter(Transformer):
     """Deterministic train/val/test assignment from an integer id.
 
     The standard dataset-split contract for training pipelines: a
-    row's split is a PURE FUNCTION of its id (the same Lehmer uniform
-    ``DomainMixer`` samples with), so the assignment is reproducible
+    row's split is a PURE FUNCTION of its id (a NONLINEAR variant of
+    the Lehmer uniform — see ``_mixed_uniform_key`` for why threshold
+    splits need one), so the assignment is reproducible
     across runs, partitionings, engines — and, critically, across
     corpus GROWTH: adding new documents never moves an existing
     document between splits (a ``randomSplit`` reshuffles everything
@@ -239,6 +272,12 @@ class HashSplitter(Transformer):
     fall through the CASE would silently park every NULL row in the
     last split — a skewed-leakage bug that surfaces only at
     evaluation time. Drop or fill NULL ids first.
+
+    Use a DIFFERENT ``seed`` than any id-keyed sampler upstream
+    (``DomainMixer``, rate filters): both keys derive from the same
+    (id+seed)·A first step, so a shared seed couples "sampled
+    upstream" with the split band — observed emptying a 10% split
+    entirely. The id-derived analog of reusing a PRNG seed.
     """
 
     def __init__(self, idCol: str = "doc_id", splits: dict | None = None,
@@ -271,7 +310,7 @@ class HashSplitter(Transformer):
     def _transform(self, df: DataFrame) -> DataFrame:
         from fractions import Fraction
 
-        u = _uniform_key(self.idCol, self.seed)
+        u = _mixed_uniform_key(self.idCol, self.seed)
         names = list(self.splits)
         cum = Fraction(0)
         col = F.lit(names[-1])  # u < m always → last split is the else

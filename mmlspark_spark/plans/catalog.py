@@ -2357,24 +2357,34 @@ def vocab_build(spark, sf_dir):
 @register(
     "hash_split",
     oracle="""
+    WITH h1 AS (
+      SELECT doc_id,
+             (((doc_id + 42) % 2147483647) * 48271) % 2147483647 AS h
+      FROM documents
+    ), h2 AS (
+      SELECT doc_id, (xor(h, h >> 15) * 48271) % 2147483647 AS h
+      FROM h1
+    ), u AS (
+      SELECT doc_id, xor(h, h >> 13) % 2147483647 AS u FROM h2
+    )
     SELECT doc_id,
            CASE WHEN u < 1932735282 THEN 'train'
                 WHEN u < 2040109464 THEN 'val'
                 ELSE 'test' END AS split
-    FROM (SELECT doc_id,
-                 ((((doc_id + 42) % 2147483647) * 48271 % 2147483647)
-                  * 48271) % 2147483647 AS u
-          FROM documents)
+    FROM u
     """)
 def hash_split(spark, sf_dir):
     """Deterministic train/val/test split (HashSplitter 90/5/5): a
-    row's split is a pure function of its id via the Lehmer uniform,
-    so assignment survives corpus growth (new docs never move old docs
-    between splits — randomSplit reshuffles every run and leaks test
-    into train). Thresholds are exact integers floor(cum_frac × m)
-    (1932735282 = ⌊0.9·(2³¹−1)⌋, 2040109464 = ⌊0.95·(2³¹−1)⌋), so the
-    oracle replays the assignment bit-for-bit. The whole operator is
-    one CASE expression on a map stage — zero shuffles at any scale."""
+    row's split is a pure function of its id via a NONLINEAR
+    xorshift-Lehmer uniform (the plain Lehmer key is linear in the id
+    — sequential ids form a lattice that can leave a narrow band
+    empty), so assignment survives corpus growth (new docs never move
+    old docs between splits — randomSplit reshuffles every run and
+    leaks test into train). Thresholds are exact integers
+    floor(cum_frac × m) (1932735282 = ⌊0.9·(2³¹−1)⌋, 2040109464 =
+    ⌊0.95·(2³¹−1)⌋), and the oracle replays multiply/xorshift/
+    threshold bit-for-bit. One CASE expression on a map stage — zero
+    shuffles at any scale."""
     from mmlspark_spark.llm import HashSplitter
 
     docs = _t(spark, sf_dir, "documents")

@@ -885,3 +885,73 @@ def test_ingestion_day_pipeline(spark, tmp_path):
         idCol="doc_id")
     assert manifest["totalRows"] == 15
     assert verify_training_shards(spark, path)["ok"]
+
+
+def test_training_prep_day_pipeline(spark, tmp_path):
+    """Integration over the round-7 operators: a cleaned corpus flows
+    temperature mixing -> hash train/val/test split -> vocabulary over
+    the train split -> CDC chunking of train docs -> orderSeed shard
+    export, and the WHOLE pipeline re-run produces byte-identical
+    artifacts (every stage is deterministic by construction — the
+    property that makes a 100 TB prep job resumable and auditable)."""
+    from mmlspark_spark.llm import (
+        DomainMixer,
+        HashSplitter,
+        build_vocabulary,
+        cdc_chunks,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    langs = ["en"] * 60 + ["de"] * 25 + ["fr"] * 15
+    rows = [(i, langs[i],
+             " ".join(f"w{rng.integers(0, 80)}" for _ in range(60)))
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def run(out_dir):
+        mixed = DomainMixer(domainCol="lang", idCol="doc_id",
+                            temperature=0.5, totalBudget=60,
+                            exact=True, seed=9).transform(docs)
+        # DIFFERENT seed than the mixer: both keys derive from the
+        # same (id+seed)·A first step, so sharing a seed couples
+        # "sampled by the mixer" with the split band (observed: the
+        # 10% test band came back EMPTY on this corpus) — the
+        # id-derived-sampling analog of reusing a PRNG seed
+        split = HashSplitter(idCol="doc_id",
+                             splits={"train": 0.8, "val": 0.1,
+                                     "test": 0.1},
+                             seed=31).transform(mixed)
+        train = split.filter("split = 'train'")
+        vocab = build_vocabulary(train, minCount=2)
+        chunks = cdc_chunks(train, k=3, maskBits=3)
+        manifest = write_training_shards(
+            chunks.withColumn(
+                "chunk_key",
+                F.xxhash64("doc_id", "chunk_id")).select(
+                "chunk_key", "doc_id", "chunk_id", "start",
+                "n_tokens", "chunk"),
+            out_dir, numShards=3, idCol="chunk_key", orderSeed=9)
+        return (sorted((r.doc_id, r.split) for r in split.collect()),
+                sorted((r.token_id, r.word, r.freq)
+                       for r in vocab.collect()),
+                sorted((r.doc_id, r.chunk_id, r.chunk)
+                       for r in chunks.collect()),
+                manifest)
+
+    s1, v1, c1, m1 = run(str(tmp_path / "run1"))
+    # mixture flattened toward rare langs but every split non-empty
+    by_split = {}
+    for _, sp in s1:
+        by_split[sp] = by_split.get(sp, 0) + 1
+    assert set(by_split) == {"train", "val", "test"}
+    assert v1 and c1 and m1["totalRows"] == len(c1)
+    assert verify_training_shards(
+        spark, str(tmp_path / "run1"))["ok"]
+
+    # end-to-end determinism: identical artifacts on re-run
+    s2, v2, c2, m2 = run(str(tmp_path / "run2"))
+    assert (s1, v1, c1, m1) == (s2, v2, c2, m2)
