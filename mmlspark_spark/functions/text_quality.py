@@ -35,6 +35,15 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
 
 
+def pinned_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization on the cross-engine-pinned class
+    (PINNED_WS_RE) — the split every operator whose oracle replays
+    tokenization in DuckDB SQL must use on BOTH sides, so Java-\\s vs
+    RE2-\\s dialect drift (\\x0B, \\f) cannot diverge the engines."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, PINNED_WS_RE), lambda x: x != F.lit(""))
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 

@@ -1134,7 +1134,9 @@ def winnow_fingerprints(df: DataFrame, idCol: str = "doc_id",
 
     Returns (id, pos, fp): gram position + fingerprint, DISTINCT per
     document. All hashing is portable modular arithmetic (the
-    doc_fingerprint_portable Rabin-Karp family), so the
+    doc_fingerprint_portable Rabin-Karp family) and tokenization is
+    the cross-engine-pinned whitespace class (``pinned_tokens`` — Java
+    ``\\s`` and DuckDB-RE2 ``\\s`` disagree on ``\\x0B``), so the
     ``winnow_fingerprint`` catalog query replays the whole selection
     hash-exact in DuckDB.
 
@@ -1145,11 +1147,12 @@ def winnow_fingerprints(df: DataFrame, idCol: str = "doc_id",
     O(tokens·k + grams·window) map-side; the only shuffle is the final
     DISTINCT over (id, pos, fp) — fixed-width rows, never documents.
     """
-    from mmlspark_spark.functions.text_quality import _FP_MOD
+    from mmlspark_spark.functions.text_quality import (_FP_MOD,
+                                                       pinned_tokens)
 
     m = F.lit(_FP_MOD).cast("long")
     tokh_expr = F.transform(
-        tokens(F.col(textCol)),
+        pinned_tokens(F.col(textCol)),
         lambda t: F.aggregate(
             F.split(t, ""), F.lit(0).cast("long"),
             lambda a, c: F.pmod(a * 131 + F.ascii(c), m)))

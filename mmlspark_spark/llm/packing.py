@@ -204,22 +204,24 @@ def cdc_chunks(df: DataFrame, idCol: str = "doc_id",
     chunk length ≈ 2^maskBits + k tokens).
 
     Returns (id, chunk_id, start, n_tokens, chunk) — start is the
-    0-based token offset. Same portable Rabin-Karp hash family as
+    0-based token offset. Same portable Rabin-Karp hash family AND
+    cross-engine-pinned whitespace tokenization (``pinned_tokens``) as
     winnow_fingerprints, so the ``cdc_chunks`` catalog query replays
     boundary selection and chunk extraction hash-exact in DuckDB.
     Map-only: two Generate barriers (token hashes → gram hashes) keep
     the per-row arrays computed once; no shuffle at any scale.
     """
-    from mmlspark_spark.functions.text_quality import _FP_MOD, tokens
+    from mmlspark_spark.functions.text_quality import (_FP_MOD,
+                                                       pinned_tokens)
 
     if k <= 0 or maskBits <= 0:
         raise ValueError("k and maskBits must be positive")
     m = F.lit(_FP_MOD).cast("long")
     mask = F.lit(2 ** maskBits).cast("long")
     tokh_and_toks = F.struct(
-        tokens(F.col(textCol)).alias("toks"),
+        pinned_tokens(F.col(textCol)).alias("toks"),
         F.transform(
-            tokens(F.col(textCol)),
+            pinned_tokens(F.col(textCol)),
             lambda t: F.aggregate(
                 F.split(t, ""), F.lit(0).cast("long"),
                 lambda a, c: F.pmod(a * 131 + F.ascii(c), m))).alias("th"))

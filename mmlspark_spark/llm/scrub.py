@@ -165,7 +165,10 @@ def canonicalize_url(url: Column | str) -> Column:
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # anchor: the '?' must PRECEDE any '#' — a bare \?([^#]*) would
+    # match a '?' inside the fragment ('/p#sec?x=1' → query 'x=1'),
+    # resurrecting dropped fragment content as query params
+    query = F.regexp_extract(u, r"^[^#?]*\?([^#]*)", 1)
     keep = F.array_sort(F.filter(
         F.split(query, "&"),
         lambda p: (p != F.lit(""))

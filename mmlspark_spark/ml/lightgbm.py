@@ -73,9 +73,9 @@ class _LightGBMBase(Estimator):
         kw.setdefault("nativeSampleLimit", 1_000_000)
         kw.setdefault("sampleFit", False)
         kw.setdefault("numTasks", 0)  # 0 = one task per input partition
-        # "data" | "voting" | "feature" — reference LightGBMParams
-        # parallelism ("data_parallel"/"voting_parallel"/
-        # "feature_parallel" accepted as aliases). Voting-parallel
+        # "data" | "voting" — reference LightGBMParams parallelism
+        # ("data_parallel"/"voting_parallel" accepted as aliases;
+        # feature-parallel is rejected — see _tree_learner). Voting
         # trades exact split finding for O(top_k) histogram traffic:
         # each worker votes its local top-k features and only those
         # histograms are merged (Meng et al., NIPS 2016) — the scale
@@ -155,15 +155,20 @@ class _LightGBMBase(Estimator):
         ``params/LightGBMParams.scala`` (parallelism, topK) +
         ``TrainUtils.scala:236-291`` (voting-parallel wiring)."""
         mode = str(self.parallelism).lower().replace("_parallel", "")
-        learners = {"data": "data", "voting": "voting",
-                    "feature": "feature"}
+        learners = {"data": "data", "voting": "voting"}
         if mode not in learners:
             # no silent "serial" alias: serial with >1 barrier tasks
             # would train disconnected workers and return partition
             # 0's shard-only model — single-machine training is
-            # sampleFit=True or numTasks=1, both already data-safe
+            # sampleFit=True or numTasks=1, both already data-safe.
+            # "feature" is rejected too: LightGBM's feature-parallel
+            # learner assumes EVERY machine holds the full dataset,
+            # while this barrier path gives each task only its row
+            # partition — accepting it would train a silently
+            # divergent model (the reference documents only
+            # data_parallel/voting_parallel for this param).
             raise ValueError(
-                f"parallelism must be one of data/voting/feature "
+                f"parallelism must be one of data/voting "
                 f"(got {self.parallelism!r}); for single-machine "
                 "training use sampleFit=True or numTasks=1")
         extra = {"top_k": int(self.topK)} if mode == "voting" else {}

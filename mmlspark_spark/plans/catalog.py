@@ -2261,7 +2261,8 @@ def domain_mix(spark, sf_dir):
                          * 48271) % 2147483647,
                         doc_id) AS rn
       FROM documents)
-    SELECT r.doc_id, r.lang FROM ranked r JOIN q USING (lang)
+    SELECT r.doc_id, r.lang FROM ranked r
+    JOIN q ON r.lang IS NOT DISTINCT FROM q.lang
     WHERE rn <= quota
     """)
 def domain_temperature_mix(spark, sf_dir):
@@ -3106,7 +3107,7 @@ def doc_fingerprint_query(spark, sf_dir):
     "winnow_fingerprint",
     oracle="""
     WITH t AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
                                  x -> x <> '') AS toks
       FROM documents WHERE doc_id < 300
     ), th AS (
@@ -3159,7 +3160,7 @@ def winnow_fingerprint(spark, sf_dir):
     "cdc_chunks",
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r]+'),
                                  x -> x <> '') AS toks
       FROM documents WHERE doc_id < 300
     ), th AS (
@@ -3222,14 +3223,15 @@ def cdc_chunks_q(spark, sf_dir):
       SELECT doc_id,
              'HTTPS://Site' || (doc_id % 10)
                || '.Example.ORG:443/Path' || (doc_id % 3)
-               || '/?b=2&utm_source=x&a=1&fbclid=zz#frag' || doc_id AS u
+               || '/?b=2&utm_source=x&a=1&fbclid=zz#frag' || doc_id
+               || '?x=' || (doc_id % 7) AS u
       FROM documents WHERE doc_id < 1000
     ), parts AS (
       SELECT doc_id,
         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
           AS scheme,
         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
-        regexp_extract(u, '\?([^#]*)', 1) AS query
+        regexp_extract(u, '^[^#?]*\?([^#]*)', 1) AS query
       FROM raw
     ), comps AS (
       SELECT doc_id, scheme,
@@ -3272,6 +3274,8 @@ def url_canonicalize(spark, sf_dir):
             (F.col("doc_id") % 3).cast("string"),
             F.lit("/?b=2&utm_source=x&a=1&fbclid=zz#frag"),
             F.col("doc_id").cast("string"),
+            # '?' INSIDE the fragment — must NOT resurrect as query
+            F.lit("?x="), (F.col("doc_id") % 7).cast("string"),
         ).alias("u"))
     return planted.select(
         "doc_id", canonicalize_url("u").alias("canonical"))

@@ -50,6 +50,12 @@ def _iter_scans(jnode):
     ch = jnode.children()
     for i in range(ch.size()):
         yield from _iter_scans(ch.apply(i))
+    # scalar/IN-subquery plans hang off EXPRESSIONS (PlanExpression),
+    # not children() — without this branch a scan inside a subquery
+    # (and any unpushed filter on it) is invisible to the lint
+    sq = jnode.subqueries()
+    for i in range(sq.size()):
+        yield from _iter_scans(sq.apply(i))
 
 
 def _scan_pushdown_findings(jplan) -> list[str]:

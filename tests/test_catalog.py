@@ -214,6 +214,49 @@ def test_corpus_tokenizer_whitespace_parity(spark):
     assert got[2] == 1
 
 
+def test_winnow_cdc_whitespace_parity(spark):
+    """winnow_fingerprints and cdc_chunks tokenize with the PINNED
+    whitespace class (pinned_tokens) and their oracles with the same
+    explicit character class — plant \\x0B (Java \\s splits, RE2 \\s /
+    pinned class does not) and run each operator against its ACTUAL
+    registered oracle on the planted frame: if either side drifted
+    back to a bare \\s dialect, the fingerprints diverge here before
+    any testdata refresh can expose it in the driver window."""
+    import pandas as pd
+
+    from mmlspark_spark.llm import cdc_chunks, winnow_fingerprints
+
+    texts = [
+        "vt\x0bsplit aa bb cc dd ee",  # \x0B inside a pinned token
+        "plain one two three four five six seven",
+        "tabs\tand\nnewlines\rhere now ok yes",
+        "",
+    ]
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ops = {
+        "winnow_fingerprint":
+            lambda d: winnow_fingerprints(d, k=4, window=4),
+        "cdc_chunks": lambda d: cdc_chunks(d, k=4, maskBits=4),
+    }
+    for name, op in ops.items():
+        got = sorted((tuple(r) for r in op(sdf).collect()), key=repr)
+        want = sorted(
+            (tuple(r) for r in con.sql(CATALOG[name].oracle).fetchall()),
+            key=repr)
+        assert got == want, f"{name}: {got[:4]} vs {want[:4]}"
+    # the \x0B doc really exercises the divergence: pinned keeps
+    # "vt\x0bsplit" ONE token (6 total → 3 grams), Java \s would
+    # make 7 tokens → 4 grams and shift every boundary
+    n_grams = con.sql(
+        "SELECT len(list_filter(string_split_regex(text, "
+        "'[ \\t\\n\\r]+'), x -> x <> '')) - 3 FROM documents "
+        "WHERE doc_id = 1").fetchone()[0]
+    assert n_grams == 3
+
+
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
 def test_rows_only_query_runs(spark, sf_dir, spec):
     sdf = spec.fn(spark, sf_dir)

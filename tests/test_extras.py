@@ -412,6 +412,10 @@ def test_canonicalize_url(spark):
         ("http://h.org//img//", "http://h.org//img"),
         ("https://h.org/p?utm_campaign=a&utm_medium=b",
          "https://h.org/p"),
+        # '?' INSIDE the fragment: the whole fragment drops — a bare
+        # \?([^#]*) extraction would resurrect 'x=1' as query params
+        ("https://h.org/p#sec?x=1", "https://h.org/p"),
+        ("https://h.org/p?a=1#sec?x=9", "https://h.org/p?a=1"),
     ]
     df = spark.createDataFrame(cases, ["u", "want"])
     got = df.select("want",

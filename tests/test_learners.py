@@ -191,12 +191,15 @@ def test_lightgbm_parallelism_param_mapping():
     clf = LightGBMClassifier(parallelism="voting_parallel", topK=15)
     assert clf._tree_learner() == ("voting", {"top_k": 15})
     assert LightGBMClassifier()._tree_learner() == ("data", {})
-    assert LightGBMClassifier(
-        parallelism="feature")._tree_learner() == ("feature", {})
     # invalid values fail at CONSTRUCTION — before any fit path (GBT
     # fallback / sampleFit) could silently swallow the typo
     with pytest.raises(ValueError, match="parallelism"):
         LightGBMClassifier(parallelism="tree")
+    # feature-parallel is rejected: it assumes every machine holds the
+    # FULL dataset, which the row-partitioned barrier path does not
+    # provide — accepting it would train a silently divergent model
+    with pytest.raises(ValueError, match="parallelism"):
+        LightGBMClassifier(parallelism="feature_parallel")
     # and no silent "serial" alias (would train disconnected workers
     # on >1 barrier tasks)
     with pytest.raises(ValueError, match="parallelism"):

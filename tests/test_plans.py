@@ -309,6 +309,17 @@ def test_lint_plan_flags_and_passes(spark, sf_dir):
     finally:
         cached.unpersist()
 
+    # a fixable unpushed filter INSIDE a scalar subquery is seen too —
+    # subquery plans hang off expressions, not children(), so a
+    # children-only walk would leave the inner scan invisible
+    docs.createOrReplaceTempView("__lint_docs")
+    sub = spark.sql(
+        "SELECT doc_id FROM __lint_docs WHERE n_chars > "
+        "(SELECT avg(n_chars) FROM __lint_docs "
+        " WHERE CAST(doc_id AS STRING) = '5')")
+    assert any("cast-wrapped" in f for f in lint_plan(sub)), \
+        lint_plan(sub)
+
     # headline plans pass the lint clean
     from mmlspark_spark.plans.catalog import CATALOG
     for name in ("tpch_q1", "broadcast_join_revenue", "sessionize"):
