@@ -2488,11 +2488,86 @@ def semantic_dedup_q(spark, sf_dir):
                           k=8, threshold=0.3, maxIter=0)
 
 
-@register("minhash_dedup", oracle=None, headline=True)
+def _minhash_oracle(k: int = 32, b: int = 16, n: int = 5,
+                    threshold: float = 0.2, cap: int = 1000) -> str:
+    """DuckDB replay of the FULL MinHashLSHDeduplicator pipeline at its
+    production configuration — tokenize (Java ``\\s`` spelled out, incl.
+    ``\\x0B``/``\\f``), distinct 5-gram shingles, per-shingle
+    ``xxhash64`` over UTF-8 bytes, k slot hashes (signed min, exactly
+    Spark's ``min`` over LongType), banded bucket join with the
+    ``maxBucketSize`` cap, upper-triangle pair expansion and the
+    signature-match estimate. The xxhash64 values are recomputed
+    bit-exact by the plans/duckdb_xxh expression generators, so this is
+    the SAME hash family the 100 TB path uses, not a weakened oracle
+    lane. Seeds for ``xxhash64(lit(i), x)`` fold to constants
+    (``hashLong(x, hashInt(i, 42))``) in Python."""
+    from mmlspark_spark.plans.duckdb_xxh import (hash_int, to_s64, to_u64,
+                                                 xxh64_long, xxh64_str)
+
+    r = k // b
+    assert r == 2, "band expr below unrolls exactly r=2 slots"
+    slot_seeds = "[" + ", ".join(
+        f"{hash_int(i, 42)}::HUGEINT" for i in range(k)) + "]"
+    band_seeds = "[" + ", ".join(
+        f"{hash_int(j, 42)}::HUGEINT" for j in range(b)) + "]"
+    sh_hash = xxh64_str("sh", u="za")  # unsigned HUGEINT
+    slot_hash = to_s64(xxh64_long("shu", f"({slot_seeds}[si+1])", u="zb"))
+    band_hash = xxh64_long(
+        to_u64("sig[2*j+2]"),
+        xxh64_long(to_u64("sig[2*j+1]"), f"({band_seeds}[j+1])", u="zc"),
+        u="zd")
+    est = f"(len(list_filter(range(1, {k}+1), i -> sa[i] = sb[i])))"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+               x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, greatest(len(toks)-{n - 1}, 0)+1),
+          i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS sh
+      FROM t
+    ), shh AS (
+      SELECT DISTINCT doc_id, {sh_hash} AS shu FROM g
+    ), slotrows AS (
+      SELECT doc_id, si, {slot_hash} AS hv
+      FROM (SELECT doc_id, shu, unnest(range(0, {k})) AS si FROM shh)
+    ), sig AS (
+      SELECT doc_id, list(m ORDER BY si) AS sig
+      FROM (SELECT doc_id, si, min(hv) AS m
+            FROM slotrows GROUP BY doc_id, si)
+      GROUP BY doc_id
+    ), band AS (
+      SELECT doc_id, j, {band_hash} AS bh
+      FROM (SELECT doc_id, sig, unnest(range(0, {b})) AS j FROM sig)
+    ), bucket AS (
+      SELECT j, bh, list_sort(list(DISTINCT doc_id)) AS ids
+      FROM band GROUP BY j, bh
+    ), pairs AS (
+      SELECT DISTINCT p.a AS doc_a, p.b AS doc_b
+      FROM (SELECT unnest(flatten(list_transform(
+              range(1, len(ids)), i -> list_transform(
+                ids[i+1:], y -> {{'a': ids[i], 'b': y}})))) AS p
+            FROM bucket
+            WHERE len(ids) > 1 AND len(ids) <= {cap})
+    )
+    SELECT doc_a, doc_b,
+           CAST({est} AS DOUBLE) / {k} AS est_jaccard
+    FROM pairs
+    JOIN (SELECT doc_id AS doc_a, sig AS sa FROM sig) USING (doc_a)
+    JOIN (SELECT doc_id AS doc_b, sig AS sb FROM sig) USING (doc_b)
+    WHERE CAST({est} AS DOUBLE) / {k} >= {threshold}
+    """
+
+
+@register("minhash_dedup", oracle=_minhash_oracle(), headline=True)
 def minhash_dedup(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (rows-only check: hash family is
-    engine-specific so no SQL oracle; recall vs exact Jaccard is asserted
-    in tests/test_llm.py)."""
+    """MinHash+LSH near-dup candidates, HASH-EXACT against a DuckDB
+    oracle that replays the production xxhash64 family bit-for-bit
+    (plans/duckdb_xxh): shingle string hash → 32 slot mins → 16 band
+    hashes → capped buckets → pair estimates. Rows-only until round 8;
+    recall vs exact Jaccard additionally asserted in tests/test_llm.py."""
     from mmlspark_spark.llm import MinHashLSHDeduplicator
 
     docs = _t(spark, sf_dir, "documents")
