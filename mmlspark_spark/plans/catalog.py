@@ -48,48 +48,51 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 
 
 # Driver correctness-checks a window of the first ~50 entries of
-# queries(). Round-7 priority, in order of evidence need:
-# (a) the two round-6 hash REDS, re-confirmed after their HUGEINT
-#     oracle fix (tpch_q12, corpus_report), plus
-#     train_classifier_metrics whose oracle changed this round
-#     (DECIMAL-literal → DOUBLE, caught by the new dialect lint), plus
-#     domain_temperature_mix + hash_split + vocab_build +
-#     chunk_overlap + winnow_fingerprint + url_canonicalize +
-#     cdc_chunks (new this round, oracled at birth);
-# (b) the two queries with NO driver row in any round — vw_featurizer
-#     and bpe_tokenize, both rows-only by design; the priority list
-#     now ranks ahead of the oracled-first rule precisely so they can
-#     enter the window at all (see _ordered_specs);
-# (c) minhash_dedup — rows-only, last driver row round 2;
-# (d) the 13-entry round-6 backlog (r4-green, rotated out since:
-#     decontamination .. json_extract);
-# (e) 28 slots of round-5 greens, heaviest/riskiest first (full
-#     TPC-H r5 residue, then curation). Round-8 rotation backlog:
-#     asof_join, ensemble_by_key, class_balancer, summarize_data,
-#     url_extract, pii_redact, sequence_packing + the ~17 remaining
-#     r5 entries (select_project ..
-#     tabular_shap_exact — identity-ish stages, paths untouched) and
-#     the r2-stale rows-only batch (summarize_data_approx,
-#     text_featurize_pipeline, simhash_dedup, knn_lsh, knn_ivf,
-#     access_anomaly, tabular_lime, tabular_shap) if slots allow.
+# queries(). Round-8 priority, in order of evidence need:
+# (a) the nine queries whose CODE or ORACLE changed this round and
+#     must re-verify: the five rows-only→oracled upgrades via the
+#     plans/duckdb_xxh hash replay (minhash_dedup, simhash_dedup,
+#     vw_featurizer — query reshaped to expose slot indices,
+#     text_featurize_pipeline, knn_lsh) and the four review fixes
+#     (winnow_fingerprint + cdc_chunks pinned tokenization,
+#     url_canonicalize fragment-anchored query extraction,
+#     domain_temperature_mix null-safe oracle join);
+# (b) the oldest driver rows: knn_ivf (r1) and the r2-stale batch
+#     (summarize_data_approx, access_anomaly, tabular_lime,
+#     tabular_shap — rows-only by design: sketches / ALS factors /
+#     sampled coalitions);
+# (c) the full 23-entry r5-stale block (select_project ..
+#     url_extract);
+# (d) 13 slots of round-6 greens, TPC-H residue + heaviest curation
+#     first. Round-9 rotation backlog (r6-green, rotated out):
+#     semi_join, anti_join, top_k_per_group, pivot_status,
+#     rollup_counts, sessionize, window_hourly_agg, value_indexer,
+#     clean_missing, data_conversion, ts_featurize, multi_ngram,
+#     page_splitter, token_count, quality_score, lang_stats,
+#     ngram_lm_score, domain_mix, knn_bruteforce, embedding_stats,
+#     embedding_dedup, text_metrics, date_featurize, count_selector,
+#     text_preprocessor, repetition_metrics, heavy_hitters, line_dedup,
+#     markup_strip, scd2_merge, funnel_steps, group_percentiles,
+#     rolling_revenue, pagerank, join_multi — then the r7 block.
 _WINDOW_PRIORITY = (
-    "tpch_q12", "corpus_report", "train_classifier_metrics",
-    "domain_temperature_mix", "hash_split", "vocab_build",
-    "chunk_overlap", "winnow_fingerprint", "url_canonicalize",
-    "cdc_chunks",
-    "vw_featurizer", "bpe_tokenize", "minhash_dedup",
-    "decontamination", "sar_affinity", "sar_item_similarity",
-    "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
-    "id_indexer", "per_instance_log_loss", "model_statistics",
-    "ranking_metrics", "featurize_numeric", "index_to_value_roundtrip",
-    "json_extract",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17",
-    "tpch_q18", "tpch_q22",
-    "zorder_key", "curation_pipeline", "substring_dedup_spans",
-    "embedding_covariance", "quality_filter", "stratified_sample",
-    "dedup_resolve", "embedding_kmeans_assign", "semantic_dedup",
-    "lang_id_heuristic", "doc_fingerprint",
+    "minhash_dedup", "simhash_dedup", "vw_featurizer",
+    "text_featurize_pipeline", "knn_lsh",
+    "winnow_fingerprint", "cdc_chunks", "url_canonicalize",
+    "domain_temperature_mix",
+    "knn_ivf", "summarize_data_approx", "access_anomaly",
+    "tabular_lime", "tabular_shap",
+    "select_project", "drop_rename", "explode_tokens",
+    "summarize_data", "class_balancer", "ensemble_by_key",
+    "isolation_forest", "knn_stage", "unicode_normalize",
+    "asof_join", "range_join", "cube_counts",
+    "stratified_repartition", "lambda_stage", "udf_transformer",
+    "multi_column_adapter", "drop_missing", "minibatch_roundtrip",
+    "partition_ops_identity", "tabular_shap_exact",
+    "sequence_packing", "pii_redact", "url_extract",
+    "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q16",
+    "tpch_q19", "tpch_q20", "tpch_q21",
+    "broadcast_join_revenue", "ngram_jaccard", "exact_dedup",
+    "incremental_dedup", "perplexity_prune",
 )
 
 
@@ -1688,10 +1691,51 @@ def page_splitter(spark, sf_dir):
         "doc_id", F.concat_ws("", "pages").alias("reassembled"))
 
 
-@register("text_featurize_pipeline", oracle=None, headline=True)
+def _text_featurize_oracle() -> str:
+    """Replays the full TextFeaturizer pipeline: RegexTokenizer
+    (lowercase, ``\\s+`` gaps split, empties dropped), MultiNGram
+    [1,2] (2-grams joined by a single space), HashingTF slots
+    (murmur3_x86_32 seed 42 + nonNegativeMod into 2^15 — recomputed
+    bit-exact by plans/duckdb_xxh.murmur32_str) and the IDF zero rule
+    (a slot present in EVERY document gets idf log(1)=0 and drops out
+    of nnz). Token-less documents keep their row with nnz 0, exactly
+    like the empty SparseVector."""
+    from mmlspark_spark.plans.duckdb_xxh import murmur32_str, nonneg_mod32
+
+    slot = nonneg_mod32(murmur32_str("term", u="yt"), 1 << 15)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+               x -> x <> '') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(toks || list_transform(
+               range(1, greatest(len(toks)-1, 0)+1),
+               i -> toks[i] || ' ' || toks[i+1])) AS term
+      FROM d
+    ), slots AS (
+      SELECT DISTINCT doc_id, {slot} AS slot FROM grams
+    ), dfreq AS (
+      SELECT slot, count(*) AS df FROM slots GROUP BY slot
+    )
+    SELECT d.doc_id, CAST(coalesce(z.nnz, 0) AS INTEGER) AS nnz
+    FROM d LEFT JOIN (
+      SELECT s.doc_id, count(*) FILTER (
+        WHERE dfreq.df < (SELECT count(*) FROM d)) AS nnz
+      FROM slots s JOIN dfreq USING (slot) GROUP BY s.doc_id
+    ) z USING (doc_id)
+    """
+
+
+@register("text_featurize_pipeline", oracle=_text_featurize_oracle(),
+          headline=True)
 def text_featurize_pipeline(spark, sf_dir):
     """TextFeaturizer end-to-end (tokenize → 1,2-grams → hashTF → IDF)
-    over documents; returns per-doc feature vector stats (rows-only)."""
+    over documents; returns per-doc nonzero-slot counts, HASH-EXACT
+    against a DuckDB oracle replaying the murmur3 slot layout and the
+    IDF zero rule (rows-only before round 8)."""
     from mmlspark_spark.featurize import TextFeaturizer
 
     docs = _t(spark, sf_dir, "documents")
@@ -2577,9 +2621,74 @@ def minhash_dedup(spark, sf_dir):
     ).transform(docs)
 
 
-@register("simhash_dedup", oracle=None)
+def _simhash_oracle(bands: int = 4, maxHamming: int = 10,
+                    cap: int = 1000) -> str:
+    """DuckDB replay of the FULL SimHashDeduplicator pipeline: Java-\\s
+    tokens (duplicates COUNT — the vote aggregate is over the raw token
+    list), per-token xxhash64 (hashed once per distinct word, joined
+    back), 64 sign-votes, two's-complement fingerprint assembly (bit 63
+    negative), 16-bit band chunks, capped buckets, upper-triangle pairs
+    and the Hamming filter. Empty-token documents fingerprint to 0 and
+    participate (only NULL text is excluded), exactly like the Spark
+    path."""
+    from mmlspark_spark.plans.duckdb_xxh import to_u64, xxh64_str
+
+    assert 64 % bands == 0, "oracle assumes equal-width chunks"
+    w = 64 // bands
+    return f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+               x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS w FROM t
+    ), wh AS (
+      SELECT w, ({xxh64_str("w", u="ze")})::UBIGINT AS hu
+      FROM (SELECT DISTINCT w FROM tok)
+    ), votes AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN ((hu >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM (SELECT doc_id, hu, unnest(range(0, 64)) AS j
+            FROM tok JOIN wh USING (w))
+      GROUP BY doc_id, j
+    ), fp AS (
+      SELECT doc_id, CAST(sum(CASE WHEN v <= 0 THEN 0::HUGEINT
+               WHEN j = 63 THEN -9223372036854775808::HUGEINT
+               ELSE (1::HUGEINT << j) END) AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id, 0::BIGINT FROM t WHERE len(toks) = 0
+    ), band AS (
+      SELECT doc_id, sh, j,
+             (({to_u64("sh")})::UBIGINT >> ({w}*j)) & {(1 << w) - 1}
+               AS chunk
+      FROM (SELECT doc_id, sh, unnest(range(0, {bands})) AS j FROM fp)
+    ), bucket AS (
+      SELECT j, chunk,
+             list({{'i': doc_id, 'h': sh}} ORDER BY doc_id) AS ms
+      FROM band GROUP BY j, chunk
+    ), pairs AS (
+      SELECT DISTINCT p.a AS doc_a, p.b AS doc_b, p.x AS x
+      FROM (SELECT unnest(flatten(list_transform(
+              range(1, len(ms)), i -> list_transform(
+                ms[i+1:], y -> {{'a': ms[i].i, 'b': y.i,
+                                 'x': xor(ms[i].h, y.h)}})))) AS p
+            FROM bucket
+            WHERE len(ms) > 1 AND len(ms) <= {cap})
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(x) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(x) <= {maxHamming}
+    """
+
+
+@register("simhash_dedup", oracle=_simhash_oracle())
 def simhash_dedup(spark, sf_dir):
-    """SimHash fingerprint near-dup candidates (rows-only check)."""
+    """SimHash fingerprint near-dup candidates, HASH-EXACT against a
+    DuckDB oracle replaying the production xxhash64 family bit-for-bit
+    (plans/duckdb_xxh): per-token hashes → 64 sign votes → fingerprint
+    → 16-bit band buckets → capped pairs → Hamming filter. Rows-only
+    until round 8."""
     from mmlspark_spark.llm import SimHashDeduplicator
 
     docs = _t(spark, sf_dir, "documents")
@@ -2624,10 +2733,79 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
-@register("knn_lsh", oracle=None)
+def _knn_lsh_oracle(numPlanes: int = 16, bands: int = 8, k: int = 10,
+                    dim: int = 64, seed: int = 42) -> str:
+    """Replays LSHKNN end-to-end: the SAME seeded numpy hyperplanes
+    (regenerated here at import time and inlined as double literals —
+    both sides call ``default_rng(seed).standard_normal`` so they can
+    never drift), sign-bit signatures with the identical left-fold
+    summation order, band chunks, bucket-join candidates, exact cosine
+    (separate dot/norm² folds — bit-identical to the one-pass struct
+    accumulator because each accumulator adds in element order) and
+    the (sim DESC, neighbor_id) top-k window."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((numPlanes, dim))
+    pls = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        for row in planes) + "]::DOUBLE[][]"
+    r = numPlanes // bands
+    assert r == 2, "chunk expr below unrolls exactly r=2 bits"
+
+    def fold(term: str) -> str:
+        return (f"list_reduce(list_prepend(0.0::DOUBLE, "
+                f"list_transform(range(1, {dim + 1}), i2 -> {term})), "
+                f"(a2, b2) -> a2 + b2)")
+
+    def bit(plane_ix: str) -> str:
+        return (f"(CASE WHEN {fold(f'v[i2] * pls[{plane_ix}][i2]')} > 0 "
+                f"THEN 1 ELSE 0 END)")
+
+    return f"""
+    WITH pl AS (SELECT {pls} AS pls),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, v,
+             list_transform(range(0, {bands}),
+               b -> {bit('2*b+1')} + 2 * {bit('2*b+2')}) AS chunks
+      FROM e, pl
+    ), band AS (
+      SELECT vec_id, unnest(chunks) AS chunk,
+             unnest(range(0, {bands})) AS band
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, d.vec_id AS neighbor_id
+      FROM band d JOIN band q
+        ON d.band = q.band AND d.chunk = q.chunk
+      WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             {fold("eq.v[i2] * ed.v[i2]")}
+             / (sqrt({fold("eq.v[i2] * eq.v[i2]")})
+                * sqrt({fold("ed.v[i2] * ed.v[i2]")})) AS sim
+      FROM cand
+      JOIN e eq ON eq.vec_id = query_id
+      JOIN e ed ON ed.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {k}
+    """
+
+
+@register("knn_lsh", oracle=_knn_lsh_oracle())
 def knn_lsh(spark, sf_dir):
-    """LSH-bucketed approximate KNN (rows-only; recall vs brute force is
-    asserted in tests/test_llm.py)."""
+    """LSH-bucketed approximate KNN, HASH-EXACT against a DuckDB
+    oracle replaying the seeded hyperplanes, signature bits, bucket
+    join and exact-cosine top-k bit-for-bit (rows-only before round
+    8; recall vs brute force additionally asserted in
+    tests/test_llm.py)."""
     from mmlspark_spark.llm import LSHKNN
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3437,23 +3615,66 @@ def train_classifier_metrics(spark, sf_dir):
                          for c in stats.columns]).crossJoin(counts)
 
 
-@register("vw_featurizer", oracle=None)
-def vw_featurizer(spark, sf_dir):
-    """VowpalWabbitFeaturizer hashing (rows-only: murmur slot layout is
-    engine-specific; dimensionality + learnability asserted in
-    tests/test_learners.py)."""
-    from mmlspark_spark.ml.vw import VowpalWabbitFeaturizer
+def _vw_featurizer_oracle() -> str:
+    """Replays the default VowpalWabbitFeaturizer path (Spark
+    FeatureHasher: murmur3_x86_32 seed 42 of ``col=value`` for strings
+    / the bare column name for numerics, ``nonNegativeMod`` into 2^12
+    slots) with the plans/duckdb_xxh murmur32 generator — the SLOT
+    INDICES are part of the compared output, so the hash itself is
+    verified, not just the value mass."""
+    from mmlspark_spark.plans.duckdb_xxh import murmur32_str, nonneg_mod32
 
-    li = (_t(spark, sf_dir, "lineitem")
-          .select("l_returnflag", "l_linestatus", "l_quantity").limit(1000))
-    out = VowpalWabbitFeaturizer(
-        inputCols=["l_returnflag", "l_linestatus", "l_quantity"],
-        outputCol="features", numBits=12).transform(li)
+    i_flag = nonneg_mod32(
+        murmur32_str("'l_returnflag=' || l_returnflag", u="ya"), 4096)
+    i_status = nonneg_mod32(
+        murmur32_str("'l_linestatus=' || l_linestatus", u="yb"), 4096)
+    i_qty = nonneg_mod32(murmur32_str("'sum_qty'", u="yc"), 4096)
+    return f"""
+    WITH a AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(l_quantity), 4) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, n, sum_qty,
+           array_to_string(list_sort([{i_flag}, {i_status}, {i_qty}]),
+                           ',') AS slots,
+           round(2.0 + sum_qty, 4) AS slot_sum
+    FROM a
+    """
+
+
+@register("vw_featurizer", oracle=_vw_featurizer_oracle())
+def vw_featurizer(spark, sf_dir):
+    """VowpalWabbitFeaturizer hashing, HASH-EXACT against a DuckDB
+    oracle that recomputes the murmur3_x86_32 slot layout bit-for-bit
+    (plans/duckdb_xxh.murmur32_str; rows-only before round 8). The
+    query aggregates lineitem per (returnflag, linestatus), featurizes
+    the aggregate frame, and exposes the NONZERO SLOT INDICES plus the
+    slot value mass — so index placement, not just totals, is driver-
+    verified. VW-hash-parity (useVWHashing) additionally golden-tested
+    in tests/test_murmur.py against the JVM."""
     from pyspark.ml.functions import vector_to_array
 
+    from mmlspark_spark.ml.vw import VowpalWabbitFeaturizer
+
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    out = VowpalWabbitFeaturizer(
+        inputCols=["l_returnflag", "l_linestatus", "sum_qty"],
+        outputCol="features", numBits=12).transform(agg)
+    arr = vector_to_array("features")
+    nz = F.filter(
+        F.transform(arr, lambda v, i: F.struct(i.alias("i"), v.alias("v"))),
+        lambda s: s["v"] != 0)
     return out.select(
-        F.round(F.aggregate(vector_to_array("features"), F.lit(0.0),
-                            lambda a, v: a + v), 4).alias("slot_sum"))
+        "l_returnflag", "l_linestatus", "n", "sum_qty",
+        F.concat_ws(",", F.transform(nz, lambda s: s["i"].cast("string")))
+        .alias("slots"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, v: a + v), 4)
+        .alias("slot_sum"))
 
 
 # ---------------------------------------------------------------------------

@@ -231,6 +231,74 @@ def _word_round(hvar: str, wvar: str, u: str) -> str:
         f"(({_mul64(f'{u}e', str(P1))} + {P4}) % {M64})")
 
 
+def murmur32_str(col_expr: str, seed: int = 42, u: str = "y") -> str:
+    """SQL for MurmurHash3_x86_32 over ``col_expr``'s UTF-8 bytes —
+    the function behind Spark's ``FeatureHasher``/``HashingTF``
+    (``Murmur3_x86_32.hashUnsafeBytes2``, default ML seed 42) and VW's
+    ``uniform_hash`` (matching functions/murmur.py, which is
+    cross-checked against the JVM in tests/test_murmur.py).
+
+    Returns UBIGINT in [0, 2**32). All arithmetic stays in UBIGINT —
+    a 32×32-bit product is < 2**64, so no HUGEINT detour is needed.
+    Use :func:`nonneg_mod32` for Spark ML's slot assignment.
+    """
+    hx, n = f"{u}hx", f"{u}n"
+    mask = "4294967295"
+
+    def mul32(a: str, b: int) -> str:
+        return f"((({a}) * {b}::UBIGINT) & {mask})"
+
+    def rot32(x: str, r: int) -> str:
+        return (f"(((({x}) * {1 << r}::UBIGINT) & {mask})"
+                f" | (({x}) >> {32 - r}))")
+
+    def mixk1(kvar: str, p: str) -> str:
+        return _lets(
+            [(f"{p}a", mul32(kvar, 0xCC9E2D51)),
+             (f"{p}b", rot32(f"{p}a", 15))],
+            mul32(f"{p}b", 0x1B873593))
+
+    def mixh1(hvar: str, kexpr: str, p: str) -> str:
+        return _lets(
+            [(f"{p}c", f"xor({hvar}, {kexpr})"),
+             (f"{p}d", rot32(f"{p}c", 13))],
+            f"((({p}d * 5::UBIGINT) + 3864292196::UBIGINT) & {mask})")
+
+    blocks = (f"list_reduce(list_prepend({seed}::UBIGINT, "
+              f"list_transform(range(0, {n}//4), {u}bi -> "
+              f"{_word(hx, f'4*{u}bi', 4)}::UBIGINT)), "
+              f"({u}h, {u}k) -> "
+              f"{mixh1(f'{u}h', mixk1(f'{u}k', f'{u}p'), f'{u}q')})")
+    tail_terms = " + ".join(
+        f"(CASE WHEN {n}%4 >= {j + 1} THEN "
+        f"{_byte(hx, f'4*({n}//4)+{j}')}::UBIGINT * {1 << (8 * j)} "
+        f"ELSE 0 END)" for j in range(3))
+    tailed = (f"(CASE WHEN {n}%4 > 0 THEN "
+              f"xor({u}h1, {_let(f'{u}tk', f'({tail_terms})', mixk1(f'{u}tk', f'{u}r'))}) "
+              f"ELSE {u}h1 END)")
+    fm = _lets(
+        [(f"{u}e1", f"xor({u}h2, ({n}::UBIGINT & {mask}))"),
+         (f"{u}e2", f"xor({u}e1, {u}e1 >> 16)"),
+         (f"{u}e3", mul32(f"{u}e2", 0x85EBCA6B)),
+         (f"{u}e4", f"xor({u}e3, {u}e3 >> 13)"),
+         (f"{u}e5", mul32(f"{u}e4", 0xC2B2AE35))],
+        f"xor({u}e5, {u}e5 >> 16)")
+    return _lets(
+        [(hx, f"lower(hex(encode({col_expr})))"),
+         (n, f"octet_length(encode({col_expr}))"),
+         (f"{u}h1", blocks),
+         (f"{u}h2", tailed)],
+        fm)
+
+
+def nonneg_mod32(expr: str, m: int) -> str:
+    """Spark ML ``Utils.nonNegativeMod`` of a murmur32 value (UBIGINT
+    in [0, 2**32)) into ``m`` buckets, as signed-int semantics."""
+    e = f"({expr})"
+    s = f"(CASE WHEN {e} >= 2147483648 THEN {e}::BIGINT - 4294967296 ELSE {e}::BIGINT END)"
+    return f"((({s}) % {m} + {m}) % {m})"
+
+
 def xxh64_str(col_expr: str, seed: int = 42, u: str = "z") -> str:
     """SQL for Spark ``xxhash64(<string col>)`` over UTF-8 bytes.
 
