@@ -309,6 +309,9 @@ class IVFKNN:
         cent_b = data.sparkSession.sparkContext.broadcast(cent)
         d = self._assign(data, cent_b, "d", top=1)
         q = self._assign(queries, cent_b, "q", top=self.nProbe)
+        return self._probe(d, q)
+
+    def _probe(self, d: DataFrame, q: DataFrame) -> DataFrame:
         cand = d.join(F.broadcast(q), "__cell")
         if self.excludeSelf:
             cand = cand.filter(F.col("q_id") != F.col("d_id"))
@@ -317,3 +320,48 @@ class IVFKNN:
             cosine_similarity("q_vec", "d_vec").alias("sim"),
         ).dropDuplicates(["query_id", "neighbor_id"])
         return _topk_window(scored, self.k)
+
+    def search_with_centroids(self, data: DataFrame, queries: DataFrame,
+                              centroids: DataFrame,
+                              cellCol: str = "cell",
+                              centVecCol: str = "cvec") -> DataFrame:
+        """Bring-your-own-quantizer IVF (the faiss norm at scale: the
+        coarse quantizer is trained once, offline, and reused across
+        index builds): ``centroids`` is a SMALL (cell, vector) frame —
+        broadcast, never collected — and cell assignment is pure
+        Catalyst instead of the numpy/mapInPandas lane, so the whole
+        search is exactly replayable (``knn_ivf_pretrained`` catalog
+        oracle) and needs no Python workers.
+
+        Assignment ranks cells by exact cosine — normalization-free
+        ordering, identical cells to the numpy lane's normalized
+        argmax — with cell-id ASC tie-break (deterministic, unlike
+        ``np.argsort``'s unstable ties). Corpus indexing (top=1) is a
+        map-side broadcast expansion collapsed by a combinable
+        ``max(struct(sim, -cell, vec))`` partial aggregate — the
+        shuffle carries one row per corpus vector, never the ×nlist
+        expansion; query probing (top=nProbe) windows the small side.
+        """
+        c = F.broadcast(centroids.select(
+            F.col(cellCol).alias("__cell"),
+            F.col(centVecCol).alias("__cv")))
+        sim = cosine_similarity(self.vecCol, "__cv").alias("__sim")
+        d = (data.crossJoin(c)
+             .select(F.col(self.idCol).alias("d_id"),
+                     F.col(self.vecCol).alias("d_vec"), "__cell", sim)
+             .groupBy("d_id")
+             .agg(F.max(F.struct(
+                 F.col("__sim").alias("s"),
+                 (-F.col("__cell")).alias("nc"),
+                 F.col("d_vec").alias("v"))).alias("__b"))
+             .select("d_id", F.col("__b.v").alias("d_vec"),
+                     (-F.col("__b.nc")).alias("__cell")))
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("__sim").desc(), F.col("__cell").asc())
+        q = (queries.crossJoin(c)
+             .select(F.col(self.idCol).alias("q_id"),
+                     F.col(self.vecCol).alias("q_vec"), "__cell", sim)
+             .withColumn("__rk", F.row_number().over(w))
+             .filter(F.col("__rk") <= self.nProbe)
+             .drop("__rk", "__sim"))
+        return self._probe(d, q)

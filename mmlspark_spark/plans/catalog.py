@@ -63,8 +63,9 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     sampled coalitions);
 # (c) the full 23-entry r5-stale block (select_project ..
 #     url_extract);
-# (d) 13 slots of round-6 greens, TPC-H residue + heaviest curation
-#     first. Round-9 rotation backlog (r6-green, rotated out):
+# (d) 12 slots of round-6 greens (TPC-H residue + heaviest curation
+#     first) + knn_ivf_pretrained (new this round, oracled at birth).
+#     Round-9 rotation backlog (r6-green, rotated out): perplexity_prune,
 #     semi_join, anti_join, top_k_per_group, pivot_status,
 #     rollup_counts, sessionize, window_hourly_agg, value_indexer,
 #     clean_missing, data_conversion, ts_featurize, multi_ngram,
@@ -92,7 +93,7 @@ _WINDOW_PRIORITY = (
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q19", "tpch_q20", "tpch_q21",
     "broadcast_join_revenue", "ngram_jaccard", "exact_dedup",
-    "incremental_dedup", "perplexity_prune",
+    "incremental_dedup", "knn_ivf_pretrained",
 )
 
 
@@ -3532,6 +3533,84 @@ def url_canonicalize(spark, sf_dir):
         ).alias("u"))
     return planted.select(
         "doc_id", canonicalize_url("u").alias("canonical"))
+
+
+def _knn_ivf_pretrained_oracle(nlist: int = 16, nProbe: int = 4,
+                               k: int = 10, dim: int = 64) -> str:
+    """Replays the bring-your-own-quantizer IVF lane end-to-end: the
+    centroid frame IS data (embeddings vec_id < nlist), assignment
+    ranks cells by exact cosine with cell-ASC tie-break (corpus top-1,
+    queries top-nProbe), candidates equi-join on the cell, and the
+    final exact-cosine top-k window — every float computed with the
+    same left-fold order as the Catalyst expressions."""
+    def fold(term: str) -> str:
+        return (f"list_reduce(list_prepend(0.0::DOUBLE, "
+                f"list_transform(range(1, {dim + 1}), i2 -> {term})), "
+                f"(a2, b2) -> a2 + b2)")
+
+    def cos(a: str, b: str) -> str:
+        return (f"{fold(f'{a}[i2] * {b}[i2]')}"
+                f" / (sqrt({fold(f'{a}[i2] * {a}[i2]')})"
+                f" * sqrt({fold(f'{b}[i2] * {b}[i2]')}))")
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {nlist}
+    ), dsim AS (
+      SELECT e.vec_id AS d_id, e.v AS dv, c.cell, {cos("e.v", "c.cv")} AS sim
+      FROM e, c
+    ), dass AS (
+      SELECT d_id, dv, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
+        FROM dsim) WHERE rk = 1
+    ), qass AS (
+      SELECT q_id, qv, cell FROM (
+        SELECT d_id AS q_id, dv AS qv, cell, row_number() OVER (
+          PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
+        FROM dsim WHERE d_id < 5) WHERE rk <= {nProbe}
+    ), cand AS (
+      SELECT DISTINCT q_id, d_id, qv, dv
+      FROM dass JOIN qass USING (cell) WHERE q_id <> d_id
+    ), scored AS (
+      SELECT q_id AS query_id, d_id AS neighbor_id,
+             {cos("qv", "dv")} AS sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {k}
+    """
+
+
+@register("knn_ivf_pretrained", oracle=_knn_ivf_pretrained_oracle())
+def knn_ivf_pretrained(spark, sf_dir):
+    """IVF search with a PRE-TRAINED coarse quantizer passed as a
+    small broadcast (cell, vector) frame — the faiss-style production
+    shape where the quantizer is trained once offline — via
+    IVFKNN.search_with_centroids: pure-Catalyst cosine cell
+    assignment (combinable max-struct for the corpus, window for the
+    queries), cell equi-join, exact-cosine top-k. Fully replayed by
+    the oracle (unlike knn_ivf's sampled numpy fit, which stays the
+    rows-only scale lane)."""
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    q = emb.filter(F.col("vec_id") < 5)
+    out = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
+                 nlist=16, nProbe=4).search_with_centroids(emb, q, cent)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"),
+                      F.col("rank").alias("rk"))
 
 
 @register("knn_ivf", oracle=None)

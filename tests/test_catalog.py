@@ -62,6 +62,10 @@ ALLOWED_LINT = {
     "access_anomaly": {"BroadcastNestedLoopJoin", "exchanges"},  # ALS
     "sar_recommend": {"exchanges"},              # affinity+sim+topk
     "pagerank": {"exchanges"},                   # per-iteration shuffle
+    # nlist-row broadcast expansion — the standard kmeans-transform
+    # shape: O(N × nlist) map-side rows collapsed by a combinable
+    # partial aggregate before any shuffle, never O(N²)
+    "knn_ivf_pretrained": {"BroadcastNestedLoopJoin"},
 }
 
 

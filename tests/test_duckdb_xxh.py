@@ -100,6 +100,36 @@ def test_sql_seed_chaining_matches_reference():
         assert got == _signed(want), (a, b)
 
 
+def test_sql_hashes_arbitrary_unicode_batch():
+    """Arbitrary-unicode sweep for BOTH hash families in ONE query
+    (DuckDB re-plans the ~60 KB expression per execute — ~3 s each —
+    so per-example hypothesis calls are unaffordable; a seeded batch
+    over 300 strings costs one plan). Codepoints span every UTF-8
+    width (1–4 bytes, surrogates excluded) so multi-byte boundaries
+    land in every stripe/word/4-byte/byte tail class."""
+    from mmlspark_spark.functions.murmur import murmur3_x86_32
+    from mmlspark_spark.plans.duckdb_xxh import murmur32_str
+
+    rng = random.Random(97)
+
+    def cp():
+        c = rng.choice([rng.randint(1, 0x7F), rng.randint(0x80, 0x7FF),
+                        rng.randint(0x800, 0xFFFF),
+                        rng.randint(0x10000, 0x10FFFF)])
+        return c if not 0xD800 <= c <= 0xDFFF else 0x20AC
+
+    cases = ["".join(chr(cp()) for _ in range(rng.randint(0, 120)))
+             for _ in range(300)]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT s, {to_s64(xxh64_str('s'))}, {murmur32_str('s')} "
+        f"FROM (SELECT unnest(?::VARCHAR[]) AS s)", [cases]).fetchall()
+    assert len(rows) == len(cases)
+    for s, x, m in rows:
+        assert x == _signed(hash_bytes(s.encode("utf-8"), 42)), repr(s)
+        assert m == murmur3_x86_32(s, 42), repr(s)
+
+
 @pytest.mark.parametrize("n", [0, 3, 4, 7, 8, 12, 15, 16, 31, 32, 36,
                                39, 40, 43, 44, 47, 63, 64, 71, 95, 96])
 def test_sql_str_every_tail_class(n):

@@ -313,6 +313,41 @@ def test_ivf_knn_recall_vs_bruteforce(spark, embeddings):
     assert sum(recalls) / len(recalls) >= 0.6  # probing half the cells
 
 
+def test_ivf_pretrained_full_probe_equals_bruteforce(spark, embeddings):
+    """search_with_centroids with nProbe == nlist probes every cell, so
+    the candidate set is the whole corpus and the result must equal
+    BruteForceKNN's exact expr answer row-for-row — the recall=1 limit
+    that pins the bring-your-own-quantizer lane's join/score/window
+    plumbing. With nProbe=1 it degrades gracefully (subset recall)."""
+    from mmlspark_spark.llm import BruteForceKNN
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    emb = embeddings.filter(F.col("vec_id") < 200)
+    q = emb.filter(F.col("vec_id") < 8)
+    cent = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    exact = BruteForceKNN(idCol="vec_id", vecCol="embedding", k=5,
+                          method="expr").search(emb, q)
+    full = IVFKNN(idCol="vec_id", vecCol="embedding", k=5,
+                  nlist=6, nProbe=6).search_with_centroids(emb, q, cent)
+    want = sorted(map(tuple, exact.collect()))
+    got = sorted(map(tuple, full.collect()))
+    assert got == want
+
+    # nProbe=1 candidates come from ONE cell per query — a shrunken
+    # candidate space can only lose neighbors, never invent sims above
+    # the exact top-1
+    one = IVFKNN(idCol="vec_id", vecCol="embedding", k=5,
+                 nlist=6, nProbe=1).search_with_centroids(emb, q, cent)
+    rows1 = one.collect()
+    assert rows1 and len(rows1) <= len(got)
+    best = {}
+    for a, b, s, r in want:
+        best[a] = max(best.get(a, -2.0), s)
+    for r in rows1:
+        assert r.sim <= best[r.query_id] + 1e-12
+
+
 def test_sequence_packer_invariants(spark):
     """Packing layout invariants: offsets stay inside the window,
     consecutive docs in a shard are contiguous in the concatenation,

@@ -226,6 +226,22 @@ def test_tpch_q20_all_probes_are_semi(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_ivf_pretrained_assignment_shape(spark, sf_dir):
+    """The bring-your-own-quantizer IVF lane: the centroid expansion
+    must stay a BROADCAST nested-loop (16-row side — never a shuffled
+    join), and the corpus top-1 assignment must collapse via a
+    partial/final HashAggregate pair (map-side combine BEFORE the
+    shuffle, so the exchange carries one row per corpus vector, not
+    the ×nlist expansion)."""
+    p = _plan(spark, "knn_ivf_pretrained", sf_dir)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    # the d-side max(struct(...)) aggregate keeps its partial half
+    assert p.count("HashAggregate") >= 2 or p.count("SortAggregate") >= 2
+    # and the final candidate join on the cell is a real equi-join
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
 def test_kmeans_assign_is_map_only(spark, sf_dir):
     """The assignment pass broadcasts centroids inside the UDF closure
     — the plan over the embeddings scan must contain no join and no
