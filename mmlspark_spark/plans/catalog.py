@@ -2750,13 +2750,13 @@ def _knn_lsh_oracle(numPlanes: int = 16, bands: int = 8, k: int = 10,
     pls = "[" + ", ".join(
         "[" + ", ".join(repr(float(v)) for v in row) + "]"
         for row in planes) + "]::DOUBLE[][]"
+    from mmlspark_spark.plans.duckdb_xxh import cosine_sql, fold_sum
+
     r = numPlanes // bands
     assert r == 2, "chunk expr below unrolls exactly r=2 bits"
 
     def fold(term: str) -> str:
-        return (f"list_reduce(list_prepend(0.0::DOUBLE, "
-                f"list_transform(range(1, {dim + 1}), i2 -> {term})), "
-                f"(a2, b2) -> a2 + b2)")
+        return fold_sum(term, dim)
 
     def bit(plane_ix: str) -> str:
         return (f"(CASE WHEN {fold(f'v[i2] * pls[{plane_ix}][i2]')} > 0 "
@@ -2783,9 +2783,7 @@ def _knn_lsh_oracle(numPlanes: int = 16, bands: int = 8, k: int = 10,
       WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id
     ), scored AS (
       SELECT query_id, neighbor_id,
-             {fold("eq.v[i2] * ed.v[i2]")}
-             / (sqrt({fold("eq.v[i2] * eq.v[i2]")})
-                * sqrt({fold("ed.v[i2] * ed.v[i2]")})) AS sim
+             {cosine_sql("eq.v", "ed.v", dim)} AS sim
       FROM cand
       JOIN e eq ON eq.vec_id = query_id
       JOIN e ed ON ed.vec_id = neighbor_id
@@ -3542,16 +3540,12 @@ def _knn_ivf_pretrained_oracle(nlist: int = 16, nProbe: int = 4,
     ranks cells by exact cosine with cell-ASC tie-break (corpus top-1,
     queries top-nProbe), candidates equi-join on the cell, and the
     final exact-cosine top-k window — every float computed with the
-    same left-fold order as the Catalyst expressions."""
-    def fold(term: str) -> str:
-        return (f"list_reduce(list_prepend(0.0::DOUBLE, "
-                f"list_transform(range(1, {dim + 1}), i2 -> {term})), "
-                f"(a2, b2) -> a2 + b2)")
+    same left-fold order as the Catalyst expressions (shared
+    fold_sum/cosine_sql helpers, see their drift warning)."""
+    from mmlspark_spark.plans.duckdb_xxh import cosine_sql
 
     def cos(a: str, b: str) -> str:
-        return (f"{fold(f'{a}[i2] * {b}[i2]')}"
-                f" / (sqrt({fold(f'{a}[i2] * {a}[i2]')})"
-                f" * sqrt({fold(f'{b}[i2] * {b}[i2]')}))")
+        return cosine_sql(a, b, dim)
 
     return f"""
     WITH e AS (

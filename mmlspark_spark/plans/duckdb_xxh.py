@@ -231,6 +231,29 @@ def _word_round(hvar: str, wvar: str, u: str) -> str:
         f"(({_mul64(f'{u}e', str(P1))} + {P4}) % {M64})")
 
 
+def fold_sum(term: str, dim: int) -> str:
+    """Left-fold summation of ``term`` (an expression over the 1-based
+    index variable ``i2``) for ``dim`` elements, in EXACTLY Catalyst's
+    ``F.aggregate(..., lit(0.0), a+v)`` order: ((0.0 + t1) + t2) + …
+    Oracles that replay float dot products / norms MUST build them
+    from this one helper — two drifting copies of the fold would
+    silently break bit-exactness if either ever switched to a
+    different summation order (e.g. list_aggregate 'sum')."""
+    return (f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim + 1}), i2 -> {term})), "
+            f"(a2, b2) -> a2 + b2)")
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    """Exact cosine of two DOUBLE-list columns, bit-identical to
+    functions/vector.cosine_similarity: the one-pass struct
+    accumulator adds each of (dot, ‖a‖², ‖b‖²) in element order, so
+    three separate :func:`fold_sum` folds produce the same doubles."""
+    return (f"{fold_sum(f'{a}[i2] * {b}[i2]', dim)}"
+            f" / (sqrt({fold_sum(f'{a}[i2] * {a}[i2]', dim)})"
+            f" * sqrt({fold_sum(f'{b}[i2] * {b}[i2]', dim)}))")
+
+
 def murmur32_str(col_expr: str, seed: int = 42, u: str = "y") -> str:
     """SQL for MurmurHash3_x86_32 over ``col_expr``'s UTF-8 bytes —
     the function behind Spark's ``FeatureHasher``/``HashingTF``
