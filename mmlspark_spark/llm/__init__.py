@@ -40,6 +40,10 @@ from mmlspark_spark.llm.scrub import (
     redact_pii,
     strip_markup,
 )
+from mmlspark_spark.llm.multimodal_dedup import (
+    ImageDHashDeduplicator,
+    dhash_expr,
+)
 from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
 from mmlspark_spark.llm.tokenizer import (
     BPETokenizer,
@@ -53,6 +57,8 @@ __all__ = [
     "LineDeduplicator",
     "MinHashLSHDeduplicator",
     "SimHashDeduplicator",
+    "ImageDHashDeduplicator",
+    "dhash_expr",
     "ngram_jaccard_pairs",
     "duplicated_substring_spans",
     "connected_components",

@@ -482,70 +482,80 @@ class SimHashDeduplicator(Transformer):
             .filter(F.col("__sh").isNotNull()))
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        # The fingerprint subtree is map-only (no exchange underneath),
-        # so a banded SELF-join would re-scan + re-fingerprint the
-        # corpus once per join side — and the separate hot-bucket
-        # counting pass a third time; the 64-bit-vote expression is the
-        # dominant cost. One groupBy over (band, chunk) buckets instead:
-        # a single scan/fingerprint pass, the cap applied to the grouped
-        # lists for free, and pairs from the bounded upper-triangle
-        # expansion. The fingerprint rides inside the bucket structs
-        # (16 bytes/row) so Hamming needs no join-back.
-        b = self.bands
-        # Variable-width chunks so ALL 64 bits participate when bands
-        # does not divide 64 (fixed 64//b widths silently left the top
-        # 64 - b*(64//b) bits out of every bucket key — larger buckets,
-        # more spurious candidates, no warning). The pigeonhole recall
-        # contract (Hamming < bands → some chunk equal) is width-
-        # independent.
-        base, rem = divmod(64, b)
-        widths = [base + (1 if j < rem else 0) for j in range(b)]
-        offsets = [sum(widths[:j]) for j in range(b)]
+        return _hamming_band_pairs(
+            self.fingerprints(df), self.bands, self.maxHammingDistance,
+            self.maxBucketSize, "simhash_hot_bucket_drops")
 
-        def chunk(j):
-            shifted = F.shiftrightunsigned(F.col("__sh"), offsets[j])
-            if widths[j] >= 64:  # bands=1: the whole fingerprint
-                return shifted
-            return shifted.bitwiseAND(F.lit((1 << widths[j]) - 1))
 
-        fp = self.fingerprints(df)
-        banded = fp.select(
-            F.struct("__id", "__sh").alias("__m"),
-            F.posexplode(F.array(*[chunk(j).alias(f"c{j}")
-                                   for j in range(b)]))
-            .alias("__band", "__chunk"),
-        )
-        buckets = (banded.groupBy("__band", "__chunk")
-                   .agg(F.array_sort(F.collect_set("__m")).alias("__ms")))
-        cap = self.maxBucketSize
-        if cap is not None:
-            buckets = buckets.observe(
-                "simhash_hot_bucket_drops",
-                F.sum(F.when(F.size("__ms") > cap, 1)
-                      .otherwise(0)).alias("dropped_buckets"))
-            keep = buckets.filter((F.size("__ms") <= cap)
-                                  & (F.size("__ms") > 1))
-        else:
-            keep = buckets.filter(F.size("__ms") > 1)
-        ms = F.col("__ms")
-        pair_structs = F.flatten(F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
-                lambda y: F.struct(x["__id"].alias("doc_a"),
-                                   y["__id"].alias("doc_b"),
-                                   x["__sh"].bitwiseXOR(y["__sh"])
-                                   .alias("__xor")),
-            ),
-        ))
-        return (
-            keep.select(F.explode(pair_structs).alias("__p"))
-            .select(F.col("__p.doc_a").alias("doc_a"),
-                    F.col("__p.doc_b").alias("doc_b"),
-                    F.bit_count("__p.__xor").cast("int").alias("hamming"))
-            .dropDuplicates(["doc_a", "doc_b"])
-            .filter(F.col("hamming") <= self.maxHammingDistance)
-        )
+def _hamming_band_pairs(fp: DataFrame, bands: int, maxHamming: int,
+                        maxBucketSize: int | None,
+                        metricName: str) -> DataFrame:
+    """Shared banded Hamming-pair stage over a 64-bit fingerprint
+    frame ``(__id, __sh)`` — SimHashDeduplicator (text) and
+    ImageDHashDeduplicator (perceptual hashes) differ only in how the
+    fingerprint is computed.
+
+    The fingerprint subtree is map-only (no exchange underneath), so a
+    banded SELF-join would re-scan + re-fingerprint the corpus once
+    per join side — and the separate hot-bucket counting pass a third
+    time. One groupBy over (band, chunk) buckets instead: a single
+    fingerprint pass, the ``maxBucketSize`` cap applied to the grouped
+    lists for free, and pairs from the bounded upper-triangle
+    expansion. The fingerprint rides inside the bucket structs (16
+    bytes/row) so Hamming needs no join-back."""
+    b = bands
+    # Variable-width chunks so ALL 64 bits participate when bands
+    # does not divide 64 (fixed 64//b widths silently left the top
+    # 64 - b*(64//b) bits out of every bucket key — larger buckets,
+    # more spurious candidates, no warning). The pigeonhole recall
+    # contract (Hamming < bands → some chunk equal) is width-
+    # independent.
+    base, rem = divmod(64, b)
+    widths = [base + (1 if j < rem else 0) for j in range(b)]
+    offsets = [sum(widths[:j]) for j in range(b)]
+
+    def chunk(j):
+        shifted = F.shiftrightunsigned(F.col("__sh"), offsets[j])
+        if widths[j] >= 64:  # bands=1: the whole fingerprint
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[j]) - 1))
+
+    banded = fp.select(
+        F.struct("__id", "__sh").alias("__m"),
+        F.posexplode(F.array(*[chunk(j).alias(f"c{j}")
+                               for j in range(b)]))
+        .alias("__band", "__chunk"),
+    )
+    buckets = (banded.groupBy("__band", "__chunk")
+               .agg(F.array_sort(F.collect_set("__m")).alias("__ms")))
+    if maxBucketSize is not None:
+        buckets = buckets.observe(
+            metricName,
+            F.sum(F.when(F.size("__ms") > maxBucketSize, 1)
+                  .otherwise(0)).alias("dropped_buckets"))
+        keep = buckets.filter((F.size("__ms") <= maxBucketSize)
+                              & (F.size("__ms") > 1))
+    else:
+        keep = buckets.filter(F.size("__ms") > 1)
+    ms = F.col("__ms")
+    pair_structs = F.flatten(F.transform(
+        ms,
+        lambda x, i: F.transform(
+            F.slice(ms, i + 2, F.size(ms)),
+            lambda y: F.struct(x["__id"].alias("doc_a"),
+                               y["__id"].alias("doc_b"),
+                               x["__sh"].bitwiseXOR(y["__sh"])
+                               .alias("__xor")),
+        ),
+    ))
+    return (
+        keep.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.doc_a").alias("doc_a"),
+                F.col("__p.doc_b").alias("doc_b"),
+                F.bit_count("__p.__xor").cast("int").alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= maxHamming)
+    )
 
 
 class EmbeddingDeduplicator(Transformer):

@@ -63,9 +63,11 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     sampled coalitions);
 # (c) the full 23-entry r5-stale block (select_project ..
 #     url_extract);
-# (d) 12 slots of round-6 greens (TPC-H residue + heaviest curation
-#     first) + knn_ivf_pretrained (new this round, oracled at birth).
-#     Round-9 rotation backlog (r6-green, rotated out): perplexity_prune,
+# (d) 11 slots of round-6 greens (TPC-H residue + heaviest curation
+#     first) + knn_ivf_pretrained and image_dhash_dedup (new this
+#     round, oracled at birth).
+#     Round-9 rotation backlog (r6-green, rotated out):
+#     perplexity_prune, exact_dedup,
 #     semi_join, anti_join, top_k_per_group, pivot_status,
 #     rollup_counts, sessionize, window_hourly_agg, value_indexer,
 #     clean_missing, data_conversion, ts_featurize, multi_ngram,
@@ -92,7 +94,7 @@ _WINDOW_PRIORITY = (
     "sequence_packing", "pii_redact", "url_extract",
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q19", "tpch_q20", "tpch_q21",
-    "broadcast_join_revenue", "ngram_jaccard", "exact_dedup",
+    "broadcast_join_revenue", "ngram_jaccard", "image_dhash_dedup",
     "incremental_dedup", "knn_ivf_pretrained",
 )
 
@@ -2622,6 +2624,39 @@ def minhash_dedup(spark, sf_dir):
     ).transform(docs)
 
 
+def _hamming_band_pairs_sql(bands: int, maxHamming: int, cap: int) -> str:
+    """Shared SQL tail replaying ``dedup._hamming_band_pairs`` —
+    expects a prior CTE ``fp(doc_id, sh BIGINT)``. Used by BOTH the
+    simhash_dedup and image_dhash_dedup oracles; a private copy in
+    each would let the band/cap/tie-break replay drift (the fold_sum
+    lesson). Equal-width chunks only (64 % bands == 0)."""
+    from mmlspark_spark.plans.duckdb_xxh import to_u64
+
+    assert 64 % bands == 0, "oracle assumes equal-width chunks"
+    w = 64 // bands
+    return f"""band AS (
+      SELECT doc_id, sh, j,
+             (({to_u64("sh")})::UBIGINT >> ({w}*j)) & {(1 << w) - 1}
+               AS chunk
+      FROM (SELECT doc_id, sh, unnest(range(0, {bands})) AS j FROM fp)
+    ), bucket AS (
+      SELECT j, chunk,
+             list({{'i': doc_id, 'h': sh}} ORDER BY doc_id) AS ms
+      FROM band GROUP BY j, chunk
+    ), pairs AS (
+      SELECT DISTINCT p.a AS doc_a, p.b AS doc_b, p.x AS x
+      FROM (SELECT unnest(flatten(list_transform(
+              range(1, len(ms)), i -> list_transform(
+                ms[i+1:], y -> {{'a': ms[i].i, 'b': y.i,
+                                 'x': xor(ms[i].h, y.h)}})))) AS p
+            FROM bucket
+            WHERE len(ms) > 1 AND len(ms) <= {cap})
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(x) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(x) <= {maxHamming}
+    """
+
+
 def _simhash_oracle(bands: int = 4, maxHamming: int = 10,
                     cap: int = 1000) -> str:
     """DuckDB replay of the FULL SimHashDeduplicator pipeline: Java-\\s
@@ -2632,10 +2667,8 @@ def _simhash_oracle(bands: int = 4, maxHamming: int = 10,
     and the Hamming filter. Empty-token documents fingerprint to 0 and
     participate (only NULL text is excluded), exactly like the Spark
     path."""
-    from mmlspark_spark.plans.duckdb_xxh import to_u64, xxh64_str
+    from mmlspark_spark.plans.duckdb_xxh import xxh64_str
 
-    assert 64 % bands == 0, "oracle assumes equal-width chunks"
-    w = 64 // bands
     return f"""
     WITH t AS (
       SELECT doc_id, list_filter(
@@ -2660,27 +2693,74 @@ def _simhash_oracle(bands: int = 4, maxHamming: int = 10,
       FROM votes GROUP BY doc_id
       UNION ALL
       SELECT doc_id, 0::BIGINT FROM t WHERE len(toks) = 0
-    ), band AS (
-      SELECT doc_id, sh, j,
-             (({to_u64("sh")})::UBIGINT >> ({w}*j)) & {(1 << w) - 1}
-               AS chunk
-      FROM (SELECT doc_id, sh, unnest(range(0, {bands})) AS j FROM fp)
-    ), bucket AS (
-      SELECT j, chunk,
-             list({{'i': doc_id, 'h': sh}} ORDER BY doc_id) AS ms
-      FROM band GROUP BY j, chunk
-    ), pairs AS (
-      SELECT DISTINCT p.a AS doc_a, p.b AS doc_b, p.x AS x
-      FROM (SELECT unnest(flatten(list_transform(
-              range(1, len(ms)), i -> list_transform(
-                ms[i+1:], y -> {{'a': ms[i].i, 'b': y.i,
-                                 'x': xor(ms[i].h, y.h)}})))) AS p
-            FROM bucket
-            WHERE len(ms) > 1 AND len(ms) <= {cap})
-    )
-    SELECT doc_a, doc_b, CAST(bit_count(x) AS INTEGER) AS hamming
-    FROM pairs WHERE bit_count(x) <= {maxHamming}
-    """
+    ), {_hamming_band_pairs_sql(bands, maxHamming, cap)}"""
+
+
+def _image_dhash_oracle(bands: int = 4, maxHamming: int = 6,
+                        cap: int = 1000) -> str:
+    """Replays image_dhash_dedup end-to-end: the deterministic pixel
+    synthesis (chained xxhash64 of (group, pixel-index) — recomputed
+    bit-exact), the odd-variant brightness shift with its 255 clip,
+    the 64 dHash comparisons, two's-complement assembly, and the
+    shared banded-Hamming tail."""
+    from mmlspark_spark.plans.duckdb_xxh import to_u64, xxh64_long
+
+    inner = xxh64_long(to_u64("grp"), "42::HUGEINT", u="qa")
+    pix = f"(({xxh64_long(to_u64('r*9+c'), 'gh', u='qb')}) % 256)"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 10 AS grp, doc_id // 10 AS v
+      FROM documents
+    ), gh AS (
+      SELECT doc_id, v, {inner} AS gh FROM d
+    ), px AS (
+      SELECT doc_id, list_transform(range(0, 8), r ->
+               list_transform(range(0, 9), c ->
+                 {pix} + CASE WHEN (r*9+c + v) % 9 = 0
+                              THEN 17 * v ELSE 0 END)) AS g
+      FROM gh
+    ), fp AS (
+      SELECT doc_id, CAST(sum(
+               CASE WHEN g[j//8 + 1][j%8 + 1] <= g[j//8 + 1][j%8 + 2]
+                      THEN 0::HUGEINT
+                    WHEN j = 63 THEN -9223372036854775808::HUGEINT
+                    ELSE (1::HUGEINT << j) END) AS BIGINT) AS sh
+      FROM (SELECT doc_id, g, unnest(range(0, 64)) AS j FROM px)
+      GROUP BY doc_id
+    ), {_hamming_band_pairs_sql(bands, maxHamming, cap)}"""
+
+
+@register("image_dhash_dedup", oracle=_image_dhash_oracle())
+def image_dhash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup (ImageDHashDeduplicator, pure-
+    Catalyst grid lane): synthetic 8×9 grayscale grids — pixel =
+    pmod(xxhash64(doc_id%10, pixel_index), 256), so every group of 10
+    residues shares one base image, and variant v = doc_id div 10
+    perturbs ~8 stagger-positioned pixels by 17·v — near variants stay
+    within the Hamming ≤ 6 threshold, far variants collide in a band
+    (some chunk is untouched) but FAIL the threshold, so both the
+    candidate and the filter stage are exercised non-vacuously.
+    Fingerprint → shared banded buckets → capped pairs → Hamming
+    filter, all replayed hash-exact by the oracle. Map-side except
+    the bucket groupBy."""
+    from mmlspark_spark.llm import ImageDHashDeduplicator
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    grp = (F.col("doc_id") % 10).cast("long")
+    v = F.expr("doc_id div 10")
+
+    def pix(r, c):
+        p = F.pmod(F.xxhash64(grp, F.lit(r * 9 + c).cast("long")),
+                   F.lit(256)).cast("int")
+        return p + F.when((F.lit(r * 9 + c) + v) % 9 == 0,
+                          (17 * v).cast("int")).otherwise(F.lit(0))
+
+    grid = F.array(*[F.array(*[pix(r, c) for c in range(9)])
+                     for r in range(8)])
+    planted = docs.select("doc_id", grid.alias("gray"))
+    return ImageDHashDeduplicator(
+        idCol="doc_id", imageCol="gray", bands=4,
+        maxHammingDistance=6).transform(planted)
 
 
 @register("simhash_dedup", oracle=_simhash_oracle())

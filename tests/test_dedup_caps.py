@@ -464,3 +464,69 @@ def test_exact_dedup_tiebreak_nan_never_wins(spark):
                             tieBreakCol="score",
                             tieBreakDesc=True).transform(df)
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_image_dhash_struct_and_grid_lanes_agree(spark):
+    """ImageDHashDeduplicator's two fingerprint lanes — numpy over an
+    ImageSchema struct (luma + bilinear resize + bit rule) and pure
+    Catalyst over a pre-sized 8×9 grid — must produce the SAME 64-bit
+    fingerprint when the struct's pixels are exactly the pre-resized
+    grid (resize 8×9 → 8×9 is the identity: with src == dst, ys/xs hit
+    integer coordinates so bilinear collapses to a copy)."""
+    import numpy as np
+
+    from mmlspark_spark.llm import ImageDHashDeduplicator
+
+    rng = np.random.default_rng(3)
+    grids = [rng.integers(0, 256, size=(8, 9)).astype(np.uint8)
+             for _ in range(6)]
+    struct_rows = [
+        (i, ("mem", 8, 9, 1, 0, g.tobytes()))
+        for i, g in enumerate(grids)]
+    sdf = spark.createDataFrame(
+        struct_rows,
+        "doc_id long, image struct<origin:string,height:int,width:int,"
+        "nChannels:int,mode:int,data:binary>")
+    gdf = spark.createDataFrame(
+        [(i, [[int(x) for x in row] for row in g])
+         for i, g in enumerate(grids)],
+        "doc_id long, image array<array<int>>")
+    dd = ImageDHashDeduplicator(idCol="doc_id", imageCol="image")
+    via_struct = {r["__id"]: r["__sh"]
+                  for r in dd.fingerprints(sdf).collect()}
+    via_grid = {r["__id"]: r["__sh"]
+                for r in dd.fingerprints(gdf).collect()}
+    assert via_struct == via_grid and len(via_struct) == 6
+
+
+def test_image_dhash_brightness_invariance_and_pairs(spark):
+    """The perceptual contract: a uniformly brightness-shifted copy
+    (no clipping) fingerprints IDENTICALLY (Hamming 0 — only pixel
+    ORDER matters to dHash), an unrelated image never pairs under a
+    tight threshold, and a corrupt struct row is skipped instead of
+    failing the job (PatchedImageFileFormat's fault-tolerant
+    contract)."""
+    import numpy as np
+
+    from mmlspark_spark.llm import ImageDHashDeduplicator
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(10, 200, size=(16, 20, 3)).astype(np.uint8)
+    bright = np.clip(base.astype(int) + 20, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(16, 20, 3)).astype(np.uint8)
+    corrupt = (3, ("mem", 16, 20, 3, 16, b"\x00\x01"))  # wrong size
+    rows = [(0, ("mem", 16, 20, 3, 16, base.tobytes())),
+            (1, ("mem", 16, 20, 3, 16, bright.tobytes())),
+            (2, ("mem", 16, 20, 3, 16, other.tobytes())),
+            corrupt]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, image struct<origin:string,height:int,width:int,"
+        "nChannels:int,mode:int,data:binary>")
+    out = ImageDHashDeduplicator(
+        idCol="doc_id", imageCol="image", bands=4,
+        maxHammingDistance=2).transform(df).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    assert pairs.get((0, 1)) == 0          # uniform shift → identical
+    assert all(2 not in p for p in pairs)  # unrelated never pairs
+    assert all(3 not in p for p in pairs)  # corrupt row skipped
