@@ -44,6 +44,11 @@ from mmlspark_spark.llm.multimodal_dedup import (
     ImageDHashDeduplicator,
     dhash_expr,
 )
+from mmlspark_spark.llm.selection import (
+    DSIRModel,
+    DSIRSelector,
+    hashed_grams,
+)
 from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
 from mmlspark_spark.llm.tokenizer import (
     BPETokenizer,
@@ -59,6 +64,9 @@ __all__ = [
     "SimHashDeduplicator",
     "ImageDHashDeduplicator",
     "dhash_expr",
+    "DSIRSelector",
+    "DSIRModel",
+    "hashed_grams",
     "ngram_jaccard_pairs",
     "duplicated_substring_spans",
     "connected_components",

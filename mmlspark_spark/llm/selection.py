@@ -1,0 +1,208 @@
+"""Data selection via importance resampling (DSIR).
+
+Implements the DSIR recipe (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling", arXiv:2302.03169 — public
+paper): fit bag-of-hashed-ngrams unigram+bigram distributions over a
+small TARGET corpus (the domain you want more of) and the RAW pool,
+score every raw document by its log importance weight
+
+    log w(x) = sum_{g in grams(x)} [ log p_target(bucket(g))
+                                     - log q_raw(bucket(g)) ]
+
+with add-one-style smoothing, then resample without replacement via
+the Gumbel top-k trick (key = log w / temperature + Gumbel(0,1); the
+top-k keys are a weighted sample without replacement — Vieira 2014).
+
+Scale shape (the 100 TB story):
+
+- FIT is two explode → groupBy(bucket) aggregations whose shuffle
+  width is bounded by ``buckets`` (not the corpus), reduced to a ONE
+  ROW frame holding the length-``buckets`` log-ratio array — a few KB
+  regardless of input size, assembled fully declaratively (no
+  ``collect``).
+- SCORING is map-only: the ratio row is broadcast (single-row BNLJ,
+  the same pattern the engine's one-row stat frames use) and each
+  document folds ``element_at(arr, bucket(gram))`` over its own gram
+  array — zero shuffle, embarrassingly parallel.
+- SELECTION: ``resample(k=...)`` is a global top-k
+  (TakeOrderedAndProject — no global sort); for huge k use
+  ``resample(fraction=...)``, which estimates the key threshold by
+  ``approxQuantile`` and FILTERS map-side, so the selected set never
+  funnels through the driver.
+
+Determinism / oracle story: buckets are the low bits of Spark
+``xxhash64`` (``buckets`` must be a power of two so signed-AND and
+unsigned-MOD agree), the per-document fold runs in gram position
+order (unigrams then bigrams), and the Gumbel noise derives from
+``xxhash64(id, seed)`` — all replayable bit-exact in DuckDB via
+``plans.duckdb_xxh``; the ``dsir_select`` catalog query verifies the
+whole fit → score → resample pipeline hash-exact. Tokenization is
+``pinned_tokens`` (the cross-engine whitespace class).
+
+Reference parity note: the reference repo has no data-selection
+operator; this is part of the engine's training-data-pipeline
+extras (SURVEY.md LLM section), alongside the dedup/mixing family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mmlspark_spark.core.base import Model, Transformer
+from mmlspark_spark.functions.text_quality import pinned_tokens
+
+_TWO64 = float(1 << 64)
+
+
+def hashed_grams(text: Column | str, buckets: int) -> Column:
+    """``array<long>`` of hashed-ngram bucket ids for a document, in
+    the pinned fold order (all unigrams, then all bigrams, each in
+    position order). Bigrams join with a single space, so the bucket
+    of ``("a","b")`` is ``xxhash64("a b") & (buckets-1)`` — string
+    hashing keeps the feature space identical however the gram was
+    produced. Map-side only."""
+    assert buckets & (buckets - 1) == 0, "buckets must be a power of 2"
+    t = pinned_tokens(text)
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(t, 1, n1), F.slice(t, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.transform(
+        F.concat(t, bigrams),
+        lambda g: F.xxhash64(g).bitwiseAND(F.lit(buckets - 1)))
+
+
+class DSIRModel(Model):
+    """Fitted DSIR importance model: a one-row DataFrame holding the
+    length-``buckets`` log-ratio array. ``transform`` appends
+    ``scoreCol`` (the log importance weight); :meth:`resample` draws
+    the weighted sample."""
+
+    def __init__(self, ratioRow: DataFrame = None, idCol: str = "doc_id",  # noqa: D107
+                 textCol: str = "text", buckets: int = 4096,
+                 seed: int = 42, scoreCol: str = "dsir_score"):
+        super().__init__(idCol=idCol, textCol=textCol, buckets=buckets,
+                         seed=seed, scoreCol=scoreCol)
+        self.ratioRow = ratioRow
+
+    def transform_schema(self, schema):
+        import pyspark.sql.types as T
+
+        self._require_cols(schema, self.idCol, self.textCol)
+        return T.StructType(
+            list(schema.fields)
+            + [T.StructField(self.scoreCol, T.DoubleType(), True)])
+
+    def _score(self) -> Column:
+        grams = hashed_grams(self.textCol, self.buckets)
+        return F.aggregate(
+            F.transform(grams, lambda b: F.element_at(
+                F.col("__dsir_arr"), (b + 1).cast("int"))),
+            F.lit(0.0), lambda a, x: a + x)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        # NULL text carries no evidence either way: dropped, like the
+        # dedup family (a NULL gram array would yield a NULL score
+        # that then poisons every downstream rank).
+        return (df.filter(F.col(self.textCol).isNotNull())
+                .crossJoin(F.broadcast(self.ratioRow))
+                .withColumn(self.scoreCol, self._score())
+                .drop("__dsir_arr"))
+
+    def _gumbel_key(self, temperature: float) -> Column:
+        # u in [0,1): signed xxhash64(id, seed) scaled by 2^-64 and
+        # recentered — both steps exact IEEE doubles, so DuckDB
+        # replays them bit-for-bit from the same hash.
+        h = F.xxhash64(F.col(self.idCol), F.lit(self.seed).cast("long"))
+        u = h.cast("double") / F.lit(_TWO64) + F.lit(0.5)
+        return (F.col(self.scoreCol) / F.lit(float(temperature))
+                - F.log(-F.log(u)))
+
+    def resample(self, df: DataFrame, k: int | None = None,
+                 fraction: float | None = None,
+                 temperature: float = 1.0) -> DataFrame:
+        """Weighted sample without replacement (Gumbel top-k).
+
+        ``k``: exact top-k — TakeOrderedAndProject, for k that fits a
+        driver-bounded result. ``fraction``: scale lane — the key
+        threshold is estimated with ``approxQuantile`` and applied as
+        a map-side FILTER (selected count is approximate, selection
+        never leaves the executors). Keys round to 6dp BEFORE ranking
+        (ties broken by id) so float noise at the boundary cannot
+        flip membership between engines."""
+        if (k is None) == (fraction is None):
+            raise ValueError("exactly one of k / fraction required")
+        scored = self._transform(df)
+        keyed = (scored
+                 .withColumn(self.scoreCol, F.round(self.scoreCol, 6))
+                 .withColumn("gumbel_key",
+                             F.round(self._gumbel_key(temperature), 6)))
+        if k is not None:
+            return keyed.orderBy(F.desc("gumbel_key"), F.col(self.idCol)
+                                 ).limit(k)
+        thr = keyed.stat.approxQuantile(
+            "gumbel_key", [1.0 - fraction], 0.001)[0]
+        return keyed.filter(F.col("gumbel_key") >= F.lit(thr))
+
+
+class DSIRSelector(Transformer):
+    """Fits :class:`DSIRModel` from a target corpus and a raw pool.
+
+    Not a single-frame Estimator: like ``IncrementalDeduplicator``,
+    the operator's contract is inherently two-frame —
+    ``fit(target, raw)``. ``transform`` on the bare selector is the
+    identity (it exists so the class slots into pipeline position
+    declarations); use ``fit`` then the model.
+    """
+
+    def __init__(self, idCol: str = "doc_id", textCol: str = "text",  # noqa: D107
+                 buckets: int = 4096, smoothing: float = 1.0,
+                 seed: int = 42, scoreCol: str = "dsir_score"):
+        if buckets & (buckets - 1) != 0:
+            raise ValueError("buckets must be a power of two (signed "
+                             "bit-AND and unsigned modulo must agree)")
+        super().__init__(idCol=idCol, textCol=textCol, buckets=buckets,
+                         smoothing=smoothing, seed=seed, scoreCol=scoreCol)
+
+    def transform_schema(self, schema):
+        return schema
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def feature_counts(self, df: DataFrame) -> DataFrame:
+        """(bucket, cnt) hashed-ngram histogram — shuffle width is
+        ``buckets``-bounded whatever the corpus size."""
+        return (df.filter(F.col(self.textCol).isNotNull())
+                .select(F.explode(hashed_grams(self.textCol, self.buckets))
+                        .alias("bucket"))
+                .groupBy("bucket").agg(F.count("*").alias("cnt")))
+
+    def fit(self, target: DataFrame, raw: DataFrame) -> DSIRModel:
+        B, s = self.buckets, float(self.smoothing)
+        spark = target.sparkSession
+        base = spark.range(B).select(F.col("id").alias("bucket"))
+        full = (base
+                .join(self.feature_counts(target)
+                      .withColumnRenamed("cnt", "tc"), "bucket", "left")
+                .join(self.feature_counts(raw)
+                      .withColumnRenamed("cnt", "rc"), "bucket", "left")
+                .select("bucket",
+                        F.coalesce("tc", F.lit(0)).alias("tc"),
+                        F.coalesce("rc", F.lit(0)).alias("rc")))
+        tot = full.agg(F.sum("tc").alias("__T"), F.sum("rc").alias("__R"))
+        lr = (F.log((F.col("tc") + F.lit(s))
+                    / (F.col("__T").cast("double") + F.lit(s * B)))
+              - F.log((F.col("rc") + F.lit(s))
+                      / (F.col("__R").cast("double") + F.lit(s * B))))
+        # one row, array ordered by bucket — sort_array on (bucket, lr)
+        # structs pins the order regardless of partitioning
+        ratio_row = (full.crossJoin(F.broadcast(tot))
+                     .select(F.struct("bucket", lr.alias("lr")).alias("s"))
+                     .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+                     .select(F.transform("ss", lambda x: x["lr"])
+                             .alias("__dsir_arr")))
+        return DSIRModel(ratioRow=ratio_row, idCol=self.idCol,
+                         textCol=self.textCol, buckets=B,
+                         seed=self.seed, scoreCol=self.scoreCol)

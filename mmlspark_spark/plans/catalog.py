@@ -63,11 +63,11 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     sampled coalitions);
 # (c) the full 23-entry r5-stale block (select_project ..
 #     url_extract);
-# (d) 11 slots of round-6 greens (TPC-H residue + heaviest curation
-#     first) + knn_ivf_pretrained and image_dhash_dedup (new this
-#     round, oracled at birth).
+# (d) 10 slots of round-6 greens (TPC-H residue + heaviest curation
+#     first) + knn_ivf_pretrained, image_dhash_dedup and dsir_select
+#     (new this round, oracled at birth).
 #     Round-9 rotation backlog (r6-green, rotated out):
-#     perplexity_prune, exact_dedup,
+#     perplexity_prune, exact_dedup, broadcast_join_revenue,
 #     semi_join, anti_join, top_k_per_group, pivot_status,
 #     rollup_counts, sessionize, window_hourly_agg, value_indexer,
 #     clean_missing, data_conversion, ts_featurize, multi_ngram,
@@ -94,7 +94,7 @@ _WINDOW_PRIORITY = (
     "sequence_packing", "pii_redact", "url_extract",
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q19", "tpch_q20", "tpch_q21",
-    "broadcast_join_revenue", "ngram_jaccard", "image_dhash_dedup",
+    "dsir_select", "ngram_jaccard", "image_dhash_dedup",
     "incremental_dedup", "knn_ivf_pretrained",
 )
 
@@ -2761,6 +2761,111 @@ def image_dhash_dedup(spark, sf_dir):
     return ImageDHashDeduplicator(
         idCol="doc_id", imageCol="gray", bands=4,
         maxHammingDistance=6).transform(planted)
+
+
+def _dsir_oracle(B: int = 1024, k: int = 150, seed: int = 7) -> str:
+    """Replays the FULL DSIR pipeline (llm/selection.py) end to end:
+    pinned tokenization, unigram+bigram grams in position order,
+    per-DISTINCT-gram xxhash64 → power-of-two bucket (unsigned mod ==
+    Spark's signed bit-AND), smoothed target/raw log-ratio table, the
+    per-document left-fold score in gram order (list_reduce prepend-0
+    — the fold_sum order contract), the seeded Gumbel key from
+    chained xxhash64(doc_id, seed), and the rounded-key top-k. Scores
+    round to 6dp BEFORE entering the key so ulp-level ln() drift
+    between libm and Java Math.log cannot flip selection."""
+    from mmlspark_spark.plans.duckdb_xxh import (
+        to_s64,
+        to_u64,
+        xxh64_long,
+        xxh64_str,
+    )
+
+    h1 = xxh64_long(to_u64("doc_id"), "42::HUGEINT", u="dga")
+    h2 = xxh64_long(f"{seed}::HUGEINT", "h1", u="dgb")
+    u01 = (f"CAST(({to_s64('h2v')}) AS DOUBLE)"
+           f"/18446744073709551616.0 + 0.5")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_filter(
+               string_split_regex(text, '[ \\t\\n\\r]+'),
+               x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id, lang,
+             tk || list_transform(range(1, len(tk)),
+                                  i -> tk[i] || ' ' || tk[i+1]) AS gs
+      FROM t
+    ), gx AS (
+      SELECT doc_id, lang, j, gs[j+1] AS g
+      FROM (SELECT doc_id, lang, gs, unnest(range(0, len(gs))) AS j
+            FROM grams)
+    ), gh AS (
+      SELECT g,
+             CAST(({to_u64(xxh64_str("g", u="dg"))}) % {B} AS BIGINT)
+               AS b
+      FROM (SELECT DISTINCT g FROM gx)
+    ), gb AS (
+      SELECT doc_id, lang, j, b FROM gx JOIN gh USING (g)
+    ), tcnt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c FROM gb
+      WHERE lang = 'en' GROUP BY b
+    ), rcnt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c FROM gb GROUP BY b
+    ), tot AS (
+      SELECT (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) FROM tcnt)
+               AS tt,
+             (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) FROM rcnt)
+               AS rt
+    ), fullb AS (
+      SELECT r.b AS b, COALESCE(tc.c, 0) AS tc, COALESCE(rc.c, 0) AS rc
+      FROM (SELECT unnest(range(0, {B})) AS b) r
+      LEFT JOIN tcnt tc ON tc.b = r.b
+      LEFT JOIN rcnt rc ON rc.b = r.b
+    ), lrarr AS (
+      SELECT list(ln((tc + 1.0) / (CAST(tt AS DOUBLE) + {float(B)}))
+                  - ln((rc + 1.0) / (CAST(rt AS DOUBLE) + {float(B)}))
+                  ORDER BY b) AS arr
+      FROM fullb CROSS JOIN tot
+    ), doclist AS (
+      SELECT doc_id, list(b ORDER BY j) AS bs FROM gb GROUP BY doc_id
+    ), scored AS (
+      SELECT t.doc_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(COALESCE(dl.bs, CAST([] AS BIGINT[])),
+                              bb -> arr[bb + 1])),
+               (a2, b2) -> a2 + b2) AS score
+      FROM t LEFT JOIN doclist dl USING (doc_id) CROSS JOIN lrarr
+    ), g2 AS (
+      SELECT doc_id, round(score, 6) AS dsir_score, ({h2}) AS h2v
+      FROM (SELECT doc_id, score, ({h1}) AS h1 FROM scored)
+    )
+    SELECT doc_id, dsir_score,
+           round(dsir_score / 1.0 - ln(-ln({u01})), 6) AS gumbel_key
+    FROM g2
+    ORDER BY gumbel_key DESC, doc_id LIMIT {k}
+    """
+
+
+@register("dsir_select", oracle=_dsir_oracle())
+def dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): fit
+    hashed unigram+bigram importance weights of the English subset
+    against the whole pool, score every document map-side via the
+    one-row broadcast log-ratio array, and Gumbel-top-k resample 150
+    docs without replacement. FIT shuffles are bucket-bounded (1024),
+    SCORING is zero-shuffle (single-row BNLJ broadcast + per-doc
+    fold), SELECTION is TakeOrderedAndProject — no stage touches
+    corpus-sized state, so the plan is unchanged at 100 TB. Keys and
+    scores round to 6dp before ranking so the driver hash and the
+    member set are float-drift-proof."""
+    from mmlspark_spark.llm import DSIRSelector
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = DSIRSelector(idCol="doc_id", textCol="text", buckets=1024,
+                       seed=7)
+    model = sel.fit(docs.filter(F.col("lang") == "en"), docs)
+    return (model.resample(docs, k=150)
+            .select("doc_id", F.col("dsir_score"), "gumbel_key"))
 
 
 @register("simhash_dedup", oracle=_simhash_oracle())

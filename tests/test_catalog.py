@@ -66,6 +66,9 @@ ALLOWED_LINT = {
     # shape: O(N × nlist) map-side rows collapsed by a combinable
     # partial aggregate before any shuffle, never O(N²)
     "knn_ivf_pretrained": {"BroadcastNestedLoopJoin"},
+    # one-row broadcast frames: the totals row inside fit and the
+    # length-B log-ratio array row attached before map-side scoring
+    "dsir_select": {"BroadcastNestedLoopJoin"},
 }
 
 
