@@ -41,7 +41,9 @@ from mmlspark_spark.llm.scrub import (
     strip_markup,
 )
 from mmlspark_spark.llm.multimodal_dedup import (
+    AudioFingerprintDeduplicator,
     ImageDHashDeduplicator,
+    audio_fingerprint_expr,
     dhash_expr,
 )
 from mmlspark_spark.llm.selection import (
@@ -64,6 +66,8 @@ __all__ = [
     "SimHashDeduplicator",
     "ImageDHashDeduplicator",
     "dhash_expr",
+    "AudioFingerprintDeduplicator",
+    "audio_fingerprint_expr",
     "DSIRSelector",
     "DSIRModel",
     "hashed_grams",

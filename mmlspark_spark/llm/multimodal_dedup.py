@@ -1,4 +1,4 @@
-"""Perceptual-hash near-duplicate detection for images (dHash).
+"""Perceptual-hash near-duplicate detection for images and audio.
 
 The multimodal complement to the text dedup family: exact (byte hash),
 MinHash (shingles), SimHash (token votes) and embedding-cosine all key
@@ -26,11 +26,25 @@ Two fingerprint lanes, mirroring the engine's pattern elsewhere:
   ``data`` bytes are the decoded pixels (PatchedImageFileFormat's
   output), so this is pure numpy.
 
-Candidate generation reuses ``dedup._hamming_band_pairs`` — banded
-chunk buckets with the ``maxBucketSize`` hot-bucket cap, upper-
-triangle pair expansion, Hamming filter — so the scale shape
-(fixed-width shuffle keys, no self-join, bounded bucket blowup) is
-the one the text family already proved out at 100 TB geometry.
+The audio twin is the Haitsma-Kalker spectral binary fingerprint
+(Haitsma & Kalker 2002, "A Highly Robust Audio Fingerprinting
+System"): bit ``(t, f)`` is the SIGN of the second-order energy
+difference ``(E[t+1][f] − E[t+1][f+1]) − (E[t][f] − E[t][f+1])``
+over a time × frequency-band energy grid — invariant to uniform
+volume/gain scaling (only energy ORDER matters) and robust to
+re-encoding. :class:`AudioFingerprintDeduplicator` packs an 8 × 8
+bit matrix from a pooled 9 × 9 grid into one 64-bit key, again with
+two lanes: pure Catalyst over a pre-pooled ``array<array<double>>``
+grid, and numpy over the AUDIO_SCHEMA struct (PCM → STFT → log-mel
+via the same kernels as ``sources.multimodal.Spectrogram`` → time
+pooling).
+
+Candidate generation for both modalities reuses
+``dedup._hamming_band_pairs`` — banded chunk buckets with the
+``maxBucketSize`` hot-bucket cap, upper-triangle pair expansion,
+Hamming filter — so the scale shape (fixed-width shuffle keys, no
+self-join, bounded bucket blowup) is the one the text family already
+proved out at 100 TB geometry.
 """
 
 from __future__ import annotations
@@ -158,3 +172,134 @@ class ImageDHashDeduplicator(Transformer):
         return _hamming_band_pairs(
             self.fingerprints(df), self.bands, self.maxHammingDistance,
             self.maxBucketSize, "image_dhash_hot_bucket_drops")
+
+
+AFP_T, AFP_B = 8, 8  # bit matrix; energy grid is (T+1) × (B+1)
+
+
+def audio_fingerprint_expr(grid: Column | str) -> Column:
+    """64-bit Haitsma-Kalker fingerprint of an ``array<array<double>>``
+    time × band energy grid already pooled to (9, 9) — pure Catalyst,
+    map-side, shuffle-free. Bit ``t*8+f`` is set iff the second-order
+    difference ``(E[t+1][f] − E[t+1][f+1]) − (E[t][f] − E[t][f+1])``
+    is > 0; assembly sums 64 disjoint-bit longs (bit 63 as its two's-
+    complement negative), so no intermediate exceeds the long range
+    under ANSI mode. Uniform gain scaling multiplies every difference
+    by the same positive factor — signs, and hence the fingerprint,
+    are invariant."""
+    g = F.col(grid) if isinstance(grid, str) else grid
+    terms = []
+    for t in range(AFP_T):
+        for f in range(AFP_B):
+            j = t * AFP_B + f
+            p = (1 << j) if j < 63 else -(1 << 63)
+            d = ((g[t + 1][f] - g[t + 1][f + 1])
+                 - (g[t][f] - g[t][f + 1]))
+            terms.append(F.when(d > 0, F.lit(p).cast("long"))
+                         .otherwise(F.lit(0).cast("long")))
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
+
+
+def _afp_np(energy_9x9: np.ndarray) -> int:
+    e = energy_9x9
+    bits = ((e[1:, :-1] - e[1:, 1:]) - (e[:-1, :-1] - e[:-1, 1:])) > 0
+    v = 0
+    for j, b in enumerate(bits.reshape(-1)):
+        if b:
+            v |= 1 << j
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class AudioFingerprintDeduplicator(Transformer):
+    """Near-duplicate audio pairs via the Haitsma-Kalker spectral
+    binary fingerprint: fingerprint → banded chunk buckets → capped
+    upper-triangle pairs → Hamming filter (recall/cap contracts of
+    the SimHash/ImageDHash family apply unchanged).
+
+    ``audioCol`` may be an AUDIO_SCHEMA struct (decoded PCM; numpy
+    STFT → log-mel → time-pooling lane, reusing the Spectrogram
+    kernels) or an ``array<array<double>>`` energy grid already
+    pooled to 9 × 9 (pure-Catalyst lane — no Python workers). Audio
+    too short for 9 analysis frames, corrupt PCM payloads, and NULL
+    rows are skipped, not failed (the fault-tolerant decode
+    contract).
+
+    transform(df) returns (doc_a, doc_b, hamming).
+    """
+
+    def __init__(self, idCol: str = "doc_id", audioCol: str = "audio",  # noqa: D107
+                 bands: int = 4, maxHammingDistance: int = 6,
+                 maxBucketSize: int | None = 1000,
+                 frameSize: int = 256, hopSize: int = 128):
+        super().__init__(idCol=idCol, audioCol=audioCol, bands=bands,
+                         maxHammingDistance=maxHammingDistance,
+                         maxBucketSize=maxBucketSize,
+                         frameSize=frameSize, hopSize=hopSize)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.idCol, self.audioCol)
+        id_type = schema[self.idCol].dataType
+        return T.StructType([
+            T.StructField("doc_a", id_type, True),
+            T.StructField("doc_b", id_type, True),
+            T.StructField("hamming", T.IntegerType(), True),
+        ])
+
+    def fingerprints(self, df: DataFrame) -> DataFrame:
+        dt = df.schema[self.audioCol].dataType
+        if isinstance(dt, T.ArrayType):
+            return (df.select(F.col(self.idCol).alias("__id"),
+                              audio_fingerprint_expr(self.audioCol)
+                              .alias("__sh"))
+                    .filter(F.col("__sh").isNotNull()))
+        return self._fingerprints_struct(df)
+
+    def _fingerprints_struct(self, df: DataFrame) -> DataFrame:
+        id_col, audio_col = self.idCol, self.audioCol
+        n_fft, hop = self.frameSize, self.hopSize
+        from mmlspark_spark.sources.multimodal import (
+            _pcm_to_float,
+            mel_filterbank,
+        )
+
+        def run(it):
+            import pandas as pd
+
+            window = np.hanning(n_fft)
+            fbs: dict[int, np.ndarray] = {}
+            for pdf in it:
+                ids, hashes = [], []
+                for rid, a in zip(pdf[id_col], pdf[audio_col]):
+                    if a is None or a["data"] is None:
+                        continue
+                    if len(bytes(a["data"])) % 2:
+                        continue  # torn PCM16 payload: skip, not fail
+                    x = _pcm_to_float(a)
+                    if len(x) < n_fft + (AFP_T) * hop:
+                        continue  # < 9 frames: nothing to fingerprint
+                    starts = np.arange(0, len(x) - n_fft + 1, hop)
+                    frames = np.stack([x[s:s + n_fft] for s in starts])
+                    spec = np.abs(np.fft.rfft(frames * window,
+                                              axis=1)) ** 2
+                    rate = int(a["sampleRate"])
+                    if rate not in fbs:
+                        fbs[rate] = mel_filterbank(AFP_B + 1, n_fft,
+                                                   rate)
+                    mel = np.log10(spec @ fbs[rate].T + 1e-10)
+                    pooled = np.stack([seg.mean(axis=0) for seg in
+                                       np.array_split(mel, AFP_T + 1)])
+                    ids.append(rid)
+                    hashes.append(_afp_np(pooled))
+                yield pd.DataFrame({"__id": ids, "__sh": hashes})
+
+        idt = df.schema[id_col].dataType.simpleString()
+        return df.select(id_col, audio_col).mapInPandas(
+            run, f"__id {idt}, __sh long")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return _hamming_band_pairs(
+            self.fingerprints(df), self.bands, self.maxHammingDistance,
+            self.maxBucketSize, "audio_fp_hot_bucket_drops")

@@ -63,11 +63,13 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     sampled coalitions);
 # (c) the full 23-entry r5-stale block (select_project ..
 #     url_extract);
-# (d) 10 slots of round-6 greens (TPC-H residue + heaviest curation
-#     first) + knn_ivf_pretrained, image_dhash_dedup and dsir_select
-#     (new this round, oracled at birth).
+# (d) 9 slots of round-6 greens (TPC-H residue + heaviest curation
+#     first) + the new-this-round oracled-at-birth block:
+#     knn_ivf_pretrained, image_dhash_dedup, dsir_select,
+#     audio_fingerprint_dedup.
 #     Round-9 rotation backlog (r6-green, rotated out):
 #     perplexity_prune, exact_dedup, broadcast_join_revenue,
+#     ngram_jaccard,
 #     semi_join, anti_join, top_k_per_group, pivot_status,
 #     rollup_counts, sessionize, window_hourly_agg, value_indexer,
 #     clean_missing, data_conversion, ts_featurize, multi_ngram,
@@ -94,7 +96,7 @@ _WINDOW_PRIORITY = (
     "sequence_packing", "pii_redact", "url_extract",
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q19", "tpch_q20", "tpch_q21",
-    "dsir_select", "ngram_jaccard", "image_dhash_dedup",
+    "dsir_select", "audio_fingerprint_dedup", "image_dhash_dedup",
     "incremental_dedup", "knn_ivf_pretrained",
 )
 
@@ -2760,6 +2762,79 @@ def image_dhash_dedup(spark, sf_dir):
     planted = docs.select("doc_id", grid.alias("gray"))
     return ImageDHashDeduplicator(
         idCol="doc_id", imageCol="gray", bands=4,
+        maxHammingDistance=6).transform(planted)
+
+
+def _audio_fp_oracle(bands: int = 4, maxHamming: int = 6,
+                     cap: int = 1000) -> str:
+    """Replays audio_fingerprint_dedup end-to-end: the deterministic
+    energy-grid synthesis (chained xxhash64 of (group, cell-index),
+    power-of-two base modulus so signed pmod and unsigned mod agree),
+    the variant gain perturbation, the 64 Haitsma-Kalker second-order
+    difference signs, two's-complement assembly, and the shared
+    banded-Hamming tail."""
+    from mmlspark_spark.plans.duckdb_xxh import to_u64, xxh64_long
+
+    inner = xxh64_long(to_u64("grp"), "42::HUGEINT", u="aa")
+    cell = f"(({xxh64_long(to_u64('t*9+f'), 'gh', u='ab')}) % 1024)"
+    d = ("(g[j//8 + 2][j%8 + 1] - g[j//8 + 2][j%8 + 2])"
+         " - (g[j//8 + 1][j%8 + 1] - g[j//8 + 1][j%8 + 2])")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 10 AS grp, doc_id // 10 AS v
+      FROM documents
+    ), gh AS (
+      SELECT doc_id, v, {inner} AS gh FROM d
+    ), px AS (
+      SELECT doc_id, list_transform(range(0, 9), t ->
+               list_transform(range(0, 9), f ->
+                 CAST({cell} AS DOUBLE)
+                 + CASE WHEN (t*9+f + 5*v) % 17 = 0
+                        THEN CAST(61 * v AS DOUBLE)
+                        ELSE 0.0 END)) AS g
+      FROM gh
+    ), fp AS (
+      SELECT doc_id, CAST(sum(
+               CASE WHEN {d} <= 0 THEN 0::HUGEINT
+                    WHEN j = 63 THEN -9223372036854775808::HUGEINT
+                    ELSE (1::HUGEINT << j) END) AS BIGINT) AS sh
+      FROM (SELECT doc_id, g, unnest(range(0, 64)) AS j FROM px)
+      GROUP BY doc_id
+    ), {_hamming_band_pairs_sql(bands, maxHamming, cap)}"""
+
+
+@register("audio_fingerprint_dedup", oracle=_audio_fp_oracle())
+def audio_fingerprint_dedup(spark, sf_dir):
+    """Perceptual audio dedup (AudioFingerprintDeduplicator, pure-
+    Catalyst grid lane): synthetic 9×9 time×band energy grids —
+    cell = xxhash64(doc_id%10, cell_index) & 1023 as a double, so
+    every group of 10 residues shares one base recording, and
+    variant v = doc_id div 10 adds a 61·v gain bump at ~5 stagger-
+    positioned cells — near variants stay within Hamming ≤ 6, far
+    variants band-collide but FAIL the threshold (1.4k detected vs
+    1.1k collide-but-filtered at sf0.01), so both the candidate and
+    filter stages are exercised non-vacuously. Haitsma-Kalker
+    second-order-difference fingerprint → shared banded buckets →
+    capped pairs → Hamming filter, all replayed hash-exact. Map-side
+    except the bucket groupBy."""
+    from mmlspark_spark.llm import AudioFingerprintDeduplicator
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    grp = (F.col("doc_id") % 10).cast("long")
+    v = F.expr("doc_id div 10")
+
+    def cell(t, f):
+        idx = t * 9 + f
+        e = (F.xxhash64(grp, F.lit(idx).cast("long"))
+             .bitwiseAND(F.lit(1023)).cast("double"))
+        return e + F.when((F.lit(idx) + 5 * v) % 17 == 0,
+                          (61 * v).cast("double")).otherwise(F.lit(0.0))
+
+    grid = F.array(*[F.array(*[cell(t, f) for f in range(9)])
+                     for t in range(9)])
+    planted = docs.select("doc_id", grid.alias("energy"))
+    return AudioFingerprintDeduplicator(
+        idCol="doc_id", audioCol="energy", bands=4,
         maxHammingDistance=6).transform(planted)
 
 

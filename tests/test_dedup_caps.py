@@ -530,3 +530,55 @@ def test_image_dhash_brightness_invariance_and_pairs(spark):
     assert pairs.get((0, 1)) == 0          # uniform shift → identical
     assert all(2 not in p for p in pairs)  # unrelated never pairs
     assert all(3 not in p for p in pairs)  # corrupt row skipped
+
+
+def _pcm_struct(doc_id, x, rate=8000):
+    import numpy as np
+
+    pcm = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int16)
+    return (doc_id, ("mem", rate, 1, len(pcm), pcm.tobytes()))
+
+
+def test_audio_fp_grid_and_struct_lanes(spark):
+    """Grid lane must equal the numpy bit rule on the same energies;
+    struct lane: a gain-scaled copy (x0.4) fingerprints at Hamming
+    ~0 (Haitsma-Kalker signs are scale-invariant), unrelated noise
+    never pairs under a tight threshold, and short / torn-payload
+    rows are skipped instead of failing."""
+    import numpy as np
+
+    from mmlspark_spark.llm import AudioFingerprintDeduplicator
+    from mmlspark_spark.llm.multimodal_dedup import _afp_np
+
+    rng = np.random.default_rng(11)
+    grids = [rng.uniform(-40, 0, size=(9, 9)) for _ in range(4)]
+    gdf = spark.createDataFrame(
+        [(i, [[float(c) for c in row] for row in g])
+         for i, g in enumerate(grids)],
+        "doc_id long, energy array<array<double>>")
+    dd = AudioFingerprintDeduplicator(idCol="doc_id", audioCol="energy")
+    via_grid = {r["__id"]: r["__sh"]
+                for r in dd.fingerprints(gdf).collect()}
+    assert via_grid == {i: _afp_np(g) for i, g in enumerate(grids)}
+
+    t = np.arange(16000) / 8000.0
+    chirp = 0.35 * np.sin(2 * np.pi * (300 + 400 * t) * t)
+    chirp += 0.2 * np.sin(2 * np.pi * 1100 * t)
+    noise = 0.3 * rng.standard_normal(16000)
+    rows = [_pcm_struct(0, chirp),
+            _pcm_struct(1, 0.4 * chirp),          # gain-scaled copy
+            _pcm_struct(2, noise),                # unrelated
+            (3, ("mem", 8000, 1, 100, b"\x00" * 200)),   # < 9 frames
+            (4, ("mem", 8000, 1, 16000, b"\x01"))]       # torn PCM16
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, audio struct<origin:string,sampleRate:int,"
+        "channels:int,numSamples:bigint,data:binary>")
+    out = AudioFingerprintDeduplicator(
+        idCol="doc_id", audioCol="audio", bands=8,
+        maxHammingDistance=6).transform(sdf).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    # gain scaling leaves the signs of strong-band differences alone;
+    # the residual few bits are int16 quantization noise in bands at
+    # the log floor (bands=8 pigeonholes any Hamming <= 7 candidate)
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 6
+    assert all(2 not in p and 3 not in p and 4 not in p for p in pairs)
