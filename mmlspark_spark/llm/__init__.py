@@ -43,6 +43,7 @@ from mmlspark_spark.llm.scrub import (
 from mmlspark_spark.llm.multimodal_dedup import (
     AudioFingerprintDeduplicator,
     ImageDHashDeduplicator,
+    VideoDHashDeduplicator,
     audio_fingerprint_expr,
     dhash_expr,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "dhash_expr",
     "AudioFingerprintDeduplicator",
     "audio_fingerprint_expr",
+    "VideoDHashDeduplicator",
     "DSIRSelector",
     "DSIRModel",
     "hashed_grams",

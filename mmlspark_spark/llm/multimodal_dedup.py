@@ -303,3 +303,168 @@ class AudioFingerprintDeduplicator(Transformer):
         return _hamming_band_pairs(
             self.fingerprints(df), self.bands, self.maxHammingDistance,
             self.maxBucketSize, "audio_fp_hot_bucket_drops")
+
+
+class VideoDHashDeduplicator(Transformer):
+    """Near-duplicate VIDEO pairs: per-frame dHash fingerprints, then
+    doc-level CONTAINMENT overlap on the distinct frame-hash sets —
+    ``matches / min(|A|, |B|) >= minOverlap``. Containment (not
+    Jaccard) is deliberate: a clip cut out of a longer video shares
+    all of its own frames but few of the original's, and clipping is
+    the dominant real-world video-dup mode.
+
+    ``videoCol`` lanes:
+
+    - ``array<array<array<int>>>`` — per-frame 8×9 grayscale grids
+      (a decode/frame-sample stage's output): per-frame
+      :func:`dhash_expr` inside a single ``transform`` — pure
+      Catalyst, no Python workers;
+    - ``array<long>`` — precomputed frame hashes, pass-through;
+    - VIDEO_FRAMES_SCHEMA struct — numpy lane over decoded frames
+      (same luma/resize/bit kernels as the image lane); corrupt
+      frames are skipped, a video with zero decodable frames drops.
+
+    Candidate generation is the engine's shared-key bucket shape
+    (ngram_jaccard's): explode DISTINCT frame hashes, bucket by
+    hash with a ``maxDocsPerFrameHash`` hot-key cap (a title card or
+    black frame shared by half the corpus must not quadratically
+    explode — capped buckets are dropped and counted via an observed
+    metric), upper-triangle pair expansion, then one groupBy(pair)
+    count. Shuffle keys are 8-byte hashes; no self-join, no O(N²).
+
+    transform(df) returns (doc_a, doc_b, matches, overlap).
+    """
+
+    def __init__(self, idCol: str = "doc_id", videoCol: str = "video",  # noqa: D107
+                 minOverlap: float = 0.5,
+                 maxDocsPerFrameHash: int | None = 1000,
+                 materialize: bool = True):
+        super().__init__(idCol=idCol, videoCol=videoCol,
+                         minOverlap=minOverlap,
+                         maxDocsPerFrameHash=maxDocsPerFrameHash,
+                         materialize=materialize)
+
+    def transform_schema(self, schema: T.StructType) -> T.StructType:
+        self._require_cols(schema, self.idCol, self.videoCol)
+        id_type = schema[self.idCol].dataType
+        return T.StructType([
+            T.StructField("doc_a", id_type, True),
+            T.StructField("doc_b", id_type, True),
+            T.StructField("matches", T.LongType(), True),
+            T.StructField("overlap", T.DoubleType(), True),
+        ])
+
+    def frame_hashes(self, df: DataFrame) -> DataFrame:
+        """(__id, __fh) — one row per DISTINCT frame hash per doc."""
+        dt = df.schema[self.videoCol].dataType
+        if isinstance(dt, T.ArrayType) and isinstance(
+                dt.elementType, T.ArrayType):
+            hashes = F.transform(F.col(self.videoCol),
+                                 lambda fr: dhash_expr(fr))
+        elif isinstance(dt, T.ArrayType):
+            hashes = F.col(self.videoCol)  # precomputed longs
+        else:
+            return self._frame_hashes_struct(df)
+        return (df.select(F.col(self.idCol).alias("__id"),
+                          F.explode(F.array_distinct(hashes))
+                          .alias("__fh")))
+
+    def _frame_hashes_struct(self, df: DataFrame) -> DataFrame:
+        id_col, vid_col = self.idCol, self.videoCol
+        from mmlspark_spark.sources.transforms import _resize
+
+        def run(it):
+            import pandas as pd
+
+            for pdf in it:
+                ids, hs = [], []
+                for rid, vid in zip(pdf[id_col], pdf[vid_col]):
+                    if vid is None or vid["frames"] is None:
+                        continue
+                    seen = set()
+                    for img in vid["frames"]:
+                        if img is None or img["data"] is None:
+                            continue
+                        h, w, nc = (int(img["height"]),
+                                    int(img["width"]),
+                                    int(img["nChannels"]))
+                        a = np.frombuffer(img["data"], dtype=np.uint8)
+                        if h * w * nc != a.size:
+                            continue
+                        a = (a.reshape(h, w, nc) if nc > 1
+                             else a.reshape(h, w))
+                        if a.ndim == 3 and a.shape[2] >= 3:
+                            b, g, r = (a[:, :, 0].astype(np.float64),
+                                       a[:, :, 1].astype(np.float64),
+                                       a[:, :, 2].astype(np.float64))
+                            a = np.round(0.114 * b + 0.587 * g
+                                         + 0.299 * r).astype(np.uint8)
+                        elif a.ndim == 3:
+                            a = a[:, :, 0]
+                        grid = _resize(a, DHASH_H, DHASH_W + 1)
+                        if grid.ndim == 3:
+                            grid = grid[:, :, 0]
+                        seen.add(_dhash_np(grid.astype(np.int64)))
+                    for fh in seen:
+                        ids.append(rid)
+                        hs.append(fh)
+                yield pd.DataFrame({"__id": ids, "__fh": hs})
+
+        idt = df.schema[id_col].dataType.simpleString()
+        return df.select(id_col, vid_col).mapInPandas(
+            run, f"__id {idt}, __fh long")
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from mmlspark_spark.core.cache import (
+            attach_intermediates,
+            persist_intermediate,
+        )
+
+        # The per-frame fingerprint subtree is map-only (Catalyst
+        # lane: 64 comparisons × frames per row) and has THREE
+        # consumers (sizes, buckets, the pair stage). One
+        # groupBy(__fh) exchange + persist makes it evaluate once —
+        # the ngram_jaccard multi-consumer pattern; per-doc sizes
+        # derive from the grouped lists, not a second scan.
+        per_frame = (self.frame_hashes(df).groupBy("__fh")
+                     .agg(F.array_sort(F.collect_set("__id"))
+                          .alias("__ids")))
+        cached = []
+        if self.materialize:
+            per_frame = persist_intermediate(per_frame)
+            cached.append(per_frame)
+        sizes = (per_frame.select(F.explode("__ids").alias("__id"))
+                 .groupBy("__id").agg(F.count("*").alias("__n")))
+        cap = self.maxDocsPerFrameHash
+        if cap is not None:
+            buckets = per_frame.observe(
+                "video_dhash_hot_frame_drops",
+                F.sum(F.when(F.size("__ids") > cap, 1).otherwise(0))
+                .alias("dropped_frame_hashes"))
+            buckets = buckets.filter((F.size("__ids") <= cap)
+                                     & (F.size("__ids") > 1))
+        else:
+            buckets = per_frame.filter(F.size("__ids") > 1)
+        ids = F.col("__ids")
+        pair_structs = F.flatten(F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        ))
+        pairs = (buckets.select(F.explode(pair_structs).alias("__p"))
+                 .groupBy(F.col("__p.doc_a").alias("doc_a"),
+                          F.col("__p.doc_b").alias("doc_b"))
+                 .agg(F.count("*").alias("matches")))
+        na = sizes.select(F.col("__id").alias("doc_a"),
+                          F.col("__n").alias("__na"))
+        nb = sizes.select(F.col("__id").alias("doc_b"),
+                          F.col("__n").alias("__nb"))
+        out = (pairs.join(na, "doc_a").join(nb, "doc_b")
+               .withColumn("overlap",
+                           F.col("matches").cast("double")
+                           / F.least("__na", "__nb"))
+               .filter(F.col("overlap") >= self.minOverlap)
+               .select("doc_a", "doc_b", "matches", "overlap"))
+        return attach_intermediates(out, *cached)

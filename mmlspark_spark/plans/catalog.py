@@ -63,13 +63,13 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     sampled coalitions);
 # (c) the full 23-entry r5-stale block (select_project ..
 #     url_extract);
-# (d) 9 slots of round-6 greens (TPC-H residue + heaviest curation
+# (d) 8 slots of round-6 greens (TPC-H residue + heaviest curation
 #     first) + the new-this-round oracled-at-birth block:
 #     knn_ivf_pretrained, image_dhash_dedup, dsir_select,
-#     audio_fingerprint_dedup.
+#     audio_fingerprint_dedup, video_dhash_dedup.
 #     Round-9 rotation backlog (r6-green, rotated out):
 #     perplexity_prune, exact_dedup, broadcast_join_revenue,
-#     ngram_jaccard,
+#     ngram_jaccard, incremental_dedup,
 #     semi_join, anti_join, top_k_per_group, pivot_status,
 #     rollup_counts, sessionize, window_hourly_agg, value_indexer,
 #     clean_missing, data_conversion, ts_featurize, multi_ngram,
@@ -97,7 +97,7 @@ _WINDOW_PRIORITY = (
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q19", "tpch_q20", "tpch_q21",
     "dsir_select", "audio_fingerprint_dedup", "image_dhash_dedup",
-    "incremental_dedup", "knn_ivf_pretrained",
+    "video_dhash_dedup", "knn_ivf_pretrained",
 )
 
 
@@ -2836,6 +2836,95 @@ def audio_fingerprint_dedup(spark, sf_dir):
     return AudioFingerprintDeduplicator(
         idCol="doc_id", audioCol="energy", bands=4,
         maxHammingDistance=6).transform(planted)
+
+
+def _video_dhash_oracle(minOverlap: float = 0.7) -> str:
+    """Replays video_dhash_dedup end-to-end: deterministic per-frame
+    8×9 grids (chained xxhash64 of (group, frame·72 + cell)), the
+    dHash bit rule and two's-complement assembly PER FRAME, distinct
+    frame-hash sets per doc, and the containment-overlap pair stage.
+    The oracle may self-join (declarative replay); the Spark path
+    uses capped hash buckets instead. All arithmetic is integer or
+    dyadic-rational (matches / 8), so the compare is exact."""
+    from mmlspark_spark.plans.duckdb_xxh import to_u64, xxh64_long
+
+    inner = xxh64_long(to_u64("grp"), "42::HUGEINT", u="va")
+    pix = (f"(({xxh64_long(to_u64('f*72 + r*9 + c'), 'gh', u='vb')})"
+           f" % 256)")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 25 AS grp, doc_id // 25 AS v
+      FROM documents
+    ), gh AS (
+      SELECT doc_id, grp, v, {inner} AS gh FROM d
+    ), gf AS (
+      SELECT DISTINCT grp, gh, v + i AS f
+      FROM (SELECT grp, gh, v, unnest(range(0, 8)) AS i FROM gh)
+    ), px AS (
+      SELECT grp, f, list_transform(range(0, 8), r ->
+               list_transform(range(0, 9), c -> {pix})) AS g
+      FROM gf
+    ), fp AS (
+      SELECT grp, f, CAST(sum(
+               CASE WHEN g[j//8 + 1][j%8 + 1] <= g[j//8 + 1][j%8 + 2]
+                      THEN 0::HUGEINT
+                    WHEN j = 63 THEN -9223372036854775808::HUGEINT
+                    ELSE (1::HUGEINT << j) END) AS BIGINT) AS fh
+      FROM (SELECT grp, f, g, unnest(range(0, 64)) AS j FROM px)
+      GROUP BY grp, f
+    ), docfh AS (
+      SELECT DISTINCT h.doc_id, p.fh
+      FROM gh h JOIN fp p
+        ON p.grp = h.grp AND p.f BETWEEN h.v AND h.v + 7
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM docfh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS matches
+      FROM docfh a JOIN docfh b
+        ON a.fh = b.fh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, matches,
+           CAST(matches AS DOUBLE) / least(na.n, nb.n) AS overlap
+    FROM pairs
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(matches AS DOUBLE) / least(na.n, nb.n) >= {minOverlap}
+    """
+
+
+@register("video_dhash_dedup", oracle=_video_dhash_oracle())
+def video_dhash_dedup(spark, sf_dir):
+    """Frame-sampled video near-dup (VideoDHashDeduplicator, pure-
+    Catalyst grid lane): every doc is a synthetic 8-frame clip cut
+    from its group's virtual 27-frame reel at offset v = doc_id div
+    25 — adjacent offsets share 7 of 8 frames (overlap 0.875), two
+    apart share 6 (0.75), three+ fall below the 0.7 containment
+    threshold, so near, boundary and rejected pairs all occur. Frame
+    pixels are chained xxhash64 of (group, frame·72 + cell) mod 256
+    (power of two: signed pmod == unsigned mod). Per-frame dHash →
+    distinct-set explode → capped frame-hash buckets → pair counts →
+    containment filter, replayed exactly (all values integer or
+    dyadic)."""
+    from mmlspark_spark.llm import VideoDHashDeduplicator
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    grp = (F.col("doc_id") % 25).cast("long")
+    v = F.expr("doc_id div 25")
+
+    def frame(f):
+        def cell(r, c):
+            return F.pmod(F.xxhash64(grp, f * 72 + F.lit(r * 9 + c)),
+                          F.lit(256)).cast("long")
+        return F.array(*[F.array(*[cell(r, c) for c in range(9)])
+                         for r in range(8)])
+
+    frames = F.transform(F.sequence(v, v + F.lit(7)), frame)
+    planted = docs.select("doc_id", frames.alias("clip"))
+    return VideoDHashDeduplicator(
+        idCol="doc_id", videoCol="clip",
+        minOverlap=0.7).transform(planted)
 
 
 def _dsir_oracle(B: int = 1024, k: int = 150, seed: int = 7) -> str:

@@ -582,3 +582,66 @@ def test_audio_fp_grid_and_struct_lanes(spark):
     # the log floor (bands=8 pigeonholes any Hamming <= 7 candidate)
     assert (0, 1) in pairs and pairs[(0, 1)] <= 6
     assert all(2 not in p and 3 not in p and 4 not in p for p in pairs)
+
+
+def test_video_dhash_struct_lane_containment(spark):
+    """VIDEO_FRAMES_SCHEMA lane: a clip containing 3 of the long
+    video's 4 distinct frames scores containment 3/3 = 1.0 (clip
+    denominator = its own size — the clipping-dup contract); an
+    unrelated video never pairs; corrupt frames are skipped and a
+    video with only corrupt frames drops entirely."""
+    import numpy as np
+
+    from mmlspark_spark.llm import VideoDHashDeduplicator
+
+    rng = np.random.default_rng(5)
+    f = [rng.integers(0, 256, size=(16, 20, 3)).astype(np.uint8)
+         for _ in range(6)]
+
+    def img(a):
+        return ("mem", 16, 20, 3, 16, a.tobytes())
+
+    def vid(frames, extra=()):
+        return ("mem", 20, 16, len(frames) + len(extra),
+                [img(a) for a in frames] + list(extra))
+
+    corrupt = ("mem", 16, 20, 3, 16, b"\x00")
+    rows = [(0, vid(f[0:4])),                       # full video
+            (1, vid(f[1:4], extra=[corrupt])),      # clip + bad frame
+            (2, vid(f[4:6])),                       # unrelated
+            (3, vid([], extra=[corrupt, corrupt]))]  # all corrupt
+    schema = ("doc_id long, video struct<origin:string,width:int,"
+              "height:int,numFrames:int,frames:array<struct<"
+              "origin:string,height:int,width:int,nChannels:int,"
+              "mode:int,data:binary>>>")
+    df = spark.createDataFrame(rows, schema)
+    out = VideoDHashDeduplicator(
+        idCol="doc_id", videoCol="video",
+        minOverlap=0.9).transform(df).collect()
+    pairs = {(r.doc_a, r.doc_b): (r.matches, r.overlap) for r in out}
+    assert pairs == {(0, 1): (3, 1.0)}
+
+
+def test_video_dhash_hot_frame_cap_and_precomputed_lane(spark):
+    """array<long> pass-through lane; a frame hash shared by more
+    docs than maxDocsPerFrameHash is dropped from candidate
+    generation (title-card/black-frame guard), so docs related ONLY
+    through the hot frame never pair, while pairs sharing rare
+    frames survive with the hot frame excluded from their counts."""
+    from mmlspark_spark.llm import VideoDHashDeduplicator
+
+    hot = 999
+    rows = ([(i, [hot, 100 + i]) for i in range(6)]
+            + [(10, [hot, 7, 8]), (11, [hot, 7, 8])])
+    df = spark.createDataFrame(rows, "doc_id long, clip array<bigint>")
+    out = VideoDHashDeduplicator(
+        idCol="doc_id", videoCol="clip", minOverlap=0.5,
+        maxDocsPerFrameHash=4).transform(df).collect()
+    pairs = {(r.doc_a, r.doc_b): r.matches for r in out}
+    # only the rare-frame pair survives; matches excludes the hot
+    # frame but the denominator still counts it (2/3 >= 0.5)
+    assert pairs == {(10, 11): 2}
+    uncapped = VideoDHashDeduplicator(
+        idCol="doc_id", videoCol="clip", minOverlap=0.5,
+        maxDocsPerFrameHash=None).transform(df).count()
+    assert uncapped > 1  # without the cap the hot frame links everyone
