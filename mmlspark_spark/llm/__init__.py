@@ -52,7 +52,12 @@ from mmlspark_spark.llm.selection import (
     DSIRSelector,
     hashed_grams,
 )
-from mmlspark_spark.llm.similarity import BruteForceKNN, LSHKNN
+from mmlspark_spark.llm.similarity import (
+    BruteForceKNN,
+    IVFKNN,
+    LSHKNN,
+    PQKNN,
+)
 from mmlspark_spark.llm.tokenizer import (
     BPETokenizer,
     BPETokenizerModel,
@@ -80,6 +85,8 @@ __all__ = [
     "winnow_fingerprints",
     "BruteForceKNN",
     "LSHKNN",
+    "IVFKNN",
+    "PQKNN",
     "SequencePacker",
     "BenchmarkDecontaminator",
     "QualityFilter",

@@ -365,3 +365,196 @@ class IVFKNN:
              .filter(F.col("__rk") <= self.nProbe)
              .drop("__rk", "__sim"))
         return self._probe(d, q)
+
+
+class PQKNN:
+    """Product-quantization ANN (Jégou, Douze & Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search") — the COMPRESSED scale
+    path: vectors split into ``M`` subvectors, each quantized to one
+    of ``K`` per-subspace centroids, so a corpus vector becomes M
+    small codes (M bytes at K=256) instead of d floats — a 32×
+    shrink at d=64/M=8 that turns a 100 TB embedding corpus into an
+    in-memory-scannable code table. Search is ADC (asymmetric
+    distance computation): per query ONE M×K lookup table of exact
+    subspace distances, then every candidate scores with M array
+    lookups instead of d multiplies.
+
+    Lanes, mirroring IVFKNN:
+
+    - :meth:`search_with_codebooks` / :meth:`encode_with_codebooks` —
+      bring-your-own codebooks as a SMALL (m, code, cvec) frame
+      (trained once offline, the faiss norm). Encoding, the LUT and
+      the ADC scan are pure Catalyst with pinned left-fold float
+      order, so the whole search replays bit-exact in SQL
+      (``knn_pq_adc`` catalog oracle). No Python workers.
+    - :meth:`fit_codebooks` — seeded per-subspace numpy Lloyd on a
+      bounded driver sample (the sampled-fit scale lane, rows-only
+      like ``knn_ivf``'s fit); recall vs brute force is pinned in
+      tests.
+
+    Scale shape: codebooks broadcast as ONE aggregated row (M·K·d/M
+    doubles — a few KB); corpus encoding is map-only; the ADC scan is
+    a broadcast cross join against the (small) query LUT frame
+    scored map-side, collapsed by the partial top-k window. Compose
+    with IVF cells for the full IVF-PQ recipe: encode each cell's
+    residuals and ADC-scan only probed cells.
+
+    Distances are squared L2 computed as the direct ``(x−c)²``
+    element fold — the SAME formula on both engines (expanded forms
+    round differently; see spark-engine float-parity notes).
+    """
+
+    def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
+                 k: int = 10, M: int = 8, K: int = 16, dim: int | None = None,
+                 sampleSize: int = 10000, iters: int = 8, seed: int = 42,
+                 excludeSelf: bool = True):
+        self.idCol, self.vecCol, self.k = idCol, vecCol, k
+        self.M, self.K, self.dim = M, K, dim
+        self.sampleSize, self.iters, self.seed = sampleSize, iters, seed
+        self.excludeSelf = excludeSelf
+
+    # -------------------------------------------------- codebook row
+    def _codebook_row(self, codebooks: DataFrame, mCol: str,
+                      codeCol: str, cvecCol: str) -> DataFrame:
+        """(m, code, cvec) → ONE row holding cb[m][code] = cvec as a
+        nested array, sorted by (m, code) — broadcast-sized (M·K
+        subvectors), assembled declaratively (no collect)."""
+        M = self.M
+        ss = (codebooks
+              .select(F.struct(F.col(mCol).alias("m"),
+                               F.col(codeCol).alias("c"),
+                               F.col(cvecCol).alias("v")).alias("s"))
+              .agg(F.array_sort(F.collect_list("s")).alias("ss")))
+        return ss.select(F.transform(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            lambda m: F.transform(
+                F.filter("ss", lambda s: s["m"] == m),
+                lambda s: s["v"])).alias("__cb"))
+
+    def _sub(self, vec, m: int, ds: int):
+        return F.slice(vec, m * ds + 1, ds)
+
+    @staticmethod
+    def _subdist(sub, cvec):
+        """Squared L2, direct form, element-order left fold."""
+        return F.aggregate(
+            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def _dists_for(self, vec, m: int, ds: int):
+        """array<double> of the K exact subspace distances for
+        subspace ``m``. NOTE: the inner lambda must take exactly ONE
+        parameter — a second parameter makes pyspark's ``transform``
+        pass the array INDEX into it (the (element, index) overload
+        is selected by arity)."""
+        sub = self._sub(vec, m, ds)
+        return F.transform(F.element_at("__cb", m + 1),
+                           lambda c: self._subdist(sub, c))
+
+    def _codes_expr(self, vec, ds: int):
+        """array<int> of per-subspace argmin codes (first-min
+        tie-break via array_position)."""
+        cols = []
+        for m in range(self.M):
+            d = self._dists_for(vec, m, ds)
+            cols.append((F.array_position(d, F.array_min(d)) - 1)
+                        .cast("int"))
+        return F.array(*cols)
+
+    def _lut_expr(self, vec, ds: int):
+        """array<array<double>> [M][K] of exact subspace distances."""
+        return F.array(*[self._dists_for(vec, m, ds)
+                         for m in range(self.M)])
+
+    def _dim_of(self, df: DataFrame) -> int:
+        if self.dim is not None:
+            return self.dim
+        row = df.select(F.size(self.vecCol)).first()
+        return int(row[0])
+
+    # -------------------------------------------------- public lanes
+    def encode_with_codebooks(self, data: DataFrame, codebooks: DataFrame,
+                              mCol: str = "m", codeCol: str = "code",
+                              cvecCol: str = "cvec") -> DataFrame:
+        """(id, codes array<int>) — the compressed index. Map-only
+        after the one-row codebook broadcast."""
+        dim = self._dim_of(data)
+        ds = dim // self.M
+        cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
+                                            cvecCol))
+        return (data.crossJoin(cb)
+                .select(F.col(self.idCol).alias("vec_id"),
+                        self._codes_expr(F.col(self.vecCol), ds)
+                        .alias("codes")))
+
+    def search_with_codebooks(self, data: DataFrame, queries: DataFrame,
+                              codebooks: DataFrame, mCol: str = "m",
+                              codeCol: str = "code",
+                              cvecCol: str = "cvec") -> DataFrame:
+        """ADC top-k: returns (query_id, neighbor_id, adc_dist, rank)
+        ranked by approximate distance ASC (ties → neighbor ASC)."""
+        dim = self._dim_of(data)
+        ds = dim // self.M
+        cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
+                                            cvecCol))
+        codes = (data.crossJoin(cb)
+                 .select(F.col(self.idCol).alias("d_id"),
+                         self._codes_expr(F.col(self.vecCol), ds)
+                         .alias("__codes")))
+        luts = (queries.crossJoin(cb)
+                .select(F.col(self.idCol).alias("q_id"),
+                        self._lut_expr(F.col(self.vecCol), ds)
+                        .alias("__lut")))
+        cand = codes.crossJoin(F.broadcast(luts))
+        if self.excludeSelf:
+            cand = cand.filter(F.col("q_id") != F.col("d_id"))
+        adc = F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.lit(self.M - 1)),
+                        lambda m: F.element_at(
+                            F.element_at("__lut", m + 1),
+                            F.element_at("__codes", m + 1) + 1)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        scored = cand.select(F.col("q_id").alias("query_id"),
+                             F.col("d_id").alias("neighbor_id"),
+                             adc.alias("adc_dist"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.k)
+                .select("query_id", "neighbor_id", "adc_dist", "rank"))
+
+    # -------------------------------------------------- sampled fit
+    def fit_codebooks(self, data: DataFrame) -> DataFrame:
+        """Seeded per-subspace Lloyd on a bounded sample → (m, code,
+        cvec) frame (rows-only lane: sampled fit is not SQL-
+        reproducible, like knn_ivf's)."""
+        dim = self._dim_of(data)
+        ds = dim // self.M
+        total = data.count()
+        frac = min(1.0, (self.sampleSize * 1.2) / max(total, 1))
+        rows = (data.select(self.vecCol).sample(False, frac, self.seed)
+                .limit(self.sampleSize).collect())
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+        rng = np.random.default_rng(self.seed)
+        out = []
+        for m in range(self.M):
+            sub = x[:, m * ds:(m + 1) * ds]
+            cent = sub[rng.choice(sub.shape[0],
+                                  size=min(self.K, sub.shape[0]),
+                                  replace=False)]
+            for _ in range(self.iters):
+                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(axis=1)
+                for c in range(cent.shape[0]):
+                    mask = assign == c
+                    if mask.any():
+                        cent[c] = sub[mask].mean(axis=0)
+            out.extend((m, c, [float(v) for v in cent[c]])
+                       for c in range(cent.shape[0]))
+        return data.sparkSession.createDataFrame(
+            out, "m int, code int, cvec array<double>")
+
+    def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        """Sampled-fit + ADC scan in one call (scale lane)."""
+        return self.search_with_codebooks(data, queries,
+                                          self.fit_codebooks(data))

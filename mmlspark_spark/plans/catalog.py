@@ -63,13 +63,13 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     sampled coalitions);
 # (c) the full 23-entry r5-stale block (select_project ..
 #     url_extract);
-# (d) 8 slots of round-6 greens (TPC-H residue + heaviest curation
+# (d) 7 slots of round-6 greens (TPC-H residue + heaviest curation
 #     first) + the new-this-round oracled-at-birth block:
 #     knn_ivf_pretrained, image_dhash_dedup, dsir_select,
-#     audio_fingerprint_dedup, video_dhash_dedup.
+#     audio_fingerprint_dedup, video_dhash_dedup, knn_pq_adc.
 #     Round-9 rotation backlog (r6-green, rotated out):
 #     perplexity_prune, exact_dedup, broadcast_join_revenue,
-#     ngram_jaccard, incremental_dedup,
+#     ngram_jaccard, incremental_dedup, tpch_q21,
 #     semi_join, anti_join, top_k_per_group, pivot_status,
 #     rollup_counts, sessionize, window_hourly_agg, value_indexer,
 #     clean_missing, data_conversion, ts_featurize, multi_ngram,
@@ -95,7 +95,7 @@ _WINDOW_PRIORITY = (
     "partition_ops_identity", "tabular_shap_exact",
     "sequence_packing", "pii_redact", "url_extract",
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q16",
-    "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q19", "tpch_q20", "knn_pq_adc",
     "dsir_select", "audio_fingerprint_dedup", "image_dhash_dedup",
     "video_dhash_dedup", "knn_ivf_pretrained",
 )
@@ -3953,6 +3953,92 @@ def knn_ivf_pretrained(spark, sf_dir):
                  nlist=16, nProbe=4).search_with_centroids(emb, q, cent)
     return out.select("query_id", "neighbor_id",
                       F.round("sim", 6).alias("sim"),
+                      F.col("rank").alias("rk"))
+
+
+def _knn_pq_oracle(M: int = 8, K: int = 16, ds: int = 8, k: int = 10,
+                   nq: int = 5) -> str:
+    """Replays the full PQ/ADC pipeline (PQKNN.search_with_codebooks):
+    codebook synthesis (subvector m of embedding m·K+c), per-subspace
+    squared-L2 encoding with the direct (x−c)² left fold and
+    first-min argmin, the per-query LUT, the m-ascending ADC fold,
+    and the distance-ASC top-k window — every double in the same
+    operation order as the Catalyst expressions."""
+    from mmlspark_spark.plans.duckdb_xxh import fold_sum
+
+    dd = fold_sum("(sub[i2] - cvec[i2]) * (sub[i2] - cvec[i2])", ds)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), cb AS (
+      SELECT vec_id // {K} AS m, vec_id % {K} AS code,
+             v[(vec_id // {K}) * {ds} + 1 : (vec_id // {K}) * {ds} + {ds}]
+               AS cvec
+      FROM e WHERE vec_id < {M * K}
+    ), dists AS (
+      SELECT vec_id, m, code, {dd} AS dd
+      FROM (SELECT e.vec_id, cb.m, cb.code,
+                   e.v[cb.m * {ds} + 1 : cb.m * {ds} + {ds}] AS sub,
+                   cb.cvec
+            FROM e, cb)
+    ), codes AS (
+      SELECT vec_id, m,
+             list_position(l, list_aggregate(l, 'min')) - 1 AS code
+      FROM (SELECT vec_id, m, list(dd ORDER BY code) AS l
+            FROM dists GROUP BY vec_id, m)
+    ), adc AS (
+      SELECT q_id, d_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+                                      list(val ORDER BY m)),
+                         (a2, b2) -> a2 + b2) AS adc
+      FROM (SELECT qd.vec_id AS q_id, dc.vec_id AS d_id, dc.m AS m,
+                   qd.dd AS val
+            FROM codes dc JOIN dists qd
+              ON qd.m = dc.m AND qd.code = dc.code
+            WHERE qd.vec_id < {nq} AND qd.vec_id <> dc.vec_id)
+      GROUP BY q_id, d_id
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT q_id AS query_id, d_id AS neighbor_id, adc,
+                 row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY adc ASC, d_id ASC) AS rk
+          FROM adc)
+    WHERE rk <= {k}
+    """
+
+
+@register("knn_pq_adc", oracle=_knn_pq_oracle())
+def knn_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (PQKNN.search_with_codebooks): 64-dim
+    embeddings compressed to 8 subspace codes against a pre-trained
+    (m, code, cvec) codebook frame (subvector m of embeddings
+    m·16+c), then ADC top-10 for 5 queries — per-query 8×16 exact
+    LUT, candidates scored with 8 lookups instead of 64 multiplies.
+    Codebooks broadcast as one aggregated row; encoding is map-only;
+    the scan is a broadcast cross join collapsed by the top-k window.
+    Fully replayed by the oracle (squared-L2 folds, first-min argmin,
+    m-ascending ADC fold all order-pinned); the sampled-fit lane
+    (fit_codebooks) stays rows-only like knn_ivf's."""
+    from mmlspark_spark.llm.similarity import PQKNN
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    cb = (emb.filter(F.col("vec_id") < 128)
+          .select(F.expr("vec_id div 16").cast("int").alias("m"),
+                  (F.col("vec_id") % 16).cast("int").alias("code"),
+                  F.slice("embedding",
+                          F.expr("(vec_id div 16) * 8 + 1").cast("int"),
+                          8).alias("cvec")))
+    q = emb.filter(F.col("vec_id") < 5)
+    out = PQKNN(idCol="vec_id", vecCol="embedding", k=10, M=8, K=16,
+                dim=64).search_with_codebooks(emb, q, cb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("adc_dist", 6).alias("adc"),
                       F.col("rank").alias("rk"))
 
 

@@ -69,6 +69,11 @@ ALLOWED_LINT = {
     # one-row broadcast frames: the totals row inside fit and the
     # length-B log-ratio array row attached before map-side scoring
     "dsir_select": {"BroadcastNestedLoopJoin"},
+    # one-row codebook broadcast + the ADC scan itself: PQ's design
+    # IS a per-query compressed exhaustive scan (M lookups/row, the
+    # broadcast side is the small query-LUT frame) — not an O(N²)
+    # accident
+    "knn_pq_adc": {"BroadcastNestedLoopJoin"},
 }
 
 

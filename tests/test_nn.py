@@ -161,3 +161,78 @@ def test_bruteforce_numpy_string_ids(spark):
     out = BruteForceKNN(k=1, method="numpy", excludeSelf=False).search(df, q)
     rows = out.collect()
     assert rows[0].query_id == "q1" and rows[0].neighbor_id == "doc_a"
+
+
+def test_pq_adc_exact_when_quantization_error_zero(spark):
+    """When every corpus vector is a concatenation of codebook
+    centroids, PQ loses nothing: the ADC distance must equal the true
+    squared L2 distance to full precision, and encode() must recover
+    the exact codeword ids used to build each vector."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import PQKNN
+
+    M, K, ds = 4, 8, 3
+    rng = np.random.default_rng(17)
+    books = rng.normal(size=(M, K, ds))
+    cb_rows = [(m, c, [float(x) for x in books[m, c]])
+               for m in range(M) for c in range(K)]
+    cb = spark.createDataFrame(cb_rows, "m int, code int, cvec array<double>")
+
+    picks = rng.integers(0, K, size=(20, M))
+    corpus = [(i, [float(x) for m in range(M)
+                   for x in books[m, picks[i, m]]]) for i in range(20)]
+    queries = [(100 + j, [float(x) for x in rng.normal(size=M * ds)])
+               for j in range(3)]
+    data = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+
+    pq = PQKNN(idCol="vec_id", vecCol="embedding", k=20, M=M, K=K,
+               dim=M * ds, excludeSelf=False)
+    codes = {r.vec_id: r.codes
+             for r in pq.encode_with_codebooks(data, cb).collect()}
+    assert all(codes[i] == [int(c) for c in picks[i]] for i in range(20))
+
+    out = pq.search_with_codebooks(data, qdf, cb).collect()
+    xs = {i: np.array(v) for i, v in corpus}
+    qs = {i: np.array(v) for i, v in queries}
+    for r in out:
+        true = float(np.sum((qs[r.query_id] - xs[r.neighbor_id]) ** 2))
+        assert abs(r.adc_dist - true) < 1e-9
+
+
+def test_pq_sampled_fit_recall_vs_bruteforce(spark):
+    """The rows-only sampled-fit lane: on clustered data, PQ top-10
+    must recover most of the exact top-10 (squared-L2 brute force
+    recomputed in numpy)."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import PQKNN
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(scale=5.0, size=(8, 16))
+    x = np.concatenate([c + rng.normal(scale=0.4, size=(40, 16))
+                       for c in centers])
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    q_ids = [0, 45, 170, 300]
+    pq = PQKNN(idCol="vec_id", vecCol="embedding", k=10, M=4, K=16,
+               dim=16, seed=5, sampleSize=400)
+    out = pq.search(data, data.filter(F.col("vec_id").isin(q_ids)))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # PQ is a COARSE filter: within-cluster fine structure is below
+    # the quantizer's resolution (all 40 cluster members share nearly
+    # the same codes), so the meaningful contract is cluster-level —
+    # every retrieved neighbor must come from the query's cluster —
+    # plus a loose exact-top-10 floor.
+    recalls = []
+    for qi in q_ids:
+        assert all(n // 40 == qi // 40 for n in got[qi]), (qi, got[qi])
+        d2 = np.sum((x - x[qi]) ** 2, axis=1)
+        d2[qi] = np.inf
+        exact = set(np.argsort(d2, kind="stable")[:10].tolist())
+        recalls.append(len(got[qi] & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
