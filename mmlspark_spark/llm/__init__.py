@@ -47,6 +47,10 @@ from mmlspark_spark.llm.multimodal_dedup import (
     audio_fingerprint_expr,
     dhash_expr,
 )
+from mmlspark_spark.llm.retrieval import (
+    BM25Retriever,
+    reciprocal_rank_fusion,
+)
 from mmlspark_spark.llm.selection import (
     DSIRModel,
     DSIRSelector,
@@ -78,6 +82,8 @@ __all__ = [
     "DSIRSelector",
     "DSIRModel",
     "hashed_grams",
+    "BM25Retriever",
+    "reciprocal_rank_fusion",
     "ngram_jaccard_pairs",
     "duplicated_substring_spans",
     "connected_components",

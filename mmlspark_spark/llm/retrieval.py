@@ -1,0 +1,168 @@
+"""Sparse (BM25) and hybrid (reciprocal-rank-fusion) retrieval.
+
+The retrieval slot of the training-data pipeline: corpus search
+drives decontamination audits, targeted subset mining ("find docs
+about X"), and hybrid dense+sparse candidate generation for dedup
+review. Public formulations only:
+
+- :class:`BM25Retriever` — Okapi BM25 (Robertson et al., TREC-3) with
+  the Lucene idf variant ``ln(1 + (N − df + 0.5)/(df + 0.5))`` so idf
+  is never negative. The index is a term-keyed postings DataFrame
+  (term, doc, tf, dl); scoring joins the SMALL query-term frame
+  (broadcast) against the postings exchange, so search cost is
+  O(postings of query terms), never a corpus scan.
+- :func:`reciprocal_rank_fusion` — RRF (Cormack, Clarke & Büttcher
+  2009): ``score(d) = Σ_sources 1/(k + rank_s(d))``; rank-only fusion
+  needs no score normalization across heterogeneous retrievers (BM25
+  vs cosine), which is why it is the default hybrid combiner in
+  production search stacks.
+
+Scale shape: postings build is one explode + groupBy(doc, term);
+document frequency is a groupBy(term) over the postings (same key as
+the scoring join — the exchange is reusable); corpus-wide scalars
+(N, avgdl) ride a one-row broadcast. The skew hazard is stopword
+postings (a term in half the corpus); ``maxDfRatio`` prunes terms
+with df > ratio·N at index time — the classic stopword cut, which
+BM25's idf already drives toward 0 weight, so the pruning changes
+scores only marginally while bounding the worst join fan-out.
+
+Float parity (oracle story): per-(query, doc) term contributions are
+folded in TERM-SORTED order via an explicit left fold — never an
+unordered SUM — and every double op mirrors the DuckDB oracle
+operation-for-operation, so ``bm25_search`` / ``hybrid_rrf`` verify
+hash-exact.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mmlspark_spark.functions.text_quality import pinned_tokens
+
+
+class BM25Retriever:
+    """Okapi BM25 search over a text corpus.
+
+    ``search(docs, queries)`` returns (query_id, doc_id, score, rank)
+    — top ``k`` docs per query, score-DESC with doc-ASC tie-break,
+    scores rounded to 6dp BEFORE ranking (float-drift-proof member
+    sets, the engine convention).
+    """
+
+    def __init__(self, idCol: str = "doc_id", textCol: str = "text",
+                 queryIdCol: str = "query_id", queryTextCol: str = "query",
+                 k: int = 10, k1: float = 1.2, b: float = 0.75,
+                 maxDfRatio: float | None = None):
+        self.idCol, self.textCol = idCol, textCol
+        self.queryIdCol, self.queryTextCol = queryIdCol, queryTextCol
+        self.k, self.k1, self.b = k, float(k1), float(b)
+        self.maxDfRatio = maxDfRatio
+
+    def postings(self, docs: DataFrame) -> DataFrame:
+        """(term, doc, tf, dl) — the inverted index. dl rides along
+        from the tokenize pass (no per-doc join-back)."""
+        toks = (docs.filter(F.col(self.textCol).isNotNull())
+                .select(F.col(self.idCol).alias("__doc"),
+                        pinned_tokens(self.textCol).alias("__toks")))
+        return (toks.select("__doc", F.size("__toks").alias("__dl"),
+                            F.explode("__toks").alias("__t"))
+                .groupBy("__t", "__doc", "__dl")
+                .agg(F.count("*").alias("__tf")))
+
+    def _stats(self, docs: DataFrame) -> DataFrame:
+        """One row: corpus size N and average doc length (exact
+        integer sum / N — one double division, same on both
+        engines)."""
+        return (docs.filter(F.col(self.textCol).isNotNull())
+                .select(F.size(pinned_tokens(self.textCol))
+                        .alias("__dl"))
+                .agg(F.count("*").alias("__N"),
+                     (F.sum("__dl").cast("double")
+                      / F.count("*")).alias("__avgdl")))
+
+    def search(self, docs: DataFrame, queries: DataFrame) -> DataFrame:
+        k1, b = self.k1, self.b
+        post = self.postings(docs)
+        dfreq = post.groupBy("__t").agg(F.count("*").alias("__df"))
+        if self.maxDfRatio is not None:
+            # stopword cut: join back the one-row N and drop hot terms
+            dfreq = (dfreq.crossJoin(F.broadcast(
+                self._stats(docs).select("__N")))
+                .filter(F.col("__df")
+                        <= F.lit(self.maxDfRatio) * F.col("__N"))
+                .drop("__N"))
+        qterms = (queries
+                  .select(F.col(self.queryIdCol).alias("__q"),
+                          F.explode(F.array_distinct(
+                              pinned_tokens(self.queryTextCol)))
+                          .alias("__t")))
+        # postings ⋈ df share the term key (one exchange); the tiny
+        # query-term frame broadcasts onto it
+        hits = (post.join(dfreq, "__t")
+                .join(F.broadcast(qterms), "__t")
+                .crossJoin(F.broadcast(self._stats(docs))))
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.col("__N") - F.col("__df") + F.lit(0.5))
+               / (F.col("__df") + F.lit(0.5))))
+        denom = (F.col("__tf")
+                 + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                                + F.lit(b) * (F.col("__dl").cast("double")
+                                              / F.col("__avgdl"))))
+        part = idf * (F.col("__tf") * F.lit(k1 + 1.0)) / denom
+        # term-sorted left fold — NEVER an unordered float SUM — so
+        # the oracle reproduces the exact double
+        scored = (hits.select("__q", "__doc",
+                              F.struct(F.col("__t").alias("t"),
+                                       part.alias("p")).alias("__s"))
+                  .groupBy("__q", "__doc")
+                  .agg(F.array_sort(F.collect_list("__s")).alias("__ss"))
+                  .select("__q", "__doc",
+                          F.round(F.aggregate(
+                              F.transform("__ss", lambda s: s["p"]),
+                              F.lit(0.0), lambda a, x: a + x), 6)
+                          .alias("score")))
+        w = Window.partitionBy("__q").orderBy(
+            F.col("score").desc(), F.col("__doc").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.k)
+                .select(F.col("__q").alias("query_id"),
+                        F.col("__doc").alias("doc_id"),
+                        "score", "rank"))
+
+
+def reciprocal_rank_fusion(rankings: list[DataFrame], k: int = 60,
+                           topK: int | None = None) -> DataFrame:
+    """RRF over N (query_id, doc_id, rank) frames:
+    ``score = Σ_s 1/(k + rank_s)``, sources added in LIST ORDER
+    (explicit left-to-right additions — replayable), docs absent
+    from a source contribute 0. Returns (query_id, doc_id,
+    rrf_score, rank); ``topK`` trims per query. The fusion is a
+    chain of full outer joins on (query_id, doc_id) — each input is
+    already top-k-sized per query, so every join is small however
+    big the corpora behind the rankings were."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    tagged = [r.select("query_id", "doc_id",
+                       F.col("rank").alias(f"__r{i}"))
+              for i, r in enumerate(rankings)]
+    joined = reduce(
+        lambda a, b2: a.join(b2, ["query_id", "doc_id"], "full_outer"),
+        tagged)
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"__r{i}")),
+            F.lit(0.0))
+    out = joined.select("query_id", "doc_id",
+                        F.round(score, 6).alias("rrf_score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc())
+    out = out.withColumn("rank", F.row_number().over(w))
+    if topK is not None:
+        out = out.filter(F.col("rank") <= topK)
+    return out

@@ -63,13 +63,14 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     sampled coalitions);
 # (c) the full 23-entry r5-stale block (select_project ..
 #     url_extract);
-# (d) 7 slots of round-6 greens (TPC-H residue + heaviest curation
+# (d) 5 slots of round-6 greens (TPC-H residue + heaviest curation
 #     first) + the new-this-round oracled-at-birth block:
 #     knn_ivf_pretrained, image_dhash_dedup, dsir_select,
-#     audio_fingerprint_dedup, video_dhash_dedup, knn_pq_adc.
+#     audio_fingerprint_dedup, video_dhash_dedup, knn_pq_adc,
+#     bm25_search, hybrid_rrf.
 #     Round-9 rotation backlog (r6-green, rotated out):
 #     perplexity_prune, exact_dedup, broadcast_join_revenue,
-#     ngram_jaccard, incremental_dedup, tpch_q21,
+#     ngram_jaccard, incremental_dedup, tpch_q19, tpch_q20, tpch_q21,
 #     semi_join, anti_join, top_k_per_group, pivot_status,
 #     rollup_counts, sessionize, window_hourly_agg, value_indexer,
 #     clean_missing, data_conversion, ts_featurize, multi_ngram,
@@ -95,7 +96,7 @@ _WINDOW_PRIORITY = (
     "partition_ops_identity", "tabular_shap_exact",
     "sequence_packing", "pii_redact", "url_extract",
     "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q16",
-    "tpch_q19", "tpch_q20", "knn_pq_adc",
+    "bm25_search", "hybrid_rrf", "knn_pq_adc",
     "dsir_select", "audio_fingerprint_dedup", "image_dhash_dedup",
     "video_dhash_dedup", "knn_ivf_pretrained",
 )
@@ -3954,6 +3955,155 @@ def knn_ivf_pretrained(spark, sf_dir):
     return out.select("query_id", "neighbor_id",
                       F.round("sim", 6).alias("sim"),
                       F.col("rank").alias("rk"))
+
+
+def _bm25_cte(k1: float = 1.2, b: float = 0.75,
+              qids: str = "3, 47, 101", qlen: int = 6) -> str:
+    """Shared BM25 WITH-fragment ending in CTE ``bm(query_id, doc_id,
+    score, rnk)`` — used by BOTH bm25_search and hybrid_rrf so the
+    idf/tf formula replay cannot drift between them. Every double op
+    mirrors retrieval.BM25Retriever operation-for-operation; the
+    per-(query, doc) fold runs in term-sorted order (list ORDER BY
+    term + left fold) exactly like the Spark array_sort fold."""
+    return f"""t AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(text, '[ \\t\\n\\r]+'),
+               x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), post AS (
+      SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS w FROM t)
+      GROUP BY doc_id, dl, w
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+      GROUP BY term
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+      FROM t
+    ), qterms AS (
+      SELECT DISTINCT doc_id AS qid, unnest(tk[1:{qlen}]) AS term
+      FROM t WHERE doc_id IN ({qids})
+    ), hits AS (
+      SELECT q.qid, p.doc_id, p.term,
+             ln(1.0 + (st.nn - d.df + 0.5) / (d.df + 0.5))
+             * (p.tf * {k1 + 1.0})
+             / (p.tf + {k1} * (1.0 - {b}
+                               + {b} * (CAST(p.dl AS DOUBLE)
+                                        / st.avgdl))) AS part
+      FROM qterms q JOIN post p USING (term)
+      JOIN dfq d ON d.term = p.term CROSS JOIN st
+    ), bm AS (
+      SELECT qid AS query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      FROM (SELECT qid, doc_id,
+                   round(list_reduce(
+                     list_prepend(0.0::DOUBLE,
+                                  list(part ORDER BY term)),
+                     (a2, b2) -> a2 + b2), 6) AS score
+            FROM hits GROUP BY qid, doc_id)
+    )"""
+
+
+def _bm25_oracle(k: int = 10) -> str:
+    return f"""
+    WITH {_bm25_cte()}
+    SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rk
+    FROM bm WHERE rnk <= {k}
+    """
+
+
+@register("bm25_search", oracle=_bm25_oracle())
+def bm25_search(spark, sf_dir):
+    """Okapi BM25 retrieval (BM25Retriever): queries are the first 6
+    tokens of docs 3/47/101, searched against the whole corpus. The
+    inverted index is one explode + groupBy(term, doc); document
+    frequency shares the postings' term key (one exchange); the tiny
+    query-term frame broadcasts onto it; N/avgdl ride a one-row
+    broadcast. Per-(query, doc) contributions fold in term-sorted
+    order — never an unordered float SUM — so the Lucene-variant idf
+    and tf saturation replay hash-exact; scores round to 6dp before
+    the top-10 rank."""
+    from mmlspark_spark.llm.retrieval import BM25Retriever
+
+    docs = _t(spark, sf_dir, "documents")
+    out = BM25Retriever(k=10).search(docs, _bm25_queries(docs))
+    return out.select("query_id", "doc_id", "score",
+                      F.col("rank").alias("rk"))
+
+
+def _bm25_queries(docs):
+    from mmlspark_spark.functions.text_quality import pinned_tokens
+
+    return (docs.filter(F.col("doc_id").isin(3, 47, 101))
+            .select(F.col("doc_id").alias("query_id"),
+                    F.array_join(F.slice(pinned_tokens("text"), 1, 6),
+                                 " ").alias("query")))
+
+
+def _hybrid_rrf_oracle(k: int = 10, rrf_k: float = 60.0) -> str:
+    return f"""
+    WITH {_bm25_cte()}, dn AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   q.embedding::DOUBLE[], d.embedding::DOUBLE[]) DESC,
+                 d.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings d
+          ON q.vec_id IN (3, 47, 101) AND d.vec_id <> q.vec_id)
+      WHERE rnk <= {k}
+    ), fused AS (
+      SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+             COALESCE(b.doc_id, d.doc_id) AS doc_id,
+             round(0.0 + COALESCE(1.0 / ({rrf_k} + b.rnk), 0.0)
+                       + COALESCE(1.0 / ({rrf_k} + d.rnk), 0.0), 6)
+               AS rrf_score
+      FROM (SELECT query_id, doc_id, rnk FROM bm WHERE rnk <= {k}) b
+      FULL OUTER JOIN dn d
+        ON b.query_id = d.query_id AND b.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, CAST(rnk2 AS INTEGER) AS rk
+    FROM (SELECT query_id, doc_id, rrf_score,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id) AS rnk2
+          FROM fused)
+    WHERE rnk2 <= {k}
+    """
+
+
+@register("hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 (sparse, documents) and exact cosine
+    (dense, embeddings) top-10 lists for queries 3/47/101, combined
+    by reciprocal rank fusion — score = 1/(60+rank_bm25) +
+    1/(60+rank_dense), sources added in list order, docs absent from
+    a source contributing 0 (Cormack et al. 2009; rank-only fusion
+    needs no cross-retriever score normalization). The fusion joins
+    two already-top-k frames, so it is small however large the
+    corpus; both source rankings and the fused scores replay
+    hash-exact."""
+    from mmlspark_spark.llm import BruteForceKNN
+    from mmlspark_spark.llm.retrieval import (
+        BM25Retriever,
+        reciprocal_rank_fusion,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = (BM25Retriever(k=10).search(docs, _bm25_queries(docs))
+          .select("query_id", "doc_id", "rank"))
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(3, 47, 101))
+    dn = (BruteForceKNN(idCol="vec_id", vecCol="embedding", k=10,
+                        method="expr").search(emb, q)
+          .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                  "rank"))
+    fused = reciprocal_rank_fusion([bm, dn], k=60, topK=10)
+    return fused.select("query_id", "doc_id", "rrf_score",
+                        F.col("rank").alias("rk"))
 
 
 def _knn_pq_oracle(M: int = 8, K: int = 16, ds: int = 8, k: int = 10,

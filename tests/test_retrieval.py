@@ -1,0 +1,90 @@
+"""BM25 + reciprocal-rank-fusion semantics, hand-computed."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _bm25_part(tf, df, dl, N, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_hand_computed(spark):
+    """Scores must equal the Okapi/Lucene formula computed by hand:
+    idf = ln(1 + (N−df+0.5)/(df+0.5)), tf saturation with k1=1.2,
+    b=0.75 length normalization."""
+    from mmlspark_spark.llm import BM25Retriever
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"),
+         (1, "banana cherry"),
+         (2, "cherry cherry cherry durian"),
+         (3, None)],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "apple cherry")], "query_id long, query string")
+    out = {r.doc_id: (r.score, r.rank)
+           for r in BM25Retriever(k=10).search(docs, queries).collect()}
+
+    N, avgdl = 3, (3 + 2 + 4) / 3
+    exp0 = _bm25_part(2, 1, 3, N, avgdl)           # apple in doc 0
+    exp1 = _bm25_part(1, 2, 2, N, avgdl)           # cherry in doc 1
+    exp2 = _bm25_part(3, 2, 4, N, avgdl)           # cherry in doc 2
+    assert set(out) == {0, 1, 2}
+    assert out[0][0] == pytest.approx(exp0, abs=1e-6)
+    assert out[1][0] == pytest.approx(exp1, abs=1e-6)
+    assert out[2][0] == pytest.approx(exp2, abs=1e-6)
+    # rare 'apple' (df=1) outweighs frequent 'cherry' (df=2)
+    assert out[0][1] == 1
+
+
+def test_bm25_stopword_pruning(spark):
+    """maxDfRatio drops corpus-wide terms from the index: a query of
+    ONLY the stopword matches nothing, and mixed-query scores lose
+    exactly the stopword contribution."""
+    from mmlspark_spark.llm import BM25Retriever
+
+    docs = spark.createDataFrame(
+        [(i, f"the unique{i}") for i in range(10)],
+        "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(1, "the"), (2, "the unique3")], "query_id long, query string")
+    out = BM25Retriever(k=10, maxDfRatio=0.5).search(docs, q).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.doc_id)
+    assert 1 not in by_q                 # stopword-only query: no hits
+    assert by_q[2] == [3]                # rare term still retrieves
+
+
+def test_rrf_fusion_hand_computed(spark):
+    """RRF: doc in both lists beats docs in one; absent source
+    contributes 0; 1/(60+rank) exactly."""
+    from mmlspark_spark.llm import reciprocal_rank_fusion
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, doc_id long, rank int")
+    rows = {r.doc_id: (r.rrf_score, r.rank)
+            for r in reciprocal_rank_fusion([a, b]).collect()}
+    assert rows[11][0] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    assert rows[10][0] == pytest.approx(1 / 61, abs=1e-6)
+    assert rows[12][0] == pytest.approx(1 / 62, abs=1e-6)
+    assert rows[11][1] == 1 and rows[10][1] == 2 and rows[12][1] == 3
+
+    with pytest.raises(ValueError, match="non-empty"):
+        reciprocal_rank_fusion([])
+
+
+def test_rrf_topk_trims_per_query(spark):
+    from mmlspark_spark.llm import reciprocal_rank_fusion
+
+    a = spark.createDataFrame(
+        [(1, d, d) for d in range(1, 6)] + [(2, 7, 1)],
+        "query_id long, doc_id long, rank int")
+    out = reciprocal_rank_fusion([a], topK=2).collect()
+    got = sorted((r.query_id, r.doc_id) for r in out)
+    assert got == [(1, 1), (1, 2), (2, 7)]
