@@ -558,3 +558,90 @@ class PQKNN:
         """Sampled-fit + ADC scan in one call (scale lane)."""
         return self.search_with_codebooks(data, queries,
                                           self.fit_codebooks(data))
+
+    # -------------------------------------------------- IVF-PQ
+    @staticmethod
+    def _l2(a, b):
+        """Squared L2 between two array columns — the direct (x−c)²
+        element fold, same formula as the subspace distances."""
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    def search_ivfpq(self, data: DataFrame, queries: DataFrame,
+                     centroids: DataFrame, codebooks: DataFrame,
+                     nProbe: int = 4, cellCol: str = "cell",
+                     centVecCol: str = "cvec", mCol: str = "m",
+                     codeCol: str = "code", cvecCol: str = "cvec") -> DataFrame:
+        """IVFADC — the composed billion-scale recipe (faiss's
+        IndexIVFPQ, Jégou 2011 §V): corpus vectors are assigned to
+        their nearest coarse cell (squared-L2, cell-ASC tie-break),
+        the RESIDUAL ``x − c_cell`` is PQ-encoded, and a query probes
+        its ``nProbe`` nearest cells with a PER-(query, cell)
+        residual lookup table — candidates meet on a cell EQUI-join
+        (never a corpus scan) and score with M lookups each.
+
+        Both the coarse quantizer and the codebooks are pre-trained
+        small frames (broadcast, never collected); everything is
+        Catalyst with order-pinned folds, so ``knn_ivfpq`` replays
+        hash-exact. Corpus assignment is a map-side ×nlist broadcast
+        expansion collapsed by a combinable max-struct partial
+        aggregate — the shuffle carries one row per corpus vector.
+
+        Returns (query_id, neighbor_id, adc_dist, rank)."""
+        dim = self._dim_of(data)
+        ds = dim // self.M
+        cents = F.broadcast(centroids.select(
+            F.col(cellCol).alias("__cell"),
+            F.col(centVecCol).alias("__cv")))
+        cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
+                                            cvecCol))
+        vec = F.col(self.vecCol)
+        d2 = self._l2(vec, F.col("__cv"))
+        res = F.zip_with(vec, F.col("__cv"), lambda x, c: x - c)
+        # corpus: argmin cell via combinable max(struct(-dist, -cell,
+        # residual)) — ties to the LOWEST cell id, like the IVF lane
+        dassign = (data.crossJoin(cents)
+                   .select(F.col(self.idCol).alias("d_id"),
+                           F.struct((-d2).alias("nd"),
+                                    (-F.col("__cell")).alias("nc"),
+                                    res.alias("r")).alias("__s"))
+                   .groupBy("d_id").agg(F.max("__s").alias("__b"))
+                   .select("d_id", (-F.col("__b.nc")).alias("__cell"),
+                           F.col("__b.r").alias("__res")))
+        dcodes = (dassign.crossJoin(cb)
+                  .select("d_id", "__cell",
+                          self._codes_expr(F.col("__res"), ds)
+                          .alias("__codes")))
+        # queries: top-nProbe cells by the same distance, then a
+        # residual LUT per probed cell
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("__d2").asc(), F.col("__cell").asc())
+        qprobe = (queries.crossJoin(cents)
+                  .select(F.col(self.idCol).alias("q_id"), "__cell",
+                          d2.alias("__d2"), res.alias("__res"))
+                  .withColumn("__rk", F.row_number().over(w))
+                  .filter(F.col("__rk") <= nProbe)
+                  .drop("__rk", "__d2"))
+        qluts = (qprobe.crossJoin(cb)
+                 .select("q_id", "__cell",
+                         self._lut_expr(F.col("__res"), ds)
+                         .alias("__lut")))
+        cand = dcodes.join(F.broadcast(qluts), "__cell")
+        if self.excludeSelf:
+            cand = cand.filter(F.col("q_id") != F.col("d_id"))
+        adc = F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.lit(self.M - 1)),
+                        lambda m: F.element_at(
+                            F.element_at("__lut", m + 1),
+                            F.element_at("__codes", m + 1) + 1)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        scored = (cand.select(F.col("q_id").alias("query_id"),
+                              F.col("d_id").alias("neighbor_id"),
+                              adc.alias("adc_dist"))
+                  .dropDuplicates(["query_id", "neighbor_id"]))
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w2))
+                .filter(F.col("rank") <= self.k)
+                .select("query_id", "neighbor_id", "adc_dist", "rank"))

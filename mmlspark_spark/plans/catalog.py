@@ -63,14 +63,15 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     sampled coalitions);
 # (c) the full 23-entry r5-stale block (select_project ..
 #     url_extract);
-# (d) 5 slots of round-6 greens (TPC-H residue + heaviest curation
+# (d) 4 slots of round-6 greens (TPC-H residue + heaviest curation
 #     first) + the new-this-round oracled-at-birth block:
 #     knn_ivf_pretrained, image_dhash_dedup, dsir_select,
 #     audio_fingerprint_dedup, video_dhash_dedup, knn_pq_adc,
-#     bm25_search, hybrid_rrf.
+#     bm25_search, hybrid_rrf, knn_ivfpq.
 #     Round-9 rotation backlog (r6-green, rotated out):
 #     perplexity_prune, exact_dedup, broadcast_join_revenue,
-#     ngram_jaccard, incremental_dedup, tpch_q19, tpch_q20, tpch_q21,
+#     ngram_jaccard, incremental_dedup, tpch_q16, tpch_q19, tpch_q20,
+#     tpch_q21,
 #     semi_join, anti_join, top_k_per_group, pivot_status,
 #     rollup_counts, sessionize, window_hourly_agg, value_indexer,
 #     clean_missing, data_conversion, ts_featurize, multi_ngram,
@@ -95,7 +96,7 @@ _WINDOW_PRIORITY = (
     "multi_column_adapter", "drop_missing", "minibatch_roundtrip",
     "partition_ops_identity", "tabular_shap_exact",
     "sequence_packing", "pii_redact", "url_extract",
-    "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "tpch_q16",
+    "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "knn_ivfpq",
     "bm25_search", "hybrid_rrf", "knn_pq_adc",
     "dsir_select", "audio_fingerprint_dedup", "image_dhash_dedup",
     "video_dhash_dedup", "knn_ivf_pretrained",
@@ -4187,6 +4188,121 @@ def knn_pq_adc(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 5)
     out = PQKNN(idCol="vec_id", vecCol="embedding", k=10, M=8, K=16,
                 dim=64).search_with_codebooks(emb, q, cb)
+    return out.select("query_id", "neighbor_id",
+                      F.round("adc_dist", 6).alias("adc"),
+                      F.col("rank").alias("rk"))
+
+
+def _knn_ivfpq_oracle(M: int = 8, K: int = 16, ds: int = 8,
+                      dim: int = 64, nlist: int = 8, nProbe: int = 3,
+                      k: int = 10, nq: int = 5) -> str:
+    """Replays PQKNN.search_ivfpq (IVFADC) end-to-end: squared-L2
+    coarse assignment with cell-ASC tie-break (corpus argmin, query
+    top-nProbe), residual computation, residual PQ encoding against
+    the shared codebooks, the per-(query, cell) residual LUT, the
+    m-ascending ADC fold, and the distance-ASC top-k — all folds in
+    the exact Catalyst element order."""
+    from mmlspark_spark.plans.duckdb_xxh import fold_sum
+
+    l2 = fold_sum("(e.v[i2] - c.cv[i2]) * (e.v[i2] - c.cv[i2])", dim)
+    sub2 = fold_sum("(sub[i2] - cvec[i2]) * (sub[i2] - cvec[i2])", ds)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id - 200 AS cell, v AS cv FROM e
+      WHERE vec_id BETWEEN 200 AND {200 + nlist - 1}
+    ), cb AS (
+      SELECT vec_id // {K} AS m, vec_id % {K} AS code,
+             v[(vec_id // {K}) * {ds} + 1 : (vec_id // {K}) * {ds} + {ds}]
+               AS cvec
+      FROM e WHERE vec_id < {M * K}
+    ), dd AS (
+      SELECT e.vec_id AS d_id, c.cell, {l2} AS d2,
+             list_transform(range(1, {dim + 1}),
+                            i9 -> e.v[i9] - c.cv[i9]) AS res
+      FROM e, c
+    ), dass AS (
+      SELECT d_id, cell, res FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY d_id ORDER BY d2 ASC, cell ASC) AS rk
+        FROM dd) WHERE rk = 1
+    ), ddist AS (
+      SELECT d_id, cell, m, code, {sub2} AS dv
+      FROM (SELECT a.d_id, a.cell, b.m, b.code,
+                   a.res[b.m * {ds} + 1 : b.m * {ds} + {ds}] AS sub,
+                   b.cvec
+            FROM dass a, cb b)
+    ), dcode AS (
+      SELECT d_id, cell, m,
+             list_position(l, list_aggregate(l, 'min')) - 1 AS code
+      FROM (SELECT d_id, cell, m, list(dv ORDER BY code) AS l
+            FROM ddist GROUP BY d_id, cell, m)
+    ), qass AS (
+      SELECT d_id AS q_id, cell, res FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY d_id ORDER BY d2 ASC, cell ASC) AS rk
+        FROM dd WHERE d_id < {nq}) WHERE rk <= {nProbe}
+    ), qdist AS (
+      SELECT q_id, cell, m, code, {sub2} AS dv
+      FROM (SELECT a.q_id, a.cell, b.m, b.code,
+                   a.res[b.m * {ds} + 1 : b.m * {ds} + {ds}] AS sub,
+                   b.cvec
+            FROM qass a, cb b)
+    ), adc AS (
+      SELECT q_id, d_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+                                      list(val ORDER BY m)),
+                         (a2, b2) -> a2 + b2) AS adc
+      FROM (SELECT qd.q_id, dc.d_id, dc.m, qd.dv AS val
+            FROM dcode dc JOIN qdist qd
+              ON qd.cell = dc.cell AND qd.m = dc.m
+             AND qd.code = dc.code
+            WHERE qd.q_id <> dc.d_id)
+      GROUP BY q_id, d_id
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT q_id AS query_id, d_id AS neighbor_id, adc,
+                 row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY adc ASC, d_id ASC) AS rk
+          FROM adc)
+    WHERE rk <= {k}
+    """
+
+
+@register("knn_ivfpq", oracle=_knn_ivfpq_oracle())
+def knn_ivfpq(spark, sf_dir):
+    """IVFADC (PQKNN.search_ivfpq) — the composed billion-scale ANN
+    recipe: 8 pre-trained coarse cells (embeddings 200..207), corpus
+    residuals PQ-encoded against the shared 8×16 codebooks, queries
+    probing their 3 nearest cells with per-(query, cell) residual
+    LUTs, candidates meeting on a cell equi-join and scoring with 8
+    lookups each. Corpus assignment is a map-side ×8 broadcast
+    expansion collapsed by a combinable max-struct aggregate (one
+    shuffled row per vector); nothing scans the corpus per query.
+    Fully replayed by the oracle — coarse L2 folds, residuals,
+    argmin codes, ADC folds, top-k all order-pinned."""
+    from mmlspark_spark.llm.similarity import PQKNN
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    cents = (emb.filter(F.col("vec_id").between(200, 207))
+             .select((F.col("vec_id") - 200).alias("cell"),
+                     F.col("embedding").alias("cvec")))
+    cbooks = (emb.filter(F.col("vec_id") < 128)
+              .select(F.expr("vec_id div 16").cast("int").alias("m"),
+                      (F.col("vec_id") % 16).cast("int").alias("code"),
+                      F.slice("embedding",
+                              F.expr("(vec_id div 16) * 8 + 1")
+                              .cast("int"), 8).alias("cvec")))
+    q = emb.filter(F.col("vec_id") < 5)
+    out = PQKNN(idCol="vec_id", vecCol="embedding", k=10, M=8, K=16,
+                dim=64).search_ivfpq(emb, q, cents, cbooks, nProbe=3)
     return out.select("query_id", "neighbor_id",
                       F.round("adc_dist", 6).alias("adc"),
                       F.col("rank").alias("rk"))

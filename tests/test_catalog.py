@@ -74,6 +74,7 @@ ALLOWED_LINT = {
     # broadcast side is the small query-LUT frame) — not an O(N²)
     # accident
     "knn_pq_adc": {"BroadcastNestedLoopJoin"},
+    "knn_ivfpq": {"BroadcastNestedLoopJoin"},  # cells+codebook broadcast expansions
     # one-row corpus stats (N, avgdl) broadcast onto the postings
     "bm25_search": {"BroadcastNestedLoopJoin"},
     "hybrid_rrf": {"BroadcastNestedLoopJoin"},

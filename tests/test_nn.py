@@ -236,3 +236,45 @@ def test_pq_sampled_fit_recall_vs_bruteforce(spark):
         exact = set(np.argsort(d2, kind="stable")[:10].tolist())
         recalls.append(len(got[qi] & exact) / 10)
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_ivfpq_exact_when_residual_error_zero(spark):
+    """IVFADC correctness pin: when every corpus vector is its cell
+    centroid plus an exact concatenation of codebook words, the
+    residual quantizes losslessly, so for neighbors in a probed cell
+    the ADC distance equals the TRUE squared L2 to full precision."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import PQKNN
+
+    M, K, ds = 4, 8, 3
+    rng = np.random.default_rng(29)
+    books = rng.normal(size=(M, K, ds))
+    cents = np.stack([np.full(M * ds, 40.0), np.full(M * ds, -40.0)])
+    cb = spark.createDataFrame(
+        [(m, c, [float(x) for x in books[m, c]])
+         for m in range(M) for c in range(K)],
+        "m int, code int, cvec array<double>")
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(2)],
+        "cell int, cvec array<double>")
+
+    picks = rng.integers(0, K, size=(20, M))
+    corpus = [(i, [float(cents[i % 2][j * ds + e] + books[j, picks[i, j], e])
+                   for j in range(M) for e in range(ds)])
+              for i in range(20)]
+    data = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, [float(x) for x in cents[0] + rng.normal(size=M * ds)])],
+        "vec_id long, embedding array<double>")
+
+    pq = PQKNN(idCol="vec_id", vecCol="embedding", k=20, M=M, K=K,
+               dim=M * ds, excludeSelf=False)
+    out = pq.search_ivfpq(data, queries, cdf, cb, nProbe=1).collect()
+    xs = {i: np.array(v) for i, v in corpus}
+    qv = np.array(queries.collect()[0].embedding)
+    assert out  # the probed cell (cell 0) holds the even-id vectors
+    for r in out:
+        assert r.neighbor_id % 2 == 0          # only cell-0 members
+        true = float(np.sum((qv - xs[r.neighbor_id]) ** 2))
+        assert abs(r.adc_dist - true) < 1e-8
