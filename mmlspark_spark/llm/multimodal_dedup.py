@@ -60,25 +60,58 @@ from mmlspark_spark.llm.dedup import _hamming_band_pairs
 DHASH_H, DHASH_W = 8, 8  # grid is DHASH_H rows × (DHASH_W + 1) cols
 
 
+def _let(col: Column | str, build) -> Column:
+    """Let-bind ``col`` to a lambda variable before building an
+    expression that references it many times. The fingerprint
+    expressions reference their grid 200+ times (64 bit terms × 4
+    cell reads + the validity guard); when the grid is itself a wide
+    synthesized expression, Catalyst's CollapseProject re-inlines the
+    WHOLE subtree at every reference — observed as a planner
+    OutOfMemoryError on an 81-cell xxhash grid. Lambda variables are
+    never inlined, so ``transform(array(g), v -> body)[1]`` keeps the
+    grid expression in the tree exactly once (the Spark twin of
+    duckdb_xxh's list_transform let idiom)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.element_at(F.transform(F.array(c), build), 1)
+
+
+def _valid_grid(g: Column, rows: int, cols: int) -> Column:
+    """True iff ``g`` is a non-NULL array of ≥ ``rows`` rows, each a
+    non-NULL array of ≥ ``cols`` cells. The bit expressions index
+    g[r][c] with GetArrayItem, which THROWS under ANSI mode (Spark 4
+    default) on out-of-bounds — one malformed row must not abort a
+    100 TB job, so every grid lane guards with this predicate and
+    yields NULL (→ dropped by the fingerprint filter), mirroring the
+    struct lanes' skip-corrupt-rows contract."""
+    return (g.isNotNull() & (F.size(g) >= rows)
+            & ~F.exists(g, lambda row: row.isNull()
+                        | (F.size(row) < cols)))
+
+
 def dhash_expr(gray: Column | str) -> Column:
     """64-bit dHash of an ``array<array<int>)`` grayscale grid already
     sized (8, 9) — pure Catalyst, map-side, shuffle-free at any scale.
     Bit ``r*8+c`` is set iff ``g[r][c] > g[r][c+1]``; assembly sums 64
     disjoint-bit longs (bit 63 as its two's-complement negative), so
-    no intermediate exceeds the long range under ANSI mode."""
-    g = F.col(gray) if isinstance(gray, str) else gray
-    terms = []
-    for r in range(DHASH_H):
-        for c in range(DHASH_W):
-            j = r * DHASH_W + c
-            p = (1 << j) if j < 63 else -(1 << 63)
-            terms.append(
-                F.when(g[r][c] > g[r][c + 1], F.lit(p).cast("long"))
-                .otherwise(F.lit(0).cast("long")))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    no intermediate exceeds the long range under ANSI mode. NULL or
+    undersized grids yield NULL (NOT 0 — a sum of otherwise(0) terms
+    would silently fingerprint every bad row to 0, colliding them all
+    into one ghost bucket with genuinely-flat images)."""
+    def build(g):
+        terms = []
+        for r in range(DHASH_H):
+            for c in range(DHASH_W):
+                j = r * DHASH_W + c
+                p = (1 << j) if j < 63 else -(1 << 63)
+                terms.append(
+                    F.when(g[r][c] > g[r][c + 1], F.lit(p).cast("long"))
+                    .otherwise(F.lit(0).cast("long")))
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return F.when(_valid_grid(g, DHASH_H, DHASH_W + 1), out)
+
+    return _let(gray, build)
 
 
 def _dhash_np(gray_8x9: np.ndarray) -> int:
@@ -95,7 +128,14 @@ class ImageDHashDeduplicator(Transformer):
     buckets → capped upper-triangle pairs → Hamming filter (the
     recall/cap contracts of :class:`~mmlspark_spark.llm.dedup.
     SimHashDeduplicator` apply unchanged — a candidate is guaranteed
-    below Hamming < ``bands``).
+    only when Hamming < ``bands``).
+
+    Recall region: with the defaults (bands=4, maxHammingDistance=6)
+    pairs at Hamming ≤ 3 are found with certainty (pigeonhole); pairs
+    at Hamming 4–6 are found only if one 16-bit chunk happens to
+    match — PARTIAL recall, the deliberate LSH trade. Raise ``bands``
+    (e.g. 7, with ≥9-bit chunks) for full recall up to the threshold
+    at the cost of more bucket rows.
 
     ``imageCol`` may be an ImageSchema struct (decoded pixels; numpy
     luma+resize lane) or an ``array<array<int>>`` grayscale grid
@@ -186,21 +226,25 @@ def audio_fingerprint_expr(grid: Column | str) -> Column:
     complement negative), so no intermediate exceeds the long range
     under ANSI mode. Uniform gain scaling multiplies every difference
     by the same positive factor — signs, and hence the fingerprint,
-    are invariant."""
-    g = F.col(grid) if isinstance(grid, str) else grid
-    terms = []
-    for t in range(AFP_T):
-        for f in range(AFP_B):
-            j = t * AFP_B + f
-            p = (1 << j) if j < 63 else -(1 << 63)
-            d = ((g[t + 1][f] - g[t + 1][f + 1])
-                 - (g[t][f] - g[t][f + 1]))
-            terms.append(F.when(d > 0, F.lit(p).cast("long"))
-                         .otherwise(F.lit(0).cast("long")))
-    out = terms[0]
-    for term in terms[1:]:
-        out = out + term
-    return out
+    are invariant. NULL or undersized grids yield NULL (dropped by
+    the fingerprint filter), never 0 — silence legitimately hashes
+    to 0, so bad rows must not collide with it."""
+    def build(g):
+        terms = []
+        for t in range(AFP_T):
+            for f in range(AFP_B):
+                j = t * AFP_B + f
+                p = (1 << j) if j < 63 else -(1 << 63)
+                d = ((g[t + 1][f] - g[t + 1][f + 1])
+                     - (g[t][f] - g[t][f + 1]))
+                terms.append(F.when(d > 0, F.lit(p).cast("long"))
+                             .otherwise(F.lit(0).cast("long")))
+        out = terms[0]
+        for term in terms[1:]:
+            out = out + term
+        return F.when(_valid_grid(g, AFP_T + 1, AFP_B + 1), out)
+
+    return _let(grid, build)
 
 
 def _afp_np(energy_9x9: np.ndarray) -> int:
@@ -217,7 +261,10 @@ class AudioFingerprintDeduplicator(Transformer):
     """Near-duplicate audio pairs via the Haitsma-Kalker spectral
     binary fingerprint: fingerprint → banded chunk buckets → capped
     upper-triangle pairs → Hamming filter (recall/cap contracts of
-    the SimHash/ImageDHash family apply unchanged).
+    the SimHash/ImageDHash family apply unchanged; as there, recall
+    is certain only below Hamming < ``bands`` — the default
+    maxHammingDistance=6 > bands−1 region has partial LSH recall,
+    raise ``bands`` for certainty up to the threshold).
 
     ``audioCol`` may be an AUDIO_SCHEMA struct (decoded PCM; numpy
     STFT → log-mel → time-pooling lane, reusing the Spectrogram
@@ -275,8 +322,18 @@ class AudioFingerprintDeduplicator(Transformer):
                 for rid, a in zip(pdf[id_col], pdf[audio_col]):
                     if a is None or a["data"] is None:
                         continue
-                    if len(bytes(a["data"])) % 2:
-                        continue  # torn PCM16 payload: skip, not fail
+                    try:
+                        ch = int(a["channels"])
+                        rate0 = int(a["sampleRate"])
+                    except (TypeError, ValueError):
+                        continue  # garbage metadata: skip, not fail
+                    if ch < 1 or rate0 < 1:
+                        continue
+                    # torn payload: must hold whole int16 FRAMES —
+                    # a stereo blob with an odd sample count passes a
+                    # bare %2 check but crashes the channel reshape
+                    if len(bytes(a["data"])) % (2 * ch):
+                        continue
                     x = _pcm_to_float(a)
                     if len(x) < n_fft + (AFP_T) * hop:
                         continue  # < 9 frames: nothing to fingerprint
@@ -284,10 +341,10 @@ class AudioFingerprintDeduplicator(Transformer):
                     frames = np.stack([x[s:s + n_fft] for s in starts])
                     spec = np.abs(np.fft.rfft(frames * window,
                                               axis=1)) ** 2
-                    rate = int(a["sampleRate"])
-                    if rate not in fbs:
-                        fbs[rate] = mel_filterbank(AFP_B + 1, n_fft,
-                                                   rate)
+                    if rate0 not in fbs:
+                        fbs[rate0] = mel_filterbank(AFP_B + 1, n_fft,
+                                                    rate0)
+                    rate = rate0
                     mel = np.log10(spec @ fbs[rate].T + 1e-10)
                     pooled = np.stack([seg.mean(axis=0) for seg in
                                        np.array_split(mel, AFP_T + 1)])
@@ -365,8 +422,14 @@ class VideoDHashDeduplicator(Transformer):
             hashes = F.col(self.videoCol)  # precomputed longs
         else:
             return self._frame_hashes_struct(df)
+        # NULL frame hashes (corrupt/undersized grids, NULL entries in
+        # a precomputed array) are dropped BEFORE distinct — they must
+        # not become a shared ghost frame linking unrelated videos; a
+        # video with zero valid frames drops with the empty explode
         return (df.select(F.col(self.idCol).alias("__id"),
-                          F.explode(F.array_distinct(hashes))
+                          F.explode(F.array_distinct(
+                              F.filter(hashes,
+                                       lambda h: h.isNotNull())))
                           .alias("__fh")))
 
     def _frame_hashes_struct(self, df: DataFrame) -> DataFrame:

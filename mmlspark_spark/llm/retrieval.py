@@ -88,10 +88,17 @@ class BM25Retriever:
         k1, b = self.k1, self.b
         post = self.postings(docs)
         dfreq = post.groupBy("__t").agg(F.count("*").alias("__df"))
+        stats = self._stats(docs)
         if self.maxDfRatio is not None:
-            # stopword cut: join back the one-row N and drop hot terms
+            # the stats subtree is a full corpus tokenize pass and
+            # now has TWO consumers (the stopword cut + scoring) —
+            # persist the one-row result so it runs once
+            from mmlspark_spark.core.cache import persist_intermediate
+
+            stats = persist_intermediate(stats)
+            cached = [stats]
             dfreq = (dfreq.crossJoin(F.broadcast(
-                self._stats(docs).select("__N")))
+                stats.select("__N")))
                 .filter(F.col("__df")
                         <= F.lit(self.maxDfRatio) * F.col("__N"))
                 .drop("__N"))
@@ -104,7 +111,7 @@ class BM25Retriever:
         # query-term frame broadcasts onto it
         hits = (post.join(dfreq, "__t")
                 .join(F.broadcast(qterms), "__t")
-                .crossJoin(F.broadcast(self._stats(docs))))
+                .crossJoin(F.broadcast(stats)))
         idf = F.log(
             F.lit(1.0)
             + ((F.col("__N") - F.col("__df") + F.lit(0.5))
@@ -128,11 +135,16 @@ class BM25Retriever:
                           .alias("score")))
         w = Window.partitionBy("__q").orderBy(
             F.col("score").desc(), F.col("__doc").asc())
-        return (scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= self.k)
-                .select(F.col("__q").alias("query_id"),
-                        F.col("__doc").alias("doc_id"),
-                        "score", "rank"))
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= self.k)
+               .select(F.col("__q").alias("query_id"),
+                       F.col("__doc").alias("doc_id"),
+                       "score", "rank"))
+        if self.maxDfRatio is not None:
+            from mmlspark_spark.core.cache import attach_intermediates
+
+            out = attach_intermediates(out, *cached)
+        return out
 
 
 def reciprocal_rank_fusion(rankings: list[DataFrame], k: int = 60,

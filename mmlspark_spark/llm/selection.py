@@ -55,6 +55,16 @@ from mmlspark_spark.functions.text_quality import pinned_tokens
 _TWO64 = float(1 << 64)
 
 
+def _check_buckets(buckets: int) -> None:
+    """Power-of-two contract: ``h & (buckets-1)`` is only a modulo
+    for powers of two — anything else aliases buckets and silently
+    corrupts every importance score. A real raise, not an assert
+    (asserts vanish under ``python -O``)."""
+    if buckets < 2 or buckets & (buckets - 1) != 0:
+        raise ValueError("buckets must be a power of two (signed "
+                         "bit-AND and unsigned modulo must agree)")
+
+
 def hashed_grams(text: Column | str, buckets: int) -> Column:
     """``array<long>`` of hashed-ngram bucket ids for a document, in
     the pinned fold order (all unigrams, then all bigrams, each in
@@ -62,7 +72,7 @@ def hashed_grams(text: Column | str, buckets: int) -> Column:
     of ``("a","b")`` is ``xxhash64("a b") & (buckets-1)`` — string
     hashing keeps the feature space identical however the gram was
     produced. Map-side only."""
-    assert buckets & (buckets - 1) == 0, "buckets must be a power of 2"
+    _check_buckets(buckets)
     t = pinned_tokens(text)
     n1 = F.greatest(F.size(t) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -82,6 +92,7 @@ class DSIRModel(Model):
     def __init__(self, ratioRow: DataFrame = None, idCol: str = "doc_id",  # noqa: D107
                  textCol: str = "text", buckets: int = 4096,
                  seed: int = 42, scoreCol: str = "dsir_score"):
+        _check_buckets(buckets)  # a directly-constructed model too
         super().__init__(idCol=idCol, textCol=textCol, buckets=buckets,
                          seed=seed, scoreCol=scoreCol)
         self.ratioRow = ratioRow
@@ -141,9 +152,23 @@ class DSIRModel(Model):
         if k is not None:
             return keyed.orderBy(F.desc("gumbel_key"), F.col(self.idCol)
                                  ).limit(k)
-        thr = keyed.stat.approxQuantile(
-            "gumbel_key", [1.0 - fraction], 0.001)[0]
-        return keyed.filter(F.col("gumbel_key") >= F.lit(thr))
+        # approxQuantile is an eager action over the full scored
+        # frame and the returned filter re-reads it: without a
+        # persist the tokenize+hash+fold pipeline (the dominant cost)
+        # would run TWICE. Handle attached for the caller to release.
+        from mmlspark_spark.core.cache import (
+            attach_intermediates,
+            persist_intermediate,
+        )
+
+        keyed = persist_intermediate(keyed)
+        qs = keyed.stat.approxQuantile(
+            "gumbel_key", [1.0 - fraction], 0.001)
+        if not qs:  # empty frame: no quantile, nothing to select
+            return attach_intermediates(
+                keyed.filter(F.lit(False)), keyed)
+        return attach_intermediates(
+            keyed.filter(F.col("gumbel_key") >= F.lit(qs[0])), keyed)
 
 
 class DSIRSelector(Transformer):
@@ -159,9 +184,7 @@ class DSIRSelector(Transformer):
     def __init__(self, idCol: str = "doc_id", textCol: str = "text",  # noqa: D107
                  buckets: int = 4096, smoothing: float = 1.0,
                  seed: int = 42, scoreCol: str = "dsir_score"):
-        if buckets & (buckets - 1) != 0:
-            raise ValueError("buckets must be a power of two (signed "
-                             "bit-AND and unsigned modulo must agree)")
+        _check_buckets(buckets)
         super().__init__(idCol=idCol, textCol=textCol, buckets=buckets,
                          smoothing=smoothing, seed=seed, scoreCol=scoreCol)
 

@@ -467,10 +467,17 @@ class PQKNN:
                          for m in range(self.M)])
 
     def _dim_of(self, df: DataFrame) -> int:
-        if self.dim is not None:
-            return self.dim
-        row = df.select(F.size(self.vecCol)).first()
-        return int(row[0])
+        dim = (self.dim if self.dim is not None
+               else int(df.select(F.size(self.vecCol)).first()[0]))
+        if dim % self.M:
+            # silent truncation would drop the trailing dim % M
+            # dimensions from every distance — wrong neighbors, no
+            # error — so the contract is enforced at every entry
+            # point (encode/search/fit all come through here)
+            raise ValueError(
+                f"vector dim {dim} is not divisible by M={self.M}; "
+                f"PQ subspaces must partition the vector exactly")
+        return dim
 
     # -------------------------------------------------- public lanes
     def encode_with_codebooks(self, data: DataFrame, codebooks: DataFrame,

@@ -1041,3 +1041,22 @@ def test_dsir_fraction_lane_and_edges(spark):
         DSIRSelector(buckets=100)
     with _pytest.raises(ValueError, match="k / fraction"):
         model.resample(df)
+
+
+def test_dsir_fraction_empty_frame_and_model_validation(spark):
+    """Review-fix pins: fraction lane on an empty frame returns empty
+    (approxQuantile yields no threshold) instead of IndexError; a
+    directly-constructed DSIRModel rejects non-power-of-two buckets
+    with a real ValueError (not a stripped assert)."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm import DSIRModel, DSIRSelector
+
+    df = _dsir_corpus(spark)
+    sel = DSIRSelector(buckets=64, seed=1)
+    model = sel.fit(df.filter("doc_id < 10"), df)
+    empty = df.filter("doc_id < 0")
+    assert model.resample(empty, fraction=0.5).count() == 0
+
+    with _pytest.raises(ValueError, match="power of two"):
+        DSIRModel(ratioRow=model.ratioRow, buckets=1000)

@@ -645,3 +645,73 @@ def test_video_dhash_hot_frame_cap_and_precomputed_lane(spark):
         idCol="doc_id", videoCol="clip", minOverlap=0.5,
         maxDocsPerFrameHash=None).transform(df).count()
     assert uncapped > 1  # without the cap the hot frame links everyone
+
+
+def test_grid_lanes_null_and_undersized_rows_drop(spark):
+    """Review-fix pins: NULL or undersized grids must fingerprint to
+    NULL and DROP — never to 0, which would ghost-bucket them with
+    each other and with genuinely flat images/silence — and must not
+    throw INVALID_ARRAY_INDEX under ANSI mode."""
+    from mmlspark_spark.llm import (
+        AudioFingerprintDeduplicator,
+        ImageDHashDeduplicator,
+        VideoDHashDeduplicator,
+    )
+
+    flat = [[5] * 9] * 8                       # legit all-flat: hash 0
+    short = [[5] * 9] * 7                      # 7 rows: undersized
+    ragged = [[5] * 9] * 7 + [[5] * 4]         # 8 rows, one too narrow
+    img = spark.createDataFrame(
+        [(0, flat), (1, None), (2, short), (3, ragged), (4, flat)],
+        "doc_id long, image array<array<int>>")
+    dd = ImageDHashDeduplicator(idCol="doc_id", imageCol="image")
+    fps = {r["__id"]: r["__sh"] for r in dd.fingerprints(img).collect()}
+    assert set(fps) == {0, 4} and fps[0] == 0   # only real flats remain
+    pairs = {(r.doc_a, r.doc_b)
+             for r in dd.transform(img).collect()}
+    assert pairs == {(0, 4)}
+
+    silence = [[0.0] * 9] * 9
+    aud = spark.createDataFrame(
+        [(0, silence), (1, None), (2, [[0.0] * 9] * 5), (3, silence)],
+        "doc_id long, energy array<array<double>>")
+    add = AudioFingerprintDeduplicator(idCol="doc_id", audioCol="energy")
+    apairs = {(r.doc_a, r.doc_b) for r in add.transform(aud).collect()}
+    assert apairs == {(0, 3)}
+
+    # video grid lane: a NULL/corrupt frame inside the clip is
+    # dropped, not hashed to a shared ghost frame
+    f1 = [[int(7 * r + c) for c in range(9)] for r in range(8)]
+    vid = spark.createDataFrame(
+        [(0, [f1, None]), (1, [None, [[1] * 9] * 3]), (2, [f1])],
+        "doc_id long, clip array<array<array<int>>>")
+    vdd = VideoDHashDeduplicator(idCol="doc_id", videoCol="clip",
+                                 minOverlap=0.5)
+    vpairs = {(r.doc_a, r.doc_b): r.matches
+              for r in vdd.transform(vid).collect()}
+    assert vpairs == {(0, 2): 1}   # doc 1 has zero valid frames
+
+
+def test_audio_struct_lane_torn_stereo_payload_skipped(spark):
+    """A stereo payload whose int16 count is odd passes a naive %2
+    byte check but crashes the channel reshape — must be skipped."""
+    import numpy as np
+
+    from mmlspark_spark.llm import AudioFingerprintDeduplicator
+
+    rng = np.random.default_rng(3)
+    good = np.clip(np.round(
+        0.4 * rng.standard_normal(16000) * 32767), -32768, 32767
+    ).astype(np.int16)
+    torn = b"\x01\x02" * 4001            # 4001 samples, 2 channels
+    rows = [(0, ("m", 8000, 1, 16000, good.tobytes())),
+            (1, ("m", 8000, 2, 2000, torn)),
+            (2, ("m", 8000, 0, 0, b"\x00\x00")),     # zero channels
+            (3, ("m", None, 1, 10, b"\x00\x00"))]    # null rate
+    df = spark.createDataFrame(
+        rows, "doc_id long, audio struct<origin:string,sampleRate:int,"
+        "channels:int,numSamples:bigint,data:binary>")
+    fps = (AudioFingerprintDeduplicator(idCol="doc_id",
+                                        audioCol="audio")
+           .fingerprints(df).collect())
+    assert [r["__id"] for r in fps] == [0]

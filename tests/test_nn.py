@@ -278,3 +278,18 @@ def test_ivfpq_exact_when_residual_error_zero(spark):
         assert r.neighbor_id % 2 == 0          # only cell-0 members
         true = float(np.sum((qv - xs[r.neighbor_id]) ** 2))
         assert abs(r.adc_dist - true) < 1e-8
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    """dim % M != 0 must raise, not silently truncate the trailing
+    dimensions out of every distance."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm.similarity import PQKNN
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 65)], "vec_id long, embedding array<double>")
+    cb = spark.createDataFrame(
+        [(0, 0, [0.0] * 8)], "m int, code int, cvec array<double>")
+    with _pytest.raises(ValueError, match="divisible"):
+        PQKNN(M=8).encode_with_codebooks(df, cb)
