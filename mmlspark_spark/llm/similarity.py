@@ -652,3 +652,153 @@ class PQKNN:
         return (scored.withColumn("rank", F.row_number().over(w2))
                 .filter(F.col("rank") <= self.k)
                 .select("query_id", "neighbor_id", "adc_dist", "rank"))
+
+
+class ScalarQuantizerKNN:
+    """Scalar-quantization ANN (faiss ``IndexScalarQuantizer`` SQ8
+    family) — the UNIFORM compressed scale path, complementing PQKNN:
+    each dimension is quantized independently to ``2^bits`` uniform
+    levels between that dimension's corpus [lo, hi] bounds, so a
+    d-dim float64 vector becomes d small codes (d bytes at bits=8,
+    an 8× shrink) with NO trained codebooks — the fit is two exact
+    aggregates per dimension.
+
+    Unlike k-means-fitted quantizers (IVF/PQ sampled-fit lanes), the
+    fit here is fully deterministic — per-dimension ``min``/``max``
+    are exact one-pass aggregates — so the ENTIRE fit→encode→search
+    pipeline replays bit-exact in SQL (``knn_sq8`` catalog oracle);
+    there is no rows-only lane.
+
+    Encode: ``code_i = clamp(floor((x_i − lo_i)/Δ_i + 0.5), 0,
+    2^bits−1)`` with ``Δ_i = (hi_i − lo_i)/(2^bits−1)`` —
+    ``floor(r + 0.5)`` (never ``round``) because both engines
+    evaluate it with identical IEEE operations, while round()
+    half-way dialects differ. Constant dimensions (hi = lo) encode
+    to 0 and reconstruct to ``lo_i`` exactly (Δ_i = 0). Out-of-bound
+    values (bring-your-own bounds) clamp to the edge codes.
+
+    Search is asymmetric: the exact query against the on-the-fly
+    reconstruction ``lo_i + code_i·Δ_i``, squared L2 as the direct
+    ``(q−x̂)²`` element-order left fold (float-parity rule: same
+    formula, same order, both engines).
+
+    Scale shape: fit is ONE map-side-combined aggregate pass emitting
+    a single (lo, hi) row (2d doubles); encoding is map-only under
+    the broadcast bounds; search reconstructs corpus-side below a
+    broadcast cross join against the (small) query frame and
+    collapses through the top-k window — the same plan skeleton as
+    BruteForceKNN's expr lane, but the stored index is 8× smaller
+    and the scan reads codes, not floats. Parity target:
+    reference core BallTree/KNN surface (io/http KNN variants) keeps
+    raw vectors; this operator is the compressed-index counterpart.
+    """
+
+    def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
+                 k: int = 10, bits: int = 8, dim: int | None = None,
+                 excludeSelf: bool = True):
+        if not 1 <= bits <= 16:
+            raise ValueError(f"bits={bits} outside [1, 16]")
+        self.idCol, self.vecCol, self.k = idCol, vecCol, k
+        self.bits, self.dim = bits, dim
+        self.levels = (1 << bits) - 1
+        self.excludeSelf = excludeSelf
+
+    def _dim_of(self, df: DataFrame) -> int:
+        return (self.dim if self.dim is not None
+                else int(df.select(F.size(self.vecCol)).first()[0]))
+
+    # ---------------------------------------------------------- fit
+    def fit_bounds(self, data: DataFrame) -> DataFrame:
+        """ONE-row (lo array<double>, hi array<double>) frame: exact
+        per-dimension min/max in a single aggregate pass (2d agg
+        expressions, map-side combined — never an explode, whose
+        N×d-row shuffle would dwarf the data at 100 TB)."""
+        dim = self._dim_of(data)
+        v = data.select(F.transform(
+            self.vecCol, lambda x: x.cast("double")).alias("__v"))
+        aggs = ([F.min(F.element_at("__v", i + 1)).alias(f"__lo{i}")
+                 for i in range(dim)]
+                + [F.max(F.element_at("__v", i + 1)).alias(f"__hi{i}")
+                   for i in range(dim)])
+        row = v.agg(*aggs)
+        return row.select(
+            F.array(*[F.col(f"__lo{i}") for i in range(dim)]).alias("lo"),
+            F.array(*[F.col(f"__hi{i}") for i in range(dim)]).alias("hi"))
+
+    # ------------------------------------------------- expressions
+    def _codes_expr(self, vec, lo, hi):
+        """array<int> codes; index-aware transform so each element
+        meets ITS dimension's bounds (zip_with takes only two
+        arrays)."""
+        lv = F.lit(float(self.levels))
+        return F.transform(vec, lambda x, i: F.when(
+            F.get(hi, i) == F.get(lo, i), F.lit(0)
+        ).otherwise(
+            F.greatest(F.lit(0.0), F.least(lv, F.floor(
+                (x.cast("double") - F.get(lo, i))
+                / ((F.get(hi, i) - F.get(lo, i)) / lv)
+                + F.lit(0.5)).cast("double")))
+        ).cast("int"))
+
+    def _recon_expr(self, codes, lo, hi):
+        """array<double> reconstruction lo_i + code_i·Δ_i (Δ_i = 0 on
+        constant dims → exactly lo_i)."""
+        lv = F.lit(float(self.levels))
+        return F.transform(codes, lambda c, i:
+                           F.get(lo, i) + c.cast("double")
+                           * ((F.get(hi, i) - F.get(lo, i)) / lv))
+
+    # ------------------------------------------------ public lanes
+    def encode_with_bounds(self, data: DataFrame,
+                           bounds: DataFrame) -> DataFrame:
+        """(vec_id, codes array<int>) — the compressed index.
+        Map-only under the one-row bounds broadcast."""
+        self._dim_of(data)  # surface a missing/empty vec col early
+        b = F.broadcast(bounds.select("lo", "hi"))
+        return (data.crossJoin(b)
+                .select(F.col(self.idCol).alias("vec_id"),
+                        self._codes_expr(F.col(self.vecCol),
+                                         F.col("lo"), F.col("hi"))
+                        .alias("codes")))
+
+    def search_with_bounds(self, data: DataFrame, queries: DataFrame,
+                           bounds: DataFrame) -> DataFrame:
+        """Asymmetric top-k: (query_id, neighbor_id, sq_dist, rank)
+        ranked by squared L2 ASC (ties → neighbor ASC)."""
+        from mmlspark_spark.operators.scale import (
+            VECTOR_MATH_BYTES_PER_SLOT,
+            spread_narrow_scan,
+        )
+
+        self._dim_of(data)
+        b = F.broadcast(bounds.select("lo", "hi"))
+        vec = F.transform(self.vecCol, lambda x: x.cast("double"))
+        recon = self._recon_expr(
+            self._codes_expr(vec, F.col("lo"), F.col("hi")),
+            F.col("lo"), F.col("hi"))
+        d = (spread_narrow_scan(data, VECTOR_MATH_BYTES_PER_SLOT)
+             .crossJoin(b)
+             .select(F.col(self.idCol).alias("neighbor_id"),
+                     recon.alias("__recon")))
+        q = queries.select(F.col(self.idCol).alias("query_id"),
+                           vec.alias("__qv"))
+        scored = d.crossJoin(F.broadcast(q)).select(
+            "query_id", "neighbor_id",
+            F.aggregate(F.zip_with("__qv", "__recon",
+                                   lambda a, c: (a - c) * (a - c)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            .alias("sq_dist"))
+        if self.excludeSelf:
+            scored = scored.filter(
+                F.col("query_id") != F.col("neighbor_id"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sq_dist").asc(), F.col("neighbor_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.k)
+                .select("query_id", "neighbor_id", "sq_dist", "rank"))
+
+    def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        """Fit + search in one call. Deterministic end-to-end (exact
+        min/max fit), unlike the sampled-fit IVF/PQ lanes."""
+        return self.search_with_bounds(data, queries,
+                                       self.fit_bounds(data))

@@ -63,13 +63,14 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     sampled coalitions);
 # (c) the full 23-entry r5-stale block (select_project ..
 #     url_extract);
-# (d) 4 slots of round-6 greens (TPC-H residue + heaviest curation
+# (d) 3 slots of round-6 greens (TPC-H residue + heaviest curation
 #     first) + the new-this-round oracled-at-birth block:
 #     knn_ivf_pretrained, image_dhash_dedup, dsir_select,
 #     audio_fingerprint_dedup, video_dhash_dedup, knn_pq_adc,
-#     bm25_search, hybrid_rrf, knn_ivfpq.
+#     bm25_search, hybrid_rrf, knn_ivfpq, knn_sq8 (oracled fit —
+#     exact min/max bounds, the only quantized-ANN lane with one).
 #     Round-9 rotation backlog (r6-green, rotated out):
-#     perplexity_prune, exact_dedup, broadcast_join_revenue,
+#     perplexity_prune, exact_dedup, broadcast_join_revenue, tpch_q2,
 #     ngram_jaccard, incremental_dedup, tpch_q16, tpch_q19, tpch_q20,
 #     tpch_q21,
 #     semi_join, anti_join, top_k_per_group, pivot_status,
@@ -96,7 +97,7 @@ _WINDOW_PRIORITY = (
     "multi_column_adapter", "drop_missing", "minibatch_roundtrip",
     "partition_ops_identity", "tabular_shap_exact",
     "sequence_packing", "pii_redact", "url_extract",
-    "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11", "knn_ivfpq",
+    "knn_sq8", "tpch_q4", "tpch_q9", "tpch_q11", "knn_ivfpq",
     "bm25_search", "hybrid_rrf", "knn_pq_adc",
     "dsir_select", "audio_fingerprint_dedup", "image_dhash_dedup",
     "video_dhash_dedup", "knn_ivf_pretrained",
@@ -4321,6 +4322,76 @@ def knn_ivf(spark, sf_dir):
                  nlist=16, nProbe=4, seed=42).search(emb, q)
     return out.select("query_id", "neighbor_id",
                       F.round("sim", 6).alias("sim"), F.col("rank").alias("rk"))
+
+
+def _knn_sq8_oracle(dim: int = 64, lv: int = 255, k: int = 10,
+                    nq: int = 5) -> str:
+    """Replays ScalarQuantizerKNN end-to-end INCLUDING the fit (the
+    per-dim min/max bounds are exact aggregates, so unlike the
+    sampled k-means fits this quantizer has no rows-only lane):
+    uniform encode via floor(r + 0.5) with edge clamps, constant-dim
+    zero codes, lo + code·Δ reconstruction, and the direct (q−x̂)²
+    element-order left fold — each double in Catalyst's operation
+    order."""
+    from mmlspark_spark.plans.duckdb_xxh import fold_sum
+
+    los = ", ".join(f"min(v[{i + 1}])" for i in range(dim))
+    his = ", ".join(f"max(v[{i + 1}])" for i in range(dim))
+    d2 = fold_sum("(q.v[i2] - r.recon[i2]) * (q.v[i2] - r.recon[i2])",
+                  dim)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), b AS (
+      SELECT list_value({los}) AS lo, list_value({his}) AS hi FROM e
+    ), r AS (
+      SELECT e.vec_id, list_transform(range(1, {dim + 1}), i9 ->
+               CASE WHEN b.hi[i9] = b.lo[i9] THEN b.lo[i9]
+                    ELSE b.lo[i9]
+                         + CAST(greatest(0.0, least({lv}.0,
+                             floor((e.v[i9] - b.lo[i9])
+                                   / ((b.hi[i9] - b.lo[i9]) / {lv}.0)
+                                   + 0.5))) AS INTEGER)::DOUBLE
+                           * ((b.hi[i9] - b.lo[i9]) / {lv}.0)
+               END) AS recon
+      FROM e, b
+    ), d AS (
+      SELECT q.vec_id AS q_id, r.vec_id AS d_id, {d2} AS d2
+      FROM e q, r
+      WHERE q.vec_id < {nq} AND q.vec_id <> r.vec_id
+    )
+    SELECT query_id, neighbor_id, round(d2, 6) AS sqd,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT q_id AS query_id, d_id AS neighbor_id, d2,
+                 row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY d2 ASC, d_id ASC) AS rk
+          FROM d)
+    WHERE rk <= {k}
+    """
+
+
+@register("knn_sq8", oracle=_knn_sq8_oracle())
+def knn_sq8(spark, sf_dir):
+    """Scalar-quantization ANN (ScalarQuantizerKNN, faiss SQ8
+    family): 64-dim embeddings compressed to 64 uint8 codes between
+    exact per-dimension corpus [lo, hi] bounds (ONE map-combined
+    aggregate pass, a single 2d-double row out), then asymmetric
+    top-10 for 5 queries — exact query vs on-the-fly lo + code·Δ
+    reconstruction, squared-L2 left fold, corpus-side under a
+    broadcast query cross join. The fit is exact min/max, so the
+    whole fit→encode→search pipeline replays hash-exact — the only
+    quantized-ANN lane with an oracled fit."""
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ScalarQuantizerKNN(idCol="vec_id", vecCol="embedding",
+                             k=10, bits=8, dim=64).search(emb, q)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sq_dist", 6).alias("sqd"),
+                      F.col("rank").alias("rk"))
 
 
 # ---------------------------------------------------------------------------

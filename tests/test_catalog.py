@@ -78,6 +78,10 @@ ALLOWED_LINT = {
     # one-row corpus stats (N, avgdl) broadcast onto the postings
     "bm25_search": {"BroadcastNestedLoopJoin"},
     "hybrid_rrf": {"BroadcastNestedLoopJoin"},
+    # one-row bounds broadcast + the asymmetric scan: like PQ's ADC,
+    # SQ's design IS a per-query compressed exhaustive scan (the
+    # broadcast side is the small query frame), not an O(N²) accident
+    "knn_sq8": {"BroadcastNestedLoopJoin"},
 }
 
 

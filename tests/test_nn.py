@@ -293,3 +293,103 @@ def test_pq_rejects_indivisible_dim(spark):
         [(0, 0, [0.0] * 8)], "m int, code int, cvec array<double>")
     with _pytest.raises(ValueError, match="divisible"):
         PQKNN(M=8).encode_with_codebooks(df, cb)
+
+
+def test_sq8_exact_when_vectors_on_grid(spark):
+    """When every coordinate sits exactly on one of the 256 uniform
+    levels (integers in [0, 255] with both edges present per dim),
+    reconstruction is lossless and the SQ distance must equal the
+    true squared L2 to full precision; codes must equal the grid
+    coordinates."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    rng = np.random.default_rng(31)
+    dim, n = 6, 30
+    x = rng.integers(0, 256, size=(n, dim)).astype(np.float64)
+    x[0], x[1] = 0.0, 255.0  # pin lo=0, hi=255 on every dim
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    q = data.filter(F.col("vec_id") < 3)
+
+    sq = ScalarQuantizerKNN(idCol="vec_id", vecCol="embedding", k=n,
+                            bits=8, excludeSelf=False)
+    bounds = sq.fit_bounds(data)
+    codes = {r.vec_id: r.codes
+             for r in sq.encode_with_bounds(data, bounds).collect()}
+    assert all(codes[i] == [int(v) for v in x[i]] for i in range(n))
+
+    for r in sq.search_with_bounds(data, q, bounds).collect():
+        true = float(np.sum((x[r.query_id] - x[r.neighbor_id]) ** 2))
+        assert abs(r.sq_dist - true) < 1e-9
+
+
+def test_sq8_recall_vs_bruteforce(spark):
+    """8-bit uniform quantization error is far below typical
+    inter-point distances: top-10 must recover almost all of the
+    exact squared-L2 top-10."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(400, 16))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    q_ids = [0, 101, 250, 399]
+    out = ScalarQuantizerKNN(idCol="vec_id", vecCol="embedding",
+                             k=10).search(
+        data, data.filter(F.col("vec_id").isin(q_ids)))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = []
+    for qi in q_ids:
+        d2 = np.sum((x - x[qi]) ** 2, axis=1)
+        d2[qi] = np.inf
+        exact = set(np.argsort(d2, kind="stable")[:10].tolist())
+        recalls.append(len(got[qi] & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_sq8_constant_dims_and_out_of_bounds_clamp(spark):
+    """A constant dimension (hi = lo) must encode to 0 and
+    reconstruct to exactly lo (no 0/0 NaN); bring-your-own-bounds
+    values outside [lo, hi] must clamp to the edge codes 0/255."""
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    data = spark.createDataFrame(
+        [(0, [5.0, 0.0]), (1, [5.0, 10.0])],
+        "vec_id long, embedding array<double>")
+    sq = ScalarQuantizerKNN(idCol="vec_id", vecCol="embedding", k=2,
+                            excludeSelf=False)
+    bounds = sq.fit_bounds(data)
+    codes = {r.vec_id: r.codes
+             for r in sq.encode_with_bounds(data, bounds).collect()}
+    assert codes[0] == [0, 0] and codes[1] == [0, 255]
+
+    # out-of-bounds vectors under the same bounds clamp to the edges
+    oob = spark.createDataFrame(
+        [(2, [-99.0, -1.0]), (3, [99.0, 11.0])],
+        "vec_id long, embedding array<double>")
+    oc = {r.vec_id: r.codes
+          for r in sq.encode_with_bounds(oob, bounds).collect()}
+    assert oc[2] == [0, 0] and oc[3] == [0, 255]
+
+    # search across the constant dim stays finite and exact
+    rows = sq.search_with_bounds(data, data, bounds).collect()
+    import math
+    assert all(math.isfinite(r.sq_dist) for r in rows)
+
+
+def test_sq_rejects_bad_bits():
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bits"):
+        ScalarQuantizerKNN(bits=0)
+    with _pytest.raises(ValueError, match="bits"):
+        ScalarQuantizerKNN(bits=17)
