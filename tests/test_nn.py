@@ -393,3 +393,24 @@ def test_sq_rejects_bad_bits():
         ScalarQuantizerKNN(bits=0)
     with _pytest.raises(ValueError, match="bits"):
         ScalarQuantizerKNN(bits=17)
+
+
+def test_sq_binary_quantization_bits1(spark):
+    """bits=1 degenerates to sign-style binary quantization: one code
+    per dimension (0 → lo, 1 → hi), the coarsest point of the same
+    lane — must still rank an obvious nearest neighbor first."""
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    data = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.1, 0.2]), (2, [10.0, 9.0])],
+        "vec_id long, embedding array<double>")
+    sq = ScalarQuantizerKNN(idCol="vec_id", vecCol="embedding", k=2,
+                            bits=1, excludeSelf=True)
+    bounds = sq.fit_bounds(data)
+    codes = {r.vec_id: r.codes
+             for r in sq.encode_with_bounds(data, bounds).collect()}
+    assert codes[0] == [0, 0] and codes[1] == [0, 0] and codes[2] == [1, 1]
+    out = sq.search_with_bounds(
+        data, data.filter(F.col("vec_id") == 0), bounds).collect()
+    # neighbor 1 shares the all-lo cell → distance 0 beats neighbor 2
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
