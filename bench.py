@@ -290,6 +290,22 @@ def main() -> None:
         curation[name] = round(best, 3)
         print(f"# {name}: {curation[name]}s", file=sys.stderr)
 
+    # Side metrics: round-8 retrieval / quantized-ANN family, best-of-2.
+    # Same contract as `curation`: advisory, never in the headline total.
+    ann: dict[str, float] = {}
+    for name in ("knn_pq_adc", "knn_ivfpq", "knn_sq8", "bm25_search",
+                 "dsir_select"):
+        spec = CATALOG.get(name)
+        if spec is None:
+            continue
+        try:
+            best, _ = _best_of(spec, spark, sf_dir, runs=2)
+        except Exception as e:  # advisory metrics never block the JSON
+            print(f"# {name}: FAILED {type(e).__name__}", file=sys.stderr)
+            continue
+        ann[name] = round(best, 3)
+        print(f"# {name}: {ann[name]}s", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_queries_total",
@@ -305,6 +321,8 @@ def main() -> None:
         payload["serving"] = serving
     if curation:
         payload["curation"] = curation
+    if ann:
+        payload["ann"] = ann
     print(json.dumps(payload))
     spark.stop()
 
