@@ -802,3 +802,92 @@ class ScalarQuantizerKNN:
         min/max fit), unlike the sampled-fit IVF/PQ lanes."""
         return self.search_with_bounds(data, queries,
                                        self.fit_bounds(data))
+
+
+def truncated_rerank_search(data: DataFrame, queries: DataFrame,
+                            dPrime: int, idCol: str = "vec_id",
+                            vecCol: str = "embedding", k: int = 10,
+                            candidates: int = 50,
+                            excludeSelf: bool = True) -> DataFrame:
+    """Matryoshka two-stage retrieval (Kusupati et al. 2022, MRL):
+    a COARSE pass ranks by cosine over only the first ``dPrime``
+    dimensions of the embedding (MRL-trained prefixes are themselves
+    valid embeddings; for PCA-rotated vectors the prefix carries most
+    of the variance), keeping ``candidates`` per query; an EXACT pass
+    re-scores just those candidates on the full vector. The coarse
+    fold costs dPrime/d of the exact scan — at d=1024, dPrime=64 the
+    first pass reads 6% of the floats — and the rerank touches
+    ``candidates × nq`` rows however large the corpus.
+
+    Both stages are deterministic Catalyst expressions (prefix slice,
+    order-pinned cosine folds, rank windows with id tie-breaks), so
+    the whole two-stage pipeline replays hash-exact in SQL
+    (``knn_matryoshka`` catalog oracle).
+
+    Scale shape: stage 1 is the BruteForceKNN expr skeleton on the
+    sliced prefix (broadcast queries, corpus-side folds, top-C
+    window); stage 2 semi-joins the small candidate frame back to the
+    corpus on ``idCol`` — broadcast-sized by construction (nq × C
+    ids) — then re-scores map-side. No stage shuffles the corpus.
+
+    Returns (query_id, neighbor_id, sim, rank) — ``sim`` is the
+    FULL-dimension cosine, ranked DESC with neighbor-ASC tie-break.
+    """
+    from mmlspark_spark.functions.vector import dot, norm
+    from mmlspark_spark.operators.scale import (
+        VECTOR_MATH_BYTES_PER_SLOT,
+        spread_narrow_scan,
+    )
+
+    if dPrime < 1:
+        raise ValueError(f"dPrime={dPrime} must be >= 1")
+    if candidates < k:
+        raise ValueError(
+            f"candidates={candidates} < k={k}: the rerank could not "
+            f"fill the top-k (recall would silently cap below 1)")
+
+    vec = F.transform(vecCol, lambda x: x.cast("double"))
+    pre = F.slice(vec, 1, dPrime)
+
+    # ---- stage 1: coarse top-C on the dPrime-prefix ----------------
+    q = queries.select(
+        F.col(idCol).alias("query_id"), vec.alias("__qv"),
+        pre.alias("__qp"),
+    ).select("query_id", "__qv", "__qp",
+             F.greatest(norm("__qp"), F.lit(1e-300)).alias("__qpn"),
+             F.greatest(norm("__qv"), F.lit(1e-300)).alias("__qn"))
+    d = spread_narrow_scan(data, VECTOR_MATH_BYTES_PER_SLOT).select(
+        F.col(idCol).alias("neighbor_id"), pre.alias("__dp"),
+    ).select("neighbor_id", "__dp",
+             F.greatest(norm("__dp"), F.lit(1e-300)).alias("__dpn"))
+    coarse = d.crossJoin(F.broadcast(q.select("query_id", "__qp", "__qpn"))).select(
+        "query_id", "neighbor_id",
+        (dot("__qp", "__dp") / (F.col("__qpn") * F.col("__dpn")))
+        .alias("__csim"))
+    if excludeSelf:
+        coarse = coarse.filter(F.col("query_id") != F.col("neighbor_id"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("neighbor_id").asc())
+    cand = (coarse.withColumn("__crk", F.row_number().over(wc))
+            .filter(F.col("__crk") <= candidates)
+            .select("query_id", "neighbor_id"))
+
+    # ---- stage 2: exact rerank of the candidate ids ----------------
+    full = data.select(F.col(idCol).alias("neighbor_id"),
+                       vec.alias("__dv"))
+    full = full.select("neighbor_id", "__dv",
+                       F.greatest(norm("__dv"), F.lit(1e-300))
+                       .alias("__dn"))
+    # the candidate frame is nq × C rows — broadcast it onto the
+    # corpus so the rerank join never shuffles the big side
+    rer = (full.join(F.broadcast(cand), "neighbor_id")
+           .join(F.broadcast(q.select("query_id", "__qv", "__qn")),
+                 "query_id")
+           .select("query_id", "neighbor_id",
+                   (dot("__qv", "__dv")
+                    / (F.col("__qn") * F.col("__dn"))).alias("sim")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (rer.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank"))

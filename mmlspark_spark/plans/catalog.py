@@ -63,14 +63,16 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     sampled coalitions);
 # (c) the full 23-entry r5-stale block (select_project ..
 #     url_extract);
-# (d) 3 slots of round-6 greens (TPC-H residue + heaviest curation
+# (d) 2 slots of round-6 greens (TPC-H residue + heaviest curation
 #     first) + the new-this-round oracled-at-birth block:
 #     knn_ivf_pretrained, image_dhash_dedup, dsir_select,
 #     audio_fingerprint_dedup, video_dhash_dedup, knn_pq_adc,
 #     bm25_search, hybrid_rrf, knn_ivfpq, knn_sq8 (oracled fit —
-#     exact min/max bounds, the only quantized-ANN lane with one).
+#     exact min/max bounds, the only quantized-ANN lane with one),
+#     knn_matryoshka (MRL truncated-prefix coarse scan + exact rerank).
 #     Round-9 rotation backlog (r6-green, rotated out):
 #     perplexity_prune, exact_dedup, broadcast_join_revenue, tpch_q2,
+#     tpch_q4,
 #     ngram_jaccard, incremental_dedup, tpch_q16, tpch_q19, tpch_q20,
 #     tpch_q21,
 #     semi_join, anti_join, top_k_per_group, pivot_status,
@@ -97,7 +99,7 @@ _WINDOW_PRIORITY = (
     "multi_column_adapter", "drop_missing", "minibatch_roundtrip",
     "partition_ops_identity", "tabular_shap_exact",
     "sequence_packing", "pii_redact", "url_extract",
-    "knn_sq8", "tpch_q4", "tpch_q9", "tpch_q11", "knn_ivfpq",
+    "knn_sq8", "knn_matryoshka", "tpch_q9", "tpch_q11", "knn_ivfpq",
     "bm25_search", "hybrid_rrf", "knn_pq_adc",
     "dsir_select", "audio_fingerprint_dedup", "image_dhash_dedup",
     "video_dhash_dedup", "knn_ivf_pretrained",
@@ -4370,6 +4372,78 @@ def _knn_sq8_oracle(dim: int = 64, lv: int = 255, k: int = 10,
           FROM d)
     WHERE rk <= {k}
     """
+
+
+def _knn_matryoshka_oracle(dim: int = 64, dp: int = 16, cand: int = 25,
+                           k: int = 10, nq: int = 5) -> str:
+    """Replays truncated_rerank_search end-to-end: the dPrime-prefix
+    coarse cosine (order-pinned folds, 1e-300 norm floors, sim-DESC /
+    id-ASC top-C), then the exact full-dimension rerank over just the
+    surviving candidates — both stages' doubles in Catalyst's
+    operation order."""
+    from mmlspark_spark.plans.duckdb_xxh import fold_sum
+
+    def cos(qv: str, dv: str, n: int) -> str:
+        return (f"({fold_sum(f'{qv}[i2] * {dv}[i2]', n)})"
+                f" / (greatest(sqrt({fold_sum(f'{qv}[i2] * {qv}[i2]', n)}),"
+                f" 1e-300)"
+                f" * greatest(sqrt({fold_sum(f'{dv}[i2] * {dv}[i2]', n)}),"
+                f" 1e-300))")
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), coarse AS (
+      SELECT q_id, d_id FROM (
+        SELECT q.vec_id AS q_id, d.vec_id AS d_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos('qp', 'dp', dp)} DESC, d.vec_id ASC
+               ) AS crk
+        FROM (SELECT vec_id, v[1:{dp}] AS qp FROM e
+              WHERE vec_id < {nq}) q,
+             (SELECT vec_id, v[1:{dp}] AS dp FROM e) d
+        WHERE q.vec_id <> d.vec_id)
+      WHERE crk <= {cand}
+    ), rer AS (
+      SELECT c.q_id, c.d_id, {cos('q.v', 'd.v', dim)} AS sim
+      FROM coarse c
+      JOIN e q ON q.vec_id = c.q_id
+      JOIN e d ON d.vec_id = c.d_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT q_id AS query_id, d_id AS neighbor_id, sim,
+                 row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY sim DESC, d_id ASC) AS rk
+          FROM rer)
+    WHERE rk <= {k}
+    """
+
+
+@register("knn_matryoshka", oracle=_knn_matryoshka_oracle())
+def knn_matryoshka(spark, sf_dir):
+    """Matryoshka two-stage retrieval (truncated_rerank_search, MRL
+    Kusupati 2022): coarse cosine over only the FIRST 16 of 64
+    embedding dimensions keeps 25 candidates per query (the prefix
+    fold reads 25% of the floats; at production d=1024/dPrime=64 it
+    reads 6%), then an exact full-dimension rerank of just those
+    25×5 candidate rows — broadcast-joined back to the corpus, never
+    a second scan. Both stages are deterministic Catalyst (prefix
+    slice, order-pinned folds, id tie-breaks), so the whole pipeline
+    replays hash-exact."""
+    from mmlspark_spark.llm.similarity import truncated_rerank_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = truncated_rerank_search(emb, q, dPrime=16, idCol="vec_id",
+                                  vecCol="embedding", k=10,
+                                  candidates=25)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"),
+                      F.col("rank").alias("rk"))
 
 
 @register("knn_sq8", oracle=_knn_sq8_oracle())

@@ -82,6 +82,9 @@ ALLOWED_LINT = {
     # SQ's design IS a per-query compressed exhaustive scan (the
     # broadcast side is the small query frame), not an O(N²) accident
     "knn_sq8": {"BroadcastNestedLoopJoin"},
+    # coarse stage is the brute-force skeleton on the dPrime prefix
+    # (broadcast query cross join); the rerank side is equi-joined
+    "knn_matryoshka": {"BroadcastNestedLoopJoin"},
 }
 
 

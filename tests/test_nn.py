@@ -414,3 +414,74 @@ def test_sq_binary_quantization_bits1(spark):
         data, data.filter(F.col("vec_id") == 0), bounds).collect()
     # neighbor 1 shares the all-lo cell → distance 0 beats neighbor 2
     assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_matryoshka_full_prefix_equals_bruteforce(spark):
+    """With dPrime = d and candidates >= corpus size the two-stage
+    search degenerates to exact brute force — results must match the
+    BruteForceKNN expr lane row for row."""
+    import numpy as np
+
+    from mmlspark_spark.llm import BruteForceKNN
+    from mmlspark_spark.llm.similarity import truncated_rerank_search
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(40, 8))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    q = data.filter(F.col("vec_id") < 4)
+    two = truncated_rerank_search(data, q, dPrime=8, k=5,
+                                  candidates=40).collect()
+    bf = BruteForceKNN(idCol="vec_id", vecCol="embedding", k=5,
+                       method="expr").search(data, q).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted([(r.query_id, r.rank, r.neighbor_id) for r in two]) \
+        == sorted([(r.query_id, r.rank, r.neighbor_id) for r in bf])
+    sims = {(r.query_id, r.neighbor_id): r.sim for r in bf}
+    assert all(abs(r.sim - sims[(r.query_id, r.neighbor_id)]) < 1e-12
+               for r in two)
+
+
+def test_matryoshka_prefix_recall_on_frontloaded_vectors(spark):
+    """When the leading dimensions dominate the geometry (the MRL /
+    PCA-rotated regime this operator targets), a quarter-length
+    prefix with a modest candidate budget must recover most of the
+    exact top-10."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import truncated_rerank_search
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(300, 32))
+    x[:, :8] *= 10.0  # front-load the variance
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    q_ids = [0, 150, 299]
+    out = truncated_rerank_search(
+        data, data.filter(F.col("vec_id").isin(q_ids)), dPrime=8,
+        k=10, candidates=40)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    recalls = []
+    for qi in q_ids:
+        sims = xn @ xn[qi]
+        sims[qi] = -np.inf
+        exact = set(np.argsort(-sims, kind="stable")[:10].tolist())
+        recalls.append(len(got[qi] & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_matryoshka_rejects_bad_budgets(spark):
+    from mmlspark_spark.llm.similarity import truncated_rerank_search
+
+    import pytest as _pytest
+    df = spark.createDataFrame([(0, [1.0, 2.0])],
+                               "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="candidates"):
+        truncated_rerank_search(df, df, dPrime=1, k=10, candidates=5)
+    with _pytest.raises(ValueError, match="dPrime"):
+        truncated_rerank_search(df, df, dPrime=0, k=1, candidates=1)
