@@ -293,8 +293,8 @@ def main() -> None:
     # Side metrics: round-8 retrieval / quantized-ANN family, best-of-2.
     # Same contract as `curation`: advisory, never in the headline total.
     ann: dict[str, float] = {}
-    for name in ("knn_pq_adc", "knn_ivfpq", "knn_sq8", "bm25_search",
-                 "dsir_select"):
+    for name in ("knn_pq_adc", "knn_ivfpq", "knn_sq8", "knn_matryoshka",
+                 "bm25_search", "dsir_select"):
         spec = CATALOG.get(name)
         if spec is None:
             continue
