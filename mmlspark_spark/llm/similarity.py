@@ -761,6 +761,20 @@ class ScalarQuantizerKNN:
                                          F.col("lo"), F.col("hi"))
                         .alias("codes")))
 
+    def decode_with_bounds(self, codes: DataFrame,
+                           bounds: DataFrame,
+                           codesCol: str = "codes") -> DataFrame:
+        """(vec_id, recon array<double>) — the approximate vectors an
+        index of codes stands for (lo_i + code_i·Δ_i). For any value
+        that was INSIDE the fitted bounds, the reconstruction error
+        per dimension is at most Δ_i/2 (uniform quantization bound;
+        pinned by tests). Map-only under the bounds broadcast."""
+        b = F.broadcast(bounds.select("lo", "hi"))
+        return (codes.crossJoin(b)
+                .select("vec_id",
+                        self._recon_expr(F.col(codesCol), F.col("lo"),
+                                         F.col("hi")).alias("recon")))
+
     def search_with_bounds(self, data: DataFrame, queries: DataFrame,
                            bounds: DataFrame) -> DataFrame:
         """Asymmetric top-k: (query_id, neighbor_id, sq_dist, rank)

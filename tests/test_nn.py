@@ -485,3 +485,27 @@ def test_matryoshka_rejects_bad_budgets(spark):
         truncated_rerank_search(df, df, dPrime=1, k=10, candidates=5)
     with _pytest.raises(ValueError, match="dPrime"):
         truncated_rerank_search(df, df, dPrime=0, k=1, candidates=1)
+
+
+def test_sq8_reconstruction_error_bound(spark):
+    """The uniform-quantization guarantee: for every value inside the
+    fitted bounds, |x − decode(encode(x))| ≤ Δ/2 per dimension, with
+    Δ = (hi − lo)/255 — the bound that makes SQ8's distance error
+    predictable at any scale."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    rng = np.random.default_rng(41)
+    x = rng.uniform(-3.0, 7.0, size=(200, 12))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    sq = ScalarQuantizerKNN(idCol="vec_id", vecCol="embedding")
+    bounds = sq.fit_bounds(data)
+    recon = {r.vec_id: np.array(r.recon) for r in sq.decode_with_bounds(
+        sq.encode_with_bounds(data, bounds), bounds).collect()}
+    brow = bounds.first()
+    delta = (np.array(brow.hi) - np.array(brow.lo)) / 255.0
+    for i in range(len(x)):
+        assert np.all(np.abs(x[i] - recon[i]) <= delta / 2 + 1e-12), i
