@@ -201,13 +201,19 @@ def _time_once(spec, spark, sf_dir: str) -> tuple[float, int]:
         release_intermediates(df)
 
 
-def _best_of(spec, spark, sf_dir: str, runs: int) -> tuple[float, int]:
-    """Best-of-N timing of one catalog query, runs back-to-back."""
-    best, n = None, 0
+def _best_of(spec, spark, sf_dir: str, runs: int) -> tuple[float, float, int]:
+    """(best, median, rows) of N timings, runs back-to-back. The
+    median rides along so a slow round is attributable without a
+    rerun: best≈median on a quiet host means the best is steady
+    state; best≪median means contention ate the other passes (the
+    round-9 +7% ambiguity this field exists to kill)."""
+    import statistics
+
+    samples, n = [], 0
     for _ in range(runs):
         elapsed, n = _time_once(spec, spark, sf_dir)
-        best = elapsed if best is None else min(best, elapsed)
-    return best, n
+        samples.append(elapsed)
+    return min(samples), statistics.median(samples), n
 
 
 def main() -> None:
@@ -242,7 +248,9 @@ def main() -> None:
     # emitted in the JSON so a contaminated run is self-documenting.
     HEAVY = {"ngram_jaccard", "minhash_dedup"}
     base_passes, heavy_passes = 3, 4
-    times: dict[str, float] = {}
+    import statistics
+
+    samples: dict[str, list[float]] = {}
     row_counts: dict[str, int] = {}
     for p in range(heavy_passes):
         for spec in headline:
@@ -250,11 +258,16 @@ def main() -> None:
                 continue
             elapsed, n = _time_once(spec, spark, sf_dir)
             row_counts[spec.name] = n
-            prev = times.get(spec.name)
-            times[spec.name] = round(
-                elapsed if prev is None else min(prev, elapsed), 3)
+            samples.setdefault(spec.name, []).append(elapsed)
             print(f"# pass{p + 1} {spec.name}: {round(elapsed, 3)}s",
                   file=sys.stderr)
+    times = {name: round(min(ts), 3) for name, ts in samples.items()}
+    # Median-of-N alongside best-of-N: best is the steady-state claim
+    # (JIT/codegen warm-up discarded), the median says whether the
+    # other passes agreed — a regression moves BOTH, contention moves
+    # only the median.
+    medians = {name: round(statistics.median(ts), 3)
+               for name, ts in samples.items()}
     for name, t in times.items():
         print(f"# {name}: {t}s ({row_counts[name]} rows)", file=sys.stderr)
 
@@ -277,41 +290,51 @@ def main() -> None:
     # cross-round comparability) — reported so throughput regressions
     # in the newer surface are visible round over round.
     curation: dict[str, float] = {}
+    curation_median: dict[str, float] = {}
     for name in ("markup_strip", "line_dedup", "incremental_dedup",
                  "bpe_tokenize", "scd2_merge", "pagerank"):
         spec = CATALOG.get(name)
         if spec is None:
             continue
         try:
-            best, _ = _best_of(spec, spark, sf_dir, runs=2)
+            best, med, _ = _best_of(spec, spark, sf_dir, runs=2)
         except Exception as e:  # advisory metrics never block the JSON
             print(f"# {name}: FAILED {type(e).__name__}", file=sys.stderr)
             continue
         curation[name] = round(best, 3)
+        curation_median[name] = round(med, 3)
         print(f"# {name}: {curation[name]}s", file=sys.stderr)
 
     # Side metrics: round-8 retrieval / quantized-ANN family, best-of-2.
     # Same contract as `curation`: advisory, never in the headline total.
     ann: dict[str, float] = {}
+    ann_median: dict[str, float] = {}
     for name in ("knn_pq_adc", "knn_ivfpq", "knn_sq8", "knn_matryoshka",
-                 "bm25_search", "dsir_select"):
+                 "knn_ivf", "bm25_search", "dsir_select"):
         spec = CATALOG.get(name)
         if spec is None:
             continue
         try:
-            best, _ = _best_of(spec, spark, sf_dir, runs=2)
+            best, med, _ = _best_of(spec, spark, sf_dir, runs=2)
         except Exception as e:  # advisory metrics never block the JSON
             print(f"# {name}: FAILED {type(e).__name__}", file=sys.stderr)
             continue
         ann[name] = round(best, 3)
+        ann_median[name] = round(med, 3)
         print(f"# {name}: {ann[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    # serving p50 has one sample — it joins both totals unchanged so
+    # value/value_median stay directly comparable
+    total_median = round(sum(medians.values())
+                         + times.get("serving_roundtrip_p50", 0.0), 3)
     payload = {
         "metric": "headline_queries_total",
         "value": total,
+        "value_median": total_median,
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
         "sf": sf,
         # 1-min load average at start/end: external (non-bench) load
         # inflates timings 30-45% — a contaminated run documents itself
@@ -321,8 +344,10 @@ def main() -> None:
         payload["serving"] = serving
     if curation:
         payload["curation"] = curation
+        payload["curation_median"] = curation_median
     if ann:
         payload["ann"] = ann
+        payload["ann_median"] = ann_median
     print(json.dumps(payload))
     spark.stop()
 

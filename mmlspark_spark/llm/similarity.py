@@ -26,6 +26,28 @@ from pyspark.sql.window import Window
 from mmlspark_spark.functions.vector import cosine_similarity, vector_dim
 
 
+_MAX_QUERY_ROWS = 1_000_000  # broadcast/collect query lanes refuse beyond
+
+
+def _check_query_size(queries: DataFrame, what: str,
+                      max_rows: int | None) -> None:
+    """Fail fast BEFORE the query frame is collected or broadcast —
+    every search lane in this module holds the full query frame on the
+    driver (numpy collect) or in each executor (JVM broadcast), so an
+    unbounded query side is a silent OOM at scale. One cheap
+    limit+count job, same pattern as nn/knn._check_index_size (check
+    AFTER the materialization cannot prevent the OOM it exists to
+    prevent)."""
+    if max_rows is None:
+        return
+    if queries.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"{what}: query frame exceeds maxQueries={max_rows} rows — "
+            "it is broadcast to every executor by design; batch the "
+            "queries, raise maxQueries deliberately, or flip the "
+            "frames (index the queries, stream the corpus)")
+
+
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -45,13 +67,16 @@ class BruteForceKNN:
     """
 
     def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
-                 k: int = 10, method: str = "expr", excludeSelf: bool = True):
+                 k: int = 10, method: str = "expr", excludeSelf: bool = True,
+                 maxQueries: int | None = _MAX_QUERY_ROWS):
         assert method in ("expr", "numpy")
         self.idCol, self.vecCol, self.k = idCol, vecCol, k
         self.method = method
         self.excludeSelf = excludeSelf
+        self.maxQueries = maxQueries
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        _check_query_size(queries, "BruteForceKNN", self.maxQueries)
         if self.method == "expr":
             return self._search_expr(data, queries)
         return self._search_numpy(data, queries)
@@ -164,12 +189,14 @@ class LSHKNN:
 
     def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
                  k: int = 10, numPlanes: int = 16, bands: int = 4,
-                 seed: int = 42, excludeSelf: bool = True):
+                 seed: int = 42, excludeSelf: bool = True,
+                 maxQueries: int | None = _MAX_QUERY_ROWS):
         if numPlanes % bands:
             raise ValueError("numPlanes must be divisible by bands")
         self.idCol, self.vecCol, self.k = idCol, vecCol, k
         self.numPlanes, self.bands, self.seed = numPlanes, bands, seed
         self.excludeSelf = excludeSelf
+        self.maxQueries = maxQueries
 
     def _signature_bands(self, df: DataFrame, dim: int, prefix: str) -> DataFrame:
         from mmlspark_spark.operators.scale import (
@@ -210,6 +237,7 @@ class LSHKNN:
         )
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        _check_query_size(queries, "LSHKNN", self.maxQueries)
         dim = vector_dim(data, self.vecCol)
         d = self._signature_bands(data, dim, "d")
         q = self._signature_bands(queries, dim, "q")
@@ -248,11 +276,13 @@ class IVFKNN:
     def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
                  k: int = 10, nlist: int = 16, nProbe: int = 4,
                  sampleSize: int = 10000, iters: int = 5, seed: int = 42,
-                 excludeSelf: bool = True):
+                 excludeSelf: bool = True,
+                 maxQueries: int | None = _MAX_QUERY_ROWS):
         self.idCol, self.vecCol, self.k = idCol, vecCol, k
         self.nlist, self.nProbe = nlist, nProbe
         self.sampleSize, self.iters, self.seed = sampleSize, iters, seed
         self.excludeSelf = excludeSelf
+        self.maxQueries = maxQueries
 
     def _fit_centroids(self, data: DataFrame) -> np.ndarray:
         total = data.count()
@@ -272,6 +302,28 @@ class IVFKNN:
                     m = x[mask].mean(axis=0)
                     cent[c] = m / max(np.linalg.norm(m), 1e-300)
         return cent
+
+    def fit_centroids_df(self, data: DataFrame, maxIter: int = 0) -> DataFrame:
+        """DETERMINISTIC coarse quantizer as a small (cell, cvec)
+        frame: EmbeddingKMeans' hash-ranked seeding — the vectors of
+        the ``nlist`` lowest ids under the portable Lehmer rank, a
+        distributed TakeOrderedAndProject, exactly replayable in SQL —
+        plus ``maxIter`` Lloyd refinements (posexplode partial-agg
+        update, see clustering.py). Driver state is nlist·d floats;
+        the coarse quantizer is driver-sized by contract (same as
+        faiss's). Pair with :meth:`search_with_centroids` for a fully
+        replayable IVF pipeline (the ``knn_ivf`` catalog oracle at
+        maxIter=0); the sampled numpy fit behind :meth:`search` stays
+        as the seeding-free lane."""
+        from mmlspark_spark.llm.clustering import EmbeddingKMeans
+
+        model = EmbeddingKMeans(inputCol=self.vecCol, idCol=self.idCol,
+                                k=self.nlist, maxIter=maxIter,
+                                seed=self.seed).fit(data)
+        return data.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c])
+             for i, c in enumerate(model.centroids)],
+            "cell int, cvec array<double>")
 
     def _assign(self, df: DataFrame, cent_b, prefix: str, top: int) -> DataFrame:
         id_col, vec_col = self.idCol, self.vecCol
@@ -305,6 +357,7 @@ class IVFKNN:
             run, f"{prefix}_id {idt}, {prefix}_vec {vt}, __cell int")
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        _check_query_size(queries, "IVFKNN", self.maxQueries)
         cent = self._fit_centroids(data)
         cent_b = data.sparkSession.sparkContext.broadcast(cent)
         d = self._assign(data, cent_b, "d", top=1)
@@ -342,6 +395,8 @@ class IVFKNN:
         shuffle carries one row per corpus vector, never the ×nlist
         expansion; query probing (top=nProbe) windows the small side.
         """
+        _check_query_size(queries, "IVFKNN.search_with_centroids",
+                          self.maxQueries)
         c = F.broadcast(centroids.select(
             F.col(cellCol).alias("__cell"),
             F.col(centVecCol).alias("__cv")))
@@ -407,11 +462,13 @@ class PQKNN:
     def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
                  k: int = 10, M: int = 8, K: int = 16, dim: int | None = None,
                  sampleSize: int = 10000, iters: int = 8, seed: int = 42,
-                 excludeSelf: bool = True):
+                 excludeSelf: bool = True,
+                 maxQueries: int | None = _MAX_QUERY_ROWS):
         self.idCol, self.vecCol, self.k = idCol, vecCol, k
         self.M, self.K, self.dim = M, K, dim
         self.sampleSize, self.iters, self.seed = sampleSize, iters, seed
         self.excludeSelf = excludeSelf
+        self.maxQueries = maxQueries
 
     # -------------------------------------------------- codebook row
     def _codebook_row(self, codebooks: DataFrame, mCol: str,
@@ -502,6 +559,7 @@ class PQKNN:
         ranked by approximate distance ASC (ties → neighbor ASC)."""
         dim = self._dim_of(data)
         ds = dim // self.M
+        _check_query_size(queries, "PQKNN", self.maxQueries)
         cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
                                             cvecCol))
         codes = (data.crossJoin(cb)
@@ -598,6 +656,7 @@ class PQKNN:
         Returns (query_id, neighbor_id, adc_dist, rank)."""
         dim = self._dim_of(data)
         ds = dim // self.M
+        _check_query_size(queries, "PQKNN.search_ivfpq", self.maxQueries)
         cents = F.broadcast(centroids.select(
             F.col(cellCol).alias("__cell"),
             F.col(centVecCol).alias("__cv")))
@@ -695,13 +754,17 @@ class ScalarQuantizerKNN:
 
     def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
                  k: int = 10, bits: int = 8, dim: int | None = None,
-                 excludeSelf: bool = True):
+                 excludeSelf: bool = True,
+                 maxQueries: int | None = _MAX_QUERY_ROWS,
+                 wideDim: int = 256):
         if not 1 <= bits <= 16:
             raise ValueError(f"bits={bits} outside [1, 16]")
         self.idCol, self.vecCol, self.k = idCol, vecCol, k
         self.bits, self.dim = bits, dim
         self.levels = (1 << bits) - 1
         self.excludeSelf = excludeSelf
+        self.maxQueries = maxQueries
+        self.wideDim = wideDim
 
     def _dim_of(self, df: DataFrame) -> int:
         return (self.dim if self.dim is not None
@@ -710,20 +773,45 @@ class ScalarQuantizerKNN:
     # ---------------------------------------------------------- fit
     def fit_bounds(self, data: DataFrame) -> DataFrame:
         """ONE-row (lo array<double>, hi array<double>) frame: exact
-        per-dimension min/max in a single aggregate pass (2d agg
-        expressions, map-side combined — never an explode, whose
-        N×d-row shuffle would dwarf the data at 100 TB)."""
+        per-dimension min/max. Both lanes are exact and agree
+        bit-for-bit (min/max are order-independent) — they differ only
+        in plan shape:
+
+        - dim ≤ wideDim: a single aggregate with 2·dim min/max
+          expressions, map-side combined, zero explode. The fastest
+          shape while the expression count stays codegen-friendly.
+        - dim > wideDim: 2·dim agg expressions would blow past
+          Catalyst's codegen limits (thousands of exprs at d≥1024 —
+          whole-stage codegen bails to interpreted row-at-a-time
+          eval), so the wide lane posexplodes to (dim, value) and
+          aggregates per position. The groupBy is map-side combined —
+          the shuffle carries partitions×dim partial rows, NOT N×dim;
+          the explode's cost is map-side row materialization, the
+          right trade above the codegen cliff. Final assembly is one
+          dim-row array_sort aggregate."""
         dim = self._dim_of(data)
         v = data.select(F.transform(
             self.vecCol, lambda x: x.cast("double")).alias("__v"))
-        aggs = ([F.min(F.element_at("__v", i + 1)).alias(f"__lo{i}")
-                 for i in range(dim)]
-                + [F.max(F.element_at("__v", i + 1)).alias(f"__hi{i}")
-                   for i in range(dim)])
-        row = v.agg(*aggs)
+        if dim <= self.wideDim:
+            aggs = ([F.min(F.element_at("__v", i + 1)).alias(f"__lo{i}")
+                     for i in range(dim)]
+                    + [F.max(F.element_at("__v", i + 1)).alias(f"__hi{i}")
+                       for i in range(dim)])
+            row = v.agg(*aggs)
+            return row.select(
+                F.array(*[F.col(f"__lo{i}") for i in range(dim)])
+                .alias("lo"),
+                F.array(*[F.col(f"__hi{i}") for i in range(dim)])
+                .alias("hi"))
+        per = (v.select(F.posexplode("__v").alias("__i", "__x"))
+               .groupBy("__i")
+               .agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi")))
+        row = per.agg(F.array_sort(F.collect_list(F.struct(
+            F.col("__i").alias("i"), F.col("__lo").alias("l"),
+            F.col("__hi").alias("h")))).alias("__s"))
         return row.select(
-            F.array(*[F.col(f"__lo{i}") for i in range(dim)]).alias("lo"),
-            F.array(*[F.col(f"__hi{i}") for i in range(dim)]).alias("hi"))
+            F.transform("__s", lambda s: s["l"]).alias("lo"),
+            F.transform("__s", lambda s: s["h"]).alias("hi"))
 
     # ------------------------------------------------- expressions
     def _codes_expr(self, vec, lo, hi):
@@ -785,6 +873,7 @@ class ScalarQuantizerKNN:
         )
 
         self._dim_of(data)
+        _check_query_size(queries, "ScalarQuantizerKNN", self.maxQueries)
         b = F.broadcast(bounds.select("lo", "hi"))
         vec = F.transform(self.vecCol, lambda x: x.cast("double"))
         recon = self._recon_expr(
@@ -822,7 +911,8 @@ def truncated_rerank_search(data: DataFrame, queries: DataFrame,
                             dPrime: int, idCol: str = "vec_id",
                             vecCol: str = "embedding", k: int = 10,
                             candidates: int = 50,
-                            excludeSelf: bool = True) -> DataFrame:
+                            excludeSelf: bool = True,
+                            maxQueries: int | None = _MAX_QUERY_ROWS) -> DataFrame:
     """Matryoshka two-stage retrieval (Kusupati et al. 2022, MRL):
     a COARSE pass ranks by cosine over only the first ``dPrime``
     dimensions of the embedding (MRL-trained prefixes are themselves
@@ -859,6 +949,7 @@ def truncated_rerank_search(data: DataFrame, queries: DataFrame,
         raise ValueError(
             f"candidates={candidates} < k={k}: the rerank could not "
             f"fill the top-k (recall would silently cap below 1)")
+    _check_query_size(queries, "truncated_rerank_search", maxQueries)
 
     vec = F.transform(vecCol, lambda x: x.cast("double"))
     pre = F.slice(vec, 1, dPrime)

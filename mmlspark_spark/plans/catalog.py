@@ -48,61 +48,42 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 
 
 # Driver correctness-checks a window of the first ~50 entries of
-# queries(). Round-8 priority, in order of evidence need:
-# (a) the nine queries whose CODE or ORACLE changed this round and
-#     must re-verify: the five rows-only→oracled upgrades via the
-#     plans/duckdb_xxh hash replay (minhash_dedup, simhash_dedup,
-#     vw_featurizer — query reshaped to expose slot indices,
-#     text_featurize_pipeline, knn_lsh) and the four review fixes
-#     (winnow_fingerprint + cdc_chunks pinned tokenization,
-#     url_canonicalize fragment-anchored query extraction,
-#     domain_temperature_mix null-safe oracle join);
-# (b) the oldest driver rows: knn_ivf (r1) and the r2-stale batch
-#     (summarize_data_approx, access_anomaly, tabular_lime,
-#     tabular_shap — rows-only by design: sketches / ALS factors /
-#     sampled coalitions);
-# (c) the full 23-entry r5-stale block (select_project ..
-#     url_extract);
-# (d) 2 slots of round-6 greens (TPC-H residue + heaviest curation
-#     first) + the new-this-round oracled-at-birth block:
-#     knn_ivf_pretrained, image_dhash_dedup, dsir_select,
-#     audio_fingerprint_dedup, video_dhash_dedup, knn_pq_adc,
-#     bm25_search, hybrid_rrf, knn_ivfpq, knn_sq8 (oracled fit —
-#     exact min/max bounds, the only quantized-ANN lane with one),
-#     knn_matryoshka (MRL truncated-prefix coarse scan + exact rerank).
-#     Round-9 rotation backlog (r6-green, rotated out):
-#     perplexity_prune, exact_dedup, broadcast_join_revenue, tpch_q2,
-#     tpch_q4,
-#     ngram_jaccard, incremental_dedup, tpch_q16, tpch_q19, tpch_q20,
-#     tpch_q21,
-#     semi_join, anti_join, top_k_per_group, pivot_status,
-#     rollup_counts, sessionize, window_hourly_agg, value_indexer,
-#     clean_missing, data_conversion, ts_featurize, multi_ngram,
-#     page_splitter, token_count, quality_score, lang_stats,
-#     ngram_lm_score, domain_mix, knn_bruteforce, embedding_stats,
-#     embedding_dedup, text_metrics, date_featurize, count_selector,
+# queries(). Round-10 priority, in order of evidence need:
+# (a) queries whose CODE or ORACLE changed this round and must
+#     re-verify: knn_ivf (rows-only → hash-exact: deterministic
+#     EmbeddingKMeans-seeded quantizer replaces the sampled numpy
+#     fit), tabular_lime_exact (new closed-form lane),
+#     knn_matryoshka_sq8 (new: MRL coarse stage over SQ8 codes),
+#     the quantized-ANN family whose shared code grew wide-dim /
+#     guard lanes (knn_sq8, knn_pq_adc, knn_ivfpq, knn_matryoshka,
+#     knn_bruteforce), bm25_search + hybrid_rrf (retrieval gained
+#     postings persistence), dsir_select (gumbel-key clamp);
+# (b) the rows-only stale batch (summarize_data_approx,
+#     access_anomaly, tabular_lime, tabular_shap — sketches / ALS
+#     factors / sampled coalitions, r2-stale rows);
+# (c) the r6-stale rotation block (perplexity_prune .. date_featurize)
+#     — oldest oracled driver rows still outside a recent window.
+#     Rotation backlog (green but waiting): count_selector,
 #     text_preprocessor, repetition_metrics, heavy_hitters, line_dedup,
 #     markup_strip, scd2_merge, funnel_steps, group_percentiles,
-#     rolling_revenue, pagerank, join_multi — then the r7 block.
+#     rolling_revenue, pagerank, join_multi, then the r7/r8/r9 blocks
+#     (minhash_dedup .. knn_ivf_pretrained, all hash-green r9).
 _WINDOW_PRIORITY = (
-    "minhash_dedup", "simhash_dedup", "vw_featurizer",
-    "text_featurize_pipeline", "knn_lsh",
-    "winnow_fingerprint", "cdc_chunks", "url_canonicalize",
-    "domain_temperature_mix",
-    "knn_ivf", "summarize_data_approx", "access_anomaly",
+    "knn_ivf", "tabular_lime_exact", "knn_matryoshka_sq8",
+    "knn_sq8", "knn_pq_adc", "knn_ivfpq", "knn_matryoshka",
+    "knn_bruteforce", "bm25_search", "hybrid_rrf", "dsir_select",
+    "summarize_data_approx", "access_anomaly",
     "tabular_lime", "tabular_shap",
-    "select_project", "drop_rename", "explode_tokens",
-    "summarize_data", "class_balancer", "ensemble_by_key",
-    "isolation_forest", "knn_stage", "unicode_normalize",
-    "asof_join", "range_join", "cube_counts",
-    "stratified_repartition", "lambda_stage", "udf_transformer",
-    "multi_column_adapter", "drop_missing", "minibatch_roundtrip",
-    "partition_ops_identity", "tabular_shap_exact",
-    "sequence_packing", "pii_redact", "url_extract",
-    "knn_sq8", "knn_matryoshka", "tpch_q9", "tpch_q11", "knn_ivfpq",
-    "bm25_search", "hybrid_rrf", "knn_pq_adc",
-    "dsir_select", "audio_fingerprint_dedup", "image_dhash_dedup",
-    "video_dhash_dedup", "knn_ivf_pretrained",
+    "perplexity_prune", "exact_dedup", "broadcast_join_revenue",
+    "tpch_q2", "tpch_q4", "ngram_jaccard", "incremental_dedup",
+    "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
+    "semi_join", "anti_join", "top_k_per_group", "pivot_status",
+    "rollup_counts", "sessionize", "window_hourly_agg",
+    "value_indexer", "clean_missing", "data_conversion",
+    "ts_featurize", "multi_ngram", "page_splitter", "token_count",
+    "quality_score", "lang_stats", "ngram_lm_score", "domain_mix",
+    "embedding_stats", "embedding_dedup", "text_metrics",
+    "date_featurize", "embedding_kmeans_assign", "semantic_dedup",
 )
 
 
@@ -4311,17 +4292,84 @@ def knn_ivfpq(spark, sf_dir):
                       F.col("rank").alias("rk"))
 
 
-@register("knn_ivf", oracle=None)
+def _knn_ivf_oracle(nlist: int = 16, nProbe: int = 4, k: int = 10,
+                    dim: int = 64, seed: int = 42) -> str:
+    """Full replay of the DETERMINISTIC IVF pipeline — fit included:
+    the coarse centroids are EmbeddingKMeans' hash-ranked seeds (the
+    ``nlist`` lowest ids under the portable Lehmer rank, the SAME
+    ranking embedding_kmeans_assign oracles), then the
+    search_with_centroids replay: cosine cell assignment with cell-ASC
+    tie-break (corpus top-1, queries top-nProbe), cell equi-join,
+    exact-cosine top-k — every float in the shared fold order."""
+    from mmlspark_spark.plans.duckdb_xxh import cosine_sql
+
+    def cos(a: str, b: str) -> str:
+        return cosine_sql(a, b, dim)
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), cr AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS cv,
+             row_number() OVER (
+               ORDER BY ((((vec_id + {seed}) % 2147483647)
+                          * 48271 % 2147483647) * 48271) % 2147483647,
+                        vec_id) AS rk
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), c AS (
+      SELECT CAST(rk - 1 AS INTEGER) AS cell, cv FROM cr
+      WHERE rk <= {nlist}
+    ), dsim AS (
+      SELECT e.vec_id AS d_id, e.v AS dv, c.cell, {cos("e.v", "c.cv")} AS sim
+      FROM e, c
+    ), dass AS (
+      SELECT d_id, dv, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
+        FROM dsim) WHERE rk = 1
+    ), qass AS (
+      SELECT q_id, qv, cell FROM (
+        SELECT d_id AS q_id, dv AS qv, cell, row_number() OVER (
+          PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
+        FROM dsim WHERE d_id < 5) WHERE rk <= {nProbe}
+    ), cand AS (
+      SELECT DISTINCT q_id, d_id, qv, dv
+      FROM dass JOIN qass USING (cell) WHERE q_id <> d_id
+    ), scored AS (
+      SELECT q_id AS query_id, d_id AS neighbor_id,
+             {cos("qv", "dv")} AS sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {k}
+    """
+
+
+@register("knn_ivf", oracle=_knn_ivf_oracle())
 def knn_ivf(spark, sf_dir):
-    """IVF-bucketed approximate KNN: seeded coarse quantizer, map-side
-    cell assignment, candidate equi-join on cell id (rows-only; recall
-    vs brute force asserted in tests/test_extras.py)."""
+    """IVF-bucketed approximate KNN with a DETERMINISTIC fit: the
+    coarse quantizer is IVFKNN.fit_centroids_df (EmbeddingKMeans
+    hash-ranked seeding — a distributed TakeOrderedAndProject
+    collecting nlist·d floats, the driver-sized quantizer contract),
+    then the pure-Catalyst search_with_centroids lane (cosine cell
+    assignment via combinable max-struct, cell equi-join, exact-cosine
+    top-k). Every step replays in SQL, upgrading this query from
+    rows-only (r1-r9: sampled numpy Lloyd fit) to hash-exact; the
+    sampled fit stays available as IVFKNN.search and keeps its recall
+    assertion in tests/test_extras.py."""
     from mmlspark_spark.llm.similarity import IVFKNN
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    out = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
-                 nlist=16, nProbe=4, seed=42).search(emb, q)
+    ivf = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
+                 nlist=16, nProbe=4, seed=42)
+    out = ivf.search_with_centroids(emb, q, ivf.fit_centroids_df(emb))
     return out.select("query_id", "neighbor_id",
                       F.round("sim", 6).alias("sim"), F.col("rank").alias("rk"))
 

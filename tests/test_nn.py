@@ -509,3 +509,58 @@ def test_sq8_reconstruction_error_bound(spark):
     delta = (np.array(brow.hi) - np.array(brow.lo)) / 255.0
     for i in range(len(x)):
         assert np.all(np.abs(x[i] - recon[i]) <= delta / 2 + 1e-12), i
+
+
+def test_maxqueries_guard_fails_fast_on_every_broadcast_lane(spark):
+    """Every ANN search lane broadcasts (or driver-collects) the query
+    frame — an oversized one must raise BEFORE materialization, with
+    the operator's name in the message (the nn/knn fail-fast pattern).
+    maxQueries=None disables the guard deliberately."""
+    from mmlspark_spark.llm.similarity import (
+        IVFKNN,
+        LSHKNN,
+        PQKNN,
+        BruteForceKNN,
+        ScalarQuantizerKNN,
+        truncated_rerank_search,
+    )
+
+    data = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 0.5, 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    big = data  # 20 rows, maxQueries=4 below → over budget
+
+    with pytest.raises(ValueError, match="BruteForceKNN.*maxQueries"):
+        BruteForceKNN(k=2, maxQueries=4).search(data, big)
+    with pytest.raises(ValueError, match="BruteForceKNN.*maxQueries"):
+        BruteForceKNN(k=2, method="numpy", maxQueries=4).search(data, big)
+    with pytest.raises(ValueError, match="LSHKNN.*maxQueries"):
+        LSHKNN(k=2, numPlanes=4, bands=2, maxQueries=4).search(data, big)
+    with pytest.raises(ValueError, match="IVFKNN.*maxQueries"):
+        IVFKNN(k=2, nlist=2, nProbe=1, maxQueries=4).search(data, big)
+    ivf = IVFKNN(k=2, nlist=2, nProbe=1, maxQueries=4)
+    cent = ivf.fit_centroids_df(data)
+    with pytest.raises(ValueError, match="search_with_centroids.*maxQueries"):
+        ivf.search_with_centroids(data, big, cent)
+    sq = ScalarQuantizerKNN(k=2, maxQueries=4)
+    with pytest.raises(ValueError, match="ScalarQuantizerKNN.*maxQueries"):
+        sq.search_with_bounds(data, big, sq.fit_bounds(data))
+    pq = PQKNN(k=2, M=2, K=2, dim=4, maxQueries=4)
+    cb = pq.fit_codebooks(data)
+    with pytest.raises(ValueError, match="PQKNN.*maxQueries"):
+        pq.search_with_codebooks(data, big, cb)
+    cents = data.limit(2).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("cvec"))
+    with pytest.raises(ValueError, match="search_ivfpq.*maxQueries"):
+        pq.search_ivfpq(data, big, cents, cb, nProbe=1)
+    with pytest.raises(ValueError, match="truncated_rerank_search.*maxQueries"):
+        truncated_rerank_search(data, big, dPrime=2, k=2, candidates=2,
+                                maxQueries=4)
+
+    # disabled guard: the small frame sails through
+    assert BruteForceKNN(k=2, maxQueries=None).search(
+        data, data.limit(2)).count() > 0
+    # under-budget query frames pass every guarded lane
+    assert BruteForceKNN(k=2, maxQueries=4).search(
+        data, data.limit(3)).count() > 0
