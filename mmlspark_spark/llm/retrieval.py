@@ -84,11 +84,15 @@ class BM25Retriever:
                      (F.sum("__dl").cast("double")
                       / F.count("*")).alias("__avgdl")))
 
-    def search(self, docs: DataFrame, queries: DataFrame) -> DataFrame:
-        k1, b = self.k1, self.b
+    def _index_frames(self, docs: DataFrame):
+        """(postings, dfreq, stats, cached) — the logical index build
+        shared by :meth:`search` and :meth:`save_index`. ``dfreq``
+        carries the maxDfRatio stopword cut when configured; ``cached``
+        holds persist handles the caller must attach/release."""
         post = self.postings(docs)
         dfreq = post.groupBy("__t").agg(F.count("*").alias("__df"))
         stats = self._stats(docs)
+        cached: list[DataFrame] = []
         if self.maxDfRatio is not None:
             # the stats subtree is a full corpus tokenize pass and
             # now has TWO consumers (the stopword cut + scoring) —
@@ -96,12 +100,26 @@ class BM25Retriever:
             from mmlspark_spark.core.cache import persist_intermediate
 
             stats = persist_intermediate(stats)
-            cached = [stats]
+            cached.append(stats)
             dfreq = (dfreq.crossJoin(F.broadcast(
                 stats.select("__N")))
                 .filter(F.col("__df")
                         <= F.lit(self.maxDfRatio) * F.col("__N"))
                 .drop("__N"))
+        return post, dfreq, stats, cached
+
+    def search(self, docs: DataFrame, queries: DataFrame) -> DataFrame:
+        post, dfreq, stats, cached = self._index_frames(docs)
+        out = self._score(post, dfreq, stats, queries)
+        if cached:
+            from mmlspark_spark.core.cache import attach_intermediates
+
+            out = attach_intermediates(out, *cached)
+        return out
+
+    def _score(self, post: DataFrame, dfreq: DataFrame, stats: DataFrame,
+               queries: DataFrame) -> DataFrame:
+        k1, b = self.k1, self.b
         qterms = (queries
                   .select(F.col(self.queryIdCol).alias("__q"),
                           F.explode(F.array_distinct(
@@ -135,16 +153,83 @@ class BM25Retriever:
                           .alias("score")))
         w = Window.partitionBy("__q").orderBy(
             F.col("score").desc(), F.col("__doc").asc())
-        out = (scored.withColumn("rank", F.row_number().over(w))
-               .filter(F.col("rank") <= self.k)
-               .select(F.col("__q").alias("query_id"),
-                       F.col("__doc").alias("doc_id"),
-                       "score", "rank"))
-        if self.maxDfRatio is not None:
-            from mmlspark_spark.core.cache import attach_intermediates
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.k)
+                .select(F.col("__q").alias("query_id"),
+                        F.col("__doc").alias("doc_id"),
+                        "score", "rank"))
 
-            out = attach_intermediates(out, *cached)
-        return out
+    # ------------------------------------------------- persistence
+    def save_index(self, docs: DataFrame, path: str,
+                   mode: str = "overwrite") -> None:
+        """Persist the inverted index as parquet so search never
+        re-tokenizes the corpus — the production shape: index once,
+        search many. Layout:
+
+        - ``{path}/postings`` — (term, doc, tf, dl), repartitioned AND
+          sorted by term so each row group holds a contiguous term
+          range: parquet min/max footer stats then let a
+          search-from-index scan SKIP every row group holding no query
+          term (the I/O win that makes the saved index cheaper than
+          re-tokenizing, at any corpus size). When maxDfRatio is set
+          the stopword cut is baked into the stored postings (smaller
+          index, bounded join fan-out forever after).
+        - ``{path}/dfreq`` — per-term document frequency (pruned).
+        - ``{path}/stats`` — the one-row (N, avgdl) frame.
+        - ``{path}/_bm25_manifest.json`` — pins maxDfRatio so a
+          retriever configured differently cannot silently search a
+          differently-pruned index (k1/b are score-time-only and stay
+          free).
+        """
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        post, dfreq, stats, cached = self._index_frames(docs)
+        if self.maxDfRatio is not None:
+            post = post.join(dfreq.select("__t"), "__t")
+        (post.repartition(F.col("__t"))
+         .sortWithinPartitions("__t")
+         .write.mode(mode).parquet(f"{path}/postings"))
+        dfreq.write.mode(mode).parquet(f"{path}/dfreq")
+        stats.write.mode(mode).parquet(f"{path}/stats")
+        _fs_write_text(
+            docs.sparkSession, f"{path}/_bm25_manifest.json",
+            _json.dumps({"maxDfRatio": self.maxDfRatio, "version": 1}))
+        for c in cached:
+            c.unpersist()
+
+    def load_index(self, spark, path: str) -> dict:
+        """Read a :meth:`save_index` artifact back as the frame dict
+        :meth:`search_with_index` consumes. Raises when this
+        retriever's ``maxDfRatio`` differs from the one baked into the
+        stored postings — re-pruning cannot be done post hoc (the cut
+        terms are gone) and silently searching a differently-pruned
+        index would skew scores."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(
+            _fs_read_text(spark, f"{path}/_bm25_manifest.json"))
+        if man.get("maxDfRatio") != self.maxDfRatio:
+            raise ValueError(
+                f"BM25 index at {path} was built with "
+                f"maxDfRatio={man.get('maxDfRatio')}; this retriever "
+                f"has maxDfRatio={self.maxDfRatio} — construct the "
+                f"retriever with the index's value (the cut is baked "
+                f"into the stored postings)")
+        return {"post": spark.read.parquet(f"{path}/postings"),
+                "dfreq": spark.read.parquet(f"{path}/dfreq"),
+                "stats": spark.read.parquet(f"{path}/stats")}
+
+    def search_with_index(self, index: dict,
+                          queries: DataFrame) -> DataFrame:
+        """BM25 top-k against a loaded :meth:`load_index` artifact —
+        identical scores to :meth:`search` on the source corpus
+        (round-trip pinned in tests), zero tokenize passes."""
+        return self._score(index["post"], index["dfreq"],
+                           index["stats"], queries)
 
 
 def reciprocal_rank_fusion(rankings: list[DataFrame], k: int = 60,

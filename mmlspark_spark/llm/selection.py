@@ -122,11 +122,16 @@ class DSIRModel(Model):
                 .drop("__dsir_arr"))
 
     def _gumbel_key(self, temperature: float) -> Column:
-        # u in [0,1): signed xxhash64(id, seed) scaled by 2^-64 and
+        # u in (0,1): signed xxhash64(id, seed) scaled by 2^-64 and
         # recentered — both steps exact IEEE doubles, so DuckDB
-        # replays them bit-for-bit from the same hash.
+        # replays them bit-for-bit from the same hash. The 2^-64 floor
+        # closes the one hole: h = −2^63 maps to u = 0 → −log(−log 0)
+        # = −inf (probability 2^-64, but a −inf key would sort a row
+        # UNDER every finite key forever). greatest() is the same
+        # IEEE op on both engines, so the oracle replays the clamp.
         h = F.xxhash64(F.col(self.idCol), F.lit(self.seed).cast("long"))
-        u = h.cast("double") / F.lit(_TWO64) + F.lit(0.5)
+        u = F.greatest(h.cast("double") / F.lit(_TWO64) + F.lit(0.5),
+                       F.lit(1.0 / _TWO64))
         return (F.col(self.scoreCol) / F.lit(float(temperature))
                 - F.log(-F.log(u)))
 

@@ -463,12 +463,14 @@ class PQKNN:
                  k: int = 10, M: int = 8, K: int = 16, dim: int | None = None,
                  sampleSize: int = 10000, iters: int = 8, seed: int = 42,
                  excludeSelf: bool = True,
-                 maxQueries: int | None = _MAX_QUERY_ROWS):
+                 maxQueries: int | None = _MAX_QUERY_ROWS,
+                 wideM: int = 32):
         self.idCol, self.vecCol, self.k = idCol, vecCol, k
         self.M, self.K, self.dim = M, K, dim
         self.sampleSize, self.iters, self.seed = sampleSize, iters, seed
         self.excludeSelf = excludeSelf
         self.maxQueries = maxQueries
+        self.wideM = wideM
 
     # -------------------------------------------------- codebook row
     def _codebook_row(self, codebooks: DataFrame, mCol: str,
@@ -536,14 +538,93 @@ class PQKNN:
                 f"PQ subspaces must partition the vector exactly")
         return dim
 
+    # ------------------------------------------------- wide-M lane
+    def _collect_codebooks(self, codebooks: DataFrame, mCol: str,
+                           codeCol: str, cvecCol: str) -> list:
+        """Driver-side [M] list of (K_m, ds) float64 arrays — M·K·ds
+        doubles, the same broadcast-size bound the one-row expr
+        aggregate relies on (the quantizer is small by contract)."""
+        rows = codebooks.select(F.col(mCol).alias("m"),
+                                F.col(codeCol).alias("c"),
+                                F.col(cvecCol).alias("v")).collect()
+        by_m: dict[int, list] = {}
+        for r in rows:
+            by_m.setdefault(int(r["m"]), []).append(
+                (int(r["c"]), [float(x) for x in r["v"]]))
+        out = []
+        for m in range(self.M):
+            ent = sorted(by_m.get(m, []))
+            if not ent or [c for c, _ in ent] != list(range(len(ent))):
+                raise ValueError(
+                    f"codebooks missing or sparse codes for subspace "
+                    f"{m}: encode needs contiguous codes 0..K_m-1")
+            out.append(np.array([v for _, v in ent], dtype=np.float64))
+        return out
+
+    def _encode_pandas(self, df: DataFrame, cbs: list, ds: int,
+                       vecCol: str, keep: list[str],
+                       outName: str = "codes") -> DataFrame:
+        """numpy encode lane for wide M: the expr lane unrolls M
+        argmin aggregates per row — past Catalyst's whole-stage-codegen
+        method limits at M≥64 (d≥512 at ds=8), where codegen bails to
+        interpreted per-expression eval. Here the broadcast codebooks
+        meet each Arrow batch in ONE vectorized (rows × K × ds)
+        difference per subspace, row-chunked to ~32 MB. Same direct
+        (x−c)² form and FIRST-min tie-break (np.argmin) as
+        array_position's first-min, so the lanes agree everywhere
+        float summation order can't flip a near-tie (pinned in
+        tests at d=1024)."""
+        from mmlspark_spark.operators.scale import (
+            VECTOR_MATH_BYTES_PER_SLOT,
+            spread_narrow_scan,
+        )
+
+        M = self.M
+        bcb = df.sparkSession.sparkContext.broadcast(cbs)
+
+        def run(it):
+            cbs_v = bcb.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf[vecCol]), dtype=np.float64)
+                codes = np.empty((len(pdf), M), dtype=np.int64)
+                for m in range(M):
+                    sub = X[:, m * ds:(m + 1) * ds]
+                    Cm = cbs_v[m]
+                    chunk = max(1, 4_000_000 // max(1, Cm.size))
+                    for s in range(0, len(X), chunk):
+                        d2 = ((sub[s:s + chunk, None, :]
+                               - Cm[None, :, :]) ** 2).sum(-1)
+                        codes[s:s + chunk, m] = d2.argmin(axis=1)
+                out = pdf[keep].copy()
+                out[outName] = [[int(x) for x in row] for row in codes]
+                yield out
+
+        schema = ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in keep
+        ) + f", {outName} array<int>"
+        return spread_narrow_scan(
+            df.select(*keep, vecCol),
+            VECTOR_MATH_BYTES_PER_SLOT).mapInPandas(run, schema)
+
     # -------------------------------------------------- public lanes
     def encode_with_codebooks(self, data: DataFrame, codebooks: DataFrame,
                               mCol: str = "m", codeCol: str = "code",
                               cvecCol: str = "cvec") -> DataFrame:
         """(id, codes array<int>) — the compressed index. Map-only
-        after the one-row codebook broadcast."""
+        after the one-row codebook broadcast (M ≤ wideM) or under the
+        numpy wide-M lane (M > wideM: the expr lane's M unrolled
+        argmin aggregates are codegen-hostile at production dims)."""
         dim = self._dim_of(data)
         ds = dim // self.M
+        if self.M > self.wideM:
+            cbs = self._collect_codebooks(codebooks, mCol, codeCol,
+                                          cvecCol)
+            return self._encode_pandas(
+                data.select(F.col(self.idCol).alias("vec_id"),
+                            F.col(self.vecCol).alias("__v")),
+                cbs, ds, "__v", ["vec_id"])
         cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
                                             cvecCol))
         return (data.crossJoin(cb)
@@ -562,10 +643,22 @@ class PQKNN:
         _check_query_size(queries, "PQKNN", self.maxQueries)
         cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
                                             cvecCol))
-        codes = (data.crossJoin(cb)
-                 .select(F.col(self.idCol).alias("d_id"),
-                         self._codes_expr(F.col(self.vecCol), ds)
-                         .alias("__codes")))
+        if self.M > self.wideM:
+            # corpus side takes the numpy wide-M lane (it is the 100 TB
+            # scan); the query LUT stays expr — the LUT frame is
+            # nq-sized, so paying interpreted eval there is noise while
+            # keeping the ADC distances bit-identical to the narrow lane
+            cbs = self._collect_codebooks(codebooks, mCol, codeCol,
+                                          cvecCol)
+            codes = self._encode_pandas(
+                data.select(F.col(self.idCol).alias("d_id"),
+                            F.col(self.vecCol).alias("__v")),
+                cbs, ds, "__v", ["d_id"], outName="__codes")
+        else:
+            codes = (data.crossJoin(cb)
+                     .select(F.col(self.idCol).alias("d_id"),
+                             self._codes_expr(F.col(self.vecCol), ds)
+                             .alias("__codes")))
         luts = (queries.crossJoin(cb)
                 .select(F.col(self.idCol).alias("q_id"),
                         self._lut_expr(F.col(self.vecCol), ds)
@@ -675,10 +768,21 @@ class PQKNN:
                    .groupBy("d_id").agg(F.max("__s").alias("__b"))
                    .select("d_id", (-F.col("__b.nc")).alias("__cell"),
                            F.col("__b.r").alias("__res")))
-        dcodes = (dassign.crossJoin(cb)
-                  .select("d_id", "__cell",
-                          self._codes_expr(F.col("__res"), ds)
-                          .alias("__codes")))
+        if self.M > self.wideM:
+            # residual encode on the numpy wide-M lane (same rationale
+            # as search_with_codebooks: the corpus-side encode is the
+            # scan that must stay codegen/BLAS-friendly at wide dims)
+            cbs = self._collect_codebooks(codebooks, mCol, codeCol,
+                                          cvecCol)
+            dcodes = self._encode_pandas(
+                dassign.select("d_id", "__cell",
+                               F.col("__res").alias("__v")),
+                cbs, ds, "__v", ["d_id", "__cell"], outName="__codes")
+        else:
+            dcodes = (dassign.crossJoin(cb)
+                      .select("d_id", "__cell",
+                              self._codes_expr(F.col("__res"), ds)
+                              .alias("__codes")))
         # queries: top-nProbe cells by the same distance, then a
         # residual LUT per probed cell
         w = Window.partitionBy("q_id").orderBy(
@@ -912,7 +1016,9 @@ def truncated_rerank_search(data: DataFrame, queries: DataFrame,
                             vecCol: str = "embedding", k: int = 10,
                             candidates: int = 50,
                             excludeSelf: bool = True,
-                            maxQueries: int | None = _MAX_QUERY_ROWS) -> DataFrame:
+                            maxQueries: int | None = _MAX_QUERY_ROWS,
+                            coarse: str = "float",
+                            bits: int = 8) -> DataFrame:
     """Matryoshka two-stage retrieval (Kusupati et al. 2022, MRL):
     a COARSE pass ranks by cosine over only the first ``dPrime``
     dimensions of the embedding (MRL-trained prefixes are themselves
@@ -936,6 +1042,19 @@ def truncated_rerank_search(data: DataFrame, queries: DataFrame,
 
     Returns (query_id, neighbor_id, sim, rank) — ``sim`` is the
     FULL-dimension cosine, ranked DESC with neighbor-ASC tie-break.
+
+    ``coarse="sq8"`` composes MRL over scalar quantization — the
+    production recipe: the corpus side of stage 1 scores against the
+    SQ-RECONSTRUCTED prefix (exact per-prefix-dim [lo, hi] bounds,
+    ``bits``-bit uniform codes, lo + code·Δ reconstruction — the
+    ScalarQuantizerKNN formulas verbatim), while the query prefix
+    stays exact float (asymmetric, the faiss convention). A stored
+    coarse index then holds dPrime CODES per vector instead of dPrime
+    floats — at d=1024, dPrime=64, bits=8 the coarse scan reads 0.8%
+    of the full-float bytes — and the exact rerank unchanged on top
+    caps the recall cost (pinned vs the float lane in tests). Still
+    deterministic end-to-end (exact bounds fit), so it oracles
+    (``knn_matryoshka_sq8``).
     """
     from mmlspark_spark.functions.vector import dot, norm
     from mmlspark_spark.operators.scale import (
@@ -949,6 +1068,8 @@ def truncated_rerank_search(data: DataFrame, queries: DataFrame,
         raise ValueError(
             f"candidates={candidates} < k={k}: the rerank could not "
             f"fill the top-k (recall would silently cap below 1)")
+    if coarse not in ("float", "sq8"):
+        raise ValueError(f"coarse={coarse!r} not in ('float', 'sq8')")
     _check_query_size(queries, "truncated_rerank_search", maxQueries)
 
     vec = F.transform(vecCol, lambda x: x.cast("double"))
@@ -961,10 +1082,26 @@ def truncated_rerank_search(data: DataFrame, queries: DataFrame,
     ).select("query_id", "__qv", "__qp",
              F.greatest(norm("__qp"), F.lit(1e-300)).alias("__qpn"),
              F.greatest(norm("__qv"), F.lit(1e-300)).alias("__qn"))
-    d = spread_narrow_scan(data, VECTOR_MATH_BYTES_PER_SLOT).select(
-        F.col(idCol).alias("neighbor_id"), pre.alias("__dp"),
-    ).select("neighbor_id", "__dp",
-             F.greatest(norm("__dp"), F.lit(1e-300)).alias("__dpn"))
+    if coarse == "sq8":
+        # corpus prefix → SQ codes → reconstruction; the coarse scan
+        # of a STORED index then reads codes, not floats (8× at
+        # bits=8). Query side stays exact float (asymmetric).
+        sq = ScalarQuantizerKNN(idCol=idCol, vecCol="__p", bits=bits,
+                                dim=dPrime, maxQueries=None)
+        bounds = sq.fit_bounds(data.select(pre.alias("__p")))
+        b = F.broadcast(bounds.select("lo", "hi"))
+        recon = sq._recon_expr(
+            sq._codes_expr(pre, F.col("lo"), F.col("hi")),
+            F.col("lo"), F.col("hi"))
+        d = (spread_narrow_scan(data, VECTOR_MATH_BYTES_PER_SLOT)
+             .crossJoin(b)
+             .select(F.col(idCol).alias("neighbor_id"),
+                     recon.alias("__dp")))
+    else:
+        d = spread_narrow_scan(data, VECTOR_MATH_BYTES_PER_SLOT).select(
+            F.col(idCol).alias("neighbor_id"), pre.alias("__dp"))
+    d = d.select("neighbor_id", "__dp",
+                 F.greatest(norm("__dp"), F.lit(1e-300)).alias("__dpn"))
     coarse = d.crossJoin(F.broadcast(q.select("query_id", "__qp", "__qpn"))).select(
         "query_id", "neighbor_id",
         (dot("__qp", "__dp") / (F.col("__qpn") * F.col("__dpn")))

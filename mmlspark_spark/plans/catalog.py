@@ -2932,8 +2932,11 @@ def _dsir_oracle(B: int = 1024, k: int = 150, seed: int = 7) -> str:
 
     h1 = xxh64_long(to_u64("doc_id"), "42::HUGEINT", u="dga")
     h2 = xxh64_long(f"{seed}::HUGEINT", "h1", u="dgb")
-    u01 = (f"CAST(({to_s64('h2v')}) AS DOUBLE)"
-           f"/18446744073709551616.0 + 0.5")
+    # greatest(…, 2⁻⁶⁴) mirrors DSIRModel._gumbel_key's clamp: the
+    # h = −2⁶³ hash value maps to u = 0 → −ln(−ln 0) = −inf
+    u01 = (f"greatest(CAST(({to_s64('h2v')}) AS DOUBLE)"
+           f"/18446744073709551616.0 + 0.5,"
+           f" 1.0/18446744073709551616.0)")
     return f"""
     WITH t AS (
       SELECT doc_id, lang, list_filter(
@@ -4494,6 +4497,95 @@ def knn_matryoshka(spark, sf_dir):
                       F.col("rank").alias("rk"))
 
 
+def _knn_matryoshka_sq8_oracle(dim: int = 64, dp: int = 16,
+                               cand: int = 25, k: int = 10, nq: int = 5,
+                               lv: int = 255) -> str:
+    """Replays truncated_rerank_search(coarse='sq8') end-to-end: exact
+    per-prefix-dim [lo, hi] bounds, uniform SQ8 encode (floor(r+0.5),
+    edge clamps, constant-dim zero codes) and lo + code·Δ
+    reconstruction — the _knn_sq8_oracle formulas on the dp-prefix —
+    then the asymmetric coarse cosine (exact query prefix vs corpus
+    reconstruction, order-pinned folds, 1e-300 floors) and the exact
+    full-dimension rerank, every double in Catalyst's operation
+    order."""
+    from mmlspark_spark.plans.duckdb_xxh import fold_sum
+
+    def cos(qv: str, dv: str, n: int) -> str:
+        return (f"({fold_sum(f'{qv}[i2] * {dv}[i2]', n)})"
+                f" / (greatest(sqrt({fold_sum(f'{qv}[i2] * {qv}[i2]', n)}),"
+                f" 1e-300)"
+                f" * greatest(sqrt({fold_sum(f'{dv}[i2] * {dv}[i2]', n)}),"
+                f" 1e-300))")
+
+    los = ", ".join(f"min(v[{i + 1}])" for i in range(dp))
+    his = ", ".join(f"max(v[{i + 1}])" for i in range(dp))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), b AS (
+      SELECT list_value({los}) AS lo, list_value({his}) AS hi FROM e
+    ), r AS (
+      SELECT e.vec_id, list_transform(range(1, {dp + 1}), i9 ->
+               CASE WHEN b.hi[i9] = b.lo[i9] THEN b.lo[i9]
+                    ELSE b.lo[i9]
+                         + CAST(greatest(0.0, least({lv}.0,
+                             floor((e.v[i9] - b.lo[i9])
+                                   / ((b.hi[i9] - b.lo[i9]) / {lv}.0)
+                                   + 0.5))) AS INTEGER)::DOUBLE
+                           * ((b.hi[i9] - b.lo[i9]) / {lv}.0)
+               END) AS recon
+      FROM e, b
+    ), coarse AS (
+      SELECT q_id, d_id FROM (
+        SELECT q.vec_id AS q_id, r.vec_id AS d_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos('q.qp', 'r.recon', dp)} DESC,
+                          r.vec_id ASC) AS crk
+        FROM (SELECT vec_id, v[1:{dp}] AS qp FROM e
+              WHERE vec_id < {nq}) q, r
+        WHERE q.vec_id <> r.vec_id)
+      WHERE crk <= {cand}
+    ), rer AS (
+      SELECT c.q_id, c.d_id, {cos('q.v', 'd.v', dim)} AS sim
+      FROM coarse c
+      JOIN e q ON q.vec_id = c.q_id
+      JOIN e d ON d.vec_id = c.d_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT q_id AS query_id, d_id AS neighbor_id, sim,
+                 row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY sim DESC, d_id ASC) AS rk
+          FROM rer)
+    WHERE rk <= {k}
+    """
+
+
+@register("knn_matryoshka_sq8", oracle=_knn_matryoshka_sq8_oracle())
+def knn_matryoshka_sq8(spark, sf_dir):
+    """Matryoshka-over-SQ8 — the composed production recipe
+    (truncated_rerank_search(coarse='sq8')): the coarse stage scores
+    the exact query prefix against the SQ8-RECONSTRUCTED corpus prefix
+    (exact bounds fit on the 16-dim prefix, uint8 codes, lo + code·Δ),
+    so a stored coarse index is 8× smaller than the float prefix —
+    0.8% of full-float bytes at d=1024/dPrime=64/bits=8 — and the
+    exact full-dimension rerank caps the recall cost. Deterministic
+    fit → the whole composition replays hash-exact."""
+    from mmlspark_spark.llm.similarity import truncated_rerank_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = truncated_rerank_search(emb, q, dPrime=16, idCol="vec_id",
+                                  vecCol="embedding", k=10,
+                                  candidates=25, coarse="sq8")
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"),
+                      F.col("rank").alias("rk"))
+
+
 @register("knn_sq8", oracle=_knn_sq8_oracle())
 def knn_sq8(spark, sf_dir):
     """Scalar-quantization ANN (ScalarQuantizerKNN, faiss SQ8
@@ -5214,6 +5306,53 @@ def tabular_shap_exact(spark, sf_dir):
         (F.round(F.col("shapValues")[1], 4) + 0).alias("phi_q"),
         (F.round(F.col("shapValues")[2], 4) + 0).alias("phi_d"),
         (F.round(F.col("shapValues")[3], 4) + 0).alias("phi_t"))
+
+
+@register(
+    "tabular_lime_exact",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(2.0 AS DOUBLE) AS w_q,
+           CAST(10.0 AS DOUBLE) AS w_d,
+           CAST(-3.0 AS DOUBLE) AS w_t,
+           CAST(1.0 AS DOUBLE) AS r2
+    FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+          ORDER BY l_orderkey, l_linenumber LIMIT 10)
+    """,
+)
+def tabular_lime_exact(spark, sf_dir):
+    """TabularLIME in its analytically-solvable regime: zero
+    regularization degenerates the per-id lasso to weighted least
+    squares, and on an exactly-LINEAR model WLS recovers the model's
+    own coefficients for ANY sample draw and ANY kernel weights (the
+    64-sample Gaussian design is full-rank over 3 features), with
+    r² = 1. The whole sample→score→solve→join dataflow — the same
+    pipeline the rows-only ``tabular_lime`` exercises with a
+    non-linear model — is therefore hash-checked against its closed
+    form, mirroring ``tabular_shap_exact``'s complete-enumeration
+    mode. Reference LIMEBase.scala:95-114 (the per-id weighted solve,
+    regularization param included)."""
+    from mmlspark_spark.explainers import TabularLIME
+    from mmlspark_spark.operators import Lambda
+
+    li = _t(spark, sf_dir, "lineitem")
+    ordered = li.orderBy("l_orderkey", "l_linenumber")
+    model = Lambda(fn=lambda df: df.withColumn(
+        "prediction",
+        2.0 * F.col("l_quantity") + 10.0 * F.col("l_discount")
+        - 3.0 * F.col("l_tax")))
+    lime = TabularLIME(
+        model=model, inputCols=["l_quantity", "l_discount", "l_tax"],
+        backgroundData=ordered.limit(200), targetCol="prediction",
+        numSamples=64, regularization=0.0, seed=7)
+    out = lime.transform(ordered.limit(10))
+    # "+ 0" canonicalizes IEEE -0.0 (see tabular_shap_exact)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        (F.round(F.col("explanation")[0], 4) + 0).alias("w_q"),
+        (F.round(F.col("explanation")[1], 4) + 0).alias("w_d"),
+        (F.round(F.col("explanation")[2], 4) + 0).alias("w_t"),
+        (F.round(F.col("r2"), 6) + 0).alias("r2"))
 
 
 @register(

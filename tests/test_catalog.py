@@ -87,6 +87,8 @@ ALLOWED_LINT = {
     # coarse stage is the brute-force skeleton on the dPrime prefix
     # (broadcast query cross join); the rerank side is equi-joined
     "knn_matryoshka": {"BroadcastNestedLoopJoin"},
+    # same skeleton + the one-row SQ bounds broadcast on the corpus
+    "knn_matryoshka_sq8": {"BroadcastNestedLoopJoin"},
 }
 
 

@@ -564,3 +564,130 @@ def test_maxqueries_guard_fails_fast_on_every_broadcast_lane(spark):
     # under-budget query frames pass every guarded lane
     assert BruteForceKNN(k=2, maxQueries=4).search(
         data, data.limit(3)).count() > 0
+
+
+def test_sq_fit_bounds_wide_dim_lanes_agree_d1024(spark):
+    """fit_bounds above wideDim switches from 2·d agg expressions
+    (codegen-hostile at d≥1024) to posexplode→groupBy(pos). Both lanes
+    are exact min/max, so they must agree BIT-FOR-BIT; pinned at
+    d=1024 against numpy (exact — min/max has no summation-order
+    drift) and lane-vs-lane at d=300."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    rng = np.random.default_rng(7)
+    d = 1024
+    x = rng.normal(size=(40, d))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    wide = ScalarQuantizerKNN(wideDim=16).fit_bounds(data).first()
+    assert list(wide.lo) == [float(v) for v in x.min(axis=0)]
+    assert list(wide.hi) == [float(v) for v in x.max(axis=0)]
+
+    d2 = 300
+    data2 = spark.createDataFrame(
+        [(i, [float(v) for v in x[i][:d2]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    narrow = ScalarQuantizerKNN(wideDim=4096).fit_bounds(data2).first()
+    wide2 = ScalarQuantizerKNN(wideDim=16).fit_bounds(data2).first()
+    assert list(narrow.lo) == list(wide2.lo)
+    assert list(narrow.hi) == list(wide2.hi)
+
+    # end-to-end: searches under either fit lane are identical
+    sq_n = ScalarQuantizerKNN(k=3, wideDim=4096)
+    sq_w = ScalarQuantizerKNN(k=3, wideDim=16)
+    q = data2.filter("vec_id < 3")
+    rn = sorted(map(tuple, sq_n.search(data2, q).collect()))
+    rw = sorted(map(tuple, sq_w.search(data2, q).collect()))
+    assert rn == rw
+
+
+def test_pq_wide_m_lanes_agree_d1024(spark):
+    """PQ encode above wideM switches from M unrolled argmin
+    aggregates to the numpy Arrow lane. With well-separated codebooks
+    (planted grid centers, noise ≪ separation) the argmin is
+    unambiguous, so codes — and the downstream ADC top-k — must be
+    identical across lanes at d=1024, M=128."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import PQKNN
+
+    rng = np.random.default_rng(11)
+    d, M, K = 1024, 128, 4
+    ds = d // M
+    # codebooks: per subspace, K centers on a coarse grid (spacing 10)
+    centers = rng.integers(0, 4, size=(M, K, ds)) * 10.0
+    cb_rows = [(m, c, [float(v) for v in centers[m, c]])
+               for m in range(M) for c in range(K)]
+    cbooks = spark.createDataFrame(
+        cb_rows, "m int, code int, cvec array<double>")
+    # data: a random center per subspace + tiny noise
+    n = 50
+    pick = rng.integers(0, K, size=(n, M))
+    X = np.concatenate(
+        [centers[m, pick[:, m]] + rng.normal(scale=0.01, size=(n, ds))
+         for m in range(M)], axis=1)
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+    pq_expr = PQKNN(M=M, K=K, dim=d, k=3, wideM=10**9)
+    pq_np = PQKNN(M=M, K=K, dim=d, k=3, wideM=0)
+    codes_expr = {r.vec_id: list(r.codes) for r in
+                  pq_expr.encode_with_codebooks(data, cbooks).collect()}
+    codes_np = {r.vec_id: list(r.codes) for r in
+                pq_np.encode_with_codebooks(data, cbooks).collect()}
+    assert codes_expr == codes_np
+    # codes must be the planted picks exactly
+    assert codes_np == {i: [int(c) for c in pick[i]] for i in range(n)}
+
+    q = data.filter("vec_id < 2")
+    re_ = sorted(map(tuple, pq_expr.search_with_codebooks(
+        data, q, cbooks).collect()))
+    rn_ = sorted(map(tuple, pq_np.search_with_codebooks(
+        data, q, cbooks).collect()))
+    assert re_ == rn_
+
+
+def test_matryoshka_sq8_coarse_recall_vs_float_lane(spark):
+    """coarse='sq8' reconstructs the corpus prefix from uint8 codes;
+    with a generous candidate budget its final top-k must match the
+    float coarse lane (the rerank is exact in both — only candidate
+    MEMBERSHIP can differ, and Δ/2-bounded reconstruction error cannot
+    evict true neighbors from a 5× candidate margin on separated
+    data). Also pins recall@k ≥ 0.9 under a tight budget."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import truncated_rerank_search
+
+    rng = np.random.default_rng(23)
+    d, n = 32, 300
+    # front-loaded vectors: prefix carries most of the signal (the MRL
+    # premise), so the coarse stage is meaningful
+    x = np.concatenate([rng.normal(size=(n, 8)) * 3.0,
+                        rng.normal(size=(n, d - 8)) * 0.3], axis=1)
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    q = data.filter("vec_id < 5")
+
+    fl = truncated_rerank_search(data, q, dPrime=8, k=10, candidates=50)
+    sq = truncated_rerank_search(data, q, dPrime=8, k=10, candidates=50,
+                                 coarse="sq8")
+    fl_rows = sorted(map(tuple, fl.collect()))
+    sq_rows = sorted(map(tuple, sq.collect()))
+    assert fl_rows == sq_rows
+
+    # tight budget: candidate membership may drift, recall stays high
+    sq_tight = truncated_rerank_search(data, q, dPrime=8, k=10,
+                                       candidates=12, coarse="sq8")
+    got = {(r.query_id, r.neighbor_id) for r in sq_tight.collect()}
+    want = {(r[0], r[1]) for r in fl_rows}
+    assert len(got & want) / len(want) >= 0.9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="coarse"):
+        truncated_rerank_search(data, q, dPrime=8, k=2, candidates=5,
+                                coarse="pq")

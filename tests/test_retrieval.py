@@ -88,3 +88,59 @@ def test_rrf_topk_trims_per_query(spark):
     out = reciprocal_rank_fusion([a], topK=2).collect()
     got = sorted((r.query_id, r.doc_id) for r in out)
     assert got == [(1, 1), (1, 2), (2, 7)]
+
+
+def test_bm25_index_roundtrip(spark, tmp_path):
+    """save_index → load_index → search_with_index must return the
+    EXACT rows search() returns on the source corpus (scores are
+    rounded to 6dp pre-rank, so equality is strict), and the stored
+    postings must be term-complete."""
+    from mmlspark_spark.llm import BM25Retriever
+
+    docs = spark.createDataFrame(
+        [(i, f"apple banana w{i % 7} cherry w{i % 3}") for i in range(40)]
+        + [(99, None)],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "apple w2"), (1, "cherry banana w5")],
+        "query_id long, query string")
+    bm = BM25Retriever(k=5)
+    path = str(tmp_path / "bm25_idx")
+    bm.save_index(docs, path)
+    direct = sorted(map(tuple, bm.search(docs, queries).collect()))
+    via_idx = sorted(map(tuple, bm.search_with_index(
+        bm.load_index(spark, path), queries).collect()))
+    assert direct == via_idx and len(direct) > 0
+
+
+def test_bm25_index_prunes_stopwords_and_pins_ratio(spark, tmp_path):
+    """With maxDfRatio the stopword cut is baked into the STORED
+    postings (the cut terms are physically absent), and a retriever
+    configured with a different ratio must refuse to load."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm import BM25Retriever
+
+    docs = spark.createDataFrame(
+        [(i, f"the common{i % 2} rare{i}") for i in range(10)],
+        "doc_id long, text string")
+    bm = BM25Retriever(k=5, maxDfRatio=0.6)
+    path = str(tmp_path / "bm25_pruned")
+    bm.save_index(docs, path)
+    stored_terms = {r["__t"] for r in
+                    spark.read.parquet(f"{path}/postings")
+                    .select("__t").distinct().collect()}
+    assert "the" not in stored_terms          # df=10 > 0.6·10
+    assert any(t.startswith("rare") for t in stored_terms)
+
+    queries = spark.createDataFrame(
+        [(0, "the rare3")], "query_id long, query string")
+    direct = sorted(map(tuple, bm.search(docs, queries).collect()))
+    via_idx = sorted(map(tuple, bm.search_with_index(
+        bm.load_index(spark, path), queries).collect()))
+    assert direct == via_idx
+
+    with _pytest.raises(ValueError, match="maxDfRatio"):
+        BM25Retriever(k=5, maxDfRatio=0.9).load_index(spark, path)
+    with _pytest.raises(ValueError, match="maxDfRatio"):
+        BM25Retriever(k=5).load_index(spark, path)
