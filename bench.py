@@ -310,7 +310,8 @@ def main() -> None:
     ann: dict[str, float] = {}
     ann_median: dict[str, float] = {}
     for name in ("knn_pq_adc", "knn_ivfpq", "knn_sq8", "knn_matryoshka",
-                 "knn_ivf", "bm25_search", "dsir_select"):
+                 "knn_matryoshka_sq8", "knn_ivf", "bm25_search",
+                 "dsir_select"):
         spec = CATALOG.get(name)
         if spec is None:
             continue
