@@ -397,29 +397,100 @@ class IVFKNN:
         """
         _check_query_size(queries, "IVFKNN.search_with_centroids",
                           self.maxQueries)
-        c = F.broadcast(centroids.select(
+        c = self._cent_broadcast(centroids, cellCol, centVecCol)
+        return self._probe(self.assign_corpus(data, centroids, cellCol,
+                                              centVecCol),
+                           self._probe_queries(queries, c))
+
+    def _cent_broadcast(self, centroids: DataFrame, cellCol: str,
+                        centVecCol: str):
+        return F.broadcast(centroids.select(
             F.col(cellCol).alias("__cell"),
             F.col(centVecCol).alias("__cv")))
+
+    def assign_corpus(self, data: DataFrame, centroids: DataFrame,
+                      cellCol: str = "cell",
+                      centVecCol: str = "cvec") -> DataFrame:
+        """(d_id, d_vec, __cell) — each corpus vector in its nearest
+        cell (exact cosine, cell-ASC ties), via the combinable
+        max-struct partial aggregate (one row per vector crosses the
+        shuffle, never the ×nlist broadcast expansion)."""
+        c = self._cent_broadcast(centroids, cellCol, centVecCol)
         sim = cosine_similarity(self.vecCol, "__cv").alias("__sim")
-        d = (data.crossJoin(c)
-             .select(F.col(self.idCol).alias("d_id"),
-                     F.col(self.vecCol).alias("d_vec"), "__cell", sim)
-             .groupBy("d_id")
-             .agg(F.max(F.struct(
-                 F.col("__sim").alias("s"),
-                 (-F.col("__cell")).alias("nc"),
-                 F.col("d_vec").alias("v"))).alias("__b"))
-             .select("d_id", F.col("__b.v").alias("d_vec"),
-                     (-F.col("__b.nc")).alias("__cell")))
+        return (data.crossJoin(c)
+                .select(F.col(self.idCol).alias("d_id"),
+                        F.col(self.vecCol).alias("d_vec"), "__cell", sim)
+                .groupBy("d_id")
+                .agg(F.max(F.struct(
+                    F.col("__sim").alias("s"),
+                    (-F.col("__cell")).alias("nc"),
+                    F.col("d_vec").alias("v"))).alias("__b"))
+                .select("d_id", F.col("__b.v").alias("d_vec"),
+                        (-F.col("__b.nc")).alias("__cell")))
+
+    def _probe_queries(self, queries: DataFrame, c) -> DataFrame:
+        """(q_id, q_vec, __cell) — each query expanded to its nProbe
+        nearest cells (window over the small side)."""
+        sim = cosine_similarity(self.vecCol, "__cv").alias("__sim")
         w = Window.partitionBy("q_id").orderBy(
             F.col("__sim").desc(), F.col("__cell").asc())
-        q = (queries.crossJoin(c)
-             .select(F.col(self.idCol).alias("q_id"),
-                     F.col(self.vecCol).alias("q_vec"), "__cell", sim)
-             .withColumn("__rk", F.row_number().over(w))
-             .filter(F.col("__rk") <= self.nProbe)
-             .drop("__rk", "__sim"))
-        return self._probe(d, q)
+        return (queries.crossJoin(c)
+                .select(F.col(self.idCol).alias("q_id"),
+                        F.col(self.vecCol).alias("q_vec"), "__cell", sim)
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= self.nProbe)
+                .drop("__rk", "__sim"))
+
+    # ------------------------------------------------- persistence
+    def save_index(self, data: DataFrame, centroids: DataFrame,
+                   path: str, mode: str = "overwrite",
+                   cellCol: str = "cell",
+                   centVecCol: str = "cvec") -> None:
+        """Persist the inverted file: the assigned corpus is written
+        PARTITIONED BY its cell (``{path}/assigned/__cell=<c>/``), so
+        a probe that touches nProbe of nlist cells reads only those
+        directories — Spark's dynamic partition pruning fires off the
+        broadcast query-cell join, the IVF I/O win that matters when
+        the corpus no longer fits hot. Centroids ride along at
+        ``{path}/centroids``; assignment never reruns."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        centroids.select(F.col(cellCol).alias("cell"),
+                         F.col(centVecCol).alias("cvec")).write.mode(
+            mode).parquet(f"{path}/centroids")
+        spark = data.sparkSession
+        assigned = self.assign_corpus(
+            data, spark.read.parquet(f"{path}/centroids"))
+        # lead the sort with the partition column: the dynamic-
+        # partition writer re-sorts by it anyway and would lose any
+        # other order (see export.py's shard-write note)
+        (assigned.repartition(F.col("__cell"))
+         .sortWithinPartitions("__cell", "d_id")
+         .write.mode(mode).partitionBy("__cell")
+         .parquet(f"{path}/assigned"))
+        _fs_write_text(spark, f"{path}/_ivf_manifest.json", _json.dumps(
+            {"nlist": self.nlist, "version": 1}))
+
+    def load_index(self, spark, path: str) -> dict:
+        return {"assigned": spark.read.parquet(f"{path}/assigned"),
+                "centroids": spark.read.parquet(f"{path}/centroids")}
+
+    def search_with_index(self, index: dict,
+                          queries: DataFrame) -> DataFrame:
+        """Probe a :meth:`save_index` artifact: only the query-side
+        cell ranking is computed fresh; the corpus-side assignment is
+        the stored layout. Identical results to
+        :meth:`search_with_centroids` on the source corpus (assignment
+        is deterministic; round-trip pinned in tests)."""
+        _check_query_size(queries, "IVFKNN.search_with_index",
+                          self.maxQueries)
+        c = self._cent_broadcast(index["centroids"], "cell", "cvec")
+        return self._probe(
+            index["assigned"].select(
+                "d_id", "d_vec", F.col("__cell").cast("int").alias("__cell")),
+            self._probe_queries(queries, c))
 
 
 class PQKNN:
@@ -663,6 +734,13 @@ class PQKNN:
                 .select(F.col(self.idCol).alias("q_id"),
                         self._lut_expr(F.col(self.vecCol), ds)
                         .alias("__lut")))
+        return self._adc_scan(codes, luts)
+
+    def _adc_scan(self, codes: DataFrame, luts: DataFrame) -> DataFrame:
+        """The ADC top-k tail shared by every search lane: corpus
+        ``codes`` (d_id, __codes) against broadcast query ``luts``
+        (q_id, __lut) — M array lookups per candidate, partial top-k
+        window."""
         cand = codes.crossJoin(F.broadcast(luts))
         if self.excludeSelf:
             cand = cand.filter(F.col("q_id") != F.col("d_id"))
@@ -680,6 +758,81 @@ class PQKNN:
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= self.k)
                 .select("query_id", "neighbor_id", "adc_dist", "rank"))
+
+    def search_with_codes(self, codes: DataFrame, codebooks: DataFrame,
+                          queries: DataFrame, codesCol: str = "codes",
+                          mCol: str = "m", codeCol: str = "code",
+                          cvecCol: str = "cvec") -> DataFrame:
+        """ADC top-k over a STORED code index (the
+        :meth:`encode_with_codebooks` output, M ints per vector — 32×
+        smaller than d=64 float64 at M=8): the scan never touches the
+        float corpus; only the query LUTs are computed fresh. Results
+        identical to :meth:`search_with_codebooks` on the source
+        vectors (encode is deterministic; round-trip pinned in
+        tests)."""
+        dim = self.dim
+        if dim is None:
+            raise ValueError(
+                "search_with_codes needs dim= set on the retriever "
+                "(the float corpus is not available to probe)")
+        if dim % self.M:
+            raise ValueError(
+                f"vector dim {dim} is not divisible by M={self.M}")
+        ds = dim // self.M
+        _check_query_size(queries, "PQKNN.search_with_codes",
+                          self.maxQueries)
+        cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
+                                            cvecCol))
+        luts = (queries.crossJoin(cb)
+                .select(F.col(self.idCol).alias("q_id"),
+                        self._lut_expr(F.col(self.vecCol), ds)
+                        .alias("__lut")))
+        return self._adc_scan(
+            codes.select(F.col("vec_id").alias("d_id"),
+                         F.col(codesCol).alias("__codes")), luts)
+
+    # ------------------------------------------------- persistence
+    def save_index(self, data: DataFrame, codebooks: DataFrame,
+                   path: str, mode: str = "overwrite") -> None:
+        """Persist the PQ index: ``{path}/codes`` (vec_id, codes),
+        ``{path}/codebooks`` (m, code, cvec), and a manifest pinning
+        M/K/dim — a retriever with different subspace geometry would
+        silently mis-decode the stored codes."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        dim = self._dim_of(data)
+        codebooks.select("m", "code", "cvec").write.mode(mode).parquet(
+            f"{path}/codebooks")
+        spark = data.sparkSession
+        self.encode_with_codebooks(
+            data, spark.read.parquet(f"{path}/codebooks")
+        ).write.mode(mode).parquet(f"{path}/codes")
+        _fs_write_text(spark, f"{path}/_pq_manifest.json", _json.dumps(
+            {"M": self.M, "K": self.K, "dim": dim, "version": 1}))
+
+    def load_index(self, spark, path: str) -> dict:
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(_fs_read_text(spark, f"{path}/_pq_manifest.json"))
+        if man.get("M") != self.M or man.get("dim") != (
+                self.dim if self.dim is not None else man.get("dim")):
+            raise ValueError(
+                f"PQ index at {path} was encoded with M={man.get('M')}, "
+                f"dim={man.get('dim')}; this retriever has M={self.M}, "
+                f"dim={self.dim} — codes would mis-decode")
+        if self.dim is None:
+            self.dim = int(man["dim"])
+        return {"codes": spark.read.parquet(f"{path}/codes"),
+                "codebooks": spark.read.parquet(f"{path}/codebooks")}
+
+    def search_with_index(self, index: dict,
+                          queries: DataFrame) -> DataFrame:
+        return self.search_with_codes(index["codes"],
+                                      index["codebooks"], queries)
 
     # -------------------------------------------------- sampled fit
     def fit_codebooks(self, data: DataFrame) -> DataFrame:
@@ -967,26 +1120,13 @@ class ScalarQuantizerKNN:
                         self._recon_expr(F.col(codesCol), F.col("lo"),
                                          F.col("hi")).alias("recon")))
 
-    def search_with_bounds(self, data: DataFrame, queries: DataFrame,
-                           bounds: DataFrame) -> DataFrame:
-        """Asymmetric top-k: (query_id, neighbor_id, sq_dist, rank)
-        ranked by squared L2 ASC (ties → neighbor ASC)."""
-        from mmlspark_spark.operators.scale import (
-            VECTOR_MATH_BYTES_PER_SLOT,
-            spread_narrow_scan,
-        )
-
-        self._dim_of(data)
-        _check_query_size(queries, "ScalarQuantizerKNN", self.maxQueries)
-        b = F.broadcast(bounds.select("lo", "hi"))
+    def _score_recon(self, d: DataFrame, queries: DataFrame) -> DataFrame:
+        """Asymmetric scoring tail shared by every search lane:
+        ``d`` = (neighbor_id, __recon) corpus reconstructions, scored
+        against the broadcast exact query vectors with the direct
+        (q−x̂)² element-order left fold, collapsed by the top-k
+        window."""
         vec = F.transform(self.vecCol, lambda x: x.cast("double"))
-        recon = self._recon_expr(
-            self._codes_expr(vec, F.col("lo"), F.col("hi")),
-            F.col("lo"), F.col("hi"))
-        d = (spread_narrow_scan(data, VECTOR_MATH_BYTES_PER_SLOT)
-             .crossJoin(b)
-             .select(F.col(self.idCol).alias("neighbor_id"),
-                     recon.alias("__recon")))
         q = queries.select(F.col(self.idCol).alias("query_id"),
                            vec.alias("__qv"))
         scored = d.crossJoin(F.broadcast(q)).select(
@@ -1003,6 +1143,100 @@ class ScalarQuantizerKNN:
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= self.k)
                 .select("query_id", "neighbor_id", "sq_dist", "rank"))
+
+    def search_with_bounds(self, data: DataFrame, queries: DataFrame,
+                           bounds: DataFrame) -> DataFrame:
+        """Asymmetric top-k: (query_id, neighbor_id, sq_dist, rank)
+        ranked by squared L2 ASC (ties → neighbor ASC). Encodes the
+        float corpus on the fly; :meth:`search_with_codes` is the
+        stored-index variant that scans codes instead."""
+        from mmlspark_spark.operators.scale import (
+            VECTOR_MATH_BYTES_PER_SLOT,
+            spread_narrow_scan,
+        )
+
+        self._dim_of(data)
+        _check_query_size(queries, "ScalarQuantizerKNN", self.maxQueries)
+        b = F.broadcast(bounds.select("lo", "hi"))
+        vec = F.transform(self.vecCol, lambda x: x.cast("double"))
+        recon = self._recon_expr(
+            self._codes_expr(vec, F.col("lo"), F.col("hi")),
+            F.col("lo"), F.col("hi"))
+        d = (spread_narrow_scan(data, VECTOR_MATH_BYTES_PER_SLOT)
+             .crossJoin(b)
+             .select(F.col(self.idCol).alias("neighbor_id"),
+                     recon.alias("__recon")))
+        return self._score_recon(d, queries)
+
+    def search_with_codes(self, codes: DataFrame, bounds: DataFrame,
+                          queries: DataFrame,
+                          codesCol: str = "codes") -> DataFrame:
+        """Top-k over a STORED compressed index — the scan reads
+        (vec_id, codes) and never touches the float corpus: at bits=8
+        that is 1/8th the bytes of the raw embedding column, the whole
+        point of the quantizer at 100 TB. Reconstruction is the same
+        lo + code·Δ expression as the float lane, so results are
+        IDENTICAL to :meth:`search_with_bounds` on the source vectors
+        (encode is deterministic; round-trip pinned in tests)."""
+        from mmlspark_spark.operators.scale import (
+            VECTOR_MATH_BYTES_PER_SLOT,
+            spread_narrow_scan,
+        )
+
+        _check_query_size(queries, "ScalarQuantizerKNN", self.maxQueries)
+        b = F.broadcast(bounds.select("lo", "hi"))
+        d = (spread_narrow_scan(codes, VECTOR_MATH_BYTES_PER_SLOT)
+             .crossJoin(b)
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     self._recon_expr(F.col(codesCol), F.col("lo"),
+                                      F.col("hi")).alias("__recon")))
+        return self._score_recon(d, queries)
+
+    # ------------------------------------------------- persistence
+    def save_index(self, data: DataFrame, path: str,
+                   mode: str = "overwrite") -> None:
+        """Persist the compressed index: ``{path}/codes`` (vec_id,
+        codes array<int>) parquet, ``{path}/bounds`` (one row lo/hi),
+        and a manifest pinning bits/dim so a retriever configured
+        differently cannot silently mis-decode the stored codes. Fit
+        (exact min/max) + encode in one pass over the corpus; search
+        forever after reads codes only."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        dim = self._dim_of(data)
+        bounds = self.fit_bounds(data)
+        bounds.write.mode(mode).parquet(f"{path}/bounds")
+        spark = data.sparkSession
+        saved_bounds = spark.read.parquet(f"{path}/bounds")
+        self.encode_with_bounds(data, saved_bounds).write.mode(
+            mode).parquet(f"{path}/codes")
+        _fs_write_text(spark, f"{path}/_sq_manifest.json", _json.dumps(
+            {"bits": self.bits, "dim": dim, "version": 1}))
+
+    def load_index(self, spark, path: str) -> dict:
+        """Read a :meth:`save_index` artifact for
+        :meth:`search_with_index`. Raises on a bits mismatch — codes
+        decode against 2^bits−1 levels, so a mismatched retriever
+        would reconstruct every vector wrong, silently."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(_fs_read_text(spark, f"{path}/_sq_manifest.json"))
+        if man.get("bits") != self.bits:
+            raise ValueError(
+                f"SQ index at {path} was encoded with bits="
+                f"{man.get('bits')}; this retriever has bits="
+                f"{self.bits} — codes would mis-decode")
+        return {"codes": spark.read.parquet(f"{path}/codes"),
+                "bounds": spark.read.parquet(f"{path}/bounds")}
+
+    def search_with_index(self, index: dict,
+                          queries: DataFrame) -> DataFrame:
+        return self.search_with_codes(index["codes"], index["bounds"],
+                                      queries)
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
         """Fit + search in one call. Deterministic end-to-end (exact

@@ -691,3 +691,69 @@ def test_matryoshka_sq8_coarse_recall_vs_float_lane(spark):
     with _pytest.raises(ValueError, match="coarse"):
         truncated_rerank_search(data, q, dPrime=8, k=2, candidates=5,
                                 coarse="pq")
+
+
+def test_ann_index_persistence_roundtrips(spark, tmp_path):
+    """The full ANN family now has the BM25-style index lifecycle:
+    save_index → load_index → search_with_index must return EXACTLY
+    what the in-memory lane returns on the source corpus (encode /
+    assignment are deterministic), the stored artifacts must be the
+    compressed/clustered layouts (SQ codes are ints, IVF corpus is
+    cell-partitioned), and geometry mismatches must refuse to load."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import (
+        IVFKNN,
+        PQKNN,
+        ScalarQuantizerKNN,
+    )
+
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=(120, 16))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    q = data.filter("vec_id < 4")
+
+    # ---- SQ ----
+    sq = ScalarQuantizerKNN(k=5)
+    p = str(tmp_path / "sq_idx")
+    sq.save_index(data, p)
+    direct = sorted(map(tuple, sq.search(data, q).collect()))
+    via = sorted(map(tuple, sq.search_with_index(
+        sq.load_index(spark, p), q).collect()))
+    assert direct == via and len(direct) == 4 * 5
+    codes_schema = spark.read.parquet(f"{p}/codes").schema["codes"]
+    assert codes_schema.dataType.simpleString() == "array<int>"
+    with pytest.raises(ValueError, match="bits"):
+        ScalarQuantizerKNN(k=5, bits=4).load_index(spark, p)
+
+    # ---- PQ ----
+    pq = PQKNN(k=5, M=4, K=8, dim=16)
+    cb = pq.fit_codebooks(data)
+    p2 = str(tmp_path / "pq_idx")
+    pq.save_index(data, cb, p2)
+    direct = sorted(map(tuple, pq.search_with_codebooks(
+        data, q, cb).collect()))
+    via = sorted(map(tuple, pq.search_with_index(
+        pq.load_index(spark, p2), q).collect()))
+    assert direct == via and len(direct) == 4 * 5
+    with pytest.raises(ValueError, match="M="):
+        PQKNN(k=5, M=8, dim=16).load_index(spark, p2)
+
+    # ---- IVF ----
+    ivf = IVFKNN(k=5, nlist=6, nProbe=2)
+    cent = ivf.fit_centroids_df(data)
+    p3 = str(tmp_path / "ivf_idx")
+    ivf.save_index(data, cent, p3)
+    direct = sorted(map(tuple, ivf.search_with_centroids(
+        data, q, cent).collect()))
+    via = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p3), q).collect()))
+    assert direct == via and len(direct) > 0
+    # the stored corpus is cell-partitioned (the probe-time partition-
+    # pruning layout)
+    import os
+    dirs = [d for d in os.listdir(f"{p3}/assigned")
+            if d.startswith("__cell=")]
+    assert len(dirs) >= 2
