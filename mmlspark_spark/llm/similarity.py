@@ -473,6 +473,25 @@ class IVFKNN:
         _fs_write_text(spark, f"{path}/_ivf_manifest.json", _json.dumps(
             {"nlist": self.nlist, "version": 1}))
 
+    def append_to_index(self, new_data: DataFrame, path: str) -> None:
+        """Incrementally grow a :meth:`save_index` artifact: assign
+        ONLY the new vectors against the stored centroids (map-side,
+        one small job — the existing corpus is never touched or
+        re-read) and append their cell directories. The coarse
+        quantizer is fixed at save time — the faiss operating model,
+        where the quantizer is trained once and the inverted lists
+        grow — so search results over the appended index equal a
+        fresh index over the unioned corpus exactly (pinned in
+        tests). Duplicate ids are the caller's contract, as with any
+        append-only store."""
+        spark = new_data.sparkSession
+        assigned = self.assign_corpus(
+            new_data, spark.read.parquet(f"{path}/centroids"))
+        (assigned.repartition(F.col("__cell"))
+         .sortWithinPartitions("__cell", "d_id")
+         .write.mode("append").partitionBy("__cell")
+         .parquet(f"{path}/assigned"))
+
     def load_index(self, spark, path: str) -> dict:
         return {"assigned": spark.read.parquet(f"{path}/assigned"),
                 "centroids": spark.read.parquet(f"{path}/centroids")}

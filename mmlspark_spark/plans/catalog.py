@@ -69,7 +69,7 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     rolling_revenue, pagerank, join_multi, then the r7/r8/r9 blocks
 #     (minhash_dedup .. knn_ivf_pretrained, all hash-green r9).
 _WINDOW_PRIORITY = (
-    "knn_ivf", "tabular_lime_exact", "knn_matryoshka_sq8",
+    "knn_ivf", "tabular_lime_exact", "knn_matryoshka_sq8", "ann_recall",
     "knn_sq8", "knn_pq_adc", "knn_ivfpq", "knn_matryoshka",
     "knn_bruteforce", "bm25_search", "hybrid_rrf", "dsir_select",
     "summarize_data_approx", "access_anomaly",
@@ -3943,6 +3943,100 @@ def knn_ivf_pretrained(spark, sf_dir):
     return out.select("query_id", "neighbor_id",
                       F.round("sim", 6).alias("sim"),
                       F.col("rank").alias("rk"))
+
+
+def _ann_recall_oracle(nlist: int = 16, nProbe: int = 4, k: int = 10,
+                       dim: int = 64, nq: int = 5) -> str:
+    """Composes the two proven replays — the bring-your-own-quantizer
+    IVF search (_knn_ivf_pretrained_oracle's CTEs) and the exact
+    brute-force top-k — and counts the member-set overlap per query.
+    Only membership reaches the output (hits, recall), so this checks
+    that BOTH search pipelines produce identical candidate SETS on
+    both engines, the property every recall claim in tests rests
+    on."""
+    from mmlspark_spark.plans.duckdb_xxh import cosine_sql
+
+    def cos(a: str, b: str) -> str:
+        return cosine_sql(a, b, dim)
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {nlist}
+    ), dsim AS (
+      SELECT e.vec_id AS d_id, e.v AS dv, c.cell, {cos("e.v", "c.cv")} AS sim
+      FROM e, c
+    ), dass AS (
+      SELECT d_id, dv, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
+        FROM dsim) WHERE rk = 1
+    ), qass AS (
+      SELECT q_id, qv, cell FROM (
+        SELECT d_id AS q_id, dv AS qv, cell, row_number() OVER (
+          PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
+        FROM dsim WHERE d_id < {nq}) WHERE rk <= {nProbe}
+    ), cand AS (
+      SELECT DISTINCT q_id, d_id, qv, dv
+      FROM dass JOIN qass USING (cell) WHERE q_id <> d_id
+    ), iv AS (
+      SELECT q_id, d_id FROM (
+        SELECT q_id, d_id, row_number() OVER (
+          PARTITION BY q_id
+          ORDER BY {cos("qv", "dv")} DESC, d_id) AS rk
+        FROM cand) WHERE rk <= {k}
+    ), bf AS (
+      SELECT q_id, d_id FROM (
+        SELECT q.vec_id AS q_id, d.vec_id AS d_id, row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {cos("q.v", "d.v")} DESC, d.vec_id) AS rk
+        FROM (SELECT * FROM e WHERE vec_id < {nq}) q, e d
+        WHERE q.vec_id <> d.vec_id) WHERE rk <= {k}
+    ), h AS (
+      SELECT bf.q_id, CAST(count(iv.d_id) AS BIGINT) AS hits
+      FROM bf LEFT JOIN iv ON bf.q_id = iv.q_id AND bf.d_id = iv.d_id
+      GROUP BY bf.q_id
+    )
+    SELECT q_id AS query_id, hits,
+           round(hits / {float(k)}, 6) AS recall
+    FROM h
+    """
+
+
+@register("ann_recall", oracle=_ann_recall_oracle())
+def ann_recall(spark, sf_dir):
+    """Distributed recall@10 of the IVF lane against the exact
+    brute-force baseline — the evaluation loop every production ANN
+    deployment runs (tune nProbe until recall clears the bar), here
+    as a single Spark job: both searches are pure Catalyst, the
+    overlap is a semi-join + count per query, and the oracle replays
+    BOTH pipelines so the member sets (not just the counts) are
+    cross-engine-proven. Uses the pretrained quantizer shape
+    (vec_id < 16 as cells) so recall is a pure function of the
+    data."""
+    from mmlspark_spark.llm.similarity import IVFKNN, BruteForceKNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    approx = (IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
+                     nlist=16, nProbe=4)
+              .search_with_centroids(emb, q, cent)
+              .select("query_id", "neighbor_id"))
+    exact = (BruteForceKNN(idCol="vec_id", vecCol="embedding", k=10)
+             .search(emb, q).select("query_id", "neighbor_id"))
+    hits = (exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("hits")))
+    return (exact.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("hits", F.lit(0)).cast("bigint")
+                    .alias("hits"),
+                    F.round(F.coalesce("hits", F.lit(0)) / F.lit(10.0), 6)
+                    .alias("recall")))
 
 
 def _bm25_cte(k1: float = 1.2, b: float = 0.75,

@@ -89,6 +89,9 @@ ALLOWED_LINT = {
     "knn_matryoshka": {"BroadcastNestedLoopJoin"},
     # same skeleton + the one-row SQ bounds broadcast on the corpus
     "knn_matryoshka_sq8": {"BroadcastNestedLoopJoin"},
+    # composes the IVF nlist-expansion + brute-force broadcast scans;
+    # two searches in one plan → iterations × constant exchanges
+    "ann_recall": {"BroadcastNestedLoopJoin", "exchanges"},
 }
 
 

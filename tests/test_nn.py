@@ -757,3 +757,36 @@ def test_ann_index_persistence_roundtrips(spark, tmp_path):
     dirs = [d for d in os.listdir(f"{p3}/assigned")
             if d.startswith("__cell=")]
     assert len(dirs) >= 2
+
+
+def test_ivf_append_to_index_matches_fresh_union(spark, tmp_path):
+    """append_to_index assigns only the NEW vectors against the
+    stored centroids and appends their cell directories; searching
+    the grown index must equal searching a fresh index built over the
+    unioned corpus (the quantizer is fixed at save time, so
+    assignment is identical either way)."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    rng = np.random.default_rng(37)
+    x = rng.normal(size=(150, 12))
+    base = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    extra = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100, 150)],
+        "vec_id long, embedding array<double>")
+    q = base.filter("vec_id < 4")
+
+    ivf = IVFKNN(k=5, nlist=6, nProbe=3)
+    cent = ivf.fit_centroids_df(base)
+    p = str(tmp_path / "ivf_grow")
+    ivf.save_index(base, cent, p)
+    ivf.append_to_index(extra, p)
+    grown = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p), q).collect()))
+
+    fresh = sorted(map(tuple, ivf.search_with_centroids(
+        base.unionByName(extra), q, cent).collect()))
+    assert grown == fresh and len(grown) == 4 * 5
