@@ -183,21 +183,36 @@ class BM25Retriever:
         """
         import json as _json
 
+        from mmlspark_spark.core.cache import persist_intermediate
         from mmlspark_spark.llm.export import _fs_write_text
 
         post, dfreq, stats, cached = self._index_frames(docs)
-        if self.maxDfRatio is not None:
-            post = post.join(dfreq.select("__t"), "__t")
-        (post.repartition(F.col("__t"))
-         .sortWithinPartitions("__t")
-         .write.mode(mode).parquet(f"{path}/postings"))
-        dfreq.write.mode(mode).parquet(f"{path}/dfreq")
-        stats.write.mode(mode).parquet(f"{path}/stats")
-        _fs_write_text(
-            docs.sparkSession, f"{path}/_bm25_manifest.json",
-            _json.dumps({"maxDfRatio": self.maxDfRatio, "version": 1}))
-        for c in cached:
-            c.unpersist()
+        # post is the full corpus tokenize/explode pass and has 2-3
+        # consumers below (the postings write, dfreq's groupBy, and
+        # the pruning join when maxDfRatio is set) — persist it so the
+        # corpus is tokenized ONCE per save, not per write (the stats
+        # write is its own one-pass aggregate; it must stay derived
+        # from docs, not postings, because zero-token documents have
+        # no posting rows but DO count toward N/avgdl)
+        post = persist_intermediate(post)
+        try:
+            if self.maxDfRatio is not None:
+                post_out = post.join(dfreq.select("__t"), "__t")
+            else:
+                post_out = post
+            (post_out.repartition(F.col("__t"))
+             .sortWithinPartitions("__t")
+             .write.mode(mode).parquet(f"{path}/postings"))
+            dfreq.write.mode(mode).parquet(f"{path}/dfreq")
+            stats.write.mode(mode).parquet(f"{path}/stats")
+            _fs_write_text(
+                docs.sparkSession, f"{path}/_bm25_manifest.json",
+                _json.dumps({"maxDfRatio": self.maxDfRatio,
+                             "version": 1}))
+        finally:
+            post.unpersist()
+            for c in cached:
+                c.unpersist()
 
     def load_index(self, spark, path: str) -> dict:
         """Read a :meth:`save_index` artifact back as the frame dict

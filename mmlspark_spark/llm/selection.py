@@ -124,14 +124,24 @@ class DSIRModel(Model):
     def _gumbel_key(self, temperature: float) -> Column:
         # u in (0,1): signed xxhash64(id, seed) scaled by 2^-64 and
         # recentered — both steps exact IEEE doubles, so DuckDB
-        # replays them bit-for-bit from the same hash. The 2^-64 floor
-        # closes the one hole: h = −2^63 maps to u = 0 → −log(−log 0)
-        # = −inf (probability 2^-64, but a −inf key would sort a row
-        # UNDER every finite key forever). greatest() is the same
-        # IEEE op on both engines, so the oracle replays the clamp.
+        # replays them bit-for-bit from the same hash. TWO-SIDED
+        # clamp, closing both holes:
+        # - floor 2^-64: h = −2^63 maps to u = 0 → −log(−log 0) =
+        #   −inf (one h value; the row would sort UNDER every finite
+        #   key forever);
+        # - ceiling 1 − 2^-53: the 512 h values in [2^63−512, 2^63)
+        #   ROUND to 2^63.0 under the int64→double cast, so u = 1.0 →
+        #   −log(−log 1) = +inf in Spark while DuckDB raises on
+        #   ln(0.0) — the row would win every top-k AND crash the
+        #   oracle. 1 − 2^-53 is the largest double below 1; the
+        #   subtraction is exact on both engines.
+        # greatest/least are the same IEEE ops on both engines, so the
+        # oracle replays both clamps.
         h = F.xxhash64(F.col(self.idCol), F.lit(self.seed).cast("long"))
-        u = F.greatest(h.cast("double") / F.lit(_TWO64) + F.lit(0.5),
-                       F.lit(1.0 / _TWO64))
+        u = F.least(
+            F.greatest(h.cast("double") / F.lit(_TWO64) + F.lit(0.5),
+                       F.lit(1.0 / _TWO64)),
+            F.lit(1.0 - 2.0 ** -53))
         return (F.col(self.scoreCol) / F.lit(float(temperature))
                 - F.log(-F.log(u)))
 

@@ -800,6 +800,13 @@ class PQKNN:
         ds = dim // self.M
         _check_query_size(queries, "PQKNN.search_with_codes",
                           self.maxQueries)
+        qd = int(queries.select(F.size(self.vecCol)).first()[0])
+        if qd != dim:
+            # a short query's LUT slices would null-pad into NULL ADC
+            # distances that sort FIRST — silent garbage; refuse
+            raise ValueError(
+                f"query vectors have dim {qd}, stored index has "
+                f"dim {dim}")
         cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
                                             cvecCol))
         luts = (queries.crossJoin(cb)
@@ -1203,6 +1210,15 @@ class ScalarQuantizerKNN:
         )
 
         _check_query_size(queries, "ScalarQuantizerKNN", self.maxQueries)
+        if self.dim is not None:
+            # a dim-mismatched query frame would zip_with-null-pad into
+            # NULL distances that sort FIRST in the rank window —
+            # silent garbage top-k; refuse it instead (one cheap row)
+            qd = int(queries.select(F.size(self.vecCol)).first()[0])
+            if qd != self.dim:
+                raise ValueError(
+                    f"query vectors have dim {qd}, stored index has "
+                    f"dim {self.dim}")
         b = F.broadcast(bounds.select("lo", "hi"))
         d = (spread_narrow_scan(codes, VECTOR_MATH_BYTES_PER_SLOT)
              .crossJoin(b)
@@ -1249,6 +1265,14 @@ class ScalarQuantizerKNN:
                 f"SQ index at {path} was encoded with bits="
                 f"{man.get('bits')}; this retriever has bits="
                 f"{self.bits} — codes would mis-decode")
+        if self.dim is not None and man.get("dim") != self.dim:
+            raise ValueError(
+                f"SQ index at {path} holds dim={man.get('dim')} codes; "
+                f"this retriever has dim={self.dim} — the asymmetric "
+                f"scan would zip mismatched lengths into NULL "
+                f"distances")
+        if self.dim is None:
+            self.dim = int(man["dim"])
         return {"codes": spark.read.parquet(f"{path}/codes"),
                 "bounds": spark.read.parquet(f"{path}/bounds")}
 

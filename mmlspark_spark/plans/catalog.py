@@ -83,8 +83,12 @@ _WINDOW_PRIORITY = (
     "ts_featurize", "multi_ngram", "page_splitter", "token_count",
     "quality_score", "lang_stats", "ngram_lm_score", "domain_mix",
     "embedding_stats", "embedding_dedup", "text_metrics",
-    "date_featurize", "embedding_kmeans_assign", "semantic_dedup",
+    "date_featurize", "embedding_kmeans_assign",
 )
+# exactly 50 entries — the driver window size; a 51st would be
+# silently parked outside (semantic_dedup, r5-green, waits for the
+# round-11 rotation)
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 
 
 def _ordered_specs() -> list[QuerySpec]:
@@ -2932,11 +2936,15 @@ def _dsir_oracle(B: int = 1024, k: int = 150, seed: int = 7) -> str:
 
     h1 = xxh64_long(to_u64("doc_id"), "42::HUGEINT", u="dga")
     h2 = xxh64_long(f"{seed}::HUGEINT", "h1", u="dgb")
-    # greatest(…, 2⁻⁶⁴) mirrors DSIRModel._gumbel_key's clamp: the
-    # h = −2⁶³ hash value maps to u = 0 → −ln(−ln 0) = −inf
-    u01 = (f"greatest(CAST(({to_s64('h2v')}) AS DOUBLE)"
+    # two-sided clamp mirroring DSIRModel._gumbel_key exactly:
+    # greatest(…, 2⁻⁶⁴) for h = −2⁶³ (u = 0 → −ln(−ln 0) = −inf) and
+    # least(…, 1 − 2⁻⁵³) for the 512 h values near +2⁶³ whose
+    # int64→double cast rounds to u = 1.0 (Spark: +inf key; DuckDB:
+    # ln(0) raises — the clamp is what keeps the oracle runnable)
+    u01 = (f"least(greatest(CAST(({to_s64('h2v')}) AS DOUBLE)"
            f"/18446744073709551616.0 + 0.5,"
-           f" 1.0/18446744073709551616.0)")
+           f" 1.0/18446744073709551616.0),"
+           f" 1.0 - 1.0/9007199254740992.0)")
     return f"""
     WITH t AS (
       SELECT doc_id, lang, list_filter(
@@ -3871,28 +3879,20 @@ def url_canonicalize(spark, sf_dir):
         "doc_id", canonicalize_url("u").alias("canonical"))
 
 
-def _knn_ivf_pretrained_oracle(nlist: int = 16, nProbe: int = 4,
-                               k: int = 10, dim: int = 64) -> str:
-    """Replays the bring-your-own-quantizer IVF lane end-to-end: the
-    centroid frame IS data (embeddings vec_id < nlist), assignment
-    ranks cells by exact cosine with cell-ASC tie-break (corpus top-1,
-    queries top-nProbe), candidates equi-join on the cell, and the
-    final exact-cosine top-k window — every float computed with the
-    same left-fold order as the Catalyst expressions (shared
-    fold_sum/cosine_sql helpers, see their drift warning)."""
+def _ivf_cte(cent_ctes: str, nProbe: int, dim: int, nq: int = 5) -> str:
+    """Shared IVF-replay WITH-fragment (the _bm25_cte pattern — ONE
+    copy of the assignment/probe/candidate SQL so a tie-break or fold
+    fix can never diverge between the three IVF-family oracles).
+    Expects an upstream CTE ``e(vec_id, v)``; ``cent_ctes`` must end
+    in a CTE ``c(cell, cv)``; the fragment ends in ``cand(q_id, d_id,
+    qv, dv)``: corpus top-1 cell / query top-nProbe cells by exact
+    cosine with cell-ASC tie-break, candidates equi-joined on the
+    cell."""
     from mmlspark_spark.plans.duckdb_xxh import cosine_sql
 
-    def cos(a: str, b: str) -> str:
-        return cosine_sql(a, b, dim)
-
-    return f"""
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      FROM embeddings
-    ), c AS (
-      SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {nlist}
-    ), dsim AS (
-      SELECT e.vec_id AS d_id, e.v AS dv, c.cell, {cos("e.v", "c.cv")} AS sim
+    cos = cosine_sql("e.v", "c.cv", dim)
+    return f"""{cent_ctes}, dsim AS (
+      SELECT e.vec_id AS d_id, e.v AS dv, c.cell, {cos} AS sim
       FROM e, c
     ), dass AS (
       SELECT d_id, dv, cell FROM (
@@ -3903,13 +3903,20 @@ def _knn_ivf_pretrained_oracle(nlist: int = 16, nProbe: int = 4,
       SELECT q_id, qv, cell FROM (
         SELECT d_id AS q_id, dv AS qv, cell, row_number() OVER (
           PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
-        FROM dsim WHERE d_id < 5) WHERE rk <= {nProbe}
+        FROM dsim WHERE d_id < {nq}) WHERE rk <= {nProbe}
     ), cand AS (
       SELECT DISTINCT q_id, d_id, qv, dv
       FROM dass JOIN qass USING (cell) WHERE q_id <> d_id
-    ), scored AS (
+    )"""
+
+
+def _ivf_topk_tail(dim: int, k: int) -> str:
+    """The exact-cosine top-k over ``cand`` ending the IVF replays."""
+    from mmlspark_spark.plans.duckdb_xxh import cosine_sql
+
+    return f""", scored AS (
       SELECT q_id AS query_id, d_id AS neighbor_id,
-             {cos("qv", "dv")} AS sim
+             {cosine_sql("qv", "dv", dim)} AS sim
       FROM cand
     )
     SELECT query_id, neighbor_id, round(sim, 6) AS sim,
@@ -3920,6 +3927,25 @@ def _knn_ivf_pretrained_oracle(nlist: int = 16, nProbe: int = 4,
           FROM scored)
     WHERE rk <= {k}
     """
+
+
+def _knn_ivf_pretrained_oracle(nlist: int = 16, nProbe: int = 4,
+                               k: int = 10, dim: int = 64) -> str:
+    """Replays the bring-your-own-quantizer IVF lane end-to-end: the
+    centroid frame IS data (embeddings vec_id < nlist), assignment
+    ranks cells by exact cosine with cell-ASC tie-break (corpus top-1,
+    queries top-nProbe), candidates equi-join on the cell, and the
+    final exact-cosine top-k window — every float computed with the
+    same left-fold order as the Catalyst expressions (shared
+    _ivf_cte/_ivf_topk_tail fragments over fold_sum/cosine_sql)."""
+    cent = (f"""c AS (
+      SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {nlist}
+    )""")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), {_ivf_cte(cent, nProbe, dim)}{_ivf_topk_tail(dim, k)}"""
 
 
 @register("knn_ivf_pretrained", oracle=_knn_ivf_pretrained_oracle())
@@ -3959,29 +3985,14 @@ def _ann_recall_oracle(nlist: int = 16, nProbe: int = 4, k: int = 10,
     def cos(a: str, b: str) -> str:
         return cosine_sql(a, b, dim)
 
+    cent = (f"""c AS (
+      SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {nlist}
+    )""")
     return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       FROM embeddings
-    ), c AS (
-      SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {nlist}
-    ), dsim AS (
-      SELECT e.vec_id AS d_id, e.v AS dv, c.cell, {cos("e.v", "c.cv")} AS sim
-      FROM e, c
-    ), dass AS (
-      SELECT d_id, dv, cell FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
-        FROM dsim) WHERE rk = 1
-    ), qass AS (
-      SELECT q_id, qv, cell FROM (
-        SELECT d_id AS q_id, dv AS qv, cell, row_number() OVER (
-          PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
-        FROM dsim WHERE d_id < {nq}) WHERE rk <= {nProbe}
-    ), cand AS (
-      SELECT DISTINCT q_id, d_id, qv, dv
-      FROM dass JOIN qass USING (cell) WHERE q_id <> d_id
-    ), iv AS (
+    ), {_ivf_cte(cent, nProbe, dim, nq)}, iv AS (
       SELECT q_id, d_id FROM (
         SELECT q_id, d_id, row_number() OVER (
           PARTITION BY q_id
@@ -4395,19 +4406,9 @@ def _knn_ivf_oracle(nlist: int = 16, nProbe: int = 4, k: int = 10,
     the coarse centroids are EmbeddingKMeans' hash-ranked seeds (the
     ``nlist`` lowest ids under the portable Lehmer rank, the SAME
     ranking embedding_kmeans_assign oracles), then the
-    search_with_centroids replay: cosine cell assignment with cell-ASC
-    tie-break (corpus top-1, queries top-nProbe), cell equi-join,
-    exact-cosine top-k — every float in the shared fold order."""
-    from mmlspark_spark.plans.duckdb_xxh import cosine_sql
-
-    def cos(a: str, b: str) -> str:
-        return cosine_sql(a, b, dim)
-
-    return f"""
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      FROM embeddings
-    ), cr AS (
+    search_with_centroids replay via the shared _ivf_cte fragment —
+    every float in the shared fold order."""
+    cent = (f"""cr AS (
       SELECT CAST(embedding AS DOUBLE[]) AS cv,
              row_number() OVER (
                ORDER BY ((((vec_id + {seed}) % 2147483647)
@@ -4417,35 +4418,12 @@ def _knn_ivf_oracle(nlist: int = 16, nProbe: int = 4, k: int = 10,
     ), c AS (
       SELECT CAST(rk - 1 AS INTEGER) AS cell, cv FROM cr
       WHERE rk <= {nlist}
-    ), dsim AS (
-      SELECT e.vec_id AS d_id, e.v AS dv, c.cell, {cos("e.v", "c.cv")} AS sim
-      FROM e, c
-    ), dass AS (
-      SELECT d_id, dv, cell FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
-        FROM dsim) WHERE rk = 1
-    ), qass AS (
-      SELECT q_id, qv, cell FROM (
-        SELECT d_id AS q_id, dv AS qv, cell, row_number() OVER (
-          PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
-        FROM dsim WHERE d_id < 5) WHERE rk <= {nProbe}
-    ), cand AS (
-      SELECT DISTINCT q_id, d_id, qv, dv
-      FROM dass JOIN qass USING (cell) WHERE q_id <> d_id
-    ), scored AS (
-      SELECT q_id AS query_id, d_id AS neighbor_id,
-             {cos("qv", "dv")} AS sim
-      FROM cand
-    )
-    SELECT query_id, neighbor_id, round(sim, 6) AS sim,
-           CAST(rk AS INTEGER) AS rk
-    FROM (SELECT *, row_number() OVER (
-            PARTITION BY query_id
-            ORDER BY sim DESC, neighbor_id) AS rk
-          FROM scored)
-    WHERE rk <= {k}
-    """
+    )""")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), {_ivf_cte(cent, nProbe, dim)}{_ivf_topk_tail(dim, k)}"""
 
 
 @register("knn_ivf", oracle=_knn_ivf_oracle())

@@ -335,7 +335,11 @@ def test_readme_counts_in_sync():
 
     from mmlspark_spark.plans.catalog import oracle_sql, queries
 
-    readme = open("/root/repo/README.md", encoding="utf-8").read()
+    import os
+
+    readme_path = os.path.join(os.path.dirname(__file__), "..",
+                               "README.md")
+    readme = open(readme_path, encoding="utf-8").read()
     m = re.search(r"(\d+) queries, (\d+) oracle-hash-checked", readme)
     assert m, "README.md lost its 'N queries, M oracle-hash-checked' line"
     assert int(m.group(1)) == len(queries()), (

@@ -1060,3 +1060,37 @@ def test_dsir_fraction_empty_frame_and_model_validation(spark):
 
     with _pytest.raises(ValueError, match="power of two"):
         DSIRModel(ratioRow=model.ratioRow, buckets=1000)
+
+
+def test_gumbel_key_clamp_is_finite_at_both_hash_endpoints(spark):
+    """The gumbel key formula with the two-sided clamp must stay
+    finite at both int64 hash extremes: h = −2^63 maps to u = 0
+    (−log(−log 0) = −inf without the floor) and h values near +2^63
+    ROUND to 2^63.0 under the int64→double cast, mapping to u = 1.0
+    (+inf in Spark, a hard error in DuckDB's ln(0) without the
+    ceiling). Replays DSIRModel._gumbel_key's exact expression with
+    the endpoint h values injected as literals."""
+    import math
+
+    key = ("-log(-log(least(greatest("
+           "CAST({h} AS DOUBLE)/18446744073709551616.0 + 0.5, "
+           "1.0/18446744073709551616.0), "
+           "1.0 - 1.0/9007199254740992.0)))")
+    row = spark.sql(
+        "SELECT "
+        + key.format(h="-9223372036854775808") + " AS lo_key, "
+        + key.format(h="9223372036854775807") + " AS hi_key").first()
+    assert math.isfinite(row.lo_key) and math.isfinite(row.hi_key)
+    # and the hi endpoint really does round to u=1.0 pre-clamp (the
+    # scenario the ceiling exists for)
+    u_raw = spark.sql(
+        "SELECT CAST(9223372036854775807 AS DOUBLE)"
+        "/18446744073709551616.0 + 0.5 AS u").first().u
+    assert u_raw == 1.0
+
+    # DuckDB replays the clamped key without raising on ln(0)
+    import duckdb
+    v = duckdb.sql(
+        "SELECT " + key.replace("-log(-log(", "-ln(-ln(").format(
+            h="9223372036854775807") + " AS k").fetchone()[0]
+    assert math.isfinite(v) and abs(v - row.hi_key) < 1e-12
