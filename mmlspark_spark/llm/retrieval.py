@@ -62,6 +62,75 @@ class BM25Retriever:
         self.k, self.k1, self.b = k, float(k1), float(b)
         self.maxDfRatio = maxDfRatio
 
+    def positional_postings(self, docs: DataFrame) -> DataFrame:
+        """(term, doc, dl, positions array<int>) — the PHRASE-capable
+        inverted index: 0-based token offsets per (term, doc), sorted.
+        Same build shape as :meth:`postings` (one tokenize pass,
+        explode, groupBy on the term key); the positions array is what
+        Lucene stores for PhraseQuery."""
+        toks = (docs.filter(F.col(self.textCol).isNotNull())
+                .select(F.col(self.idCol).alias("__doc"),
+                        pinned_tokens(self.textCol).alias("__toks")))
+        return (toks.select("__doc", F.size("__toks").alias("__dl"),
+                            F.posexplode("__toks").alias("__pos", "__t"))
+                .groupBy("__t", "__doc", "__dl")
+                .agg(F.array_sort(F.collect_list("__pos"))
+                     .alias("__positions")))
+
+    def phrase_search(self, docs: DataFrame,
+                      phrases: DataFrame) -> DataFrame:
+        """Exact-phrase retrieval — the decontamination-audit
+        primitive ("which documents contain this benchmark question
+        VERBATIM, token-for-token"), which bag-of-words BM25 cannot
+        answer. ``phrases`` carries (queryIdCol, queryTextCol); a doc
+        matches where the phrase's tokens appear CONSECUTIVELY.
+
+        Plan shape: the phrase-term frame (one row per phrase slot) is
+        broadcast onto the positional postings — search cost is
+        O(postings of the phrase's terms), never a corpus scan. Per
+        (phrase, doc) the slot postings collect into one row and the
+        match count is pure array math: ``phrase_tf = |∩_i (positions_i
+        − i)|`` (shift each slot's occurrences back by its offset; a
+        common value is a phrase start). A (phrase, doc) pair
+        survives only when ALL slots found postings (count == slot
+        count) and the intersection is non-empty.
+
+        Returns (query_id, doc_id, phrase_tf, rank) — tf DESC, doc
+        ASC, top ``k``. Deterministic end-to-end (integer positions,
+        set intersection), so it oracles hash-exact
+        (``bm25_phrase_search``)."""
+        post = self.positional_postings(docs)
+        pterms = (phrases
+                  .select(F.col(self.queryIdCol).alias("__p"),
+                          F.posexplode(pinned_tokens(self.queryTextCol))
+                          .alias("__i", "__t")))
+        nterms = pterms.groupBy("__p").agg(F.count("*").alias("__n"))
+        hits = post.join(F.broadcast(pterms), "__t")
+        per = (hits.groupBy("__p", "__doc")
+               .agg(F.count("*").alias("__m"),
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col("__i").alias("i"),
+                        F.col("__positions").alias("ps"))))
+                    .alias("__slots")))
+        full = per.join(F.broadcast(nterms), "__p").filter(
+            F.col("__m") == F.col("__n"))
+        first = F.element_at("__slots", 1)
+        init = F.transform(first["ps"], lambda p: p - first["i"])
+        rest = F.slice("__slots", 2, F.greatest(
+            F.size("__slots") - 1, F.lit(0)))
+        tf = F.size(F.aggregate(
+            rest, init,
+            lambda acc, s: F.array_intersect(
+                acc, F.transform(s["ps"], lambda p: p - s["i"]))))
+        scored = (full.select(F.col("__p").alias("query_id"),
+                              F.col("__doc").alias("doc_id"),
+                              tf.cast("bigint").alias("phrase_tf"))
+                  .filter(F.col("phrase_tf") > 0))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("phrase_tf").desc(), F.col("doc_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= self.k))
+
     def postings(self, docs: DataFrame) -> DataFrame:
         """(term, doc, tf, dl) — the inverted index. dl rides along
         from the tokenize pass (no per-doc join-back)."""

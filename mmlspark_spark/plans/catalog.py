@@ -71,7 +71,7 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 _WINDOW_PRIORITY = (
     "knn_ivf", "tabular_lime_exact", "knn_matryoshka_sq8", "ann_recall",
     "knn_sq8", "knn_pq_adc", "knn_ivfpq", "knn_matryoshka",
-    "knn_bruteforce", "bm25_search", "hybrid_rrf", "dsir_select",
+    "knn_bruteforce", "bm25_search", "bm25_phrase_search", "hybrid_rrf", "dsir_select",
     "summarize_data_approx", "access_anomaly",
     "tabular_lime", "tabular_shap",
     "perplexity_prune", "exact_dedup", "broadcast_join_revenue",
@@ -83,7 +83,7 @@ _WINDOW_PRIORITY = (
     "ts_featurize", "multi_ngram", "page_splitter", "token_count",
     "quality_score", "lang_stats", "ngram_lm_score", "domain_mix",
     "embedding_stats", "embedding_dedup", "text_metrics",
-    "date_featurize", "embedding_kmeans_assign",
+    "date_featurize",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside (semantic_dedup, r5-green, waits for the
@@ -4048,6 +4048,87 @@ def ann_recall(spark, sf_dir):
                     .alias("hits"),
                     F.round(F.coalesce("hits", F.lit(0)) / F.lit(10.0), 6)
                     .alias("recall")))
+
+
+def _phrase_oracle(plen: int = 4, k: int = 10,
+                   pids: str = "3, 47, 101") -> str:
+    """Replays phrase_search end-to-end: positional postings (0-based
+    offsets via the range/struct unnest), phrase slots from the same
+    pinned tokenizer, all-slots-found gate (m = n), and the shifted
+    intersection ``|∩_i (positions_i − i)|`` — integer set math, no
+    float channel at all."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(text, '[ \\t\\n\\r]+'),
+               x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ), post AS (
+      SELECT doc_id, u.term, u.pos FROM (
+        SELECT doc_id, unnest(list_transform(range(len(tk)),
+                 i -> struct_pack(pos := i, term := tk[i + 1]))) AS u
+        FROM t)
+    ), postl AS (
+      SELECT term, doc_id, list(pos ORDER BY pos) AS ps
+      FROM post GROUP BY term, doc_id
+    ), ph AS (
+      SELECT doc_id AS pid, tk[1:{plen}] AS ptk FROM t
+      WHERE doc_id IN ({pids})
+    ), pterms AS (
+      SELECT pid, u.i, u.term FROM (
+        SELECT pid, unnest(list_transform(range(len(ptk)),
+                 i -> struct_pack(i := i, term := ptk[i + 1]))) AS u
+        FROM ph)
+    ), n AS (
+      SELECT pid, count(*) AS n FROM pterms GROUP BY pid
+    ), hits AS (
+      SELECT p.pid, p.i, pl.doc_id, pl.ps
+      FROM pterms p JOIN postl pl ON pl.term = p.term
+    ), per AS (
+      SELECT pid, doc_id, count(*) AS m,
+             list(struct_pack(i := i, ps := ps) ORDER BY i) AS slots
+      FROM hits GROUP BY pid, doc_id
+    ), tf AS (
+      SELECT pid, doc_id,
+             CAST(len(list_reduce(
+               list_transform(slots,
+                 s -> list_transform(s.ps, p -> p - s.i)),
+               (a2, b2) -> list_intersect(a2, b2))) AS BIGINT)
+               AS phrase_tf
+      FROM per JOIN n USING (pid) WHERE m = n
+    )
+    SELECT pid AS query_id, doc_id, phrase_tf,
+           CAST(rk AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY pid
+            ORDER BY phrase_tf DESC, doc_id) AS rk
+          FROM tf WHERE phrase_tf > 0)
+    WHERE rk <= {k}
+    """
+
+
+@register("bm25_phrase_search", oracle=_phrase_oracle())
+def bm25_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval over positional postings
+    (BM25Retriever.phrase_search) — the decontamination-audit
+    primitive: which documents contain these 4 tokens VERBATIM and
+    consecutively. Phrases are the first 4 tokens of docs 3/47/101
+    (derived identically on both engines), so the source doc is a
+    guaranteed hit at offset 0 and any true n-gram collision
+    elsewhere in the corpus must appear on BOTH sides. The match
+    count is the shifted-positions intersection — pure integer set
+    math, broadcast phrase slots onto the term-keyed postings
+    exchange, no corpus scan."""
+    from mmlspark_spark.functions.text_quality import pinned_tokens
+    from mmlspark_spark.llm import BM25Retriever
+
+    docs = _t(spark, sf_dir, "documents")
+    phrases = (docs.filter(F.col("doc_id").isin(3, 47, 101))
+               .select(F.col("doc_id").alias("query_id"),
+                       F.array_join(
+                           F.slice(pinned_tokens("text"), 1, 4), " ")
+                       .alias("query")))
+    return BM25Retriever(k=10).phrase_search(docs, phrases)
 
 
 def _bm25_cte(k1: float = 1.2, b: float = 0.75,

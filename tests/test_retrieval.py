@@ -144,3 +144,39 @@ def test_bm25_index_prunes_stopwords_and_pins_ratio(spark, tmp_path):
         BM25Retriever(k=5, maxDfRatio=0.9).load_index(spark, path)
     with _pytest.raises(ValueError, match="maxDfRatio"):
         BM25Retriever(k=5).load_index(spark, path)
+
+
+def test_phrase_search_hand_computed(spark):
+    """Exact-phrase semantics by hand: consecutive tokens only, all
+    occurrences counted, repeated-token phrases handled (each slot
+    shifts its own occurrence list), single-token phrase = plain tf,
+    absent term = no row."""
+    from mmlspark_spark.llm import BM25Retriever
+
+    docs = spark.createDataFrame(
+        [(0, "big cat sat on the big cat mat"),
+         (1, "big dog cat sat"),          # 'big','cat' present, not adjacent
+         (2, "the big cat big cat runs"),
+         (3, None)],
+        "doc_id long, text string")
+    phrases = spark.createDataFrame(
+        [(100, "big cat"), (200, "cat"), (300, "unicorn horn"),
+         (400, "big cat mat")],
+        "query_id long, query string")
+    out = {(r.query_id, r.doc_id): (r.phrase_tf, r.rank)
+           for r in BM25Retriever(k=10).phrase_search(
+               docs, phrases).collect()}
+
+    # 'big cat': doc0 at 0 and 5 → tf 2; doc2 at 1 and 3 → tf 2;
+    # doc1 has both words, never adjacent → absent
+    assert out[(100, 0)] == (2, 1)       # tf ties → doc ASC
+    assert out[(100, 2)] == (2, 2)
+    assert (100, 1) not in out
+    # single token = plain occurrence count
+    assert out[(200, 0)] == (2, 1)
+    assert out[(200, 1)][0] == 1 and out[(200, 2)][0] == 2
+    # absent terms → no rows at all
+    assert not any(q == 300 for q, _ in out)
+    # 3-token phrase 'big cat mat': only doc0 pos 5 → tf 1
+    assert out[(400, 0)] == (1, 1)
+    assert not any(q == 400 and d != 0 for q, d in out)
