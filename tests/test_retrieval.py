@@ -180,3 +180,44 @@ def test_phrase_search_hand_computed(spark):
     # 3-token phrase 'big cat mat': only doc0 pos 5 → tf 1
     assert out[(400, 0)] == (1, 1)
     assert not any(q == 400 and d != 0 for q, d in out)
+
+
+def test_phrase_search_matches_python_reference_on_random_corpora(spark):
+    """Property check: on a randomized small-alphabet corpus (alphabet
+    size 4 → dense n-gram collisions), phrase_search must equal a
+    brute-force pure-Python scan for every (phrase, doc): same member
+    set, same phrase_tf."""
+    import numpy as np
+
+    from mmlspark_spark.llm import BM25Retriever
+
+    rng = np.random.default_rng(53)
+    alpha = ["aa", "bb", "cc", "dd"]
+    docs_py = {i: [alpha[j] for j in rng.integers(0, 4, size=rng.integers(3, 20))]
+               for i in range(30)}
+    phrases_py = {}
+    for pid in range(8):
+        ln = int(rng.integers(1, 4))
+        phrases_py[pid] = [alpha[j] for j in rng.integers(0, 4, size=ln)]
+
+    def count_occurrences(doc, ph):
+        return sum(1 for s in range(len(doc) - len(ph) + 1)
+                   if doc[s:s + len(ph)] == ph)
+
+    want = {}
+    for pid, ph in phrases_py.items():
+        for did, doc in docs_py.items():
+            tf = count_occurrences(doc, ph)
+            if tf > 0:
+                want[(pid, did)] = tf
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs_py.items()],
+        "doc_id long, text string")
+    phrases = spark.createDataFrame(
+        [(p, " ".join(t)) for p, t in phrases_py.items()],
+        "query_id long, query string")
+    got = {(r.query_id, r.doc_id): r.phrase_tf
+           for r in BM25Retriever(k=1000).phrase_search(
+               docs, phrases).collect()}
+    assert got == want
