@@ -75,7 +75,7 @@ _WINDOW_PRIORITY = (
     "summarize_data_approx", "access_anomaly",
     "tabular_lime", "tabular_shap",
     "perplexity_prune", "exact_dedup", "broadcast_join_revenue",
-    "tpch_q2", "tpch_q4", "ngram_jaccard", "incremental_dedup",
+    "dedup_recall", "tpch_q2", "tpch_q4", "ngram_jaccard", "incremental_dedup",
     "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
     "semi_join", "anti_join", "top_k_per_group", "pivot_status",
     "rollup_counts", "sessionize", "window_hourly_agg",
@@ -83,7 +83,6 @@ _WINDOW_PRIORITY = (
     "ts_featurize", "multi_ngram", "page_splitter", "token_count",
     "quality_score", "lang_stats", "ngram_lm_score", "domain_mix",
     "embedding_stats", "embedding_dedup", "text_metrics",
-    "date_featurize",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside (semantic_dedup, r5-green, waits for the
@@ -2527,7 +2526,7 @@ def semantic_dedup_q(spark, sf_dir):
                           k=8, threshold=0.3, maxIter=0)
 
 
-def _minhash_oracle(k: int = 32, b: int = 16, n: int = 5,
+def _minhash_cte(k: int = 32, b: int = 16, n: int = 5,
                     threshold: float = 0.2, cap: int = 1000) -> str:
     """DuckDB replay of the FULL MinHashLSHDeduplicator pipeline at its
     production configuration — tokenize (Java ``\\s`` spelled out, incl.
@@ -2556,8 +2555,11 @@ def _minhash_oracle(k: int = 32, b: int = 16, n: int = 5,
         xxh64_long(to_u64("sig[2*j+1]"), f"({band_seeds}[j+1])", u="zc"),
         u="zd")
     est = f"(len(list_filter(range(1, {k}+1), i -> sa[i] = sb[i])))"
-    return f"""
-    WITH t AS (
+    # the chain ends in CTE ``mh(doc_a, doc_b, est_jaccard)`` so
+    # dedup_recall can reuse the WHOLE replay as a fragment (the
+    # _bm25_cte/_ivf_cte pattern); _minhash_oracle itself is just
+    # SELECT * from it
+    return f"""t AS (
       SELECT doc_id, list_filter(
                string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
                x -> x <> '') AS toks
@@ -2590,13 +2592,20 @@ def _minhash_oracle(k: int = 32, b: int = 16, n: int = 5,
                 ids[i+1:], y -> {{'a': ids[i], 'b': y}})))) AS p
             FROM bucket
             WHERE len(ids) > 1 AND len(ids) <= {cap})
-    )
-    SELECT doc_a, doc_b,
-           CAST({est} AS DOUBLE) / {k} AS est_jaccard
-    FROM pairs
-    JOIN (SELECT doc_id AS doc_a, sig AS sa FROM sig) USING (doc_a)
-    JOIN (SELECT doc_id AS doc_b, sig AS sb FROM sig) USING (doc_b)
-    WHERE CAST({est} AS DOUBLE) / {k} >= {threshold}
+    ), mh AS (
+      SELECT doc_a, doc_b,
+             CAST({est} AS DOUBLE) / {k} AS est_jaccard
+      FROM pairs
+      JOIN (SELECT doc_id AS doc_a, sig AS sa FROM sig) USING (doc_a)
+      JOIN (SELECT doc_id AS doc_b, sig AS sb FROM sig) USING (doc_b)
+      WHERE CAST({est} AS DOUBLE) / {k} >= {threshold}
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_cte()}
+    SELECT doc_a, doc_b, est_jaccard FROM mh
     """
 
 
@@ -2614,6 +2623,86 @@ def minhash_dedup(spark, sf_dir):
         idCol="doc_id", textCol="text", shingleSize=5,
         numHashes=32, bands=16, threshold=0.2,
     ).transform(docs)
+
+
+def _dedup_recall_oracle(n: int = 5, threshold: float = 0.2) -> str:
+    """Composes the two proven replays — the FULL MinHash pipeline
+    (_minhash_cte, bit-exact xxhash64) and the exact word-5-gram
+    Jaccard truth — and counts candidate coverage. Only membership
+    reaches the output (true_pairs, hit_pairs, recall), so this pins
+    that both pipelines produce identical PAIR SETS on both engines:
+    the property every dedup recall claim rests on. CTE names in the
+    exact chain are prefixed ex- (the minhash fragment owns t/g/sig/
+    band/bucket/pairs)."""
+    return f"""
+    WITH {_minhash_cte()}, extoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), exidx AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w)-{n - 2}, 1)))
+               AS i
+      FROM extoks
+    ), exsh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[i:i+{n - 1}], ' ') AS shingle
+      FROM exidx
+    ), excnt AS (
+      SELECT doc_id, count(*) AS nn FROM exsh GROUP BY 1
+    ), expairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM exsh a JOIN exsh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), ex AS (
+      SELECT doc_a, doc_b
+      FROM expairs
+      JOIN excnt ca ON ca.doc_id = doc_a
+      JOIN excnt cb ON cb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (ca.nn + cb.nn - inter)
+            >= {threshold}
+    ), hit AS (
+      SELECT ex.doc_a FROM ex
+      JOIN mh ON mh.doc_a = ex.doc_a AND mh.doc_b = ex.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS true_pairs,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS hit_pairs,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM ex), 1), 6) AS recall
+    """
+
+
+@register("dedup_recall", oracle=_dedup_recall_oracle())
+def dedup_recall(spark, sf_dir):
+    """Candidate recall of MinHash-LSH against exact 5-gram Jaccard
+    truth (threshold 0.2) — the evaluation loop every dedup deployment
+    runs (tune bands/hashes until candidate recall clears the bar),
+    as one distributed job: both pipelines run, the overlap is a
+    semi-join, and the oracle replays BOTH pair sets (bit-exact
+    xxhash64 MinHash + exact-Jaccard SQL), so the recall number is
+    cross-engine-proven, not just locally asserted (the pytest recall
+    check in tests/test_llm.py becomes a driver-checked artifact)."""
+    from mmlspark_spark.core.cache import propagate_intermediates
+    from mmlspark_spark.llm import MinHashLSHDeduplicator, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    mh = MinHashLSHDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=5,
+        numHashes=32, bands=16, threshold=0.2,
+    ).transform(docs).select("doc_a", "doc_b")
+    ex = (ngram_jaccard_pairs(docs, "doc_id", "text", n=5)
+          .filter(F.col("jaccard") >= 0.2).select("doc_a", "doc_b"))
+    hits = (ex.join(mh, ["doc_a", "doc_b"], "left_semi")
+            .agg(F.count("*").alias("hit_pairs")))
+    out = (ex.agg(F.count("*").alias("true_pairs"))
+           .crossJoin(hits)
+           .select(F.col("true_pairs").cast("bigint").alias("true_pairs"),
+                   F.col("hit_pairs").cast("bigint").alias("hit_pairs"),
+                   F.round(F.col("hit_pairs").cast("double")
+                           / F.greatest(F.col("true_pairs"), F.lit(1)),
+                           6).alias("recall")))
+    return propagate_intermediates(ex, propagate_intermediates(mh, out))
 
 
 def _hamming_band_pairs_sql(bands: int, maxHamming: int, cap: int) -> str:

@@ -92,6 +92,10 @@ ALLOWED_LINT = {
     # composes the IVF nlist-expansion + brute-force broadcast scans;
     # two searches in one plan → iterations × constant exchanges
     "ann_recall": {"BroadcastNestedLoopJoin", "exchanges"},
+    # the full MinHash pipeline + the exact-Jaccard pipeline + the
+    # coverage joins in ONE plan: pipelines × constant exchanges, and
+    # the one-row count frames cross-join at the end
+    "dedup_recall": {"BroadcastNestedLoopJoin", "exchanges"},
 }
 
 
