@@ -70,7 +70,7 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     (minhash_dedup .. knn_ivf_pretrained, all hash-green r9).
 _WINDOW_PRIORITY = (
     "knn_ivf", "tabular_lime_exact", "knn_matryoshka_sq8", "ann_recall",
-    "knn_sq8", "knn_pq_adc", "knn_ivfpq", "knn_matryoshka",
+    "knn_sq8", "knn_sq8_filtered", "knn_pq_adc", "knn_ivfpq", "knn_matryoshka",
     "knn_bruteforce", "bm25_search", "bm25_phrase_search", "hybrid_rrf", "dsir_select",
     "summarize_data_approx", "access_anomaly",
     "tabular_lime", "tabular_shap",
@@ -82,7 +82,7 @@ _WINDOW_PRIORITY = (
     "value_indexer", "clean_missing", "data_conversion",
     "ts_featurize", "multi_ngram", "page_splitter", "token_count",
     "quality_score", "lang_stats", "ngram_lm_score", "domain_mix",
-    "embedding_stats", "embedding_dedup", "text_metrics",
+    "embedding_stats", "embedding_dedup",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside (semantic_dedup, r5-green, waits for the
@@ -4620,37 +4620,42 @@ def knn_ivf(spark, sf_dir):
 
 
 def _knn_sq8_oracle(dim: int = 64, lv: int = 255, k: int = 10,
-                    nq: int = 5) -> str:
+                    nq: int = 5, corpus_where: str = "") -> str:
     """Replays ScalarQuantizerKNN end-to-end INCLUDING the fit (the
     per-dim min/max bounds are exact aggregates, so unlike the
     sampled k-means fits this quantizer has no rows-only lane):
     uniform encode via floor(r + 0.5) with edge clamps, constant-dim
     zero codes, lo + code·Δ reconstruction, and the direct (q−x̂)²
     element-order left fold — each double in Catalyst's operation
-    order."""
+    order. ``corpus_where`` restricts the INDEXED corpus (fit +
+    scan) while queries stay unrestricted — the filtered-ANN replay
+    (``knn_sq8_filtered``)."""
     from mmlspark_spark.plans.duckdb_xxh import fold_sum
 
     los = ", ".join(f"min(v[{i + 1}])" for i in range(dim))
     his = ", ".join(f"max(v[{i + 1}])" for i in range(dim))
     d2 = fold_sum("(q.v[i2] - r.recon[i2]) * (q.v[i2] - r.recon[i2])",
                   dim)
+    w = f" WHERE {corpus_where}" if corpus_where else ""
     return f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       FROM embeddings
+    ), ec AS (
+      SELECT * FROM e{w}
     ), b AS (
-      SELECT list_value({los}) AS lo, list_value({his}) AS hi FROM e
+      SELECT list_value({los}) AS lo, list_value({his}) AS hi FROM ec
     ), r AS (
-      SELECT e.vec_id, list_transform(range(1, {dim + 1}), i9 ->
+      SELECT ec.vec_id, list_transform(range(1, {dim + 1}), i9 ->
                CASE WHEN b.hi[i9] = b.lo[i9] THEN b.lo[i9]
                     ELSE b.lo[i9]
                          + CAST(greatest(0.0, least({lv}.0,
-                             floor((e.v[i9] - b.lo[i9])
+                             floor((ec.v[i9] - b.lo[i9])
                                    / ((b.hi[i9] - b.lo[i9]) / {lv}.0)
                                    + 0.5))) AS INTEGER)::DOUBLE
                            * ((b.hi[i9] - b.lo[i9]) / {lv}.0)
                END) AS recon
-      FROM e, b
+      FROM ec, b
     ), d AS (
       SELECT q.vec_id AS q_id, r.vec_id AS d_id, {d2} AS d2
       FROM e q, r
@@ -4845,6 +4850,30 @@ def knn_sq8(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 5)
     out = ScalarQuantizerKNN(idCol="vec_id", vecCol="embedding",
                              k=10, bits=8, dim=64).search(emb, q)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sq_dist", 6).alias("sqd"),
+                      F.col("rank").alias("rk"))
+
+
+@register("knn_sq8_filtered",
+          oracle=_knn_sq8_oracle(corpus_where="vec_id >= 200"))
+def knn_sq8_filtered(spark, sf_dir):
+    """FILTERED ANN — metadata predicate composed under the quantized
+    search, the production 'search only docs matching X' shape: the
+    corpus filter (vec_id >= 200, a plain range predicate) sits BELOW
+    the fit and the scan, so it pushes to the parquet reader
+    (row-group skipping) and the SQ bounds are fitted on exactly the
+    searchable subset — filtered-index semantics (like faiss
+    IDSelector applied at build), not post-filtering of results,
+    which silently returns < k rows. Queries stay unrestricted.
+    Deterministic fit → the filtered pipeline replays hash-exact."""
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 200)
+    out = ScalarQuantizerKNN(idCol="vec_id", vecCol="embedding",
+                             k=10, bits=8, dim=64).search(corpus, q)
     return out.select("query_id", "neighbor_id",
                       F.round("sq_dist", 6).alias("sqd"),
                       F.col("rank").alias("rk"))

@@ -84,6 +84,7 @@ ALLOWED_LINT = {
     # SQ's design IS a per-query compressed exhaustive scan (the
     # broadcast side is the small query frame), not an O(N²) accident
     "knn_sq8": {"BroadcastNestedLoopJoin"},
+    "knn_sq8_filtered": {"BroadcastNestedLoopJoin"},  # same scan shape
     # coarse stage is the brute-force skeleton on the dPrime prefix
     # (broadcast query cross join); the rerank side is equi-joined
     "knn_matryoshka": {"BroadcastNestedLoopJoin"},
