@@ -47,27 +47,35 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
     return deco
 
 
-# Driver correctness-checks a window of the first ~50 entries of
+# Driver correctness-checks a window of the first 50 entries of
 # queries(). Round-10 priority, in order of evidence need:
-# (a) queries whose CODE or ORACLE changed this round and must
-#     re-verify: knn_ivf (rows-only → hash-exact: deterministic
+# (a) queries whose CODE or ORACLE changed or is NEW this round:
+#     knn_ivf (rows-only → hash-exact: deterministic
 #     EmbeddingKMeans-seeded quantizer replaces the sampled numpy
-#     fit), tabular_lime_exact (new closed-form lane),
-#     knn_matryoshka_sq8 (new: MRL coarse stage over SQ8 codes),
-#     the quantized-ANN family whose shared code grew wide-dim /
-#     guard lanes (knn_sq8, knn_pq_adc, knn_ivfpq, knn_matryoshka,
-#     knn_bruteforce), bm25_search + hybrid_rrf (retrieval gained
-#     postings persistence), dsir_select (gumbel-key clamp);
+#     fit), tabular_lime_exact (closed-form WLS recovery),
+#     knn_matryoshka_sq8 (MRL coarse stage over SQ8 codes),
+#     ann_recall (IVF-vs-bruteforce recall, both member sets
+#     replayed), knn_sq8_filtered (filtered ANN, pushable corpus
+#     predicate under fit+scan), bm25_phrase_search (positional
+#     postings, shifted-intersection), dedup_recall (MinHash
+#     candidate recall vs exact-Jaccard truth via the _minhash_cte
+#     fragment), the quantized-ANN family whose shared code grew
+#     wide-dim / guard / persistence lanes (knn_sq8, knn_pq_adc,
+#     knn_ivfpq, knn_matryoshka, knn_bruteforce), bm25_search +
+#     hybrid_rrf (retrieval gained postings persistence),
+#     dsir_select (two-sided gumbel-key clamp);
 # (b) the rows-only stale batch (summarize_data_approx,
 #     access_anomaly, tabular_lime, tabular_shap — sketches / ALS
 #     factors / sampled coalitions, r2-stale rows);
-# (c) the r6-stale rotation block (perplexity_prune .. date_featurize)
-#     — oldest oracled driver rows still outside a recent window.
-#     Rotation backlog (green but waiting): count_selector,
-#     text_preprocessor, repetition_metrics, heavy_hitters, line_dedup,
-#     markup_strip, scd2_merge, funnel_steps, group_percentiles,
-#     rolling_revenue, pagerank, join_multi, then the r7/r8/r9 blocks
-#     (minhash_dedup .. knn_ivf_pretrained, all hash-green r9).
+# (c) the r6-stale rotation block (perplexity_prune ..
+#     embedding_dedup) — oldest oracled driver rows still outside a
+#     recent window. Rotation backlog (green but waiting):
+#     semantic_dedup, embedding_kmeans_assign, text_metrics,
+#     date_featurize, count_selector, text_preprocessor,
+#     repetition_metrics, heavy_hitters, line_dedup, markup_strip,
+#     scd2_merge, funnel_steps, group_percentiles, rolling_revenue,
+#     pagerank, join_multi, then the r7/r8/r9 blocks (minhash_dedup
+#     .. knn_ivf_pretrained, all hash-green r9).
 _WINDOW_PRIORITY = (
     "knn_ivf", "tabular_lime_exact", "knn_matryoshka_sq8", "ann_recall",
     "knn_sq8", "knn_sq8_filtered", "knn_pq_adc", "knn_ivfpq", "knn_matryoshka",
