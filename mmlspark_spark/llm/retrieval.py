@@ -99,7 +99,16 @@ class BM25Retriever:
         ASC, top ``k``. Deterministic end-to-end (integer positions,
         set intersection), so it oracles hash-exact
         (``bm25_phrase_search``)."""
-        post = self.positional_postings(docs)
+        return self._phrase_score(self.positional_postings(docs),
+                                  phrases)
+
+    def _phrase_score(self, post: DataFrame,
+                      phrases: DataFrame) -> DataFrame:
+        """The phrase-match tail shared by :meth:`phrase_search`
+        (positions built from docs) and
+        :meth:`phrase_search_with_index` (positions read from a saved
+        artifact): broadcast phrase slots onto the positional postings,
+        all-slots-found gate, shifted-positions intersection, top-k."""
         pterms = (phrases
                   .select(F.col(self.queryIdCol).alias("__p"),
                           F.posexplode(pinned_tokens(self.queryTextCol))
@@ -153,12 +162,17 @@ class BM25Retriever:
                      (F.sum("__dl").cast("double")
                       / F.count("*")).alias("__avgdl")))
 
-    def _index_frames(self, docs: DataFrame):
+    def _index_frames(self, docs: DataFrame,
+                      post: DataFrame | None = None):
         """(postings, dfreq, stats, cached) — the logical index build
         shared by :meth:`search` and :meth:`save_index`. ``dfreq``
         carries the maxDfRatio stopword cut when configured; ``cached``
-        holds persist handles the caller must attach/release."""
-        post = self.postings(docs)
+        holds persist handles the caller must attach/release. ``post``
+        lets a caller that already built (term, doc, tf, dl) — e.g. a
+        positions-enabled save deriving tf from the positional
+        postings — skip the second corpus tokenize pass."""
+        if post is None:
+            post = self.postings(docs)
         dfreq = post.groupBy("__t").agg(F.count("*").alias("__df"))
         stats = self._stats(docs)
         cached: list[DataFrame] = []
@@ -230,7 +244,8 @@ class BM25Retriever:
 
     # ------------------------------------------------- persistence
     def save_index(self, docs: DataFrame, path: str,
-                   mode: str = "overwrite") -> None:
+                   mode: str = "overwrite",
+                   positions: bool = False) -> None:
         """Persist the inverted index as parquet so search never
         re-tokenizes the corpus — the production shape: index once,
         search many. Layout:
@@ -245,17 +260,38 @@ class BM25Retriever:
           index, bounded join fan-out forever after).
         - ``{path}/dfreq`` — per-term document frequency (pruned).
         - ``{path}/stats`` — the one-row (N, avgdl) frame.
+        - ``{path}/positions`` (``positions=True``) — the
+          phrase-capable positional postings (term, doc, dl, sorted
+          0-based offsets), term-clustered like the tf postings
+          (Lucene stores exactly this for PhraseQuery), so
+          :meth:`phrase_search_with_index` reads only the row groups
+          holding the phrase's terms instead of re-tokenizing the
+          corpus on every decontamination audit. Positions are stored
+          UNPRUNED even under maxDfRatio: a phrase must match every
+          token, so dropping stopword positions would break "to be or
+          not to be"-class phrases (BM25's bag-of-words cut does not
+          apply to positional semantics). When positions are requested
+          the tf postings are DERIVED from them (tf = |positions|) —
+          one corpus tokenize pass total, not two.
         - ``{path}/_bm25_manifest.json`` — pins maxDfRatio so a
           retriever configured differently cannot silently search a
           differently-pruned index (k1/b are score-time-only and stay
-          free).
+          free), and records whether positions are present.
         """
         import json as _json
 
         from mmlspark_spark.core.cache import persist_intermediate
         from mmlspark_spark.llm.export import _fs_write_text
 
-        post, dfreq, stats, cached = self._index_frames(docs)
+        pos = None
+        post_src = None
+        if positions:
+            pos = persist_intermediate(self.positional_postings(docs))
+            post_src = pos.select(
+                "__t", "__doc", "__dl",
+                F.size("__positions").cast("bigint").alias("__tf"))
+        post, dfreq, stats, cached = self._index_frames(docs,
+                                                        post=post_src)
         # post is the full corpus tokenize/explode pass and has 2-3
         # consumers below (the postings write, dfreq's groupBy, and
         # the pruning join when maxDfRatio is set) — persist it so the
@@ -274,12 +310,19 @@ class BM25Retriever:
              .write.mode(mode).parquet(f"{path}/postings"))
             dfreq.write.mode(mode).parquet(f"{path}/dfreq")
             stats.write.mode(mode).parquet(f"{path}/stats")
+            if pos is not None:
+                (pos.repartition(F.col("__t"))
+                 .sortWithinPartitions("__t", "__doc")
+                 .write.mode(mode).parquet(f"{path}/positions"))
             _fs_write_text(
                 docs.sparkSession, f"{path}/_bm25_manifest.json",
                 _json.dumps({"maxDfRatio": self.maxDfRatio,
+                             "positions": positions,
                              "version": 1}))
         finally:
             post.unpersist()
+            if pos is not None:
+                pos.unpersist()
             for c in cached:
                 c.unpersist()
 
@@ -303,9 +346,12 @@ class BM25Retriever:
                 f"has maxDfRatio={self.maxDfRatio} — construct the "
                 f"retriever with the index's value (the cut is baked "
                 f"into the stored postings)")
-        return {"post": spark.read.parquet(f"{path}/postings"),
-                "dfreq": spark.read.parquet(f"{path}/dfreq"),
-                "stats": spark.read.parquet(f"{path}/stats")}
+        index = {"post": spark.read.parquet(f"{path}/postings"),
+                 "dfreq": spark.read.parquet(f"{path}/dfreq"),
+                 "stats": spark.read.parquet(f"{path}/stats")}
+        if man.get("positions"):
+            index["positions"] = spark.read.parquet(f"{path}/positions")
+        return index
 
     def search_with_index(self, index: dict,
                           queries: DataFrame) -> DataFrame:
@@ -314,6 +360,23 @@ class BM25Retriever:
         (round-trip pinned in tests), zero tokenize passes."""
         return self._score(index["post"], index["dfreq"],
                            index["stats"], queries)
+
+    def phrase_search_with_index(self, index: dict,
+                                 phrases: DataFrame) -> DataFrame:
+        """Exact-phrase retrieval against a loaded
+        :meth:`load_index` artifact saved with ``positions=True`` —
+        identical results to :meth:`phrase_search` on the source
+        corpus (positions are deterministic; round-trip pinned in
+        tests), zero tokenize passes. This is the shape a
+        decontamination audit runs repeatedly at 100 TB: the phrase
+        terms broadcast onto the term-clustered stored positions, so
+        each audit reads only the row groups holding those terms."""
+        if "positions" not in index:
+            raise ValueError(
+                "BM25 index was saved without positions=True — "
+                "phrase search needs positional postings; re-save "
+                "the index with positions=True")
+        return self._phrase_score(index["positions"], phrases)
 
 
 def reciprocal_rank_fusion(rankings: list[DataFrame], k: int = 60,

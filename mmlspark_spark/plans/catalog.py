@@ -4228,6 +4228,37 @@ def bm25_phrase_search(spark, sf_dir):
     return BM25Retriever(k=10).phrase_search(docs, phrases)
 
 
+@register("bm25_phrase_indexed", oracle=_phrase_oracle(
+    plen=3, k=10, pids="5, 64, 202"))
+def bm25_phrase_indexed(spark, sf_dir):
+    """Exact-phrase retrieval FROM A PERSISTED INDEX — the production
+    decontamination-audit loop: save_index(positions=True) writes the
+    positional postings (term-clustered parquet, Lucene's PhraseQuery
+    layout) once, then phrase_search_with_index answers every audit
+    from the artifact without re-tokenizing the corpus. Results are
+    identical to the from-docs lane by construction (positions are
+    deterministic integers); this lane uses different phrases (first
+    3 tokens of docs 5/64/202) so its driver hash is an independent
+    check, not a copy of bm25_phrase_search's."""
+    import os
+
+    from mmlspark_spark.functions.text_quality import pinned_tokens
+    from mmlspark_spark.llm import BM25Retriever
+
+    docs = _t(spark, sf_dir, "documents")
+    phrases = (docs.filter(F.col("doc_id").isin(5, 64, 202))
+               .select(F.col("doc_id").alias("query_id"),
+                       F.array_join(
+                           F.slice(pinned_tokens("text"), 1, 3), " ")
+                       .alias("query")))
+    bm = BM25Retriever(k=10)
+    path = os.path.join("/tmp/mmlspark_spark_idx",
+                        f"bm25_phrase_{os.path.basename(sf_dir.rstrip('/'))}")
+    bm.save_index(docs, path, positions=True)
+    return bm.phrase_search_with_index(bm.load_index(spark, path),
+                                       phrases)
+
+
 def _bm25_cte(k1: float = 1.2, b: float = 0.75,
               qids: str = "3, 47, 101", qlen: int = 6) -> str:
     """Shared BM25 WITH-fragment ending in CTE ``bm(query_id, doc_id,

@@ -221,3 +221,74 @@ def test_phrase_search_matches_python_reference_on_random_corpora(spark):
            for r in BM25Retriever(k=1000).phrase_search(
                docs, phrases).collect()}
     assert got == want
+
+
+def test_phrase_index_roundtrip(spark, tmp_path):
+    """save_index(positions=True) → load_index →
+    phrase_search_with_index must return the EXACT rows
+    phrase_search returns on the source corpus (positions are
+    deterministic integers), the tf-postings derived from positions
+    must equal the direct build (search round-trips too), and an
+    index saved WITHOUT positions must refuse phrase search."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm import BM25Retriever
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} alpha beta gamma w{i % 3}")
+         for i in range(30)] + [(99, None)],
+        "doc_id long, text string")
+    phrases = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma"), (2, "gamma alpha")],
+        "query_id long, query string")
+    bm = BM25Retriever(k=50)
+    path = str(tmp_path / "bm25_pos_idx")
+    bm.save_index(docs, path, positions=True)
+
+    direct = sorted(map(tuple,
+                        bm.phrase_search(docs, phrases).collect()))
+    idx = bm.load_index(spark, path)
+    via_idx = sorted(map(tuple, bm.phrase_search_with_index(
+        idx, phrases).collect()))
+    assert direct == via_idx and len(direct) > 0
+
+    # tf postings derived from positions == direct postings build
+    queries = spark.createDataFrame(
+        [(0, "alpha w2"), (1, "gamma beta w4")],
+        "query_id long, query string")
+    s_direct = sorted(map(tuple, bm.search(docs, queries).collect()))
+    s_idx = sorted(map(tuple,
+                       bm.search_with_index(idx, queries).collect()))
+    assert s_direct == s_idx and len(s_direct) > 0
+
+    # positions-less artifact refuses phrase search
+    path2 = str(tmp_path / "bm25_tf_only")
+    bm.save_index(docs, path2)
+    with _pytest.raises(ValueError, match="positions=True"):
+        bm.phrase_search_with_index(bm.load_index(spark, path2),
+                                    phrases)
+
+
+def test_phrase_index_positions_unpruned_under_maxdfratio(spark, tmp_path):
+    """With maxDfRatio the tf postings are pruned but the stored
+    POSITIONS keep every term — a phrase containing a stopword must
+    still match from the artifact (phrase semantics need all
+    tokens)."""
+    from mmlspark_spark.llm import BM25Retriever
+
+    docs = spark.createDataFrame(
+        [(i, f"the rare{i} thing") for i in range(10)],
+        "doc_id long, text string")
+    bm = BM25Retriever(k=5, maxDfRatio=0.5)
+    path = str(tmp_path / "bm25_pos_pruned")
+    bm.save_index(docs, path, positions=True)
+    stored_tf_terms = {r["__t"] for r in
+                       spark.read.parquet(f"{path}/postings")
+                       .select("__t").distinct().collect()}
+    assert "the" not in stored_tf_terms  # df=10 > 0.5*10
+    phrases = spark.createDataFrame(
+        [(0, "the rare3")], "query_id long, query string")
+    got = bm.phrase_search_with_index(
+        bm.load_index(spark, path), phrases).collect()
+    assert [(r.query_id, r.doc_id, r.phrase_tf) for r in got] \
+        == [(0, 3, 1)]
