@@ -926,14 +926,30 @@ class PQKNN:
         aggregate — the shuffle carries one row per corpus vector.
 
         Returns (query_id, neighbor_id, adc_dist, rank)."""
+        self._dim_of(data)  # enforce dim % M before any work
+        dcodes = self.ivfpq_assign_encode(data, centroids, codebooks,
+                                          cellCol, centVecCol, mCol,
+                                          codeCol, cvecCol)
+        return self._ivfpq_probe(dcodes, queries, centroids, codebooks,
+                                 nProbe, cellCol, centVecCol, mCol,
+                                 codeCol, cvecCol)
+
+    def ivfpq_assign_encode(self, data: DataFrame, centroids: DataFrame,
+                            codebooks: DataFrame, cellCol: str = "cell",
+                            centVecCol: str = "cvec", mCol: str = "m",
+                            codeCol: str = "code",
+                            cvecCol: str = "cvec") -> DataFrame:
+        """The IVFADC corpus side: (d_id, __cell, __codes) — each
+        vector in its nearest coarse cell (squared-L2, cell-ASC ties)
+        with its RESIDUAL ``x − c_cell`` PQ-encoded. This is the
+        stored payload of :meth:`save_ivfpq_index`; the assignment is
+        the combinable max-struct partial aggregate (one row per
+        vector crosses the shuffle)."""
         dim = self._dim_of(data)
         ds = dim // self.M
-        _check_query_size(queries, "PQKNN.search_ivfpq", self.maxQueries)
         cents = F.broadcast(centroids.select(
             F.col(cellCol).alias("__cell"),
             F.col(centVecCol).alias("__cv")))
-        cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
-                                            cvecCol))
         vec = F.col(self.vecCol)
         d2 = self._l2(vec, F.col("__cv"))
         res = F.zip_with(vec, F.col("__cv"), lambda x, c: x - c)
@@ -953,15 +969,42 @@ class PQKNN:
             # scan that must stay codegen/BLAS-friendly at wide dims)
             cbs = self._collect_codebooks(codebooks, mCol, codeCol,
                                           cvecCol)
-            dcodes = self._encode_pandas(
+            return self._encode_pandas(
                 dassign.select("d_id", "__cell",
                                F.col("__res").alias("__v")),
                 cbs, ds, "__v", ["d_id", "__cell"], outName="__codes")
-        else:
-            dcodes = (dassign.crossJoin(cb)
-                      .select("d_id", "__cell",
-                              self._codes_expr(F.col("__res"), ds)
-                              .alias("__codes")))
+        cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
+                                            cvecCol))
+        return (dassign.crossJoin(cb)
+                .select("d_id", "__cell",
+                        self._codes_expr(F.col("__res"), ds)
+                        .alias("__codes")))
+
+    def _ivfpq_probe(self, dcodes: DataFrame, queries: DataFrame,
+                     centroids: DataFrame, codebooks: DataFrame,
+                     nProbe: int, cellCol: str = "cell",
+                     centVecCol: str = "cvec", mCol: str = "m",
+                     codeCol: str = "code",
+                     cvecCol: str = "cvec") -> DataFrame:
+        """The IVFADC query side shared by :meth:`search_ivfpq` and
+        :meth:`search_ivfpq_with_index`: probe nProbe nearest cells,
+        build a per-(query, cell) residual LUT, candidates meet the
+        encoded corpus on a cell equi-join."""
+        dim = int(queries.select(F.size(self.vecCol)).first()[0])
+        if dim % self.M:
+            raise ValueError(
+                f"query vector dim {dim} is not divisible by "
+                f"M={self.M}")
+        ds = dim // self.M
+        _check_query_size(queries, "PQKNN.search_ivfpq", self.maxQueries)
+        cents = F.broadcast(centroids.select(
+            F.col(cellCol).alias("__cell"),
+            F.col(centVecCol).alias("__cv")))
+        cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
+                                            cvecCol))
+        vec = F.col(self.vecCol)
+        d2 = self._l2(vec, F.col("__cv"))
+        res = F.zip_with(vec, F.col("__cv"), lambda x, c: x - c)
         # queries: top-nProbe cells by the same distance, then a
         # residual LUT per probed cell
         w = Window.partitionBy("q_id").orderBy(
@@ -994,6 +1037,129 @@ class PQKNN:
         return (scored.withColumn("rank", F.row_number().over(w2))
                 .filter(F.col("rank") <= self.k)
                 .select("query_id", "neighbor_id", "adc_dist", "rank"))
+
+    # --------------------------------------- IVF-PQ persistence
+    def save_ivfpq_index(self, data: DataFrame, centroids: DataFrame,
+                         codebooks: DataFrame, path: str,
+                         mode: str = "overwrite", cellCol: str = "cell",
+                         centVecCol: str = "cvec", mCol: str = "m",
+                         codeCol: str = "code",
+                         cvecCol: str = "cvec") -> None:
+        """Persist the COMPOSED IVFADC index as ONE artifact — the
+        production big-corpus lane (faiss IndexIVFPQ's operating
+        shape: quantizers trained once, inverted lists of PQ codes on
+        disk, probes read only probed cells):
+
+        - ``{path}/centroids`` — the coarse quantizer (cell, cvec).
+        - ``{path}/codebooks`` — the residual PQ codebooks
+          (m, code, cvec).
+        - ``{path}/codes`` — (d_id, codes) PARTITIONED BY ``__cell``,
+          so a probe touching nProbe of nlist cells reads only those
+          directories (dynamic partition pruning off the broadcast
+          query-cell join), and each row holds M small ints instead
+          of d floats — the cell pruning AND the 8-32× byte shrink
+          compose.
+        - ``{path}/_ivfpq_manifest.json`` — pins M/K/dim/nlist; a
+          retriever with different subspace geometry would silently
+          mis-decode the stored codes, and a mismatched query dim
+          would null-pad residuals into garbage LUTs.
+        """
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        dim = self._dim_of(data)
+        spark = data.sparkSession
+        centroids.select(F.col(cellCol).alias("cell"),
+                         F.col(centVecCol).alias("cvec")).write.mode(
+            mode).parquet(f"{path}/centroids")
+        codebooks.select(F.col(mCol).alias("m"),
+                         F.col(codeCol).alias("code"),
+                         F.col(cvecCol).alias("cvec")).write.mode(
+            mode).parquet(f"{path}/codebooks")
+        saved_c = spark.read.parquet(f"{path}/centroids")
+        saved_b = spark.read.parquet(f"{path}/codebooks")
+        nlist = saved_c.count()
+        codes = self.ivfpq_assign_encode(data, saved_c, saved_b)
+        # lead the sort with the partition column: the dynamic-
+        # partition writer re-sorts by it anyway and would lose any
+        # other order (see export.py's shard-write note)
+        (codes.repartition(F.col("__cell"))
+         .sortWithinPartitions("__cell", "d_id")
+         .write.mode(mode).partitionBy("__cell")
+         .parquet(f"{path}/codes"))
+        _fs_write_text(spark, f"{path}/_ivfpq_manifest.json", _json.dumps(
+            {"M": self.M, "K": self.K, "dim": dim, "nlist": nlist,
+             "version": 1}))
+
+    def append_to_ivfpq_index(self, new_data: DataFrame,
+                              path: str) -> None:
+        """Incrementally grow a :meth:`save_ivfpq_index` artifact:
+        assign + residual-encode ONLY the new vectors against the
+        stored quantizers (the existing codes are never touched or
+        re-read) and append their cell directories. Both quantizers
+        are fixed at save time — the faiss operating model — so
+        search over the appended index equals a fresh index over the
+        unioned corpus exactly (pinned in tests). Duplicate ids are
+        the caller's contract, as with any append-only store."""
+        spark = new_data.sparkSession
+        codes = self.ivfpq_assign_encode(
+            new_data, spark.read.parquet(f"{path}/centroids"),
+            spark.read.parquet(f"{path}/codebooks"))
+        (codes.repartition(F.col("__cell"))
+         .sortWithinPartitions("__cell", "d_id")
+         .write.mode("append").partitionBy("__cell")
+         .parquet(f"{path}/codes"))
+
+    def load_ivfpq_index(self, spark, path: str) -> dict:
+        """Read a :meth:`save_ivfpq_index` artifact for
+        :meth:`search_ivfpq_with_index`. Raises on an M/dim mismatch —
+        stored codes decode against the manifest's subspace geometry,
+        so a differently-configured retriever would reconstruct every
+        residual wrong, silently."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(
+            _fs_read_text(spark, f"{path}/_ivfpq_manifest.json"))
+        if man.get("M") != self.M:
+            raise ValueError(
+                f"IVFPQ index at {path} was encoded with "
+                f"M={man.get('M')}; this retriever has M={self.M} — "
+                f"codes would mis-decode")
+        if self.dim is not None and man.get("dim") != self.dim:
+            raise ValueError(
+                f"IVFPQ index at {path} holds dim={man.get('dim')} "
+                f"residual codes; this retriever has dim={self.dim}")
+        if self.dim is None:
+            self.dim = int(man["dim"])
+        return {"codes": spark.read.parquet(f"{path}/codes"),
+                "centroids": spark.read.parquet(f"{path}/centroids"),
+                "codebooks": spark.read.parquet(f"{path}/codebooks"),
+                "dim": int(man["dim"])}
+
+    def search_ivfpq_with_index(self, index: dict, queries: DataFrame,
+                                nProbe: int = 4) -> DataFrame:
+        """IVFADC top-k against a loaded :meth:`load_ivfpq_index`
+        artifact — identical results to :meth:`search_ivfpq` on the
+        source corpus (assignment and encoding are deterministic;
+        round-trip pinned in tests). Only the query-side cell probe
+        and residual LUTs compute fresh; the corpus side is the
+        stored cell-partitioned code table."""
+        qd = int(queries.select(F.size(self.vecCol)).first()[0])
+        if qd != index["dim"]:
+            # mismatched query dim would zip_with-null-pad the
+            # residuals into NULL LUT distances that sort FIRST —
+            # silent garbage top-k; refuse instead
+            raise ValueError(
+                f"query vectors have dim {qd}, stored IVFPQ index "
+                f"has dim {index['dim']}")
+        dcodes = index["codes"].select(
+            "d_id", F.col("__cell").cast("int").alias("__cell"),
+            "__codes")
+        return self._ivfpq_probe(dcodes, queries, index["centroids"],
+                                 index["codebooks"], nProbe)
 
 
 class ScalarQuantizerKNN:

@@ -4609,6 +4609,48 @@ def knn_ivfpq(spark, sf_dir):
                       F.col("rank").alias("rk"))
 
 
+@register("knn_ivfpq_indexed", oracle=_knn_ivfpq_oracle(nProbe=2, nq=8))
+def knn_ivfpq_indexed(spark, sf_dir):
+    """IVFADC FROM A PERSISTED COMPOSED INDEX — the production
+    big-corpus lifecycle: save_ivfpq_index writes coarse centroids +
+    residual codebooks + cell-partitioned PQ codes as ONE
+    manifest-pinned artifact, then search_ivfpq_with_index probes it —
+    only the query-side cell ranking and residual LUTs compute fresh;
+    the corpus side is the stored code table (M ints per vector, read
+    cell-pruned). Same quantizers as knn_ivfpq but different queries
+    (vec_id < 8) and nProbe=2, so the driver hash is an independent
+    check of the stored-artifact path, not a copy."""
+    import os
+
+    from mmlspark_spark.llm.similarity import PQKNN
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("embedding")))
+    cents = (emb.filter(F.col("vec_id").between(200, 207))
+             .select((F.col("vec_id") - 200).alias("cell"),
+                     F.col("embedding").alias("cvec")))
+    cbooks = (emb.filter(F.col("vec_id") < 128)
+              .select(F.expr("vec_id div 16").cast("int").alias("m"),
+                      (F.col("vec_id") % 16).cast("int").alias("code"),
+                      F.slice("embedding",
+                              F.expr("(vec_id div 16) * 8 + 1")
+                              .cast("int"), 8).alias("cvec")))
+    q = emb.filter(F.col("vec_id") < 8)
+    pq = PQKNN(idCol="vec_id", vecCol="embedding", k=10, M=8, K=16,
+               dim=64)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"ivfpq_{os.path.basename(sf_dir.rstrip('/'))}")
+    pq.save_ivfpq_index(emb, cents, cbooks, path)
+    out = pq.search_ivfpq_with_index(pq.load_ivfpq_index(spark, path),
+                                     q, nProbe=2)
+    return out.select("query_id", "neighbor_id",
+                      F.round("adc_dist", 6).alias("adc"),
+                      F.col("rank").alias("rk"))
+
+
 def _knn_ivf_oracle(nlist: int = 16, nProbe: int = 4, k: int = 10,
                     dim: int = 64, seed: int = 42) -> str:
     """Full replay of the DETERMINISTIC IVF pipeline — fit included:

@@ -77,6 +77,9 @@ ALLOWED_LINT = {
     # accident
     "knn_pq_adc": {"BroadcastNestedLoopJoin"},
     "knn_ivfpq": {"BroadcastNestedLoopJoin"},  # cells+codebook broadcast expansions
+    # stored-artifact probe: the query-side cells/codebook broadcast
+    # expansions remain; the corpus side is the cell-pruned code scan
+    "knn_ivfpq_indexed": {"BroadcastNestedLoopJoin"},
     # one-row corpus stats (N, avgdl) broadcast onto the postings
     "bm25_search": {"BroadcastNestedLoopJoin"},
     "hybrid_rrf": {"BroadcastNestedLoopJoin"},

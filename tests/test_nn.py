@@ -790,3 +790,66 @@ def test_ivf_append_to_index_matches_fresh_union(spark, tmp_path):
     fresh = sorted(map(tuple, ivf.search_with_centroids(
         base.unionByName(extra), q, cent).collect()))
     assert grown == fresh and len(grown) == 4 * 5
+
+
+def test_ivfpq_composed_index_roundtrip_and_append(spark, tmp_path):
+    """The COMPOSED IVFADC artifact (centroids + residual codebooks +
+    cell-partitioned codes in one manifest-pinned layout):
+    save_ivfpq_index → load_ivfpq_index → search_ivfpq_with_index must
+    equal the in-memory search_ivfpq exactly; append_to_ivfpq_index
+    must equal a fresh index over the unioned corpus (both quantizers
+    fixed at save time); geometry mismatches must refuse to load."""
+    import os
+
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import IVFKNN, PQKNN
+
+    rng = np.random.default_rng(41)
+    x = rng.normal(size=(150, 16))
+    base = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    extra = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100, 150)],
+        "vec_id long, embedding array<double>")
+    q = base.filter("vec_id < 4")
+
+    pq = PQKNN(k=5, M=4, K=8)
+    cent = IVFKNN(nlist=6).fit_centroids_df(base)
+    cb = pq.fit_codebooks(base)
+    p = str(tmp_path / "ivfpq_idx")
+    pq.save_ivfpq_index(base, cent, cb, p)
+
+    direct = sorted(map(tuple, pq.search_ivfpq(
+        base, q, cent, cb, nProbe=3).collect()))
+    idx = pq.load_ivfpq_index(spark, p)
+    via = sorted(map(tuple, pq.search_ivfpq_with_index(
+        idx, q, nProbe=3).collect()))
+    assert direct == via and len(direct) == 4 * 5
+
+    # stored layout: cell directories (probe-time partition pruning)
+    # and M-int code rows — never the float corpus
+    dirs = [d for d in os.listdir(f"{p}/codes")
+            if d.startswith("__cell=")]
+    assert len(dirs) >= 2
+    codes_schema = spark.read.parquet(f"{p}/codes").schema["__codes"]
+    assert codes_schema.dataType.simpleString() == "array<int>"
+
+    # append: grown artifact == fresh index over the union
+    pq.append_to_ivfpq_index(extra, p)
+    grown = sorted(map(tuple, pq.search_ivfpq_with_index(
+        pq.load_ivfpq_index(spark, p), q, nProbe=3).collect()))
+    fresh = sorted(map(tuple, pq.search_ivfpq(
+        base.unionByName(extra), q, cent, cb, nProbe=3).collect()))
+    assert grown == fresh and len(grown) == 4 * 5
+
+    # geometry guards
+    with pytest.raises(ValueError, match="M="):
+        PQKNN(k=5, M=8).load_ivfpq_index(spark, p)
+    with pytest.raises(ValueError, match="dim"):
+        PQKNN(k=5, M=4, dim=32).load_ivfpq_index(spark, p)
+    short_q = q.select("vec_id",
+                       F.slice("embedding", 1, 8).alias("embedding"))
+    with pytest.raises(ValueError, match="dim"):
+        pq.search_ivfpq_with_index(idx, short_q, nProbe=3)
