@@ -496,18 +496,29 @@ class IVFKNN:
         return {"assigned": spark.read.parquet(f"{path}/assigned"),
                 "centroids": spark.read.parquet(f"{path}/centroids")}
 
-    def search_with_index(self, index: dict,
-                          queries: DataFrame) -> DataFrame:
+    def search_with_index(self, index: dict, queries: DataFrame,
+                          where=None) -> DataFrame:
         """Probe a :meth:`save_index` artifact: only the query-side
         cell ranking is computed fresh; the corpus-side assignment is
         the stored layout. Identical results to
         :meth:`search_with_centroids` on the source corpus (assignment
-        is deterministic; round-trip pinned in tests)."""
+        is deterministic; round-trip pinned in tests).
+
+        ``where`` (a Column predicate over ``d_id``) gives FILTERED
+        search over the stored index: cell assignment is per-vector,
+        so filtering the stored assignments equals building a fresh
+        index over the filtered corpus (pinned in tests) — and the
+        predicate pushes into the cell-partitioned parquet scan
+        (row-group pruning UNDER the probe's partition pruning), never
+        post-filtering of results, which silently under-fills top-k."""
         _check_query_size(queries, "IVFKNN.search_with_index",
                           self.maxQueries)
         c = self._cent_broadcast(index["centroids"], "cell", "cvec")
+        assigned = index["assigned"]
+        if where is not None:
+            assigned = assigned.filter(where)
         return self._probe(
-            index["assigned"].select(
+            assigned.select(
                 "d_id", "d_vec", F.col("__cell").cast("int").alias("__cell")),
             self._probe_queries(queries, c))
 
@@ -1140,13 +1151,17 @@ class PQKNN:
                 "dim": int(man["dim"])}
 
     def search_ivfpq_with_index(self, index: dict, queries: DataFrame,
-                                nProbe: int = 4) -> DataFrame:
+                                nProbe: int = 4, where=None) -> DataFrame:
         """IVFADC top-k against a loaded :meth:`load_ivfpq_index`
         artifact — identical results to :meth:`search_ivfpq` on the
         source corpus (assignment and encoding are deterministic;
         round-trip pinned in tests). Only the query-side cell probe
         and residual LUTs compute fresh; the corpus side is the
-        stored cell-partitioned code table."""
+        stored cell-partitioned code table. ``where`` (a Column
+        predicate over ``d_id``) gives FILTERED search — per-vector
+        assignment/encoding means filtering stored codes equals
+        encoding the filtered corpus (pinned in tests), and the
+        predicate pushes into the cell-pruned code scan."""
         qd = int(queries.select(F.size(self.vecCol)).first()[0])
         if qd != index["dim"]:
             # mismatched query dim would zip_with-null-pad the
@@ -1155,7 +1170,10 @@ class PQKNN:
             raise ValueError(
                 f"query vectors have dim {qd}, stored IVFPQ index "
                 f"has dim {index['dim']}")
-        dcodes = index["codes"].select(
+        codes = index["codes"]
+        if where is not None:
+            codes = codes.filter(where)
+        dcodes = codes.select(
             "d_id", F.col("__cell").cast("int").alias("__cell"),
             "__codes")
         return self._ivfpq_probe(dcodes, queries, index["centroids"],

@@ -3976,18 +3976,24 @@ def url_canonicalize(spark, sf_dir):
         "doc_id", canonicalize_url("u").alias("canonical"))
 
 
-def _ivf_cte(cent_ctes: str, nProbe: int, dim: int, nq: int = 5) -> str:
+def _ivf_cte(cent_ctes: str, nProbe: int, dim: int, nq: int = 5,
+             corpus_where: str = "") -> str:
     """Shared IVF-replay WITH-fragment (the _bm25_cte pattern — ONE
     copy of the assignment/probe/candidate SQL so a tie-break or fold
-    fix can never diverge between the three IVF-family oracles).
+    fix can never diverge between the IVF-family oracles).
     Expects an upstream CTE ``e(vec_id, v)``; ``cent_ctes`` must end
     in a CTE ``c(cell, cv)``; the fragment ends in ``cand(q_id, d_id,
     qv, dv)``: corpus top-1 cell / query top-nProbe cells by exact
     cosine with cell-ASC tie-break, candidates equi-joined on the
-    cell."""
+    cell. ``corpus_where`` (a predicate over ``d_id``) restricts the
+    INDEXED corpus only — queries stay unrestricted — mirroring the
+    filtered-index lanes (``knn_ivf_filtered``); cell assignment is
+    per-vector, so filtering assignments equals assigning the
+    filtered corpus."""
     from mmlspark_spark.plans.duckdb_xxh import cosine_sql
 
     cos = cosine_sql("e.v", "c.cv", dim)
+    cw = f" WHERE {corpus_where}" if corpus_where else ""
     return f"""{cent_ctes}, dsim AS (
       SELECT e.vec_id AS d_id, e.v AS dv, c.cell, {cos} AS sim
       FROM e, c
@@ -3995,7 +4001,7 @@ def _ivf_cte(cent_ctes: str, nProbe: int, dim: int, nq: int = 5) -> str:
       SELECT d_id, dv, cell FROM (
         SELECT *, row_number() OVER (
           PARTITION BY d_id ORDER BY sim DESC, cell ASC) AS rk
-        FROM dsim) WHERE rk = 1
+        FROM dsim{cw}) WHERE rk = 1
     ), qass AS (
       SELECT q_id, qv, cell FROM (
         SELECT d_id AS q_id, dv AS qv, cell, row_number() OVER (
@@ -4063,6 +4069,49 @@ def knn_ivf_pretrained(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 5)
     out = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
                  nlist=16, nProbe=4).search_with_centroids(emb, q, cent)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"),
+                      F.col("rank").alias("rk"))
+
+
+def _knn_ivf_filtered_oracle(nlist: int = 16, nProbe: int = 4,
+                             k: int = 10, dim: int = 64) -> str:
+    """The pretrained-IVF replay with the corpus predicate pushed
+    below assignment (corpus_where on the shared _ivf_cte fragment) —
+    filtered-index semantics: the inverted lists hold only matching
+    vectors, so top-k never under-fills from post-filtering."""
+    cent = (f"""c AS (
+      SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {nlist}
+    )""")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), {_ivf_cte(cent, nProbe, dim, corpus_where="d_id >= 100")}{
+        _ivf_topk_tail(dim, k)}"""
+
+
+@register("knn_ivf_filtered", oracle=_knn_ivf_filtered_oracle())
+def knn_ivf_filtered(spark, sf_dir):
+    """FILTERED IVF — the metadata predicate (vec_id >= 100, a plain
+    range) sits BELOW the cell assignment, so it pushes to the
+    parquet scan and the inverted lists hold exactly the searchable
+    subset — filtered-index semantics (the knn_sq8_filtered pattern;
+    faiss IDSelector at build), never post-filtering, which silently
+    returns < k rows. Cell assignment is per-vector, so filtering
+    before assignment equals filtering a stored index's cell
+    directories (the `where=` parameter on search_with_index —
+    round-trip pinned in tests). Queries stay unrestricted."""
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    q = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    out = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
+                 nlist=16, nProbe=4).search_with_centroids(
+        corpus, q, cent)
     return out.select("query_id", "neighbor_id",
                       F.round("sim", 6).alias("sim"),
                       F.col("rank").alias("rk"))

@@ -68,6 +68,9 @@ ALLOWED_LINT = {
     "knn_ivf_pretrained": {"BroadcastNestedLoopJoin"},
     # same lane with the deterministic fit_centroids_df quantizer
     "knn_ivf": {"BroadcastNestedLoopJoin"},
+    # same pretrained-quantizer lane with the corpus predicate pushed
+    # below the nlist-row broadcast expansion
+    "knn_ivf_filtered": {"BroadcastNestedLoopJoin"},
     # one-row broadcast frames: the totals row inside fit and the
     # length-B log-ratio array row attached before map-side scoring
     "dsir_select": {"BroadcastNestedLoopJoin"},

@@ -853,3 +853,47 @@ def test_ivfpq_composed_index_roundtrip_and_append(spark, tmp_path):
                        F.slice("embedding", 1, 8).alias("embedding"))
     with pytest.raises(ValueError, match="dim"):
         pq.search_ivfpq_with_index(idx, short_q, nProbe=3)
+
+
+def test_filtered_index_search_equals_filtered_corpus(spark, tmp_path):
+    """Filtered ANN over STORED indexes: `where=` on
+    IVFKNN.search_with_index / PQKNN.search_ivfpq_with_index must
+    equal a fresh search over the pre-filtered corpus — per-vector
+    assignment/encoding makes the two paths identical, which is the
+    property that lets a takedown/license predicate prune the stored
+    cell directories instead of forcing an index rebuild."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import IVFKNN, PQKNN
+
+    rng = np.random.default_rng(43)
+    x = rng.normal(size=(140, 16))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    q = data.filter("vec_id < 4")
+    pred = F.col("d_id") >= 40
+
+    ivf = IVFKNN(k=5, nlist=6, nProbe=3)
+    cent = ivf.fit_centroids_df(data)
+    p = str(tmp_path / "ivf_filt")
+    ivf.save_index(data, cent, p)
+    via = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p), q, where=pred).collect()))
+    fresh = sorted(map(tuple, ivf.search_with_centroids(
+        data.filter("vec_id >= 40"), q, cent).collect()))
+    assert via == fresh and len(via) == 4 * 5
+    assert all(t[1] >= 40 for t in via)  # predicate actually applied
+
+    pq = PQKNN(k=5, M=4, K=8)
+    cb = pq.fit_codebooks(data)
+    p2 = str(tmp_path / "ivfpq_filt")
+    pq.save_ivfpq_index(data, cent, cb, p2)
+    via2 = sorted(map(tuple, pq.search_ivfpq_with_index(
+        pq.load_ivfpq_index(spark, p2), q, nProbe=3,
+        where=pred).collect()))
+    fresh2 = sorted(map(tuple, pq.search_ivfpq(
+        data.filter("vec_id >= 40"), q, cent, cb,
+        nProbe=3).collect()))
+    assert via2 == fresh2 and len(via2) == 4 * 5
+    assert all(t[1] >= 40 for t in via2)
