@@ -48,6 +48,38 @@ def _check_query_size(queries: DataFrame, what: str,
             "frames (index the queries, stream the corpus)")
 
 
+def search_in_query_chunks(search_fn, queries: DataFrame, idCol: str,
+                           chunkRows: int) -> DataFrame:
+    """Run a per-query-independent search lane over the query frame in
+    bounded chunks and union the results — the lane that retires the
+    maxQueries hard stop for legitimate batch-scoring jobs (score
+    every document against a 10M-query frame) without giving up the
+    guard's OOM protection: each chunk is still small enough to
+    broadcast/collect, and per-query top-k is independent across
+    chunks, so the union equals the single-shot result exactly
+    (pinned in tests).
+
+    Chunking is a deterministic hash split (``pmod(xxhash64(id),
+    nChunks)`` — no global sort, no driver materialization of the
+    query frame); chunk sizes are hash-balanced in expectation
+    (stddev ~ sqrt(chunkRows)), so pick ``chunkRows`` comfortably
+    under the lane's maxQueries. One count job sizes the chunk
+    grid."""
+    if chunkRows < 1:
+        raise ValueError(f"chunkRows={chunkRows} must be >= 1")
+    n = queries.count()
+    nch = -(-n // chunkRows) if n else 1  # ceil
+    if nch <= 1:
+        return search_fn(queries)
+    chunk = F.pmod(F.xxhash64(F.col(idCol).cast("string")),
+                   F.lit(nch))
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName,
+                  [search_fn(queries.filter(chunk == i))
+                   for i in range(nch)])
+
+
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -68,14 +100,27 @@ class BruteForceKNN:
 
     def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
                  k: int = 10, method: str = "expr", excludeSelf: bool = True,
-                 maxQueries: int | None = _MAX_QUERY_ROWS):
+                 maxQueries: int | None = _MAX_QUERY_ROWS,
+                 chunkQueries: int | None = None):
         assert method in ("expr", "numpy")
         self.idCol, self.vecCol, self.k = idCol, vecCol, k
         self.method = method
         self.excludeSelf = excludeSelf
         self.maxQueries = maxQueries
+        self.chunkQueries = chunkQueries
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        if self.chunkQueries is not None:
+            # batch-scoring lane: hash-chunk the oversized query frame
+            # and union the per-chunk top-k (per-query independence
+            # makes the union exact); each chunk still passes the
+            # maxQueries guard, so pick chunkQueries under it
+            return search_in_query_chunks(
+                lambda qc: self._search_one(data, qc),
+                queries, self.idCol, self.chunkQueries)
+        return self._search_one(data, queries)
+
+    def _search_one(self, data: DataFrame, queries: DataFrame) -> DataFrame:
         _check_query_size(queries, "BruteForceKNN", self.maxQueries)
         if self.method == "expr":
             return self._search_expr(data, queries)
@@ -1223,7 +1268,8 @@ class ScalarQuantizerKNN:
                  k: int = 10, bits: int = 8, dim: int | None = None,
                  excludeSelf: bool = True,
                  maxQueries: int | None = _MAX_QUERY_ROWS,
-                 wideDim: int = 256):
+                 wideDim: int = 256,
+                 chunkQueries: int | None = None):
         if not 1 <= bits <= 16:
             raise ValueError(f"bits={bits} outside [1, 16]")
         self.idCol, self.vecCol, self.k = idCol, vecCol, k
@@ -1232,6 +1278,7 @@ class ScalarQuantizerKNN:
         self.excludeSelf = excludeSelf
         self.maxQueries = maxQueries
         self.wideDim = wideDim
+        self.chunkQueries = chunkQueries
 
     def _dim_of(self, df: DataFrame) -> int:
         return (self.dim if self.dim is not None
@@ -1354,12 +1401,27 @@ class ScalarQuantizerKNN:
                 .filter(F.col("rank") <= self.k)
                 .select("query_id", "neighbor_id", "sq_dist", "rank"))
 
+    def _maybe_chunk(self, queries: DataFrame, fn) -> DataFrame:
+        """Route through the hash-chunked batch-scoring lane when
+        ``chunkQueries`` is set (see :func:`search_in_query_chunks`);
+        per-chunk searches still pass the maxQueries guard."""
+        if self.chunkQueries is None:
+            return fn(queries)
+        return search_in_query_chunks(fn, queries, self.idCol,
+                                      self.chunkQueries)
+
     def search_with_bounds(self, data: DataFrame, queries: DataFrame,
                            bounds: DataFrame) -> DataFrame:
         """Asymmetric top-k: (query_id, neighbor_id, sq_dist, rank)
         ranked by squared L2 ASC (ties → neighbor ASC). Encodes the
         float corpus on the fly; :meth:`search_with_codes` is the
         stored-index variant that scans codes instead."""
+        return self._maybe_chunk(
+            queries,
+            lambda qc: self._search_with_bounds_one(data, qc, bounds))
+
+    def _search_with_bounds_one(self, data: DataFrame, queries: DataFrame,
+                                bounds: DataFrame) -> DataFrame:
         from mmlspark_spark.operators.scale import (
             VECTOR_MATH_BYTES_PER_SLOT,
             spread_narrow_scan,
@@ -1388,6 +1450,14 @@ class ScalarQuantizerKNN:
         lo + code·Δ expression as the float lane, so results are
         IDENTICAL to :meth:`search_with_bounds` on the source vectors
         (encode is deterministic; round-trip pinned in tests)."""
+        return self._maybe_chunk(
+            queries,
+            lambda qc: self._search_with_codes_one(codes, bounds, qc,
+                                                   codesCol))
+
+    def _search_with_codes_one(self, codes: DataFrame, bounds: DataFrame,
+                               queries: DataFrame,
+                               codesCol: str = "codes") -> DataFrame:
         from mmlspark_spark.operators.scale import (
             VECTOR_MATH_BYTES_PER_SLOT,
             spread_narrow_scan,
@@ -1397,12 +1467,13 @@ class ScalarQuantizerKNN:
         if self.dim is not None:
             # a dim-mismatched query frame would zip_with-null-pad into
             # NULL distances that sort FIRST in the rank window —
-            # silent garbage top-k; refuse it instead (one cheap row)
-            qd = int(queries.select(F.size(self.vecCol)).first()[0])
-            if qd != self.dim:
+            # silent garbage top-k; refuse it instead (one cheap row;
+            # None = empty frame/chunk, nothing to mismatch)
+            row = queries.select(F.size(self.vecCol)).first()
+            if row is not None and int(row[0]) != self.dim:
                 raise ValueError(
-                    f"query vectors have dim {qd}, stored index has "
-                    f"dim {self.dim}")
+                    f"query vectors have dim {int(row[0])}, stored "
+                    f"index has dim {self.dim}")
         b = F.broadcast(bounds.select("lo", "hi"))
         d = (spread_narrow_scan(codes, VECTOR_MATH_BYTES_PER_SLOT)
              .crossJoin(b)

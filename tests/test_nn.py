@@ -897,3 +897,55 @@ def test_filtered_index_search_equals_filtered_corpus(spark, tmp_path):
         nProbe=3).collect()))
     assert via2 == fresh2 and len(via2) == 4 * 5
     assert all(t[1] >= 40 for t in via2)
+
+
+def test_chunked_query_lane_matches_single_shot(spark):
+    """The batch-scoring lane: chunkQueries hash-splits an oversized
+    query frame into bounded chunks and unions per-chunk top-k —
+    results must equal the single-shot search exactly (per-query
+    independence), the maxQueries guard must still trip when chunking
+    is off, and each chunk must itself pass the guard."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import (
+        BruteForceKNN,
+        ScalarQuantizerKNN,
+    )
+
+    rng = np.random.default_rng(47)
+    x = rng.normal(size=(80, 8))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    q = data.filter("vec_id < 25")
+
+    # guard trips unchunked
+    with pytest.raises(ValueError, match="maxQueries"):
+        BruteForceKNN(k=3, maxQueries=10).search(data, q).collect()
+
+    # chunked == unguarded single shot (expr lane)
+    want = sorted(map(tuple, BruteForceKNN(
+        k=3, maxQueries=None).search(data, q).collect()))
+    got = sorted(map(tuple, BruteForceKNN(
+        k=3, maxQueries=20, chunkQueries=8).search(data, q).collect()))
+    assert got == want and len(got) == 25 * 3
+
+    # numpy lane too (the driver-collect path the guard exists for)
+    got_np = sorted(map(tuple, BruteForceKNN(
+        k=3, maxQueries=20, chunkQueries=8,
+        method="numpy").search(data, q).collect()))
+    assert [(a, b) for a, b, *_ in got_np] == [(a, b) for a, b, *_ in want]
+
+    # SQ lanes: on-the-fly and stored-codes
+    sq_want = sorted(map(tuple, ScalarQuantizerKNN(
+        k=3, maxQueries=None).search(data, q).collect()))
+    sq = ScalarQuantizerKNN(k=3, maxQueries=20, chunkQueries=8)
+    bounds = sq.fit_bounds(data)
+    sq_got = sorted(map(tuple, sq.search_with_bounds(
+        data, q, bounds).collect()))
+    assert sq_got == sq_want and len(sq_got) == 25 * 3
+    codes = sq.encode_with_bounds(data, bounds)
+    sq2 = ScalarQuantizerKNN(k=3, dim=8, maxQueries=20, chunkQueries=8)
+    sq_codes = sorted(map(tuple, sq2.search_with_codes(
+        codes, bounds, q).collect()))
+    assert sq_codes == sq_want
