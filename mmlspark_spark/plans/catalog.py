@@ -2401,6 +2401,88 @@ def vocab_build(spark, sf_dir):
     return build_vocabulary(docs, textCol="text", minCount=3)
 
 
+def _bpe_merges_oracle(num_merges: int = 8, max_doc: int = 40) -> str:
+    """Replays the BPE merge-learning loop (tokenizer._learn_merges)
+    at toy scale by UNROLLING the iterations into generated CTEs —
+    one (pair-count → argmax-with-lex-ties → greedy-merge) block per
+    merge. The greedy non-overlapping left-to-right merge inside each
+    word is a list_reduce fold whose accumulator is a
+    struct(o := chr(1)-joined emitted symbols, p := pending symbol):
+    merging sets p := l||r (the merged symbol can never be the left
+    of the same pair again — exactly Python's i += 2), otherwise p is
+    emitted onto o. Strings, not a struct-of-list accumulator —
+    DuckDB 1.0's list_reduce mis-folds list-typed struct fields.
+    Tie-break is (count DESC, l ASC, r ASC), byte order == code-point
+    order under UTF-8, matching the Python heap's tuple order. The
+    big-corpus lane (bpe_tokenize) stays rows-only by design: at
+    numMerges=1000 the unrolled SQL would be ~3000 CTEs, and merge
+    learning is still driver-side over the Heaps-law histogram either
+    way — this toy lane proves the ALGORITHM replays exactly."""
+    parts = [f"""
+    WITH words AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+               x -> x <> '')) AS w
+      FROM documents
+      WHERE doc_id < {max_doc} AND text IS NOT NULL
+        AND strpos(text, chr(1)) = 0
+    ), st0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c,
+             list_append(list_transform(range(length(w)),
+                                        i -> w[i+1:i+1]), '</w>') AS syms
+      FROM words GROUP BY w
+    )"""]
+    for i in range(1, num_merges + 1):
+        parts.append(f""", pc{i} AS (
+      SELECT pr.l AS l, pr.r AS r, CAST(sum(c) AS BIGINT) AS cnt FROM (
+        SELECT c, unnest(list_transform(range(len(syms) - 1),
+                 j -> struct_pack(l := syms[j+1], r := syms[j+2]))) AS pr
+        FROM st{i-1}) GROUP BY pr.l, pr.r
+    ), best{i} AS (
+      SELECT l, r FROM pc{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    ), st{i} AS (
+      SELECT w, c, list_filter(string_split(f.o || chr(1) || f.p, chr(1)),
+                               s -> s <> '') AS syms
+      FROM (SELECT w, c, list_reduce(
+              list_transform(syms, s -> struct_pack(o := '', p := s)),
+              (a, x) -> CASE WHEN a.p = b.l AND x.p = b.r
+                        THEN struct_pack(o := a.o, p := a.p || x.p)
+                        ELSE struct_pack(o := a.o || chr(1) || a.p,
+                                         p := x.p) END) AS f
+            FROM st{i-1}, best{i} b)
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rnk, l, r FROM best{i}"
+        for i in range(1, num_merges + 1))
+    parts.append(f" SELECT * FROM ({sel}) ORDER BY rnk")
+    return "".join(parts)
+
+
+@register("bpe_merges_small", oracle=_bpe_merges_oracle())
+def bpe_merges_small(spark, sf_dir):
+    """BPE merge learning (BPETokenizer.fit) at toy scale — the
+    data-dependent half of BPE, fully replayed: the fit's ONE
+    distributed shuffle builds the word histogram (docs 0..39,
+    lowercased, ASCII-whitespace split), then 8 argmax merges with
+    (count DESC, pair lex ASC) tie-breaks learn the merge table.
+    Returns (rnk, l, r) — the fitted artifact itself. The production
+    lane (bpe_tokenize, numMerges=1000 over the full corpus) shares
+    this exact code path and stays rows-only only because 1000
+    unrolled CTEs is not a reasonable oracle; the algorithm is proven
+    here and the encode side is pinned by hand-computed sequences in
+    tests."""
+    from mmlspark_spark.llm.tokenizer import BPETokenizer
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 40)
+                    & F.col("text").isNotNull()
+                    & ~F.col("text").contains("\x01")))
+    model = BPETokenizer(textCol="text", numMerges=8).fit(docs)
+    return spark.createDataFrame(
+        [(i + 1, m[0], m[1]) for i, m in enumerate(model.merges)],
+        "rnk int, l string, r string")
+
+
 @register(
     "hash_split",
     oracle="""
