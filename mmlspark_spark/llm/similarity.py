@@ -48,6 +48,45 @@ def _check_query_size(queries: DataFrame, what: str,
             "frames (index the queries, stream the corpus)")
 
 
+def _add_tombstones(ids: DataFrame, path: str, idCol: str) -> None:
+    """Append an id set to ``{path}/tombstones`` — the delete
+    mechanism every append-only ANN index needs (takedowns, dedup
+    survivors): deletes are metadata until compaction, so a delete
+    never rewrites the (large) code/vector store."""
+    (ids.select(F.col(idCol).alias("id")).distinct()
+     .write.mode("append").parquet(f"{path}/tombstones"))
+
+
+def _read_tombstones(spark, path: str) -> DataFrame | None:
+    """The live tombstone id set, or None when nothing was deleted.
+    Existence is probed through the Hadoop FS API (works on every
+    scheme the index itself can live on)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    return (spark.read.parquet(f"{path}/tombstones")
+            .select("id").distinct())
+
+
+def _clear_tombstones(spark, path: str) -> None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
+def _drop_tombstoned(df: DataFrame, tombstones: DataFrame | None,
+                     idCol: str) -> DataFrame:
+    """Anti-join the stored corpus against the tombstone set — the
+    read-time mask that makes deletes visible before compaction."""
+    if tombstones is None:
+        return df
+    return df.join(tombstones.withColumnRenamed("id", idCol),
+                   idCol, "left_anti")
+
+
 def search_in_query_chunks(search_fn, queries: DataFrame, idCol: str,
                            chunkRows: int) -> DataFrame:
     """Run a per-query-independent search lane over the query frame in
@@ -539,7 +578,57 @@ class IVFKNN:
 
     def load_index(self, spark, path: str) -> dict:
         return {"assigned": spark.read.parquet(f"{path}/assigned"),
-                "centroids": spark.read.parquet(f"{path}/centroids")}
+                "centroids": spark.read.parquet(f"{path}/centroids"),
+                "tombstones": _read_tombstones(spark, path)}
+
+    def delete_from_index(self, ids: DataFrame, path: str,
+                          idCol: str | None = None) -> None:
+        """Tombstone ids in a :meth:`save_index` artifact (takedowns,
+        dedup survivors — the other half of the append-only story).
+        Deletes are metadata: ``{path}/tombstones`` grows, the cell
+        directories are untouched, and :meth:`search_with_index`
+        masks tombstoned ids at read time. :meth:`compact_index`
+        rewrites only the affected cells when the mask is worth
+        retiring. Unknown ids are a no-op."""
+        _add_tombstones(ids, path, idCol or self.idCol)
+
+    def compact_index(self, spark, path: str) -> int:
+        """Physically remove tombstoned vectors: rewrite ONLY the
+        cell directories that contain a tombstoned id (dynamic
+        partition overwrite — untouched cells keep their files), then
+        clear the tombstone set. Returns the number of cells
+        rewritten. Search results are identical before and after
+        compaction (pinned in tests); compaction is purely an
+        I/O-reclaim operation."""
+        ts = _read_tombstones(spark, path)
+        if ts is None:
+            return 0
+        assigned = spark.read.parquet(f"{path}/assigned")
+        affected = [r[0] for r in assigned
+                    .join(ts.withColumnRenamed("id", "d_id"), "d_id",
+                          "left_semi")
+                    .select("__cell").distinct().collect()]
+        if affected:
+            # localCheckpoint cuts lineage so the write does not
+            # overwrite a path its own plan is reading from; the
+            # materialized frame is only the affected cells' rows
+            keep = (assigned.filter(F.col("__cell").isin(affected))
+                    .join(ts.withColumnRenamed("id", "d_id"), "d_id",
+                          "left_anti")
+                    .localCheckpoint())
+            mode_key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(mode_key, None)
+            spark.conf.set(mode_key, "dynamic")
+            try:
+                (keep.repartition(F.col("__cell"))
+                 .sortWithinPartitions("__cell", "d_id")
+                 .write.mode("overwrite").partitionBy("__cell")
+                 .parquet(f"{path}/assigned"))
+            finally:
+                if prev is not None:
+                    spark.conf.set(mode_key, prev)
+        _clear_tombstones(spark, path)
+        return len(affected)
 
     def search_with_index(self, index: dict, queries: DataFrame,
                           where=None) -> DataFrame:
@@ -559,7 +648,8 @@ class IVFKNN:
         _check_query_size(queries, "IVFKNN.search_with_index",
                           self.maxQueries)
         c = self._cent_broadcast(index["centroids"], "cell", "cvec")
-        assigned = index["assigned"]
+        assigned = _drop_tombstoned(index["assigned"],
+                                    index.get("tombstones"), "d_id")
         if where is not None:
             assigned = assigned.filter(where)
         return self._probe(
@@ -1193,7 +1283,47 @@ class PQKNN:
         return {"codes": spark.read.parquet(f"{path}/codes"),
                 "centroids": spark.read.parquet(f"{path}/centroids"),
                 "codebooks": spark.read.parquet(f"{path}/codebooks"),
-                "dim": int(man["dim"])}
+                "dim": int(man["dim"]),
+                "tombstones": _read_tombstones(spark, path)}
+
+    def delete_from_ivfpq_index(self, ids: DataFrame, path: str,
+                                idCol: str | None = None) -> None:
+        """Tombstone ids in a :meth:`save_ivfpq_index` artifact —
+        metadata-only until :meth:`compact_ivfpq_index`; see
+        IVFKNN.delete_from_index for the model."""
+        _add_tombstones(ids, path, idCol or self.idCol)
+
+    def compact_ivfpq_index(self, spark, path: str) -> int:
+        """Rewrite ONLY the cell directories holding tombstoned codes
+        (dynamic partition overwrite), then clear the tombstones.
+        Returns the number of cells rewritten; results are identical
+        before and after (pinned in tests)."""
+        ts = _read_tombstones(spark, path)
+        if ts is None:
+            return 0
+        codes = spark.read.parquet(f"{path}/codes")
+        affected = [r[0] for r in codes
+                    .join(ts.withColumnRenamed("id", "d_id"), "d_id",
+                          "left_semi")
+                    .select("__cell").distinct().collect()]
+        if affected:
+            keep = (codes.filter(F.col("__cell").isin(affected))
+                    .join(ts.withColumnRenamed("id", "d_id"), "d_id",
+                          "left_anti")
+                    .localCheckpoint())
+            mode_key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(mode_key, None)
+            spark.conf.set(mode_key, "dynamic")
+            try:
+                (keep.repartition(F.col("__cell"))
+                 .sortWithinPartitions("__cell", "d_id")
+                 .write.mode("overwrite").partitionBy("__cell")
+                 .parquet(f"{path}/codes"))
+            finally:
+                if prev is not None:
+                    spark.conf.set(mode_key, prev)
+        _clear_tombstones(spark, path)
+        return len(affected)
 
     def search_ivfpq_with_index(self, index: dict, queries: DataFrame,
                                 nProbe: int = 4, where=None) -> DataFrame:
@@ -1215,7 +1345,8 @@ class PQKNN:
             raise ValueError(
                 f"query vectors have dim {qd}, stored IVFPQ index "
                 f"has dim {index['dim']}")
-        codes = index["codes"]
+        codes = _drop_tombstoned(index["codes"],
+                                 index.get("tombstones"), "d_id")
         if where is not None:
             codes = codes.filter(where)
         dcodes = codes.select(
@@ -1529,12 +1660,39 @@ class ScalarQuantizerKNN:
         if self.dim is None:
             self.dim = int(man["dim"])
         return {"codes": spark.read.parquet(f"{path}/codes"),
-                "bounds": spark.read.parquet(f"{path}/bounds")}
+                "bounds": spark.read.parquet(f"{path}/bounds"),
+                "tombstones": _read_tombstones(spark, path)}
+
+    def delete_from_index(self, ids: DataFrame, path: str,
+                          idCol: str | None = None) -> None:
+        """Tombstone ids in a :meth:`save_index` artifact —
+        metadata-only until :meth:`compact_index`; see
+        IVFKNN.delete_from_index for the model."""
+        _add_tombstones(ids, path, idCol or self.idCol)
+
+    def compact_index(self, spark, path: str) -> int:
+        """Physically remove tombstoned codes and clear the tombstone
+        set. The SQ code table is flat (no cell partitioning to
+        prune), so compaction rewrites the whole code store — still
+        codes, never floats, so the rewrite is 1/8th the bytes of the
+        source corpus at bits=8. Returns rows removed."""
+        ts = _read_tombstones(spark, path)
+        if ts is None:
+            return 0
+        codes = spark.read.parquet(f"{path}/codes")
+        before = codes.count()
+        keep = (codes.join(ts.withColumnRenamed("id", "vec_id"),
+                           "vec_id", "left_anti").localCheckpoint())
+        keep.write.mode("overwrite").parquet(f"{path}/codes")
+        _clear_tombstones(spark, path)
+        return before - keep.count()
 
     def search_with_index(self, index: dict,
                           queries: DataFrame) -> DataFrame:
-        return self.search_with_codes(index["codes"], index["bounds"],
-                                      queries)
+        return self.search_with_codes(
+            _drop_tombstoned(index["codes"], index.get("tombstones"),
+                             "vec_id"),
+            index["bounds"], queries)
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
         """Fit + search in one call. Deterministic end-to-end (exact

@@ -949,3 +949,105 @@ def test_chunked_query_lane_matches_single_shot(spark):
     sq_codes = sorted(map(tuple, sq2.search_with_codes(
         codes, bounds, q).collect()))
     assert sq_codes == sq_want
+
+
+def test_ann_tombstones_delete_and_compact(spark, tmp_path):
+    """The delete half of the append-only index story: tombstoned ids
+    never surface from search_with_index (read-time mask, the code
+    store untouched), masked results equal a fresh index over the
+    corpus minus the deletes, compaction rewrites ONLY the affected
+    cell directories and changes no results, and a cleared tombstone
+    set makes deletes physical."""
+    import os
+
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import (
+        IVFKNN,
+        PQKNN,
+        ScalarQuantizerKNN,
+    )
+
+    rng = np.random.default_rng(53)
+    x = rng.normal(size=(140, 16))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    q = data.filter("vec_id < 4")
+    surviving = data.filter("vec_id < 60 or vec_id >= 80")
+    dead = spark.range(60, 80).select(F.col("id").alias("vec_id"))
+
+    # ---- IVF: mask, equivalence, cell-scoped compaction ----
+    ivf = IVFKNN(k=5, nlist=6, nProbe=6)  # probe all cells: every
+    cent = ivf.fit_centroids_df(data)     # deleted id is reachable
+    p = str(tmp_path / "ivf_del")
+    ivf.save_index(data, cent, p)
+    ivf.delete_from_index(dead, p)
+    idx = ivf.load_index(spark, p)
+    masked = sorted(map(tuple, ivf.search_with_index(idx, q).collect()))
+    assert not any(60 <= t[1] < 80 for t in masked)
+    fresh = sorted(map(tuple, ivf.search_with_centroids(
+        surviving, q, cent).collect()))
+    assert masked == fresh and len(masked) == 4 * 5
+
+    # compaction touches only cells holding deleted ids
+    assigned = spark.read.parquet(f"{p}/assigned")
+    dead_cells = {r[0] for r in assigned
+                  .filter("d_id >= 60 and d_id < 80")
+                  .select("__cell").distinct().collect()}
+    untouched = [c for c in
+                 (r[0] for r in assigned.select("__cell")
+                  .distinct().collect()) if c not in dead_cells]
+    files_before = {c: sorted(os.listdir(f"{p}/assigned/__cell={c}"))
+                    for c in untouched}
+    n_rewritten = ivf.compact_index(spark, p)
+    assert n_rewritten == len(dead_cells)
+    for c in untouched:  # untouched cells keep their exact files
+        assert sorted(os.listdir(f"{p}/assigned/__cell={c}")) \
+            == files_before[c]
+    idx2 = ivf.load_index(spark, p)
+    assert idx2["tombstones"] is None
+    compacted = sorted(map(tuple,
+                           ivf.search_with_index(idx2, q).collect()))
+    assert compacted == masked
+    # physically gone
+    assert spark.read.parquet(f"{p}/assigned") \
+        .filter("d_id >= 60 and d_id < 80").count() == 0
+
+    # ---- SQ ----
+    sq = ScalarQuantizerKNN(k=5)
+    p2 = str(tmp_path / "sq_del")
+    sq.save_index(data, p2)
+    sq.delete_from_index(dead, p2)
+    masked_sq = sorted(map(tuple, sq.search_with_index(
+        sq.load_index(spark, p2), q).collect()))
+    assert not any(60 <= t[1] < 80 for t in masked_sq)
+    # equivalence: same bounds (fitted on the FULL corpus — deletes
+    # do not refit), corpus minus deletes
+    bounds = spark.read.parquet(f"{p2}/bounds")
+    fresh_sq = sorted(map(tuple, sq.search_with_bounds(
+        surviving, q, bounds).collect()))
+    assert masked_sq == fresh_sq
+    removed = sq.compact_index(spark, p2)
+    assert removed == 20
+    sq2 = ScalarQuantizerKNN(k=5)
+    assert sorted(map(tuple, sq2.search_with_index(
+        sq2.load_index(spark, p2), q).collect())) == masked_sq
+
+    # ---- IVFPQ ----
+    pq = PQKNN(k=5, M=4, K=8)
+    cb = pq.fit_codebooks(data)
+    p3 = str(tmp_path / "ivfpq_del")
+    pq.save_ivfpq_index(data, cent, cb, p3)
+    pq.delete_from_ivfpq_index(dead, p3)
+    masked_pq = sorted(map(tuple, pq.search_ivfpq_with_index(
+        pq.load_ivfpq_index(spark, p3), q, nProbe=6).collect()))
+    assert not any(60 <= t[1] < 80 for t in masked_pq)
+    fresh_pq = sorted(map(tuple, pq.search_ivfpq(
+        surviving, q, cent, cb, nProbe=6).collect()))
+    assert masked_pq == fresh_pq
+    pq.compact_ivfpq_index(spark, p3)
+    pq2 = PQKNN(k=5, M=4, K=8)
+    assert sorted(map(tuple, pq2.search_ivfpq_with_index(
+        pq2.load_ivfpq_index(spark, p3), q, nProbe=6).collect())) \
+        == masked_pq
