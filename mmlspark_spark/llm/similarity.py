@@ -119,6 +119,17 @@ def search_in_query_chunks(search_fn, queries: DataFrame, idCol: str,
                    for i in range(nch)])
 
 
+def _maybe_chunk_queries(obj, queries: DataFrame, fn) -> DataFrame:
+    """Route through the hash-chunked batch-scoring lane when the
+    retriever's ``chunkQueries`` is set (see
+    :func:`search_in_query_chunks`); per-chunk searches still pass
+    the maxQueries guard."""
+    if getattr(obj, "chunkQueries", None) is None:
+        return fn(queries)
+    return search_in_query_chunks(fn, queries, obj.idCol,
+                                  obj.chunkQueries)
+
+
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -700,13 +711,15 @@ class PQKNN:
                  sampleSize: int = 10000, iters: int = 8, seed: int = 42,
                  excludeSelf: bool = True,
                  maxQueries: int | None = _MAX_QUERY_ROWS,
-                 wideM: int = 32):
+                 wideM: int = 32,
+                 chunkQueries: int | None = None):
         self.idCol, self.vecCol, self.k = idCol, vecCol, k
         self.M, self.K, self.dim = M, K, dim
         self.sampleSize, self.iters, self.seed = sampleSize, iters, seed
         self.excludeSelf = excludeSelf
         self.maxQueries = maxQueries
         self.wideM = wideM
+        self.chunkQueries = chunkQueries
 
     # -------------------------------------------------- codebook row
     def _codebook_row(self, codebooks: DataFrame, mCol: str,
@@ -935,6 +948,16 @@ class PQKNN:
         identical to :meth:`search_with_codebooks` on the source
         vectors (encode is deterministic; round-trip pinned in
         tests)."""
+        return _maybe_chunk_queries(
+            self, queries,
+            lambda qc: self._search_with_codes_one(
+                codes, codebooks, qc, codesCol, mCol, codeCol, cvecCol))
+
+    def _search_with_codes_one(self, codes: DataFrame,
+                               codebooks: DataFrame, queries: DataFrame,
+                               codesCol: str = "codes", mCol: str = "m",
+                               codeCol: str = "code",
+                               cvecCol: str = "cvec") -> DataFrame:
         dim = self.dim
         if dim is None:
             raise ValueError(
@@ -946,13 +969,14 @@ class PQKNN:
         ds = dim // self.M
         _check_query_size(queries, "PQKNN.search_with_codes",
                           self.maxQueries)
-        qd = int(queries.select(F.size(self.vecCol)).first()[0])
-        if qd != dim:
+        row = queries.select(F.size(self.vecCol)).first()
+        if row is not None and int(row[0]) != dim:
             # a short query's LUT slices would null-pad into NULL ADC
             # distances that sort FIRST — silent garbage; refuse
+            # (None = empty frame/chunk, nothing to mismatch)
             raise ValueError(
-                f"query vectors have dim {qd}, stored index has "
-                f"dim {dim}")
+                f"query vectors have dim {int(row[0])}, stored index "
+                f"has dim {dim}")
         cb = F.broadcast(self._codebook_row(codebooks, mCol, codeCol,
                                             cvecCol))
         luts = (queries.crossJoin(cb)
@@ -999,12 +1023,38 @@ class PQKNN:
         if self.dim is None:
             self.dim = int(man["dim"])
         return {"codes": spark.read.parquet(f"{path}/codes"),
-                "codebooks": spark.read.parquet(f"{path}/codebooks")}
+                "codebooks": spark.read.parquet(f"{path}/codebooks"),
+                "tombstones": _read_tombstones(spark, path)}
+
+    def delete_from_index(self, ids: DataFrame, path: str,
+                          idCol: str | None = None) -> None:
+        """Tombstone ids in a :meth:`save_index` artifact —
+        metadata-only until :meth:`compact_index`; see
+        IVFKNN.delete_from_index for the model."""
+        _add_tombstones(ids, path, idCol or self.idCol)
+
+    def compact_index(self, spark, path: str) -> int:
+        """Physically remove tombstoned codes and clear the tombstone
+        set. The flat PQ code table has no cell partitioning to
+        prune, so compaction rewrites the code store — still M ints
+        per vector, never the float corpus. Returns rows removed."""
+        ts = _read_tombstones(spark, path)
+        if ts is None:
+            return 0
+        codes = spark.read.parquet(f"{path}/codes")
+        before = codes.count()
+        keep = (codes.join(ts.withColumnRenamed("id", "vec_id"),
+                           "vec_id", "left_anti").localCheckpoint())
+        keep.write.mode("overwrite").parquet(f"{path}/codes")
+        _clear_tombstones(spark, path)
+        return before - keep.count()
 
     def search_with_index(self, index: dict,
                           queries: DataFrame) -> DataFrame:
-        return self.search_with_codes(index["codes"],
-                                      index["codebooks"], queries)
+        return self.search_with_codes(
+            _drop_tombstoned(index["codes"], index.get("tombstones"),
+                             "vec_id"),
+            index["codebooks"], queries)
 
     # -------------------------------------------------- sampled fit
     def fit_codebooks(self, data: DataFrame) -> DataFrame:
@@ -1532,23 +1582,14 @@ class ScalarQuantizerKNN:
                 .filter(F.col("rank") <= self.k)
                 .select("query_id", "neighbor_id", "sq_dist", "rank"))
 
-    def _maybe_chunk(self, queries: DataFrame, fn) -> DataFrame:
-        """Route through the hash-chunked batch-scoring lane when
-        ``chunkQueries`` is set (see :func:`search_in_query_chunks`);
-        per-chunk searches still pass the maxQueries guard."""
-        if self.chunkQueries is None:
-            return fn(queries)
-        return search_in_query_chunks(fn, queries, self.idCol,
-                                      self.chunkQueries)
-
     def search_with_bounds(self, data: DataFrame, queries: DataFrame,
                            bounds: DataFrame) -> DataFrame:
         """Asymmetric top-k: (query_id, neighbor_id, sq_dist, rank)
         ranked by squared L2 ASC (ties → neighbor ASC). Encodes the
         float corpus on the fly; :meth:`search_with_codes` is the
         stored-index variant that scans codes instead."""
-        return self._maybe_chunk(
-            queries,
+        return _maybe_chunk_queries(
+            self, queries,
             lambda qc: self._search_with_bounds_one(data, qc, bounds))
 
     def _search_with_bounds_one(self, data: DataFrame, queries: DataFrame,
@@ -1581,8 +1622,8 @@ class ScalarQuantizerKNN:
         lo + code·Δ expression as the float lane, so results are
         IDENTICAL to :meth:`search_with_bounds` on the source vectors
         (encode is deterministic; round-trip pinned in tests)."""
-        return self._maybe_chunk(
-            queries,
+        return _maybe_chunk_queries(
+            self, queries,
             lambda qc: self._search_with_codes_one(codes, bounds, qc,
                                                    codesCol))
 

@@ -48,53 +48,56 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 
 
 # Driver correctness-checks a window of the first 50 entries of
-# queries(). Round-10 priority, in order of evidence need:
-# (a) queries whose CODE or ORACLE changed or is NEW this round:
-#     knn_ivf (rows-only → hash-exact: deterministic
-#     EmbeddingKMeans-seeded quantizer replaces the sampled numpy
-#     fit), tabular_lime_exact (closed-form WLS recovery),
-#     knn_matryoshka_sq8 (MRL coarse stage over SQ8 codes),
-#     ann_recall (IVF-vs-bruteforce recall, both member sets
-#     replayed), knn_sq8_filtered (filtered ANN, pushable corpus
-#     predicate under fit+scan), bm25_phrase_search (positional
-#     postings, shifted-intersection), dedup_recall (MinHash
-#     candidate recall vs exact-Jaccard truth via the _minhash_cte
-#     fragment), the quantized-ANN family whose shared code grew
-#     wide-dim / guard / persistence lanes (knn_sq8, knn_pq_adc,
-#     knn_ivfpq, knn_matryoshka, knn_bruteforce), bm25_search +
-#     hybrid_rrf (retrieval gained postings persistence),
-#     dsir_select (two-sided gumbel-key clamp);
-# (b) the rows-only stale batch (summarize_data_approx,
-#     access_anomaly, tabular_lime, tabular_shap — sketches / ALS
-#     factors / sampled coalitions, r2-stale rows);
-# (c) the r6-stale rotation block (perplexity_prune ..
-#     embedding_dedup) — oldest oracled driver rows still outside a
-#     recent window. Rotation backlog (green but waiting):
-#     semantic_dedup, embedding_kmeans_assign, text_metrics,
-#     date_featurize, count_selector, text_preprocessor,
-#     repetition_metrics, heavy_hitters, line_dedup, markup_strip,
-#     scd2_merge, funnel_steps, group_percentiles, rolling_revenue,
-#     pagerank, join_multi, then the r7/r8/r9 blocks (minhash_dedup
-#     .. knn_ivf_pretrained, all hash-green r9).
+# queries(). Round-11 priority, in order of evidence need:
+# (a) queries whose CODE or ORACLE is NEW or changed this round:
+#     bpe_merges_small (the BPE merge loop unrolled into generated
+#     CTEs — rows-only family gains its oracled toy lane),
+#     bm25_phrase_indexed (phrase search from the persisted
+#     positional-postings artifact), knn_ivfpq_indexed (composed
+#     IVFADC save/load), knn_ivf_filtered (corpus predicate below
+#     assignment via the corpus_where _ivf_cte extension), plus every
+#     lane whose module code changed: knn_ivfpq (search_ivfpq
+#     refactored into assign_encode + probe), knn_bruteforce /
+#     knn_sq8 / knn_sq8_filtered (chunkQueries entry-path refactor),
+#     bm25_search / bm25_phrase_search / hybrid_rrf (retrieval.py
+#     positions persistence refactor);
+# (b) bpe_tokenize — the rows-only lane sits next to its new oracled
+#     sibling for a fresh driver row (last row r2-era);
+# (c) the advertised round-11 rotation backlog (r5/r6-green, oldest
+#     driver rows): semantic_dedup .. join_multi, then the oldest
+#     r5/r6/r7 blocks (dedup_resolve, SAR triple, cyber scalers,
+#     ML-metric lanes, zorder_key, the r7 curation batch,
+#     knn_ivf_pretrained).
+# Rotated OUT (r10-green, waiting): knn_ivf, tabular_lime_exact,
+# knn_matryoshka_sq8, ann_recall, knn_pq_adc, knn_matryoshka,
+# dsir_select, dedup_recall, the rows-only sketch/ALS/LIME batch,
+# perplexity_prune .. embedding_dedup (all hash-green r10). Round-12
+# backlog: that set, then the never-rotated tpch/stages/multimodal
+# blocks (minhash_dedup, simhash_dedup, image/audio/video near-dup,
+# knn_lsh, knn_stage, text_featurize_pipeline, vw_featurizer,
+# unicode_normalize, isolation_forest, curation_pipeline,
+# corpus_report, tpch_q1..q22 remainder, select_project block).
 _WINDOW_PRIORITY = (
-    "knn_ivf", "tabular_lime_exact", "knn_matryoshka_sq8", "ann_recall",
-    "knn_sq8", "knn_sq8_filtered", "knn_pq_adc", "knn_ivfpq", "knn_matryoshka",
-    "knn_bruteforce", "bm25_search", "bm25_phrase_search", "hybrid_rrf", "dsir_select",
-    "summarize_data_approx", "access_anomaly",
-    "tabular_lime", "tabular_shap",
-    "perplexity_prune", "exact_dedup", "broadcast_join_revenue",
-    "dedup_recall", "tpch_q2", "tpch_q4", "ngram_jaccard", "incremental_dedup",
-    "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21",
-    "semi_join", "anti_join", "top_k_per_group", "pivot_status",
-    "rollup_counts", "sessionize", "window_hourly_agg",
-    "value_indexer", "clean_missing", "data_conversion",
-    "ts_featurize", "multi_ngram", "page_splitter", "token_count",
-    "quality_score", "lang_stats", "ngram_lm_score", "domain_mix",
-    "embedding_stats", "embedding_dedup",
+    "bpe_merges_small", "bm25_phrase_indexed", "knn_ivfpq_indexed",
+    "knn_ivf_filtered", "knn_ivfpq", "knn_bruteforce", "knn_sq8",
+    "knn_sq8_filtered", "bm25_search", "bm25_phrase_search",
+    "hybrid_rrf", "bpe_tokenize",
+    "semantic_dedup", "embedding_kmeans_assign", "text_metrics",
+    "date_featurize", "count_selector", "text_preprocessor",
+    "repetition_metrics", "heavy_hitters", "line_dedup",
+    "markup_strip", "scd2_merge", "funnel_steps",
+    "group_percentiles", "rolling_revenue", "pagerank", "join_multi",
+    "dedup_resolve", "sar_affinity", "sar_item_similarity",
+    "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
+    "id_indexer", "per_instance_log_loss", "ranking_metrics",
+    "featurize_numeric", "decontamination", "zorder_key",
+    "hash_split", "vocab_build", "chunk_overlap", "cdc_chunks",
+    "url_canonicalize", "winnow_fingerprint",
+    "domain_temperature_mix", "train_classifier_metrics",
+    "json_extract", "knn_ivf_pretrained",
 )
 # exactly 50 entries — the driver window size; a 51st would be
-# silently parked outside (semantic_dedup, r5-green, waits for the
-# round-11 rotation)
+# silently parked outside
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 
 

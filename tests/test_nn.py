@@ -1051,3 +1051,46 @@ def test_ann_tombstones_delete_and_compact(spark, tmp_path):
     assert sorted(map(tuple, pq2.search_ivfpq_with_index(
         pq2.load_ivfpq_index(spark, p3), q, nProbe=6).collect())) \
         == masked_pq
+
+
+def test_pq_flat_tombstones_and_chunked_codes(spark, tmp_path):
+    """Symmetry of the lifecycle across index types: the flat PQ
+    artifact supports delete/compact like SQ, and its stored-codes
+    search lane supports the chunked batch-scoring path."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import PQKNN
+
+    rng = np.random.default_rng(59)
+    x = rng.normal(size=(100, 16))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    q = data.filter("vec_id < 12")
+    dead = spark.range(40, 60).select(F.col("id").alias("vec_id"))
+
+    pq = PQKNN(k=5, M=4, K=8, dim=16)
+    cb = pq.fit_codebooks(data)
+    p = str(tmp_path / "pq_del")
+    pq.save_index(data, cb, p)
+    pq.delete_from_index(dead, p)
+    masked = sorted(map(tuple, pq.search_with_index(
+        pq.load_index(spark, p), q).collect()))
+    assert not any(40 <= t[1] < 60 for t in masked)
+    fresh = sorted(map(tuple, pq.search_with_codebooks(
+        data.filter("vec_id < 40 or vec_id >= 60"), q, cb).collect()))
+    assert masked == fresh and len(masked) == 12 * 5
+    assert pq.compact_index(spark, p) == 20
+    pq2 = PQKNN(k=5, M=4, K=8)
+    assert sorted(map(tuple, pq2.search_with_index(
+        pq2.load_index(spark, p), q).collect())) == masked
+
+    # chunked stored-codes search == single shot
+    pq3 = PQKNN(k=5, M=4, K=8, dim=16, maxQueries=10, chunkQueries=5)
+    idx = pq3.load_index(spark, p)
+    chunked = sorted(map(tuple, pq3.search_with_index(
+        idx, q).collect()))
+    assert chunked == masked
+    with pytest.raises(ValueError, match="maxQueries"):
+        PQKNN(k=5, M=4, K=8, dim=16, maxQueries=10).search_with_index(
+            idx, q).collect()

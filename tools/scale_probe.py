@@ -1,23 +1,24 @@
 #!/usr/bin/env python
 """Scaling probe: measure how the heavy dedup/retrieval/ANN queries
-scale from sf0.1 to an sf1-EQUIVALENT corpus (10× rows), and report
-the implied scaling exponent alpha = log10(t_10x / t_1x) — alpha ≈ 1
-is linear, the design target for every bucketed/partial-aggregated
-plan in this engine; alpha ≈ 2 would expose a hidden pairwise blowup.
+scale from sf0.1 to an N×-row corpus, and report the implied scaling
+exponent alpha = log_N(t_Nx / t_1x) — alpha ≈ 1 is linear, the design
+target for every bucketed/partial-aggregated plan in this engine;
+alpha ≈ 2 would expose a hidden pairwise blowup.
 
-/root/testdata has no sf1, so the 10× corpus is SYNTHESIZED from
+/root/testdata has no larger SF, so the N× corpus is SYNTHESIZED from
 sf0.1 (methodology documented in BASELINE.md "Scaling" — replicas get
 fresh ids, replica-salted text every 4th token so shingle sets are
 NOT near-duplicates of the source, and a deterministic per-replica
 embedding offset so vectors are distinct):
 
-    python tools/scale_probe.py            # builds /tmp/sf1x, times both SFs
-    python tools/scale_probe.py --skip-build   # reuse a built /tmp/sf1x
+    python tools/scale_probe.py                 # 10x (default)
+    python tools/scale_probe.py --factor 100    # 100x (~sf10-equiv)
+    python tools/scale_probe.py --skip-build    # reuse a built corpus
 
 Prints one JSON line:
-  {"queries": {name: {"t_sf0.1": s, "t_sf1x": s, "alpha": a}}, ...}
+  {"queries": {name: {"t_sf0.1": s, "t_sfNx": s, "alpha": a}}, ...}
 
-Run on a QUIET host (the bench contention rules apply 10× harder at
+Run on a QUIET host (the bench contention rules apply N× harder at
 this size); queries are timed best-of-2, interleaved.
 """
 
@@ -37,16 +38,23 @@ from mmlspark_spark.core.session import get_spark
 from mmlspark_spark.plans.catalog import CATALOG
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = os.environ.get("SPARK_GRAFT_SF1X_DIR", "/tmp/sf1x")
-FACTOR = 10
 # documents-only and embeddings-only queries (the heavy families the
 # 100 TB claims lean on); anything needing other tables would fail on
-# the partial /tmp/sf1x layout by design.
+# the partial synthesized layout by design.
 QUERIES = ("minhash_dedup", "ngram_jaccard", "bm25_search",
-           "knn_ivfpq", "knn_sq8")
+           "bm25_phrase_search", "knn_ivfpq", "knn_sq8")
 
 
-def build(spark) -> None:
+def _factor() -> int:
+    if "--factor" in sys.argv:
+        return int(sys.argv[sys.argv.index("--factor") + 1])
+    return 10
+
+
+def build(spark, factor: int, dst: str) -> None:
+    """Write the N× corpus one replica at a time (append mode): a
+    single N-way union plan would hand Catalyst an N-branch tree at
+    N=100; N small append jobs keep planning flat."""
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -56,7 +64,7 @@ def build(spark) -> None:
         # every 4th token gets a replica tag appended: most 5-gram
         # shingles change, so replicas are NOT near-duplicates of the
         # source (a raw copy would inflate dedup pair counts far past
-        # anything a real 10x corpus shows)
+        # anything a real Nx corpus shows)
         if i == 0:
             return docs
         toks = F.split(F.col("text"), r"\s+")
@@ -81,18 +89,16 @@ def build(spark) -> None:
               .alias("embedding") if c == "embedding" else F.col(c)
               for c in emb.columns if c != "vec_id"])
 
-    big_docs = docs.sparkSession.createDataFrame([], docs.schema)
-    for i in range(FACTOR):
-        big_docs = big_docs.unionByName(salt_docs(i))
-    big_docs.repartition(32).write.mode("overwrite").parquet(
-        f"{DST}/documents.parquet")
-    big_emb = emb.sparkSession.createDataFrame([], emb.schema)
-    for i in range(FACTOR):
-        big_emb = big_emb.unionByName(shift_emb(i))
-    big_emb.repartition(32).write.mode("overwrite").parquet(
-        f"{DST}/embeddings.parquet")
-    print(f"# built {DST}: docs={spark.read.parquet(DST + '/documents.parquet').count()}, "
-          f"emb={spark.read.parquet(DST + '/embeddings.parquet').count()}",
+    nparts = max(4, 32 // max(1, factor // 10))
+    for i in range(factor):
+        mode = "overwrite" if i == 0 else "append"
+        salt_docs(i).repartition(nparts).write.mode(mode).parquet(
+            f"{dst}/documents.parquet")
+        shift_emb(i).repartition(nparts).write.mode(mode).parquet(
+            f"{dst}/embeddings.parquet")
+    print(f"# built {dst}: docs="
+          f"{spark.read.parquet(dst + '/documents.parquet').count()}, "
+          f"emb={spark.read.parquet(dst + '/embeddings.parquet').count()}",
           file=sys.stderr)
 
 
@@ -109,16 +115,19 @@ def time_once(spec, spark, sf_dir: str) -> float:
 def main() -> None:
     import math
 
+    factor = _factor()
+    dst = os.environ.get("SPARK_GRAFT_SFNX_DIR", f"/tmp/sf{factor}x")
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if "--skip-build" not in sys.argv:
-        build(spark)
+        build(spark, factor, dst)
 
+    big_tag = f"t_sf{factor}x"
     times: dict[str, dict[str, float]] = {n: {} for n in QUERIES}
     for p in range(2):  # interleaved best-of-2 per (query, sf)
         for name in QUERIES:
             spec = CATALOG[name]
-            for tag, d in (("t_sf0.1", SRC), ("t_sf1x", DST)):
+            for tag, d in (("t_sf0.1", SRC), (big_tag, dst)):
                 t = time_once(spec, spark, d)
                 prev = times[name].get(tag)
                 times[name][tag] = t if prev is None else min(prev, t)
@@ -126,11 +135,11 @@ def main() -> None:
                       file=sys.stderr)
     out = {}
     for name, tt in times.items():
-        a = math.log10(tt["t_sf1x"] / tt["t_sf0.1"])
+        a = math.log(tt[big_tag] / tt["t_sf0.1"]) / math.log(factor)
         out[name] = {"t_sf0.1": round(tt["t_sf0.1"], 3),
-                     "t_sf1x": round(tt["t_sf1x"], 3),
+                     big_tag: round(tt[big_tag], 3),
                      "alpha": round(a, 3)}
-    print(json.dumps({"factor": FACTOR, "queries": out,
+    print(json.dumps({"factor": factor, "queries": out,
                       "load_avg": round(os.getloadavg()[0], 2)}))
     spark.stop()
 
