@@ -309,9 +309,13 @@ def main() -> None:
     # Same contract as `curation`: advisory, never in the headline total.
     ann: dict[str, float] = {}
     ann_median: dict[str, float] = {}
+    # round-11 additions: the persisted-artifact lifecycle lanes
+    # (save+load+search in one timing — the index-once/search-many
+    # shape) and filtered IVF
     for name in ("knn_pq_adc", "knn_ivfpq", "knn_sq8", "knn_matryoshka",
                  "knn_matryoshka_sq8", "knn_ivf", "bm25_search",
-                 "dsir_select"):
+                 "dsir_select", "knn_ivfpq_indexed", "bm25_phrase_indexed",
+                 "knn_ivf_filtered"):
         spec = CATALOG.get(name)
         if spec is None:
             continue

@@ -152,13 +152,19 @@ class BM25Retriever:
                 .agg(F.count("*").alias("__tf")))
 
     def _stats(self, docs: DataFrame) -> DataFrame:
-        """One row: corpus size N and average doc length (exact
-        integer sum / N — one double division, same on both
-        engines)."""
+        """One row: corpus size N, exact total token count, and
+        average doc length (exact integer sum / N — one double
+        division, same on both engines). ``__sumdl`` exists so
+        :meth:`append_to_index` can extend the stats EXACTLY: the
+        appended avgdl is (sumdl + sumdl_new)/(N + N_new) over exact
+        integers — the same single IEEE division a fresh build
+        performs, so appended and fresh indexes score bit-identically
+        (reconstructing the sum as avgdl·N would be off by an ulp)."""
         return (docs.filter(F.col(self.textCol).isNotNull())
                 .select(F.size(pinned_tokens(self.textCol))
                         .alias("__dl"))
                 .agg(F.count("*").alias("__N"),
+                     F.sum("__dl").cast("bigint").alias("__sumdl"),
                      (F.sum("__dl").cast("double")
                       / F.count("*")).alias("__avgdl")))
 
@@ -325,6 +331,85 @@ class BM25Retriever:
                 pos.unpersist()
             for c in cached:
                 c.unpersist()
+
+    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+        """Incrementally grow a :meth:`save_index` artifact: tokenize
+        ONLY the new documents, append their postings (and positions,
+        when the index carries them), then refresh the two
+        index-global artifacts — document frequency is re-aggregated
+        from the MERGED postings (a term-keyed agg over the
+        index-sized postings table, never a corpus re-tokenize) and
+        the one-row stats extend exactly over the stored integer
+        token sum, so searching the appended index is bit-identical
+        to a fresh build over the unioned corpus (pinned in tests).
+
+        Refuses two artifact shapes where exact append is impossible:
+        ``maxDfRatio`` indexes (the stopword cut already DISCARDED
+        postings using the old N — terms crossing the threshold in
+        either direction cannot be reconstructed without the original
+        corpus; rebuild instead) and pre-``__sumdl`` stats rows (the
+        exact sum cannot be recovered from avgdl·N)."""
+        import json as _json
+
+        from mmlspark_spark.core.cache import persist_intermediate
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        spark = new_docs.sparkSession
+        man = _json.loads(
+            _fs_read_text(spark, f"{path}/_bm25_manifest.json"))
+        if man.get("maxDfRatio") is not None:
+            raise ValueError(
+                f"BM25 index at {path} was built with maxDfRatio="
+                f"{man['maxDfRatio']}: the stopword cut discarded "
+                f"postings under the OLD corpus size, so an appended "
+                f"index cannot equal a fresh build — rebuild with "
+                f"save_index instead")
+        old_stats = spark.read.parquet(f"{path}/stats")
+        if "__sumdl" not in old_stats.columns:
+            raise ValueError(
+                f"BM25 index at {path} predates exact-append stats "
+                f"(no __sumdl); re-save the index once to upgrade")
+
+        pos = None
+        post_src = None
+        if man.get("positions"):
+            pos = persist_intermediate(
+                self.positional_postings(new_docs))
+            post_src = pos.select(
+                "__t", "__doc", "__dl",
+                F.size("__positions").cast("bigint").alias("__tf"))
+        new_post = (self.postings(new_docs) if post_src is None
+                    else post_src)
+        try:
+            new_post.write.mode("append").parquet(f"{path}/postings")
+            if pos is not None:
+                (pos.repartition(F.col("__t"))
+                 .sortWithinPartitions("__t", "__doc")
+                 .write.mode("append").parquet(f"{path}/positions"))
+        finally:
+            if pos is not None:
+                pos.unpersist()
+
+        # df over the MERGED postings: same aggregate a fresh build
+        # runs, but its input is the index, not the corpus.
+        # localCheckpoint cuts lineage so the overwrite does not read
+        # from the path it writes (dfreq is vocabulary-sized).
+        merged = spark.read.parquet(f"{path}/postings")
+        dfreq = (merged.groupBy("__t")
+                 .agg(F.count("*").alias("__df")).localCheckpoint())
+        dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
+
+        # stats: exact integer extension, then ONE double division —
+        # the identical IEEE op a fresh build performs on the same
+        # integers. One old row + one new row meet on the driver.
+        old = old_stats.first()
+        new = self._stats(new_docs).first()
+        n = int(old["__N"]) + int(new["__N"])
+        sumdl = int(old["__sumdl"] or 0) + int(new["__sumdl"] or 0)
+        spark.createDataFrame(
+            [(n, sumdl, float(sumdl) / n if n else None)],
+            "__N bigint, __sumdl bigint, __avgdl double"
+        ).write.mode("overwrite").parquet(f"{path}/stats")
 
     def load_index(self, spark, path: str) -> dict:
         """Read a :meth:`save_index` artifact back as the frame dict

@@ -292,3 +292,56 @@ def test_phrase_index_positions_unpruned_under_maxdfratio(spark, tmp_path):
         bm.load_index(spark, path), phrases).collect()
     assert [(r.query_id, r.doc_id, r.phrase_tf) for r in got] \
         == [(0, 3, 1)]
+
+
+def test_bm25_append_to_index_matches_fresh_union(spark, tmp_path):
+    """append_to_index tokenizes only the new docs, appends postings
+    (+positions), re-aggregates df from the MERGED postings and
+    extends the stats over the exact stored token sum — searching the
+    appended index must be bit-identical to a fresh build over the
+    unioned corpus (scores round to 6dp pre-rank, so equality is
+    strict), for BM25 and phrase search alike. maxDfRatio artifacts
+    refuse (the cut discarded postings under the old N)."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm import BM25Retriever
+
+    base = spark.createDataFrame(
+        [(i, f"apple banana w{i % 7} cherry w{i % 3}") for i in range(30)]
+        + [(98, None)],
+        "doc_id long, text string")
+    extra = spark.createDataFrame(
+        [(100 + i, f"banana date w{i % 5} apple") for i in range(15)]
+        + [(199, None)],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "apple w2"), (1, "cherry banana date")],
+        "query_id long, query string")
+    phrases = spark.createDataFrame(
+        [(0, "apple banana"), (1, "banana date")],
+        "query_id long, query string")
+
+    bm = BM25Retriever(k=8)
+    p = str(tmp_path / "bm25_grow")
+    bm.save_index(base, p, positions=True)
+    bm.append_to_index(extra, p)
+    idx = bm.load_index(spark, p)
+    grown = sorted(map(tuple,
+                       bm.search_with_index(idx, queries).collect()))
+    grown_ph = sorted(map(tuple, bm.phrase_search_with_index(
+        idx, phrases).collect()))
+
+    union = base.unionByName(extra)
+    fresh = sorted(map(tuple, bm.search(union, queries).collect()))
+    fresh_ph = sorted(map(tuple,
+                          bm.phrase_search(union, phrases).collect()))
+    assert grown == fresh and len(grown) > 0
+    assert grown_ph == fresh_ph and len(grown_ph) > 0
+    # new docs actually present in results
+    assert any(t[1] >= 100 for t in grown)
+
+    p2 = str(tmp_path / "bm25_pruned_grow")
+    bm2 = BM25Retriever(k=8, maxDfRatio=0.6)
+    bm2.save_index(base, p2)
+    with _pytest.raises(ValueError, match="maxDfRatio"):
+        bm2.append_to_index(extra, p2)
