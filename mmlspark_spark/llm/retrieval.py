@@ -381,7 +381,13 @@ class BM25Retriever:
         new_post = (self.postings(new_docs) if post_src is None
                     else post_src)
         try:
-            new_post.write.mode("append").parquet(f"{path}/postings")
+            # same term-clustered layout as save_index: the appended
+            # files must keep the row-group min/max skip property or
+            # search I/O over the appended fraction degrades toward a
+            # full postings scan
+            (new_post.repartition(F.col("__t"))
+             .sortWithinPartitions("__t")
+             .write.mode("append").parquet(f"{path}/postings"))
             if pos is not None:
                 (pos.repartition(F.col("__t"))
                  .sortWithinPartitions("__t", "__doc")

@@ -87,6 +87,60 @@ def _drop_tombstoned(df: DataFrame, tombstones: DataFrame | None,
                    idCol, "left_anti")
 
 
+def _compact_cells(spark, store_path: str, ts: DataFrame,
+                   index_path: str) -> int:
+    """Shared cell-partitioned compaction (IVF ``assigned`` and IVFPQ
+    ``codes`` stores): rewrite ONLY the ``__cell=`` directories that
+    hold a tombstoned ``d_id`` (dynamic partition overwrite — untouched
+    cells keep their files), DELETE the directories of cells whose
+    every row was tombstoned (the dynamic writer never emits a
+    partition with zero surviving rows, so leaving them would
+    resurrect the deleted ids the moment the tombstone set clears),
+    then clear the tombstones. Returns the number of affected
+    cells."""
+    dead = ts.withColumnRenamed("id", "d_id")
+    store = spark.read.parquet(store_path)
+    affected = [r[0] for r in store.join(dead, "d_id", "left_semi")
+                .select("__cell").distinct().collect()]
+    if affected:
+        # localCheckpoint cuts lineage so the write does not overwrite
+        # a path its own plan is reading from; the materialized frame
+        # is only the affected cells' surviving rows
+        keep = (store.filter(F.col("__cell").isin(affected))
+                .join(dead, "d_id", "left_anti").localCheckpoint())
+        survivors = {r[0] for r in
+                     keep.select("__cell").distinct().collect()}
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, None)
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            if survivors:
+                (keep.repartition(F.col("__cell"))
+                 .sortWithinPartitions("__cell", "d_id")
+                 .write.mode("overwrite").partitionBy("__cell")
+                 .parquet(store_path))
+        finally:
+            # conf.get(key, None) returns None when the key was never
+            # set — restoring via set(key, None) would poison every
+            # later mode="overwrite" partitionBy write in the session
+            # (only matching partitions replaced → stale cells mixed
+            # into rebuilt indexes); unset restores Spark's static
+            # default
+            if prev is None:
+                spark.conf.unset(mode_key)
+            else:
+                spark.conf.set(mode_key, prev)
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        for c in affected:
+            if c not in survivors:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(
+                    f"{store_path}/__cell={c}"), True)
+    _clear_tombstones(spark, index_path)
+    return len(affected)
+
+
 def search_in_query_chunks(search_fn, queries: DataFrame, idCol: str,
                            chunkRows: int) -> DataFrame:
     """Run a per-query-independent search lane over the query frame in
@@ -160,15 +214,8 @@ class BruteForceKNN:
         self.chunkQueries = chunkQueries
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
-        if self.chunkQueries is not None:
-            # batch-scoring lane: hash-chunk the oversized query frame
-            # and union the per-chunk top-k (per-query independence
-            # makes the union exact); each chunk still passes the
-            # maxQueries guard, so pick chunkQueries under it
-            return search_in_query_chunks(
-                lambda qc: self._search_one(data, qc),
-                queries, self.idCol, self.chunkQueries)
-        return self._search_one(data, queries)
+        return _maybe_chunk_queries(
+            self, queries, lambda qc: self._search_one(data, qc))
 
     def _search_one(self, data: DataFrame, queries: DataFrame) -> DataFrame:
         _check_query_size(queries, "BruteForceKNN", self.maxQueries)
@@ -219,6 +266,14 @@ class BruteForceKNN:
     def _search_numpy(self, data: DataFrame, queries: DataFrame) -> DataFrame:
         k, exclude = self.k, self.excludeSelf
         qrows = queries.select(self.idCol, self.vecCol).collect()
+        idt = data.schema[self.idCol].dataType.simpleString()
+        if not qrows:
+            # empty query frame (or empty hash chunk): norm(axis=1)
+            # on a 0-row collect would raise — the result is just
+            # empty, with the same schema as the non-empty path
+            return data.sparkSession.createDataFrame(
+                [], f"query_id {idt}, neighbor_id {idt}, sim double, "
+                    f"rank int")
         q_ids = np.array([r[0] for r in qrows])
         qm = np.array([r[1] for r in qrows], dtype=np.float64)
         qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
@@ -261,9 +316,8 @@ class BruteForceKNN:
             spread_narrow_scan,
         )
 
-        # the id columns keep the input's type — a hardcoded `long`
+        # idt above keeps the input id type — a hardcoded `long`
         # would crash (or silently retype) string/int ids
-        idt = data.schema[self.idCol].dataType.simpleString()
         partial = spread_narrow_scan(
             data, VECTOR_MATH_BYTES_PER_SLOT).mapInPandas(
             partial_topk, f"query_id {idt}, neighbor_id {idt}, sim double"
@@ -285,13 +339,15 @@ class LSHKNN:
     def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
                  k: int = 10, numPlanes: int = 16, bands: int = 4,
                  seed: int = 42, excludeSelf: bool = True,
-                 maxQueries: int | None = _MAX_QUERY_ROWS):
+                 maxQueries: int | None = _MAX_QUERY_ROWS,
+                 chunkQueries: int | None = None):
         if numPlanes % bands:
             raise ValueError("numPlanes must be divisible by bands")
         self.idCol, self.vecCol, self.k = idCol, vecCol, k
         self.numPlanes, self.bands, self.seed = numPlanes, bands, seed
         self.excludeSelf = excludeSelf
         self.maxQueries = maxQueries
+        self.chunkQueries = chunkQueries
 
     def _signature_bands(self, df: DataFrame, dim: int, prefix: str) -> DataFrame:
         from mmlspark_spark.operators.scale import (
@@ -332,6 +388,10 @@ class LSHKNN:
         )
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
+        return _maybe_chunk_queries(
+            self, queries, lambda qc: self._search_one(data, qc))
+
+    def _search_one(self, data: DataFrame, queries: DataFrame) -> DataFrame:
         _check_query_size(queries, "LSHKNN", self.maxQueries)
         dim = vector_dim(data, self.vecCol)
         d = self._signature_bands(data, dim, "d")
@@ -372,12 +432,14 @@ class IVFKNN:
                  k: int = 10, nlist: int = 16, nProbe: int = 4,
                  sampleSize: int = 10000, iters: int = 5, seed: int = 42,
                  excludeSelf: bool = True,
-                 maxQueries: int | None = _MAX_QUERY_ROWS):
+                 maxQueries: int | None = _MAX_QUERY_ROWS,
+                 chunkQueries: int | None = None):
         self.idCol, self.vecCol, self.k = idCol, vecCol, k
         self.nlist, self.nProbe = nlist, nProbe
         self.sampleSize, self.iters, self.seed = sampleSize, iters, seed
         self.excludeSelf = excludeSelf
         self.maxQueries = maxQueries
+        self.chunkQueries = chunkQueries
 
     def _fit_centroids(self, data: DataFrame) -> np.ndarray:
         total = data.count()
@@ -452,12 +514,17 @@ class IVFKNN:
             run, f"{prefix}_id {idt}, {prefix}_vec {vt}, __cell int")
 
     def search(self, data: DataFrame, queries: DataFrame) -> DataFrame:
-        _check_query_size(queries, "IVFKNN", self.maxQueries)
+        # fit + corpus assignment once; only the query probe chunks
         cent = self._fit_centroids(data)
         cent_b = data.sparkSession.sparkContext.broadcast(cent)
         d = self._assign(data, cent_b, "d", top=1)
-        q = self._assign(queries, cent_b, "q", top=self.nProbe)
-        return self._probe(d, q)
+
+        def one(qc: DataFrame) -> DataFrame:
+            _check_query_size(qc, "IVFKNN", self.maxQueries)
+            return self._probe(d, self._assign(qc, cent_b, "q",
+                                               top=self.nProbe))
+
+        return _maybe_chunk_queries(self, queries, one)
 
     def _probe(self, d: DataFrame, q: DataFrame) -> DataFrame:
         cand = d.join(F.broadcast(q), "__cell")
@@ -490,12 +557,15 @@ class IVFKNN:
         shuffle carries one row per corpus vector, never the ×nlist
         expansion; query probing (top=nProbe) windows the small side.
         """
-        _check_query_size(queries, "IVFKNN.search_with_centroids",
-                          self.maxQueries)
         c = self._cent_broadcast(centroids, cellCol, centVecCol)
-        return self._probe(self.assign_corpus(data, centroids, cellCol,
-                                              centVecCol),
-                           self._probe_queries(queries, c))
+        d = self.assign_corpus(data, centroids, cellCol, centVecCol)
+
+        def one(qc: DataFrame) -> DataFrame:
+            _check_query_size(qc, "IVFKNN.search_with_centroids",
+                              self.maxQueries)
+            return self._probe(d, self._probe_queries(qc, c))
+
+        return _maybe_chunk_queries(self, queries, one)
 
     def _cent_broadcast(self, centroids: DataFrame, cellCol: str,
                         centVecCol: str):
@@ -605,41 +675,16 @@ class IVFKNN:
 
     def compact_index(self, spark, path: str) -> int:
         """Physically remove tombstoned vectors: rewrite ONLY the
-        cell directories that contain a tombstoned id (dynamic
-        partition overwrite — untouched cells keep their files), then
-        clear the tombstone set. Returns the number of cells
-        rewritten. Search results are identical before and after
-        compaction (pinned in tests); compaction is purely an
-        I/O-reclaim operation."""
+        cell directories that contain a tombstoned id, delete the
+        directories of fully-tombstoned cells, then clear the
+        tombstone set (shared :func:`_compact_cells` mechanics).
+        Returns the number of affected cells. Search results are
+        identical before and after compaction (pinned in tests);
+        compaction is purely an I/O-reclaim operation."""
         ts = _read_tombstones(spark, path)
         if ts is None:
             return 0
-        assigned = spark.read.parquet(f"{path}/assigned")
-        affected = [r[0] for r in assigned
-                    .join(ts.withColumnRenamed("id", "d_id"), "d_id",
-                          "left_semi")
-                    .select("__cell").distinct().collect()]
-        if affected:
-            # localCheckpoint cuts lineage so the write does not
-            # overwrite a path its own plan is reading from; the
-            # materialized frame is only the affected cells' rows
-            keep = (assigned.filter(F.col("__cell").isin(affected))
-                    .join(ts.withColumnRenamed("id", "d_id"), "d_id",
-                          "left_anti")
-                    .localCheckpoint())
-            mode_key = "spark.sql.sources.partitionOverwriteMode"
-            prev = spark.conf.get(mode_key, None)
-            spark.conf.set(mode_key, "dynamic")
-            try:
-                (keep.repartition(F.col("__cell"))
-                 .sortWithinPartitions("__cell", "d_id")
-                 .write.mode("overwrite").partitionBy("__cell")
-                 .parquet(f"{path}/assigned"))
-            finally:
-                if prev is not None:
-                    spark.conf.set(mode_key, prev)
-        _clear_tombstones(spark, path)
-        return len(affected)
+        return _compact_cells(spark, f"{path}/assigned", ts, path)
 
     def search_with_index(self, index: dict, queries: DataFrame,
                           where=None) -> DataFrame:
@@ -656,17 +701,20 @@ class IVFKNN:
         predicate pushes into the cell-partitioned parquet scan
         (row-group pruning UNDER the probe's partition pruning), never
         post-filtering of results, which silently under-fills top-k."""
-        _check_query_size(queries, "IVFKNN.search_with_index",
-                          self.maxQueries)
         c = self._cent_broadcast(index["centroids"], "cell", "cvec")
         assigned = _drop_tombstoned(index["assigned"],
                                     index.get("tombstones"), "d_id")
         if where is not None:
             assigned = assigned.filter(where)
-        return self._probe(
-            assigned.select(
-                "d_id", "d_vec", F.col("__cell").cast("int").alias("__cell")),
-            self._probe_queries(queries, c))
+        d = assigned.select(
+            "d_id", "d_vec", F.col("__cell").cast("int").alias("__cell"))
+
+        def one(qc: DataFrame) -> DataFrame:
+            _check_query_size(qc, "IVFKNN.search_with_index",
+                              self.maxQueries)
+            return self._probe(d, self._probe_queries(qc, c))
+
+        return _maybe_chunk_queries(self, queries, one)
 
 
 class PQKNN:
@@ -1126,9 +1174,12 @@ class PQKNN:
         dcodes = self.ivfpq_assign_encode(data, centroids, codebooks,
                                           cellCol, centVecCol, mCol,
                                           codeCol, cvecCol)
-        return self._ivfpq_probe(dcodes, queries, centroids, codebooks,
-                                 nProbe, cellCol, centVecCol, mCol,
-                                 codeCol, cvecCol)
+        return _maybe_chunk_queries(
+            self, queries,
+            lambda qc: self._ivfpq_probe(dcodes, qc, centroids,
+                                         codebooks, nProbe, cellCol,
+                                         centVecCol, mCol, codeCol,
+                                         cvecCol))
 
     def ivfpq_assign_encode(self, data: DataFrame, centroids: DataFrame,
                             codebooks: DataFrame, cellCol: str = "cell",
@@ -1180,13 +1231,20 @@ class PQKNN:
                      centroids: DataFrame, codebooks: DataFrame,
                      nProbe: int, cellCol: str = "cell",
                      centVecCol: str = "cvec", mCol: str = "m",
-                     codeCol: str = "code",
-                     cvecCol: str = "cvec") -> DataFrame:
+                     codeCol: str = "code", cvecCol: str = "cvec",
+                     dim: int | None = None) -> DataFrame:
         """The IVFADC query side shared by :meth:`search_ivfpq` and
         :meth:`search_ivfpq_with_index`: probe nProbe nearest cells,
         build a per-(query, cell) residual LUT, candidates meet the
-        encoded corpus on a cell equi-join."""
-        dim = int(queries.select(F.size(self.vecCol)).first()[0])
+        encoded corpus on a cell equi-join. ``dim`` skips the
+        query-frame dim probe when the caller already knows it (the
+        indexed lane's manifest)."""
+        if dim is None:
+            row = queries.select(F.size(self.vecCol)).first()
+            # None = empty query frame: any subspace width yields the
+            # same (empty) result, so don't crash on first()[0]
+            dim = (int(row[0]) if row is not None
+                   else (self.dim if self.dim is not None else self.M))
         if dim % self.M:
             raise ValueError(
                 f"query vector dim {dim} is not divisible by "
@@ -1344,36 +1402,15 @@ class PQKNN:
         _add_tombstones(ids, path, idCol or self.idCol)
 
     def compact_ivfpq_index(self, spark, path: str) -> int:
-        """Rewrite ONLY the cell directories holding tombstoned codes
-        (dynamic partition overwrite), then clear the tombstones.
-        Returns the number of cells rewritten; results are identical
-        before and after (pinned in tests)."""
+        """Rewrite ONLY the cell directories holding tombstoned codes,
+        delete fully-tombstoned cells' directories, then clear the
+        tombstones (shared :func:`_compact_cells` mechanics). Returns
+        the number of affected cells; results are identical before
+        and after (pinned in tests)."""
         ts = _read_tombstones(spark, path)
         if ts is None:
             return 0
-        codes = spark.read.parquet(f"{path}/codes")
-        affected = [r[0] for r in codes
-                    .join(ts.withColumnRenamed("id", "d_id"), "d_id",
-                          "left_semi")
-                    .select("__cell").distinct().collect()]
-        if affected:
-            keep = (codes.filter(F.col("__cell").isin(affected))
-                    .join(ts.withColumnRenamed("id", "d_id"), "d_id",
-                          "left_anti")
-                    .localCheckpoint())
-            mode_key = "spark.sql.sources.partitionOverwriteMode"
-            prev = spark.conf.get(mode_key, None)
-            spark.conf.set(mode_key, "dynamic")
-            try:
-                (keep.repartition(F.col("__cell"))
-                 .sortWithinPartitions("__cell", "d_id")
-                 .write.mode("overwrite").partitionBy("__cell")
-                 .parquet(f"{path}/codes"))
-            finally:
-                if prev is not None:
-                    spark.conf.set(mode_key, prev)
-        _clear_tombstones(spark, path)
-        return len(affected)
+        return _compact_cells(spark, f"{path}/codes", ts, path)
 
     def search_ivfpq_with_index(self, index: dict, queries: DataFrame,
                                 nProbe: int = 4, where=None) -> DataFrame:
@@ -1387,14 +1424,15 @@ class PQKNN:
         assignment/encoding means filtering stored codes equals
         encoding the filtered corpus (pinned in tests), and the
         predicate pushes into the cell-pruned code scan."""
-        qd = int(queries.select(F.size(self.vecCol)).first()[0])
-        if qd != index["dim"]:
+        row = queries.select(F.size(self.vecCol)).first()
+        if row is not None and int(row[0]) != index["dim"]:
             # mismatched query dim would zip_with-null-pad the
             # residuals into NULL LUT distances that sort FIRST —
-            # silent garbage top-k; refuse instead
+            # silent garbage top-k; refuse instead (None = empty
+            # frame, nothing to mismatch)
             raise ValueError(
-                f"query vectors have dim {qd}, stored IVFPQ index "
-                f"has dim {index['dim']}")
+                f"query vectors have dim {int(row[0])}, stored IVFPQ "
+                f"index has dim {index['dim']}")
         codes = _drop_tombstoned(index["codes"],
                                  index.get("tombstones"), "d_id")
         if where is not None:
@@ -1402,8 +1440,11 @@ class PQKNN:
         dcodes = codes.select(
             "d_id", F.col("__cell").cast("int").alias("__cell"),
             "__codes")
-        return self._ivfpq_probe(dcodes, queries, index["centroids"],
-                                 index["codebooks"], nProbe)
+        return _maybe_chunk_queries(
+            self, queries,
+            lambda qc: self._ivfpq_probe(dcodes, qc, index["centroids"],
+                                         index["codebooks"], nProbe,
+                                         dim=index["dim"]))
 
 
 class ScalarQuantizerKNN:

@@ -1094,3 +1094,86 @@ def test_pq_flat_tombstones_and_chunked_codes(spark, tmp_path):
     with pytest.raises(ValueError, match="maxQueries"):
         PQKNN(k=5, M=4, K=8, dim=16, maxQueries=10).search_with_index(
             idx, q).collect()
+
+
+def test_compact_fully_tombstoned_cell_and_conf_restore(spark, tmp_path):
+    """Two compaction edge cases from review: (1) a cell whose EVERY
+    row is tombstoned gets no dynamic-overwrite output, so its
+    directory must be DELETED or clearing the tombstones would
+    resurrect the deleted ids; (2) partitionOverwriteMode must be
+    restored to unset (not left 'dynamic'), or a later
+    mode='overwrite' rebuild at an existing path would keep stale
+    cells absent from the new build."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    assert spark.conf.get(mode_key, None) is None  # precondition
+
+    # centroids far apart; vectors placed so cell 1 holds ONLY the
+    # ids we tombstone
+    cent = spark.createDataFrame(
+        [(0, [10.0, 0.0]), (1, [-10.0, 0.0])],
+        "cell int, cvec array<double>")
+    data = spark.createDataFrame(
+        [(i, [10.0 + i * 0.01, 0.5]) for i in range(8)]
+        + [(100, [-10.0, 0.3]), (101, [-10.0, -0.2])],
+        "vec_id long, embedding array<double>")
+    q = data.filter("vec_id in (0, 100)")
+
+    ivf = IVFKNN(k=4, nlist=2, nProbe=2)
+    p = str(tmp_path / "ivf_fullcell")
+    ivf.save_index(data, cent, p)
+    dead = spark.createDataFrame([(100,), (101,)], "vec_id long")
+    ivf.delete_from_index(dead, p)
+    masked = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p), q).collect()))
+    assert not any(t[1] in (100, 101) for t in masked)
+
+    n = ivf.compact_index(spark, p)
+    assert n == 1  # only cell 1 affected
+    # (1) the deleted ids must NOT resurrect after the tombstones clear
+    after = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p), q).collect()))
+    assert after == masked
+    assert spark.read.parquet(f"{p}/assigned") \
+        .filter("d_id in (100, 101)").count() == 0
+    # (2) the session conf is back to unset
+    assert spark.conf.get(mode_key, None) is None
+
+    # and a full rebuild at the same path replaces ALL old cells
+    ivf.save_index(data.filter("vec_id < 4"), cent, p)
+    rebuilt = spark.read.parquet(f"{p}/assigned")
+    assert rebuilt.count() == 4 and \
+        rebuilt.filter("d_id >= 4").count() == 0
+
+
+def test_empty_query_frames_return_empty(spark):
+    """Empty query frames (or empty hash chunks) must yield empty
+    results with the normal schema, not crash on first()[0] /
+    norm(axis=1) — regression tests for the chunked-lane edges."""
+    import numpy as np
+
+    from mmlspark_spark.llm.similarity import (
+        IVFKNN,
+        PQKNN,
+        BruteForceKNN,
+    )
+
+    rng = np.random.default_rng(61)
+    x = rng.normal(size=(40, 16))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    empty_q = data.filter("vec_id < 0")
+
+    assert BruteForceKNN(k=3, method="numpy").search(
+        data, empty_q).count() == 0
+    assert BruteForceKNN(k=3, method="expr").search(
+        data, empty_q).count() == 0
+    pq = PQKNN(k=3, M=4, K=8)
+    cent = IVFKNN(nlist=4).fit_centroids_df(data)
+    cb = pq.fit_codebooks(data)
+    assert pq.search_ivfpq(data, empty_q, cent, cb,
+                           nProbe=2).count() == 0
