@@ -345,3 +345,60 @@ def test_bm25_append_to_index_matches_fresh_union(spark, tmp_path):
     bm2.save_index(base, p2)
     with _pytest.raises(ValueError, match="maxDfRatio"):
         bm2.append_to_index(extra, p2)
+
+
+def test_hybrid_rrf_from_stored_artifacts(spark, tmp_path):
+    """The full production hybrid stack composed FROM ARTIFACTS: a
+    persisted BM25 index and a persisted IVFPQ index each serve their
+    top-k, RRF fuses the rankings — and the fused result equals the
+    all-in-memory composition exactly (both stored lanes are pinned
+    round-trip-identical, so fusion must be too). This is the
+    index-once/search-many shape a retrieval service runs."""
+    import numpy as np
+
+    from mmlspark_spark.llm.retrieval import (
+        BM25Retriever,
+        reciprocal_rank_fusion,
+    )
+    from mmlspark_spark.llm.similarity import IVFKNN, PQKNN
+
+    rng = np.random.default_rng(67)
+    x = rng.normal(size=(80, 16))
+    docs = spark.createDataFrame(
+        [(i, f"topic{i % 9} body w{i % 4} tail{i % 7}")
+         for i in range(80)],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(3, "topic3 w3"), (7, "topic7 tail0")],
+        "query_id long, query string")
+    qvecs = emb.filter("vec_id in (3, 7)")
+
+    bm = BM25Retriever(k=10)
+    bp = str(tmp_path / "bm")
+    bm.save_index(docs, bp)
+    pq = PQKNN(k=10, M=4, K=8)
+    cent = IVFKNN(nlist=4).fit_centroids_df(emb)
+    cb = pq.fit_codebooks(emb)
+    pp = str(tmp_path / "pq")
+    pq.save_ivfpq_index(emb, cent, cb, pp)
+
+    sparse_idx = bm.search_with_index(bm.load_index(spark, bp), queries)
+    dense_idx = (pq.search_ivfpq_with_index(
+        pq.load_ivfpq_index(spark, pp), qvecs, nProbe=2)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                "rank"))
+    fused_idx = sorted(map(tuple, reciprocal_rank_fusion(
+        [sparse_idx.select("query_id", "doc_id", "rank"), dense_idx],
+        k=60, topK=10).collect()))
+
+    sparse_mem = bm.search(docs, queries)
+    dense_mem = (pq.search_ivfpq(emb, qvecs, cent, cb, nProbe=2)
+                 .select("query_id",
+                         F.col("neighbor_id").alias("doc_id"), "rank"))
+    fused_mem = sorted(map(tuple, reciprocal_rank_fusion(
+        [sparse_mem.select("query_id", "doc_id", "rank"), dense_mem],
+        k=60, topK=10).collect()))
+    assert fused_idx == fused_mem and len(fused_idx) == 2 * 10

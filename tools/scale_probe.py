@@ -102,6 +102,78 @@ def build(spark, factor: int, dst: str) -> None:
           file=sys.stderr)
 
 
+def indexed_probe(spark, factor: int, dst: str) -> dict:
+    """Search-from-artifact scaling: build the IVFPQ and
+    phrase-capable BM25 indexes ONCE per SF (untimed — the
+    index-once/search-many production shape), then time only the
+    probe. This isolates the number the 100 TB story actually rests
+    on: a probe reads nProbe of nlist cell directories (IVFPQ) /
+    the query terms' postings row groups (BM25 phrase), so its cost
+    should scale with corpus/nlist and posting-list length — NOT
+    with the corpus scan the in-memory lanes pay."""
+    import time as _time
+
+    from mmlspark_spark.functions.text_quality import pinned_tokens
+    from mmlspark_spark.llm.retrieval import BM25Retriever
+    from mmlspark_spark.llm.similarity import PQKNN
+
+    big_tag = f"sf{factor}x"
+    out: dict[str, dict[str, float]] = {
+        "ivfpq_search_from_index": {},
+        "phrase_search_from_index": {}}
+    for tag, d in (("sf0.1", SRC), (big_tag, dst)):
+        emb = (spark.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id",
+                       F.col("embedding").cast("array<double>")
+                       .alias("embedding")))
+        cents = (emb.filter(F.col("vec_id").between(200, 207))
+                 .select((F.col("vec_id") - 200).alias("cell"),
+                         F.col("embedding").alias("cvec")))
+        cbooks = (emb.filter(F.col("vec_id") < 128)
+                  .select(F.expr("vec_id div 16").cast("int").alias("m"),
+                          (F.col("vec_id") % 16).cast("int")
+                          .alias("code"),
+                          F.slice("embedding",
+                                  F.expr("(vec_id div 16) * 8 + 1")
+                                  .cast("int"), 8).alias("cvec")))
+        q = emb.filter(F.col("vec_id") < 5)
+        pq = PQKNN(idCol="vec_id", vecCol="embedding", k=10, M=8,
+                   K=16, dim=64)
+        pq_path = f"/tmp/probe_idx/ivfpq_{tag}"
+        pq.save_ivfpq_index(emb, cents, cbooks, pq_path)  # untimed
+        idx = pq.load_ivfpq_index(spark, pq_path)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        phrases = (docs.filter(F.col("doc_id").isin(3, 47, 101))
+                   .select(F.col("doc_id").alias("query_id"),
+                           F.array_join(F.slice(
+                               pinned_tokens("text"), 1, 4), " ")
+                           .alias("query")))
+        bm = BM25Retriever(k=10)
+        bm_path = f"/tmp/probe_idx/bm25_{tag}"
+        bm.save_index(docs, bm_path, positions=True)  # untimed
+        bidx = bm.load_index(spark, bm_path)
+        for _ in range(2):  # best-of-2 search-only
+            t0 = _time.time()
+            pq.search_ivfpq_with_index(idx, q, nProbe=3).count()
+            t = _time.time() - t0
+            cur = out["ivfpq_search_from_index"].get(tag)
+            out["ivfpq_search_from_index"][tag] = (
+                t if cur is None else min(cur, t))
+            t0 = _time.time()
+            bm.phrase_search_with_index(bidx, phrases).count()
+            t = _time.time() - t0
+            cur = out["phrase_search_from_index"].get(tag)
+            out["phrase_search_from_index"][tag] = (
+                t if cur is None else min(cur, t))
+    import math as _math
+
+    return {name: {"t_sf0.1": round(tt["sf0.1"], 3),
+                   f"t_{big_tag}": round(tt[big_tag], 3),
+                   "alpha": round(_math.log(tt[big_tag] / tt["sf0.1"])
+                                  / _math.log(factor), 3)}
+            for name, tt in out.items()}
+
+
 def time_once(spec, spark, sf_dir: str) -> float:
     t0 = time.time()
     df = spec.fn(spark, sf_dir)
@@ -121,6 +193,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--skip-build" not in sys.argv:
         build(spark, factor, dst)
+
+    if "--indexed" in sys.argv:
+        out = indexed_probe(spark, factor, dst)
+        print(json.dumps({"factor": factor, "indexed": out,
+                          "load_avg": round(os.getloadavg()[0], 2)}))
+        spark.stop()
+        return
 
     big_tag = f"t_sf{factor}x"
     times: dict[str, dict[str, float]] = {n: {} for n in QUERIES}
