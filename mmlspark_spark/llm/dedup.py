@@ -298,6 +298,158 @@ class MinHashLSHDeduplicator(Transformer):
             "__id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("__sig")
         )
 
+    def _banded(self, sigs: DataFrame) -> DataFrame:
+        """(id, band, bandhash) — the LSH bucket keys, one row per
+        (doc, band). Shared by :meth:`_transform` and the index
+        lifecycle so the banding arithmetic can never diverge between
+        the in-memory and stored lanes."""
+        k, b = self.numHashes, self.bands
+        r = k // b
+        return sigs.select(
+            "__id",
+            F.posexplode(F.array(*[
+                F.xxhash64(F.lit(j), *[F.col("__sig")[j * r + i]
+                                       for i in range(r)])
+                for j in range(b)
+            ])).alias("__band", "__bandhash"),
+        )
+
+    # ------------------------------------------------- persistence
+    def save_index(self, docs: DataFrame, path: str,
+                   mode: str = "overwrite") -> None:
+        """Persist the near-dup index so incoming batches never
+        re-shingle the existing corpus — the incremental NEAR-dup
+        story (IncrementalDeduplicator's bloom registry is its EXACT
+        counterpart). Layout:
+
+        - ``{path}/signatures`` — (id, sig array<long>[numHashes]):
+          k×8 bytes per document regardless of document size, the
+          frame candidate pairs verify against.
+        - ``{path}/buckets`` — flat (id, band, bandhash) LSH keys;
+          :meth:`match_against_index` equi-joins an incoming batch's
+          bucket keys against this (index-sized shuffle, never a
+          corpus re-shingle).
+        - ``{path}/_minhash_manifest.json`` — pins shingleSize /
+          numHashes / bands: stored signatures are only comparable
+          under the exact same seeded hash grid, so a mismatched
+          deduplicator must refuse to load.
+
+        One shingle pass per save: buckets derive from the signatures
+        read back from the artifact."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        spark = docs.sparkSession
+        self.signatures(docs).write.mode(mode).parquet(
+            f"{path}/signatures")
+        sigs = spark.read.parquet(f"{path}/signatures")
+        (self._banded(sigs)
+         .repartition(F.col("__bandhash"))
+         .sortWithinPartitions("__band", "__bandhash")
+         .write.mode(mode).parquet(f"{path}/buckets"))
+        _fs_write_text(spark, f"{path}/_minhash_manifest.json",
+                       _json.dumps({"shingleSize": self.shingleSize,
+                                    "numHashes": self.numHashes,
+                                    "bands": self.bands,
+                                    "version": 1}))
+
+    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+        """Grow the artifact: shingle ONLY the new documents and
+        append their signatures and bucket keys. The hash grid is
+        fixed by construction (seeded xxhash64), so matching against
+        the appended index equals matching against a fresh index over
+        the unioned corpus (pinned in tests)."""
+        sigs_new = persist_intermediate(self.signatures(new_docs))
+        try:
+            sigs_new.write.mode("append").parquet(f"{path}/signatures")
+            (self._banded(sigs_new)
+             .repartition(F.col("__bandhash"))
+             .sortWithinPartitions("__band", "__bandhash")
+             .write.mode("append").parquet(f"{path}/buckets"))
+        finally:
+            sigs_new.unpersist()
+
+    def load_index(self, spark, path: str) -> dict:
+        """Read a :meth:`save_index` artifact for
+        :meth:`match_against_index`. Refuses a hash-grid mismatch —
+        signatures hashed under a different shingleSize / numHashes /
+        bands are incomparable, and a silent mismatch would report
+        est_jaccard garbage."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(
+            _fs_read_text(spark, f"{path}/_minhash_manifest.json"))
+        mine = {"shingleSize": self.shingleSize,
+                "numHashes": self.numHashes, "bands": self.bands}
+        stored = {k2: man.get(k2) for k2 in mine}
+        if stored != mine:
+            raise ValueError(
+                f"MinHash index at {path} was built with {stored}; "
+                f"this deduplicator has {mine} — signatures under a "
+                f"different hash grid are incomparable")
+        return {"signatures": spark.read.parquet(f"{path}/signatures"),
+                "buckets": spark.read.parquet(f"{path}/buckets")}
+
+    def match_against_index(self, index: dict,
+                            new_docs: DataFrame) -> DataFrame:
+        """Near-dup screening of an incoming batch against the STORED
+        corpus: returns (doc_a = incoming id, doc_b = indexed id,
+        est_jaccard ≥ threshold) without ever re-shingling the
+        indexed corpus. Within-batch duplicates are deliberately out
+        of scope — run :meth:`transform` on the batch itself for
+        those (the two results compose into the full picture).
+
+        Plan shape: the batch's bucket keys (k×8 B/doc signatures →
+        b keys/doc) equi-join the stored bucket keys; hot stored
+        buckets are capped BEFORE the fan-out by counting only the
+        TOUCHED buckets (semi-join first — the count job is
+        proportional to the batch's bucket footprint, not the index);
+        signatures attach only to surviving candidate pairs. Same
+        maxBucketSize contract as :meth:`transform`."""
+        sigs_new = self.signatures(new_docs)
+        cached = []
+        if self.materialize:
+            # the batch signature frame has two consumers (banding +
+            # the pair join-back) — persist so the batch shingles once
+            sigs_new = persist_intermediate(sigs_new)
+            cached.append(sigs_new)
+        nb = self._banded(sigs_new)
+        stored = index["buckets"]
+        touched = stored.join(
+            nb.select("__band", "__bandhash").distinct(),
+            ["__band", "__bandhash"], "left_semi")
+        if self.maxBucketSize is not None:
+            sizes = (touched.groupBy("__band", "__bandhash")
+                     .agg(F.count("*").alias("__n")))
+            touched = (touched.join(
+                sizes.filter(F.col("__n") <= self.maxBucketSize),
+                ["__band", "__bandhash"], "left_semi"))
+        cand = (nb.join(
+            touched.select("__band", "__bandhash",
+                           F.col("__id").alias("__stored_id")),
+            ["__band", "__bandhash"])
+            .filter(F.col("__id") != F.col("__stored_id"))
+            .select(F.col("__id").alias("doc_a"),
+                    F.col("__stored_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+        k = self.numHashes
+        sa = sigs_new.select(
+            F.col("__id").alias("doc_a"), F.col("__sig").alias("__sa"))
+        sb = index["signatures"].select(
+            F.col("__id").alias("doc_b"), F.col("__sig").alias("__sb"))
+        est = F.size(F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"),
+                       lambda x, y: x == y),
+            lambda eq: eq,
+        )).cast("double") / F.lit(float(k))
+        out = (cand.join(sa, "doc_a").join(sb, "doc_b")
+               .select("doc_a", "doc_b", est.alias("est_jaccard"))
+               .filter(F.col("est_jaccard") >= self.threshold))
+        return attach_intermediates(out, *cached)
+
     def _transform(self, df: DataFrame) -> DataFrame:
         k, b = self.numHashes, self.bands
         r = k // b

@@ -67,7 +67,9 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     driver rows): semantic_dedup .. join_multi, then the oldest
 #     r5/r6/r7 blocks (dedup_resolve, SAR triple, cyber scalers,
 #     ML-metric lanes, zorder_key, the r7 curation batch,
-#     knn_ivf_pretrained).
+#     knn_ivf_pretrained), plus minhash_match_indexed (NEW:
+#     incremental near-dup against the persisted MinHash index —
+#     json_extract r7-green rotated out to make the slot).
 # Rotated OUT (r10-green, waiting): knn_ivf, tabular_lime_exact,
 # knn_matryoshka_sq8, ann_recall, knn_pq_adc, knn_matryoshka,
 # dsir_select, dedup_recall, the rows-only sketch/ALS/LIME batch,
@@ -94,7 +96,7 @@ _WINDOW_PRIORITY = (
     "hash_split", "vocab_build", "chunk_overlap", "cdc_chunks",
     "url_canonicalize", "winnow_fingerprint",
     "domain_temperature_mix", "train_classifier_metrics",
-    "json_extract", "knn_ivf_pretrained",
+    "minhash_match_indexed", "knn_ivf_pretrained",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside
@@ -2716,6 +2718,70 @@ def minhash_dedup(spark, sf_dir):
         idCol="doc_id", textCol="text", shingleSize=5,
         numHashes=32, bands=16, threshold=0.2,
     ).transform(docs)
+
+
+def _minhash_match_oracle(k: int = 32, split: int = 400,
+                          threshold: float = 0.2,
+                          cap: int = 1000) -> str:
+    """Replays match_against_index over the shared _minhash_cte
+    fragment: buckets are built from INDEX docs only (doc_id <
+    split), the batch's band rows equi-join them, the maxBucketSize
+    cap counts STORED members only (exactly the match-time
+    semantics, which differ from transform's union-bucket cap), and
+    signatures attach to the surviving (batch, indexed) pairs. The
+    fragment's own bucket/pairs/mh CTEs go unreferenced and are
+    pruned by DuckDB's optimizer."""
+    est = f"(len(list_filter(range(1, {k}+1), i -> sa[i] = sb[i])))"
+    # the unnest lives in its OWN CTE (mexp): DuckDB 1.0's binder
+    # internal-errors on unnest inside a filtered derived table
+    return f"""
+    WITH {_minhash_cte(k=k, threshold=threshold, cap=cap)}, bucketi AS (
+      SELECT j, bh, list_sort(list(DISTINCT doc_id)) AS ids
+      FROM band WHERE doc_id < {split} GROUP BY j, bh
+    ), mb AS (
+      SELECT nb.doc_id AS doc_a, b2.ids AS bids
+      FROM band nb JOIN bucketi b2 USING (j, bh)
+      WHERE nb.doc_id >= {split} AND len(b2.ids) <= {cap}
+    ), mexp AS (
+      SELECT doc_a, unnest(bids) AS doc_b FROM mb
+    ), mcand AS (
+      SELECT DISTINCT doc_a, doc_b FROM mexp WHERE doc_a <> doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST({est} AS DOUBLE) / {k} AS est_jaccard
+    FROM mcand
+    JOIN (SELECT doc_id AS doc_a, sig AS sa FROM sig) USING (doc_a)
+    JOIN (SELECT doc_id AS doc_b, sig AS sb FROM sig) USING (doc_b)
+    WHERE CAST({est} AS DOUBLE) / {k} >= {threshold}
+    """
+
+
+@register("minhash_match_indexed", oracle=_minhash_match_oracle())
+def minhash_match_indexed(spark, sf_dir):
+    """Incremental NEAR-dup against a PERSISTED MinHash index — the
+    daily-ingest shape at 100 TB: the stored corpus (docs < 400) was
+    shingled ONCE into signatures + banded bucket keys
+    (MinHashLSHDeduplicator.save_index); the incoming batch (docs >=
+    400) shingles only itself and equi-joins its bucket keys against
+    the artifact, returning (batch doc, indexed doc, est_jaccard)
+    pairs. Hot stored buckets are capped BEFORE the join fan-out by
+    counting only the touched buckets. The oracle replays the exact
+    match-time semantics (index-side buckets, stored-member cap)
+    over the shared bit-exact xxhash64 fragment."""
+    import os
+
+    from mmlspark_spark.llm import MinHashLSHDeduplicator
+
+    docs = _t(spark, sf_dir, "documents")
+    dd = MinHashLSHDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=5,
+        numHashes=32, bands=16, threshold=0.2)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"minhash_{os.path.basename(sf_dir.rstrip('/'))}")
+    dd.save_index(docs.filter(F.col("doc_id") < 400), path)
+    return dd.match_against_index(dd.load_index(spark, path),
+                                  docs.filter(F.col("doc_id") >= 400))
 
 
 def _dedup_recall_oracle(n: int = 5, threshold: float = 0.2) -> str:

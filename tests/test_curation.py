@@ -1094,3 +1094,65 @@ def test_gumbel_key_clamp_is_finite_at_both_hash_endpoints(spark):
         "SELECT " + key.replace("-log(-log(", "-ln(-ln(").format(
             h="9223372036854775807") + " AS k").fetchone()[0]
     assert math.isfinite(v) and abs(v - row.hi_key) < 1e-12
+
+
+def test_minhash_index_lifecycle(spark, tmp_path):
+    """The near-dup index lifecycle (the incremental counterpart of
+    the exact-dedup bloom registry): save_index → load_index →
+    match_against_index screens an incoming batch against the stored
+    corpus WITHOUT re-shingling it, and its (new, indexed) pairs must
+    equal the full transform over the union restricted to mixed
+    pairs; append_to_index grows the artifact so later batches match
+    against earlier ones; a hash-grid mismatch refuses to load."""
+    import pytest as _pytest
+
+    from mmlspark_spark.core.cache import release_intermediates
+    from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+
+    base_rows = [(i, f"the quick brown fox {i} jumps over the lazy "
+                     f"dog variant {i % 3} " * 3) for i in range(20)]
+    # batch: near-copies of base docs 0..4 (one token changed) +
+    # genuinely new text
+    batch_rows = [(100 + i, base_rows[i][1].replace("quick", "rapid"))
+                  for i in range(5)] + \
+                 [(200 + i, f"completely different content {i} " * 5)
+                  for i in range(5)]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows,
+                                  "doc_id long, text string")
+
+    dd = MinHashLSHDeduplicator(shingleSize=3, numHashes=16, bands=8,
+                                threshold=0.3, maxBucketSize=None)
+    p = str(tmp_path / "mh_idx")
+    dd.save_index(base, p)
+    idx = dd.load_index(spark, p)
+    got_df = dd.match_against_index(idx, batch)
+    got = {(r.doc_a, r.doc_b): round(r.est_jaccard, 6)
+           for r in got_df.collect()}
+    release_intermediates(got_df)
+    assert got, "near-copies must match their sources"
+    assert all(a >= 100 and b < 100 for a, b in got)
+
+    # reference: full in-memory run over the union, mixed pairs only
+    full_df = dd.transform(base.unionByName(batch))
+    full = {(max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b)):
+            round(r.est_jaccard, 6)
+            for r in full_df.collect()
+            if (r.doc_a >= 100) != (r.doc_b >= 100)}
+    release_intermediates(full_df)
+    assert got == full
+
+    # append: the batch joins the corpus; a later batch matches it
+    dd.append_to_index(batch, p)
+    batch2 = spark.createDataFrame(
+        [(300, batch_rows[7][1].replace("different", "distinct", 1))],
+        "doc_id long, text string")
+    got2_df = dd.match_against_index(dd.load_index(spark, p), batch2)
+    got2 = {(r.doc_a, r.doc_b) for r in got2_df.collect()}
+    release_intermediates(got2_df)
+    assert (300, 202) in got2  # matches the APPENDED doc (batch_rows[7])
+
+    # hash-grid guard
+    with _pytest.raises(ValueError, match="hash grid"):
+        MinHashLSHDeduplicator(shingleSize=5, numHashes=16,
+                               bands=8).load_index(spark, p)
