@@ -340,6 +340,16 @@ class MinHashLSHDeduplicator(Transformer):
 
         from mmlspark_spark.llm.export import _fs_write_text
 
+        if mode == "append":
+            # save derives buckets from the READ-BACK signatures dir;
+            # appending would re-band every pre-existing doc and
+            # duplicate its bucket keys (double-counting the cap,
+            # 2x candidate fan-out) — incremental growth is
+            # append_to_index's job, which bands only the new rows
+            raise ValueError(
+                "save_index(mode='append') would duplicate existing "
+                "bucket keys — use append_to_index for incremental "
+                "growth")
         spark = docs.sparkSession
         self.signatures(docs).write.mode(mode).parquet(
             f"{path}/signatures")
@@ -354,12 +364,35 @@ class MinHashLSHDeduplicator(Transformer):
                                     "bands": self.bands,
                                     "version": 1}))
 
+    def _check_manifest(self, spark, path: str) -> None:
+        """Refuse a hash-grid mismatch — shared by :meth:`load_index`
+        AND :meth:`append_to_index` (appending signatures hashed under
+        a different grid would corrupt the artifact while its manifest
+        still advertises the old grid, poisoning every later load)."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(
+            _fs_read_text(spark, f"{path}/_minhash_manifest.json"))
+        mine = {"shingleSize": self.shingleSize,
+                "numHashes": self.numHashes, "bands": self.bands}
+        stored = {k2: man.get(k2) for k2 in mine}
+        if stored != mine:
+            raise ValueError(
+                f"MinHash index at {path} was built with {stored}; "
+                f"this deduplicator has {mine} — signatures under a "
+                f"different hash grid are incomparable")
+
     def append_to_index(self, new_docs: DataFrame, path: str) -> None:
         """Grow the artifact: shingle ONLY the new documents and
         append their signatures and bucket keys. The hash grid is
         fixed by construction (seeded xxhash64), so matching against
         the appended index equals matching against a fresh index over
-        the unioned corpus (pinned in tests)."""
+        the unioned corpus (pinned in tests). Refuses a hash-grid
+        mismatch — mixed-grid signatures in one artifact would be
+        silent garbage that load_index can no longer detect."""
+        self._check_manifest(new_docs.sparkSession, path)
         sigs_new = persist_intermediate(self.signatures(new_docs))
         try:
             sigs_new.write.mode("append").parquet(f"{path}/signatures")
@@ -376,20 +409,7 @@ class MinHashLSHDeduplicator(Transformer):
         signatures hashed under a different shingleSize / numHashes /
         bands are incomparable, and a silent mismatch would report
         est_jaccard garbage."""
-        import json as _json
-
-        from mmlspark_spark.llm.export import _fs_read_text
-
-        man = _json.loads(
-            _fs_read_text(spark, f"{path}/_minhash_manifest.json"))
-        mine = {"shingleSize": self.shingleSize,
-                "numHashes": self.numHashes, "bands": self.bands}
-        stored = {k2: man.get(k2) for k2 in mine}
-        if stored != mine:
-            raise ValueError(
-                f"MinHash index at {path} was built with {stored}; "
-                f"this deduplicator has {mine} — signatures under a "
-                f"different hash grid are incomparable")
+        self._check_manifest(spark, path)
         return {"signatures": spark.read.parquet(f"{path}/signatures"),
                 "buckets": spark.read.parquet(f"{path}/buckets")}
 
@@ -407,8 +427,14 @@ class MinHashLSHDeduplicator(Transformer):
         buckets are capped BEFORE the fan-out by counting only the
         TOUCHED buckets (semi-join first — the count job is
         proportional to the batch's bucket footprint, not the index);
-        signatures attach only to surviving candidate pairs. Same
-        maxBucketSize contract as :meth:`transform`."""
+        signatures attach only to surviving candidate pairs.
+        maxBucketSize here counts STORED members only (the incoming
+        batch is not in the bucket store) — this deliberately differs
+        from :meth:`transform`, whose cap sees the union bucket; a
+        bucket with ≤ cap stored members still fans out |batch ∩
+        bucket| × stored rows, so size the cap for the batch shape
+        too. The catalog oracle replays exactly these stored-member
+        semantics."""
         sigs_new = self.signatures(new_docs)
         cached = []
         if self.materialize:
@@ -451,8 +477,7 @@ class MinHashLSHDeduplicator(Transformer):
         return attach_intermediates(out, *cached)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        k, b = self.numHashes, self.bands
-        r = k // b
+        k = self.numHashes
         sigs = self.signatures(df)
         cached = []
         if self.materialize:
@@ -476,13 +501,7 @@ class MinHashLSHDeduplicator(Transformer):
         # corpus). Measured at sf0.1: 4.2 s → 3.9 s vs the
         # sig-carrying self-join + separate cap pass, with the same
         # output.
-        banded = sigs.select(
-            "__id",
-            F.posexplode(F.array(*[
-                F.xxhash64(F.lit(j), *[F.col("__sig")[j * r + i] for i in range(r)])
-                for j in range(b)
-            ])).alias("__band", "__bandhash"),
-        )
+        banded = self._banded(sigs)
         buckets = (banded.groupBy("__band", "__bandhash")
                    .agg(F.array_sort(F.collect_set("__id")).alias("__ids")))
         cap = self.maxBucketSize

@@ -1152,7 +1152,16 @@ def test_minhash_index_lifecycle(spark, tmp_path):
     release_intermediates(got2_df)
     assert (300, 202) in got2  # matches the APPENDED doc (batch_rows[7])
 
-    # hash-grid guard
+    # hash-grid guard — on load AND on append (a mixed-grid append
+    # would corrupt the artifact while the manifest still advertises
+    # the old grid)
     with _pytest.raises(ValueError, match="hash grid"):
         MinHashLSHDeduplicator(shingleSize=5, numHashes=16,
                                bands=8).load_index(spark, p)
+    with _pytest.raises(ValueError, match="hash grid"):
+        MinHashLSHDeduplicator(shingleSize=5, numHashes=16,
+                               bands=8).append_to_index(batch2, p)
+    # save(mode='append') would re-band the read-back signatures and
+    # duplicate every existing bucket key — refused
+    with _pytest.raises(ValueError, match="append_to_index"):
+        dd.save_index(batch2, p, mode="append")

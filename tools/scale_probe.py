@@ -136,18 +136,25 @@ def indexed_probe(spark, factor: int, dst: str) -> dict:
                           F.slice("embedding",
                                   F.expr("(vec_id div 16) * 8 + 1")
                                   .cast("int"), 8).alias("cvec")))
-        q = emb.filter(F.col("vec_id") < 5)
+        # queries/phrases collect ONCE (untimed) into tiny LOCAL
+        # frames: a lazy filter over the Nx parquet would re-scan the
+        # big corpus inside the timed probe and contaminate the
+        # search-only alphas these numbers exist to isolate
+        q = spark.createDataFrame(
+            emb.filter(F.col("vec_id") < 5).collect(), emb.schema)
         pq = PQKNN(idCol="vec_id", vecCol="embedding", k=10, M=8,
                    K=16, dim=64)
         pq_path = f"/tmp/probe_idx/ivfpq_{tag}"
         pq.save_ivfpq_index(emb, cents, cbooks, pq_path)  # untimed
         idx = pq.load_ivfpq_index(spark, pq_path)
         docs = spark.read.parquet(f"{d}/documents.parquet")
-        phrases = (docs.filter(F.col("doc_id").isin(3, 47, 101))
-                   .select(F.col("doc_id").alias("query_id"),
-                           F.array_join(F.slice(
-                               pinned_tokens("text"), 1, 4), " ")
-                           .alias("query")))
+        phrases_rows = (docs.filter(F.col("doc_id").isin(3, 47, 101))
+                        .select(F.col("doc_id").alias("query_id"),
+                                F.array_join(F.slice(
+                                    pinned_tokens("text"), 1, 4), " ")
+                                .alias("query")).collect())
+        phrases = spark.createDataFrame(
+            phrases_rows, "query_id long, query string")
         bm = BM25Retriever(k=10)
         bm_path = f"/tmp/probe_idx/bm25_{tag}"
         bm.save_index(docs, bm_path, positions=True)  # untimed
