@@ -657,6 +657,112 @@ class SimHashDeduplicator(Transformer):
             self.fingerprints(df), self.bands, self.maxHammingDistance,
             self.maxBucketSize, "simhash_hot_bucket_drops")
 
+    # ------------------------------------------------- persistence
+    def save_index(self, docs: DataFrame, path: str,
+                   mode: str = "overwrite") -> None:
+        """Persist the SimHash index: just ``{path}/fingerprints``
+        (id, 64-bit fingerprint — 16 bytes/doc, the cheapest index in
+        the engine; band chunks are bit-slices, derived free at match
+        time) plus a version manifest. The fingerprint function is
+        parameter-free (64-bit sign-vote over token xxhash64s), so
+        unlike the MinHash artifact there is no hash grid to pin —
+        bands / maxHammingDistance are query-time knobs."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        self.fingerprints(docs).write.mode(mode).parquet(
+            f"{path}/fingerprints")
+        _fs_write_text(docs.sparkSession,
+                       f"{path}/_simhash_manifest.json",
+                       _json.dumps({"version": 1}))
+
+    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+        """Grow the artifact: fingerprint ONLY the new documents
+        (map-side, shuffle-free) and append."""
+        self.fingerprints(new_docs).write.mode("append").parquet(
+            f"{path}/fingerprints")
+
+    def load_index(self, spark, path: str) -> dict:
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        _fs_read_text(spark, f"{path}/_simhash_manifest.json")
+        return {"fingerprints":
+                spark.read.parquet(f"{path}/fingerprints")}
+
+    def match_against_index(self, index: dict,
+                            new_docs: DataFrame) -> DataFrame:
+        """Near-dup screening of an incoming batch against the stored
+        corpus: (doc_a = incoming id, doc_b = indexed id, hamming ≤
+        maxHammingDistance) — the batch fingerprints map-side, its
+        bit-slice chunks equi-join the stored fingerprints' chunks,
+        hot stored buckets are capped before the fan-out (touched
+        buckets only). Within-batch duplicates stay with
+        :meth:`transform` on the batch (the two compose)."""
+        return _hamming_band_match(
+            index["fingerprints"], self.fingerprints(new_docs),
+            self.bands, self.maxHammingDistance, self.maxBucketSize)
+
+
+def _fp_chunk_exprs(bands: int, col: str = "__sh") -> list:
+    """The ``bands`` chunk-key expressions over a 64-bit fingerprint
+    column — ONE copy shared by the in-memory pair stage and the
+    stored-index match lane (the MinHash _banded lesson: duplicated
+    banding arithmetic silently desynchronizes). Variable-width chunks
+    so ALL 64 bits participate when bands does not divide 64 (fixed
+    64//b widths silently left the top bits out of every bucket key —
+    larger buckets, more spurious candidates, no warning). The
+    pigeonhole recall contract (Hamming < bands → some chunk equal)
+    is width-independent."""
+    base, rem = divmod(64, bands)
+    widths = [base + (1 if j < rem else 0) for j in range(bands)]
+    offsets = [sum(widths[:j]) for j in range(bands)]
+    out = []
+    for j in range(bands):
+        shifted = F.shiftrightunsigned(F.col(col), offsets[j])
+        if widths[j] >= 64:  # bands=1: the whole fingerprint
+            out.append(shifted)
+        else:
+            out.append(shifted.bitwiseAND(F.lit((1 << widths[j]) - 1)))
+    return out
+
+
+def _hamming_band_match(stored_fp: DataFrame, batch_fp: DataFrame,
+                        bands: int, maxHamming: int,
+                        maxBucketSize: int | None) -> DataFrame:
+    """Match an incoming batch's fingerprints against a STORED
+    fingerprint frame: (doc_a = batch id, doc_b = stored id, hamming ≤
+    maxHamming). Both sides band with the shared chunk expressions;
+    hot STORED buckets are capped before the join fan-out by counting
+    only the buckets the batch touches (the MinHash match pattern —
+    the count job is proportional to the batch's bucket footprint,
+    not the index)."""
+    def banded(fp: DataFrame, p: str) -> DataFrame:
+        return fp.select(
+            F.col("__id").alias(f"{p}_id"),
+            F.col("__sh").alias(f"{p}_sh"),
+            F.posexplode(F.array(*_fp_chunk_exprs(bands)))
+            .alias("__band", "__chunk"))
+
+    sb = banded(stored_fp, "s")
+    nb = banded(batch_fp, "n")
+    touched = sb.join(nb.select("__band", "__chunk").distinct(),
+                      ["__band", "__chunk"], "left_semi")
+    if maxBucketSize is not None:
+        sizes = (touched.groupBy("__band", "__chunk")
+                 .agg(F.count("*").alias("__n")))
+        touched = touched.join(
+            sizes.filter(F.col("__n") <= maxBucketSize),
+            ["__band", "__chunk"], "left_semi")
+    return (nb.join(touched, ["__band", "__chunk"])
+            .filter(F.col("n_id") != F.col("s_id"))
+            .select(F.col("n_id").alias("doc_a"),
+                    F.col("s_id").alias("doc_b"),
+                    F.bit_count(F.col("n_sh").bitwiseXOR(F.col("s_sh")))
+                    .cast("int").alias("hamming"))
+            .dropDuplicates(["doc_a", "doc_b"])
+            .filter(F.col("hamming") <= maxHamming))
+
 
 def _hamming_band_pairs(fp: DataFrame, bands: int, maxHamming: int,
                         maxBucketSize: int | None,
@@ -674,27 +780,9 @@ def _hamming_band_pairs(fp: DataFrame, bands: int, maxHamming: int,
     lists for free, and pairs from the bounded upper-triangle
     expansion. The fingerprint rides inside the bucket structs (16
     bytes/row) so Hamming needs no join-back."""
-    b = bands
-    # Variable-width chunks so ALL 64 bits participate when bands
-    # does not divide 64 (fixed 64//b widths silently left the top
-    # 64 - b*(64//b) bits out of every bucket key — larger buckets,
-    # more spurious candidates, no warning). The pigeonhole recall
-    # contract (Hamming < bands → some chunk equal) is width-
-    # independent.
-    base, rem = divmod(64, b)
-    widths = [base + (1 if j < rem else 0) for j in range(b)]
-    offsets = [sum(widths[:j]) for j in range(b)]
-
-    def chunk(j):
-        shifted = F.shiftrightunsigned(F.col("__sh"), offsets[j])
-        if widths[j] >= 64:  # bands=1: the whole fingerprint
-            return shifted
-        return shifted.bitwiseAND(F.lit((1 << widths[j]) - 1))
-
     banded = fp.select(
         F.struct("__id", "__sh").alias("__m"),
-        F.posexplode(F.array(*[chunk(j).alias(f"c{j}")
-                               for j in range(b)]))
+        F.posexplode(F.array(*_fp_chunk_exprs(bands)))
         .alias("__band", "__chunk"),
     )
     buckets = (banded.groupBy("__band", "__chunk")

@@ -69,7 +69,10 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     ML-metric lanes, zorder_key, the r7 curation batch,
 #     knn_ivf_pretrained), plus minhash_match_indexed (NEW:
 #     incremental near-dup against the persisted MinHash index —
-#     json_extract r7-green rotated out to make the slot).
+#     json_extract r7-green rotated out to make the slot) and
+#     simhash_match_indexed (NEW: stored-fingerprint match —
+#     knn_ivf_pretrained r9-green rotated out; both wait in the
+#     r12 backlog).
 # Rotated OUT (r10-green, waiting): knn_ivf, tabular_lime_exact,
 # knn_matryoshka_sq8, ann_recall, knn_pq_adc, knn_matryoshka,
 # dsir_select, dedup_recall, the rows-only sketch/ALS/LIME batch,
@@ -96,7 +99,7 @@ _WINDOW_PRIORITY = (
     "hash_split", "vocab_build", "chunk_overlap", "cdc_chunks",
     "url_canonicalize", "winnow_fingerprint",
     "domain_temperature_mix", "train_classifier_metrics",
-    "minhash_match_indexed", "knn_ivf_pretrained",
+    "minhash_match_indexed", "simhash_match_indexed",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside
@@ -2897,20 +2900,19 @@ def _hamming_band_pairs_sql(bands: int, maxHamming: int, cap: int) -> str:
     """
 
 
-def _simhash_oracle(bands: int = 4, maxHamming: int = 10,
-                    cap: int = 1000) -> str:
-    """DuckDB replay of the FULL SimHashDeduplicator pipeline: Java-\\s
-    tokens (duplicates COUNT — the vote aggregate is over the raw token
-    list), per-token xxhash64 (hashed once per distinct word, joined
-    back), 64 sign-votes, two's-complement fingerprint assembly (bit 63
-    negative), 16-bit band chunks, capped buckets, upper-triangle pairs
-    and the Hamming filter. Empty-token documents fingerprint to 0 and
-    participate (only NULL text is excluded), exactly like the Spark
-    path."""
+def _simhash_fp_cte() -> str:
+    """The SimHash fingerprint WITH-fragment ending in CTE
+    ``fp(doc_id, sh)`` — Java-\\s tokens (duplicates COUNT — the vote
+    aggregate is over the raw token list), per-token xxhash64 (hashed
+    once per distinct word, joined back), 64 sign-votes,
+    two's-complement assembly (bit 63 negative). Empty-token
+    documents fingerprint to 0 and participate (only NULL text is
+    excluded), exactly like the Spark path. Shared by simhash_dedup
+    and simhash_match_indexed so the fingerprint replay cannot
+    drift."""
     from mmlspark_spark.plans.duckdb_xxh import xxh64_str
 
-    return f"""
-    WITH t AS (
+    return f"""t AS (
       SELECT doc_id, list_filter(
                string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
                x -> x <> '') AS toks
@@ -2933,7 +2935,76 @@ def _simhash_oracle(bands: int = 4, maxHamming: int = 10,
       FROM votes GROUP BY doc_id
       UNION ALL
       SELECT doc_id, 0::BIGINT FROM t WHERE len(toks) = 0
-    ), {_hamming_band_pairs_sql(bands, maxHamming, cap)}"""
+    )"""
+
+
+def _simhash_oracle(bands: int = 4, maxHamming: int = 10,
+                    cap: int = 1000) -> str:
+    """DuckDB replay of the FULL SimHashDeduplicator pipeline: the
+    shared fingerprint fragment + 16-bit band chunks, capped buckets,
+    upper-triangle pairs and the Hamming filter."""
+    return f"""
+    WITH {_simhash_fp_cte()}, {_hamming_band_pairs_sql(bands, maxHamming, cap)}"""
+
+
+def _simhash_match_oracle(bands: int = 4, maxHamming: int = 10,
+                          split: int = 400, cap: int = 1000) -> str:
+    """Replays SimHashDeduplicator.match_against_index: buckets from
+    INDEX docs only (doc_id < split), batch band rows equi-join them,
+    stored-member cap, Hamming filter on the xor — match-time
+    semantics over the shared fingerprint fragment. The unnest lives
+    in its own CTE (the DuckDB 1.0 binder lesson)."""
+    from mmlspark_spark.plans.duckdb_xxh import to_u64
+
+    assert 64 % bands == 0
+    w = 64 // bands
+    return f"""
+    WITH {_simhash_fp_cte()}, band AS (
+      SELECT doc_id, sh, j,
+             (({to_u64("sh")})::UBIGINT >> ({w}*j)) & {(1 << w) - 1}
+               AS chunk
+      FROM (SELECT doc_id, sh, unnest(range(0, {bands})) AS j FROM fp)
+    ), bucketi AS (
+      SELECT j, chunk,
+             list({{'i': doc_id, 'h': sh}} ORDER BY doc_id) AS ms
+      FROM band WHERE doc_id < {split} GROUP BY j, chunk
+    ), mb AS (
+      SELECT nb.doc_id AS doc_a, nb.sh AS sha, b2.ms AS bms
+      FROM band nb JOIN bucketi b2 USING (j, chunk)
+      WHERE nb.doc_id >= {split} AND len(b2.ms) <= {cap}
+    ), mexp AS (
+      SELECT doc_a, sha, unnest(bms) AS m FROM mb
+    )
+    SELECT DISTINCT doc_a, m.i AS doc_b,
+           CAST(bit_count(xor(sha, m.h)) AS INTEGER) AS hamming
+    FROM mexp
+    WHERE doc_a <> m.i AND bit_count(xor(sha, m.h)) <= {maxHamming}
+    """
+
+
+@register("simhash_match_indexed", oracle=_simhash_match_oracle())
+def simhash_match_indexed(spark, sf_dir):
+    """Incremental SimHash near-dup against a PERSISTED fingerprint
+    index — the cheapest stored index in the engine (16 bytes/doc;
+    band chunks are bit-slices derived free at match time): the
+    incoming batch (docs >= 400) fingerprints map-side and its chunk
+    keys equi-join the stored corpus's (docs < 400), hot stored
+    buckets capped before the fan-out, Hamming filter on the xor.
+    Oracle replays the match-time semantics over the shared
+    fingerprint fragment."""
+    import os
+
+    from mmlspark_spark.llm import SimHashDeduplicator
+
+    docs = _t(spark, sf_dir, "documents")
+    dd = SimHashDeduplicator(idCol="doc_id", textCol="text",
+                             bands=4, maxHammingDistance=10)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"simhash_{os.path.basename(sf_dir.rstrip('/'))}")
+    dd.save_index(docs.filter(F.col("doc_id") < 400), path)
+    return dd.match_against_index(dd.load_index(spark, path),
+                                  docs.filter(F.col("doc_id") >= 400))
 
 
 def _image_dhash_oracle(bands: int = 4, maxHamming: int = 6,

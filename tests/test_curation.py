@@ -1165,3 +1165,41 @@ def test_minhash_index_lifecycle(spark, tmp_path):
     # duplicate every existing bucket key — refused
     with _pytest.raises(ValueError, match="append_to_index"):
         dd.save_index(batch2, p, mode="append")
+
+
+def test_simhash_index_lifecycle(spark, tmp_path):
+    """SimHash stored-fingerprint match: (batch, indexed) pairs must
+    equal the full transform over the union restricted to mixed
+    pairs; append grows the artifact; fingerprints are the only
+    stored payload (16 bytes/doc)."""
+    from mmlspark_spark.llm.dedup import SimHashDeduplicator
+
+    base_rows = [(i, f"alpha beta gamma delta {i % 4} epsilon zeta "
+                     f"eta theta {i % 3}") for i in range(20)]
+    batch_rows = [(100 + i, base_rows[i][1] + " extra")
+                  for i in range(4)] + \
+                 [(200, "wholly unrelated text about nothing at all")]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows,
+                                  "doc_id long, text string")
+
+    dd = SimHashDeduplicator(bands=4, maxHammingDistance=12,
+                             maxBucketSize=None)
+    p = str(tmp_path / "sh_idx")
+    dd.save_index(base, p)
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in dd.match_against_index(
+               dd.load_index(spark, p), batch).collect()}
+    assert got and all(a >= 100 and b < 100 for a, b in got)
+
+    full = {(max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b)): r.hamming
+            for r in dd.transform(base.unionByName(batch)).collect()
+            if (r.doc_a >= 100) != (r.doc_b >= 100)}
+    assert got == full
+
+    dd.append_to_index(batch, p)
+    batch2 = spark.createDataFrame(
+        [(300, batch_rows[0][1])], "doc_id long, text string")
+    got2 = {(r.doc_a, r.doc_b) for r in dd.match_against_index(
+        dd.load_index(spark, p), batch2).collect()}
+    assert (300, 100) in got2  # identical text to the appended doc
