@@ -567,6 +567,57 @@ class MinHashLSHDeduplicator(Transformer):
         return attach_intermediates(out, *cached)
 
 
+class FingerprintIndexMixin:
+    """The stored-index lifecycle for every 64-bit-fingerprint
+    deduplicator (SimHash text, dHash images, Haitsma-Kalker audio —
+    any class exposing ``fingerprints(df) -> (__id, __sh long)`` plus
+    ``bands`` / ``maxHammingDistance`` / ``maxBucketSize``): the
+    artifact is just ``{path}/fingerprints`` (16 bytes/doc, the
+    cheapest index in the engine; band chunks are bit-slices derived
+    free at match time) plus a version manifest. The fingerprint
+    functions are parameter-free, so unlike the MinHash artifact
+    there is no hash grid to pin — bands / maxHammingDistance are
+    query-time knobs."""
+
+    def save_index(self, docs: DataFrame, path: str,
+                   mode: str = "overwrite") -> None:
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        self.fingerprints(docs).write.mode(mode).parquet(
+            f"{path}/fingerprints")
+        _fs_write_text(docs.sparkSession,
+                       f"{path}/_fp_index_manifest.json",
+                       _json.dumps({"version": 1}))
+
+    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+        """Grow the artifact: fingerprint ONLY the new rows
+        (map-side, shuffle-free) and append."""
+        self.fingerprints(new_docs).write.mode("append").parquet(
+            f"{path}/fingerprints")
+
+    def load_index(self, spark, path: str) -> dict:
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        _fs_read_text(spark, f"{path}/_fp_index_manifest.json")
+        return {"fingerprints":
+                spark.read.parquet(f"{path}/fingerprints")}
+
+    def match_against_index(self, index: dict,
+                            new_rows: DataFrame) -> DataFrame:
+        """Near-dup screening of an incoming batch against the stored
+        corpus: (doc_a = incoming id, doc_b = indexed id, hamming ≤
+        maxHammingDistance) — the batch fingerprints map-side, its
+        bit-slice chunks equi-join the stored fingerprints' chunks,
+        hot stored buckets are capped before the fan-out (touched
+        buckets only). Within-batch duplicates stay with
+        ``transform`` on the batch (the two compose)."""
+        return _hamming_band_match(
+            index["fingerprints"], self.fingerprints(new_rows),
+            self.bands, self.maxHammingDistance, self.maxBucketSize)
+
+
 def simhash(text, num_bits: int = 64):
     """64-bit SimHash of whitespace tokens as a single Catalyst
     expression: per token, xxhash64 supplies the bit pattern; bit j of
@@ -605,7 +656,7 @@ def simhash(text, num_bits: int = 64):
     return F.aggregate(signed_bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-class SimHashDeduplicator(Transformer):
+class SimHashDeduplicator(FingerprintIndexMixin, Transformer):
     """SimHash near-dup detection: 64-bit fingerprints, banded into
     ``bands`` chunks; pairs agreeing on ≥1 chunk are candidates,
     filtered to ``maxHammingDistance``.
@@ -656,52 +707,6 @@ class SimHashDeduplicator(Transformer):
         return _hamming_band_pairs(
             self.fingerprints(df), self.bands, self.maxHammingDistance,
             self.maxBucketSize, "simhash_hot_bucket_drops")
-
-    # ------------------------------------------------- persistence
-    def save_index(self, docs: DataFrame, path: str,
-                   mode: str = "overwrite") -> None:
-        """Persist the SimHash index: just ``{path}/fingerprints``
-        (id, 64-bit fingerprint — 16 bytes/doc, the cheapest index in
-        the engine; band chunks are bit-slices, derived free at match
-        time) plus a version manifest. The fingerprint function is
-        parameter-free (64-bit sign-vote over token xxhash64s), so
-        unlike the MinHash artifact there is no hash grid to pin —
-        bands / maxHammingDistance are query-time knobs."""
-        import json as _json
-
-        from mmlspark_spark.llm.export import _fs_write_text
-
-        self.fingerprints(docs).write.mode(mode).parquet(
-            f"{path}/fingerprints")
-        _fs_write_text(docs.sparkSession,
-                       f"{path}/_simhash_manifest.json",
-                       _json.dumps({"version": 1}))
-
-    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
-        """Grow the artifact: fingerprint ONLY the new documents
-        (map-side, shuffle-free) and append."""
-        self.fingerprints(new_docs).write.mode("append").parquet(
-            f"{path}/fingerprints")
-
-    def load_index(self, spark, path: str) -> dict:
-        from mmlspark_spark.llm.export import _fs_read_text
-
-        _fs_read_text(spark, f"{path}/_simhash_manifest.json")
-        return {"fingerprints":
-                spark.read.parquet(f"{path}/fingerprints")}
-
-    def match_against_index(self, index: dict,
-                            new_docs: DataFrame) -> DataFrame:
-        """Near-dup screening of an incoming batch against the stored
-        corpus: (doc_a = incoming id, doc_b = indexed id, hamming ≤
-        maxHammingDistance) — the batch fingerprints map-side, its
-        bit-slice chunks equi-join the stored fingerprints' chunks,
-        hot stored buckets are capped before the fan-out (touched
-        buckets only). Within-batch duplicates stay with
-        :meth:`transform` on the batch (the two compose)."""
-        return _hamming_band_match(
-            index["fingerprints"], self.fingerprints(new_docs),
-            self.bands, self.maxHammingDistance, self.maxBucketSize)
 
 
 def _fp_chunk_exprs(bands: int, col: str = "__sh") -> list:

@@ -55,7 +55,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mmlspark_spark.core.base import Transformer
-from mmlspark_spark.llm.dedup import _hamming_band_pairs
+from mmlspark_spark.llm.dedup import (
+    FingerprintIndexMixin,
+    _hamming_band_pairs,
+)
 
 DHASH_H, DHASH_W = 8, 8  # grid is DHASH_H rows × (DHASH_W + 1) cols
 
@@ -123,7 +126,7 @@ def _dhash_np(gray_8x9: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-class ImageDHashDeduplicator(Transformer):
+class ImageDHashDeduplicator(FingerprintIndexMixin, Transformer):
     """dHash near-duplicate image pairs: fingerprint → banded chunk
     buckets → capped upper-triangle pairs → Hamming filter (the
     recall/cap contracts of :class:`~mmlspark_spark.llm.dedup.
@@ -257,7 +260,7 @@ def _afp_np(energy_9x9: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-class AudioFingerprintDeduplicator(Transformer):
+class AudioFingerprintDeduplicator(FingerprintIndexMixin, Transformer):
     """Near-duplicate audio pairs via the Haitsma-Kalker spectral
     binary fingerprint: fingerprint → banded chunk buckets → capped
     upper-triangle pairs → Hamming filter (recall/cap contracts of

@@ -1203,3 +1203,48 @@ def test_simhash_index_lifecycle(spark, tmp_path):
     got2 = {(r.doc_a, r.doc_b) for r in dd.match_against_index(
         dd.load_index(spark, p), batch2).collect()}
     assert (300, 100) in got2  # identical text to the appended doc
+
+
+def test_multimodal_fingerprint_index_lifecycle(spark, tmp_path):
+    """The FingerprintIndexMixin lifecycle on a multimodal member:
+    image dHash match-against-stored equals the union transform's
+    mixed pairs (shared chunk exprs guarantee the banding cannot
+    diverge between the in-memory and stored lanes)."""
+    import numpy as np
+
+    from mmlspark_spark.llm.multimodal_dedup import (
+        ImageDHashDeduplicator,
+    )
+
+    rng = np.random.default_rng(71)
+    base_grid = rng.integers(0, 256, size=(8, 9)).tolist()
+
+    def perturb(v):  # a few pixels changed per variant
+        g = [row[:] for row in base_grid]
+        for t in range(v):
+            g[t % 8][(t * 3) % 9] = (g[t % 8][(t * 3) % 9] + 90) % 256
+        return g
+
+    base = spark.createDataFrame(
+        [(i, perturb(i)) for i in range(6)],
+        "doc_id long, image array<array<int>>")
+    batch = spark.createDataFrame(
+        [(100 + i, perturb(i)) for i in range(3)],
+        "doc_id long, image array<array<int>>")
+
+    dd = ImageDHashDeduplicator(idCol="doc_id", imageCol="image",
+                                bands=4, maxHammingDistance=12,
+                                maxBucketSize=None)
+    p = str(tmp_path / "img_idx")
+    dd.save_index(base, p)
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in dd.match_against_index(
+               dd.load_index(spark, p), batch).collect()}
+    assert got and all(a >= 100 and b < 100 for a, b in got)
+    # exact copies match at hamming 0
+    assert got[(100, 0)] == 0
+
+    full = {(max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b)): r.hamming
+            for r in dd.transform(base.unionByName(batch)).collect()
+            if (r.doc_a >= 100) != (r.doc_b >= 100)}
+    assert got == full
