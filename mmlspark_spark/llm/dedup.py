@@ -919,6 +919,145 @@ class EmbeddingDeduplicator(Transformer):
             cosine_similarity("__va", "__vb").alias("cosine"))
             .filter(F.col("cosine") >= self.threshold))
 
+    # ------------------------------------------------- persistence
+    def _banded_keys(self, df: DataFrame, dim: int) -> DataFrame:
+        """(id, band, chunk) hyperplane bucket keys — the SAME seeded
+        LSHKNN signature expressions the in-memory lane uses, so
+        stored and fresh banding can never diverge."""
+        from mmlspark_spark.llm.similarity import LSHKNN
+
+        lsh = LSHKNN(idCol=self.idCol, vecCol=self.vecCol,
+                     numPlanes=self.numPlanes, bands=self.bands,
+                     seed=self.seed)
+        return (lsh._signature_bands(df, dim, "d")
+                .select(F.col("d_id").alias("__id"), "__band",
+                        F.col("d_chunk").alias("__chunk")))
+
+    def _grid(self, dim: int) -> dict:
+        return {"numPlanes": self.numPlanes, "bands": self.bands,
+                "seed": self.seed, "dim": dim}
+
+    def _check_manifest(self, spark, path: str) -> dict:
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(
+            _fs_read_text(spark, f"{path}/_emb_index_manifest.json"))
+        mine = {"numPlanes": self.numPlanes, "bands": self.bands,
+                "seed": self.seed}
+        stored = {k2: man.get(k2) for k2 in mine}
+        if stored != mine:
+            raise ValueError(
+                f"Embedding index at {path} was built with {stored}; "
+                f"this deduplicator has {mine} — hyperplane "
+                f"signatures under a different grid are incomparable")
+        return man
+
+    def save_index(self, docs: DataFrame, path: str,
+                   mode: str = "overwrite") -> None:
+        """Persist the embedding near-dup index (LSH method only):
+        ``{path}/vectors`` (id, embedding — the verify payload),
+        ``{path}/buckets`` (id, band, chunk hyperplane keys), and a
+        manifest pinning numPlanes/bands/seed/dim — signatures depend
+        on all four (the planes are drawn per-dim from the seed), so
+        a mismatched deduplicator must refuse."""
+        import json as _json
+
+        from mmlspark_spark.functions.vector import vector_dim
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        if self.method != "lsh":
+            raise ValueError(
+                "save_index requires method='lsh' — the exact path "
+                "has no candidate-generation artifact to persist")
+        dim = vector_dim(docs, self.vecCol)
+        (docs.select(F.col(self.idCol).alias("__id"),
+                     F.col(self.vecCol).alias("__vec"))
+         .write.mode(mode).parquet(f"{path}/vectors"))
+        (self._banded_keys(docs, dim)
+         .repartition(F.col("__chunk"))
+         .sortWithinPartitions("__band", "__chunk")
+         .write.mode(mode).parquet(f"{path}/buckets"))
+        _fs_write_text(docs.sparkSession,
+                       f"{path}/_emb_index_manifest.json",
+                       _json.dumps({**self._grid(dim), "version": 1}))
+
+    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+        """Grow the artifact: band ONLY the new vectors (the planes
+        are fixed by the seed, so appended == fresh exactly). Refuses
+        a grid/dim mismatch."""
+        from mmlspark_spark.functions.vector import vector_dim
+
+        man = self._check_manifest(new_docs.sparkSession, path)
+        dim = vector_dim(new_docs, self.vecCol)
+        if dim != man["dim"]:
+            raise ValueError(
+                f"new vectors have dim {dim}, index at {path} holds "
+                f"dim {man['dim']}")
+        (new_docs.select(F.col(self.idCol).alias("__id"),
+                         F.col(self.vecCol).alias("__vec"))
+         .write.mode("append").parquet(f"{path}/vectors"))
+        (self._banded_keys(new_docs, dim)
+         .repartition(F.col("__chunk"))
+         .sortWithinPartitions("__band", "__chunk")
+         .write.mode("append").parquet(f"{path}/buckets"))
+
+    def load_index(self, spark, path: str) -> dict:
+        man = self._check_manifest(spark, path)
+        return {"vectors": spark.read.parquet(f"{path}/vectors"),
+                "buckets": spark.read.parquet(f"{path}/buckets"),
+                "dim": int(man["dim"])}
+
+    def match_against_index(self, index: dict,
+                            new_docs: DataFrame) -> DataFrame:
+        """Near-dup screening of an incoming batch against the stored
+        corpus: (id_a = incoming id, id_b = indexed id, cosine ≥
+        threshold). The batch bands map-side under the fixed seeded
+        planes; its keys equi-join the stored buckets; hot stored
+        buckets are capped BEFORE the fan-out (touched buckets only,
+        stored members counted); vectors join back for the surviving
+        candidates only. Within-batch duplicates stay with
+        :meth:`transform` on the batch (the two compose)."""
+        from mmlspark_spark.functions.vector import (
+            cosine_similarity,
+            vector_dim,
+        )
+
+        dim = vector_dim(new_docs, self.vecCol)
+        if dim != index["dim"]:
+            raise ValueError(
+                f"query vectors have dim {dim}, stored index holds "
+                f"dim {index['dim']}")
+        nb = self._banded_keys(new_docs, dim)
+        stored = index["buckets"]
+        touched = stored.join(
+            nb.select("__band", "__chunk").distinct(),
+            ["__band", "__chunk"], "left_semi")
+        if self.maxBucketSize is not None:
+            sizes = (touched.groupBy("__band", "__chunk")
+                     .agg(F.count("*").alias("__n")))
+            touched = touched.join(
+                sizes.filter(F.col("__n") <= self.maxBucketSize),
+                ["__band", "__chunk"], "left_semi")
+        cand = (nb.join(
+            touched.select("__band", "__chunk",
+                           F.col("__id").alias("__stored_id")),
+            ["__band", "__chunk"])
+            .filter(F.col("__id") != F.col("__stored_id"))
+            .select(F.col("__id").alias("id_a"),
+                    F.col("__stored_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+        va = new_docs.select(F.col(self.idCol).alias("id_a"),
+                             F.col(self.vecCol).alias("__va"))
+        vb = index["vectors"].select(F.col("__id").alias("id_b"),
+                                     F.col("__vec").alias("__vb"))
+        return (cand.join(va, "id_a").join(vb, "id_b")
+                .select("id_a", "id_b",
+                        cosine_similarity("__va", "__vb")
+                        .alias("cosine"))
+                .filter(F.col("cosine") >= self.threshold))
+
 
 def connected_components(
     edges: DataFrame, srcCol: str = "doc_a", dstCol: str = "doc_b",

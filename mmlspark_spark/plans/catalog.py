@@ -71,8 +71,10 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     incremental near-dup against the persisted MinHash index —
 #     json_extract r7-green rotated out to make the slot) and
 #     simhash_match_indexed (NEW: stored-fingerprint match —
-#     knn_ivf_pretrained r9-green rotated out; both wait in the
-#     r12 backlog).
+#     knn_ivf_pretrained r9-green rotated out) and
+#     embedding_match_indexed (NEW: stored-LSH embedding match —
+#     domain_temperature_mix r9-green rotated out; all three
+#     rotated-out greens wait in the r12 backlog).
 # Rotated OUT (r10-green, waiting): knn_ivf, tabular_lime_exact,
 # knn_matryoshka_sq8, ann_recall, knn_pq_adc, knn_matryoshka,
 # dsir_select, dedup_recall, the rows-only sketch/ALS/LIME batch,
@@ -98,7 +100,7 @@ _WINDOW_PRIORITY = (
     "featurize_numeric", "decontamination", "zorder_key",
     "hash_split", "vocab_build", "chunk_overlap", "cdc_chunks",
     "url_canonicalize", "winnow_fingerprint",
-    "domain_temperature_mix", "train_classifier_metrics",
+    "embedding_match_indexed", "train_classifier_metrics",
     "minhash_match_indexed", "simhash_match_indexed",
 )
 # exactly 50 entries — the driver window size; a 51st would be
@@ -3908,6 +3910,99 @@ def embedding_dedup(spark, sf_dir):
     out = EmbeddingDeduplicator(idCol="vec_id", vecCol="embedding",
                                 threshold=0.3, method="exact").transform(emb)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _embedding_match_oracle(numPlanes: int = 16, bands: int = 8,
+                            dim: int = 64, seed: int = 42,
+                            split: int = 400, threshold: float = 0.2,
+                            cap: int = 1000) -> str:
+    """Replays EmbeddingDeduplicator.match_against_index: the SAME
+    seeded numpy hyperplanes as _knn_lsh_oracle (regenerated at
+    import, inlined as literals), sign-bit band chunks for ALL
+    vectors, buckets counted over INDEX vectors only (stored-member
+    cap — match-time semantics), batch×stored candidates on the
+    chunk equi-join, exact cosine via the proven fold replay."""
+    import numpy as np
+
+    from mmlspark_spark.plans.duckdb_xxh import cosine_sql, fold_sum
+
+    planes = np.random.default_rng(seed).standard_normal((numPlanes,
+                                                          dim))
+    pls = "[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        for row in planes) + "]::DOUBLE[][]"
+    r = numPlanes // bands
+    assert r == 2, "chunk expr below unrolls exactly r=2 bits"
+
+    def bit(plane_ix: str) -> str:
+        return (f"(CASE WHEN "
+                f"{fold_sum(f'v[i2] * pls[{plane_ix}][i2]', dim)} > 0 "
+                f"THEN 1 ELSE 0 END)")
+
+    return f"""
+    WITH pl AS (SELECT {pls} AS pls),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, v,
+             list_transform(range(0, {bands}),
+               b -> {bit('2*b+1')} + 2 * {bit('2*b+2')}) AS chunks
+      FROM e, pl
+    ), band AS (
+      SELECT vec_id, unnest(chunks) AS chunk,
+             unnest(range(0, {bands})) AS band
+      FROM sig
+    ), bucketi AS (
+      SELECT band, chunk, CAST(count(*) AS BIGINT) AS n
+      FROM band WHERE vec_id < {split} GROUP BY band, chunk
+    ), cand AS (
+      SELECT DISTINCT nb.vec_id AS id_a, d.vec_id AS id_b
+      FROM band nb
+      JOIN band d ON nb.band = d.band AND nb.chunk = d.chunk
+      JOIN bucketi bi ON bi.band = nb.band AND bi.chunk = nb.chunk
+      WHERE nb.vec_id >= {split} AND d.vec_id < {split}
+        AND bi.n <= {cap}
+    )
+    SELECT id_a, id_b,
+           round({cosine_sql("ea.v", "eb.v", dim)}, 6) AS cosine
+    FROM cand
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e eb ON eb.vec_id = id_b
+    WHERE {cosine_sql("ea.v", "eb.v", dim)} >= {threshold}
+    """
+
+
+@register("embedding_match_indexed", oracle=_embedding_match_oracle())
+def embedding_match_indexed(spark, sf_dir):
+    """Incremental EMBEDDING near-dup against a PERSISTED LSH index —
+    the semantic-dedup daily-ingest shape: the stored corpus
+    (vec_id < 400) was banded ONCE under the seeded hyperplanes into
+    (id, band, chunk) bucket keys + a vector store; the incoming
+    batch (vec_id >= 400) bands only itself, equi-joins the stored
+    keys (hot stored buckets capped before the fan-out), and exact
+    cosine verifies the surviving candidates against the stored
+    vectors. Threshold 0.2 because the synthetic embeddings are
+    near-orthogonal (the embedding_dedup rationale). Oracle replays
+    planes, chunks, stored-member cap, and the cosine fold
+    bit-exact."""
+    import os
+
+    from mmlspark_spark.llm.dedup import EmbeddingDeduplicator
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dd = EmbeddingDeduplicator(idCol="vec_id", vecCol="embedding",
+                               threshold=0.2, method="lsh",
+                               numPlanes=16, bands=8)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"embdedup_{os.path.basename(sf_dir.rstrip('/'))}")
+    dd.save_index(emb.filter(F.col("vec_id") < 400), path)
+    out = dd.match_against_index(
+        dd.load_index(spark, path),
+        emb.filter(F.col("vec_id") >= 400))
+    return out.select("id_a", "id_b",
+                      F.round("cosine", 6).alias("cosine"))
 
 
 @register(

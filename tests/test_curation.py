@@ -1248,3 +1248,65 @@ def test_multimodal_fingerprint_index_lifecycle(spark, tmp_path):
             for r in dd.transform(base.unionByName(batch)).collect()
             if (r.doc_a >= 100) != (r.doc_b >= 100)}
     assert got == full
+
+
+def test_embedding_index_lifecycle(spark, tmp_path):
+    """Embedding LSH stored-index match: (batch, indexed) pairs must
+    equal the in-memory LSH transform over the union restricted to
+    mixed pairs (same seeded planes both ways); append grows the
+    artifact; grid/dim mismatches refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mmlspark_spark.llm.dedup import EmbeddingDeduplicator
+
+    rng = np.random.default_rng(73)
+    x = rng.normal(size=(30, 16))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    base = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    # batch: slightly perturbed copies of base 0..4 + fresh vectors
+    batch_rows = [(100 + i,
+                   [float(v) for v in
+                    (x[i] + 0.05 * rng.normal(size=16))])
+                  for i in range(5)] + \
+                 [(200 + i, [float(v) for v in x[20 + i]])
+                  for i in range(5)] if len(x) >= 25 else []
+    batch = spark.createDataFrame(batch_rows,
+                                  "vec_id long, embedding array<double>")
+
+    dd = EmbeddingDeduplicator(idCol="vec_id", vecCol="embedding",
+                               threshold=0.5, method="lsh",
+                               numPlanes=16, bands=8,
+                               maxBucketSize=None)
+    p = str(tmp_path / "emb_idx")
+    dd.save_index(base, p)
+    got = {(r.id_a, r.id_b): round(r.cosine, 6)
+           for r in dd.match_against_index(
+               dd.load_index(spark, p), batch).collect()}
+    assert got and all(a >= 100 and b < 100 for a, b in got)
+
+    full = {(max(r.id_a, r.id_b), min(r.id_a, r.id_b)):
+            round(r.cosine, 6)
+            for r in dd.transform(base.unionByName(batch)).collect()
+            if (r.id_a >= 100) != (r.id_b >= 100)}
+    assert got == full
+
+    dd.append_to_index(batch, p)
+    batch2 = spark.createDataFrame(
+        [(300, batch_rows[0][1])], "vec_id long, embedding array<double>")
+    got2 = {(r.id_a, r.id_b) for r in dd.match_against_index(
+        dd.load_index(spark, p), batch2).collect()}
+    assert (300, 100) in got2  # identical vector to the appended doc
+
+    with _pytest.raises(ValueError, match="grid"):
+        EmbeddingDeduplicator(idCol="vec_id", vecCol="embedding",
+                              numPlanes=32, bands=8,
+                              method="lsh").load_index(spark, p)
+    short = batch2.select("vec_id",
+                          F.slice("embedding", 1, 8).alias("embedding"))
+    with _pytest.raises(ValueError, match="dim"):
+        dd.match_against_index(dd.load_index(spark, p), short)
+    with _pytest.raises(ValueError, match="lsh"):
+        EmbeddingDeduplicator(method="exact").save_index(base, p)
