@@ -585,22 +585,49 @@ class FingerprintIndexMixin:
 
         from mmlspark_spark.llm.export import _fs_write_text
 
+        if mode == "append":
+            raise ValueError(
+                "save_index(mode='append') would rewrite the manifest "
+                "without checking the existing artifact — use "
+                "append_to_index for incremental growth")
         self.fingerprints(docs).write.mode(mode).parquet(
             f"{path}/fingerprints")
         _fs_write_text(docs.sparkSession,
                        f"{path}/_fp_index_manifest.json",
-                       _json.dumps({"version": 1}))
+                       _json.dumps({"version": 1,
+                                    "family": type(self).__name__}))
+
+    def _check_manifest(self, spark, path: str) -> None:
+        """Refuse a cross-FAMILY artifact: every fingerprint family
+        stores the same (id, long) shape, so appending audio
+        fingerprints onto a SimHash text index would succeed silently
+        and poison every later match — the manifest pins the class
+        that built the artifact."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(
+            _fs_read_text(spark, f"{path}/_fp_index_manifest.json"))
+        fam = man.get("family")
+        if fam is not None and fam != type(self).__name__:
+            raise ValueError(
+                f"fingerprint index at {path} was built by {fam}; "
+                f"this is a {type(self).__name__} — fingerprints from "
+                f"different families are incomparable")
 
     def append_to_index(self, new_docs: DataFrame, path: str) -> None:
         """Grow the artifact: fingerprint ONLY the new rows
-        (map-side, shuffle-free) and append."""
+        (map-side, shuffle-free) and append. Refuses a cross-family
+        artifact (and a missing one — a typo'd path would otherwise
+        half-create a manifest-less index that only fails at load
+        time)."""
+        self._check_manifest(new_docs.sparkSession, path)
         self.fingerprints(new_docs).write.mode("append").parquet(
             f"{path}/fingerprints")
 
     def load_index(self, spark, path: str) -> dict:
-        from mmlspark_spark.llm.export import _fs_read_text
-
-        _fs_read_text(spark, f"{path}/_fp_index_manifest.json")
+        self._check_manifest(spark, path)
         return {"fingerprints":
                 spark.read.parquet(f"{path}/fingerprints")}
 
@@ -954,6 +981,43 @@ class EmbeddingDeduplicator(Transformer):
                 f"signatures under a different grid are incomparable")
         return man
 
+    def _require_lsh(self, what: str) -> None:
+        """The stored index IS the LSH candidate generator — an
+        'exact'-configured deduplicator silently getting LSH-recall
+        screening from it would betray the caller's semantics, so
+        EVERY lifecycle entry point refuses (not just save)."""
+        if self.method != "lsh":
+            raise ValueError(
+                f"{what} requires method='lsh' — the exact path has "
+                f"no candidate-generation artifact")
+
+    def _write_index_rows(self, docs: DataFrame, path: str, dim: int,
+                          mode: str) -> None:
+        """Write (vectors, buckets) for ``docs`` — ONE source pass:
+        buckets band the vectors READ BACK from the just-written
+        artifact (deterministic planes, so identical to banding the
+        source — the MinHash save pattern), and the bucket rows
+        repartition by the high-cardinality id (the chunk key has
+        only 2^(numPlanes/bands) values — 4 at the default grid —
+        which would serialize the write onto 4 tasks however big the
+        corpus), with sortWithinPartitions keeping (band, chunk)
+        row-group locality inside each file."""
+        (docs.select(F.col(self.idCol).alias("__id"),
+                     F.col(self.vecCol).alias("__vec"))
+         .write.mode(mode).parquet(f"{path}/vectors"))
+        saved = (docs.sparkSession.read.parquet(f"{path}/vectors")
+                 .select(F.col("__id").alias(self.idCol),
+                         F.col("__vec").alias(self.vecCol)))
+        if mode == "append":
+            # the read-back holds old + new; band only the new rows
+            # (anti-join on id would re-read everything new_docs-sized
+            # anyway — and ids are the caller's uniqueness contract)
+            saved = docs
+        (self._banded_keys(saved, dim)
+         .repartition(F.col("__id"))
+         .sortWithinPartitions("__band", "__chunk")
+         .write.mode(mode).parquet(f"{path}/buckets"))
+
     def save_index(self, docs: DataFrame, path: str,
                    mode: str = "overwrite") -> None:
         """Persist the embedding near-dup index (LSH method only):
@@ -967,18 +1031,14 @@ class EmbeddingDeduplicator(Transformer):
         from mmlspark_spark.functions.vector import vector_dim
         from mmlspark_spark.llm.export import _fs_write_text
 
-        if self.method != "lsh":
+        self._require_lsh("save_index")
+        if mode == "append":
             raise ValueError(
-                "save_index requires method='lsh' — the exact path "
-                "has no candidate-generation artifact to persist")
+                "save_index(mode='append') would rewrite the manifest "
+                "without checking the existing artifact's grid — use "
+                "append_to_index for incremental growth")
         dim = vector_dim(docs, self.vecCol)
-        (docs.select(F.col(self.idCol).alias("__id"),
-                     F.col(self.vecCol).alias("__vec"))
-         .write.mode(mode).parquet(f"{path}/vectors"))
-        (self._banded_keys(docs, dim)
-         .repartition(F.col("__chunk"))
-         .sortWithinPartitions("__band", "__chunk")
-         .write.mode(mode).parquet(f"{path}/buckets"))
+        self._write_index_rows(docs, path, dim, mode)
         _fs_write_text(docs.sparkSession,
                        f"{path}/_emb_index_manifest.json",
                        _json.dumps({**self._grid(dim), "version": 1}))
@@ -989,21 +1049,17 @@ class EmbeddingDeduplicator(Transformer):
         a grid/dim mismatch."""
         from mmlspark_spark.functions.vector import vector_dim
 
+        self._require_lsh("append_to_index")
         man = self._check_manifest(new_docs.sparkSession, path)
         dim = vector_dim(new_docs, self.vecCol)
         if dim != man["dim"]:
             raise ValueError(
                 f"new vectors have dim {dim}, index at {path} holds "
                 f"dim {man['dim']}")
-        (new_docs.select(F.col(self.idCol).alias("__id"),
-                         F.col(self.vecCol).alias("__vec"))
-         .write.mode("append").parquet(f"{path}/vectors"))
-        (self._banded_keys(new_docs, dim)
-         .repartition(F.col("__chunk"))
-         .sortWithinPartitions("__band", "__chunk")
-         .write.mode("append").parquet(f"{path}/buckets"))
+        self._write_index_rows(new_docs, path, dim, "append")
 
     def load_index(self, spark, path: str) -> dict:
+        self._require_lsh("load_index")
         man = self._check_manifest(spark, path)
         return {"vectors": spark.read.parquet(f"{path}/vectors"),
                 "buckets": spark.read.parquet(f"{path}/buckets"),
@@ -1024,6 +1080,7 @@ class EmbeddingDeduplicator(Transformer):
             vector_dim,
         )
 
+        self._require_lsh("match_against_index")
         dim = vector_dim(new_docs, self.vecCol)
         if dim != index["dim"]:
             raise ValueError(

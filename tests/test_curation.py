@@ -1272,7 +1272,7 @@ def test_embedding_index_lifecycle(spark, tmp_path):
                     (x[i] + 0.05 * rng.normal(size=16))])
                   for i in range(5)] + \
                  [(200 + i, [float(v) for v in x[20 + i]])
-                  for i in range(5)] if len(x) >= 25 else []
+                  for i in range(5)]
     batch = spark.createDataFrame(batch_rows,
                                   "vec_id long, embedding array<double>")
 
@@ -1310,3 +1310,42 @@ def test_embedding_index_lifecycle(spark, tmp_path):
         dd.match_against_index(dd.load_index(spark, p), short)
     with _pytest.raises(ValueError, match="lsh"):
         EmbeddingDeduplicator(method="exact").save_index(base, p)
+
+
+def test_fingerprint_index_family_guard(spark, tmp_path):
+    """Cross-family fingerprint artifacts refuse: both families store
+    the same (id, long) shape, so without the manifest pin an audio
+    append onto a text-SimHash index would silently poison every
+    later match. Exact-configured embedding deduplicators refuse the
+    LSH lifecycle outright."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm.dedup import (
+        EmbeddingDeduplicator,
+        SimHashDeduplicator,
+    )
+    from mmlspark_spark.llm.multimodal_dedup import (
+        AudioFingerprintDeduplicator,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text {i} about things") for i in range(5)],
+        "doc_id long, text string")
+    p = str(tmp_path / "sh_family")
+    sh = SimHashDeduplicator()
+    sh.save_index(docs, p)
+    audio = AudioFingerprintDeduplicator(idCol="doc_id",
+                                         audioCol="audio")
+    with _pytest.raises(ValueError, match="famil|incomparable"):
+        audio.load_index(spark, p)
+    with _pytest.raises(ValueError, match="famil|incomparable"):
+        audio.append_to_index(docs, p)
+    with _pytest.raises(ValueError, match="append_to_index"):
+        sh.save_index(docs, p, mode="append")
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="lsh"):
+        EmbeddingDeduplicator(method="exact").match_against_index(
+            {"dim": 2}, emb)
