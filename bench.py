@@ -227,6 +227,37 @@ def main() -> None:
     # Warm the JVM + parquet footers with one cheap action.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Host-load calibration (round-12): three rounds of driver-run
+    # numbers drifted up purely with host load (r11: +24% uniform
+    # inflation at load 9.4 on byte-identical plans; re-measured
+    # 8.74 s at load <3 this round vs the 12.02 driver number). The
+    # bench cannot refuse to run on a busy host, so it ANNOTATES
+    # instead: tpch_q6 — a tiny pure scan-agg whose quiet-host steady
+    # state is pinned below — is timed best-of-3 in-session, and the
+    # ratio against the pinned reference scales the headline total
+    # for cross-round comparison. load_inflated flags a start load
+    # ≥ 3 (1-min average) so a contaminated run is machine-readable,
+    # not narrative.
+    CAL_QUIET_REF = 0.30  # tpch_q6 steady-state sec, load < 1, sf0.1
+    cal_samples = []
+    cal_spec = CATALOG.get("tpch_q6")
+    if cal_spec is not None and abs(sf - 0.1) < 1e-9:
+        for _ in range(3):
+            elapsed, _n = _time_once(cal_spec, spark, sf_dir)
+            cal_samples.append(elapsed)
+    calibration = None
+    if cal_samples:
+        cal_best = min(cal_samples)
+        calibration = {
+            "query": "tpch_q6",
+            "best": round(cal_best, 3),
+            "quiet_ref": CAL_QUIET_REF,
+            "ratio": round(cal_best / CAL_QUIET_REF, 2),
+        }
+        print(f"# calibration tpch_q6: {calibration['best']}s "
+              f"(quiet ref {CAL_QUIET_REF}s, ratio "
+              f"{calibration['ratio']})", file=sys.stderr)
+
     # Steady-state methodology: each query reports its best-of-N — the
     # first execution of a plan shape pays one-off JIT /
     # codegen-compile / broadcast-thread costs that are not properties
@@ -344,7 +375,13 @@ def main() -> None:
         # 1-min load average at start/end: external (non-bench) load
         # inflates timings 30-45% — a contaminated run documents itself
         "load_avg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
+        # start load ≥ 3 means another workload was already running
+        # when the bench began: timings are inflated, compare via the
+        # calibration ratio, not raw seconds
+        "load_inflated": load_start >= 3.0,
     }
+    if calibration is not None:
+        payload["calibration"] = calibration
     if serving is not None:
         payload["serving"] = serving
     if curation:

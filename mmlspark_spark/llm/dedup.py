@@ -26,6 +26,14 @@ from mmlspark_spark.core.cache import (
 )
 from mmlspark_spark.functions.keys import content_hash128
 from mmlspark_spark.functions.text_quality import tokens, word_shingles
+from mmlspark_spark.llm.index_common import (
+    _add_tombstones,
+    _clear_tombstones,
+    _drop_tombstoned,
+    _read_tombstones,
+    _refuse_tombstoned_append,
+    _replace_flat_store,
+)
 from mmlspark_spark.operators.scale import spread_narrow_scan as _spread_narrow_scan
 
 
@@ -391,8 +399,14 @@ class MinHashLSHDeduplicator(Transformer):
         the appended index equals matching against a fresh index over
         the unioned corpus (pinned in tests). Refuses a hash-grid
         mismatch — mixed-grid signatures in one artifact would be
-        silent garbage that load_index can no longer detect."""
+        silent garbage that load_index can no longer detect — and
+        refuses ids with a pending tombstone (the appended rows would
+        be masked at read time and deleted by the next compaction;
+        compact first, then re-append)."""
         self._check_manifest(new_docs.sparkSession, path)
+        _refuse_tombstoned_append(
+            new_docs.select(F.col(self.idCol)), path, self.idCol,
+            "MinHashLSHDeduplicator.append_to_index")
         sigs_new = persist_intermediate(self.signatures(new_docs))
         try:
             sigs_new.write.mode("append").parquet(f"{path}/signatures")
@@ -411,7 +425,39 @@ class MinHashLSHDeduplicator(Transformer):
         est_jaccard garbage."""
         self._check_manifest(spark, path)
         return {"signatures": spark.read.parquet(f"{path}/signatures"),
-                "buckets": spark.read.parquet(f"{path}/buckets")}
+                "buckets": spark.read.parquet(f"{path}/buckets"),
+                "tombstones": _read_tombstones(spark, path)}
+
+    def delete_from_index(self, ids: DataFrame, path: str,
+                          idCol: str | None = None) -> None:
+        """Tombstone ids in a :meth:`save_index` artifact (takedowns —
+        the missing half of the append-only near-dup story):
+        metadata-only until :meth:`compact_index`;
+        :meth:`match_against_index` masks tombstoned ids at read time.
+        Unknown ids are a no-op."""
+        _add_tombstones(ids, path, idCol or self.idCol)
+
+    def compact_index(self, spark, path: str) -> int:
+        """Physically remove tombstoned docs from both stores and
+        clear the tombstone set: signatures and bucket keys are
+        rewritten minus the dead ids through the shared staging+rename
+        swap (never a half-written only copy), keeping save_index's
+        bandhash-clustered bucket layout. Match results are identical
+        before and after (pinned in tests). Returns docs removed."""
+        ts = _read_tombstones(spark, path)
+        if ts is None:
+            return 0
+        sigs = spark.read.parquet(f"{path}/signatures")
+        before = sigs.count()
+        _replace_flat_store(
+            _drop_tombstoned(sigs, ts, "__id"), f"{path}/signatures")
+        keep_b = (_drop_tombstoned(
+            spark.read.parquet(f"{path}/buckets"), ts, "__id")
+            .repartition(F.col("__bandhash"))
+            .sortWithinPartitions("__band", "__bandhash"))
+        _replace_flat_store(keep_b, f"{path}/buckets")
+        _clear_tombstones(spark, path)
+        return before - spark.read.parquet(f"{path}/signatures").count()
 
     def match_against_index(self, index: dict,
                             new_docs: DataFrame) -> DataFrame:
@@ -443,7 +489,12 @@ class MinHashLSHDeduplicator(Transformer):
             sigs_new = persist_intermediate(sigs_new)
             cached.append(sigs_new)
         nb = self._banded(sigs_new)
-        stored = index["buckets"]
+        # tombstoned ids are masked from the bucket store BEFORE the
+        # cap count — a deleted doc must neither surface as doc_b nor
+        # count toward a bucket's hot-member total (matching equals a
+        # fresh index over the surviving corpus, pinned in tests)
+        stored = _drop_tombstoned(index["buckets"],
+                                  index.get("tombstones"), "__id")
         touched = stored.join(
             nb.select("__band", "__bandhash").distinct(),
             ["__band", "__bandhash"], "left_semi")
@@ -621,15 +672,44 @@ class FingerprintIndexMixin:
         (map-side, shuffle-free) and append. Refuses a cross-family
         artifact (and a missing one — a typo'd path would otherwise
         half-create a manifest-less index that only fails at load
-        time)."""
+        time) and refuses ids with a pending tombstone (the appended
+        rows would be masked at read time and deleted by the next
+        compaction; compact first, then re-append)."""
         self._check_manifest(new_docs.sparkSession, path)
+        _refuse_tombstoned_append(
+            new_docs.select(F.col(self.idCol)), path, self.idCol,
+            f"{type(self).__name__}.append_to_index")
         self.fingerprints(new_docs).write.mode("append").parquet(
             f"{path}/fingerprints")
 
     def load_index(self, spark, path: str) -> dict:
         self._check_manifest(spark, path)
         return {"fingerprints":
-                spark.read.parquet(f"{path}/fingerprints")}
+                spark.read.parquet(f"{path}/fingerprints"),
+                "tombstones": _read_tombstones(spark, path)}
+
+    def delete_from_index(self, ids: DataFrame, path: str,
+                          idCol: str | None = None) -> None:
+        """Tombstone ids in a :meth:`save_index` artifact —
+        metadata-only until :meth:`compact_index`;
+        :meth:`match_against_index` masks tombstoned ids at read
+        time. Unknown ids are a no-op."""
+        _add_tombstones(ids, path, idCol or self.idCol)
+
+    def compact_index(self, spark, path: str) -> int:
+        """Physically remove tombstoned fingerprints and clear the
+        tombstone set, through the shared staging+rename swap (never
+        a half-written only copy). Returns rows removed."""
+        ts = _read_tombstones(spark, path)
+        if ts is None:
+            return 0
+        fps = spark.read.parquet(f"{path}/fingerprints")
+        before = fps.count()
+        _replace_flat_store(_drop_tombstoned(fps, ts, "__id"),
+                            f"{path}/fingerprints")
+        _clear_tombstones(spark, path)
+        return before - spark.read.parquet(
+            f"{path}/fingerprints").count()
 
     def match_against_index(self, index: dict,
                             new_rows: DataFrame) -> DataFrame:
@@ -638,10 +718,15 @@ class FingerprintIndexMixin:
         maxHammingDistance) — the batch fingerprints map-side, its
         bit-slice chunks equi-join the stored fingerprints' chunks,
         hot stored buckets are capped before the fan-out (touched
-        buckets only). Within-batch duplicates stay with
-        ``transform`` on the batch (the two compose)."""
+        buckets only). Tombstoned ids are masked BEFORE banding, so
+        they neither surface nor count toward the bucket cap (equals
+        a fresh index over the survivors, pinned in tests).
+        Within-batch duplicates stay with ``transform`` on the batch
+        (the two compose)."""
+        stored = _drop_tombstoned(index["fingerprints"],
+                                  index.get("tombstones"), "__id")
         return _hamming_band_match(
-            index["fingerprints"], self.fingerprints(new_rows),
+            stored, self.fingerprints(new_rows),
             self.bands, self.maxHammingDistance, self.maxBucketSize)
 
 
@@ -1002,21 +1087,34 @@ class EmbeddingDeduplicator(Transformer):
         which would serialize the write onto 4 tasks however big the
         corpus), with sortWithinPartitions keeping (band, chunk)
         row-group locality inside each file."""
-        (docs.select(F.col(self.idCol).alias("__id"),
-                     F.col(self.vecCol).alias("__vec"))
-         .write.mode(mode).parquet(f"{path}/vectors"))
-        saved = (docs.sparkSession.read.parquet(f"{path}/vectors")
-                 .select(F.col("__id").alias(self.idCol),
-                         F.col("__vec").alias(self.vecCol)))
+        rows = docs.select(F.col(self.idCol).alias("__id"),
+                           F.col(self.vecCol).alias("__vec"))
+        cached = None
         if mode == "append":
-            # the read-back holds old + new; band only the new rows
-            # (anti-join on id would re-read everything new_docs-sized
-            # anyway — and ids are the caller's uniqueness contract)
-            saved = docs
-        (self._banded_keys(saved, dim)
-         .repartition(F.col("__id"))
-         .sortWithinPartitions("__band", "__chunk")
-         .write.mode(mode).parquet(f"{path}/buckets"))
+            # append cannot use the overwrite path's read-back (the
+            # stored dir holds old + new), so the input evaluates for
+            # BOTH writes — persist the (id, vec) projection so a
+            # nondeterministic source (sample/limit/uncached shuffle)
+            # cannot leave the vectors and bucket stores inconsistent
+            rows = persist_intermediate(rows)
+            cached = rows
+        try:
+            rows.write.mode(mode).parquet(f"{path}/vectors")
+            if mode == "append":
+                saved = rows.select(F.col("__id").alias(self.idCol),
+                                    F.col("__vec").alias(self.vecCol))
+            else:
+                saved = (docs.sparkSession.read
+                         .parquet(f"{path}/vectors")
+                         .select(F.col("__id").alias(self.idCol),
+                                 F.col("__vec").alias(self.vecCol)))
+            (self._banded_keys(saved, dim)
+             .repartition(F.col("__id"))
+             .sortWithinPartitions("__band", "__chunk")
+             .write.mode(mode).parquet(f"{path}/buckets"))
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
     def save_index(self, docs: DataFrame, path: str,
                    mode: str = "overwrite") -> None:
@@ -1046,7 +1144,9 @@ class EmbeddingDeduplicator(Transformer):
     def append_to_index(self, new_docs: DataFrame, path: str) -> None:
         """Grow the artifact: band ONLY the new vectors (the planes
         are fixed by the seed, so appended == fresh exactly). Refuses
-        a grid/dim mismatch."""
+        a grid/dim mismatch, and refuses ids with a pending tombstone
+        (the appended rows would be masked at read time and deleted
+        by the next compaction; compact first, then re-append)."""
         from mmlspark_spark.functions.vector import vector_dim
 
         self._require_lsh("append_to_index")
@@ -1056,6 +1156,9 @@ class EmbeddingDeduplicator(Transformer):
             raise ValueError(
                 f"new vectors have dim {dim}, index at {path} holds "
                 f"dim {man['dim']}")
+        _refuse_tombstoned_append(
+            new_docs.select(F.col(self.idCol)), path, self.idCol,
+            "EmbeddingDeduplicator.append_to_index")
         self._write_index_rows(new_docs, path, dim, "append")
 
     def load_index(self, spark, path: str) -> dict:
@@ -1063,7 +1166,40 @@ class EmbeddingDeduplicator(Transformer):
         man = self._check_manifest(spark, path)
         return {"vectors": spark.read.parquet(f"{path}/vectors"),
                 "buckets": spark.read.parquet(f"{path}/buckets"),
-                "dim": int(man["dim"])}
+                "dim": int(man["dim"]),
+                "tombstones": _read_tombstones(spark, path)}
+
+    def delete_from_index(self, ids: DataFrame, path: str,
+                          idCol: str | None = None) -> None:
+        """Tombstone ids in a :meth:`save_index` artifact —
+        metadata-only until :meth:`compact_index`;
+        :meth:`match_against_index` masks tombstoned ids at read
+        time. Unknown ids are a no-op."""
+        self._require_lsh("delete_from_index")
+        _add_tombstones(ids, path, idCol or self.idCol)
+
+    def compact_index(self, spark, path: str) -> int:
+        """Physically remove tombstoned docs from both stores
+        (vectors + hyperplane bucket keys) and clear the tombstone
+        set, through the shared staging+rename swap (never a
+        half-written only copy); the bucket rewrite keeps
+        save_index's id-partitioned, (band, chunk)-sorted layout.
+        Returns docs removed."""
+        self._require_lsh("compact_index")
+        ts = _read_tombstones(spark, path)
+        if ts is None:
+            return 0
+        vecs = spark.read.parquet(f"{path}/vectors")
+        before = vecs.count()
+        _replace_flat_store(_drop_tombstoned(vecs, ts, "__id"),
+                            f"{path}/vectors")
+        keep_b = (_drop_tombstoned(
+            spark.read.parquet(f"{path}/buckets"), ts, "__id")
+            .repartition(F.col("__id"))
+            .sortWithinPartitions("__band", "__chunk"))
+        _replace_flat_store(keep_b, f"{path}/buckets")
+        _clear_tombstones(spark, path)
+        return before - spark.read.parquet(f"{path}/vectors").count()
 
     def match_against_index(self, index: dict,
                             new_docs: DataFrame) -> DataFrame:
@@ -1087,7 +1223,11 @@ class EmbeddingDeduplicator(Transformer):
                 f"query vectors have dim {dim}, stored index holds "
                 f"dim {index['dim']}")
         nb = self._banded_keys(new_docs, dim)
-        stored = index["buckets"]
+        # tombstoned ids are masked from the bucket store BEFORE the
+        # cap count — a deleted doc must neither surface as id_b nor
+        # count toward a bucket's hot-member total
+        stored = _drop_tombstoned(index["buckets"],
+                                  index.get("tombstones"), "__id")
         touched = stored.join(
             nb.select("__band", "__chunk").distinct(),
             ["__band", "__chunk"], "left_semi")

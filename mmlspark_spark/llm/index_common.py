@@ -1,0 +1,117 @@
+"""Shared persistence mechanics for every stored index in the engine
+(ANN code/vector stores, MinHash/fingerprint/embedding near-dup
+artifacts, BM25 postings): the tombstone delete lifecycle and the
+crash-safer flat-store rewrite.
+
+Delete model (the Lucene/faiss ``remove_ids`` shape): deletes are
+metadata until compaction — ``delete_from_index`` appends ids to
+``{path}/tombstones``, every search/match lane masks them with an
+anti-join at read time, and ``compact_index`` physically rewrites the
+stores minus the dead rows and clears the set. A takedown on a 100 TB
+index is therefore one tiny parquet append, not a store rewrite; the
+rewrite happens once, when the operator chooses to pay for it.
+
+Flat-store compaction writes through a staging directory and swaps via
+rename (survivors → ``<store>__staging``; old store → ``<store>__old``;
+staging → store; delete old), so a failure mid-write leaves either the
+intact old store or both copies on disk — never a half-written only
+copy. Rename is atomic on HDFS-like stores; on object stores it is a
+copy, but the old data still exists until the final delete, so the
+recovery property (some complete copy always present) holds there too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark, path: str):
+    """(fs, Path-class) for ``path``'s scheme via the Hadoop FS API —
+    works on every store the index itself can live on."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return (jpath.getFileSystem(spark._jsc.hadoopConfiguration()),
+            jvm.org.apache.hadoop.fs.Path)
+
+
+def _add_tombstones(ids: DataFrame, path: str, idCol: str) -> None:
+    """Append an id set to ``{path}/tombstones`` — the delete
+    mechanism every append-only index needs (takedowns, dedup
+    survivors): deletes are metadata until compaction, so a delete
+    never rewrites the (large) code/vector/postings store."""
+    (ids.select(F.col(idCol).alias("id")).distinct()
+     .write.mode("append").parquet(f"{path}/tombstones"))
+
+
+def _read_tombstones(spark, path: str) -> DataFrame | None:
+    """The live tombstone id set, or None when nothing was deleted.
+    Existence is probed through the Hadoop FS API (works on every
+    scheme the index itself can live on)."""
+    fs, P = _hadoop_fs(spark, f"{path}/tombstones")
+    if not fs.exists(P(f"{path}/tombstones")):
+        return None
+    return (spark.read.parquet(f"{path}/tombstones")
+            .select("id").distinct())
+
+
+def _clear_tombstones(spark, path: str) -> None:
+    fs, P = _hadoop_fs(spark, f"{path}/tombstones")
+    fs.delete(P(f"{path}/tombstones"), True)
+
+
+def _drop_tombstoned(df: DataFrame, tombstones: DataFrame | None,
+                     idCol: str) -> DataFrame:
+    """Anti-join a stored frame against the tombstone set — the
+    read-time mask that makes deletes visible before compaction."""
+    if tombstones is None:
+        return df
+    return df.join(tombstones.withColumnRenamed("id", idCol),
+                   idCol, "left_anti")
+
+
+def _refuse_tombstoned_append(new_ids: DataFrame, path: str,
+                              idCol: str, what: str) -> None:
+    """The re-insert-after-delete contract, enforced: appending an id
+    with a PENDING tombstone would leave the new row masked at read
+    time and DELETED by the next compaction — silent data loss wearing
+    an append's clothes. Every ``append_to_*index`` calls this first
+    and raises, pointing at compaction; the check is one semi-join
+    count proportional to the (small) tombstone set, nothing at all
+    when no deletes are pending."""
+    ts = _read_tombstones(new_ids.sparkSession, path)
+    if ts is None:
+        return
+    hit = (ts.join(new_ids.select(F.col(idCol).alias("id")).distinct(),
+                   "id", "left_semi").limit(1).count())
+    if hit:
+        raise ValueError(
+            f"{what}: the batch contains ids with pending tombstones "
+            f"at {path} — the appended rows would be masked now and "
+            f"deleted at the next compaction. Run compact_index first, "
+            f"then re-append")
+
+
+def _replace_flat_store(keep: DataFrame, store_path: str) -> None:
+    """Rewrite a flat (non-partitioned) parquet store with ``keep``
+    via staging + rename swap, so no failure point leaves the store's
+    ONLY copy half-written: survivors land in ``<store>__staging``
+    first; the old directory is moved aside, the staging directory
+    renamed into place, and only then is the old copy deleted. A crash
+    before the first rename keeps the old store untouched; between the
+    renames, the complete staging copy is on disk; after, only the
+    delete of the obsolete copy remains."""
+    spark = keep.sparkSession
+    staging, old = f"{store_path}__staging", f"{store_path}__old"
+    fs, P = _hadoop_fs(spark, store_path)
+    # stale leftovers from an earlier crash must not poison the swap
+    fs.delete(P(staging), True)
+    fs.delete(P(old), True)
+    keep.write.mode("overwrite").parquet(staging)
+    if not fs.rename(P(store_path), P(old)):
+        raise IOError(f"could not stage out {store_path}")
+    if not fs.rename(P(staging), P(store_path)):
+        # roll back: put the old store back so the index stays live
+        fs.rename(P(old), P(store_path))
+        raise IOError(f"could not swap {staging} into {store_path}")
+    fs.delete(P(old), True)

@@ -42,6 +42,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mmlspark_spark.functions.text_quality import pinned_tokens
+from mmlspark_spark.llm.index_common import (
+    _add_tombstones,
+    _clear_tombstones,
+    _drop_tombstoned,
+    _hadoop_fs,
+    _read_tombstones,
+    _refuse_tombstoned_append,
+    _replace_flat_store,
+)
 
 
 class BM25Retriever:
@@ -168,19 +177,48 @@ class BM25Retriever:
                      (F.sum("__dl").cast("double")
                       / F.count("*")).alias("__avgdl")))
 
+    def _doclens(self, docs: DataFrame) -> DataFrame:
+        """(__doc, __dl) — one row per indexable document, INCLUDING
+        zero-token docs (non-null text, no tokens), which have no
+        posting rows but do count toward N/avgdl. This per-doc frame
+        is what makes DELETION exact: compaction subtracts the dead
+        docs' (count, Σdl) from the stored stats, which is impossible
+        to reconstruct from postings alone once a zero-token doc is
+        involved."""
+        return (docs.filter(F.col(self.textCol).isNotNull())
+                .select(F.col(self.idCol).alias("__doc"),
+                        F.size(pinned_tokens(self.textCol))
+                        .alias("__dl")))
+
+    @staticmethod
+    def _stats_from_doclens(doclens: DataFrame) -> DataFrame:
+        """The one-row (N, Σdl, avgdl) frame aggregated from a doclens
+        frame — the IDENTICAL integer aggregate + single IEEE division
+        :meth:`_stats` performs directly on docs, so stats derived
+        from the stored doclens equal a fresh build bit-for-bit."""
+        return doclens.agg(
+            F.count("*").alias("__N"),
+            F.sum("__dl").cast("bigint").alias("__sumdl"),
+            (F.sum("__dl").cast("double") / F.count("*"))
+            .alias("__avgdl"))
+
     def _index_frames(self, docs: DataFrame,
-                      post: DataFrame | None = None):
+                      post: DataFrame | None = None,
+                      stats: DataFrame | None = None):
         """(postings, dfreq, stats, cached) — the logical index build
         shared by :meth:`search` and :meth:`save_index`. ``dfreq``
         carries the maxDfRatio stopword cut when configured; ``cached``
         holds persist handles the caller must attach/release. ``post``
         lets a caller that already built (term, doc, tf, dl) — e.g. a
         positions-enabled save deriving tf from the positional
-        postings — skip the second corpus tokenize pass."""
+        postings — skip the second corpus tokenize pass; ``stats``
+        lets save_index derive the corpus scalars from its stored
+        doclens instead of a third pass."""
         if post is None:
             post = self.postings(docs)
         dfreq = post.groupBy("__t").agg(F.count("*").alias("__df"))
-        stats = self._stats(docs)
+        if stats is None:
+            stats = self._stats(docs)
         cached: list[DataFrame] = []
         if self.maxDfRatio is not None:
             # the stats subtree is a full corpus tokenize pass and
@@ -265,7 +303,12 @@ class BM25Retriever:
           the stopword cut is baked into the stored postings (smaller
           index, bounded join fan-out forever after).
         - ``{path}/dfreq`` — per-term document frequency (pruned).
-        - ``{path}/stats`` — the one-row (N, avgdl) frame.
+        - ``{path}/stats`` — the one-row (N, Σdl, avgdl) frame.
+        - ``{path}/doclens`` — (doc, dl), one row per indexed doc
+          INCLUDING zero-token docs: the per-doc ledger that makes
+          :meth:`compact_index` exact (stats subtraction) — without
+          it a deleted zero-token doc's N contribution is
+          unrecoverable from postings.
         - ``{path}/positions`` (``positions=True``) — the
           phrase-capable positional postings (term, doc, dl, sorted
           0-based offsets), term-clustered like the tf postings
@@ -296,15 +339,22 @@ class BM25Retriever:
             post_src = pos.select(
                 "__t", "__doc", "__dl",
                 F.size("__positions").cast("bigint").alias("__tf"))
-        post, dfreq, stats, cached = self._index_frames(docs,
-                                                        post=post_src)
+        # doclens first: stats then derive from the READ-BACK ledger
+        # (identical integers → identical division, and the stats
+        # pass over docs is replaced, not added — still one
+        # tokenize-for-stats pass per save)
+        self._doclens(docs).write.mode(mode).parquet(f"{path}/doclens")
+        stats_src = self._stats_from_doclens(
+            docs.sparkSession.read.parquet(f"{path}/doclens"))
+        post, dfreq, stats, cached = self._index_frames(
+            docs, post=post_src, stats=stats_src)
         # post is the full corpus tokenize/explode pass and has 2-3
         # consumers below (the postings write, dfreq's groupBy, and
         # the pruning join when maxDfRatio is set) — persist it so the
-        # corpus is tokenized ONCE per save, not per write (the stats
-        # write is its own one-pass aggregate; it must stay derived
-        # from docs, not postings, because zero-token documents have
-        # no posting rows but DO count toward N/avgdl)
+        # corpus is tokenized ONCE per save, not per write (stats
+        # derive from the stored doclens ledger, never from postings:
+        # zero-token documents have no posting rows but DO count
+        # toward N/avgdl — and doclens is what makes deletion exact)
         post = persist_intermediate(post)
         try:
             if self.maxDfRatio is not None:
@@ -348,7 +398,10 @@ class BM25Retriever:
         postings using the old N — terms crossing the threshold in
         either direction cannot be reconstructed without the original
         corpus; rebuild instead) and pre-``__sumdl`` stats rows (the
-        exact sum cannot be recovered from avgdl·N)."""
+        exact sum cannot be recovered from avgdl·N). Also refuses ids
+        with a pending tombstone — the appended postings would be
+        masked at read time and deleted by the next compaction
+        (compact first, then re-append)."""
         import json as _json
 
         from mmlspark_spark.core.cache import persist_intermediate
@@ -369,6 +422,16 @@ class BM25Retriever:
             raise ValueError(
                 f"BM25 index at {path} predates exact-append stats "
                 f"(no __sumdl); re-save the index once to upgrade")
+        _refuse_tombstoned_append(
+            new_docs.select(F.col(self.idCol)), path, self.idCol,
+            "BM25Retriever.append_to_index")
+        # extend the per-doc ledger when the artifact carries one
+        # (post-doclens saves); pre-doclens artifacts stay pre-doclens
+        # — compact_index refuses them with the re-save pointer
+        fs, P = _hadoop_fs(spark, f"{path}/doclens")
+        if fs.exists(P(f"{path}/doclens")):
+            self._doclens(new_docs).write.mode("append").parquet(
+                f"{path}/doclens")
 
         pos = None
         post_src = None
@@ -397,13 +460,13 @@ class BM25Retriever:
                 pos.unpersist()
 
         # df over the MERGED postings: same aggregate a fresh build
-        # runs, but its input is the index, not the corpus.
-        # localCheckpoint cuts lineage so the overwrite does not read
-        # from the path it writes (dfreq is vocabulary-sized).
+        # runs, but its input is the index, not the corpus (the
+        # staging+rename swap replaces the old localCheckpoint —
+        # crash-safer AND reads/writes stay on disjoint paths).
         merged = spark.read.parquet(f"{path}/postings")
-        dfreq = (merged.groupBy("__t")
-                 .agg(F.count("*").alias("__df")).localCheckpoint())
-        dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
+        _replace_flat_store(
+            merged.groupBy("__t").agg(F.count("*").alias("__df")),
+            f"{path}/dfreq")
 
         # stats: exact integer extension, then ONE double division —
         # the identical IEEE op a fresh build performs on the same
@@ -412,10 +475,11 @@ class BM25Retriever:
         new = self._stats(new_docs).first()
         n = int(old["__N"]) + int(new["__N"])
         sumdl = int(old["__sumdl"] or 0) + int(new["__sumdl"] or 0)
-        spark.createDataFrame(
-            [(n, sumdl, float(sumdl) / n if n else None)],
-            "__N bigint, __sumdl bigint, __avgdl double"
-        ).write.mode("overwrite").parquet(f"{path}/stats")
+        _replace_flat_store(
+            spark.createDataFrame(
+                [(n, sumdl, float(sumdl) / n if n else None)],
+                "__N bigint, __sumdl bigint, __avgdl double"),
+            f"{path}/stats")
 
     def load_index(self, spark, path: str) -> dict:
         """Read a :meth:`save_index` artifact back as the frame dict
@@ -439,17 +503,114 @@ class BM25Retriever:
                 f"into the stored postings)")
         index = {"post": spark.read.parquet(f"{path}/postings"),
                  "dfreq": spark.read.parquet(f"{path}/dfreq"),
-                 "stats": spark.read.parquet(f"{path}/stats")}
+                 "stats": spark.read.parquet(f"{path}/stats"),
+                 "tombstones": _read_tombstones(spark, path)}
         if man.get("positions"):
             index["positions"] = spark.read.parquet(f"{path}/positions")
         return index
+
+    def delete_from_index(self, ids: DataFrame, path: str,
+                          idCol: str | None = None) -> None:
+        """Tombstone doc ids in a :meth:`save_index` artifact
+        (takedowns): metadata-only until :meth:`compact_index`. Both
+        search lanes mask tombstoned docs at read time, so a deleted
+        doc NEVER surfaces — but, exactly like Lucene's deleted-docs
+        model, the corpus statistics (df, N, avgdl) still include the
+        dead docs until compaction, so surviving docs' scores shift
+        only then. Unknown ids are a no-op."""
+        _add_tombstones(ids, path, idCol or self.idCol)
+
+    def compact_index(self, spark, path: str) -> int:
+        """Physically remove tombstoned docs and clear the tombstone
+        set — after this, scores equal a fresh build over the
+        surviving corpus bit-for-bit (pinned in tests): postings /
+        positions / doclens are rewritten minus the dead docs through
+        the staging+rename swap (term-clustered layout preserved),
+        document frequency is re-aggregated from the compacted
+        postings (index-sized, never a corpus re-tokenize), and the
+        one-row stats subtract the dead docs' exact (count, Σdl) from
+        the stored integers before the single IEEE division.
+
+        Refuses two artifact shapes where exact compaction is
+        impossible: ``maxDfRatio`` indexes (the stopword cut already
+        discarded postings under the OLD corpus size — a fresh build
+        over the survivors would cut a different term set; rebuild
+        instead) and pre-``doclens`` artifacts (a deleted zero-token
+        doc's N contribution is unrecoverable from postings; re-save
+        once to upgrade). Returns docs removed."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(
+            _fs_read_text(spark, f"{path}/_bm25_manifest.json"))
+        if man.get("maxDfRatio") is not None:
+            raise ValueError(
+                f"BM25 index at {path} was built with maxDfRatio="
+                f"{man['maxDfRatio']}: the stopword cut discarded "
+                f"postings under the old corpus size, so a compacted "
+                f"index cannot equal a fresh build over the "
+                f"survivors — rebuild with save_index instead")
+        ts = _read_tombstones(spark, path)
+        if ts is None:
+            return 0
+        fs, P = _hadoop_fs(spark, f"{path}/doclens")
+        if not fs.exists(P(f"{path}/doclens")):
+            raise ValueError(
+                f"BM25 index at {path} predates the doclens ledger — "
+                f"exact stats subtraction needs per-doc lengths; "
+                f"re-save the index once to upgrade")
+        doclens = spark.read.parquet(f"{path}/doclens")
+        dead = doclens.join(ts.withColumnRenamed("id", "__doc"),
+                            "__doc", "left_semi").agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("__dl").cast("bigint"), F.lit(0))
+            .alias("s")).first()
+        dead_n, dead_s = int(dead["n"]), int(dead["s"])
+        if dead_n == 0:
+            _clear_tombstones(spark, path)
+            return 0
+        keep_post = (_drop_tombstoned(
+            spark.read.parquet(f"{path}/postings"), ts, "__doc")
+            .repartition(F.col("__t")).sortWithinPartitions("__t"))
+        _replace_flat_store(keep_post, f"{path}/postings")
+        if man.get("positions"):
+            keep_pos = (_drop_tombstoned(
+                spark.read.parquet(f"{path}/positions"), ts, "__doc")
+                .repartition(F.col("__t"))
+                .sortWithinPartitions("__t", "__doc"))
+            _replace_flat_store(keep_pos, f"{path}/positions")
+        _replace_flat_store(_drop_tombstoned(doclens, ts, "__doc"),
+                            f"{path}/doclens")
+        # df from the COMPACTED postings — the same aggregate a fresh
+        # build runs, input is the index (never a corpus re-tokenize)
+        _replace_flat_store(
+            spark.read.parquet(f"{path}/postings")
+            .groupBy("__t").agg(F.count("*").alias("__df")),
+            f"{path}/dfreq")
+        old = spark.read.parquet(f"{path}/stats").first()
+        n = int(old["__N"]) - dead_n
+        sumdl = int(old["__sumdl"] or 0) - dead_s
+        _replace_flat_store(
+            spark.createDataFrame(
+                [(n, sumdl, float(sumdl) / n if n else None)],
+                "__N bigint, __sumdl bigint, __avgdl double"),
+            f"{path}/stats")
+        _clear_tombstones(spark, path)
+        return dead_n
 
     def search_with_index(self, index: dict,
                           queries: DataFrame) -> DataFrame:
         """BM25 top-k against a loaded :meth:`load_index` artifact —
         identical scores to :meth:`search` on the source corpus
-        (round-trip pinned in tests), zero tokenize passes."""
-        return self._score(index["post"], index["dfreq"],
+        (round-trip pinned in tests), zero tokenize passes.
+        Tombstoned docs are masked out of the postings before
+        scoring, so they never surface; per the Lucene deleted-docs
+        model, df/N/avgdl keep counting them until
+        :meth:`compact_index`."""
+        post = _drop_tombstoned(index["post"],
+                                index.get("tombstones"), "__doc")
+        return self._score(post, index["dfreq"],
                            index["stats"], queries)
 
     def phrase_search_with_index(self, index: dict,
@@ -467,7 +628,9 @@ class BM25Retriever:
                 "BM25 index was saved without positions=True — "
                 "phrase search needs positional postings; re-save "
                 "the index with positions=True")
-        return self._phrase_score(index["positions"], phrases)
+        pos = _drop_tombstoned(index["positions"],
+                               index.get("tombstones"), "__doc")
+        return self._phrase_score(pos, phrases)
 
 
 def reciprocal_rank_fusion(rankings: list[DataFrame], k: int = 60,

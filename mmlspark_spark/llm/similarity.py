@@ -25,6 +25,17 @@ from pyspark.sql.window import Window
 
 from mmlspark_spark.functions.vector import cosine_similarity, vector_dim
 
+# Tombstone lifecycle + crash-safer flat rewrites are shared with the
+# dedup/BM25 index families — one delete model across every stored
+# index in the engine (see index_common's module docstring).
+from mmlspark_spark.llm.index_common import (
+    _add_tombstones,
+    _clear_tombstones,
+    _drop_tombstoned,
+    _read_tombstones,
+    _refuse_tombstoned_append,
+    _replace_flat_store,
+)
 
 _MAX_QUERY_ROWS = 1_000_000  # broadcast/collect query lanes refuse beyond
 
@@ -46,45 +57,6 @@ def _check_query_size(queries: DataFrame, what: str,
             "it is broadcast to every executor by design; batch the "
             "queries, raise maxQueries deliberately, or flip the "
             "frames (index the queries, stream the corpus)")
-
-
-def _add_tombstones(ids: DataFrame, path: str, idCol: str) -> None:
-    """Append an id set to ``{path}/tombstones`` — the delete
-    mechanism every append-only ANN index needs (takedowns, dedup
-    survivors): deletes are metadata until compaction, so a delete
-    never rewrites the (large) code/vector store."""
-    (ids.select(F.col(idCol).alias("id")).distinct()
-     .write.mode("append").parquet(f"{path}/tombstones"))
-
-
-def _read_tombstones(spark, path: str) -> DataFrame | None:
-    """The live tombstone id set, or None when nothing was deleted.
-    Existence is probed through the Hadoop FS API (works on every
-    scheme the index itself can live on)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return None
-    return (spark.read.parquet(f"{path}/tombstones")
-            .select("id").distinct())
-
-
-def _clear_tombstones(spark, path: str) -> None:
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jpath, True)
-
-
-def _drop_tombstoned(df: DataFrame, tombstones: DataFrame | None,
-                     idCol: str) -> DataFrame:
-    """Anti-join the stored corpus against the tombstone set — the
-    read-time mask that makes deletes visible before compaction."""
-    if tombstones is None:
-        return df
-    return df.join(tombstones.withColumnRenamed("id", idCol),
-                   idCol, "left_anti")
 
 
 def _compact_cells(spark, store_path: str, ts: DataFrame,
@@ -160,17 +132,29 @@ def search_in_query_chunks(search_fn, queries: DataFrame, idCol: str,
     grid."""
     if chunkRows < 1:
         raise ValueError(f"chunkRows={chunkRows} must be >= 1")
+    from mmlspark_spark.core.cache import (
+        attach_intermediates,
+        persist_intermediate,
+    )
+
+    # the sizing count + every per-chunk filter re-evaluates the query
+    # frame (nch+1 passes) — an expensive upstream query plan would
+    # multiply by the chunk count; persist for the loop's duration
+    # (the count materializes it), released by the caller via
+    # release_intermediates like every other persisted intermediate
+    queries = persist_intermediate(queries)
     n = queries.count()
     nch = -(-n // chunkRows) if n else 1  # ceil
     if nch <= 1:
-        return search_fn(queries)
+        return attach_intermediates(search_fn(queries), queries)
     chunk = F.pmod(F.xxhash64(F.col(idCol).cast("string")),
                    F.lit(nch))
     from functools import reduce
 
-    return reduce(DataFrame.unionByName,
-                  [search_fn(queries.filter(chunk == i))
-                   for i in range(nch)])
+    out = reduce(DataFrame.unionByName,
+                 [search_fn(queries.filter(chunk == i))
+                  for i in range(nch)])
+    return attach_intermediates(out, queries)
 
 
 def _maybe_chunk_queries(obj, queries: DataFrame, fn) -> DataFrame:
@@ -648,7 +632,13 @@ class IVFKNN:
         grow — so search results over the appended index equal a
         fresh index over the unioned corpus exactly (pinned in
         tests). Duplicate ids are the caller's contract, as with any
-        append-only store."""
+        append-only store — EXCEPT ids with a pending tombstone,
+        which are refused (the appended rows would be masked at read
+        time and deleted by the next compaction — silent data loss;
+        compact first, then re-append)."""
+        _refuse_tombstoned_append(
+            new_data.select(F.col(self.idCol)), path, self.idCol,
+            "IVFKNN.append_to_index")
         spark = new_data.sparkSession
         assigned = self.assign_corpus(
             new_data, spark.read.parquet(f"{path}/centroids"))
@@ -1085,17 +1075,19 @@ class PQKNN:
         """Physically remove tombstoned codes and clear the tombstone
         set. The flat PQ code table has no cell partitioning to
         prune, so compaction rewrites the code store — still M ints
-        per vector, never the float corpus. Returns rows removed."""
+        per vector, never the float corpus — through the shared
+        staging+rename swap, so a failure mid-compaction never leaves
+        the codes' only copy half-written. Returns rows removed."""
         ts = _read_tombstones(spark, path)
         if ts is None:
             return 0
         codes = spark.read.parquet(f"{path}/codes")
         before = codes.count()
-        keep = (codes.join(ts.withColumnRenamed("id", "vec_id"),
-                           "vec_id", "left_anti").localCheckpoint())
-        keep.write.mode("overwrite").parquet(f"{path}/codes")
+        keep = codes.join(ts.withColumnRenamed("id", "vec_id"),
+                          "vec_id", "left_anti")
+        _replace_flat_store(keep, f"{path}/codes")
         _clear_tombstones(spark, path)
-        return before - keep.count()
+        return before - spark.read.parquet(f"{path}/codes").count()
 
     def search_with_index(self, index: dict,
                           queries: DataFrame) -> DataFrame:
@@ -1355,8 +1347,42 @@ class PQKNN:
         are fixed at save time — the faiss operating model — so
         search over the appended index equals a fresh index over the
         unioned corpus exactly (pinned in tests). Duplicate ids are
-        the caller's contract, as with any append-only store."""
+        the caller's contract, as with any append-only store — EXCEPT
+        ids with a pending tombstone, which are refused (the new rows
+        would be masked now and deleted at the next compaction; see
+        :func:`index_common._refuse_tombstoned_append`).
+
+        Validates the stored manifest first, like every sibling
+        appender: a retriever with a different M, or a batch whose
+        vectors have a different dim, would silently append
+        mis-encoded codes (a dim mismatch zip_with-null-pads the
+        residuals) while the manifest still advertises the old
+        geometry — corrupting the artifact for every later load."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
         spark = new_data.sparkSession
+        man = _json.loads(
+            _fs_read_text(spark, f"{path}/_ivfpq_manifest.json"))
+        if man.get("M") != self.M:
+            raise ValueError(
+                f"IVFPQ index at {path} was encoded with "
+                f"M={man.get('M')}; this retriever has M={self.M} — "
+                f"appended codes would mis-decode")
+        # measure the BATCH's actual width (not self.dim, which a
+        # prior fit/save caches on the retriever and would hide a
+        # mis-shaped batch behind the remembered value)
+        first = new_data.select(F.size(self.vecCol)).first()
+        new_dim = int(first[0]) if first is not None else None
+        if new_dim is not None and man.get("dim") != new_dim:
+            raise ValueError(
+                f"new vectors have dim {new_dim}, IVFPQ index at "
+                f"{path} holds dim={man.get('dim')} residual codes — "
+                f"appending would null-pad residuals into garbage")
+        _refuse_tombstoned_append(
+            new_data.select(F.col(self.idCol)), path, self.idCol,
+            "append_to_ivfpq_index")
         codes = self.ivfpq_assign_encode(
             new_data, spark.read.parquet(f"{path}/centroids"),
             spark.read.parquet(f"{path}/codebooks"))
@@ -1757,17 +1783,19 @@ class ScalarQuantizerKNN:
         set. The SQ code table is flat (no cell partitioning to
         prune), so compaction rewrites the whole code store — still
         codes, never floats, so the rewrite is 1/8th the bytes of the
-        source corpus at bits=8. Returns rows removed."""
+        source corpus at bits=8 — through the shared staging+rename
+        swap, so a failure mid-compaction never leaves the codes' only
+        copy half-written. Returns rows removed."""
         ts = _read_tombstones(spark, path)
         if ts is None:
             return 0
         codes = spark.read.parquet(f"{path}/codes")
         before = codes.count()
-        keep = (codes.join(ts.withColumnRenamed("id", "vec_id"),
-                           "vec_id", "left_anti").localCheckpoint())
-        keep.write.mode("overwrite").parquet(f"{path}/codes")
+        keep = codes.join(ts.withColumnRenamed("id", "vec_id"),
+                          "vec_id", "left_anti")
+        _replace_flat_store(keep, f"{path}/codes")
         _clear_tombstones(spark, path)
-        return before - keep.count()
+        return before - spark.read.parquet(f"{path}/codes").count()
 
     def search_with_index(self, index: dict,
                           queries: DataFrame) -> DataFrame:

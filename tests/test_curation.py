@@ -1349,3 +1349,135 @@ def test_fingerprint_index_family_guard(spark, tmp_path):
     with _pytest.raises(ValueError, match="lsh"):
         EmbeddingDeduplicator(method="exact").match_against_index(
             {"dim": 2}, emb)
+
+
+def test_neardup_index_delete_and_compact(spark, tmp_path):
+    """The delete half of the near-dup index lifecycle (round-12
+    counterpart of the ANN tombstone tests in test_nn): for MinHash,
+    SimHash and embedding-LSH artifacts alike, delete_from_index is
+    metadata-only, match_against_index masks tombstoned ids (pairs ==
+    a fresh index over the surviving corpus), appending a tombstoned
+    id refuses (re-insert contract), compact_index physically removes
+    the dead rows without changing match results, and a cleared
+    tombstone set means later appends of those ids succeed."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mmlspark_spark.core.cache import release_intermediates
+    from mmlspark_spark.llm.dedup import (
+        EmbeddingDeduplicator,
+        MinHashLSHDeduplicator,
+        SimHashDeduplicator,
+    )
+
+    def pairs(df, a="doc_a", b="doc_b"):
+        rows = sorted((r[a], r[b]) for r in df.collect())
+        release_intermediates(df)
+        return rows
+
+    # ---- MinHash ----
+    base_rows = [(i, f"the quick brown fox {i} jumps over the lazy "
+                     f"dog variant {i % 3} " * 3) for i in range(12)]
+    batch_rows = [(100 + i, base_rows[i][1].replace("quick", "rapid"))
+                  for i in range(4)]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows,
+                                  "doc_id long, text string")
+    dd = MinHashLSHDeduplicator(shingleSize=3, numHashes=16, bands=8,
+                                threshold=0.3, maxBucketSize=None)
+    p = str(tmp_path / "mh_del")
+    dd.save_index(base, p)
+    before = pairs(dd.match_against_index(dd.load_index(spark, p),
+                                          batch))
+    assert {b for _, b in before} >= {0, 1, 2, 3}
+    dead = spark.createDataFrame([(0,), (2,)], "doc_id long")
+    dd.delete_from_index(dead, p)
+    masked = pairs(dd.match_against_index(dd.load_index(spark, p),
+                                          batch))
+    assert masked == [t for t in before if t[1] not in (0, 2)]
+    # fresh index over the survivors — identical pairs
+    p_ref = str(tmp_path / "mh_ref")
+    dd.save_index(base.filter(~F.col("doc_id").isin(0, 2)), p_ref)
+    assert pairs(dd.match_against_index(dd.load_index(spark, p_ref),
+                                        batch)) == masked
+    # re-insert contract: a pending tombstone refuses the append
+    with _pytest.raises(ValueError, match="tombstone"):
+        dd.append_to_index(
+            spark.createDataFrame([(0, "anything")],
+                                  "doc_id long, text string"), p)
+    assert dd.compact_index(spark, p) == 2
+    assert dd.load_index(spark, p)["tombstones"] is None
+    assert pairs(dd.match_against_index(dd.load_index(spark, p),
+                                        batch)) == masked
+    # after compaction the id is free again
+    dd.append_to_index(
+        spark.createDataFrame([(0, base_rows[0][1])],
+                              "doc_id long, text string"), p)
+    assert (100, 0) in pairs(dd.match_against_index(
+        dd.load_index(spark, p), batch))
+
+    # ---- SimHash (FingerprintIndexMixin) ----
+    sbase = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 4} epsilon zeta eta "
+             f"theta {i % 3}") for i in range(12)],
+        "doc_id long, text string")
+    sbatch = spark.createDataFrame(
+        [(100 + i, f"alpha beta gamma delta {i % 4} epsilon zeta "
+                   f"eta theta {i % 3} extra") for i in range(4)],
+        "doc_id long, text string")
+    sh = SimHashDeduplicator(bands=4, maxHammingDistance=12,
+                             maxBucketSize=None)
+    ps = str(tmp_path / "sh_del")
+    sh.save_index(sbase, ps)
+    s_before = pairs(sh.match_against_index(sh.load_index(spark, ps),
+                                            sbatch))
+    s_dead = {b for _, b in s_before if b % 2 == 0}
+    assert s_dead
+    sh.delete_from_index(
+        spark.createDataFrame([(i,) for i in s_dead], "doc_id long"),
+        ps)
+    s_masked = pairs(sh.match_against_index(sh.load_index(spark, ps),
+                                            sbatch))
+    assert s_masked == [t for t in s_before if t[1] not in s_dead]
+    with _pytest.raises(ValueError, match="tombstone"):
+        sh.append_to_index(
+            spark.createDataFrame(
+                [(next(iter(s_dead)), "x")],
+                "doc_id long, text string"), ps)
+    assert sh.compact_index(spark, ps) == len(s_dead)
+    assert pairs(sh.match_against_index(sh.load_index(spark, ps),
+                                        sbatch)) == s_masked
+
+    # ---- Embedding LSH ----
+    rng = np.random.default_rng(91)
+    x = rng.normal(size=(16, 8))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    ebase = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    ebatch = spark.createDataFrame(
+        [(100 + i, [float(v) for v in x[i]]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    ed = EmbeddingDeduplicator(idCol="vec_id", vecCol="embedding",
+                               threshold=0.5, method="lsh",
+                               numPlanes=16, bands=8,
+                               maxBucketSize=None)
+    pe = str(tmp_path / "emb_del")
+    ed.save_index(ebase, pe)
+    e_before = pairs(ed.match_against_index(ed.load_index(spark, pe),
+                                            ebatch), "id_a", "id_b")
+    assert {(100 + i, i) for i in range(4)} <= set(e_before)
+    ed.delete_from_index(spark.createDataFrame([(1,), (3,)],
+                                               "vec_id long"), pe)
+    e_masked = pairs(ed.match_against_index(ed.load_index(spark, pe),
+                                            ebatch), "id_a", "id_b")
+    assert e_masked == [t for t in e_before if t[1] not in (1, 3)]
+    with _pytest.raises(ValueError, match="tombstone"):
+        ed.append_to_index(ebatch.filter(F.col("vec_id") == 100)
+                           .withColumn("vec_id", F.lit(1)), pe)
+    assert ed.compact_index(spark, pe) == 2
+    assert pairs(ed.match_against_index(ed.load_index(spark, pe),
+                                        ebatch),
+                 "id_a", "id_b") == e_masked
+    # vectors store physically shrank
+    assert spark.read.parquet(f"{pe}/vectors").count() == 10

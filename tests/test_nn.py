@@ -1177,3 +1177,68 @@ def test_empty_query_frames_return_empty(spark):
     cb = pq.fit_codebooks(data)
     assert pq.search_ivfpq(data, empty_q, cent, cb,
                            nProbe=2).count() == 0
+
+
+def test_ann_reinsert_after_delete_contract(spark, tmp_path):
+    """Round-12 contract fix: appending an id with a PENDING tombstone
+    is refused on both real ANN appenders (IVF and IVFPQ) — the new
+    row would be masked at read time and deleted by the next
+    compaction, i.e. silent data loss wearing an append's clothes.
+    After compaction the id is free again. The IVFPQ appender also
+    validates the stored manifest first (ADVICE r12): a retriever
+    with a different M, or a batch with a different dim, refuses
+    instead of silently appending mis-encoded codes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mmlspark_spark.llm.similarity import IVFKNN, PQKNN
+
+    rng = np.random.default_rng(59)
+    x = rng.normal(size=(80, 16))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<double>")
+    q = data.filter("vec_id < 3")
+    dead = spark.createDataFrame([(7,), (11,)], "vec_id long")
+    re7 = data.filter("vec_id = 7")
+
+    # ---- IVF ----
+    ivf = IVFKNN(k=3, nlist=4, nProbe=4)
+    cent = ivf.fit_centroids_df(data)
+    p = str(tmp_path / "ivf_re")
+    ivf.save_index(data.filter("vec_id != 7"), cent, p)
+    ivf.append_to_index(re7, p)      # no tombstones: append is free
+    ivf.delete_from_index(dead, p)
+    with _pytest.raises(ValueError, match="tombstone"):
+        ivf.append_to_index(re7, p)
+    ivf.compact_index(spark, p)
+    ivf.append_to_index(re7, p)      # compacted: id is free again
+    got = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p), q).collect()))
+    fresh = sorted(map(tuple, ivf.search_with_centroids(
+        data.filter("vec_id != 11"), q, cent).collect()))
+    assert got == fresh
+
+    # ---- IVFPQ: re-insert contract + append manifest guard ----
+    pq = PQKNN(k=3, M=4, K=8)
+    cb = pq.fit_codebooks(data)
+    p2 = str(tmp_path / "ivfpq_re")
+    pq.save_ivfpq_index(data.filter("vec_id != 7"), cent, cb, p2)
+    pq.delete_from_ivfpq_index(dead, p2)
+    with _pytest.raises(ValueError, match="tombstone"):
+        pq.append_to_ivfpq_index(re7, p2)
+    pq.compact_ivfpq_index(spark, p2)
+    pq.append_to_ivfpq_index(re7, p2)
+    got_pq = sorted(map(tuple, pq.search_ivfpq_with_index(
+        pq.load_ivfpq_index(spark, p2), q, nProbe=4).collect()))
+    fresh_pq = sorted(map(tuple, pq.search_ivfpq(
+        data.filter("vec_id != 11"), q, cent, cb, nProbe=4).collect()))
+    assert got_pq == fresh_pq
+
+    # geometry guards fire BEFORE any write corrupts the artifact
+    with _pytest.raises(ValueError, match="M="):
+        PQKNN(k=3, M=8, K=8).append_to_ivfpq_index(re7, p2)
+    short = re7.select("vec_id",
+                       F.slice("embedding", 1, 8).alias("embedding"))
+    with _pytest.raises(ValueError, match="dim"):
+        pq.append_to_ivfpq_index(short, p2)

@@ -402,3 +402,96 @@ def test_hybrid_rrf_from_stored_artifacts(spark, tmp_path):
         [sparse_mem.select("query_id", "doc_id", "rank"), dense_mem],
         k=60, topK=10).collect()))
     assert fused_idx == fused_mem and len(fused_idx) == 2 * 10
+
+
+def test_bm25_delete_and_compact(spark, tmp_path):
+    """BM25 delete lifecycle (the Lucene deleted-docs model): a
+    tombstoned doc never surfaces from either search lane; appending
+    a tombstoned id refuses; compact_index rewrites postings /
+    positions / doclens minus the dead docs, re-aggregates df from
+    the compacted postings and subtracts the dead docs' exact
+    (count, sum-dl) from stats — after which BOTH lanes are
+    bit-identical to a fresh build over the surviving corpus
+    (zero-token docs included: they have no postings but do count
+    toward N/avgdl, which only the doclens ledger can subtract).
+    maxDfRatio artifacts refuse compaction."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm import BM25Retriever
+
+    docs = spark.createDataFrame(
+        [(i, f"apple banana w{i % 7} cherry w{i % 3}")
+         for i in range(30)]
+        + [(97, "")] + [(98, None)],   # zero-token + null docs
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "apple w2"), (1, "cherry banana")],
+        "query_id long, query string")
+    phrases = spark.createDataFrame(
+        [(0, "apple banana")], "query_id long, query string")
+
+    bm = BM25Retriever(k=8)
+    p = str(tmp_path / "bm25_del")
+    bm.save_index(docs, p, positions=True)
+
+    dead_ids = [3, 7, 97]  # includes the zero-token doc
+    dead = spark.createDataFrame([(i,) for i in dead_ids],
+                                 "doc_id long")
+    bm.delete_from_index(dead, p)
+    idx = bm.load_index(spark, p)
+    masked = bm.search_with_index(idx, queries).collect()
+    masked_ph = bm.phrase_search_with_index(idx, phrases).collect()
+    assert masked and masked_ph
+    assert all(r.doc_id not in dead_ids for r in masked)
+    assert all(r.doc_id not in dead_ids for r in masked_ph)
+
+    with _pytest.raises(ValueError, match="tombstone"):
+        bm.append_to_index(
+            spark.createDataFrame([(3, "apple")],
+                                  "doc_id long, text string"), p)
+
+    # compact == fresh build over the survivors, bit-for-bit
+    assert bm.compact_index(spark, p) == 3
+    idx2 = bm.load_index(spark, p)
+    assert idx2["tombstones"] is None
+    compacted = sorted(map(tuple,
+                           bm.search_with_index(idx2, queries)
+                           .collect()))
+    compacted_ph = sorted(map(tuple, bm.phrase_search_with_index(
+        idx2, phrases).collect()))
+    surv = docs.filter(~F.col("doc_id").isin(dead_ids))
+    assert compacted == sorted(map(tuple,
+                                   bm.search(surv, queries).collect()))
+    assert compacted_ph == sorted(map(tuple, bm.phrase_search(
+        surv, phrases).collect()))
+    # stats subtracted exactly: N counts the null-text doc out, the
+    # zero-token doc's removal changed N but not sum-dl
+    st = spark.read.parquet(f"{p}/stats").first()
+    assert st["__N"] == 28 and st["__avgdl"] == st["__sumdl"] / 28
+    # after compaction the ids are free to re-append (kumquat is
+    # unique to the re-appended doc, so it MUST surface)
+    bm.append_to_index(
+        spark.createDataFrame([(3, "kumquat apple")],
+                              "doc_id long, text string"), p)
+    again = bm.search_with_index(
+        bm.load_index(spark, p),
+        spark.createDataFrame([(2, "kumquat")],
+                              "query_id long, query string"))
+    assert [r.doc_id for r in again.collect()] == [3]
+
+    # idempotent / empty cases: compacting with no tombstones is 0
+    assert bm.compact_index(spark, p) == 0
+    # tombstones naming only unknown ids clear without a rewrite
+    bm.delete_from_index(
+        spark.createDataFrame([(9999,)], "doc_id long"), p)
+    assert bm.compact_index(spark, p) == 0
+    assert bm.load_index(spark, p)["tombstones"] is None
+
+    # maxDfRatio artifacts refuse compaction (the cut already
+    # discarded postings under the old corpus size)
+    p2 = str(tmp_path / "bm25_pruned_del")
+    bm2 = BM25Retriever(k=8, maxDfRatio=0.6)
+    bm2.save_index(docs, p2)
+    bm2.delete_from_index(dead, p2)
+    with _pytest.raises(ValueError, match="maxDfRatio"):
+        bm2.compact_index(spark, p2)
