@@ -342,11 +342,15 @@ def main() -> None:
     ann_median: dict[str, float] = {}
     # round-11 additions: the persisted-artifact lifecycle lanes
     # (save+load+search in one timing — the index-once/search-many
-    # shape) and filtered IVF
+    # shape) and filtered IVF. round-12: the dedup families' stored
+    # match lanes (minhash/simhash/video _match_indexed) — the
+    # incremental-screening cost, i.e. the actual daily-ingest number
+    # for a near-dup pipeline, tracked per round alongside ANN
     for name in ("knn_pq_adc", "knn_ivfpq", "knn_sq8", "knn_matryoshka",
                  "knn_matryoshka_sq8", "knn_ivf", "bm25_search",
                  "dsir_select", "knn_ivfpq_indexed", "bm25_phrase_indexed",
-                 "knn_ivf_filtered"):
+                 "knn_ivf_filtered", "minhash_match_indexed",
+                 "simhash_match_indexed", "video_match_indexed"):
         spec = CATALOG.get(name)
         if spec is None:
             continue

@@ -59,6 +59,14 @@ from mmlspark_spark.llm.dedup import (
     FingerprintIndexMixin,
     _hamming_band_pairs,
 )
+from mmlspark_spark.llm.index_common import (
+    _add_tombstones,
+    _clear_tombstones,
+    _drop_tombstoned,
+    _read_tombstones,
+    _refuse_tombstoned_append,
+    _replace_flat_store,
+)
 
 DHASH_H, DHASH_W = 8, 8  # grid is DHASH_H rows × (DHASH_W + 1) cols
 
@@ -479,6 +487,181 @@ class VideoDHashDeduplicator(Transformer):
         idt = df.schema[id_col].dataType.simpleString()
         return df.select(id_col, vid_col).mapInPandas(
             run, f"__id {idt}, __fh long")
+
+    # ------------------------------------------------ index lifecycle
+    # The last near-dup family to get the stored-index shape (round
+    # 12): MinHash/SimHash/image/audio/embedding all screen a daily
+    # batch incrementally; without this, screening a new clip batch
+    # re-hashed the stored corpus's frames every time. The artifact is
+    # per-frame, not per-doc: ``{path}/frames`` (__id, __fh) — one row
+    # per DISTINCT frame hash per doc, 16 bytes each, fh-clustered for
+    # the match equi-join — plus ``{path}/sizes`` (__id, __n), the
+    # per-doc distinct-frame ledger that makes containment overlap
+    # (matches / min(|A|, |B|)) computable against the store without
+    # re-aggregating it (the BM25 doclens precedent: the denominator
+    # ledger rides with the index).
+
+    def save_index(self, docs: DataFrame, path: str,
+                   mode: str = "overwrite") -> None:
+        """Persist per-frame dHashes + the per-doc size ledger.
+        Reference parity note: the reference engine has no video
+        near-dup at all (engine extra); layout follows the engine's
+        own MinHash/fingerprint artifacts."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        if mode == "append":
+            raise ValueError(
+                "save_index(mode='append') would rewrite the manifest "
+                "without checking the existing artifact — use "
+                "append_to_index for incremental growth")
+        self._write_index_rows(docs, path, mode)
+        _fs_write_text(docs.sparkSession,
+                       f"{path}/_video_index_manifest.json",
+                       _json.dumps({"version": 1,
+                                    "family": type(self).__name__}))
+
+    def _write_index_rows(self, docs: DataFrame, path: str,
+                          mode: str) -> None:
+        """Write frames then derive sizes: the overwrite path reads
+        the just-written store back (frame hashing runs ONCE however
+        nondeterministic the input); append must size only the new
+        rows, so it persists the projection instead (the embedding
+        appender's pattern — two writes, one evaluation)."""
+        from mmlspark_spark.core.cache import persist_intermediate
+
+        fh = self.frame_hashes(docs)
+        cached = None
+        if mode == "append":
+            fh = persist_intermediate(fh)
+            cached = fh
+        try:
+            (fh.repartition(F.col("__fh"))
+             .sortWithinPartitions("__fh")
+             .write.mode(mode).parquet(f"{path}/frames"))
+            sized = (fh if mode == "append"
+                     else docs.sparkSession.read.parquet(
+                         f"{path}/frames"))
+            (sized.groupBy("__id").agg(F.count("*").alias("__n"))
+             .write.mode(mode).parquet(f"{path}/sizes"))
+        finally:
+            if cached is not None:
+                cached.unpersist()
+
+    def _check_manifest(self, spark, path: str) -> None:
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(_fs_read_text(
+            spark, f"{path}/_video_index_manifest.json"))
+        fam = man.get("family")
+        if fam is not None and fam != type(self).__name__:
+            raise ValueError(
+                f"video index at {path} was built by {fam}; this is "
+                f"a {type(self).__name__}")
+
+    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+        """Grow the artifact: frame-hash ONLY the new clips and append
+        to both stores. Refuses a missing/cross-family artifact and
+        ids with a pending tombstone (the appended rows would be
+        masked at read time and deleted by the next compaction;
+        compact first, then re-append)."""
+        self._check_manifest(new_docs.sparkSession, path)
+        _refuse_tombstoned_append(
+            new_docs.select(F.col(self.idCol)), path, self.idCol,
+            "VideoDHashDeduplicator.append_to_index")
+        self._write_index_rows(new_docs, path, "append")
+
+    def load_index(self, spark, path: str) -> dict:
+        self._check_manifest(spark, path)
+        return {"frames": spark.read.parquet(f"{path}/frames"),
+                "sizes": spark.read.parquet(f"{path}/sizes"),
+                "tombstones": _read_tombstones(spark, path)}
+
+    def delete_from_index(self, ids: DataFrame, path: str,
+                          idCol: str | None = None) -> None:
+        """Tombstone doc ids (takedowns) — metadata-only until
+        :meth:`compact_index`; :meth:`match_against_index` masks
+        tombstoned docs at read time. Unknown ids are a no-op."""
+        _add_tombstones(ids, path, idCol or self.idCol)
+
+    def compact_index(self, spark, path: str) -> int:
+        """Physically remove tombstoned docs from both stores and
+        clear the tombstone set, through the shared staging+rename
+        swap (never a half-written only copy); the frames rewrite
+        keeps the fh-clustered layout. Returns docs removed."""
+        ts = _read_tombstones(spark, path)
+        if ts is None:
+            return 0
+        sizes = spark.read.parquet(f"{path}/sizes")
+        before = sizes.count()
+        keep_f = (_drop_tombstoned(
+            spark.read.parquet(f"{path}/frames"), ts, "__id")
+            .repartition(F.col("__fh")).sortWithinPartitions("__fh"))
+        _replace_flat_store(keep_f, f"{path}/frames")
+        _replace_flat_store(_drop_tombstoned(sizes, ts, "__id"),
+                            f"{path}/sizes")
+        _clear_tombstones(spark, path)
+        return before - spark.read.parquet(f"{path}/sizes").count()
+
+    def match_against_index(self, index: dict,
+                            new_docs: DataFrame) -> DataFrame:
+        """Screen an incoming clip batch against the stored corpus
+        WITHOUT re-hashing it: the batch frame-hashes map-side, its
+        distinct hashes semi-join the stored frame store down to the
+        touched rows, hot frame hashes (a title card or black frame
+        shared by more than ``maxDocsPerFrameHash`` STORED docs) are
+        capped BEFORE the pair fan-out, then one equi-join + pair
+        count. Containment overlap uses the batch's own sizes and
+        the stored ledger — the stored corpus is never re-aggregated.
+        Tombstoned docs are masked from frames, sizes AND the cap
+        count, so matching equals a fresh index over the survivors
+        (pinned in tests). Returns (doc_a=batch, doc_b=stored,
+        matches, overlap >= minOverlap). Within-batch duplicates stay
+        with ``transform`` on the batch (the two compose)."""
+        from mmlspark_spark.core.cache import (
+            attach_intermediates,
+            persist_intermediate,
+        )
+
+        nf = self.frame_hashes(new_docs)
+        cached = []
+        if self.materialize:
+            # three consumers: the touched semi-join, the pair join,
+            # and the batch size aggregate
+            nf = persist_intermediate(nf)
+            cached.append(nf)
+        stored = _drop_tombstoned(index["frames"],
+                                  index.get("tombstones"), "__id")
+        touched = stored.join(nf.select("__fh").distinct(), "__fh",
+                              "left_semi")
+        cap = self.maxDocsPerFrameHash
+        if cap is not None:
+            ok_fh = (touched.groupBy("__fh")
+                     .agg(F.count("*").alias("__c"))
+                     .filter(F.col("__c") <= cap).select("__fh"))
+            touched = touched.join(ok_fh, "__fh", "left_semi")
+        pairs = (nf.select(F.col("__id").alias("doc_a"), "__fh")
+                 .join(touched.select(F.col("__id").alias("doc_b"),
+                                      "__fh"), "__fh")
+                 .filter(F.col("doc_a") != F.col("doc_b"))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("matches")))
+        na = (nf.groupBy("__id").agg(F.count("*").alias("__na"))
+              .withColumnRenamed("__id", "doc_a"))
+        nb = (_drop_tombstoned(index["sizes"],
+                               index.get("tombstones"), "__id")
+              .select(F.col("__id").alias("doc_b"),
+                      F.col("__n").alias("__nb")))
+        out = (pairs.join(na, "doc_a").join(nb, "doc_b")
+               .withColumn("overlap",
+                           F.col("matches").cast("double")
+                           / F.least("__na", "__nb"))
+               .filter(F.col("overlap") >= self.minOverlap)
+               .select("doc_a", "doc_b", "matches", "overlap"))
+        return attach_intermediates(out, *cached)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         from mmlspark_spark.core.cache import (

@@ -48,60 +48,46 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 
 
 # Driver correctness-checks a window of the first 50 entries of
-# queries(). Round-11 priority, in order of evidence need:
-# (a) queries whose CODE or ORACLE is NEW or changed this round:
-#     bpe_merges_small (the BPE merge loop unrolled into generated
-#     CTEs — rows-only family gains its oracled toy lane),
-#     bm25_phrase_indexed (phrase search from the persisted
-#     positional-postings artifact), knn_ivfpq_indexed (composed
-#     IVFADC save/load), knn_ivf_filtered (corpus predicate below
-#     assignment via the corpus_where _ivf_cte extension), plus every
-#     lane whose module code changed: knn_ivfpq (search_ivfpq
-#     refactored into assign_encode + probe), knn_bruteforce /
-#     knn_sq8 / knn_sq8_filtered (chunkQueries entry-path refactor),
-#     bm25_search / bm25_phrase_search / hybrid_rrf (retrieval.py
-#     positions persistence refactor);
-# (b) bpe_tokenize — the rows-only lane sits next to its new oracled
-#     sibling for a fresh driver row (last row r2-era);
-# (c) the advertised round-11 rotation backlog (r5/r6-green, oldest
-#     driver rows): semantic_dedup .. join_multi, then the oldest
-#     r5/r6/r7 blocks (dedup_resolve, SAR triple, cyber scalers,
-#     ML-metric lanes, zorder_key, the r7 curation batch,
-#     knn_ivf_pretrained), plus minhash_match_indexed (NEW:
-#     incremental near-dup against the persisted MinHash index —
-#     json_extract r7-green rotated out to make the slot) and
-#     simhash_match_indexed (NEW: stored-fingerprint match —
-#     knn_ivf_pretrained r9-green rotated out) and
-#     embedding_match_indexed (NEW: stored-LSH embedding match —
-#     domain_temperature_mix r9-green rotated out; all three
-#     rotated-out greens wait in the r12 backlog).
-# Rotated OUT (r10-green, waiting): knn_ivf, tabular_lime_exact,
-# knn_matryoshka_sq8, ann_recall, knn_pq_adc, knn_matryoshka,
-# dsir_select, dedup_recall, the rows-only sketch/ALS/LIME batch,
-# perplexity_prune .. embedding_dedup (all hash-green r10). Round-12
-# backlog: that set, then the never-rotated tpch/stages/multimodal
-# blocks (minhash_dedup, simhash_dedup, image/audio/video near-dup,
-# knn_lsh, knn_stage, text_featurize_pipeline, vw_featurizer,
-# unicode_normalize, isolation_forest, curation_pipeline,
-# corpus_report, tpch_q1..q22 remainder, select_project block).
+# queries(). Round-12 priority, in order of evidence need:
+# (a) queries whose CODE is NEW or changed this round:
+#     video_match_indexed (NEW: the last near-dup family's stored
+#     per-frame index — save/append/load/match + delete lifecycle),
+#     video_dhash_dedup (synthesis factored through the shared
+#     _planted_clips, expression-identical but re-verify),
+#     bm25_phrase_indexed (save_index now writes the doclens ledger
+#     and derives stats from it), minhash_match_indexed /
+#     simhash_match_indexed / embedding_match_indexed (match lanes
+#     now mask tombstones before the bucket caps);
+# (b) the stalest driver rows, oldest first — the entire r7-era block
+#     (corpus_report .. tpch_q8: 25 queries whose last driver green
+#     is round 7) and 19 of the r9 block (asof_join ..
+#     partition_ops_identity). The r11 window (new-lane + r5/r6
+#     blocks) is all r11-green and rotates out; the r10-green
+#     rotated-out set (knn_ivf, tabular_lime_exact, ann_recall,
+#     knn_pq_adc, knn_matryoshka*, dsir_select, dedup_recall,
+#     perplexity_prune .. embedding_dedup) plus the r9 remainder
+#     (pii_redact .. video_dhash_dedup block) form the r13 backlog.
+#     test_window_rotation_fairness (round 12) mechanizes this: an
+#     oracled query whose last driver green would fall more than 4
+#     rounds stale under the planned window fails the lint.
 _WINDOW_PRIORITY = (
-    "bpe_merges_small", "bm25_phrase_indexed", "knn_ivfpq_indexed",
-    "knn_ivf_filtered", "knn_ivfpq", "knn_bruteforce", "knn_sq8",
-    "knn_sq8_filtered", "bm25_search", "bm25_phrase_search",
-    "hybrid_rrf", "bpe_tokenize",
-    "semantic_dedup", "embedding_kmeans_assign", "text_metrics",
-    "date_featurize", "count_selector", "text_preprocessor",
-    "repetition_metrics", "heavy_hitters", "line_dedup",
-    "markup_strip", "scd2_merge", "funnel_steps",
-    "group_percentiles", "rolling_revenue", "pagerank", "join_multi",
-    "dedup_resolve", "sar_affinity", "sar_item_similarity",
-    "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
-    "id_indexer", "per_instance_log_loss", "ranking_metrics",
-    "featurize_numeric", "decontamination", "zorder_key",
-    "hash_split", "vocab_build", "chunk_overlap", "cdc_chunks",
-    "url_canonicalize", "winnow_fingerprint",
-    "embedding_match_indexed", "train_classifier_metrics",
+    "video_match_indexed", "video_dhash_dedup", "bm25_phrase_indexed",
     "minhash_match_indexed", "simhash_match_indexed",
+    "embedding_match_indexed",
+    "corpus_report", "curation_pipeline", "doc_fingerprint",
+    "embedding_covariance", "index_to_value_roundtrip",
+    "json_extract", "lang_id_heuristic", "model_statistics",
+    "quality_filter", "stratified_sample", "substring_dedup_spans",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q18", "tpch_q22",
+    "asof_join", "audio_fingerprint_dedup", "class_balancer",
+    "cube_counts", "domain_temperature_mix", "drop_missing",
+    "drop_rename", "ensemble_by_key", "explode_tokens",
+    "image_dhash_dedup", "isolation_forest", "knn_ivf_pretrained",
+    "knn_lsh", "knn_stage", "lambda_stage", "minhash_dedup",
+    "minibatch_roundtrip", "multi_column_adapter",
+    "partition_ops_identity",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside
@@ -3149,21 +3135,21 @@ def audio_fingerprint_dedup(spark, sf_dir):
         maxHammingDistance=6).transform(planted)
 
 
-def _video_dhash_oracle(minOverlap: float = 0.7) -> str:
-    """Replays video_dhash_dedup end-to-end: deterministic per-frame
-    8×9 grids (chained xxhash64 of (group, frame·72 + cell)), the
-    dHash bit rule and two's-complement assembly PER FRAME, distinct
-    frame-hash sets per doc, and the containment-overlap pair stage.
-    The oracle may self-join (declarative replay); the Spark path
-    uses capped hash buckets instead. All arithmetic is integer or
-    dyadic-rational (matches / 8), so the compare is exact."""
+def _video_fp_cte() -> str:
+    """The shared video-fingerprint replay fragment (CTEs ``d`` →
+    ``docfh`` → ``sizes``): deterministic per-frame 8×9 grids
+    (chained xxhash64 of (group, frame·72 + cell)), the dHash bit
+    rule and two's-complement assembly PER FRAME, distinct frame-hash
+    sets per doc and the per-doc size ledger. Reused by
+    video_dhash_dedup (full pair stage) and video_match_indexed
+    (batch-vs-stored stage) so the fingerprint replay cannot
+    diverge."""
     from mmlspark_spark.plans.duckdb_xxh import to_u64, xxh64_long
 
     inner = xxh64_long(to_u64("grp"), "42::HUGEINT", u="va")
     pix = (f"(({xxh64_long(to_u64('f*72 + r*9 + c'), 'gh', u='vb')})"
            f" % 256)")
-    return f"""
-    WITH d AS (
+    return f"""d AS (
       SELECT doc_id, doc_id % 25 AS grp, doc_id // 25 AS v
       FROM documents
     ), gh AS (
@@ -3189,7 +3175,17 @@ def _video_dhash_oracle(minOverlap: float = 0.7) -> str:
         ON p.grp = h.grp AND p.f BETWEEN h.v AND h.v + 7
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM docfh GROUP BY doc_id
-    ), pairs AS (
+    )"""
+
+
+def _video_dhash_oracle(minOverlap: float = 0.7) -> str:
+    """Replays video_dhash_dedup end-to-end over the shared
+    fingerprint fragment, then the containment-overlap pair stage.
+    The oracle may self-join (declarative replay); the Spark path
+    uses capped hash buckets instead. All arithmetic is integer or
+    dyadic-rational (matches / 8), so the compare is exact."""
+    return f"""
+    WITH {_video_fp_cte()}, pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(count(*) AS BIGINT) AS matches
       FROM docfh a JOIN docfh b
@@ -3205,21 +3201,15 @@ def _video_dhash_oracle(minOverlap: float = 0.7) -> str:
     """
 
 
-@register("video_dhash_dedup", oracle=_video_dhash_oracle())
-def video_dhash_dedup(spark, sf_dir):
-    """Frame-sampled video near-dup (VideoDHashDeduplicator, pure-
-    Catalyst grid lane): every doc is a synthetic 8-frame clip cut
-    from its group's virtual 27-frame reel at offset v = doc_id div
-    25 — adjacent offsets share 7 of 8 frames (overlap 0.875), two
-    apart share 6 (0.75), three+ fall below the 0.7 containment
-    threshold, so near, boundary and rejected pairs all occur. Frame
-    pixels are chained xxhash64 of (group, frame·72 + cell) mod 256
-    (power of two: signed pmod == unsigned mod). Per-frame dHash →
-    distinct-set explode → capped frame-hash buckets → pair counts →
-    containment filter, replayed exactly (all values integer or
-    dyadic)."""
-    from mmlspark_spark.llm import VideoDHashDeduplicator
-
+def _planted_clips(spark, sf_dir):
+    """The shared synthetic-clip frame: every doc is an 8-frame clip
+    cut from its group's virtual reel at offset v = doc_id div 25 —
+    adjacent offsets share 7 of 8 frames (overlap 0.875), two apart
+    share 6 (0.75), three+ fall below the 0.7 containment threshold,
+    so near, boundary and rejected pairs all occur. Frame pixels are
+    chained xxhash64 of (group, frame·72 + cell) mod 256 (power of
+    two: signed pmod == unsigned mod) — the Spark twin of
+    :func:`_video_fp_cte`'s pixel synthesis."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     grp = (F.col("doc_id") % 25).cast("long")
     v = F.expr("doc_id div 25")
@@ -3232,10 +3222,80 @@ def video_dhash_dedup(spark, sf_dir):
                          for r in range(8)])
 
     frames = F.transform(F.sequence(v, v + F.lit(7)), frame)
-    planted = docs.select("doc_id", frames.alias("clip"))
+    return docs.select("doc_id", frames.alias("clip"))
+
+
+@register("video_dhash_dedup", oracle=_video_dhash_oracle())
+def video_dhash_dedup(spark, sf_dir):
+    """Frame-sampled video near-dup (VideoDHashDeduplicator, pure-
+    Catalyst grid lane) over the shared synthetic clips: per-frame
+    dHash → distinct-set explode → capped frame-hash buckets → pair
+    counts → containment filter, replayed exactly (all values integer
+    or dyadic)."""
+    from mmlspark_spark.llm import VideoDHashDeduplicator
+
     return VideoDHashDeduplicator(
         idCol="doc_id", videoCol="clip",
-        minOverlap=0.7).transform(planted)
+        minOverlap=0.7).transform(_planted_clips(spark, sf_dir))
+
+
+def _video_match_oracle(minOverlap: float = 0.7, split: int = 400,
+                        cap: int = 1000) -> str:
+    """Replays VideoDHashDeduplicator.match_against_index over the
+    shared fingerprint fragment: stored docs are doc_id < split,
+    the batch is doc_id >= split; frame hashes held by more than
+    ``cap`` STORED docs are dropped before the pair stage (the
+    stored-member hot-frame cap — a title card must not explode the
+    fan-out); matches count shared distinct frame hashes; containment
+    overlap uses the batch's own sizes and the stored ledger."""
+    return f"""
+    WITH {_video_fp_cte()}, okfh AS (
+      SELECT fh FROM docfh WHERE doc_id < {split}
+      GROUP BY fh HAVING count(*) <= {cap}
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS matches
+      FROM docfh a
+      JOIN okfh o ON o.fh = a.fh
+      JOIN docfh b ON b.fh = a.fh
+      WHERE a.doc_id >= {split} AND b.doc_id < {split}
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, matches,
+           CAST(matches AS DOUBLE) / least(na.n, nb.n) AS overlap
+    FROM pairs
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(matches AS DOUBLE) / least(na.n, nb.n) >= {minOverlap}
+    """
+
+
+@register("video_match_indexed", oracle=_video_match_oracle())
+def video_match_indexed(spark, sf_dir):
+    """Incremental video near-dup against a PERSISTED per-frame dHash
+    index (round 12 — the LAST near-dup family to get the stored
+    lifecycle): docs < 400 save as the index (frames store,
+    fh-clustered, + per-doc size ledger), the batch (docs >= 400)
+    frame-hashes map-side, semi-joins the store down to touched
+    rows, hot stored frame hashes are capped before the fan-out, and
+    containment overlap reads the stored ledger — the stored corpus
+    is never re-hashed or re-aggregated. Oracle replays the
+    match-time semantics over the shared fingerprint fragment."""
+    import os
+
+    from mmlspark_spark.llm import VideoDHashDeduplicator
+
+    planted = _planted_clips(spark, sf_dir)
+    dd = VideoDHashDeduplicator(idCol="doc_id", videoCol="clip",
+                                minOverlap=0.7,
+                                maxDocsPerFrameHash=1000)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"video_{os.path.basename(sf_dir.rstrip('/'))}")
+    dd.save_index(planted.filter(F.col("doc_id") < 400), path)
+    return dd.match_against_index(
+        dd.load_index(spark, path),
+        planted.filter(F.col("doc_id") >= 400))
 
 
 def _dsir_oracle(B: int = 1024, k: int = 150, seed: int = 7) -> str:

@@ -17,6 +17,7 @@ from mmlspark_spark.streaming.serving import (
     serving_sink,
 )
 from mmlspark_spark.streaming.stateful import (
+    neardup_screen_foreach_batch,
     streaming_dedup,
     streaming_dedup_against_registry,
 )
@@ -24,6 +25,7 @@ from mmlspark_spark.streaming.stateful import (
 __all__ = [
     "REQUEST_SCHEMA", "HTTPServingDataSource", "register_serving_source",
     "make_reply", "reply_batch", "serving_sink", "DistributedHTTPServer",
+    "neardup_screen_foreach_batch",
     "streaming_dedup",
     "streaming_dedup_against_registry",
 ]

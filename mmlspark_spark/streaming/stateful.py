@@ -156,3 +156,69 @@ def streaming_dedup_against_registry(df: DataFrame, registry: DataFrame,
     return (d.join(reg, (F.col("__sk1") == F.col("__rk1"))
                    & (F.col("__sk2") == F.col("__rk2")), "left_anti")
             .drop("__sk1", "__sk2"))
+
+
+def neardup_screen_foreach_batch(dedup, path: str, idCol: str,
+                                 on_batch=None,
+                                 appendSurvivors: bool = True):
+    """The production ingest topology the stored-index match lanes
+    were built for, as ONE ``foreachBatch`` callable: each micro-batch
+    is screened against the persisted near-dup index at ``path``
+    (MinHash, SimHash/fingerprint, embedding or video — any family
+    exposing ``save_index / append_to_index / load_index /
+    match_against_index``), and the survivors (rows matching nothing
+    already indexed) are appended so LATER batches screen against
+    them. The first batch bootstraps the index with ``save_index``.
+
+    Per batch, ``on_batch(batch_id, pairs, survivors)`` receives the
+    flagged (new, indexed) pair frame and the surviving rows — route
+    them to quarantine/ingest sinks there. Pairs are eagerly
+    materialized (``localCheckpoint``) BEFORE the survivors append
+    mutates the store a lazy plan would otherwise re-read — the
+    read-from-own-write hazard every compaction lane in this engine
+    guards against.
+
+    State discipline at scale: there is NO Spark state store here —
+    dedup memory lives in the index artifact (signatures /
+    fingerprints / vectors on object storage, grown incrementally),
+    so the stream's footprint is one batch at a time however large
+    the screened history gets; the batch fingerprints only itself
+    (match-lane contract) and deletes/compaction run out-of-band via
+    the index's tombstone lanes.
+
+    Use with ``df.writeStream.foreachBatch(...)``::
+
+        screen = neardup_screen_foreach_batch(
+            MinHashLSHDeduplicator(...), "/idx/minhash", "doc_id",
+            on_batch=lambda bid, pairs, ok: ok.write...)
+        stream.writeStream.foreachBatch(screen).start()
+    """
+    from mmlspark_spark.core.cache import release_intermediates
+    from mmlspark_spark.llm.index_common import _hadoop_fs
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, P = _hadoop_fs(spark, path)
+        if not fs.exists(P(path)):
+            dedup.save_index(batch_df, path)
+            if on_batch is not None:
+                schema = dedup.transform_schema(batch_df.schema)
+                on_batch(batch_id,
+                         spark.createDataFrame([], schema), batch_df)
+            return
+        idx = dedup.load_index(spark, path)
+        raw = dedup.match_against_index(idx, batch_df)
+        pairs = raw.localCheckpoint()  # eager: see docstring
+        release_intermediates(raw)
+        # every match lane emits (batch id, stored id, ...) in that
+        # order; the first column is the batch side whatever the
+        # family names it (doc_a for text/video, id_a for embeddings)
+        flagged = (pairs.select(F.col(pairs.columns[0]).alias(idCol))
+                   .distinct())
+        survivors = batch_df.join(flagged, idCol, "left_anti")
+        if appendSurvivors:
+            dedup.append_to_index(survivors, path)
+        if on_batch is not None:
+            on_batch(batch_id, pairs, survivors)
+
+    return screen

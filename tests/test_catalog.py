@@ -361,3 +361,56 @@ def test_readme_counts_in_sync():
     m2 = re.search(r"the (\d+) remaining rows-only queries", readme)
     assert m2 and int(m2.group(1)) == n_rows_only, (
         f"README rows-only count != {n_rows_only}")
+
+
+def test_window_rotation_fairness():
+    """Mechanized rotation fairness (round 12): 154 queries cycle
+    through a 50-slot driver window, so a hand-curated priority list
+    can silently starve a query forever. Given the planned window and
+    the recorded driver history (CORRECTNESS_r*.json), no oracled
+    query may go more than K=4 rounds without a driver row: each
+    round, last-green is either (this round, if windowed) or its
+    recorded best — if that would fall > K rounds stale, this lint
+    fails BEFORE the driver runs, naming the queries to rotate in."""
+    import glob
+    import json
+    import os
+    import re
+
+    from mmlspark_spark.plans.catalog import (
+        CATALOG,
+        _WINDOW_PRIORITY,
+        _ordered_specs,
+    )
+
+    K = 4
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    hist = {}
+    rounds = []
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds.append(r)
+        for q, v in json.load(open(f)).items():
+            if (isinstance(v, dict) and v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match") is not False):
+                hist[q] = max(hist.get(q, 0), r)
+    if not rounds:  # fresh checkout without driver history
+        return
+    this_round = max(rounds) + 1
+    window = {s.name for s in _ordered_specs()[:len(_WINDOW_PRIORITY)]}
+    stale = sorted(
+        q for q, spec in CATALOG.items()
+        if spec.oracle is not None and q not in window
+        and this_round - hist.get(q, this_round) > K)
+    assert not stale, (
+        f"rotation starvation: oracled queries whose last driver "
+        f"green is > {K} rounds old and NOT in the planned window — "
+        f"rotate them into _WINDOW_PRIORITY: {stale}")
+    # never-green oracled queries (new this round) must be windowed
+    never = sorted(q for q, spec in CATALOG.items()
+                   if spec.oracle is not None and q not in hist
+                   and q not in window)
+    assert not never, (
+        f"new oracled queries parked outside the window — they would "
+        f"never earn a driver row: {never}")

@@ -1481,3 +1481,100 @@ def test_neardup_index_delete_and_compact(spark, tmp_path):
                  "id_a", "id_b") == e_masked
     # vectors store physically shrank
     assert spark.read.parquet(f"{pe}/vectors").count() == 10
+
+
+def test_video_index_lifecycle(spark, tmp_path):
+    """Round-12: the LAST near-dup family gets the stored-index
+    lifecycle. match_against_index over a saved per-frame artifact
+    must equal the full transform over the union restricted to mixed
+    pairs (containment overlap, batch sizes vs the stored ledger);
+    append grows the artifact; delete masks (== fresh index over the
+    survivors), tombstoned append refuses, compact changes nothing
+    and frees the id; cross-family artifacts refuse."""
+    import pytest as _pytest
+
+    from mmlspark_spark.core.cache import release_intermediates
+    from mmlspark_spark.llm.multimodal_dedup import (
+        VideoDHashDeduplicator,
+    )
+
+    # synthetic clips: doc i in group g=i%4 is an 8-frame window at
+    # offset v=i//4 into the group's virtual reel — adjacent offsets
+    # share 7/8 frames, the video_dhash_dedup catalog construction
+    def clip(g, v):
+        def frame(f):
+            def cell(r, c):
+                return (g * 1_000_003 + f * 72 + r * 9 + c) * 2_654_435_761 % 256
+            return [[cell(r, c) for c in range(9)] for r in range(8)]
+        return [frame(v + k) for k in range(8)]
+
+    base = spark.createDataFrame(
+        [(i, clip(i % 4, i // 4)) for i in range(12)],
+        "doc_id long, video array<array<array<int>>>")
+    batch = spark.createDataFrame(
+        [(100 + i, clip(i % 4, i // 4 + 1)) for i in range(8)],
+        "doc_id long, video array<array<array<int>>>")
+
+    dd = VideoDHashDeduplicator(minOverlap=0.7,
+                                maxDocsPerFrameHash=None)
+    p = str(tmp_path / "vid_idx")
+    dd.save_index(base, p)
+    got_df = dd.match_against_index(dd.load_index(spark, p), batch)
+    got = {(r.doc_a, r.doc_b): (r.matches, round(r.overlap, 6))
+           for r in got_df.collect()}
+    release_intermediates(got_df)
+    assert got and all(a >= 100 and b < 100 for a, b in got)
+
+    full_df = dd.transform(base.unionByName(batch))
+    full = {(max(r.doc_a, r.doc_b), min(r.doc_a, r.doc_b)):
+            (r.matches, round(r.overlap, 6))
+            for r in full_df.collect()
+            if (r.doc_a >= 100) != (r.doc_b >= 100)}
+    release_intermediates(full_df)
+    assert got == full
+
+    # append: a later batch matches the appended docs
+    dd.append_to_index(batch, p)
+    batch2 = spark.createDataFrame(
+        [(300, clip(1, 1 // 4 + 1))],
+        "doc_id long, video array<array<array<int>>>")
+    got2_df = dd.match_against_index(dd.load_index(spark, p), batch2)
+    got2 = {(r.doc_a, r.doc_b) for r in got2_df.collect()}
+    release_intermediates(got2_df)
+    assert (300, 101) in got2  # identical clip to appended doc 101
+
+    # delete → mask == fresh-over-survivors; refuse; compact; free
+    dead_ids = [b for _, b in got][:1]
+    dead = spark.createDataFrame([(i,) for i in dead_ids],
+                                 "doc_id long")
+    dd2 = VideoDHashDeduplicator(minOverlap=0.7,
+                                 maxDocsPerFrameHash=None)
+    p2 = str(tmp_path / "vid_del")
+    dd2.save_index(base, p2)
+    dd2.delete_from_index(dead, p2)
+    m_df = dd2.match_against_index(dd2.load_index(spark, p2), batch)
+    masked = {(r.doc_a, r.doc_b) for r in m_df.collect()}
+    release_intermediates(m_df)
+    assert masked == {t for t in got if t[1] not in dead_ids}
+    with _pytest.raises(ValueError, match="tombstone"):
+        dd2.append_to_index(
+            base.filter(F.col("doc_id").isin(dead_ids)), p2)
+    assert dd2.compact_index(spark, p2) == 1
+    assert spark.read.parquet(f"{p2}/sizes").count() == 11
+    m2_df = dd2.match_against_index(dd2.load_index(spark, p2), batch)
+    assert {(r.doc_a, r.doc_b) for r in m2_df.collect()} == masked
+    release_intermediates(m2_df)
+    dd2.append_to_index(base.filter(F.col("doc_id").isin(dead_ids)),
+                        p2)  # compacted: free again
+
+    # guards: cross-family refuses, save(mode='append') refuses
+    from mmlspark_spark.llm.dedup import SimHashDeduplicator
+
+    txt = spark.createDataFrame([(1, "a b c")],
+                                "doc_id long, text string")
+    sp = str(tmp_path / "sh_for_vid")
+    SimHashDeduplicator().save_index(txt, sp)
+    with _pytest.raises((ValueError, Exception)):
+        dd.load_index(spark, sp)
+    with _pytest.raises(ValueError, match="append_to_index"):
+        dd.save_index(base, p, mode="append")

@@ -323,3 +323,77 @@ def test_pure_expression_stages_work_on_streams(spark, tmp_path):
         assert "<p>" not in rows[0].scrubbed       # markup stripped
     finally:
         q.stop()
+
+
+def test_streaming_incremental_neardup_screen(spark, tmp_path):
+    """Round-12 stretch: the stored-index match lanes composed with
+    Structured Streaming. Three micro-batches flow through
+    neardup_screen_foreach_batch over a MinHash index: batch 1
+    bootstraps the index; batch 2's planted near-copy of a batch-1
+    doc is FLAGGED against the index and withheld from the append
+    while its fresh docs survive in; batch 3's near-copy of a
+    batch-2 SURVIVOR is flagged too — proof the append happened.
+    Dedup memory lives in the artifact, not a state store."""
+    import json as _json
+
+    from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+    from mmlspark_spark.streaming import neardup_screen_foreach_batch
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "naps in the warm afternoon sun for hours ")
+    fresh2 = ("completely different content about distributed query "
+              "engines and columnar storage formats at scale ")
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    batches = [
+        [{"doc_id": 1, "text": base * 2},
+         {"doc_id": 2, "text": "unrelated first-batch text " * 6}],
+        [{"doc_id": 10, "text": (base * 2).replace("quick", "rapid")},
+         {"doc_id": 11, "text": fresh2 * 2}],
+        [{"doc_id": 20, "text": (fresh2 * 2).replace("columnar",
+                                                     "vectorized")}],
+    ]
+
+    dd = MinHashLSHDeduplicator(idCol="doc_id", textCol="text",
+                                shingleSize=3, numHashes=16, bands=8,
+                                threshold=0.3, maxBucketSize=None)
+    seen: dict[int, dict] = {}
+
+    def on_batch(bid, pairs, survivors):
+        seen[bid] = {
+            "pairs": {(r[0], r[1]) for r in pairs.collect()},
+            "survivors": {r.doc_id for r in survivors.collect()},
+        }
+
+    screen = neardup_screen_foreach_batch(
+        dd, str(tmp_path / "nd_idx"), "doc_id", on_batch=on_batch)
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows))
+    q = (stream.writeStream.foreachBatch(screen)
+         .option("checkpointLocation", str(tmp_path / "nd_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) == 3
+    # batch 0 bootstraps: nothing flagged, everything survives
+    assert seen[0]["pairs"] == set()
+    assert seen[0]["survivors"] == {1, 2}
+    # batch 1: planted dup of doc 1 flagged, fresh doc survives
+    assert {a for a, _ in seen[1]["pairs"]} == {10}
+    assert (10, 1) in seen[1]["pairs"]
+    assert seen[1]["survivors"] == {11}
+    # batch 2: near-copy of batch-1 SURVIVOR 11 flagged — the
+    # survivors append actually grew the index
+    assert {(a, b) for a, b in seen[2]["pairs"]} == {(20, 11)}
+    assert seen[2]["survivors"] == set()
+    # flagged doc 10 is NOT in the index (only survivors append)
+    sigs = spark.read.parquet(str(tmp_path / "nd_idx" / "signatures"))
+    assert {r["__id"] for r in sigs.select("__id").collect()} \
+        == {1, 2, 11}
