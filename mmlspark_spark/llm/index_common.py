@@ -115,3 +115,60 @@ def _replace_flat_store(keep: DataFrame, store_path: str) -> None:
         fs.rename(P(old), P(store_path))
         raise IOError(f"could not swap {staging} into {store_path}")
     fs.delete(P(old), True)
+
+
+_MANIFEST_NAMES = (
+    "_minhash_manifest.json", "_fp_index_manifest.json",
+    "_emb_index_manifest.json", "_video_index_manifest.json",
+    "_bm25_manifest.json", "_ivf_manifest.json", "_pq_manifest.json",
+    "_sq_manifest.json", "_ivfpq_manifest.json",
+)
+
+
+def index_info(spark, path: str) -> dict:
+    """Describe ANY stored index artifact at ``path`` — the ops
+    surface for a fleet of indexes: which family/manifest built it,
+    what stores it carries and how many rows each holds, and how many
+    tombstones are pending (i.e. whether a compaction is due). Works
+    uniformly across every family because they all share the same
+    layout grammar: one ``_*manifest.json``, store subdirectories of
+    parquet, an optional ``tombstones`` set.
+
+    Returns ``{"path", "manifest_file", "manifest", "stores":
+    {name: row_count}, "pending_tombstones": int}``. Raises if no
+    known manifest is present (not an index artifact — a typo'd path
+    must not report an empty healthy index).
+    """
+    import json as _json
+
+    from mmlspark_spark.llm.export import _fs_read_text
+
+    fs, P = _hadoop_fs(spark, path)
+    if not fs.exists(P(path)):
+        raise ValueError(f"no index artifact at {path}")
+    manifest = manifest_file = None
+    for name in _MANIFEST_NAMES:
+        if fs.exists(P(f"{path}/{name}")):
+            manifest_file = name
+            manifest = _json.loads(_fs_read_text(spark,
+                                                 f"{path}/{name}"))
+            break
+    if manifest is None:
+        raise ValueError(
+            f"{path} has no recognized index manifest "
+            f"({', '.join(_MANIFEST_NAMES)}) — not an index artifact")
+    stores: dict[str, int] = {}
+    for st in fs.listStatus(P(path)):
+        name = st.getPath().getName()
+        if not st.isDirectory() or name == "tombstones" \
+                or name.endswith(("__staging", "__old")):
+            continue
+        try:
+            stores[name] = spark.read.parquet(
+                f"{path}/{name}").count()
+        except Exception:
+            stores[name] = -1  # unreadable store — surfaced, not hidden
+    ts = _read_tombstones(spark, path)
+    return {"path": path, "manifest_file": manifest_file,
+            "manifest": manifest, "stores": stores,
+            "pending_tombstones": 0 if ts is None else ts.count()}

@@ -1578,3 +1578,49 @@ def test_video_index_lifecycle(spark, tmp_path):
         dd.load_index(spark, sp)
     with _pytest.raises(ValueError, match="append_to_index"):
         dd.save_index(base, p, mode="append")
+
+
+def test_index_info_describes_any_artifact(spark, tmp_path):
+    """index_info is the fleet-ops surface: one call identifies any
+    stored index's family manifest, per-store row counts and pending
+    tombstones (compaction due?), uniformly across families — and
+    refuses a non-index path rather than reporting it empty-healthy."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm import index_info
+    from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    docs = spark.createDataFrame(
+        [(i, f"some repeated text {i % 3} about engines {i}")
+         for i in range(10)],
+        "doc_id long, text string")
+    p = str(tmp_path / "mh_info")
+    dd = MinHashLSHDeduplicator(shingleSize=3, numHashes=16, bands=8)
+    dd.save_index(docs, p)
+    info = index_info(spark, p)
+    assert info["manifest_file"] == "_minhash_manifest.json"
+    assert info["stores"]["signatures"] == 10
+    assert info["stores"]["buckets"] == 80  # 8 bands x 10 docs
+    assert info["pending_tombstones"] == 0
+    dd.delete_from_index(
+        spark.createDataFrame([(0,), (1,)], "doc_id long"), p)
+    assert index_info(spark, p)["pending_tombstones"] == 2
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(i % 4), 1.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    p2 = str(tmp_path / "sq_info")
+    ScalarQuantizerKNN(k=3).save_index(vecs, p2)
+    info2 = index_info(spark, p2)
+    assert info2["manifest_file"] == "_sq_manifest.json"
+    assert info2["manifest"]["bits"] == 8
+    assert info2["stores"]["codes"] == 20
+    assert info2["stores"]["bounds"] == 1
+
+    with _pytest.raises(ValueError, match="manifest|artifact"):
+        index_info(spark, str(tmp_path / "nothing_here"))
+    plain = str(tmp_path / "plain_parquet")
+    docs.write.parquet(plain)
+    with _pytest.raises(ValueError, match="manifest"):
+        index_info(spark, plain)

@@ -370,9 +370,17 @@ def test_streaming_incremental_neardup_screen(spark, tmp_path):
     stream = (spark.readStream
               .schema("doc_id long, text string")
               .option("maxFilesPerTrigger", 1).json(str(src)))
+    import os as _os
+    import time as _time
+
+    now = _time.time()
     for i, rows in enumerate(batches):
-        (src / f"b{i}.json").write_text(
-            "\n".join(_json.dumps(r) for r in rows))
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(_json.dumps(r) for r in rows))
+        # the file source orders batches by MODIFICATION TIME, and
+        # same-tick writes tie-break nondeterministically — pin
+        # strictly increasing mtimes so batch order is the test's
+        _os.utime(f, (now + i, now + i))
     q = (stream.writeStream.foreachBatch(screen)
          .option("checkpointLocation", str(tmp_path / "nd_ck"))
          .start())

@@ -120,7 +120,8 @@ def indexed_probe(spark, factor: int, dst: str) -> dict:
     big_tag = f"sf{factor}x"
     out: dict[str, dict[str, float]] = {
         "ivfpq_search_from_index": {},
-        "phrase_search_from_index": {}}
+        "phrase_search_from_index": {},
+        "minhash_match_from_index": {}}
     for tag, d in (("sf0.1", SRC), (big_tag, dst)):
         emb = (spark.read.parquet(f"{d}/embeddings.parquet")
                .select("vec_id",
@@ -159,6 +160,28 @@ def indexed_probe(spark, factor: int, dst: str) -> dict:
         bm_path = f"/tmp/probe_idx/bm25_{tag}"
         bm.save_index(docs, bm_path, positions=True)  # untimed
         bidx = bm.load_index(spark, bm_path)
+        # round-12: the incremental near-dup screening number — a
+        # fixed 200-doc batch (collected LOCAL, one token per 4
+        # perturbed so it near-matches its source docs) screens
+        # against the stored MinHash index; the batch shingles only
+        # itself and equi-joins the stored bucket keys, so the timed
+        # cost is the daily-ingest cost at that corpus size
+        from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+
+        batch_rows = (docs.filter(F.col("doc_id") < 200)
+                      .filter(F.col("text").isNotNull())
+                      .select((F.col("doc_id") + 10_000_000)
+                              .alias("doc_id"),
+                              F.regexp_replace("text", r"\be\b", "ee")
+                              .alias("text")).collect())
+        batch = spark.createDataFrame(batch_rows,
+                                      "doc_id long, text string")
+        mh = MinHashLSHDeduplicator(idCol="doc_id", textCol="text",
+                                    shingleSize=5, numHashes=64,
+                                    bands=16, threshold=0.5)
+        mh_path = f"/tmp/probe_idx/minhash_{tag}"
+        mh.save_index(docs, mh_path)  # untimed (index-once)
+        midx = mh.load_index(spark, mh_path)
         for _ in range(2):  # best-of-2 search-only
             t0 = _time.time()
             pq.search_ivfpq_with_index(idx, q, nProbe=3).count()
@@ -171,6 +194,14 @@ def indexed_probe(spark, factor: int, dst: str) -> dict:
             t = _time.time() - t0
             cur = out["phrase_search_from_index"].get(tag)
             out["phrase_search_from_index"][tag] = (
+                t if cur is None else min(cur, t))
+            t0 = _time.time()
+            mdf = mh.match_against_index(midx, batch)
+            mdf.count()
+            t = _time.time() - t0
+            release_intermediates(mdf)
+            cur = out["minhash_match_from_index"].get(tag)
+            out["minhash_match_from_index"][tag] = (
                 t if cur is None else min(cur, t))
     import math as _math
 
