@@ -359,6 +359,9 @@ class MinHashLSHDeduplicator(Transformer):
                 "bucket keys — use append_to_index for incremental "
                 "growth")
         spark = docs.sparkSession
+        # a fresh save REPLACES the artifact: stale tombstones from a
+        # previous index at this path must not mask the new corpus
+        _clear_tombstones(spark, path)
         self.signatures(docs).write.mode(mode).parquet(
             f"{path}/signatures")
         sigs = spark.read.parquet(f"{path}/signatures")
@@ -641,6 +644,9 @@ class FingerprintIndexMixin:
                 "save_index(mode='append') would rewrite the manifest "
                 "without checking the existing artifact — use "
                 "append_to_index for incremental growth")
+        # fresh save replaces the artifact: stale tombstones from a
+        # previous index at this path must not mask the new corpus
+        _clear_tombstones(docs.sparkSession, path)
         self.fingerprints(docs).write.mode(mode).parquet(
             f"{path}/fingerprints")
         _fs_write_text(docs.sparkSession,
@@ -1136,6 +1142,9 @@ class EmbeddingDeduplicator(Transformer):
                 "without checking the existing artifact's grid — use "
                 "append_to_index for incremental growth")
         dim = vector_dim(docs, self.vecCol)
+        # fresh save replaces the artifact: stale tombstones from a
+        # previous index at this path must not mask the new corpus
+        _clear_tombstones(docs.sparkSession, path)
         self._write_index_rows(docs, path, dim, mode)
         _fs_write_text(docs.sparkSession,
                        f"{path}/_emb_index_manifest.json",

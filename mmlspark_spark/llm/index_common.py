@@ -47,12 +47,16 @@ def _add_tombstones(ids: DataFrame, path: str, idCol: str) -> None:
 def _read_tombstones(spark, path: str) -> DataFrame | None:
     """The live tombstone id set, or None when nothing was deleted.
     Existence is probed through the Hadoop FS API (works on every
-    scheme the index itself can live on)."""
+    scheme the index itself can live on). NOT deduplicated: every
+    consumer is an anti-/semi-join, whose semantics are set-membership
+    regardless of duplicates — a distinct here would re-pay a shuffle
+    in every plan branch that masks (the write side already
+    distinct's per delete call, so dupes only arise from repeated
+    deletes of the same id)."""
     fs, P = _hadoop_fs(spark, f"{path}/tombstones")
     if not fs.exists(P(f"{path}/tombstones")):
         return None
-    return (spark.read.parquet(f"{path}/tombstones")
-            .select("id").distinct())
+    return spark.read.parquet(f"{path}/tombstones").select("id")
 
 
 def _clear_tombstones(spark, path: str) -> None:
@@ -63,11 +67,18 @@ def _clear_tombstones(spark, path: str) -> None:
 def _drop_tombstoned(df: DataFrame, tombstones: DataFrame | None,
                      idCol: str) -> DataFrame:
     """Anti-join a stored frame against the tombstone set — the
-    read-time mask that makes deletes visible before compaction."""
+    read-time mask that makes deletes visible before compaction.
+    The tombstone side is broadcast-hinted: pending deletes are
+    takedown-scale (compaction keeps the set bounded), and a
+    broadcast anti-join keeps the big stored side MAP-SIDE — without
+    the hint every consumer of the masked frame re-pays a full
+    shuffle of the store (measured: +10 exchanges on the minhash
+    match plan)."""
     if tombstones is None:
         return df
-    return df.join(tombstones.withColumnRenamed("id", idCol),
-                   idCol, "left_anti")
+    return df.join(F.broadcast(
+        tombstones.withColumnRenamed("id", idCol)),
+        idCol, "left_anti")
 
 
 def _refuse_tombstoned_append(new_ids: DataFrame, path: str,
@@ -171,4 +182,7 @@ def index_info(spark, path: str) -> dict:
     ts = _read_tombstones(spark, path)
     return {"path": path, "manifest_file": manifest_file,
             "manifest": manifest, "stores": stores,
-            "pending_tombstones": 0 if ts is None else ts.count()}
+            # distinct HERE (the stored set may hold repeated deletes
+            # of one id; the join lanes don't care, a count does)
+            "pending_tombstones":
+                0 if ts is None else ts.distinct().count()}

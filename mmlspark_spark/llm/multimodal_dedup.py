@@ -516,6 +516,9 @@ class VideoDHashDeduplicator(Transformer):
                 "save_index(mode='append') would rewrite the manifest "
                 "without checking the existing artifact — use "
                 "append_to_index for incremental growth")
+        # fresh save replaces the artifact: stale tombstones from a
+        # previous index at this path must not mask the new corpus
+        _clear_tombstones(docs.sparkSession, path)
         self._write_index_rows(docs, path, mode)
         _fs_write_text(docs.sparkSession,
                        f"{path}/_video_index_manifest.json",

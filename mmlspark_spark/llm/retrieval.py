@@ -332,6 +332,10 @@ class BM25Retriever:
         from mmlspark_spark.core.cache import persist_intermediate
         from mmlspark_spark.llm.export import _fs_write_text
 
+        if mode == "overwrite":
+            # fresh save replaces the artifact: stale tombstones from
+            # a previous index at this path must not mask the new one
+            _clear_tombstones(docs.sparkSession, path)
         pos = None
         post_src = None
         if positions:

@@ -606,6 +606,10 @@ class IVFKNN:
 
         from mmlspark_spark.llm.export import _fs_write_text
 
+        # fresh save replaces the artifact: stale tombstones from a
+        # previous index at this path must not mask the new corpus
+        if mode == "overwrite":
+            _clear_tombstones(data.sparkSession, path)
         centroids.select(F.col(cellCol).alias("cell"),
                          F.col(centVecCol).alias("cvec")).write.mode(
             mode).parquet(f"{path}/centroids")
@@ -1036,6 +1040,10 @@ class PQKNN:
 
         from mmlspark_spark.llm.export import _fs_write_text
 
+        # fresh save replaces the artifact: stale tombstones from a
+        # previous index at this path must not mask the new corpus
+        if mode == "overwrite":
+            _clear_tombstones(data.sparkSession, path)
         dim = self._dim_of(data)
         codebooks.select("m", "code", "cvec").write.mode(mode).parquet(
             f"{path}/codebooks")
@@ -1316,6 +1324,10 @@ class PQKNN:
 
         dim = self._dim_of(data)
         spark = data.sparkSession
+        # fresh save replaces the artifact: stale tombstones from a
+        # previous index at this path must not mask the new corpus
+        if mode == "overwrite":
+            _clear_tombstones(spark, path)
         centroids.select(F.col(cellCol).alias("cell"),
                          F.col(centVecCol).alias("cvec")).write.mode(
             mode).parquet(f"{path}/centroids")
@@ -1734,6 +1746,10 @@ class ScalarQuantizerKNN:
 
         from mmlspark_spark.llm.export import _fs_write_text
 
+        # fresh save replaces the artifact: stale tombstones from a
+        # previous index at this path must not mask the new corpus
+        if mode == "overwrite":
+            _clear_tombstones(data.sparkSession, path)
         dim = self._dim_of(data)
         bounds = self.fit_bounds(data)
         bounds.write.mode(mode).parquet(f"{path}/bounds")

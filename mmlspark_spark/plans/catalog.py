@@ -57,11 +57,15 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     bm25_phrase_indexed (save_index now writes the doclens ledger
 #     and derives stats from it), minhash_match_indexed /
 #     simhash_match_indexed / embedding_match_indexed (match lanes
-#     now mask tombstones before the bucket caps);
+#     now mask tombstones before the bucket caps), and the NEW
+#     driver-gated delete lanes minhash_match_tombstoned /
+#     bm25_search_tombstoned (read-time tombstone masks hash-checked
+#     against survivor/Lucene-model replays);
 # (b) the stalest driver rows, oldest first — the entire r7-era block
 #     (corpus_report .. tpch_q8: 25 queries whose last driver green
-#     is round 7) and 19 of the r9 block (asof_join ..
-#     partition_ops_identity). The r11 window (new-lane + r5/r6
+#     is round 7) and 17 of the r9 block (asof_join ..
+#     partition_ops_identity; minibatch_roundtrip and
+#     multi_column_adapter, also r9, wait for r13 — age 4 ≤ K). The r11 window (new-lane + r5/r6
 #     blocks) is all r11-green and rotates out; the r10-green
 #     rotated-out set (knn_ivf, tabular_lime_exact, ann_recall,
 #     knn_pq_adc, knn_matryoshka*, dsir_select, dedup_recall,
@@ -73,7 +77,8 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 _WINDOW_PRIORITY = (
     "video_match_indexed", "video_dhash_dedup", "bm25_phrase_indexed",
     "minhash_match_indexed", "simhash_match_indexed",
-    "embedding_match_indexed",
+    "embedding_match_indexed", "minhash_match_tombstoned",
+    "bm25_search_tombstoned",
     "corpus_report", "curation_pipeline", "doc_fingerprint",
     "embedding_covariance", "index_to_value_roundtrip",
     "json_extract", "lang_id_heuristic", "model_statistics",
@@ -86,7 +91,6 @@ _WINDOW_PRIORITY = (
     "drop_rename", "ensemble_by_key", "explode_tokens",
     "image_dhash_dedup", "isolation_forest", "knn_ivf_pretrained",
     "knn_lsh", "knn_stage", "lambda_stage", "minhash_dedup",
-    "minibatch_roundtrip", "multi_column_adapter",
     "partition_ops_identity",
 )
 # exactly 50 entries — the driver window size; a 51st would be
@@ -2713,7 +2717,8 @@ def minhash_dedup(spark, sf_dir):
 
 def _minhash_match_oracle(k: int = 32, split: int = 400,
                           threshold: float = 0.2,
-                          cap: int = 1000) -> str:
+                          cap: int = 1000,
+                          dead: str | None = None) -> str:
     """Replays match_against_index over the shared _minhash_cte
     fragment: buckets are built from INDEX docs only (doc_id <
     split), the batch's band rows equi-join them, the maxBucketSize
@@ -2721,14 +2726,19 @@ def _minhash_match_oracle(k: int = 32, split: int = 400,
     semantics, which differ from transform's union-bucket cap), and
     signatures attach to the surviving (batch, indexed) pairs. The
     fragment's own bucket/pairs/mh CTEs go unreferenced and are
-    pruned by DuckDB's optimizer."""
+    pruned by DuckDB's optimizer. ``dead`` (a doc_id predicate)
+    replays a pending TOMBSTONE set: masked ids leave the stored
+    bucket members BEFORE the cap count — matching equals a fresh
+    index over the survivors, the read-time-delete contract."""
     est = f"(len(list_filter(range(1, {k}+1), i -> sa[i] = sb[i])))"
+    stored = f"doc_id < {split}" + (f" AND NOT ({dead})" if dead
+                                    else "")
     # the unnest lives in its OWN CTE (mexp): DuckDB 1.0's binder
     # internal-errors on unnest inside a filtered derived table
     return f"""
     WITH {_minhash_cte(k=k, threshold=threshold, cap=cap)}, bucketi AS (
       SELECT j, bh, list_sort(list(DISTINCT doc_id)) AS ids
-      FROM band WHERE doc_id < {split} GROUP BY j, bh
+      FROM band WHERE {stored} GROUP BY j, bh
     ), mb AS (
       SELECT nb.doc_id AS doc_a, b2.ids AS bids
       FROM band nb JOIN bucketi b2 USING (j, bh)
@@ -2771,6 +2781,39 @@ def minhash_match_indexed(spark, sf_dir):
         "/tmp/mmlspark_spark_idx",
         f"minhash_{os.path.basename(sf_dir.rstrip('/'))}")
     dd.save_index(docs.filter(F.col("doc_id") < 400), path)
+    return dd.match_against_index(dd.load_index(spark, path),
+                                  docs.filter(F.col("doc_id") >= 400))
+
+
+@register("minhash_match_tombstoned",
+          oracle=_minhash_match_oracle(dead="doc_id % 5 = 0"))
+def minhash_match_tombstoned(spark, sf_dir):
+    """The DELETE half of the stored-index lifecycle under the
+    driver's hash gate (round 12): the stored corpus (docs < 400)
+    tombstones every 5th doc (a takedown batch — metadata-only, no
+    store rewrite), then the incoming batch screens against the
+    index. Tombstoned docs are masked from the bucket store BEFORE
+    the hot-bucket cap count, so matching equals a fresh index over
+    the survivors — which is exactly what the oracle replays (the
+    shared xxhash64 fragment with the dead ids excluded from the
+    stored side). save_index clears stale tombstones on overwrite,
+    so the query is hermetic across repeated driver runs."""
+    import os
+
+    from mmlspark_spark.llm import MinHashLSHDeduplicator
+
+    docs = _t(spark, sf_dir, "documents")
+    dd = MinHashLSHDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=5,
+        numHashes=32, bands=16, threshold=0.2)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"minhash_del_{os.path.basename(sf_dir.rstrip('/'))}")
+    stored = docs.filter(F.col("doc_id") < 400)
+    dd.save_index(stored, path)
+    dd.delete_from_index(
+        stored.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+        path)
     return dd.match_against_index(dd.load_index(spark, path),
                                   docs.filter(F.col("doc_id") >= 400))
 
@@ -4686,13 +4729,20 @@ def bm25_phrase_indexed(spark, sf_dir):
 
 
 def _bm25_cte(k1: float = 1.2, b: float = 0.75,
-              qids: str = "3, 47, 101", qlen: int = 6) -> str:
+              qids: str = "3, 47, 101", qlen: int = 6,
+              dead: str | None = None) -> str:
     """Shared BM25 WITH-fragment ending in CTE ``bm(query_id, doc_id,
     score, rnk)`` — used by BOTH bm25_search and hybrid_rrf so the
     idf/tf formula replay cannot drift between them. Every double op
     mirrors retrieval.BM25Retriever operation-for-operation; the
     per-(query, doc) fold runs in term-sorted order (list ORDER BY
-    term + left fold) exactly like the Spark array_sort fold."""
+    term + left fold) exactly like the Spark array_sort fold.
+    ``dead`` (a doc_id predicate) replays a pending TOMBSTONE set
+    under the Lucene deleted-docs model: masked docs never score
+    (filtered out of the hits), but df / N / avgdl still count them
+    until compaction — exactly search_with_index's read-time mask."""
+    dead_where = (f"WHERE NOT ({dead.replace('doc_id', 'p.doc_id')})"
+                  if dead else "")
     return f"""t AS (
       SELECT doc_id, list_filter(
                string_split_regex(text, '[ \\t\\n\\r]+'),
@@ -4721,6 +4771,7 @@ def _bm25_cte(k1: float = 1.2, b: float = 0.75,
                                         / st.avgdl))) AS part
       FROM qterms q JOIN post p USING (term)
       JOIN dfq d ON d.term = p.term CROSS JOIN st
+      {dead_where}
     ), bm AS (
       SELECT qid AS query_id, doc_id, score,
              row_number() OVER (
@@ -4757,6 +4808,40 @@ def bm25_search(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     out = BM25Retriever(k=10).search(docs, _bm25_queries(docs))
+    return out.select("query_id", "doc_id", "score",
+                      F.col("rank").alias("rk"))
+
+
+@register("bm25_search_tombstoned", oracle=f"""
+    WITH {_bm25_cte(dead="doc_id % 7 = 0")}
+    SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rk
+    FROM bm WHERE rnk <= 10
+    """)
+def bm25_search_tombstoned(spark, sf_dir):
+    """BM25 search from a stored index with PENDING tombstones under
+    the driver's hash gate (round 12): the whole corpus indexes once,
+    every 7th doc is tombstoned (takedown — metadata-only), and
+    search_with_index masks them at read time under the Lucene
+    deleted-docs model: masked docs never surface, but df / N / avgdl
+    still count them until compaction — which is exactly what the
+    oracle replays (the shared _bm25_cte fold with dead docs filtered
+    from the hits, stats over the full index). save_index clears
+    stale tombstones on overwrite, so repeated driver runs are
+    hermetic."""
+    import os
+
+    from mmlspark_spark.llm.retrieval import BM25Retriever
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = BM25Retriever(k=10)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"bm25_del_{os.path.basename(sf_dir.rstrip('/'))}")
+    bm.save_index(docs, path)
+    bm.delete_from_index(
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), path)
+    out = bm.search_with_index(bm.load_index(spark, path),
+                               _bm25_queries(docs))
     return out.select("query_id", "doc_id", "score",
                       F.col("rank").alias("rk"))
 

@@ -112,6 +112,32 @@ def _scan_pushdown_findings(jplan) -> list[str]:
     return findings
 
 
+def _count_tree_shuffles(jnode, seen_relations: set) -> int:
+    """Count ShuffleExchangeExec nodes in the physical tree. Recurses
+    into the AQE wrapper's initial plan, into query stages (leaves in
+    the tree, their plan behind ``.plan()``), and into each DISTINCT
+    InMemoryRelation's cached plan exactly once (a persisted subtree's
+    shuffles execute once at materialization however many times the
+    plan references it)."""
+    cls = jnode.getClass().getSimpleName()
+    n = 1 if cls == "ShuffleExchangeExec" else 0
+    if cls == "AdaptiveSparkPlanExec":
+        n += _count_tree_shuffles(jnode.initialPlan(), seen_relations)
+    elif cls == "InMemoryTableScanExec":
+        rel = jnode.relation()
+        key = rel.hashCode()
+        if key not in seen_relations:
+            seen_relations.add(key)
+            n += _count_tree_shuffles(rel.cachedPlan(),
+                                      seen_relations)
+    elif cls.endswith("QueryStageExec"):
+        n += _count_tree_shuffles(jnode.plan(), seen_relations)
+    ch = jnode.children()
+    for i in range(ch.size()):
+        n += _count_tree_shuffles(ch.apply(i), seen_relations)
+    return n
+
+
 def lint_plan(df: DataFrame, maxExchanges: int = 8) -> list[str]:
     """Return advisory findings about ``df``'s physical plan."""
     jplan = df._jdf.queryExecution().executedPlan()
@@ -135,10 +161,15 @@ def lint_plan(df: DataFrame, maxExchanges: int = 8) -> list[str]:
     # frame once (that is the cheap path we recommend), and AQE's
     # ReusedExchange references a shuffle that executes once — a raw
     # substring count would call a shuffle-free 9-dimension star join
-    # a shuffle storm.
-    n_exchanges = len(re.findall(
-        r"\bExchange (?:hashpartitioning|rangepartitioning|"
-        r"RoundRobinPartitioning|SinglePartition)", plan))
+    # a shuffle storm. Counted by TRAVERSING the physical tree, not
+    # by regex over toString: the string nests every referenced
+    # InMemoryRelation's cached plan at every reference, so a plan
+    # that consumes one persisted subtree N times would "count" its
+    # build-side shuffles N times (measured: 20 by string vs 4 real
+    # on the tombstone-masked minhash match). Cached subtrees ARE
+    # counted — once per distinct relation (they execute once, at
+    # materialization).
+    n_exchanges = _count_tree_shuffles(jplan, set())
     if n_exchanges > maxExchanges:
         findings.append(
             f"{n_exchanges} shuffle exchanges (> {maxExchanges}): every "

@@ -85,6 +85,7 @@ ALLOWED_LINT = {
     "knn_ivfpq_indexed": {"BroadcastNestedLoopJoin"},
     # one-row corpus stats (N, avgdl) broadcast onto the postings
     "bm25_search": {"BroadcastNestedLoopJoin"},
+    "bm25_search_tombstoned": {"BroadcastNestedLoopJoin"},  # same
     "hybrid_rrf": {"BroadcastNestedLoopJoin"},
     # one-row bounds broadcast + the asymmetric scan: like PQ's ADC,
     # SQ's design IS a per-query compressed exhaustive scan (the

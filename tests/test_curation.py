@@ -1624,3 +1624,48 @@ def test_index_info_describes_any_artifact(spark, tmp_path):
     docs.write.parquet(plain)
     with _pytest.raises(ValueError, match="manifest"):
         index_info(spark, plain)
+
+
+def test_save_index_overwrite_clears_stale_tombstones(spark, tmp_path):
+    """A fresh save REPLACES the artifact: tombstones left over from
+    a previous index at the same path must not mask the new corpus —
+    pinned across three families (MinHash via save_index, BM25,
+    SQ-ANN). Without the r12 clear, re-saving after a takedown would
+    silently hide fresh docs that happen to reuse deleted ids."""
+    from mmlspark_spark.llm import index_info
+    from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+    from mmlspark_spark.llm.retrieval import BM25Retriever
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    docs = spark.createDataFrame(
+        [(i, f"shared text body {i % 2} repeated for shingles " * 2)
+         for i in range(8)],
+        "doc_id long, text string")
+    dead = spark.createDataFrame([(0,), (2,)], "doc_id long")
+
+    dd = MinHashLSHDeduplicator(shingleSize=3, numHashes=16, bands=8,
+                                threshold=0.2)
+    p = str(tmp_path / "mh_stale")
+    dd.save_index(docs, p)
+    dd.delete_from_index(dead, p)
+    dd.save_index(docs, p)  # fresh save — stale tombstones must go
+    assert index_info(spark, p)["pending_tombstones"] == 0
+    assert dd.load_index(spark, p)["tombstones"] is None
+
+    bm = BM25Retriever(k=5)
+    p2 = str(tmp_path / "bm_stale")
+    bm.save_index(docs, p2)
+    bm.delete_from_index(dead, p2)
+    bm.save_index(docs, p2)
+    assert bm.load_index(spark, p2)["tombstones"] is None
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, float(i)]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    sq = ScalarQuantizerKNN(k=3)
+    p3 = str(tmp_path / "sq_stale")
+    sq.save_index(vecs, p3)
+    sq.delete_from_index(spark.createDataFrame([(1,)], "vec_id long"),
+                         p3)
+    sq.save_index(vecs, p3)
+    assert sq.load_index(spark, p3)["tombstones"] is None
