@@ -380,22 +380,205 @@ class LSHKNN:
         dim = vector_dim(data, self.vecCol)
         d = self._signature_bands(data, dim, "d")
         q = self._signature_bands(queries, dim, "q")
+        return self._score_candidates(
+            d.withColumnRenamed("d_chunk", "__chunk"),
+            None, q, vectors_joined=True)
+
+    def _score_candidates(self, d_bands: DataFrame,
+                          d_vectors: DataFrame | None,
+                          q_bands: DataFrame,
+                          vectors_joined: bool) -> DataFrame:
+        """Shared candidate-join + exact-cosine + top-k tail of both
+        search lanes: ``d_bands`` is (d_id, __band, __chunk [, d_vec]);
+        when ``vectors_joined`` is False the corpus vectors attach by
+        id AFTER candidate dedup (the stored-index shape — band rows
+        carry 12 bytes, vectors join once per candidate, not once per
+        band collision)."""
+        q = q_bands
         cand = (
-            d.join(F.broadcast(q),
-                   (d["__band"] == q["__band"]) & (d["d_chunk"] == q["q_chunk"]))
-            .select(
-                F.col("q_id").alias("query_id"), F.col("d_id").alias("neighbor_id"),
-                "q_vec", "d_vec",
-            )
+            d_bands.join(
+                F.broadcast(q),
+                (d_bands["__band"] == q["__band"])
+                & (d_bands["__chunk"] == q["q_chunk"]))
+            .select(F.col("q_id").alias("query_id"),
+                    F.col("d_id").alias("neighbor_id"),
+                    *(["q_vec", "d_vec"] if vectors_joined
+                      else ["q_vec"]))
             .dropDuplicates(["query_id", "neighbor_id"])
         )
         if self.excludeSelf:
             cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        if not vectors_joined:
+            cand = cand.join(
+                d_vectors.select(F.col("d_id").alias("neighbor_id"),
+                                 "d_vec"), "neighbor_id")
         scored = cand.select(
             "query_id", "neighbor_id",
             cosine_similarity("q_vec", "d_vec").alias("sim"),
         )
         return _topk_window(scored, self.k)
+
+    # ------------------------------------------------ index lifecycle
+    # Round 12: the last ANN family gains the stored shape the others
+    # (IVF/PQ/SQ/IVFPQ) already have. The artifact splits signature
+    # bands from vectors so a band row is 12 bytes however wide the
+    # embedding: ``{path}/bands`` (id, band, chunk), ``{path}/vectors``
+    # (id, vec — the exact-rerank payload), and a manifest pinning
+    # numPlanes/bands/seed/dim (signatures depend on all four — the
+    # planes are drawn per-dim from the seed, so a mismatched
+    # retriever must refuse rather than bucket-join garbage).
+
+    def _grid(self, dim: int) -> dict:
+        return {"numPlanes": self.numPlanes, "bands": self.bands,
+                "seed": self.seed, "dim": dim}
+
+    def save_index(self, data: DataFrame, path: str,
+                   mode: str = "overwrite") -> None:
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        if mode == "append":
+            raise ValueError(
+                "save_index(mode='append') would rewrite the manifest "
+                "without checking the existing artifact's grid — use "
+                "append_to_index for incremental growth")
+        dim = vector_dim(data, self.vecCol)
+        # fresh save replaces the artifact: stale tombstones from a
+        # previous index at this path must not mask the new corpus
+        _clear_tombstones(data.sparkSession, path)
+        self._write_index_rows(data, path, dim, mode)
+        _fs_write_text(data.sparkSession, f"{path}/_lsh_manifest.json",
+                       _json.dumps({**self._grid(dim), "version": 1}))
+
+    def _write_index_rows(self, data: DataFrame, path: str, dim: int,
+                          mode: str) -> None:
+        """Vectors first, bands derived from the READ-BACK store
+        (signatures compute once however nondeterministic the input).
+        Append cannot use the read-back (the stored dir holds old +
+        new rows), so it persists the (id, vec) projection and bands
+        only that — the embedding appender's pattern: two writes, one
+        evaluation."""
+        from mmlspark_spark.core.cache import persist_intermediate
+
+        rows = data.select(F.col(self.idCol).alias("__id"),
+                           F.col(self.vecCol).alias("__vec"))
+        cached = None
+        if mode == "append":
+            rows = persist_intermediate(rows)
+            cached = rows
+        try:
+            rows.write.mode(mode).parquet(f"{path}/vectors")
+            if mode == "append":
+                src = rows.select(F.col("__id").alias(self.idCol),
+                                  F.col("__vec").alias(self.vecCol))
+            else:
+                src = (data.sparkSession.read
+                       .parquet(f"{path}/vectors")
+                       .select(F.col("__id").alias(self.idCol),
+                               F.col("__vec").alias(self.vecCol)))
+            (self._signature_bands(src, dim, "d")
+             .select("d_id", "__band",
+                     F.col("d_chunk").alias("__chunk"))
+             .repartition(F.col("d_id"))
+             .sortWithinPartitions("__band", "__chunk")
+             .write.mode(mode).parquet(f"{path}/bands"))
+        finally:
+            if cached is not None:
+                cached.unpersist()
+
+    def _check_manifest(self, spark, path: str) -> dict:
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(_fs_read_text(spark,
+                                        f"{path}/_lsh_manifest.json"))
+        mine = self._grid(int(man.get("dim", -1)))
+        if {k: man.get(k) for k in mine} != mine:
+            raise ValueError(
+                f"LSH index at {path} was built under grid "
+                f"{ {k: man.get(k) for k in mine} }; this retriever "
+                f"has { {k: mine[k] for k in ('numPlanes', 'bands', 'seed')} } "
+                f"— signatures from different grids are incomparable")
+        return man
+
+    def append_to_index(self, new_data: DataFrame, path: str) -> None:
+        """Grow the artifact: band ONLY the new vectors (the planes
+        are fixed by seed+dim, so appended == fresh exactly — pinned
+        in tests). Refuses a grid/dim mismatch and ids with a pending
+        tombstone (compact first, then re-append)."""
+        man = self._check_manifest(new_data.sparkSession, path)
+        dim = vector_dim(new_data, self.vecCol)
+        if int(man["dim"]) != dim:
+            raise ValueError(
+                f"new vectors have dim {dim}, LSH index at {path} "
+                f"holds dim {man['dim']}")
+        _refuse_tombstoned_append(
+            new_data.select(F.col(self.idCol)), path, self.idCol,
+            "LSHKNN.append_to_index")
+        self._write_index_rows(new_data, path, dim, "append")
+
+    def load_index(self, spark, path: str) -> dict:
+        man = self._check_manifest(spark, path)
+        return {"bands": spark.read.parquet(f"{path}/bands"),
+                "vectors": spark.read.parquet(f"{path}/vectors"),
+                "dim": int(man["dim"]),
+                "tombstones": _read_tombstones(spark, path)}
+
+    def delete_from_index(self, ids: DataFrame, path: str,
+                          idCol: str | None = None) -> None:
+        """Tombstone ids — metadata-only until :meth:`compact_index`;
+        :meth:`search_with_index` masks them at read time."""
+        _add_tombstones(ids, path, idCol or self.idCol)
+
+    def compact_index(self, spark, path: str) -> int:
+        """Physically remove tombstoned rows from both stores through
+        the shared staging+rename swap. Returns vectors removed."""
+        ts = _read_tombstones(spark, path)
+        if ts is None:
+            return 0
+        vecs = spark.read.parquet(f"{path}/vectors")
+        before = vecs.count()
+        _replace_flat_store(_drop_tombstoned(vecs, ts, "__id"),
+                            f"{path}/vectors")
+        keep_b = (_drop_tombstoned(
+            spark.read.parquet(f"{path}/bands"), ts, "d_id")
+            .repartition(F.col("d_id"))
+            .sortWithinPartitions("__band", "__chunk"))
+        _replace_flat_store(keep_b, f"{path}/bands")
+        _clear_tombstones(spark, path)
+        return before - spark.read.parquet(f"{path}/vectors").count()
+
+    def search_with_index(self, index: dict,
+                          queries: DataFrame) -> DataFrame:
+        """LSH top-k against a loaded :meth:`load_index` artifact —
+        identical results to :meth:`search` over the source corpus
+        (round-trip pinned in tests): the query side signatures
+        map-side and BROADCASTS onto the stored band rows (the big
+        side never shuffles), candidates dedup, and the exact-cosine
+        rerank joins the stored vectors once per candidate.
+        Tombstoned ids are masked from the band store BEFORE the
+        join, so deleted vectors never surface."""
+        return _maybe_chunk_queries(
+            self, queries, lambda qc: self._search_index_one(index, qc))
+
+    def _search_index_one(self, index: dict,
+                          queries: DataFrame) -> DataFrame:
+        _check_query_size(queries, "LSHKNN", self.maxQueries)
+        qdim = vector_dim(queries, self.vecCol)
+        if qdim != index["dim"]:
+            raise ValueError(
+                f"query vectors have dim {qdim}, stored LSH index "
+                f"holds dim {index['dim']}")
+        q = self._signature_bands(queries, index["dim"], "q")
+        bands = _drop_tombstoned(index["bands"],
+                                 index.get("tombstones"), "d_id")
+        vecs = (index["vectors"]
+                .select(F.col("__id").alias("d_id"),
+                        F.col("__vec").alias("d_vec")))
+        return self._score_candidates(bands, vecs, q,
+                                      vectors_joined=False)
 
 
 class IVFKNN:

@@ -60,12 +60,16 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 #     now mask tombstones before the bucket caps), and the NEW
 #     driver-gated delete lanes minhash_match_tombstoned /
 #     bm25_search_tombstoned (read-time tombstone masks hash-checked
-#     against survivor/Lucene-model replays);
+#     against survivor/Lucene-model replays) and knn_lsh_indexed (the
+#     last ANN family's stored lifecycle, oracled by the knn_lsh
+#     seeded-plane replay verbatim — a hash match proves the
+#     save/load round-trip lossless);
 # (b) the stalest driver rows, oldest first — the entire r7-era block
 #     (corpus_report .. tpch_q8: 25 queries whose last driver green
 #     is round 7) and 17 of the r9 block (asof_join ..
-#     partition_ops_identity; minibatch_roundtrip and
-#     multi_column_adapter, also r9, wait for r13 — age 4 ≤ K). The r11 window (new-lane + r5/r6
+#     partition_ops_identity; minibatch_roundtrip,
+#     multi_column_adapter and lambda_stage, also r9, wait for r13 —
+#     age 4 ≤ K). The r11 window (new-lane + r5/r6
 #     blocks) is all r11-green and rotates out; the r10-green
 #     rotated-out set (knn_ivf, tabular_lime_exact, ann_recall,
 #     knn_pq_adc, knn_matryoshka*, dsir_select, dedup_recall,
@@ -78,7 +82,7 @@ _WINDOW_PRIORITY = (
     "video_match_indexed", "video_dhash_dedup", "bm25_phrase_indexed",
     "minhash_match_indexed", "simhash_match_indexed",
     "embedding_match_indexed", "minhash_match_tombstoned",
-    "bm25_search_tombstoned",
+    "bm25_search_tombstoned", "knn_lsh_indexed",
     "corpus_report", "curation_pipeline", "doc_fingerprint",
     "embedding_covariance", "index_to_value_roundtrip",
     "json_extract", "lang_id_heuristic", "model_statistics",
@@ -90,7 +94,7 @@ _WINDOW_PRIORITY = (
     "cube_counts", "domain_temperature_mix", "drop_missing",
     "drop_rename", "ensemble_by_key", "explode_tokens",
     "image_dhash_dedup", "isolation_forest", "knn_ivf_pretrained",
-    "knn_lsh", "knn_stage", "lambda_stage", "minhash_dedup",
+    "knn_lsh", "knn_stage", "minhash_dedup",
     "partition_ops_identity",
 )
 # exactly 50 entries — the driver window size; a 51st would be
@@ -3583,6 +3587,35 @@ def knn_lsh(spark, sf_dir):
                  numPlanes=16, bands=8).search(emb, q)
     return out.select("query_id", "neighbor_id",
                       F.round("sim", 6).alias("sim"), F.col("rank").alias("rk"))
+
+
+@register("knn_lsh_indexed", oracle=_knn_lsh_oracle())
+def knn_lsh_indexed(spark, sf_dir):
+    """LSH ANN from a PERSISTED signature index (round 12 — the last
+    ANN family to gain the stored lifecycle): the corpus's band rows
+    (12 bytes each, vectors split into their own store) persist once;
+    a search signatures only the queries, broadcasts them onto the
+    stored band rows, and the exact-cosine rerank joins stored
+    vectors once per candidate. Results are identical to the
+    in-memory lane — the oracle is knn_lsh's seeded-plane replay
+    verbatim, so a hash match proves the save/load round-trip is
+    lossless."""
+    import os
+
+    from mmlspark_spark.llm import LSHKNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    lsh = LSHKNN(idCol="vec_id", vecCol="embedding", k=10,
+                 numPlanes=16, bands=8)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"lsh_{os.path.basename(sf_dir.rstrip('/'))}")
+    lsh.save_index(emb, path)
+    out = lsh.search_with_index(lsh.load_index(spark, path), q)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"),
+                      F.col("rank").alias("rk"))
 
 
 @register(

@@ -1242,3 +1242,74 @@ def test_ann_reinsert_after_delete_contract(spark, tmp_path):
                        F.slice("embedding", 1, 8).alias("embedding"))
     with _pytest.raises(ValueError, match="dim"):
         pq.append_to_ivfpq_index(short, p2)
+
+
+def test_lsh_index_lifecycle(spark, tmp_path):
+    """Round 12 completes ANN index symmetry: LSHKNN gains the stored
+    lifecycle. search_with_index over a saved artifact must equal the
+    in-memory search exactly (same seeded planes both ways);
+    append == fresh over the union; delete masks (== fresh over the
+    survivors), tombstoned append refuses, compact changes nothing;
+    grid/dim mismatches refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mmlspark_spark.llm.similarity import LSHKNN
+
+    rng = np.random.default_rng(61)
+    x = rng.normal(size=(120, 16))
+    data = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    extra = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100, 120)],
+        "vec_id long, embedding array<double>")
+    q = data.filter("vec_id < 4")
+
+    lsh = LSHKNN(k=5, numPlanes=16, bands=8)
+    p = str(tmp_path / "lsh_idx")
+    lsh.save_index(data, p)
+    idx = lsh.load_index(spark, p)
+    got = sorted(map(tuple, lsh.search_with_index(idx, q).collect()))
+    fresh = sorted(map(tuple, lsh.search(data, q).collect()))
+    assert got == fresh and len(got) > 0
+
+    # append == fresh over the union (planes fixed by seed+dim)
+    lsh.append_to_index(extra, p)
+    got2 = sorted(map(tuple, lsh.search_with_index(
+        lsh.load_index(spark, p), q).collect()))
+    fresh2 = sorted(map(tuple, lsh.search(
+        data.unionByName(extra), q).collect()))
+    assert got2 == fresh2
+
+    # delete → mask == fresh-over-survivors; refuse; compact
+    dead_ids = sorted({t[1] for t in got2})[:5]
+    dead = spark.createDataFrame([(i,) for i in dead_ids],
+                                 "vec_id long")
+    lsh.delete_from_index(dead, p)
+    masked = sorted(map(tuple, lsh.search_with_index(
+        lsh.load_index(spark, p), q).collect()))
+    surv = (data.unionByName(extra)
+            .filter(~F.col("vec_id").isin(dead_ids)))
+    assert masked == sorted(map(tuple, lsh.search(surv, q).collect()))
+    assert not any(t[1] in dead_ids for t in masked)
+    with _pytest.raises(ValueError, match="tombstone"):
+        lsh.append_to_index(
+            extra.limit(1).withColumn("vec_id", F.lit(dead_ids[0])), p)
+    assert lsh.compact_index(spark, p) == len(dead_ids)
+    assert sorted(map(tuple, lsh.search_with_index(
+        lsh.load_index(spark, p), q).collect())) == masked
+    assert spark.read.parquet(f"{p}/vectors").count() == 120 - len(dead_ids)
+
+    # guards: grid mismatch, dim mismatch, stale-tombstone clear
+    with _pytest.raises(ValueError, match="grid"):
+        LSHKNN(k=5, numPlanes=16, bands=4).load_index(spark, p)
+    short = q.select("vec_id",
+                     F.slice("embedding", 1, 8).alias("embedding"))
+    with _pytest.raises(ValueError, match="dim"):
+        lsh.search_with_index(lsh.load_index(spark, p), short)
+    with _pytest.raises(ValueError, match="dim"):
+        lsh.append_to_index(short, p)
+    lsh.delete_from_index(dead, p)
+    lsh.save_index(data, p)  # overwrite clears stale tombstones
+    assert lsh.load_index(spark, p)["tombstones"] is None
