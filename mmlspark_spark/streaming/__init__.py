@@ -17,6 +17,7 @@ from mmlspark_spark.streaming.serving import (
     serving_sink,
 )
 from mmlspark_spark.streaming.stateful import (
+    bm25_ingest_foreach_batch,
     neardup_screen_foreach_batch,
     streaming_dedup,
     streaming_dedup_against_registry,
@@ -25,6 +26,7 @@ from mmlspark_spark.streaming.stateful import (
 __all__ = [
     "REQUEST_SCHEMA", "HTTPServingDataSource", "register_serving_source",
     "make_reply", "reply_batch", "serving_sink", "DistributedHTTPServer",
+    "bm25_ingest_foreach_batch",
     "neardup_screen_foreach_batch",
     "streaming_dedup",
     "streaming_dedup_against_registry",

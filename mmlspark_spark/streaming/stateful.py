@@ -216,9 +216,50 @@ def neardup_screen_foreach_batch(dedup, path: str, idCol: str,
         flagged = (pairs.select(F.col(pairs.columns[0]).alias(idCol))
                    .distinct())
         survivors = batch_df.join(flagged, idCol, "left_anti")
-        if appendSurvivors:
+        # a batch that is ALL duplicates appends nothing — and must
+        # not reach the appender at all (the embedding family infers
+        # its vector dim from the first row, which an empty frame
+        # cannot provide)
+        if appendSurvivors and survivors.limit(1).count():
             dedup.append_to_index(survivors, path)
         if on_batch is not None:
             on_batch(batch_id, pairs, survivors)
 
     return screen
+
+
+def bm25_ingest_foreach_batch(retriever, path: str,
+                              positions: bool = False,
+                              on_batch=None):
+    """Streaming BM25 ingest as one ``foreachBatch`` callable: the
+    first micro-batch bootstraps the index
+    (``BM25Retriever.save_index``), every later batch appends
+    incrementally (``append_to_index`` — new docs tokenize alone,
+    document frequency re-aggregates from the MERGED postings and the
+    stats extend over the exact stored token sum, so the stream-built
+    index is BIT-identical to a batch build over everything ingested;
+    pinned in tests). ``on_batch(batch_id, n_docs)`` reports progress.
+
+    Per-batch cost discipline: the append's df re-aggregation is
+    INDEX-sized (vocabulary keys), never a corpus re-tokenize, and
+    postings/positions append as new files — so a day of micro-batches
+    costs one vocabulary agg per batch plus map-side tokenization of
+    exactly the new documents. maxDfRatio retrievers refuse (the
+    stopword cut is a whole-corpus decision; build those nightly).
+
+    Compose with :func:`neardup_screen_foreach_batch` upstream to
+    index only dedup survivors.
+    """
+    from mmlspark_spark.llm.index_common import _hadoop_fs
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, P = _hadoop_fs(spark, path)
+        if not fs.exists(P(f"{path}/_bm25_manifest.json")):
+            retriever.save_index(batch_df, path, positions=positions)
+        else:
+            retriever.append_to_index(batch_df, path)
+        if on_batch is not None:
+            on_batch(batch_id, batch_df.count())
+
+    return ingest

@@ -405,3 +405,116 @@ def test_streaming_incremental_neardup_screen(spark, tmp_path):
     sigs = spark.read.parquet(str(tmp_path / "nd_idx" / "signatures"))
     assert {r["__id"] for r in sigs.select("__id").collect()} \
         == {1, 2, 11}
+
+
+def test_streaming_bm25_ingest_equals_batch_build(spark, tmp_path):
+    """bm25_ingest_foreach_batch: three micro-batches stream into a
+    BM25 index (batch 1 bootstraps, 2-3 append) — searching the
+    stream-built index must be BIT-identical to a fresh batch build
+    over everything ingested (append_to_index's exact-stats contract,
+    now pinned end-to-end through Structured Streaming)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from mmlspark_spark.llm import BM25Retriever
+    from mmlspark_spark.streaming import bm25_ingest_foreach_batch
+
+    src = tmp_path / "bi_src"
+    src.mkdir()
+    batches = [
+        [{"doc_id": i, "text": f"apple banana w{i % 5} cherry"}
+         for i in range(10)],
+        [{"doc_id": 10 + i, "text": f"banana date w{i % 3} apple"}
+         for i in range(8)],
+        [{"doc_id": 20 + i, "text": f"cherry elderberry w{i % 2}"}
+         for i in range(6)],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(_json.dumps(r) for r in rows))
+        _os.utime(f, (now + i, now + i))
+
+    bm = BM25Retriever(k=5)
+    seen = []
+    ingest = bm25_ingest_foreach_batch(
+        bm, str(tmp_path / "bi_idx"), positions=True,
+        on_batch=lambda bid, n: seen.append((bid, n)))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = (stream.writeStream.foreachBatch(ingest)
+         .option("checkpointLocation", str(tmp_path / "bi_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen == [(0, 10), (1, 8), (2, 6)]
+
+    queries = spark.createDataFrame(
+        [(0, "apple cherry"), (1, "banana date")],
+        "query_id long, query string")
+    phrases = spark.createDataFrame(
+        [(0, "apple banana")], "query_id long, query string")
+    idx = bm.load_index(spark, str(tmp_path / "bi_idx"))
+    streamed = sorted(map(tuple,
+                          bm.search_with_index(idx, queries).collect()))
+    streamed_ph = sorted(map(tuple, bm.phrase_search_with_index(
+        idx, phrases).collect()))
+
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for rows in batches for r in rows],
+        "doc_id long, text string")
+    assert streamed == sorted(map(tuple,
+                                  bm.search(all_docs, queries)
+                                  .collect()))
+    assert streamed_ph == sorted(map(tuple, bm.phrase_search(
+        all_docs, phrases).collect()))
+
+
+def test_neardup_screen_generic_over_embedding_family(spark, tmp_path):
+    """The screen callable is family-generic: the embedding dedup
+    names its pair columns (id_a, id_b), not (doc_a, doc_b) — the
+    wrapper flags by the FIRST pair column, whatever the family calls
+    it. foreachBatch callables take plain DataFrames, so this drives
+    the callable directly (no stream needed): batch 1 bootstraps,
+    batch 2's planted duplicate vector is flagged and withheld."""
+    import numpy as np
+
+    from mmlspark_spark.llm.dedup import EmbeddingDeduplicator
+    from mmlspark_spark.streaming import neardup_screen_foreach_batch
+
+    rng = np.random.default_rng(97)
+    x = rng.normal(size=(10, 8))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    b1 = df([(i, [float(v) for v in x[i]]) for i in range(5)])
+    b2 = df([(100, [float(v) for v in x[2]]),          # dup of id 2
+             (101, [float(v) for v in x[7]])])          # fresh
+    seen = {}
+
+    def on_batch(bid, pairs, survivors):
+        seen[bid] = ({tuple(r)[:2] for r in pairs.collect()},
+                     {r.vec_id for r in survivors.collect()})
+
+    screen = neardup_screen_foreach_batch(
+        EmbeddingDeduplicator(idCol="vec_id", vecCol="embedding",
+                              threshold=0.9, method="lsh",
+                              numPlanes=16, bands=8,
+                              maxBucketSize=None),
+        str(tmp_path / "emb_screen"), "vec_id", on_batch=on_batch)
+    screen(b1, 0)
+    screen(b2, 1)
+    assert seen[0] == (set(), {0, 1, 2, 3, 4})
+    assert {a for a, _ in seen[1][0]} == {100}
+    assert (100, 2) in seen[1][0]
+    assert seen[1][1] == {101}
+    # survivor appended: a third batch matches it
+    b3 = df([(200, [float(v) for v in x[7]])])
+    screen(b3, 2)
+    assert (200, 101) in seen[2][0]
