@@ -350,7 +350,8 @@ def main() -> None:
                  "knn_matryoshka_sq8", "knn_ivf", "bm25_search",
                  "dsir_select", "knn_ivfpq_indexed", "bm25_phrase_indexed",
                  "knn_ivf_filtered", "minhash_match_indexed",
-                 "simhash_match_indexed", "video_match_indexed"):
+                 "simhash_match_indexed", "video_match_indexed",
+                 "knn_lsh_indexed"):
         spec = CATALOG.get(name)
         if spec is None:
             continue
