@@ -332,10 +332,19 @@ class BM25Retriever:
         from mmlspark_spark.core.cache import persist_intermediate
         from mmlspark_spark.llm.export import _fs_write_text
 
-        if mode == "overwrite":
-            # fresh save replaces the artifact: stale tombstones from
-            # a previous index at this path must not mask the new one
-            _clear_tombstones(docs.sparkSession, path)
+        if mode == "append":
+            # dfreq is per-term over THIS corpus and stats is one row:
+            # appending either would double-count every shared term
+            # and leave two stats rows — incremental growth is
+            # append_to_index's job (which re-aggregates df from the
+            # MERGED postings and extends stats exactly)
+            raise ValueError(
+                "save_index(mode='append') would duplicate dfreq/"
+                "stats rows — use append_to_index for incremental "
+                "growth")
+        # fresh save replaces the artifact: stale tombstones from
+        # a previous index at this path must not mask the new one
+        _clear_tombstones(docs.sparkSession, path)
         pos = None
         post_src = None
         if positions:

@@ -566,11 +566,15 @@ class LSHKNN:
     def _search_index_one(self, index: dict,
                           queries: DataFrame) -> DataFrame:
         _check_query_size(queries, "LSHKNN", self.maxQueries)
-        qdim = vector_dim(queries, self.vecCol)
-        if qdim != index["dim"]:
+        # dim check tolerant of an EMPTY frame: the chunkQueries lane
+        # hash-splits queries, and a hash chunk can come up empty —
+        # vector_dim would throw where the right answer is zero rows
+        qrow = (queries.select(F.size(F.col(self.vecCol)).alias("d"))
+                .filter(F.col("d").isNotNull()).first())
+        if qrow is not None and int(qrow["d"]) != index["dim"]:
             raise ValueError(
-                f"query vectors have dim {qdim}, stored LSH index "
-                f"holds dim {index['dim']}")
+                f"query vectors have dim {int(qrow['d'])}, stored "
+                f"LSH index holds dim {index['dim']}")
         q = self._signature_bands(queries, index["dim"], "q")
         bands = _drop_tombstoned(index["bands"],
                                  index.get("tombstones"), "d_id")

@@ -1301,6 +1301,16 @@ def test_lsh_index_lifecycle(spark, tmp_path):
         lsh.load_index(spark, p), q).collect())) == masked
     assert spark.read.parquet(f"{p}/vectors").count() == 120 - len(dead_ids)
 
+    # chunked stored-lane == single-shot (hash chunks may come up
+    # empty — the dim check must tolerate an empty query chunk)
+    from mmlspark_spark.core.cache import release_intermediates
+
+    lsh_c = LSHKNN(k=5, numPlanes=16, bands=8, chunkQueries=2)
+    got_c_df = lsh_c.search_with_index(lsh_c.load_index(spark, p), q)
+    got_c = sorted(map(tuple, got_c_df.collect()))
+    release_intermediates(got_c_df)
+    assert got_c == masked
+
     # guards: grid mismatch, dim mismatch, stale-tombstone clear
     with _pytest.raises(ValueError, match="grid"):
         LSHKNN(k=5, numPlanes=16, bands=4).load_index(spark, p)

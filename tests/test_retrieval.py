@@ -495,3 +495,20 @@ def test_bm25_delete_and_compact(spark, tmp_path):
     bm2.delete_from_index(dead, p2)
     with _pytest.raises(ValueError, match="maxDfRatio"):
         bm2.compact_index(spark, p2)
+
+
+def test_bm25_save_mode_append_refused(spark, tmp_path):
+    """save_index(mode='append') would double-count every shared
+    term's df and leave two stats rows — refused with a pointer to
+    append_to_index, like every sibling index family."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm import BM25Retriever
+
+    docs = spark.createDataFrame([(1, "a b c")],
+                                 "doc_id long, text string")
+    bm = BM25Retriever(k=3)
+    p = str(tmp_path / "bm25_noappend")
+    bm.save_index(docs, p)
+    with _pytest.raises(ValueError, match="append_to_index"):
+        bm.save_index(docs, p, mode="append")
