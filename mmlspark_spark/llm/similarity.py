@@ -550,8 +550,8 @@ class LSHKNN:
         _clear_tombstones(spark, path)
         return before - spark.read.parquet(f"{path}/vectors").count()
 
-    def search_with_index(self, index: dict,
-                          queries: DataFrame) -> DataFrame:
+    def search_with_index(self, index: dict, queries: DataFrame,
+                          where=None) -> DataFrame:
         """LSH top-k against a loaded :meth:`load_index` artifact —
         identical results to :meth:`search` over the source corpus
         (round-trip pinned in tests): the query side signatures
@@ -559,12 +559,20 @@ class LSHKNN:
         side never shuffles), candidates dedup, and the exact-cosine
         rerank joins the stored vectors once per candidate.
         Tombstoned ids are masked from the band store BEFORE the
-        join, so deleted vectors never surface."""
-        return _maybe_chunk_queries(
-            self, queries, lambda qc: self._search_index_one(index, qc))
+        join, so deleted vectors never surface.
 
-    def _search_index_one(self, index: dict,
-                          queries: DataFrame) -> DataFrame:
+        ``where`` (a Column predicate over ``d_id``) gives FILTERED
+        search: signatures are per-vector, so filtering the stored
+        band rows equals building a fresh index over the filtered
+        corpus (pinned in tests) — candidate generation is
+        restricted BEFORE the top-k, never post-filtered, which
+        would silently under-fill k."""
+        return _maybe_chunk_queries(
+            self, queries,
+            lambda qc: self._search_index_one(index, qc, where=where))
+
+    def _search_index_one(self, index: dict, queries: DataFrame,
+                          where=None) -> DataFrame:
         _check_query_size(queries, "LSHKNN", self.maxQueries)
         # dim check tolerant of an EMPTY frame: the chunkQueries lane
         # hash-splits queries, and a hash chunk can come up empty —
@@ -578,6 +586,8 @@ class LSHKNN:
         q = self._signature_bands(queries, index["dim"], "q")
         bands = _drop_tombstoned(index["bands"],
                                  index.get("tombstones"), "d_id")
+        if where is not None:
+            bands = bands.filter(where)
         vecs = (index["vectors"]
                 .select(F.col("__id").alias("d_id"),
                         F.col("__vec").alias("d_vec")))

@@ -1311,6 +1311,15 @@ def test_lsh_index_lifecycle(spark, tmp_path):
     release_intermediates(got_c_df)
     assert got_c == masked
 
+    # filtered stored search == fresh index over the filtered corpus
+    filt = sorted(map(tuple, lsh.search_with_index(
+        lsh.load_index(spark, p), q,
+        where=F.col("d_id") < 60).collect()))
+    fresh_f = sorted(map(tuple, lsh.search(
+        surv.filter(F.col("vec_id") < 60), q).collect()))
+    assert filt == fresh_f and len(filt) > 0
+    assert all(t[1] < 60 for t in filt)
+
     # guards: grid mismatch, dim mismatch, stale-tombstone clear
     with _pytest.raises(ValueError, match="grid"):
         LSHKNN(k=5, numPlanes=16, bands=4).load_index(spark, p)
