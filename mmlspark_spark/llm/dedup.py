@@ -280,6 +280,23 @@ class MinHashLSHDeduplicator(Transformer):
             fields.append(T.StructField("jaccard", T.DoubleType(), True))
         return T.StructType(fields)
 
+    def match_schema(self, schema: T.StructType) -> T.StructType:
+        """Schema of :meth:`match_against_index` pairs — like
+        :meth:`transform_schema` but NEVER the ``verifyExact``
+        ``jaccard`` column: the stored side carries signatures, not
+        text, so index matching only estimates. Streaming wrappers
+        must build their bootstrap empty frame from THIS (a
+        verifyExact dedup would otherwise emit a different pairs
+        schema on batch 0 than on every later batch, breaking
+        schema-pinned sinks)."""
+        self._require_cols(schema, self.idCol, self.textCol)
+        id_type = schema[self.idCol].dataType
+        return T.StructType([
+            T.StructField("doc_a", id_type, True),
+            T.StructField("doc_b", id_type, True),
+            T.StructField("est_jaccard", T.DoubleType(), True),
+        ])
+
     def signatures(self, df: DataFrame) -> DataFrame:
         """(id, sig: array<long>[numHashes]) — one row per doc."""
         k = self.numHashes

@@ -52,16 +52,37 @@ def _read_tombstones(spark, path: str) -> DataFrame | None:
     regardless of duplicates — a distinct here would re-pay a shuffle
     in every plan branch that masks (the write side already
     distinct's per delete call, so dupes only arise from repeated
-    deletes of the same id)."""
+    deletes of the same id).
+
+    The set's on-disk size is stamped on the returned frame
+    (``_mmlspark_ts_bytes``, read from FS metadata — no job) so
+    :func:`_drop_tombstoned` can decide whether broadcasting the mask
+    is safe; a neglected index whose pending deletes grew huge must
+    degrade to a shuffle join, not OOM every masked read."""
     fs, P = _hadoop_fs(spark, f"{path}/tombstones")
     if not fs.exists(P(f"{path}/tombstones")):
         return None
-    return spark.read.parquet(f"{path}/tombstones").select("id")
+    df = spark.read.parquet(f"{path}/tombstones").select("id")
+    try:
+        df._mmlspark_ts_bytes = int(
+            fs.getContentSummary(P(f"{path}/tombstones")).getLength())
+    except Exception:
+        df._mmlspark_ts_bytes = None  # unknown size → keep the hint
+    return df
 
 
 def _clear_tombstones(spark, path: str) -> None:
     fs, P = _hadoop_fs(spark, f"{path}/tombstones")
     fs.delete(P(f"{path}/tombstones"), True)
+
+
+# Above this on-disk size the tombstone set no longer gets the
+# broadcast hint: ~64 MB of snappy parquet ids decompress to several
+# hundred MB of in-memory rows per executor — the "takedown-scale"
+# assumption has clearly lapsed, and the right degradation is a
+# shuffle anti-join plus a compaction nudge, not an OOM on every
+# masked read.
+_BROADCAST_TOMBSTONE_BYTES = 64 << 20
 
 
 def _drop_tombstoned(df: DataFrame, tombstones: DataFrame | None,
@@ -73,12 +94,25 @@ def _drop_tombstoned(df: DataFrame, tombstones: DataFrame | None,
     broadcast anti-join keeps the big stored side MAP-SIDE — without
     the hint every consumer of the masked frame re-pays a full
     shuffle of the store (measured: +10 exchanges on the minhash
-    match plan)."""
+    match plan). The hint is guarded by the set's on-disk size
+    (stamped by :func:`_read_tombstones`): past
+    ``_BROADCAST_TOMBSTONE_BYTES`` the mask degrades to a shuffle
+    join with a compaction warning instead of risking driver/executor
+    OOM — the documented takedown-scale assumption, now enforced."""
     if tombstones is None:
         return df
-    return df.join(F.broadcast(
-        tombstones.withColumnRenamed("id", idCol)),
-        idCol, "left_anti")
+    ts = tombstones.withColumnRenamed("id", idCol)
+    nbytes = getattr(tombstones, "_mmlspark_ts_bytes", None)
+    if nbytes is not None and nbytes > _BROADCAST_TOMBSTONE_BYTES:
+        import warnings
+
+        warnings.warn(
+            f"pending tombstone set is {nbytes >> 20} MB on disk — "
+            f"too large to broadcast safely; masking via shuffle "
+            f"anti-join instead. Run compact_index to retire the "
+            f"mask", stacklevel=2)
+        return df.join(ts, idCol, "left_anti")
+    return df.join(F.broadcast(ts), idCol, "left_anti")
 
 
 def _refuse_tombstoned_append(new_ids: DataFrame, path: str,
@@ -132,7 +166,7 @@ _MANIFEST_NAMES = (
     "_minhash_manifest.json", "_fp_index_manifest.json",
     "_emb_index_manifest.json", "_video_index_manifest.json",
     "_bm25_manifest.json", "_ivf_manifest.json", "_pq_manifest.json",
-    "_sq_manifest.json", "_ivfpq_manifest.json",
+    "_sq_manifest.json", "_ivfpq_manifest.json", "_lsh_manifest.json",
 )
 
 

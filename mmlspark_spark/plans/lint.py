@@ -112,29 +112,43 @@ def _scan_pushdown_findings(jplan) -> list[str]:
     return findings
 
 
-def _count_tree_shuffles(jnode, seen_relations: set) -> int:
+def _count_tree_shuffles(jnode, seen_relations: set,
+                         basis: list | None = None) -> int:
     """Count ShuffleExchangeExec nodes in the physical tree. Recurses
-    into the AQE wrapper's initial plan, into query stages (leaves in
-    the tree, their plan behind ``.plan()``), and into each DISTINCT
+    into the AQE wrapper's FINAL adaptive plan when the query has
+    executed (``isFinalPlan`` — runtime SMJ→broadcast conversions and
+    stage reuse make the initial plan overstate what actually ran),
+    falling back to the initial plan pre-execution (recorded in
+    ``basis`` so the finding text can note the pre-AQE estimate;
+    ``finalPhysicalPlan`` would FORCE execution — a linter must not
+    run the query). Recurses into query stages (leaves in the tree,
+    their plan behind ``.plan()``) and into each DISTINCT
     InMemoryRelation's cached plan exactly once (a persisted subtree's
     shuffles execute once at materialization however many times the
     plan references it)."""
     cls = jnode.getClass().getSimpleName()
     n = 1 if cls == "ShuffleExchangeExec" else 0
     if cls == "AdaptiveSparkPlanExec":
-        n += _count_tree_shuffles(jnode.initialPlan(), seen_relations)
+        if jnode.isFinalPlan():
+            n += _count_tree_shuffles(jnode.executedPlan(),
+                                      seen_relations, basis)
+        else:
+            if basis is not None:
+                basis.append("pre-AQE")
+            n += _count_tree_shuffles(jnode.initialPlan(),
+                                      seen_relations, basis)
     elif cls == "InMemoryTableScanExec":
         rel = jnode.relation()
         key = rel.hashCode()
         if key not in seen_relations:
             seen_relations.add(key)
             n += _count_tree_shuffles(rel.cachedPlan(),
-                                      seen_relations)
+                                      seen_relations, basis)
     elif cls.endswith("QueryStageExec"):
-        n += _count_tree_shuffles(jnode.plan(), seen_relations)
+        n += _count_tree_shuffles(jnode.plan(), seen_relations, basis)
     ch = jnode.children()
     for i in range(ch.size()):
-        n += _count_tree_shuffles(ch.apply(i), seen_relations)
+        n += _count_tree_shuffles(ch.apply(i), seen_relations, basis)
     return n
 
 
@@ -169,13 +183,17 @@ def lint_plan(df: DataFrame, maxExchanges: int = 8) -> list[str]:
     # on the tombstone-masked minhash match). Cached subtrees ARE
     # counted — once per distinct relation (they execute once, at
     # materialization).
-    n_exchanges = _count_tree_shuffles(jplan, set())
+    basis: list = []
+    n_exchanges = _count_tree_shuffles(jplan, set(), basis)
     if n_exchanges > maxExchanges:
+        note = (" (pre-AQE estimate — the plan has not executed; "
+                "runtime SMJ→broadcast conversion and stage reuse "
+                "may lower the real count)" if basis else "")
         findings.append(
-            f"{n_exchanges} shuffle exchanges (> {maxExchanges}): every "
-            "one is a full shuffle — look for repeated re-partitioning, "
-            "unpersisted multi-consumer subtrees, or joins that could "
-            "share a partitioning")
+            f"{n_exchanges} shuffle exchanges (> {maxExchanges}){note}: "
+            "every one is a full shuffle — look for repeated "
+            "re-partitioning, unpersisted multi-consumer subtrees, or "
+            "joins that could share a partitioning")
     findings.extend(_scan_pushdown_findings(jplan))
     return findings
 

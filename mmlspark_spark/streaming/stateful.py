@@ -202,7 +202,14 @@ def neardup_screen_foreach_batch(dedup, path: str, idCol: str,
         if not fs.exists(P(path)):
             dedup.save_index(batch_df, path)
             if on_batch is not None:
-                schema = dedup.transform_schema(batch_df.schema)
+                # the bootstrap's empty pairs frame must carry the
+                # MATCH schema, not transform's: a verifyExact
+                # MinHash dedup's transform adds a 'jaccard' column
+                # match_against_index never emits, and a
+                # schema-pinned sink would break on batch 1
+                schema = (dedup.match_schema(batch_df.schema)
+                          if hasattr(dedup, "match_schema")
+                          else dedup.transform_schema(batch_df.schema))
                 on_batch(batch_id,
                          spark.createDataFrame([], schema), batch_df)
             return
@@ -251,6 +258,17 @@ def bm25_ingest_foreach_batch(retriever, path: str,
     index only dedup survivors.
     """
     from mmlspark_spark.llm.index_common import _hadoop_fs
+
+    # refuse HERE, not at batch 2: save_index accepts maxDfRatio, so
+    # without this check the first micro-batch would build a pruned
+    # index and the stream would only crash inside append_to_index
+    # one batch later, leaving a bootstrap-only artifact behind
+    if getattr(retriever, "maxDfRatio", None) is not None:
+        raise ValueError(
+            "bm25_ingest_foreach_batch: maxDfRatio retrievers cannot "
+            "ingest incrementally (the stopword cut is a whole-corpus "
+            "decision append_to_index refuses) — build those nightly "
+            "with save_index, or stream with maxDfRatio=None")
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

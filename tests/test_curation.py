@@ -1618,6 +1618,19 @@ def test_index_info_describes_any_artifact(spark, tmp_path):
     assert info2["stores"]["codes"] == 20
     assert info2["stores"]["bounds"] == 1
 
+    # the LSH family — added to _MANIFEST_NAMES after the r12 gap
+    # (index_info raised 'not an index artifact' on a valid LSH
+    # index because only the other nine manifests were listed)
+    from mmlspark_spark.llm.similarity import LSHKNN
+
+    p3 = str(tmp_path / "lsh_info")
+    LSHKNN(k=3, numPlanes=8, bands=4).save_index(vecs, p3)
+    info3 = index_info(spark, p3)
+    assert info3["manifest_file"] == "_lsh_manifest.json"
+    assert info3["stores"]["vectors"] == 20
+    assert info3["stores"]["bands"] == 80  # 4 bands x 20 vectors
+    assert info3["pending_tombstones"] == 0
+
     with _pytest.raises(ValueError, match="manifest|artifact"):
         index_info(spark, str(tmp_path / "nothing_here"))
     plain = str(tmp_path / "plain_parquet")
@@ -1669,3 +1682,56 @@ def test_save_index_overwrite_clears_stale_tombstones(spark, tmp_path):
                          p3)
     sq.save_index(vecs, p3)
     assert sq.load_index(spark, p3)["tombstones"] is None
+
+
+def test_oversized_tombstone_set_degrades_to_shuffle_join(spark, tmp_path):
+    """The takedown-scale assumption on the tombstone mask, enforced:
+    a pending-delete set past the broadcast budget (possible when an
+    operator neglects compact_index) must degrade the read-time mask
+    to a shuffle anti-join with a compaction warning — never OOM the
+    driver by broadcasting it. The size signal is FS metadata stamped
+    by _read_tombstones (no extra job), so the normal small-set path
+    keeps the measured-cheaper broadcast hint."""
+    import warnings as _warnings
+
+    from mmlspark_spark.llm.index_common import (
+        _drop_tombstoned,
+        _read_tombstones,
+    )
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, float(i)]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    sq = ScalarQuantizerKNN(k=3)
+    p = str(tmp_path / "sq_big_ts")
+    sq.save_index(vecs, p)
+    sq.delete_from_index(
+        spark.createDataFrame([(1,), (5,)], "vec_id long"), p)
+
+    ts = _read_tombstones(spark, p)
+    assert isinstance(ts._mmlspark_ts_bytes, int)
+    assert ts._mmlspark_ts_bytes > 0
+    store = spark.read.parquet(f"{p}/codes")
+
+    # small (real) set: the FORCED broadcast hint is present (the
+    # measured-cheaper path — without it a big store re-shuffles in
+    # every consumer of the masked frame)
+    masked = _drop_tombstoned(store, ts, "vec_id")
+    plan = masked._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in plan
+    assert masked.count() == 10
+
+    # simulate a neglected index: same frame, huge recorded size —
+    # the hint must go (Spark's stats-based planner then decides; at
+    # real scale a multi-GB set exceeds autoBroadcastJoinThreshold
+    # and lands on the shuffle anti-join instead of an OOM)
+    ts._mmlspark_ts_bytes = 1 << 31
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        masked_big = _drop_tombstoned(store, ts, "vec_id")
+    assert any("compact_index" in str(w.message) for w in caught)
+    plan_big = (masked_big._jdf.queryExecution().optimizedPlan()
+                .toString())
+    assert "strategy=broadcast" not in plan_big
+    assert masked_big.count() == 10  # same answer, unforced plan

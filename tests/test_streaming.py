@@ -518,3 +518,60 @@ def test_neardup_screen_generic_over_embedding_family(spark, tmp_path):
     b3 = df([(200, [float(v) for v in x[7]])])
     screen(b3, 2)
     assert (200, 101) in seen[2][0]
+
+
+def test_neardup_bootstrap_pairs_schema_matches_later_batches(
+        spark, tmp_path):
+    """A verifyExact MinHash dedup's transform schema carries a
+    'jaccard' column match_against_index never emits — the
+    bootstrap batch's empty pairs frame must use the MATCH schema
+    (match_schema), or a schema-pinned sink sees a different pairs
+    shape on batch 0 than on every later batch."""
+    from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+    from mmlspark_spark.streaming import neardup_screen_foreach_batch
+
+    base = ("the quick brown fox jumps over the lazy dog and naps "
+            "in the warm afternoon sun for hours on end ")
+    b1 = spark.createDataFrame(
+        [(1, base * 2), (2, "unrelated first-batch text " * 6)],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, (base * 2).replace("quick", "rapid"))],
+        "doc_id long, text string")
+
+    dd = MinHashLSHDeduplicator(idCol="doc_id", textCol="text",
+                                shingleSize=3, numHashes=16, bands=8,
+                                threshold=0.3, verifyExact=True,
+                                maxBucketSize=None)
+    schemas = {}
+
+    def on_batch(bid, pairs, survivors):
+        schemas[bid] = pairs.schema
+
+    screen = neardup_screen_foreach_batch(
+        dd, str(tmp_path / "ve_idx"), "doc_id", on_batch=on_batch)
+    screen(b1, 0)
+    screen(b2, 1)
+    assert schemas[0] == schemas[1]
+    assert "jaccard" not in schemas[0].fieldNames()
+    assert schemas[0].fieldNames() == ["doc_a", "doc_b", "est_jaccard"]
+    # and match_schema itself is transform_schema minus the verify col
+    assert dd.match_schema(b1.schema).fieldNames() \
+        == ["doc_a", "doc_b", "est_jaccard"]
+    assert dd.transform_schema(b1.schema).fieldNames() \
+        == ["doc_a", "doc_b", "est_jaccard", "jaccard"]
+
+
+def test_bm25_ingest_refuses_maxdfratio_at_construction(spark):
+    """The docstring promise, enforced at the right time: a
+    maxDfRatio retriever must be refused when the wrapper is BUILT —
+    before the first micro-batch writes a pruned bootstrap index the
+    stream would only crash on (inside append_to_index) at batch 2."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm import BM25Retriever
+    from mmlspark_spark.streaming import bm25_ingest_foreach_batch
+
+    with _pytest.raises(ValueError, match="maxDfRatio"):
+        bm25_ingest_foreach_batch(
+            BM25Retriever(k=5, maxDfRatio=0.5), "/tmp/never_written")
