@@ -48,54 +48,52 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 
 
 # Driver correctness-checks a window of the first 50 entries of
-# queries(). Round-12 priority, in order of evidence need:
-# (a) queries whose CODE is NEW or changed this round:
-#     video_match_indexed (NEW: the last near-dup family's stored
-#     per-frame index — save/append/load/match + delete lifecycle),
-#     video_dhash_dedup (synthesis factored through the shared
-#     _planted_clips, expression-identical but re-verify),
-#     bm25_phrase_indexed (save_index now writes the doclens ledger
-#     and derives stats from it), minhash_match_indexed /
-#     simhash_match_indexed / embedding_match_indexed (match lanes
-#     now mask tombstones before the bucket caps), and the NEW
-#     driver-gated delete lanes minhash_match_tombstoned /
-#     bm25_search_tombstoned (read-time tombstone masks hash-checked
-#     against survivor/Lucene-model replays) and knn_lsh_indexed (the
-#     last ANN family's stored lifecycle, oracled by the knn_lsh
-#     seeded-plane replay verbatim — a hash match proves the
-#     save/load round-trip lossless);
-# (b) the stalest driver rows, oldest first — the entire r7-era block
-#     (corpus_report .. tpch_q8: 25 queries whose last driver green
-#     is round 7) and 17 of the r9 block (asof_join ..
-#     partition_ops_identity; minibatch_roundtrip,
-#     multi_column_adapter and lambda_stage, also r9, wait for r13 —
-#     age 4 ≤ K). The r11 window (new-lane + r5/r6
-#     blocks) is all r11-green and rotates out; the r10-green
-#     rotated-out set (knn_ivf, tabular_lime_exact, ann_recall,
-#     knn_pq_adc, knn_matryoshka*, dsir_select, dedup_recall,
-#     perplexity_prune .. embedding_dedup) plus the r9 remainder
-#     (pii_redact .. video_dhash_dedup block) form the r13 backlog.
-#     test_window_rotation_fairness (round 12) mechanizes this: an
-#     oracled query whose last driver green would fall more than 4
-#     rounds stale under the planned window fails the lint.
+# queries(). Round-13 priority, in order of evidence need (the
+# groups are annotated inline below): (a) the six NEW lanes —
+# never-green oracled queries must be windowed (fairness lint);
+# (b) the full r9-green block at staleness age 4 (the lint bound);
+# (c) 26 of the 39 r10-green queries, the 13 heaviest deferred to
+# r14 at age 4 ≤ K. The entire r12 window (new-lane + r7-era +
+# r9-era blocks) is r12-green and rotates out; the r14 backlog is
+# the 13 deferred r10 lanes + the r11-green block (45 queries, age
+# 3 at r14). test_window_rotation_fairness mechanizes all of this:
+# an oracled query whose last driver green would fall more than 4
+# rounds stale under the planned window fails the lint, as does a
+# new oracled query parked outside the window.
 _WINDOW_PRIORITY = (
-    "video_match_indexed", "video_dhash_dedup", "bm25_phrase_indexed",
-    "minhash_match_indexed", "simhash_match_indexed",
-    "embedding_match_indexed", "minhash_match_tombstoned",
-    "bm25_search_tombstoned", "knn_lsh_indexed",
-    "corpus_report", "curation_pipeline", "doc_fingerprint",
-    "embedding_covariance", "index_to_value_roundtrip",
-    "json_extract", "lang_id_heuristic", "model_statistics",
-    "quality_filter", "stratified_sample", "substring_dedup_spans",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q18", "tpch_q22",
-    "asof_join", "audio_fingerprint_dedup", "class_balancer",
-    "cube_counts", "domain_temperature_mix", "drop_missing",
-    "drop_rename", "ensemble_by_key", "explode_tokens",
-    "image_dhash_dedup", "isolation_forest", "knn_ivf_pretrained",
-    "knn_lsh", "knn_stage", "minhash_dedup",
-    "partition_ops_identity",
+    # (a) the six NEW round-13 lanes (never-green — the fairness lint
+    #     requires every new oracled query in the window): the
+    #     remaining tombstone families under the hash gate
+    #     (simhash/embedding/video/IVF) and the first two COMPACTION
+    #     lanes (flat-store BM25 + cell-partitioned IVF physical
+    #     rewrites hash-checked against fresh-over-survivors replays)
+    "simhash_match_tombstoned", "embedding_match_tombstoned",
+    "video_match_tombstoned", "knn_ivf_tombstoned",
+    "knn_ivf_compacted", "bm25_search_compacted",
+    # (b) the entire r9-green block (last driver row round 9 — age 4
+    #     this round; the fairness lint would fail the r14 build if
+    #     they weren't rotated now)
+    "lambda_stage", "minibatch_roundtrip", "multi_column_adapter",
+    "pii_redact", "range_join", "select_project", "sequence_packing",
+    "simhash_dedup", "stratified_repartition", "summarize_data",
+    "tabular_shap_exact", "text_featurize_pipeline", "tpch_q9",
+    "tpch_q11", "udf_transformer", "unicode_normalize", "url_extract",
+    "vw_featurizer",
+    # (c) 26 of the 39 r10-green queries (age 3). The 13 deferred to
+    #     r14 — ann_recall, dedup_recall, dsir_select, embedding_dedup,
+    #     exact_dedup, incremental_dedup, knn_ivf, knn_matryoshka,
+    #     knn_matryoshka_sq8, knn_pq_adc, ngram_jaccard,
+    #     perplexity_prune, tabular_lime_exact — are the heaviest
+    #     ANN/dedup lanes (kept off this round's already index-heavy
+    #     window) and sit exactly at age 4 ≤ K at the r14 check, so
+    #     the lint holds as long as r14 windows them.
+    "anti_join", "broadcast_join_revenue", "clean_missing",
+    "data_conversion", "domain_mix", "embedding_stats", "lang_stats",
+    "multi_ngram", "ngram_lm_score", "page_splitter", "pivot_status",
+    "quality_score", "rollup_counts", "semi_join", "sessionize",
+    "token_count", "top_k_per_group", "tpch_q2", "tpch_q4",
+    "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21", "ts_featurize",
+    "value_indexer", "window_hourly_agg",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside
@@ -2983,16 +2981,23 @@ def _simhash_oracle(bands: int = 4, maxHamming: int = 10,
 
 
 def _simhash_match_oracle(bands: int = 4, maxHamming: int = 10,
-                          split: int = 400, cap: int = 1000) -> str:
+                          split: int = 400, cap: int = 1000,
+                          dead: str | None = None) -> str:
     """Replays SimHashDeduplicator.match_against_index: buckets from
     INDEX docs only (doc_id < split), batch band rows equi-join them,
     stored-member cap, Hamming filter on the xor — match-time
     semantics over the shared fingerprint fragment. The unnest lives
-    in its own CTE (the DuckDB 1.0 binder lesson)."""
+    in its own CTE (the DuckDB 1.0 binder lesson). ``dead`` (a doc_id
+    predicate) replays a pending TOMBSTONE set: masked ids leave the
+    stored bucket members BEFORE the cap count — matching equals a
+    fresh index over the survivors (the read-time-delete contract,
+    same as _minhash_match_oracle's)."""
     from mmlspark_spark.plans.duckdb_xxh import to_u64
 
     assert 64 % bands == 0
     w = 64 // bands
+    stored = f"doc_id < {split}" + (f" AND NOT ({dead})" if dead
+                                    else "")
     return f"""
     WITH {_simhash_fp_cte()}, band AS (
       SELECT doc_id, sh, j,
@@ -3002,7 +3007,7 @@ def _simhash_match_oracle(bands: int = 4, maxHamming: int = 10,
     ), bucketi AS (
       SELECT j, chunk,
              list({{'i': doc_id, 'h': sh}} ORDER BY doc_id) AS ms
-      FROM band WHERE doc_id < {split} GROUP BY j, chunk
+      FROM band WHERE {stored} GROUP BY j, chunk
     ), mb AS (
       SELECT nb.doc_id AS doc_a, nb.sh AS sha, b2.ms AS bms
       FROM band nb JOIN bucketi b2 USING (j, chunk)
@@ -3038,6 +3043,39 @@ def simhash_match_indexed(spark, sf_dir):
         "/tmp/mmlspark_spark_idx",
         f"simhash_{os.path.basename(sf_dir.rstrip('/'))}")
     dd.save_index(docs.filter(F.col("doc_id") < 400), path)
+    return dd.match_against_index(dd.load_index(spark, path),
+                                  docs.filter(F.col("doc_id") >= 400))
+
+
+@register("simhash_match_tombstoned",
+          oracle=_simhash_match_oracle(dead="doc_id % 5 = 0"))
+def simhash_match_tombstoned(spark, sf_dir):
+    """The DELETE half of the SimHash stored-index lifecycle under
+    the driver's hash gate (round 13 — the minhash_match_tombstoned
+    pattern on the fingerprint family): the stored corpus (docs <
+    400) tombstones every 5th doc (metadata-only takedown), then the
+    incoming batch screens against the index. Tombstoned
+    fingerprints are masked BEFORE banding, so they neither surface
+    as doc_b nor count toward the hot-bucket cap — matching equals a
+    fresh index over the survivors, exactly what the oracle replays
+    (dead ids excluded from the stored side of the shared
+    fingerprint fragment). save_index clears stale tombstones on
+    overwrite, so repeated driver runs are hermetic."""
+    import os
+
+    from mmlspark_spark.llm import SimHashDeduplicator
+
+    docs = _t(spark, sf_dir, "documents")
+    dd = SimHashDeduplicator(idCol="doc_id", textCol="text",
+                             bands=4, maxHammingDistance=10)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"simhash_del_{os.path.basename(sf_dir.rstrip('/'))}")
+    stored = docs.filter(F.col("doc_id") < 400)
+    dd.save_index(stored, path)
+    dd.delete_from_index(
+        stored.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+        path)
     return dd.match_against_index(dd.load_index(spark, path),
                                   docs.filter(F.col("doc_id") >= 400))
 
@@ -3287,17 +3325,27 @@ def video_dhash_dedup(spark, sf_dir):
 
 
 def _video_match_oracle(minOverlap: float = 0.7, split: int = 400,
-                        cap: int = 1000) -> str:
+                        cap: int = 1000,
+                        dead: str | None = None) -> str:
     """Replays VideoDHashDeduplicator.match_against_index over the
     shared fingerprint fragment: stored docs are doc_id < split,
     the batch is doc_id >= split; frame hashes held by more than
     ``cap`` STORED docs are dropped before the pair stage (the
     stored-member hot-frame cap — a title card must not explode the
     fan-out); matches count shared distinct frame hashes; containment
-    overlap uses the batch's own sizes and the stored ledger."""
+    overlap uses the batch's own sizes and the stored ledger.
+    ``dead`` (a doc_id predicate) replays a pending TOMBSTONE set:
+    masked docs leave the stored frames, the hot-frame cap count AND
+    the size ledger — matching equals a fresh index over the
+    survivors (the read-time-delete contract)."""
+    stored = f"doc_id < {split}" + (f" AND NOT ({dead})" if dead
+                                    else "")
+    b_stored = (f"b.doc_id < {split}"
+                + (f" AND NOT ({dead.replace('doc_id', 'b.doc_id')})"
+                   if dead else ""))
     return f"""
     WITH {_video_fp_cte()}, okfh AS (
-      SELECT fh FROM docfh WHERE doc_id < {split}
+      SELECT fh FROM docfh WHERE {stored}
       GROUP BY fh HAVING count(*) <= {cap}
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -3305,7 +3353,7 @@ def _video_match_oracle(minOverlap: float = 0.7, split: int = 400,
       FROM docfh a
       JOIN okfh o ON o.fh = a.fh
       JOIN docfh b ON b.fh = a.fh
-      WHERE a.doc_id >= {split} AND b.doc_id < {split}
+      WHERE a.doc_id >= {split} AND {b_stored}
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, matches,
@@ -3340,6 +3388,40 @@ def video_match_indexed(spark, sf_dir):
         "/tmp/mmlspark_spark_idx",
         f"video_{os.path.basename(sf_dir.rstrip('/'))}")
     dd.save_index(planted.filter(F.col("doc_id") < 400), path)
+    return dd.match_against_index(
+        dd.load_index(spark, path),
+        planted.filter(F.col("doc_id") >= 400))
+
+
+@register("video_match_tombstoned",
+          oracle=_video_match_oracle(dead="doc_id % 5 = 0"))
+def video_match_tombstoned(spark, sf_dir):
+    """The DELETE half of the video stored-index lifecycle under the
+    driver's hash gate (round 13): the stored clips (docs < 400)
+    tombstone every 5th doc (metadata-only takedown), then the
+    incoming batch screens against the index. Tombstoned docs are
+    masked from the frame store, the hot-frame cap count AND the
+    size ledger — matching equals a fresh index over the survivors,
+    exactly what the oracle replays (dead docs excluded from the
+    stored side of the frame-synthesis + dHash + set-overlap
+    fragment). save_index clears stale tombstones on overwrite, so
+    repeated driver runs are hermetic."""
+    import os
+
+    from mmlspark_spark.llm import VideoDHashDeduplicator
+
+    planted = _planted_clips(spark, sf_dir)
+    dd = VideoDHashDeduplicator(idCol="doc_id", videoCol="clip",
+                                minOverlap=0.7,
+                                maxDocsPerFrameHash=1000)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"video_del_{os.path.basename(sf_dir.rstrip('/'))}")
+    stored = planted.filter(F.col("doc_id") < 400)
+    dd.save_index(stored, path)
+    dd.delete_from_index(
+        stored.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+        path)
     return dd.match_against_index(
         dd.load_index(spark, path),
         planted.filter(F.col("doc_id") >= 400))
@@ -4051,13 +4133,18 @@ def embedding_dedup(spark, sf_dir):
 def _embedding_match_oracle(numPlanes: int = 16, bands: int = 8,
                             dim: int = 64, seed: int = 42,
                             split: int = 400, threshold: float = 0.2,
-                            cap: int = 1000) -> str:
+                            cap: int = 1000,
+                            dead: str | None = None) -> str:
     """Replays EmbeddingDeduplicator.match_against_index: the SAME
     seeded numpy hyperplanes as _knn_lsh_oracle (regenerated at
     import, inlined as literals), sign-bit band chunks for ALL
     vectors, buckets counted over INDEX vectors only (stored-member
     cap — match-time semantics), batch×stored candidates on the
-    chunk equi-join, exact cosine via the proven fold replay."""
+    chunk equi-join, exact cosine via the proven fold replay.
+    ``dead`` (a vec_id predicate) replays a pending TOMBSTONE set:
+    masked ids leave both the stored bucket-member counts (BEFORE
+    the cap) and the candidate side — matching equals a fresh index
+    over the survivors (the read-time-delete contract)."""
     import numpy as np
 
     from mmlspark_spark.plans.duckdb_xxh import cosine_sql, fold_sum
@@ -4091,14 +4178,18 @@ def _embedding_match_oracle(numPlanes: int = 16, bands: int = 8,
       FROM sig
     ), bucketi AS (
       SELECT band, chunk, CAST(count(*) AS BIGINT) AS n
-      FROM band WHERE vec_id < {split} GROUP BY band, chunk
+      FROM band WHERE {f"vec_id < {split}"
+                       + (f" AND NOT ({dead})" if dead else "")}
+      GROUP BY band, chunk
     ), cand AS (
       SELECT DISTINCT nb.vec_id AS id_a, d.vec_id AS id_b
       FROM band nb
       JOIN band d ON nb.band = d.band AND nb.chunk = d.chunk
       JOIN bucketi bi ON bi.band = nb.band AND bi.chunk = nb.chunk
       WHERE nb.vec_id >= {split} AND d.vec_id < {split}
-        AND bi.n <= {cap}
+        AND bi.n <= {cap}{
+          f" AND NOT ({dead.replace('vec_id', 'd.vec_id')})"
+          if dead else ""}
     )
     SELECT id_a, id_b,
            round({cosine_sql("ea.v", "eb.v", dim)}, 6) AS cosine
@@ -4134,6 +4225,42 @@ def embedding_match_indexed(spark, sf_dir):
         "/tmp/mmlspark_spark_idx",
         f"embdedup_{os.path.basename(sf_dir.rstrip('/'))}")
     dd.save_index(emb.filter(F.col("vec_id") < 400), path)
+    out = dd.match_against_index(
+        dd.load_index(spark, path),
+        emb.filter(F.col("vec_id") >= 400))
+    return out.select("id_a", "id_b",
+                      F.round("cosine", 6).alias("cosine"))
+
+
+@register("embedding_match_tombstoned",
+          oracle=_embedding_match_oracle(dead="vec_id % 5 = 0"))
+def embedding_match_tombstoned(spark, sf_dir):
+    """The DELETE half of the embedding near-dup stored-index
+    lifecycle under the driver's hash gate (round 13): the stored
+    vectors (vec_id < 400) tombstone every 5th id (metadata-only
+    takedown), then the incoming batch screens against the index.
+    Tombstoned ids leave the stored bucket store BEFORE the
+    hot-bucket cap count and never surface as id_b — matching equals
+    a fresh index over the survivors, exactly what the oracle
+    replays (dead ids excluded from bucket counts and candidates in
+    the seeded-hyperplane fragment). save_index clears stale
+    tombstones on overwrite, so repeated driver runs are hermetic."""
+    import os
+
+    from mmlspark_spark.llm.dedup import EmbeddingDeduplicator
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dd = EmbeddingDeduplicator(idCol="vec_id", vecCol="embedding",
+                               threshold=0.2, method="lsh",
+                               numPlanes=16, bands=8)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"embdedup_del_{os.path.basename(sf_dir.rstrip('/'))}")
+    stored = emb.filter(F.col("vec_id") < 400)
+    dd.save_index(stored, path)
+    dd.delete_from_index(
+        stored.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+        path)
     out = dd.match_against_index(
         dd.load_index(spark, path),
         emb.filter(F.col("vec_id") >= 400))
@@ -4486,14 +4613,20 @@ def _ivf_topk_tail(dim: int, k: int) -> str:
 
 
 def _knn_ivf_pretrained_oracle(nlist: int = 16, nProbe: int = 4,
-                               k: int = 10, dim: int = 64) -> str:
+                               k: int = 10, dim: int = 64,
+                               corpus_where: str = "") -> str:
     """Replays the bring-your-own-quantizer IVF lane end-to-end: the
     centroid frame IS data (embeddings vec_id < nlist), assignment
     ranks cells by exact cosine with cell-ASC tie-break (corpus top-1,
     queries top-nProbe), candidates equi-join on the cell, and the
     final exact-cosine top-k window — every float computed with the
     same left-fold order as the Catalyst expressions (shared
-    _ivf_cte/_ivf_topk_tail fragments over fold_sum/cosine_sql)."""
+    _ivf_cte/_ivf_topk_tail fragments over fold_sum/cosine_sql).
+    ``corpus_where`` (a ``d_id`` predicate via the shared fragment)
+    restricts the INDEXED corpus only — a survivor predicate replays
+    both the tombstone mask and a post-compaction index, since cell
+    assignment is per-vector (masking stored assignments == fresh
+    index over survivors)."""
     cent = (f"""c AS (
       SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {nlist}
     )""")
@@ -4501,7 +4634,8 @@ def _knn_ivf_pretrained_oracle(nlist: int = 16, nProbe: int = 4,
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       FROM embeddings
-    ), {_ivf_cte(cent, nProbe, dim)}{_ivf_topk_tail(dim, k)}"""
+    ), {_ivf_cte(cent, nProbe, dim, corpus_where=corpus_where)}{
+        _ivf_topk_tail(dim, k)}"""
 
 
 @register("knn_ivf_pretrained", oracle=_knn_ivf_pretrained_oracle())
@@ -4525,6 +4659,72 @@ def knn_ivf_pretrained(spark, sf_dir):
     return out.select("query_id", "neighbor_id",
                       F.round("sim", 6).alias("sim"),
                       F.col("rank").alias("rk"))
+
+
+def _ivf_stored_lane(spark, sf_dir, suffix: str, dead_mod: int,
+                     compact: bool):
+    """Shared body of the two stored-IVF delete lanes: save the
+    cell-partitioned artifact, tombstone every ``dead_mod``-th
+    vector, optionally COMPACT (physical rewrite of affected cell
+    directories), then search the stored index. Tombstoned-vs-
+    compacted must return identical rows — the tombstone lane proves
+    the read-time mask, the compacted lane proves the physical
+    rewrite, and both hash against the same survivor replay."""
+    import os
+
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
+                 nlist=16, nProbe=4)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"ivf_{suffix}_{os.path.basename(sf_dir.rstrip('/'))}")
+    ivf.save_index(emb, cent, path)
+    ivf.delete_from_index(
+        emb.filter(F.col("vec_id") % dead_mod == 0).select("vec_id"),
+        path)
+    if compact:
+        ivf.compact_index(spark, path)
+    out = ivf.search_with_index(ivf.load_index(spark, path), q)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"),
+                      F.col("rank").alias("rk"))
+
+
+@register("knn_ivf_tombstoned", oracle=_knn_ivf_pretrained_oracle(
+    corpus_where="NOT (d_id % 7 = 0)"))
+def knn_ivf_tombstoned(spark, sf_dir):
+    """The DELETE half of the stored-IVF lifecycle under the
+    driver's hash gate (round 13 — the last index family whose
+    tombstones were pytest-only): the whole corpus indexes into the
+    cell-partitioned artifact, every 7th vector is tombstoned
+    (metadata-only takedown — cell directories untouched), and
+    search_with_index masks the dead ids at read time. Cell
+    assignment is per-vector, so masking stored assignments equals a
+    fresh index over the survivors — exactly what the oracle replays
+    (the shared _ivf_cte with the survivor predicate on the indexed
+    corpus; queries stay unrestricted). save_index clears stale
+    tombstones on overwrite, so repeated driver runs are hermetic."""
+    return _ivf_stored_lane(spark, sf_dir, "del", 7, compact=False)
+
+
+@register("knn_ivf_compacted", oracle=_knn_ivf_pretrained_oracle(
+    corpus_where="NOT (d_id % 6 = 0)"))
+def knn_ivf_compacted(spark, sf_dir):
+    """COMPACTION under the driver's hash gate (round 13 — until now
+    compacted==fresh was pinned only in pytest): save → tombstone
+    every 6th vector → compact_index (physically rewrites ONLY the
+    cell directories containing a dead id, drops fully-dead cells,
+    clears the tombstone set) → search the rewritten artifact. The
+    oracle replays a fresh index over the survivors — a hash match
+    proves the PHYSICAL rewrite preserves search results exactly,
+    not just the read-time mask (its sibling knn_ivf_tombstoned, at
+    a different dead set so neither lane can shadow the other)."""
+    return _ivf_stored_lane(spark, sf_dir, "cmp", 6, compact=True)
 
 
 def _knn_ivf_filtered_oracle(nlist: int = 16, nProbe: int = 4,
@@ -4763,7 +4963,8 @@ def bm25_phrase_indexed(spark, sf_dir):
 
 def _bm25_cte(k1: float = 1.2, b: float = 0.75,
               qids: str = "3, 47, 101", qlen: int = 6,
-              dead: str | None = None) -> str:
+              dead: str | None = None,
+              corpus_where: str | None = None) -> str:
     """Shared BM25 WITH-fragment ending in CTE ``bm(query_id, doc_id,
     score, rnk)`` — used by BOTH bm25_search and hybrid_rrf so the
     idf/tf formula replay cannot drift between them. Every double op
@@ -4773,14 +4974,21 @@ def _bm25_cte(k1: float = 1.2, b: float = 0.75,
     ``dead`` (a doc_id predicate) replays a pending TOMBSTONE set
     under the Lucene deleted-docs model: masked docs never score
     (filtered out of the hits), but df / N / avgdl still count them
-    until compaction — exactly search_with_index's read-time mask."""
+    until compaction — exactly search_with_index's read-time mask.
+    ``corpus_where`` instead restricts the CORPUS itself (the ``t``
+    tokenize CTE), so df / N / avgdl recompute over the survivors —
+    the post-COMPACTION replay (compact_index's fresh-over-survivors
+    contract). The query docs (``qids``) must satisfy it: queries
+    tokenize from ``t`` in this replay, while the production lane
+    builds them from the raw table."""
     dead_where = (f"WHERE NOT ({dead.replace('doc_id', 'p.doc_id')})"
                   if dead else "")
+    cw = f" AND ({corpus_where})" if corpus_where else ""
     return f"""t AS (
       SELECT doc_id, list_filter(
                string_split_regex(text, '[ \\t\\n\\r]+'),
                x -> x <> '') AS tk
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL{cw}
     ), post AS (
       SELECT doc_id, dl, w AS term, CAST(count(*) AS BIGINT) AS tf
       FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS w FROM t)
@@ -4873,6 +5081,44 @@ def bm25_search_tombstoned(spark, sf_dir):
     bm.save_index(docs, path)
     bm.delete_from_index(
         docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), path)
+    out = bm.search_with_index(bm.load_index(spark, path),
+                               _bm25_queries(docs))
+    return out.select("query_id", "doc_id", "score",
+                      F.col("rank").alias("rk"))
+
+
+@register("bm25_search_compacted", oracle=f"""
+    WITH {_bm25_cte(corpus_where="NOT (doc_id % 7 = 0)")}
+    SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rk
+    FROM bm WHERE rnk <= 10
+    """)
+def bm25_search_compacted(spark, sf_dir):
+    """COMPACTION of the flat-store geometry under the driver's hash
+    gate (round 13 — its cell-partitioned sibling is
+    knn_ivf_compacted): save → tombstone every 7th doc →
+    compact_index (postings/doclens rewritten via staging+rename,
+    df re-aggregated from the compacted postings, the one-row stats
+    subtract the dead docs' exact (count, Σdl) off the stored
+    integers) → search the rewritten artifact. The oracle replays a
+    FRESH build over the survivors — df / N / avgdl over the
+    surviving corpus, unlike bm25_search_tombstoned's Lucene
+    deleted-docs stats — so a hash match proves compacted ==
+    fresh-over-survivors bit-for-bit through the driver, not just
+    pytest. Query docs 3/47/101 are not ≡0 (mod 7), so the replay's
+    query tokenization is unaffected by the survivor cut."""
+    import os
+
+    from mmlspark_spark.llm.retrieval import BM25Retriever
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = BM25Retriever(k=10)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"bm25_cmp_{os.path.basename(sf_dir.rstrip('/'))}")
+    bm.save_index(docs, path)
+    bm.delete_from_index(
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), path)
+    bm.compact_index(spark, path)
     out = bm.search_with_index(bm.load_index(spark, path),
                                _bm25_queries(docs))
     return out.select("query_id", "doc_id", "score",

@@ -71,6 +71,10 @@ ALLOWED_LINT = {
     # same pretrained-quantizer lane with the corpus predicate pushed
     # below the nlist-row broadcast expansion
     "knn_ivf_filtered": {"BroadcastNestedLoopJoin"},
+    # stored-artifact probes: the query-side nlist-row broadcast
+    # expansion remains; the corpus side is the cell-pruned stored scan
+    "knn_ivf_tombstoned": {"BroadcastNestedLoopJoin"},
+    "knn_ivf_compacted": {"BroadcastNestedLoopJoin"},
     # one-row broadcast frames: the totals row inside fit and the
     # length-B log-ratio array row attached before map-side scoring
     "dsir_select": {"BroadcastNestedLoopJoin"},
@@ -86,6 +90,7 @@ ALLOWED_LINT = {
     # one-row corpus stats (N, avgdl) broadcast onto the postings
     "bm25_search": {"BroadcastNestedLoopJoin"},
     "bm25_search_tombstoned": {"BroadcastNestedLoopJoin"},  # same
+    "bm25_search_compacted": {"BroadcastNestedLoopJoin"},   # same
     "hybrid_rrf": {"BroadcastNestedLoopJoin"},
     # one-row bounds broadcast + the asymmetric scan: like PQ's ADC,
     # SQ's design IS a per-query compressed exhaustive scan (the
