@@ -229,6 +229,12 @@ def ngram_jaccard_pairs(
 class MinHashLSHDeduplicator(Transformer):
     """MinHash + banded LSH near-duplicate detection.
 
+    ``MATCH_BATCH_COL`` names the BATCH-side id column of
+    ``match_against_index`` pairs — the declared contract streaming
+    wrappers key on (``neardup_screen_foreach_batch``), instead of
+    the brittle "first column is the batch side" positional
+    convention.
+
     Dataflow: shingle → k min-hashes per doc (ONE groupBy with k ``min``
     aggregates — map-side combinable, constant state per doc) → band
     hashes → equi-join on (band index, band hash) → candidate pairs with
@@ -256,6 +262,8 @@ class MinHashLSHDeduplicator(Transformer):
     sf0.1/local[32]: 5.2 s → 2.4 s together with the narrow-scan
     spread.
     """
+
+    MATCH_BATCH_COL = "doc_a"
 
     def __init__(self, idCol: str = "doc_id", textCol: str = "text",  # noqa: D107
                  shingleSize: int = 5, numHashes: int = 32, bands: int = 8,
@@ -648,7 +656,12 @@ class FingerprintIndexMixin:
     free at match time) plus a version manifest. The fingerprint
     functions are parameter-free, so unlike the MinHash artifact
     there is no hash grid to pin — bands / maxHammingDistance are
-    query-time knobs."""
+    query-time knobs.
+
+    ``MATCH_BATCH_COL`` declares the batch-side id column of
+    ``match_against_index`` pairs for streaming wrappers."""
+
+    MATCH_BATCH_COL = "doc_a"
 
     def save_index(self, docs: DataFrame, path: str,
                    mode: str = "overwrite") -> None:
@@ -791,6 +804,66 @@ def simhash(text, num_bits: int = 64):
     return F.aggregate(signed_bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def _simhash_fold_arrow(token_hashes):
+    """The SimHash vote fold as an Arrow-batched pandas UDF over
+    per-token xxhash64 values: bit j of the fingerprint is the sign
+    of Σ±1 over tokens ((h>>j)&1 → +1 else −1), ties → 0 — the same
+    contract as :func:`simhash`'s 64-wide unrolled aggregate, which
+    dominates batch-side fingerprinting cost (the r12 verdict's
+    slowest advisory lane, 92% of the match lane's time). Token
+    HASHING stays JVM-side (``transform(tokens, xxhash64)``) so the
+    hash family is bit-exact with the expression lane and the DuckDB
+    replays; only the 64-lane vote accumulation crosses to numpy,
+    where it is one ``unpackbits`` + segmented ``reduceat`` per
+    Arrow batch instead of a 64-expression tree per token.
+
+    NULL token array (NULL text) → NULL fingerprint; empty → 0,
+    matching the expression lane exactly (lane equality pinned in
+    tests/test_llm.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fold(hs):
+        import sys
+
+        import numpy as np
+        import pandas as pd
+
+        out = np.zeros(len(hs), dtype=np.int64)
+        isnull = np.zeros(len(hs), dtype=bool)
+        segs, counts, idxs = [], [], []
+        for i, a in enumerate(hs):
+            if a is None:
+                isnull[i] = True
+                continue
+            arr = np.asarray(a, dtype=np.int64)
+            if arr.size == 0:
+                continue  # voteless doc → fingerprint 0
+            segs.append(arr)
+            counts.append(arr.size)
+            idxs.append(i)
+        if segs:
+            flat = np.concatenate(segs).view(np.uint64)
+            if sys.byteorder != "little":  # pragma: no cover
+                flat = flat.byteswap()
+            # (T, 64) bit matrix, column j = bit j of each hash
+            bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8),
+                                 axis=1, bitorder="little")
+            cnt = np.asarray(counts, dtype=np.int64)
+            offs = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(cnt[:-1], out=offs[1:])
+            ones = np.add.reduceat(bits.astype(np.int64), offs,
+                                   axis=0)
+            votes = 2 * ones - cnt[:, None]
+            fp = np.packbits(votes > 0, axis=1, bitorder="little")
+            out[np.asarray(idxs)] = fp.view(np.int64).ravel()
+        res = pd.Series(out).astype("Int64")
+        res[isnull] = pd.NA
+        return res
+
+    return fold(token_hashes)
+
+
 class SimHashDeduplicator(FingerprintIndexMixin, Transformer):
     """SimHash near-dup detection: 64-bit fingerprints, banded into
     ``bands`` chunks; pairs agreeing on ≥1 chunk are candidates,
@@ -807,15 +880,33 @@ class SimHashDeduplicator(FingerprintIndexMixin, Transformer):
     :class:`MinHashLSHDeduplicator` (metric
     ``simhash_hot_bucket_drops``).
 
+    ``fingerprintLane`` picks how the 64-bit fingerprint is computed
+    — identical outputs, pinned in tests:
+
+    - ``'arrow'`` (default): tokens are xxhash64'd JVM-side (the
+      same hash family as the expression lane and the DuckDB
+      replays), then the 64-lane sign-vote fold runs vectorized in
+      numpy over Arrow batches — ~3× cheaper per doc than the
+      unrolled aggregate, which dominated the r12 match-lane bench.
+    - ``'expr'``: the original pure-Catalyst expression
+      (:func:`simhash`) — zero Python workers; keep for
+      environments where Arrow batches are unwelcome.
+
     transform(df) returns (doc_a, doc_b, hamming).
     """
 
     def __init__(self, idCol: str = "doc_id", textCol: str = "text",  # noqa: D107
                  bands: int = 4, maxHammingDistance: int = 3,
-                 maxBucketSize: int | None = 1000):
+                 maxBucketSize: int | None = 1000,
+                 fingerprintLane: str = "arrow"):
+        if fingerprintLane not in ("expr", "arrow"):
+            raise ValueError(
+                "fingerprintLane must be 'expr' (pure Catalyst) or "
+                "'arrow' (JVM token hashing + numpy vote fold)")
         super().__init__(idCol=idCol, textCol=textCol, bands=bands,
                          maxHammingDistance=maxHammingDistance,
-                         maxBucketSize=maxBucketSize)
+                         maxBucketSize=maxBucketSize,
+                         fingerprintLane=fingerprintLane)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.idCol, self.textCol)
@@ -833,9 +924,15 @@ class SimHashDeduplicator(FingerprintIndexMixin, Transformer):
         # materializes a quadratic ghost bucket (or spuriously trips
         # the hot-bucket cap) for rows the hamming filter discards
         # anyway
+        if self.fingerprintLane == "arrow":
+            sh = _simhash_fold_arrow(
+                F.transform(tokens(self.textCol),
+                            lambda x: F.xxhash64(x)))
+        else:
+            sh = simhash(self.textCol)
         return (_spread_narrow_scan(df).select(
             F.col(self.idCol).alias("__id"),
-            simhash(self.textCol).alias("__sh"))
+            sh.alias("__sh"))
             .filter(F.col("__sh").isNotNull()))
 
     def _transform(self, df: DataFrame) -> DataFrame:
@@ -971,7 +1068,13 @@ class EmbeddingDeduplicator(Transformer):
 
     transform(df) returns (id_a, id_b, cosine) with id_a < id_b and
     cosine >= threshold.
+
+    ``MATCH_BATCH_COL`` declares the batch-side id column of
+    ``match_against_index`` pairs for streaming wrappers (this
+    family names its pair columns id_a/id_b, not doc_a/doc_b).
     """
+
+    MATCH_BATCH_COL = "id_a"
 
     def __init__(self, idCol: str = "vec_id", vecCol: str = "embedding",
                  threshold: float = 0.95, method: str = "lsh",

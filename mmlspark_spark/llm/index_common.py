@@ -162,6 +162,34 @@ def _replace_flat_store(keep: DataFrame, store_path: str) -> None:
     fs.delete(P(old), True)
 
 
+def _parquet_row_count(spark, dir_path: str) -> int:
+    """Row count of a parquet store from FOOTER metadata only —
+    recursive file listing + one footer read per file, O(files), no
+    data row group touched, no Spark job. This is what makes a fleet
+    sweep over hundreds of 100 TB artifacts affordable: the old
+    ``spark.read.parquet(...).count()`` paid a full scan per store
+    (row-group metadata pruning still schedules the files), while
+    footers are a few KB each. Works on partitioned stores (the IVF
+    ``__cell=N`` layout) because the listing recurses."""
+    jvm = spark._jvm
+    fs, P = _hadoop_fs(spark, dir_path)
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    it = fs.listFiles(P(dir_path), True)
+    while it.hasNext():
+        st = it.next()
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        rd = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+            jvm.org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try:
+            total += rd.getRecordCount()
+        finally:
+            rd.close()
+    return total
+
+
 _MANIFEST_NAMES = (
     "_minhash_manifest.json", "_fp_index_manifest.json",
     "_emb_index_manifest.json", "_video_index_manifest.json",
@@ -209,10 +237,18 @@ def index_info(spark, path: str) -> dict:
                 or name.endswith(("__staging", "__old")):
             continue
         try:
-            stores[name] = spark.read.parquet(
-                f"{path}/{name}").count()
+            # footer metadata only — a fleet sweep over hundreds of
+            # artifacts must stay O(files), never O(rows); the scan
+            # fallback covers stores parquet-hadoop cannot open that
+            # Spark's reader still can
+            stores[name] = _parquet_row_count(spark, f"{path}/{name}")
         except Exception:
-            stores[name] = -1  # unreadable store — surfaced, not hidden
+            try:
+                stores[name] = spark.read.parquet(
+                    f"{path}/{name}").count()
+            except Exception:
+                # unreadable store — surfaced, not hidden
+                stores[name] = -1
     ts = _read_tombstones(spark, path)
     return {"path": path, "manifest_file": manifest_file,
             "manifest": manifest, "stores": stores,

@@ -401,7 +401,12 @@ class VideoDHashDeduplicator(Transformer):
     count. Shuffle keys are 8-byte hashes; no self-join, no O(N²).
 
     transform(df) returns (doc_a, doc_b, matches, overlap).
+
+    ``MATCH_BATCH_COL`` declares the batch-side id column of
+    ``match_against_index`` pairs for streaming wrappers.
     """
+
+    MATCH_BATCH_COL = "doc_a"
 
     def __init__(self, idCol: str = "doc_id", videoCol: str = "video",  # noqa: D107
                  minOverlap: float = 0.5,

@@ -217,10 +217,14 @@ def neardup_screen_foreach_batch(dedup, path: str, idCol: str,
         raw = dedup.match_against_index(idx, batch_df)
         pairs = raw.localCheckpoint()  # eager: see docstring
         release_intermediates(raw)
-        # every match lane emits (batch id, stored id, ...) in that
-        # order; the first column is the batch side whatever the
-        # family names it (doc_a for text/video, id_a for embeddings)
-        flagged = (pairs.select(F.col(pairs.columns[0]).alias(idCol))
+        # the batch side of the pair frame is the family's DECLARED
+        # MATCH_BATCH_COL (doc_a for text/video, id_a for
+        # embeddings); the positional first-column convention stays
+        # only as the fallback for third-party families that predate
+        # the attribute
+        batch_col = getattr(dedup, "MATCH_BATCH_COL",
+                            pairs.columns[0])
+        flagged = (pairs.select(F.col(batch_col).alias(idCol))
                    .distinct())
         survivors = batch_df.join(flagged, idCol, "left_anti")
         # a batch that is ALL duplicates appends nothing — and must

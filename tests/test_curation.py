@@ -1735,3 +1735,94 @@ def test_oversized_tombstone_set_degrades_to_shuffle_join(spark, tmp_path):
                 .toString())
     assert "strategy=broadcast" not in plan_big
     assert masked_big.count() == 10  # same answer, unforced plan
+
+
+def test_simhash_arrow_lane_equals_expression_lane(spark):
+    """The r13 vectorized fingerprint lane (JVM token hashing +
+    numpy sign-vote fold over Arrow batches) must produce
+    BIT-identical fingerprints to the pure-Catalyst expression lane
+    on every edge the expression handles: normal text, duplicated
+    tokens (votes count occurrences), empty text and whitespace-only
+    text (fingerprint 0), NULL text (row dropped), unicode, and a
+    single-token doc (every bit decided by one vote). The oracle
+    lanes hash simhash output, so lane drift would break the driver
+    gate — this is the cheap canary."""
+    from mmlspark_spark.llm.dedup import SimHashDeduplicator
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the the the the repeated token token stream"),
+        (2, ""),
+        (3, "   \t\n  "),
+        (4, None),
+        (5, "naïve café résumé — ünïcödé tokens żółć"),
+        (6, "single"),
+        (7, "x " * 500),  # long doc, one distinct token
+    ] + [(100 + i, f"doc body {i % 7} with shared vocabulary "
+          f"and suffix {i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fp_expr = SimHashDeduplicator(fingerprintLane="expr") \
+        .fingerprints(docs)
+    fp_arrow = SimHashDeduplicator(fingerprintLane="arrow") \
+        .fingerprints(docs)
+    e = {r["__id"]: r["__sh"] for r in fp_expr.collect()}
+    a = {r["__id"]: r["__sh"] for r in fp_arrow.collect()}
+    assert e == a
+    assert 4 not in e           # NULL text dropped in both lanes
+    assert e[2] == 0 and e[3] == 0  # voteless docs fingerprint to 0
+
+    # and the full pair stage agrees end-to-end
+    pe = sorted(map(tuple, SimHashDeduplicator(
+        fingerprintLane="expr", maxHammingDistance=20)
+        .transform(docs).collect()))
+    pa = sorted(map(tuple, SimHashDeduplicator(
+        fingerprintLane="arrow", maxHammingDistance=20)
+        .transform(docs).collect()))
+    assert pe == pa and len(pe) > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fingerprintLane"):
+        SimHashDeduplicator(fingerprintLane="numpy")
+
+
+def test_index_info_counts_from_footers_not_scans(spark, tmp_path):
+    """index_info's store row counts come from parquet FOOTER
+    metadata (O(files)), never a data scan — the property that makes
+    a fleet sweep over hundreds of 100 TB artifacts affordable. On a
+    tombstone-free artifact the function must not touch spark.read
+    at all (monkeypatched to explode here); counts must equal the
+    true row counts, including on the IVF family's cell-PARTITIONED
+    store layout."""
+    from unittest import mock
+
+    from mmlspark_spark.llm import index_info
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5, float(i % 3)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(c, [float(c), 1.0, 0.0, 0.0]) for c in range(4)],
+        "cell int, cvec array<double>")
+    p = str(tmp_path / "ivf_footer")
+    IVFKNN(nlist=4).save_index(vecs, cent, p)
+
+    real = type(spark).read
+    with mock.patch.object(
+            type(spark), "read",
+            property(lambda self: (_ for _ in ()).throw(
+                AssertionError("index_info scanned a store")))):
+        info = index_info(spark, p)
+    assert info["stores"] == {"assigned": 40, "centroids": 4}
+    assert info["pending_tombstones"] == 0
+    assert type(spark).read is real  # patch released
+
+    # with tombstones pending, only the tombstone DISTINCT count may
+    # scan (it is takedown-scale by contract); store counts unchanged
+    IVFKNN(nlist=4).delete_from_index(
+        spark.createDataFrame([(1,), (2,), (1,)], "vec_id long"), p)
+    info2 = index_info(spark, p)
+    assert info2["stores"] == {"assigned": 40, "centroids": 4}
+    assert info2["pending_tombstones"] == 2

@@ -575,3 +575,43 @@ def test_bm25_ingest_refuses_maxdfratio_at_construction(spark):
     with _pytest.raises(ValueError, match="maxDfRatio"):
         bm25_ingest_foreach_batch(
             BM25Retriever(k=5, maxDfRatio=0.5), "/tmp/never_written")
+
+
+def test_match_batch_col_declared_across_families(spark):
+    """Every family the screen wrapper supports declares
+    MATCH_BATCH_COL — the batch-side id column of
+    match_against_index pairs — and it agrees with the first field
+    of the family's pair schema (the old positional convention the
+    attribute replaces). A family rename of its pair columns now
+    breaks THIS test instead of silently mis-flagging survivors."""
+    from mmlspark_spark.llm.dedup import (
+        EmbeddingDeduplicator,
+        MinHashLSHDeduplicator,
+        SimHashDeduplicator,
+    )
+    from mmlspark_spark.llm.multimodal_dedup import (
+        AudioFingerprintDeduplicator,
+        ImageDHashDeduplicator,
+        VideoDHashDeduplicator,
+    )
+
+    text_schema = spark.createDataFrame(
+        [], "doc_id long, text string").schema
+    cases = [
+        (MinHashLSHDeduplicator(), "doc_a",
+         lambda d: d.match_schema(text_schema)),
+        (SimHashDeduplicator(), "doc_a",
+         lambda d: d.transform_schema(text_schema)),
+        (EmbeddingDeduplicator(), "id_a",
+         lambda d: d.transform_schema(spark.createDataFrame(
+             [], "vec_id long, embedding array<double>").schema)),
+        (VideoDHashDeduplicator(), "doc_a", None),
+        (ImageDHashDeduplicator(), "doc_a", None),
+        (AudioFingerprintDeduplicator(), "doc_a", None),
+    ]
+    for dedup, expect, schema_fn in cases:
+        assert getattr(dedup, "MATCH_BATCH_COL", None) == expect, \
+            type(dedup).__name__
+        if schema_fn is not None:
+            assert schema_fn(dedup).fieldNames()[0] == expect, \
+                type(dedup).__name__
