@@ -40,7 +40,7 @@ from mmlspark_spark.llm.scrub import (
     redact_pii,
     strip_markup,
 )
-from mmlspark_spark.llm.index_common import index_info
+from mmlspark_spark.llm.index_common import compact_all, index_info
 from mmlspark_spark.llm.multimodal_dedup import (
     AudioFingerprintDeduplicator,
     ImageDHashDeduplicator,
@@ -71,6 +71,7 @@ from mmlspark_spark.llm.tokenizer import (
 
 __all__ = [
     "ExactDeduplicator",
+    "compact_all",
     "index_info",
     "IncrementalDeduplicator",
     "LineDeduplicator",

@@ -256,3 +256,121 @@ def index_info(spark, path: str) -> dict:
             # of one id; the join lanes don't care, a count does)
             "pending_tombstones":
                 0 if ts is None else ts.distinct().count()}
+
+
+def _discover_artifacts(spark, root: str, maxDepth: int) -> list[str]:
+    """Walk ``root`` for stored-index artifacts: a directory holding
+    a recognized manifest IS an artifact (no descent below it — store
+    subdirectories are not artifacts); anything else descends up to
+    ``maxDepth``. One listStatus per directory, manifest membership
+    checked against the listing (never N exists() round-trips)."""
+    fs, P = _hadoop_fs(spark, root)
+    found: list[str] = []
+
+    def walk(p: str, depth: int) -> None:
+        entries = list(fs.listStatus(P(p)))
+        names = {e.getPath().getName() for e in entries}
+        if any(m in names for m in _MANIFEST_NAMES):
+            found.append(p)
+            return
+        if depth >= maxDepth:
+            return
+        for e in entries:
+            if e.isDirectory():
+                walk(str(e.getPath()), depth + 1)
+
+    if fs.exists(P(root)):
+        walk(root, 0)
+    return sorted(found)
+
+
+def _compactor_for(manifest_file: str, manifest: dict):
+    """The family compaction entry point for a manifest —
+    ``f(spark, path) -> int`` (rows removed; affected cells for the
+    cell-partitioned IVF family, per its own contract)."""
+    if manifest_file == "_minhash_manifest.json":
+        from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+
+        return MinHashLSHDeduplicator().compact_index
+    if manifest_file == "_fp_index_manifest.json":
+        from mmlspark_spark.llm import dedup, multimodal_dedup
+
+        fam = manifest.get("family", "SimHashDeduplicator")
+        cls = getattr(dedup, fam, None) \
+            or getattr(multimodal_dedup, fam, None) \
+            or dedup.SimHashDeduplicator
+        return cls().compact_index
+    if manifest_file == "_emb_index_manifest.json":
+        from mmlspark_spark.llm.dedup import EmbeddingDeduplicator
+
+        return EmbeddingDeduplicator(method="lsh").compact_index
+    if manifest_file == "_video_index_manifest.json":
+        from mmlspark_spark.llm.multimodal_dedup import (
+            VideoDHashDeduplicator,
+        )
+
+        return VideoDHashDeduplicator().compact_index
+    if manifest_file == "_bm25_manifest.json":
+        from mmlspark_spark.llm.retrieval import BM25Retriever
+
+        # pass the stored maxDfRatio through so the refusal (exact
+        # compaction is impossible on a pruned index) comes from
+        # compact_index's own check, with its rebuild pointer
+        return BM25Retriever(
+            maxDfRatio=manifest.get("maxDfRatio")).compact_index
+    from mmlspark_spark.llm import similarity as S
+
+    if manifest_file == "_ivf_manifest.json":
+        return S.IVFKNN().compact_index
+    if manifest_file == "_pq_manifest.json":
+        return S.PQKNN().compact_index
+    if manifest_file == "_ivfpq_manifest.json":
+        return S.PQKNN().compact_ivfpq_index
+    if manifest_file == "_sq_manifest.json":
+        return S.ScalarQuantizerKNN().compact_index
+    if manifest_file == "_lsh_manifest.json":
+        return S.LSHKNN().compact_index
+    raise ValueError(f"no compactor for {manifest_file}")
+
+
+def compact_all(spark, root: str, minPendingTombstones: int = 1,
+                maxDepth: int = 3) -> list[dict]:
+    """Fleet compaction sweep: discover every stored-index artifact
+    under ``root`` (any family — the :func:`index_info` layout
+    grammar), compact those whose pending tombstone count has
+    reached ``minPendingTombstones``, and report per artifact. The
+    nightly takedown-hygiene job in one call: deletes accumulate as
+    metadata all day; the sweep pays the rewrites once, only where
+    the mask has actually grown.
+
+    Returns one dict per artifact: ``{"path", "manifest_file",
+    "pending_tombstones", "action"}`` where ``action`` is
+    ``"skipped"`` (below threshold), ``"compacted"`` (plus
+    ``"removed"`` — rows, or affected cells for the IVF family —
+    and ``"reclaimed_bytes"``, which can be slightly negative when
+    parquet re-encoding outweighs the removed rows), or ``"error"``
+    (plus ``"error"`` text — e.g. BM25's maxDfRatio artifacts refuse
+    exact compaction by design; the sweep reports and moves on, one
+    bad artifact never aborts the fleet)."""
+    reports: list[dict] = []
+    fs, P = _hadoop_fs(spark, root)
+    for path in _discover_artifacts(spark, root, maxDepth):
+        info = index_info(spark, path)
+        rep = {"path": path, "manifest_file": info["manifest_file"],
+               "pending_tombstones": info["pending_tombstones"]}
+        if info["pending_tombstones"] < minPendingTombstones:
+            rep["action"] = "skipped"
+        else:
+            before = fs.getContentSummary(P(path)).getLength()
+            try:
+                rep["removed"] = _compactor_for(
+                    info["manifest_file"], info["manifest"])(spark,
+                                                             path)
+                rep["action"] = "compacted"
+                rep["reclaimed_bytes"] = int(
+                    before - fs.getContentSummary(P(path)).getLength())
+            except Exception as e:
+                rep["action"] = "error"
+                rep["error"] = str(e)
+        reports.append(rep)
+    return reports

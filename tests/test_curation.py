@@ -1826,3 +1826,75 @@ def test_index_info_counts_from_footers_not_scans(spark, tmp_path):
     info2 = index_info(spark, p)
     assert info2["stores"] == {"assigned": 40, "centroids": 4}
     assert info2["pending_tombstones"] == 2
+
+
+def test_compact_all_sweeps_mixed_family_tree(spark, tmp_path):
+    """compact_all is the nightly takedown-hygiene job: discover
+    every index artifact under a root (any family, nested dirs,
+    non-index dirs ignored), compact those at/above the pending
+    threshold, report per artifact — and one refusing artifact
+    (BM25 maxDfRatio, whose exact compaction is impossible by
+    design) reports an error without aborting the fleet."""
+    from mmlspark_spark.llm import compact_all, index_info
+    from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+    from mmlspark_spark.llm.retrieval import BM25Retriever
+    from mmlspark_spark.llm.similarity import LSHKNN, ScalarQuantizerKNN
+
+    root = tmp_path / "fleet"
+    docs = spark.createDataFrame(
+        [(i, f"shared body {i % 3} with words repeated " * 3)
+         for i in range(12)],
+        "doc_id long, text string")
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5, float(i % 3)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>")
+    dead_docs = spark.createDataFrame([(0,), (3,)], "doc_id long")
+    dead_vecs = spark.createDataFrame([(1,), (4,)], "vec_id long")
+
+    mh = MinHashLSHDeduplicator(shingleSize=3, numHashes=16, bands=8)
+    mh.save_index(docs, str(root / "mh"))
+    mh.delete_from_index(dead_docs, str(root / "mh"))
+
+    BM25Retriever(k=5).save_index(docs, str(root / "bm_clean"))
+
+    bmp = BM25Retriever(k=5, maxDfRatio=0.9)
+    bmp.save_index(docs, str(root / "bm_pruned"))
+    bmp.delete_from_index(dead_docs, str(root / "bm_pruned"))
+
+    sq = ScalarQuantizerKNN(k=3)
+    sq.save_index(vecs, str(root / "sq"))
+    sq.delete_from_index(dead_vecs, str(root / "sq"))
+
+    lsh = LSHKNN(k=3, numPlanes=8, bands=4)
+    lsh.save_index(vecs, str(root / "nested" / "deeper" / "lsh"))
+    lsh.delete_from_index(dead_vecs,
+                          str(root / "nested" / "deeper" / "lsh"))
+
+    docs.write.parquet(str(root / "not_an_index"))
+
+    reports = compact_all(spark, str(root))
+    by = {r["path"].split("/")[-1]: r for r in reports}
+    assert set(by) == {"mh", "bm_clean", "bm_pruned", "sq", "lsh"}
+
+    assert by["mh"]["action"] == "compacted"
+    assert by["mh"]["removed"] == 2
+    assert by["bm_clean"]["action"] == "skipped"
+    assert by["bm_clean"]["pending_tombstones"] == 0
+    assert by["bm_pruned"]["action"] == "error"
+    assert "maxDfRatio" in by["bm_pruned"]["error"]
+    assert by["sq"]["action"] == "compacted" and by["sq"]["removed"] == 2
+    assert by["lsh"]["action"] == "compacted" and by["lsh"]["removed"] == 2
+    for r in reports:
+        if r["action"] == "compacted":
+            assert "reclaimed_bytes" in r
+
+    # compacted artifacts are clean; the refused one keeps its mask
+    assert index_info(spark, str(root / "mh"))["pending_tombstones"] == 0
+    assert index_info(
+        spark, str(root / "bm_pruned"))["pending_tombstones"] == 2
+    # idempotent: a second sweep skips everything it can touch
+    again = {r["path"].split("/")[-1]: r
+             for r in compact_all(spark, str(root))}
+    assert again["mh"]["action"] == "skipped"
+    assert again["sq"]["action"] == "skipped"
