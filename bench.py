@@ -346,12 +346,17 @@ def main() -> None:
     # match lanes (minhash/simhash/video _match_indexed) — the
     # incremental-screening cost, i.e. the actual daily-ingest number
     # for a near-dup pipeline, tracked per round alongside ANN
+    # round-13: the two driver-gated COMPACTION lanes (save + delete
+    # + physical rewrite + search in one timing — the full takedown
+    # lifecycle cost for the flat-store and cell-partitioned
+    # geometries), tracked per round alongside the match lanes
     for name in ("knn_pq_adc", "knn_ivfpq", "knn_sq8", "knn_matryoshka",
                  "knn_matryoshka_sq8", "knn_ivf", "bm25_search",
                  "dsir_select", "knn_ivfpq_indexed", "bm25_phrase_indexed",
                  "knn_ivf_filtered", "minhash_match_indexed",
                  "simhash_match_indexed", "video_match_indexed",
-                 "knn_lsh_indexed"):
+                 "knn_lsh_indexed", "bm25_search_compacted",
+                 "knn_ivf_compacted"):
         spec = CATALOG.get(name)
         if spec is None:
             continue
