@@ -29,7 +29,9 @@ from mmlspark_spark.functions.text_quality import tokens, word_shingles
 from mmlspark_spark.llm.index_common import (
     _add_tombstones,
     _clear_tombstones,
+    _compact_partitioned_store,
     _drop_tombstoned,
+    _parquet_row_count,
     _read_tombstones,
     _refuse_tombstoned_append,
     _replace_flat_store,
@@ -1659,9 +1661,13 @@ class IncrementalDeduplicator(Transformer):
     ``referenceIsRegistry=True`` to skip re-hashing entirely.
     """
 
+    MATCH_BATCH_COL = "doc_a"
+
     def __init__(self, referenceDf: DataFrame = None, keyCols=("text",),
                  mode: str = "drop", bloomBits: int = 1 << 20,
-                 bloomHashes: int = 5, referenceIsRegistry: bool = False):
+                 bloomHashes: int = 5, referenceIsRegistry: bool = False,
+                 idCol: str = "doc_id",
+                 maxDocsPerKey: int | None = 1000):
         if mode not in ("drop", "flag"):
             raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
         if bloomBits and (bloomBits & 63):
@@ -1669,7 +1675,8 @@ class IncrementalDeduplicator(Transformer):
         super().__init__(referenceDf=referenceDf, keyCols=list(keyCols),
                          mode=mode, bloomBits=bloomBits,
                          bloomHashes=bloomHashes,
-                         referenceIsRegistry=referenceIsRegistry)
+                         referenceIsRegistry=referenceIsRegistry,
+                         idCol=idCol, maxDocsPerKey=maxDocsPerKey)
 
     @staticmethod
     def reference_registry(df: DataFrame, keyCols=("text",)) -> DataFrame:
@@ -1691,31 +1698,40 @@ class IncrementalDeduplicator(Transformer):
             return self.referenceDf
         return self.reference_registry(self.referenceDf, self.keyCols)
 
-    def _positions(self, h1):
+    def _positions(self, h1, bits: int | None = None,
+                   k: int | None = None):
         """The k bloom bit positions derived from the FIRST hash lane
         (re-hashed with a seed prefix per lane) — both sides compute
         them from their h1, so a stored hash-only registry suffices
-        to build the bloom; no raw key needed."""
-        return [F.pmod(F.xxhash64(F.lit(i), h1), F.lit(self.bloomBits))
-                for i in range(self.bloomHashes)]
+        to build the bloom; no raw key needed. ``bits``/``k`` override
+        the instance geometry when a stored artifact's manifest is
+        authoritative (compaction's bloom rebuild)."""
+        bits = self.bloomBits if bits is None else bits
+        k = self.bloomHashes if k is None else k
+        return [F.pmod(F.xxhash64(F.lit(i), h1), F.lit(bits))
+                for i in range(k)]
 
-    def _might_contain(self, reg: DataFrame, h1):
-        """Pure-Catalyst bloom probe: k position lanes -> bit tests
-        against a literal bitset built by ONE aggregation over the
-        (already persisted) registry frame (positions -> packed 64-bit
-        words via bit_or, dense-filled on the driver, <= bloomBits/64
-        result rows)."""
-        word_rows = (reg
-                     .select(F.explode(F.array(*[
-                         p.cast("long")
-                         for p in self._positions(F.col("__rh1"))]))
-                      .alias("__p"))
-                     .groupBy(F.shiftrightunsigned("__p", 6).alias("__w"))
-                     .agg(F.bit_or(_bit_at("__p")).alias("__bits"))
-                     .collect())
-        words = [0] * (self.bloomBits // 64)
-        for r in word_rows:
-            words[int(r["__w"])] = int(r["__bits"])
+    def _bloom_word_rows(self, frame: DataFrame, h1col: str,
+                         bits: int | None = None,
+                         k: int | None = None) -> DataFrame:
+        """Sparse packed-bitset frame ``(__w, __bits)`` over a hash
+        frame — ONE aggregation (positions → 64-bit words via
+        bit_or), ≤ bits/64 result rows. The in-memory lane collects
+        this; the stored lifecycle persists it as the artifact's
+        bloom sidecar."""
+        return (frame
+                .select(F.explode(F.array(*[
+                    p.cast("long")
+                    for p in self._positions(F.col(h1col), bits, k)]))
+                 .alias("__p"))
+                .groupBy(F.shiftrightunsigned("__p", 6).alias("__w"))
+                .agg(F.bit_or(_bit_at("__p")).alias("__bits")))
+
+    def _bloom_probe(self, words: list, h1):
+        """Map-only bloom membership expression against a dense
+        packed-word list (embedded as an array literal — ~16 KB plan
+        weight per 2^17 bits): bloom negatives are DEFINITELY absent
+        from the keyed corpus, no shuffle spent on them."""
         bitset = F.lit(words).cast("array<long>")
         probe = F.lit(True)
         for p in self._positions(h1):
@@ -1723,6 +1739,16 @@ class IncrementalDeduplicator(Transformer):
                                 (F.shiftrightunsigned(p, 6) + 1).cast("int"))
             probe = probe & (word.bitwiseAND(_bit_at(p)) != 0)
         return probe
+
+    def _might_contain(self, reg: DataFrame, h1):
+        """Pure-Catalyst bloom probe: k position lanes -> bit tests
+        against a literal bitset built by ONE aggregation over the
+        (already persisted) registry frame, dense-filled on the
+        driver."""
+        words = [0] * (self.bloomBits // 64)
+        for r in self._bloom_word_rows(reg, "__rh1").collect():
+            words[int(r["__w"])] = int(r["__bits"])
+        return self._bloom_probe(words, h1)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         # persisted: the registry feeds the bloom build AND the confirm
@@ -1774,6 +1800,246 @@ class IncrementalDeduplicator(Transformer):
             fast_new.withColumn("is_duplicate", F.lit(False))
             .unionByName(dup_flagged)
             .drop("__bloom", "__ih1", "__ih2"), *owned)
+
+    # ------------------------------------------------- persistence
+    #
+    # The EXACT family's stored-index lifecycle — the same artifact
+    # contract every near-dup/ANN/BM25 family in this engine carries
+    # (save/append/load/match, tombstone deletes, compaction), closing
+    # the one asymmetry in the matrix: the "does today's crawl contain
+    # anything we already ingested?" registry previously lived only as
+    # a caller-managed DataFrame (reference_registry). Layout:
+    #
+    # - ``{path}/hashes/__hp=<p>/`` — (id, h1, h2) content-hash rows,
+    #   PARTITIONED by an 8-bit prefix of h1 and sorted by (h1, h2)
+    #   within partitions. ~48 B/doc however large the documents: the
+    #   10^12-doc registry is ~40 TB where the corpus is 100 TB+, and
+    #   a small batch's distinct prefixes prune the directories read.
+    # - ``{path}/bloom`` — sparse packed-bitset sidecar (__w, __bits),
+    #   built once per save from the read-back store. Batches probe it
+    #   as a map-only literal expression, so the common no-match row
+    #   never touches the hash store at all. Deletes leave it STALE
+    #   (over-approximating — it routes rows, never decides, so
+    #   results are exact regardless); compaction rebuilds it exactly.
+    # - ``{path}/_exact_manifest.json`` — pins keyCols and the bloom
+    #   geometry: hashes built under different key serialization are
+    #   incomparable, and appended bloom words OR into the stored
+    #   bitset, so both must refuse a mismatch.
+
+    def _hashed(self, df: DataFrame) -> DataFrame:
+        """(id, h1, h2, prefix) — the map-side content-hash projection
+        every lifecycle lane shares (functions/keys.py null-safe
+        serialization, the SAME hash family transform uses)."""
+        h1, h2 = content_hash128(self.keyCols)
+        return (df.select(F.col(self.idCol).alias("__id"),
+                          h1.alias("__h1"), h2.alias("__h2"))
+                .withColumn("__hp", F.pmod(F.col("__h1"),
+                                           F.lit(256)).cast("int")))
+
+    def match_schema(self, schema: T.StructType) -> T.StructType:
+        """Schema of :meth:`match_against_index` pairs — the contract
+        streaming wrappers build their bootstrap empty frame from."""
+        self._require_cols(schema, self.idCol, *self.keyCols)
+        id_type = schema[self.idCol].dataType
+        return T.StructType([
+            T.StructField("doc_a", id_type, True),
+            T.StructField("doc_b", id_type, True),
+        ])
+
+    def save_index(self, docs: DataFrame, path: str,
+                   mode: str = "overwrite") -> None:
+        """Persist the exact-dedup registry (see the layout note
+        above). One hash pass per save: the bloom sidecar derives
+        from the read-back store, so however nondeterministic the
+        input frame, the bitset and the hash rows can never
+        disagree."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        if mode == "append":
+            raise ValueError(
+                "save_index(mode='append') would rewrite the manifest "
+                "and bloom sidecar without checking the existing "
+                "artifact — use append_to_index for incremental "
+                "growth")
+        spark = docs.sparkSession
+        # a fresh save REPLACES the artifact: stale tombstones from a
+        # previous index at this path must not mask the new corpus
+        _clear_tombstones(spark, path)
+        (self._hashed(docs)
+         .repartition(F.col("__hp"))
+         .sortWithinPartitions("__h1", "__h2")
+         .write.mode(mode).partitionBy("__hp")
+         .parquet(f"{path}/hashes"))
+        if self.bloomBits:
+            (self._bloom_word_rows(
+                spark.read.parquet(f"{path}/hashes"), "__h1")
+             .write.mode("overwrite").parquet(f"{path}/bloom"))
+        _fs_write_text(spark, f"{path}/_exact_manifest.json",
+                       _json.dumps({"version": 1,
+                                    "family": "IncrementalDeduplicator",
+                                    "keyCols": list(self.keyCols),
+                                    "bloomBits": self.bloomBits,
+                                    "bloomHashes": self.bloomHashes}))
+
+    def _check_manifest(self, spark, path: str) -> None:
+        """Refuse a key/bloom-geometry mismatch — shared by
+        :meth:`load_index` AND :meth:`append_to_index` (hashes under a
+        different key serialization are incomparable; bloom words
+        under a different geometry would OR garbage into the stored
+        bitset)."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        man = _json.loads(
+            _fs_read_text(spark, f"{path}/_exact_manifest.json"))
+        mine = {"keyCols": list(self.keyCols),
+                "bloomBits": self.bloomBits,
+                "bloomHashes": self.bloomHashes}
+        stored = {k2: man.get(k2) for k2 in mine}
+        if stored != mine:
+            raise ValueError(
+                f"exact-dedup index at {path} was built with {stored}; "
+                f"this deduplicator has {mine} — content hashes / "
+                f"bloom words under different geometry are "
+                f"incomparable")
+
+    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+        """Grow the registry: hash ONLY the new documents, append
+        their rows to the prefix-partitioned store, and OR their
+        bloom words into the sidecar (bloom union is exact — the
+        merged bitset equals a fresh build over the unioned corpus,
+        pinned in tests). Refuses geometry mismatches and ids with a
+        pending tombstone (the appended rows would be masked now and
+        deleted at the next compaction)."""
+        spark = new_docs.sparkSession
+        self._check_manifest(spark, path)
+        _refuse_tombstoned_append(
+            new_docs.select(F.col(self.idCol)), path, self.idCol,
+            "IncrementalDeduplicator.append_to_index")
+        hn = persist_intermediate(self._hashed(new_docs))
+        try:
+            (hn.repartition(F.col("__hp"))
+             .sortWithinPartitions("__h1", "__h2")
+             .write.mode("append").partitionBy("__hp")
+             .parquet(f"{path}/hashes"))
+            if self.bloomBits:
+                merged = (spark.read.parquet(f"{path}/bloom")
+                          .unionByName(self._bloom_word_rows(hn, "__h1"))
+                          .groupBy("__w")
+                          .agg(F.bit_or("__bits").alias("__bits")))
+                _replace_flat_store(merged, f"{path}/bloom")
+        finally:
+            hn.unpersist()
+
+    def load_index(self, spark, path: str) -> dict:
+        """Read a :meth:`save_index` artifact for
+        :meth:`match_against_index`. The bloom sidecar densifies to a
+        driver-held word list here, ONCE per load (≤ bloomBits/64
+        longs — 16 KB at the default 2^20 bits), not per batch."""
+        self._check_manifest(spark, path)
+        idx = {"hashes": spark.read.parquet(f"{path}/hashes"),
+               "tombstones": _read_tombstones(spark, path),
+               "bloom_words": None}
+        if self.bloomBits:
+            words = [0] * (self.bloomBits // 64)
+            for r in spark.read.parquet(f"{path}/bloom").collect():
+                words[int(r["__w"])] = int(r["__bits"])
+            idx["bloom_words"] = words
+        return idx
+
+    def delete_from_index(self, ids: DataFrame, path: str,
+                          idCol: str | None = None) -> None:
+        """Tombstone doc ids (takedowns) — metadata-only until
+        :meth:`compact_index`; :meth:`match_against_index` masks
+        tombstoned docs at read time. The bloom sidecar is left
+        deliberately stale: it over-approximates (a deleted doc's
+        bits stay set), which costs a confirm-join row but never a
+        wrong result. Unknown ids are a no-op."""
+        _add_tombstones(ids, path, idCol or self.idCol)
+
+    def compact_index(self, spark, path: str) -> int:
+        """Physically remove tombstoned docs: rewrite ONLY the
+        ``__hp=`` partition directories holding a dead id (shared
+        partition-store machinery — untouched prefixes keep their
+        files byte-for-byte), rebuild the bloom sidecar EXACTLY over
+        the survivors (retiring the post-delete over-approximation),
+        then clear the tombstones. Bloom geometry comes from the
+        artifact's own manifest, so a default-constructed instance
+        compacts any exact-dedup artifact (the compact_all fleet
+        sweep). Returns docs removed."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        ts = _read_tombstones(spark, path)
+        if ts is None:
+            return 0
+        man = _json.loads(
+            _fs_read_text(spark, f"{path}/_exact_manifest.json"))
+        before = _parquet_row_count(spark, f"{path}/hashes")
+        _compact_partitioned_store(spark, f"{path}/hashes", ts,
+                                   idCol="__id", partCol="__hp",
+                                   sortCols=("__h1", "__h2"))
+        if man.get("bloomBits"):
+            rebuilt = self._bloom_word_rows(
+                spark.read.parquet(f"{path}/hashes"), "__h1",
+                bits=man["bloomBits"], k=man["bloomHashes"])
+            _replace_flat_store(rebuilt, f"{path}/bloom")
+        _clear_tombstones(spark, path)
+        return before - _parquet_row_count(spark, f"{path}/hashes")
+
+    def match_against_index(self, index: dict,
+                            new_docs: DataFrame) -> DataFrame:
+        """Screen an incoming batch against the STORED registry:
+        returns (doc_a = incoming id, doc_b = stored id) for every
+        exact content match, without re-hashing or re-scanning the
+        registry corpus. Within-batch duplicates stay with
+        :class:`ExactDeduplicator` on the batch (the two compose).
+
+        Plan shape, in pruning order: (1) the batch hashes map-side;
+        (2) the bloom literal drops definite non-members without any
+        join; (3) the survivors' distinct 8-bit prefixes (≤ 256
+        values, collected from the small batch side) prune the
+        stored partition directories; (4) tombstoned ids are masked
+        BEFORE the hot-key cap; (5) ``maxDocsPerKey`` caps keys whose
+        STORED member count exceeds it (a boilerplate text duplicated
+        10^6 times in the registry would otherwise fan out 10^6 rows
+        per matching batch doc — the capped keys are exactly the mass
+        duplicates exact dedup should have collapsed at ingest);
+        (6) one equi-join on the 128-bit hash emits the pairs."""
+        spark = new_docs.sparkSession
+        bh = persist_intermediate(self._hashed(new_docs))
+        words = index.get("bloom_words")
+        probe = bh if words is None else bh.filter(
+            self._bloom_probe(words, F.col("__h1")))
+        prefixes = [r[0] for r in
+                    probe.select("__hp").distinct().collect()]
+        if not prefixes:
+            bh.unpersist()
+            return spark.createDataFrame(
+                [], self.match_schema(new_docs.schema))
+        stored = _drop_tombstoned(
+            index["hashes"].filter(F.col("__hp").isin(prefixes)),
+            index.get("tombstones"), "__id")
+        touched = stored.join(
+            probe.select("__h1", "__h2").distinct(),
+            ["__h1", "__h2"], "left_semi")
+        if self.maxDocsPerKey is not None:
+            sizes = (touched.groupBy("__h1", "__h2")
+                     .agg(F.count("*").alias("__n")))
+            touched = touched.join(
+                sizes.filter(F.col("__n") <= self.maxDocsPerKey),
+                ["__h1", "__h2"], "left_semi")
+        out = (probe.join(
+            touched.select("__h1", "__h2",
+                           F.col("__id").alias("__sid")),
+            ["__h1", "__h2"])
+            .select(F.col("__id").alias("doc_a"),
+                    F.col("__sid").alias("doc_b")))
+        return attach_intermediates(out, bh)
 
 
 class LineDeduplicator(Transformer):

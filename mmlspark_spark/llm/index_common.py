@@ -162,6 +162,61 @@ def _replace_flat_store(keep: DataFrame, store_path: str) -> None:
     fs.delete(P(old), True)
 
 
+def _compact_partitioned_store(spark, store_path: str, ts: DataFrame,
+                               idCol: str, partCol: str,
+                               sortCols: tuple) -> int:
+    """Shared compaction for PARTITION-directory stores (layout
+    ``{store_path}/{partCol}=<v>/`` — the IVF/IVFPQ cell stores and
+    the exact-dedup hash-prefix store): rewrite ONLY the partition
+    directories that hold a tombstoned ``idCol`` row (dynamic
+    partition overwrite — untouched partitions keep their files
+    byte-for-byte), DELETE the directories whose every row was
+    tombstoned (the dynamic writer never emits a partition with zero
+    surviving rows, so leaving them would resurrect the deleted ids
+    the moment the tombstone set clears). Tombstones are NOT cleared
+    here — callers clear them after any dependent sidecar (bloom
+    bitsets, stats rows) is rebuilt. Returns the number of affected
+    partitions."""
+    dead = ts.withColumnRenamed("id", idCol)
+    store = spark.read.parquet(store_path)
+    affected = [r[0] for r in store.join(dead, idCol, "left_semi")
+                .select(partCol).distinct().collect()]
+    if not affected:
+        return 0
+    # localCheckpoint cuts lineage so the write does not overwrite
+    # a path its own plan is reading from; the materialized frame
+    # is only the affected partitions' surviving rows
+    keep = (store.filter(F.col(partCol).isin(affected))
+            .join(dead, idCol, "left_anti").localCheckpoint())
+    survivors = {r[0] for r in
+                 keep.select(partCol).distinct().collect()}
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        if survivors:
+            (keep.repartition(F.col(partCol))
+             .sortWithinPartitions(*sortCols)
+             .write.mode("overwrite").partitionBy(partCol)
+             .parquet(store_path))
+    finally:
+        # conf.get(key, None) returns None when the key was never
+        # set — restoring via set(key, None) would poison every
+        # later mode="overwrite" partitionBy write in the session
+        # (only matching partitions replaced → stale partitions
+        # mixed into rebuilt indexes); unset restores Spark's
+        # static default
+        if prev is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, prev)
+    fs, P = _hadoop_fs(spark, store_path)
+    for c in affected:
+        if c not in survivors:
+            fs.delete(P(f"{store_path}/{partCol}={c}"), True)
+    return len(affected)
+
+
 def _parquet_row_count(spark, dir_path: str) -> int:
     """Row count of a parquet store from FOOTER metadata only —
     recursive file listing + one footer read per file, O(files), no
@@ -195,6 +250,7 @@ _MANIFEST_NAMES = (
     "_emb_index_manifest.json", "_video_index_manifest.json",
     "_bm25_manifest.json", "_ivf_manifest.json", "_pq_manifest.json",
     "_sq_manifest.json", "_ivfpq_manifest.json", "_lsh_manifest.json",
+    "_exact_manifest.json",
 )
 
 
@@ -310,6 +366,12 @@ def _compactor_for(manifest_file: str, manifest: dict):
         )
 
         return VideoDHashDeduplicator().compact_index
+    if manifest_file == "_exact_manifest.json":
+        from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+
+        # compact_index reads bloom geometry from the manifest itself,
+        # so a default-constructed instance is correct here
+        return IncrementalDeduplicator().compact_index
     if manifest_file == "_bm25_manifest.json":
         from mmlspark_spark.llm.retrieval import BM25Retriever
 

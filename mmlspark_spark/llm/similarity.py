@@ -31,6 +31,7 @@ from mmlspark_spark.functions.vector import cosine_similarity, vector_dim
 from mmlspark_spark.llm.index_common import (
     _add_tombstones,
     _clear_tombstones,
+    _compact_partitioned_store,
     _drop_tombstoned,
     _read_tombstones,
     _refuse_tombstoned_append,
@@ -63,54 +64,17 @@ def _compact_cells(spark, store_path: str, ts: DataFrame,
                    index_path: str) -> int:
     """Shared cell-partitioned compaction (IVF ``assigned`` and IVFPQ
     ``codes`` stores): rewrite ONLY the ``__cell=`` directories that
-    hold a tombstoned ``d_id`` (dynamic partition overwrite — untouched
-    cells keep their files), DELETE the directories of cells whose
-    every row was tombstoned (the dynamic writer never emits a
-    partition with zero surviving rows, so leaving them would
-    resurrect the deleted ids the moment the tombstone set clears),
-    then clear the tombstones. Returns the number of affected
+    hold a tombstoned ``d_id``, DELETE the directories of cells whose
+    every row was tombstoned, then clear the tombstones — the
+    partition-store machinery itself is shared with every other
+    partition-directory artifact (index_common
+    ``_compact_partitioned_store``). Returns the number of affected
     cells."""
-    dead = ts.withColumnRenamed("id", "d_id")
-    store = spark.read.parquet(store_path)
-    affected = [r[0] for r in store.join(dead, "d_id", "left_semi")
-                .select("__cell").distinct().collect()]
-    if affected:
-        # localCheckpoint cuts lineage so the write does not overwrite
-        # a path its own plan is reading from; the materialized frame
-        # is only the affected cells' surviving rows
-        keep = (store.filter(F.col("__cell").isin(affected))
-                .join(dead, "d_id", "left_anti").localCheckpoint())
-        survivors = {r[0] for r in
-                     keep.select("__cell").distinct().collect()}
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(mode_key, None)
-        spark.conf.set(mode_key, "dynamic")
-        try:
-            if survivors:
-                (keep.repartition(F.col("__cell"))
-                 .sortWithinPartitions("__cell", "d_id")
-                 .write.mode("overwrite").partitionBy("__cell")
-                 .parquet(store_path))
-        finally:
-            # conf.get(key, None) returns None when the key was never
-            # set — restoring via set(key, None) would poison every
-            # later mode="overwrite" partitionBy write in the session
-            # (only matching partitions replaced → stale cells mixed
-            # into rebuilt indexes); unset restores Spark's static
-            # default
-            if prev is None:
-                spark.conf.unset(mode_key)
-            else:
-                spark.conf.set(mode_key, prev)
-        jvm = spark._jvm
-        fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(
-            spark._jsc.hadoopConfiguration())
-        for c in affected:
-            if c not in survivors:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(
-                    f"{store_path}/__cell={c}"), True)
+    n = _compact_partitioned_store(spark, store_path, ts,
+                                   idCol="d_id", partCol="__cell",
+                                   sortCols=("__cell", "d_id"))
     _clear_tombstones(spark, index_path)
-    return len(affected)
+    return n
 
 
 def search_in_query_chunks(search_fn, queries: DataFrame, idCol: str,

@@ -61,15 +61,18 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # rounds stale under the planned window fails the lint, as does a
 # new oracled query parked outside the window.
 _WINDOW_PRIORITY = (
-    # (a) the six NEW round-13 lanes (never-green — the fairness lint
-    #     requires every new oracled query in the window): the
+    # (a) the eight NEW round-13 lanes (never-green — the fairness
+    #     lint requires every new oracled query in the window): the
     #     remaining tombstone families under the hash gate
-    #     (simhash/embedding/video/IVF) and the first two COMPACTION
+    #     (simhash/embedding/video/IVF), the first two COMPACTION
     #     lanes (flat-store BM25 + cell-partitioned IVF physical
-    #     rewrites hash-checked against fresh-over-survivors replays)
+    #     rewrites hash-checked against fresh-over-survivors replays),
+    #     and the EXACT family's stored-registry match + tombstone
+    #     lanes (the last dedup family to join the index matrix)
     "simhash_match_tombstoned", "embedding_match_tombstoned",
     "video_match_tombstoned", "knn_ivf_tombstoned",
     "knn_ivf_compacted", "bm25_search_compacted",
+    "exact_match_indexed", "exact_match_tombstoned",
     # (b) the entire r9-green block (last driver row round 9 — age 4
     #     this round; the fairness lint would fail the r14 build if
     #     they weren't rotated now)
@@ -79,20 +82,22 @@ _WINDOW_PRIORITY = (
     "tabular_shap_exact", "text_featurize_pipeline", "tpch_q9",
     "tpch_q11", "udf_transformer", "unicode_normalize", "url_extract",
     "vw_featurizer",
-    # (c) 26 of the 39 r10-green queries (age 3). The 13 deferred to
+    # (c) 24 of the 39 r10-green queries (age 3). The 15 deferred to
     #     r14 — ann_recall, dedup_recall, dsir_select, embedding_dedup,
     #     exact_dedup, incremental_dedup, knn_ivf, knn_matryoshka,
     #     knn_matryoshka_sq8, knn_pq_adc, ngram_jaccard,
-    #     perplexity_prune, tabular_lime_exact — are the heaviest
-    #     ANN/dedup lanes (kept off this round's already index-heavy
-    #     window) and sit exactly at age 4 ≤ K at the r14 check, so
-    #     the lint holds as long as r14 windows them.
+    #     perplexity_prune, tabular_lime_exact, tpch_q20, tpch_q21 —
+    #     are the heaviest ANN/dedup/multi-join lanes (kept off this
+    #     round's already index-heavy window; q20/q21 displaced for
+    #     the two exact-registry lanes) and sit exactly at age 4 ≤ K
+    #     at the r14 check, so the lint holds as long as r14 windows
+    #     them.
     "anti_join", "broadcast_join_revenue", "clean_missing",
     "data_conversion", "domain_mix", "embedding_stats", "lang_stats",
     "multi_ngram", "ngram_lm_score", "page_splitter", "pivot_status",
     "quality_score", "rollup_counts", "semi_join", "sessionize",
     "token_count", "top_k_per_group", "tpch_q2", "tpch_q4",
-    "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q21", "ts_featurize",
+    "tpch_q16", "tpch_q19", "ts_featurize",
     "value_indexer", "window_hourly_agg",
 )
 # exactly 50 entries — the driver window size; a 51st would be
@@ -6732,6 +6737,115 @@ def incremental_dedup_q(spark, sf_dir):
     out = dedup.transform(docs)
     # select() would strip the persisted-registry handle (cache leak)
     return propagate_intermediates(out, out.select("doc_id"))
+
+
+def _exact_match_oracle(dead: str | None = None,
+                        cap: int = 1000) -> str:
+    """Replays IncrementalDeduplicator.match_against_index: the batch
+    is a reproducible construction over documents (every 7th doc
+    copied verbatim under a new id — the re-crawled duplicates — plus
+    every 11th doc salted with a suffix — the novel rows the bloom
+    and the join must both pass through untouched); the stored side
+    is docs < 400. Equality on the 128-bit content hash is equality
+    on the null-safe key itself (collisions ~2^-96, the operator's
+    own documented contract), so the oracle joins on the raw text
+    with IS NOT DISTINCT FROM — the same NULL==NULL semantics
+    functions/keys.py serializes. ``dead`` (a doc_id predicate)
+    replays a pending tombstone set: masked ids leave the stored
+    side BEFORE the hot-key cap count. The cap counts STORED members
+    per key (match-time semantics), replayed in the ok CTE."""
+    stored = f"doc_id < 400" + (f" AND NOT ({dead})" if dead else "")
+    return f"""
+    WITH batch AS (
+      SELECT doc_id + 10000 AS doc_id, text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id, text || ' qq' AS text
+      FROM documents WHERE doc_id % 11 = 0
+    ), stored AS (
+      SELECT doc_id, text FROM documents WHERE {stored}
+    ), touched AS (
+      SELECT s.doc_id, s.text FROM stored s
+      WHERE EXISTS (SELECT 1 FROM batch b
+                    WHERE b.text IS NOT DISTINCT FROM s.text)
+    ), ok AS (
+      SELECT text FROM touched GROUP BY text HAVING count(*) <= {cap}
+    )
+    SELECT b.doc_id AS doc_a, s.doc_id AS doc_b
+    FROM batch b
+    JOIN touched s ON b.text IS NOT DISTINCT FROM s.text
+    JOIN ok ON ok.text IS NOT DISTINCT FROM s.text
+    """
+
+
+def _exact_match_frames(spark, sf_dir):
+    """(stored, batch) frames shared by the two exact-match lanes —
+    the batch construction must stay in lockstep with
+    _exact_match_oracle's batch CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = (docs.filter(F.col("doc_id") % 7 == 0)
+             .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+             .unionByName(
+                 docs.filter(F.col("doc_id") % 11 == 0)
+                 .select((F.col("doc_id") + 20000).alias("doc_id"),
+                         F.concat(F.col("text"),
+                                  F.lit(" qq")).alias("text"))))
+    return docs.filter(F.col("doc_id") < 400), batch
+
+
+@register("exact_match_indexed", oracle=_exact_match_oracle())
+def exact_match_indexed(spark, sf_dir):
+    """Incremental EXACT-dup screening against a PERSISTED content-
+    hash registry (round 13 — the exact family joins the stored-index
+    matrix): the stored corpus (docs < 400) was hashed ONCE into the
+    prefix-partitioned registry + bloom sidecar
+    (IncrementalDeduplicator.save_index); the incoming batch hashes
+    only itself, bloom-prunes map-side, prefix-prunes the stored
+    directories, and one 128-bit equi-join emits (batch doc, stored
+    doc) pairs. The oracle replays the match-time semantics over the
+    raw null-safe key (hash equality == key equality at the operator's
+    documented collision bound)."""
+    import os
+
+    from mmlspark_spark.llm import IncrementalDeduplicator
+
+    stored, batch = _exact_match_frames(spark, sf_dir)
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 17)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"exact_{os.path.basename(sf_dir.rstrip('/'))}")
+    dd.save_index(stored, path)
+    return dd.match_against_index(dd.load_index(spark, path), batch)
+
+
+@register("exact_match_tombstoned",
+          oracle=_exact_match_oracle(dead="doc_id % 5 = 0"))
+def exact_match_tombstoned(spark, sf_dir):
+    """The DELETE half of the exact registry's lifecycle under the
+    driver's hash gate: the stored corpus tombstones every 5th doc
+    (metadata-only — and the bloom sidecar deliberately stays stale,
+    over-approximating routing while the confirm join applies the
+    mask), then the batch screens against the index. Masked ids
+    leave the stored side BEFORE the hot-key cap, so matching equals
+    a fresh index over the survivors — exactly what the oracle
+    replays. save_index clears stale tombstones on overwrite, so the
+    query is hermetic across repeated driver runs."""
+    import os
+
+    from mmlspark_spark.llm import IncrementalDeduplicator
+
+    stored, batch = _exact_match_frames(spark, sf_dir)
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 17)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"exact_del_{os.path.basename(sf_dir.rstrip('/'))}")
+    dd.save_index(stored, path)
+    dd.delete_from_index(
+        stored.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+        path)
+    return dd.match_against_index(dd.load_index(spark, path), batch)
 
 
 @register(

@@ -1898,3 +1898,159 @@ def test_compact_all_sweeps_mixed_family_tree(spark, tmp_path):
              for r in compact_all(spark, str(root))}
     assert again["mh"]["action"] == "skipped"
     assert again["sq"]["action"] == "skipped"
+
+
+def test_exact_index_lifecycle(spark, tmp_path):
+    """The EXACT family's stored-registry lifecycle (round 13 — the
+    last dedup family to join the index matrix): save_index persists
+    (id, 128-bit content hash) rows prefix-partitioned plus a bloom
+    sidecar; match_against_index screens a batch without re-hashing
+    the corpus (null-safe: NULL keys match each other, the
+    functions/keys.py contract); the bloom is pure routing (bloom
+    and no-bloom artifacts match identically); append ORs bloom
+    words so the merged bitset equals a fresh build; deletes mask at
+    read time and compaction rewrites ONLY the affected prefix
+    directories, rebuilding the bloom exactly."""
+    import os
+
+    from mmlspark_spark.core.cache import release_intermediates
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "alpha"),
+         (4, None), (5, "delta")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "alpha"), (101, "zeta"), (102, None), (103, "beta")],
+        "doc_id long, text string")
+
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 12)
+    p = str(tmp_path / "exact_idx")
+    dd.save_index(docs, p)
+    got_df = dd.match_against_index(dd.load_index(spark, p), batch)
+    got = sorted(tuple(r) for r in got_df.collect())
+    release_intermediates(got_df)
+    # alpha is stored twice (both survive — within-corpus dedup is
+    # ExactDeduplicator's job); NULL batch text matches NULL stored
+    assert got == [(100, 0), (100, 3), (102, 4), (103, 1)]
+
+    # bloom is routing only: a no-bloom artifact matches identically
+    dd0 = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                  bloomBits=0)
+    p0 = str(tmp_path / "exact_idx_nobloom")
+    dd0.save_index(docs, p0)
+    got0_df = dd0.match_against_index(dd0.load_index(spark, p0), batch)
+    assert sorted(tuple(r) for r in got0_df.collect()) == got
+    release_intermediates(got0_df)
+
+    # append == fresh union, INCLUDING the bloom sidecar bit-for-bit
+    extra = spark.createDataFrame([(6, "zeta")],
+                                  "doc_id long, text string")
+    dd.append_to_index(extra, p)
+    got2_df = dd.match_against_index(dd.load_index(spark, p), batch)
+    got2 = sorted(tuple(r) for r in got2_df.collect())
+    release_intermediates(got2_df)
+    assert got2 == sorted(got + [(101, 6)])
+    pf = str(tmp_path / "exact_idx_fresh")
+    dd.save_index(docs.unionByName(extra), pf)
+    assert sorted(tuple(r) for r in
+                  spark.read.parquet(f"{p}/bloom").collect()) \
+        == sorted(tuple(r) for r in
+                  spark.read.parquet(f"{pf}/bloom").collect())
+
+    # delete: read-time mask equals a fresh index over the survivors,
+    # and the dead set demonstrably changes the result (sensitivity)
+    dd.delete_from_index(
+        spark.createDataFrame([(0,)], "doc_id long"), p)
+    got3_df = dd.match_against_index(dd.load_index(spark, p), batch)
+    got3 = sorted(tuple(r) for r in got3_df.collect())
+    release_intermediates(got3_df)
+    assert got3 == sorted(x for x in got2 if x[1] != 0) != got2
+
+    # re-insert-after-delete contract
+    with pytest.raises(ValueError, match="pending tombstones"):
+        dd.append_to_index(
+            spark.createDataFrame([(0, "alpha")],
+                                  "doc_id long, text string"), p)
+
+    # compaction: only prefix directories holding a dead id are
+    # rewritten; the bloom sidecar is rebuilt EXACTLY; results and
+    # the cleared tombstone set pin the fresh-over-survivors contract
+    hashes = spark.read.parquet(f"{p}/hashes")
+    dead_prefixes = {r[0] for r in hashes.filter("__id = 0")
+                     .select("__hp").distinct().collect()}
+    untouched = [v for v in
+                 (r[0] for r in hashes.select("__hp")
+                  .distinct().collect()) if v not in dead_prefixes]
+    files_before = {v: sorted(os.listdir(f"{p}/hashes/__hp={v}"))
+                    for v in untouched}
+    assert dd.compact_index(spark, p) == 1
+    for v in untouched:
+        assert sorted(os.listdir(f"{p}/hashes/__hp={v}")) \
+            == files_before[v]
+    idx4 = dd.load_index(spark, p)
+    assert idx4["tombstones"] is None
+    got4_df = dd.match_against_index(idx4, batch)
+    assert sorted(tuple(r) for r in got4_df.collect()) == got3
+    release_intermediates(got4_df)
+    assert spark.read.parquet(f"{p}/hashes") \
+        .filter("__id = 0").count() == 0
+    # rebuilt bloom == fresh build over the survivors
+    pfs = str(tmp_path / "exact_idx_survivors")
+    dd.save_index(docs.filter("doc_id <> 0").unionByName(extra), pfs)
+    assert sorted(tuple(r) for r in
+                  spark.read.parquet(f"{p}/bloom").collect()) \
+        == sorted(tuple(r) for r in
+                  spark.read.parquet(f"{pfs}/bloom").collect())
+
+    # a batch the bloom fully rejects exits early with the match
+    # schema, no stored read at all
+    novel = spark.createDataFrame([(200, "nothing like this")],
+                                  "doc_id long, text string")
+    e = dd.match_against_index(idx4, novel)
+    assert e.count() == 0 and e.columns == ["doc_a", "doc_b"]
+
+    # geometry guards: keyCols and bloom shape both refuse, on load
+    # and on append
+    with pytest.raises(ValueError, match="incomparable"):
+        IncrementalDeduplicator(keyCols=("text", "doc_id"),
+                                idCol="doc_id",
+                                bloomBits=1 << 12).load_index(spark, p)
+    with pytest.raises(ValueError, match="incomparable"):
+        IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                bloomBits=1 << 13).append_to_index(
+            extra, p)
+    with pytest.raises(ValueError, match="append_to_index"):
+        dd.save_index(extra, p, mode="append")
+
+
+def test_exact_index_fleet_ops(spark, tmp_path):
+    """index_info describes the exact-registry artifact (footer
+    counts, pending tombstones) and compact_all sweeps it alongside
+    every other family."""
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+    from mmlspark_spark.llm.index_common import compact_all, index_info
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(12)],
+        "doc_id long, text string")
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 12)
+    root = tmp_path / "fleet"
+    p = str(root / "exact")
+    dd.save_index(docs, p)
+    info = index_info(spark, p)
+    assert info["manifest_file"] == "_exact_manifest.json"
+    assert info["stores"]["hashes"] == 12
+    assert info["pending_tombstones"] == 0
+
+    dd.delete_from_index(
+        spark.createDataFrame([(3,), (7,)], "doc_id long"), p)
+    assert index_info(spark, p)["pending_tombstones"] == 2
+    reports = {r["path"].split("/")[-1]: r
+               for r in compact_all(spark, str(root))}
+    assert reports["exact"]["action"] == "compacted"
+    assert reports["exact"]["removed"] == 2
+    assert index_info(spark, p)["stores"]["hashes"] == 10
+    assert index_info(spark, p)["pending_tombstones"] == 0

@@ -520,6 +520,38 @@ def test_neardup_screen_generic_over_embedding_family(spark, tmp_path):
     assert (200, 101) in seen[2][0]
 
 
+def test_neardup_screen_exact_family(spark, tmp_path):
+    """The EXACT registry family drives the SAME generic screen
+    wrapper (save/append/load/match + MATCH_BATCH_COL + match_schema
+    — no family-specific code): batch 1 bootstraps the content-hash
+    registry, batch 2's verbatim re-crawl is flagged and withheld,
+    its fresh row is appended, and batch 3 matches the appended
+    row."""
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+    from mmlspark_spark.streaming import neardup_screen_foreach_batch
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    seen = {}
+
+    def on_batch(bid, pairs, survivors):
+        seen[bid] = ({tuple(r) for r in pairs.collect()},
+                     {r.doc_id for r in survivors.collect()})
+
+    screen = neardup_screen_foreach_batch(
+        IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                bloomBits=1 << 12),
+        str(tmp_path / "exact_screen"), "doc_id", on_batch=on_batch)
+    screen(df([(0, "alpha"), (1, "beta")]), 0)
+    screen(df([(10, "alpha"), (11, "gamma")]), 1)
+    screen(df([(20, "gamma")]), 2)
+    assert seen[0] == (set(), {0, 1})
+    assert seen[0][0] == set()
+    assert seen[1][0] == {(10, 0)} and seen[1][1] == {11}
+    assert seen[2][0] == {(20, 11)} and seen[2][1] == set()
+
+
 def test_neardup_bootstrap_pairs_schema_matches_later_batches(
         spark, tmp_path):
     """A verifyExact MinHash dedup's transform schema carries a
@@ -586,6 +618,7 @@ def test_match_batch_col_declared_across_families(spark):
     breaks THIS test instead of silently mis-flagging survivors."""
     from mmlspark_spark.llm.dedup import (
         EmbeddingDeduplicator,
+        IncrementalDeduplicator,
         MinHashLSHDeduplicator,
         SimHashDeduplicator,
     )
@@ -599,6 +632,8 @@ def test_match_batch_col_declared_across_families(spark):
         [], "doc_id long, text string").schema
     cases = [
         (MinHashLSHDeduplicator(), "doc_a",
+         lambda d: d.match_schema(text_schema)),
+        (IncrementalDeduplicator(), "doc_a",
          lambda d: d.match_schema(text_schema)),
         (SimHashDeduplicator(), "doc_a",
          lambda d: d.transform_schema(text_schema)),
