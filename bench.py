@@ -349,14 +349,17 @@ def main() -> None:
     # round-13: the two driver-gated COMPACTION lanes (save + delete
     # + physical rewrite + search in one timing — the full takedown
     # lifecycle cost for the flat-store and cell-partitioned
-    # geometries), tracked per round alongside the match lanes
+    # geometries), tracked per round alongside the match lanes, and
+    # exact_match_indexed (the content-hash registry screen — the
+    # cheapest family's incremental-ingest number, bloom + prefix
+    # pruning instead of signatures)
     for name in ("knn_pq_adc", "knn_ivfpq", "knn_sq8", "knn_matryoshka",
                  "knn_matryoshka_sq8", "knn_ivf", "bm25_search",
                  "dsir_select", "knn_ivfpq_indexed", "bm25_phrase_indexed",
                  "knn_ivf_filtered", "minhash_match_indexed",
                  "simhash_match_indexed", "video_match_indexed",
                  "knn_lsh_indexed", "bm25_search_compacted",
-                 "knn_ivf_compacted"):
+                 "knn_ivf_compacted", "exact_match_indexed"):
         spec = CATALOG.get(name)
         if spec is None:
             continue

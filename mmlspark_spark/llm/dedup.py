@@ -1631,14 +1631,17 @@ class IncrementalDeduplicator(Transformer):
 
     1. BUILD: one aggregation over the reference computes a Bloom
        bitset (``bloomBits`` bits, ``bloomHashes`` independent
-       xxhash64 lanes) as ~``bloomBits``/64 packed longs, collected to
-       the driver and embedded as an array literal — ~16 KB plan
-       weight per 2^17 bits.
-    2. PROBE, map-only: every incoming row evaluates ``might_contain``
-       as pure codegen expressions (element_at + bit test on the
-       literal array). Bloom negatives are DEFINITELY new (no false
-       negatives) and pass through WITHOUT EVER SHUFFLING — at real
-       duplicate rates (a few %) this is almost the whole batch.
+       xxhash64 lanes) as ~``bloomBits``/64 packed longs, densified
+       JVM-side into a ONE-ROW broadcast frame (the DSIR ratio-row
+       pattern — never an array literal, whose per-word child
+       expressions cost seconds of driver/analysis time at 2^20
+       bits).
+    2. PROBE, map-only: every incoming row evaluates the membership
+       test as pure codegen expressions (element_at + bit test on the
+       broadcast bitset column). Bloom negatives are DEFINITELY new
+       (no false negatives) and pass through WITHOUT EVER SHUFFLING —
+       at real duplicate rates (a few %) this is almost the whole
+       batch.
     3. CONFIRM: only bloom positives (true dups + FP rate ~0.1% at
        the default 20 bits/key) join the reference on the 128-bit
        content hash for an exact verdict.
@@ -1727,28 +1730,45 @@ class IncrementalDeduplicator(Transformer):
                 .groupBy(F.shiftrightunsigned("__p", 6).alias("__w"))
                 .agg(F.bit_or(_bit_at("__p")).alias("__bits")))
 
-    def _bloom_probe(self, words: list, h1):
-        """Map-only bloom membership expression against a dense
-        packed-word list (embedded as an array literal — ~16 KB plan
-        weight per 2^17 bits): bloom negatives are DEFINITELY absent
-        from the keyed corpus, no shuffle spent on them."""
-        bitset = F.lit(words).cast("array<long>")
+    def _bloom_dense_row(self, word_rows: DataFrame,
+                         bits: int | None = None) -> DataFrame:
+        """ONE-ROW frame holding the dense packed bitset
+        (``__bloom_arr``: array<long>[bits/64]) — the DSIR ratio-row
+        pattern: probes attach it with ``crossJoin(F.broadcast(...))``
+        and read it map-side, so the bitset is one plan node however
+        many bits it holds."""
+        bits = self.bloomBits if bits is None else bits
+        spark = word_rows.sparkSession
+        # densify on the DRIVER: the sparse set is ≤ bits/64 rows
+        # (128 KB at 2^20 bits), and one row of DATA ships back for
+        # free. The two in-plan alternatives both measured seconds
+        # PER ACTION at 2^20 bits: an array literal is 16k child
+        # expressions through every analysis pass, and a JVM
+        # map-densify (try_element_at over a collect_list'd map) is a
+        # linear key scan per lookup — O(words²) inside one task.
+        words = [0] * (bits // 64)
+        for r in word_rows.collect():
+            words[int(r["__w"])] = int(r["__bits"])
+        return spark.createDataFrame(
+            [(words,)],
+            T.StructType([T.StructField(
+                "__bloom_arr", T.ArrayType(T.LongType()), False)]))
+
+    def _bloom_probe(self, h1, bits: int | None = None,
+                     k: int | None = None):
+        """Map-only bloom membership expression against the broadcast
+        ``__bloom_arr`` column (attach the one-row frame with
+        ``crossJoin(F.broadcast(...))`` first): bloom negatives are
+        DEFINITELY absent from the keyed corpus, no shuffle spent on
+        them. The crossJoin is a one-row BroadcastNestedLoopJoin —
+        O(N), the allowed-lint shape."""
+        arr = F.col("__bloom_arr")
         probe = F.lit(True)
-        for p in self._positions(h1):
-            word = F.element_at(bitset,
+        for p in self._positions(h1, bits, k):
+            word = F.element_at(arr,
                                 (F.shiftrightunsigned(p, 6) + 1).cast("int"))
             probe = probe & (word.bitwiseAND(_bit_at(p)) != 0)
         return probe
-
-    def _might_contain(self, reg: DataFrame, h1):
-        """Pure-Catalyst bloom probe: k position lanes -> bit tests
-        against a literal bitset built by ONE aggregation over the
-        (already persisted) registry frame, dense-filled on the
-        driver."""
-        words = [0] * (self.bloomBits // 64)
-        for r in self._bloom_word_rows(reg, "__rh1").collect():
-            words[int(r["__w"])] = int(r["__bits"])
-        return self._bloom_probe(words, h1)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         # persisted: the registry feeds the bloom build AND the confirm
@@ -1780,8 +1800,12 @@ class IncrementalDeduplicator(Transformer):
                 .withColumn("is_duplicate",
                             F.coalesce("__dup", F.lit(False)))
                 .drop("__ih1", "__ih2", "__rh1", "__rh2", "__dup"), *owned)
-        might = self._might_contain(reg, F.col("__ih1"))
-        keyed = keyed.withColumn("__bloom", might)
+        bloom_row = self._bloom_dense_row(
+            self._bloom_word_rows(reg, "__rh1"))
+        keyed = (keyed.crossJoin(F.broadcast(bloom_row))
+                 .withColumn("__bloom",
+                             self._bloom_probe(F.col("__ih1")))
+                 .drop("__bloom_arr"))
         fast_new = keyed.filter(~F.col("__bloom"))      # map-only, no shuffle
         candidates = keyed.filter(F.col("__bloom"))     # dups + ~0.1% FPs
         if self.mode == "drop":
@@ -1817,8 +1841,8 @@ class IncrementalDeduplicator(Transformer):
     #   a small batch's distinct prefixes prune the directories read.
     # - ``{path}/bloom`` — sparse packed-bitset sidecar (__w, __bits),
     #   built once per save from the read-back store. Batches probe it
-    #   as a map-only literal expression, so the common no-match row
-    #   never touches the hash store at all. Deletes leave it STALE
+    #   map-only via the one-row broadcast row, so the common no-match
+    #   row never touches the hash store at all. Deletes leave it STALE
     #   (over-approximating — it routes rows, never decides, so
     #   results are exact regardless); compaction rebuilds it exactly.
     # - ``{path}/_exact_manifest.json`` — pins keyCols and the bloom
@@ -1867,9 +1891,12 @@ class IncrementalDeduplicator(Transformer):
         # a fresh save REPLACES the artifact: stale tombstones from a
         # previous index at this path must not mask the new corpus
         _clear_tombstones(spark, path)
+        # partition column FIRST in the sort: the partitioned writer
+        # then streams one output file at a time per task instead of
+        # holding a file open per __hp value (the IVF store's pattern)
         (self._hashed(docs)
          .repartition(F.col("__hp"))
-         .sortWithinPartitions("__h1", "__h2")
+         .sortWithinPartitions("__hp", "__h1", "__h2")
          .write.mode(mode).partitionBy("__hp")
          .parquet(f"{path}/hashes"))
         if self.bloomBits:
@@ -1922,7 +1949,7 @@ class IncrementalDeduplicator(Transformer):
         hn = persist_intermediate(self._hashed(new_docs))
         try:
             (hn.repartition(F.col("__hp"))
-             .sortWithinPartitions("__h1", "__h2")
+             .sortWithinPartitions("__hp", "__h1", "__h2")
              .write.mode("append").partitionBy("__hp")
              .parquet(f"{path}/hashes"))
             if self.bloomBits:
@@ -1936,18 +1963,18 @@ class IncrementalDeduplicator(Transformer):
 
     def load_index(self, spark, path: str) -> dict:
         """Read a :meth:`save_index` artifact for
-        :meth:`match_against_index`. The bloom sidecar densifies to a
-        driver-held word list here, ONCE per load (≤ bloomBits/64
-        longs — 16 KB at the default 2^20 bits), not per batch."""
+        :meth:`match_against_index`. ``bloom_row`` is the lazy
+        one-row dense-bitset frame over the sidecar (≤ bloomBits/64
+        sparse rows densified by one tiny JVM aggregation per match
+        action — never a driver collect or a plan-bloating array
+        literal)."""
         self._check_manifest(spark, path)
         idx = {"hashes": spark.read.parquet(f"{path}/hashes"),
                "tombstones": _read_tombstones(spark, path),
-               "bloom_words": None}
+               "bloom_row": None}
         if self.bloomBits:
-            words = [0] * (self.bloomBits // 64)
-            for r in spark.read.parquet(f"{path}/bloom").collect():
-                words[int(r["__w"])] = int(r["__bits"])
-            idx["bloom_words"] = words
+            idx["bloom_row"] = self._bloom_dense_row(
+                spark.read.parquet(f"{path}/bloom"))
         return idx
 
     def delete_from_index(self, ids: DataFrame, path: str,
@@ -1982,7 +2009,7 @@ class IncrementalDeduplicator(Transformer):
         before = _parquet_row_count(spark, f"{path}/hashes")
         _compact_partitioned_store(spark, f"{path}/hashes", ts,
                                    idCol="__id", partCol="__hp",
-                                   sortCols=("__h1", "__h2"))
+                                   sortCols=("__hp", "__h1", "__h2"))
         if man.get("bloomBits"):
             rebuilt = self._bloom_word_rows(
                 spark.read.parquet(f"{path}/hashes"), "__h1",
@@ -2000,8 +2027,8 @@ class IncrementalDeduplicator(Transformer):
         :class:`ExactDeduplicator` on the batch (the two compose).
 
         Plan shape, in pruning order: (1) the batch hashes map-side;
-        (2) the bloom literal drops definite non-members without any
-        join; (3) the survivors' distinct 8-bit prefixes (≤ 256
+        (2) the broadcast bitset row drops definite non-members
+        map-side; (3) the survivors' distinct 8-bit prefixes (≤ 256
         values, collected from the small batch side) prune the
         stored partition directories; (4) tombstoned ids are masked
         BEFORE the hot-key cap; (5) ``maxDocsPerKey`` caps keys whose
@@ -2012,9 +2039,11 @@ class IncrementalDeduplicator(Transformer):
         (6) one equi-join on the 128-bit hash emits the pairs."""
         spark = new_docs.sparkSession
         bh = persist_intermediate(self._hashed(new_docs))
-        words = index.get("bloom_words")
-        probe = bh if words is None else bh.filter(
-            self._bloom_probe(words, F.col("__h1")))
+        brow = index.get("bloom_row")
+        probe = bh if brow is None else (
+            bh.crossJoin(F.broadcast(brow))
+            .filter(self._bloom_probe(F.col("__h1")))
+            .drop("__bloom_arr"))
         prefixes = [r[0] for r in
                     probe.select("__hp").distinct().collect()]
         if not prefixes:

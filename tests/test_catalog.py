@@ -78,6 +78,12 @@ ALLOWED_LINT = {
     # one-row broadcast frames: the totals row inside fit and the
     # length-B log-ratio array row attached before map-side scoring
     "dsir_select": {"BroadcastNestedLoopJoin"},
+    # one-row dense-bitset frame (the DSIR ratio-row pattern) attached
+    # before the map-side bloom probe — replaced the 16k-child array
+    # literal whose expression count cost seconds per action
+    "incremental_dedup": {"BroadcastNestedLoopJoin"},
+    "exact_match_indexed": {"BroadcastNestedLoopJoin"},
+    "exact_match_tombstoned": {"BroadcastNestedLoopJoin"},
     # one-row codebook broadcast + the ADC scan itself: PQ's design
     # IS a per-query compressed exhaustive scan (M lookups/row, the
     # broadcast side is the small query-LUT frame) — not an O(N²)

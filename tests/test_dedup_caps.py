@@ -332,10 +332,12 @@ def test_incremental_dedup_exactness_and_nulls(spark):
 
 
 def test_incremental_dedup_bloom_negatives_skip_the_join(spark):
-    """The scale contract: rows the bloom rejects must flow through a
-    plan branch with NO join — assert the filter side of the union
-    contains the literal-bitset probe and the only joins hang under
-    the candidate branch."""
+    """The scale contract: rows the bloom rejects must never reach a
+    KEY join against the reference — the only LeftAnti (confirm)
+    join hangs under the candidate branch. The bitset itself attaches
+    as a ONE-ROW Cross join per union branch (the broadcast ratio-row
+    pattern — a single comparison per probe row, no shuffle), which
+    is exactly what the plan should show instead of an equi-join."""
     from mmlspark_spark.llm import IncrementalDeduplicator
 
     ref = spark.createDataFrame([(1, "a")], "doc_id long, text string")
@@ -345,8 +347,12 @@ def test_incremental_dedup_bloom_negatives_skip_the_join(spark):
         referenceDf=ref, keyCols=["text"], mode="drop",
         bloomBits=1 << 10).transform(inc)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # one union of (map-only filter branch, confirm-join branch)
-    assert plan.count("Join") == 1
+    # one union of (map-only filter branch, confirm-join branch):
+    # exactly ONE key join (the confirm anti join); every other Join
+    # node is the one-row bitset Cross attach
+    assert plan.count("Join LeftAnti") == 1
+    assert plan.count("Join") == plan.count("Join LeftAnti") \
+        + plan.count("Join Cross")
     assert "Union" in plan
     assert sorted(r.doc_id for r in out.collect()) == [2]
 
