@@ -1670,16 +1670,22 @@ class IncrementalDeduplicator(Transformer):
                  mode: str = "drop", bloomBits: int = 1 << 20,
                  bloomHashes: int = 5, referenceIsRegistry: bool = False,
                  idCol: str = "doc_id",
-                 maxDocsPerKey: int | None = 1000):
+                 maxDocsPerKey: int | None = 1000,
+                 prefixBits: int = 8):
         if mode not in ("drop", "flag"):
             raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
         if bloomBits and (bloomBits & 63):
             raise ValueError("bloomBits must be a multiple of 64")
+        if not 1 <= prefixBits <= 20:
+            # 2^prefixBits partition DIRECTORIES: below 2 it prunes
+            # nothing, above ~10^6 file-system metadata dominates
+            raise ValueError("prefixBits must be in [1, 20]")
         super().__init__(referenceDf=referenceDf, keyCols=list(keyCols),
                          mode=mode, bloomBits=bloomBits,
                          bloomHashes=bloomHashes,
                          referenceIsRegistry=referenceIsRegistry,
-                         idCol=idCol, maxDocsPerKey=maxDocsPerKey)
+                         idCol=idCol, maxDocsPerKey=maxDocsPerKey,
+                         prefixBits=prefixBits)
 
     @staticmethod
     def reference_registry(df: DataFrame, keyCols=("text",)) -> DataFrame:
@@ -1835,10 +1841,13 @@ class IncrementalDeduplicator(Transformer):
     # a caller-managed DataFrame (reference_registry). Layout:
     #
     # - ``{path}/hashes/__hp=<p>/`` — (id, h1, h2) content-hash rows,
-    #   PARTITIONED by an 8-bit prefix of h1 and sorted by (h1, h2)
+    #   PARTITIONED by a ``prefixBits``-wide prefix of h1 (default 8 →
+    #   256 directories; manifest-pinned) and sorted by (h1, h2)
     #   within partitions. ~48 B/doc however large the documents: the
     #   10^12-doc registry is ~40 TB where the corpus is 100 TB+, and
-    #   a small batch's distinct prefixes prune the directories read.
+    #   a small batch's distinct prefixes prune the directories read —
+    #   size prefixBits so corpus/2^prefixBits is a scan the ingest
+    #   cadence can afford (a 10^12-doc registry wants 12-16 bits).
     # - ``{path}/bloom`` — sparse packed-bitset sidecar (__w, __bits),
     #   built once per save from the read-back store. Batches probe it
     #   map-only via the one-row broadcast row, so the common no-match
@@ -1858,7 +1867,8 @@ class IncrementalDeduplicator(Transformer):
         return (df.select(F.col(self.idCol).alias("__id"),
                           h1.alias("__h1"), h2.alias("__h2"))
                 .withColumn("__hp", F.pmod(F.col("__h1"),
-                                           F.lit(256)).cast("int")))
+                                           F.lit(1 << self.prefixBits))
+                            .cast("int")))
 
     def match_schema(self, schema: T.StructType) -> T.StructType:
         """Schema of :meth:`match_against_index` pairs — the contract
@@ -1908,7 +1918,8 @@ class IncrementalDeduplicator(Transformer):
                                     "family": "IncrementalDeduplicator",
                                     "keyCols": list(self.keyCols),
                                     "bloomBits": self.bloomBits,
-                                    "bloomHashes": self.bloomHashes}))
+                                    "bloomHashes": self.bloomHashes,
+                                    "prefixBits": self.prefixBits}))
 
     def _check_manifest(self, spark, path: str) -> None:
         """Refuse a key/bloom-geometry mismatch — shared by
@@ -1924,7 +1935,8 @@ class IncrementalDeduplicator(Transformer):
             _fs_read_text(spark, f"{path}/_exact_manifest.json"))
         mine = {"keyCols": list(self.keyCols),
                 "bloomBits": self.bloomBits,
-                "bloomHashes": self.bloomHashes}
+                "bloomHashes": self.bloomHashes,
+                "prefixBits": self.prefixBits}
         stored = {k2: man.get(k2) for k2 in mine}
         if stored != mine:
             raise ValueError(
@@ -2028,9 +2040,9 @@ class IncrementalDeduplicator(Transformer):
 
         Plan shape, in pruning order: (1) the batch hashes map-side;
         (2) the broadcast bitset row drops definite non-members
-        map-side; (3) the survivors' distinct 8-bit prefixes (≤ 256
-        values, collected from the small batch side) prune the
-        stored partition directories; (4) tombstoned ids are masked
+        map-side; (3) the survivors' distinct hash prefixes
+        (≤ 2^prefixBits values, collected from the small batch side)
+        prune the stored partition directories; (4) tombstoned ids are masked
         BEFORE the hot-key cap; (5) ``maxDocsPerKey`` caps keys whose
         STORED member count exceeds it (a boilerplate text duplicated
         10^6 times in the registry would otherwise fan out 10^6 rows

@@ -6810,8 +6810,13 @@ def exact_match_indexed(spark, sf_dir):
     from mmlspark_spark.llm import IncrementalDeduplicator
 
     stored, batch = _exact_match_frames(spark, sf_dir)
+    # prefixBits sized to the stored corpus (400 docs -> 32 dirs):
+    # the 2^prefixBits directory fanout is the artifact-creation
+    # constant, and the production guidance (size it so
+    # corpus/2^prefixBits is an affordable scan) applies at sf0.01
+    # exactly as at 10^12 docs
     dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
-                                 bloomBits=1 << 17)
+                                 bloomBits=1 << 17, prefixBits=5)
     path = os.path.join(
         "/tmp/mmlspark_spark_idx",
         f"exact_{os.path.basename(sf_dir.rstrip('/'))}")
@@ -6837,7 +6842,7 @@ def exact_match_tombstoned(spark, sf_dir):
 
     stored, batch = _exact_match_frames(spark, sf_dir)
     dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
-                                 bloomBits=1 << 17)
+                                 bloomBits=1 << 17, prefixBits=5)
     path = os.path.join(
         "/tmp/mmlspark_spark_idx",
         f"exact_del_{os.path.basename(sf_dir.rstrip('/'))}")

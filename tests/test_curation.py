@@ -2054,3 +2054,40 @@ def test_exact_index_fleet_ops(spark, tmp_path):
     assert reports["exact"]["removed"] == 2
     assert index_info(spark, p)["stores"]["hashes"] == 10
     assert index_info(spark, p)["pending_tombstones"] == 0
+
+
+def test_exact_index_prefix_bits(spark, tmp_path):
+    """prefixBits sizes the hash-prefix directory fanout (the scan a
+    match pays is corpus/2^prefixBits per touched prefix): a
+    non-default artifact round-trips with identical matches, the
+    layout really has at most 2^prefixBits directories, and a
+    mismatched prefixBits refuses (its __hp keys would prune WRONG
+    directories, silently losing matches)."""
+    import os
+
+    from mmlspark_spark.core.cache import release_intermediates
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(30)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "text number 3"), (101, "text number 17"),
+         (102, "unseen")], "doc_id long, text string")
+    dd4 = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                  bloomBits=1 << 12, prefixBits=4)
+    p = str(tmp_path / "exact_p4")
+    dd4.save_index(docs, p)
+    dirs = [d for d in os.listdir(f"{p}/hashes")
+            if d.startswith("__hp=")]
+    assert 0 < len(dirs) <= 16
+    got_df = dd4.match_against_index(dd4.load_index(spark, p), batch)
+    got = sorted(tuple(r) for r in got_df.collect())
+    release_intermediates(got_df)
+    assert got == [(100, 3), (101, 17)]
+    with pytest.raises(ValueError, match="incomparable"):
+        IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                bloomBits=1 << 12,
+                                prefixBits=8).load_index(spark, p)
+    with pytest.raises(ValueError, match="prefixBits"):
+        IncrementalDeduplicator(prefixBits=0)
