@@ -1975,11 +1975,11 @@ class IncrementalDeduplicator(Transformer):
 
     def load_index(self, spark, path: str) -> dict:
         """Read a :meth:`save_index` artifact for
-        :meth:`match_against_index`. ``bloom_row`` is the lazy
-        one-row dense-bitset frame over the sidecar (≤ bloomBits/64
-        sparse rows densified by one tiny JVM aggregation per match
-        action — never a driver collect or a plan-bloating array
-        literal)."""
+        :meth:`match_against_index`. ``bloom_row`` is the one-row
+        dense-bitset frame, densified ONCE per load (a ≤ bloomBits/64
+        sparse-row driver collect — 128 KB at the default 2^20 bits),
+        so each match pays a LocalTableScan broadcast, never a
+        densify or a plan-bloating array literal."""
         self._check_manifest(spark, path)
         idx = {"hashes": spark.read.parquet(f"{path}/hashes"),
                "tombstones": _read_tombstones(spark, path),

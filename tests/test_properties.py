@@ -153,3 +153,47 @@ def test_null_safe_key_injective_on_tuples(dedup_spark_holder, a, b):
         null_safe_key([F.col("a1"), F.col("a2")]).alias("ka"),
         null_safe_key([F.col("b1"), F.col("b2")]).alias("kb")).collect()[0]
     assert (row.ka == row.kb) == (a == b), (a, b)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.none() | st.text(alphabet="abΩ ", max_size=6),
+                min_size=1, max_size=8),
+       st.lists(st.none() | st.text(alphabet="abΩ ", max_size=6),
+                min_size=1, max_size=5))
+def test_exact_registry_match_equals_truth(dedup_spark_holder,
+                                           stored_texts, batch_texts):
+    """The stored exact registry's match equals the python-computed
+    null-safe truth on arbitrary corpora (nulls, unicode, duplicate
+    keys), and tombstoning a stored id removes exactly its pairs —
+    the randomized counterpart of the hand-built lifecycle test."""
+    import tempfile
+
+    from mmlspark_spark.core.cache import release_intermediates
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+
+    spark = dedup_spark_holder
+    stored = spark.createDataFrame(
+        list(enumerate(stored_texts)), "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string")
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 10, prefixBits=3)
+    path = tempfile.mkdtemp(prefix="exact_prop_")
+    dd.save_index(stored, path)
+    idx = dd.load_index(spark, path)
+    got_df = dd.match_against_index(idx, batch)
+    got = {tuple(r) for r in got_df.collect()}
+    release_intermediates(got_df)
+    truth = {(100 + i, j)
+             for i, bt in enumerate(batch_texts)
+             for j, s in enumerate(stored_texts)
+             if bt == s or (bt is None and s is None)}
+    assert got == truth
+    # tombstone the first stored doc: exactly its pairs disappear
+    dd.delete_from_index(
+        spark.createDataFrame([(0,)], "doc_id long"), path)
+    got2_df = dd.match_against_index(dd.load_index(spark, path), batch)
+    got2 = {tuple(r) for r in got2_df.collect()}
+    release_intermediates(got2_df)
+    assert got2 == {p for p in truth if p[1] != 0}
