@@ -2091,3 +2091,38 @@ def test_exact_index_prefix_bits(spark, tmp_path):
                                 prefixBits=8).load_index(spark, p)
     with pytest.raises(ValueError, match="prefixBits"):
         IncrementalDeduplicator(prefixBits=0)
+
+
+def test_exact_index_hot_key_cap(spark, tmp_path):
+    """maxDocsPerKey caps the stored-member fan-out per content key
+    (a boilerplate text duplicated L times in the registry would emit
+    L rows per matching batch doc): keys at or under the cap match,
+    keys over it are dropped entirely, and cap=None restores the full
+    fan-out."""
+    from mmlspark_spark.core.cache import release_intermediates
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+
+    rows = [(i, "boiler") for i in range(5)] + [(10, "rare"),
+                                                (11, "rare")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "boiler"), (101, "rare")], "doc_id long, text string")
+    p = str(tmp_path / "exact_cap")
+
+    def run(cap):
+        dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                     bloomBits=1 << 10, prefixBits=3,
+                                     maxDocsPerKey=cap)
+        dd.save_index(docs, p)
+        df = dd.match_against_index(dd.load_index(spark, p), batch)
+        got = sorted(tuple(r) for r in df.collect())
+        release_intermediates(df)
+        return got
+
+    # cap=3 < 5 stored boiler members: the hot key drops, rare stays
+    assert run(3) == [(101, 10), (101, 11)]
+    # cap at exactly the member count keeps the key
+    assert run(5) == sorted([(100, i) for i in range(5)]
+                            + [(101, 10), (101, 11)])
+    # uncapped = full fan-out
+    assert run(None) == run(5)
