@@ -2082,6 +2082,34 @@ class IncrementalDeduplicator(Transformer):
                     F.col("__sid").alias("doc_b")))
         return attach_intermediates(out, bh)
 
+    def transform_with_index(self, index: dict,
+                             df: DataFrame) -> DataFrame:
+        """:meth:`transform`'s drop/flag semantics against a STORED
+        registry — the daily-batch call ("dedup today's crawl against
+        the artifact, keep my schema"): rows whose content key exists
+        in the index are dropped (``mode='drop'``) or flagged
+        (``mode='flag'``, appends boolean ``is_duplicate``). Built on
+        :meth:`match_against_index`, so the bloom/prefix/tombstone/cap
+        pruning order — and the read-time delete contract — are
+        identical to the pair lane; membership derives from the
+        distinct matched batch ids, so a key the hot-key cap dropped
+        is NOT treated as a duplicate (size ``maxDocsPerKey`` for the
+        batch shape, or set it None for strict registry semantics)."""
+        from mmlspark_spark.core.cache import propagate_intermediates
+
+        pairs = self.match_against_index(index, df)
+        dup_ids = (pairs.select(F.col("doc_a").alias(self.idCol))
+                   .distinct())
+        if self.mode == "drop":
+            out = df.join(dup_ids, self.idCol, "left_anti")
+        else:
+            out = (df.join(dup_ids.withColumn("__dup", F.lit(True)),
+                           self.idCol, "left")
+                   .withColumn("is_duplicate",
+                               F.coalesce("__dup", F.lit(False)))
+                   .drop("__dup"))
+        return propagate_intermediates(pairs, out)
+
 
 class LineDeduplicator(Transformer):
     """CCNet-style line-level deduplication: a line that occurs in

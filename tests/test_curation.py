@@ -2126,3 +2126,46 @@ def test_exact_index_hot_key_cap(spark, tmp_path):
                             + [(101, 10), (101, 11)])
     # uncapped = full fan-out
     assert run(None) == run(5)
+
+
+def test_exact_index_transform_with_index(spark, tmp_path):
+    """transform_with_index = transform's drop/flag semantics against
+    the stored registry: drop removes exactly the rows whose key is
+    stored (schema preserved), flag appends is_duplicate, and the
+    tombstone mask flows through (a deleted stored doc no longer
+    claims its batch duplicate)."""
+    from mmlspark_spark.core.cache import release_intermediates
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "alpha"), (101, "zeta"), (102, "beta")],
+        "doc_id long, text string")
+    p = str(tmp_path / "exact_twi")
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 10, prefixBits=3)
+    dd.save_index(docs, p)
+    idx = dd.load_index(spark, p)
+    kept = dd.transform_with_index(idx, batch)
+    assert kept.columns == ["doc_id", "text"]
+    got = sorted(r.doc_id for r in kept.collect())
+    release_intermediates(kept)
+    assert got == [101]
+
+    fl = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 mode="flag", bloomBits=1 << 10,
+                                 prefixBits=3)
+    flagged = fl.transform_with_index(fl.load_index(spark, p), batch)
+    gotf = {r.doc_id: r.is_duplicate for r in flagged.collect()}
+    release_intermediates(flagged)
+    assert gotf == {100: True, 101: False, 102: True}
+
+    # delete doc 0 (alpha): its batch twin is no longer a duplicate
+    dd.delete_from_index(
+        spark.createDataFrame([(0,)], "doc_id long"), p)
+    kept2 = dd.transform_with_index(dd.load_index(spark, p), batch)
+    got2 = sorted(r.doc_id for r in kept2.collect())
+    release_intermediates(kept2)
+    assert got2 == [100, 101]
