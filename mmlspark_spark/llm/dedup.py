@@ -2094,7 +2094,14 @@ class IncrementalDeduplicator(Transformer):
         identical to the pair lane; membership derives from the
         distinct matched batch ids, so a key the hot-key cap dropped
         is NOT treated as a duplicate (size ``maxDocsPerKey`` for the
-        batch shape, or set it None for strict registry semantics)."""
+        batch shape, or set it None for strict registry semantics).
+
+        The result reads the stored files LAZILY: materialize it
+        (localCheckpoint / write) before mutating the artifact it was
+        computed from (append_to_index, compact_index) — the standard
+        read-from-own-write discipline every lifecycle consumer in
+        this engine follows (the streaming screen wrapper checkpoints
+        its pairs for exactly this reason)."""
         from mmlspark_spark.core.cache import propagate_intermediates
 
         pairs = self.match_against_index(index, df)

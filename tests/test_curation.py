@@ -2169,3 +2169,61 @@ def test_exact_index_transform_with_index(spark, tmp_path):
     got2 = sorted(r.doc_id for r in kept2.collect())
     release_intermediates(kept2)
     assert got2 == [100, 101]
+
+
+def test_ingestion_day_pipeline_stored_registry(spark, tmp_path):
+    """The day pipeline against the PERSISTED exact registry — the
+    production loop across days: day 1 bootstraps the artifact; day 2
+    screens with transform_with_index (schema-preserving drop) and
+    appends its survivors so day 3 sees them; a takedown
+    (delete_from_index) then lets a re-crawl of the deleted doc ingest
+    again after compaction clears the pending tombstone."""
+    from mmlspark_spark.llm import IncrementalDeduplicator
+
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 12, prefixBits=4)
+    p = str(tmp_path / "registry")
+
+    day1 = spark.createDataFrame(
+        [(i, f"day-one document {i}") for i in range(5)],
+        "doc_id long, text string")
+    dd.save_index(day1, p)
+
+    # day 2: two re-crawls of day-1 docs + three fresh
+    day2 = spark.createDataFrame(
+        [(100, "day-one document 1"), (101, "day-one document 3"),
+         (102, "fresh a"), (103, "fresh b"), (104, "fresh c")],
+        "doc_id long, text string")
+    fresh2 = dd.transform_with_index(dd.load_index(spark, p), day2)
+    assert sorted(r.doc_id for r in fresh2.collect()) == [102, 103, 104]
+    dd.append_to_index(fresh2, p)
+
+    # day 3: a re-crawl of a day-2 survivor is now caught
+    day3 = spark.createDataFrame(
+        [(200, "fresh b"), (201, "fresh d")],
+        "doc_id long, text string")
+    fresh3 = dd.transform_with_index(dd.load_index(spark, p), day3)
+    assert sorted(r.doc_id for r in fresh3.collect()) == [201]
+
+    # takedown: doc 3 is removed; its re-crawl would ingest again,
+    # but appending the SAME id needs the compaction first (the
+    # re-insert contract)
+    dd.delete_from_index(
+        spark.createDataFrame([(3,)], "doc_id long"), p)
+    recrawl = spark.createDataFrame(
+        [(300, "day-one document 3")], "doc_id long, text string")
+    # materialize BEFORE mutating the artifact: the survivors frame
+    # lazily reads the stored files (incl. the tombstone set), and
+    # compaction deletes them — the same read-from-own-write hazard
+    # the streaming wrapper localCheckpoints against
+    fresh4 = dd.transform_with_index(
+        dd.load_index(spark, p), recrawl).localCheckpoint()
+    assert [r.doc_id for r in fresh4.collect()] == [300]
+    assert dd.compact_index(spark, p) == 1
+    dd.append_to_index(fresh4, p)
+    # and once appended it screens as a duplicate for the next batch
+    again = dd.transform_with_index(
+        dd.load_index(spark, p),
+        spark.createDataFrame([(400, "day-one document 3")],
+                              "doc_id long, text string"))
+    assert again.count() == 0
