@@ -1601,6 +1601,13 @@ def duplicated_substring_spans(
                     "span_start", "span_end"))
 
 
+# Above this many distinct batch prefixes the directory-pruning
+# filter switches from literal isin() to a broadcast semi-join: a
+# literal per prefix re-enters every analysis pass of every action,
+# and a 12-16 bit registry can surface tens of thousands of them.
+_PREFIX_ISIN_MAX = 1024
+
+
 def _bit_at(pos):
     """1L << (pos % 64) with a COLUMN shift amount — the PySpark
     ``F.shiftleft`` wrapper only accepts a python-int numBits, so the
@@ -1870,6 +1877,20 @@ class IncrementalDeduplicator(Transformer):
                                            F.lit(1 << self.prefixBits))
                             .cast("int")))
 
+    def _write_hash_rows(self, hashed: DataFrame, path: str,
+                         mode: str) -> None:
+        """The prefix-partitioned hash-row write shared by save and
+        append. Partition column FIRST in the sort: the partitioned
+        writer then streams one output file at a time per task instead
+        of holding a file open per __hp value (the IVF store's
+        pattern). A seam on purpose: crash-consistency tests inject a
+        failure here to pin the save/append orderings."""
+        (hashed
+         .repartition(F.col("__hp"))
+         .sortWithinPartitions("__hp", "__h1", "__h2")
+         .write.mode(mode).partitionBy("__hp")
+         .parquet(f"{path}/hashes"))
+
     def match_schema(self, schema: T.StructType) -> T.StructType:
         """Schema of :meth:`match_against_index` pairs — the contract
         streaming wrappers build their bootstrap empty frame from."""
@@ -1898,17 +1919,7 @@ class IncrementalDeduplicator(Transformer):
                 "artifact — use append_to_index for incremental "
                 "growth")
         spark = docs.sparkSession
-        # a fresh save REPLACES the artifact: stale tombstones from a
-        # previous index at this path must not mask the new corpus
-        _clear_tombstones(spark, path)
-        # partition column FIRST in the sort: the partitioned writer
-        # then streams one output file at a time per task instead of
-        # holding a file open per __hp value (the IVF store's pattern)
-        (self._hashed(docs)
-         .repartition(F.col("__hp"))
-         .sortWithinPartitions("__hp", "__h1", "__h2")
-         .write.mode(mode).partitionBy("__hp")
-         .parquet(f"{path}/hashes"))
+        self._write_hash_rows(self._hashed(docs), path, mode)
         if self.bloomBits:
             (self._bloom_word_rows(
                 spark.read.parquet(f"{path}/hashes"), "__h1")
@@ -1920,6 +1931,14 @@ class IncrementalDeduplicator(Transformer):
                                     "bloomBits": self.bloomBits,
                                     "bloomHashes": self.bloomHashes,
                                     "prefixBits": self.prefixBits}))
+        # stale tombstones from a previous index at this path must not
+        # mask the new corpus — but they clear LAST, only once the
+        # store + sidecar + manifest are all down: a crash mid-save
+        # then leaves partially written hashes still covered by the
+        # old mask (conservative — rows hidden, a retry fixes it)
+        # instead of letting taken-down ids resurrect, the unsafe
+        # failure direction for takedowns
+        _clear_tombstones(spark, path)
 
     def _check_manifest(self, spark, path: str) -> None:
         """Refuse a key/bloom-geometry mismatch — shared by
@@ -1960,16 +1979,22 @@ class IncrementalDeduplicator(Transformer):
             "IncrementalDeduplicator.append_to_index")
         hn = persist_intermediate(self._hashed(new_docs))
         try:
-            (hn.repartition(F.col("__hp"))
-             .sortWithinPartitions("__hp", "__h1", "__h2")
-             .write.mode("append").partitionBy("__hp")
-             .parquet(f"{path}/hashes"))
+            # bloom FIRST, hash rows second: an over-approximating
+            # bloom is always safe (it only routes — extra bits cost a
+            # confirm-join row, never a wrong answer), so a crash
+            # between the two leaves a superset bloom and no appended
+            # rows; a clean retry lands the rows. The reverse order
+            # would leave appended docs ABSENT from the bloom, and
+            # since bloom negatives skip the confirm join their future
+            # duplicates would be silently missed until a compaction
+            # rebuilt the bitset.
             if self.bloomBits:
                 merged = (spark.read.parquet(f"{path}/bloom")
                           .unionByName(self._bloom_word_rows(hn, "__h1"))
                           .groupBy("__w")
                           .agg(F.bit_or("__bits").alias("__bits")))
                 _replace_flat_store(merged, f"{path}/bloom")
+            self._write_hash_rows(hn, path, "append")
         finally:
             hn.unpersist()
 
@@ -2022,13 +2047,25 @@ class IncrementalDeduplicator(Transformer):
         _compact_partitioned_store(spark, f"{path}/hashes", ts,
                                    idCol="__id", partCol="__hp",
                                    sortCols=("__hp", "__h1", "__h2"))
+        after = _parquet_row_count(spark, f"{path}/hashes")
         if man.get("bloomBits"):
-            rebuilt = self._bloom_word_rows(
-                spark.read.parquet(f"{path}/hashes"), "__h1",
-                bits=man["bloomBits"], k=man["bloomHashes"])
+            if after:
+                rebuilt = self._bloom_word_rows(
+                    spark.read.parquet(f"{path}/hashes"), "__h1",
+                    bits=man["bloomBits"], k=man["bloomHashes"])
+            else:
+                # every doc was tombstoned: the store is the keeper's
+                # zero-row schema file. An explicit empty word frame
+                # (createDataFrame writes a schema footer even for a
+                # plan an empty aggregation might emit zero files for)
+                # keeps the sidecar loadable — the densified bitset is
+                # all zeros, so every future probe is a definite miss,
+                # exactly an empty registry's semantics.
+                rebuilt = spark.createDataFrame(
+                    [], "__w bigint, __bits bigint")
             _replace_flat_store(rebuilt, f"{path}/bloom")
         _clear_tombstones(spark, path)
-        return before - _parquet_row_count(spark, f"{path}/hashes")
+        return before - after
 
     def match_against_index(self, index: dict,
                             new_docs: DataFrame) -> DataFrame:
@@ -2062,9 +2099,27 @@ class IncrementalDeduplicator(Transformer):
             bh.unpersist()
             return spark.createDataFrame(
                 [], self.match_schema(new_docs.schema))
+        # Directory pruning, sized to what the batch actually covers.
+        # An unconditional isin() would rebuild up to 2^prefixBits
+        # literal child expressions (65k at the 12-16 bits a large
+        # registry wants) — the same plan-bloat class the bloom
+        # one-row fix removed. When the batch touches (nearly) every
+        # prefix the filter prunes nothing, so skip it; at moderate
+        # counts the literal list is cheap and prunes at PLANNING
+        # time; past _PREFIX_ISIN_MAX values ship the prefix set as
+        # DATA (one small broadcast semi-join on the partition column
+        # — dynamic partition pruning territory, zero literals).
+        hashes = index["hashes"]
+        if len(prefixes) * 4 >= (1 << self.prefixBits) * 3:
+            pass
+        elif len(prefixes) <= _PREFIX_ISIN_MAX:
+            hashes = hashes.filter(F.col("__hp").isin(prefixes))
+        else:
+            pf = spark.createDataFrame(
+                [(int(p),) for p in prefixes], "__hp int")
+            hashes = hashes.join(F.broadcast(pf), "__hp", "left_semi")
         stored = _drop_tombstoned(
-            index["hashes"].filter(F.col("__hp").isin(prefixes)),
-            index.get("tombstones"), "__id")
+            hashes, index.get("tombstones"), "__id")
         touched = stored.join(
             probe.select("__h1", "__h2").distinct(),
             ["__h1", "__h2"], "left_semi")

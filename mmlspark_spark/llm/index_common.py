@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _hadoop_fs(spark, path: str):
@@ -214,6 +215,24 @@ def _compact_partitioned_store(spark, store_path: str, ts: DataFrame,
     for c in affected:
         if c not in survivors:
             fs.delete(P(f"{store_path}/{partCol}={c}"), True)
+    remaining = [s for s in fs.listStatus(P(store_path))
+                 if s.isDirectory()
+                 and s.getPath().getName().startswith(f"{partCol}=")]
+    if not remaining:
+        # every partition died (an all-tombstoned store): the dynamic
+        # writer never emits an empty partition and the dead-directory
+        # sweep above just removed the last one, so without a keeper
+        # the NEXT read of the store (load_index, a sidecar rebuild,
+        # index_info's scan fallback) fails parquet schema inference
+        # on an empty directory — rows gone but the artifact
+        # unloadable. One zero-row schema-only file inside a single
+        # partition directory keeps the layout readable and
+        # append-compatible (createDataFrame([]) writes include the
+        # schema footer; later appends add sibling files/directories).
+        data_schema = T.StructType(
+            [f for f in store.schema.fields if f.name != partCol])
+        (spark.createDataFrame([], data_schema)
+         .write.mode("overwrite").parquet(f"{store_path}/{partCol}=0"))
     return len(affected)
 
 

@@ -19,6 +19,7 @@ from mmlspark_spark.streaming.serving import (
 from mmlspark_spark.streaming.stateful import (
     bm25_ingest_foreach_batch,
     neardup_screen_foreach_batch,
+    registry_ingest_foreach_batch,
     streaming_dedup,
     streaming_dedup_against_registry,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "make_reply", "reply_batch", "serving_sink", "DistributedHTTPServer",
     "bm25_ingest_foreach_batch",
     "neardup_screen_foreach_batch",
+    "registry_ingest_foreach_batch",
     "streaming_dedup",
     "streaming_dedup_against_registry",
 ]

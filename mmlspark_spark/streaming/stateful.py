@@ -239,6 +239,81 @@ def neardup_screen_foreach_batch(dedup, path: str, idCol: str,
     return screen
 
 
+def registry_ingest_foreach_batch(dedup, path: str, on_batch=None,
+                                  dedupWithinBatch: bool = True):
+    """Strict registry-mode streaming ingest for the EXACT-dedup
+    family, as one ``foreachBatch`` callable: each micro-batch is
+    screened against the persisted content-hash registry at ``path``
+    (``llm.IncrementalDeduplicator`` save/load/transform_with_index/
+    append lifecycle) with DROP semantics — rows whose key already
+    exists in the registry never land anywhere; novel rows append to
+    the registry so later batches (and later days) screen against
+    them. No pair frame is emitted: this is the production crawl
+    pipeline's "only ever ingest a document once" topology, where
+    :func:`neardup_screen_foreach_batch` is the flag-and-quarantine
+    one.
+
+    ``dedupWithinBatch`` (default) first collapses copies INSIDE the
+    batch (``llm.ExactDeduplicator`` on the same key columns — lowest
+    id survives), so a batch carrying the same document twice
+    registers it once; the registry then holds one row per distinct
+    key however the batches arrived. ``on_batch(batch_id, survivors)``
+    receives the rows that actually ingested — route them to the
+    corpus sink there.
+
+    Restart safety: a replayed micro-batch (foreachBatch's at-least-
+    once contract after a failure) re-screens against the registry
+    its first attempt already updated, drops everything it already
+    appended, and appends nothing — idempotent. A crash between the
+    append's two physical writes leaves a superset bloom and no hash
+    rows (append_to_index orders the sidecar first precisely so the
+    replay re-appends cleanly). The survivors frame is materialized
+    (``localCheckpoint``) BEFORE the append mutates the store it was
+    computed from — the read-from-own-write discipline every
+    lifecycle consumer follows.
+
+    Use with ``df.writeStream.foreachBatch(...)``::
+
+        ingest = registry_ingest_foreach_batch(
+            IncrementalDeduplicator(keyCols=("text",), idCol="doc_id"),
+            "/idx/registry",
+            on_batch=lambda bid, ok: ok.write...)
+        stream.writeStream.foreachBatch(ingest).start()
+    """
+    from mmlspark_spark.core.cache import release_intermediates
+    from mmlspark_spark.llm.dedup import ExactDeduplicator
+    from mmlspark_spark.llm.index_common import _hadoop_fs
+
+    if getattr(dedup, "mode", "drop") != "drop":
+        raise ValueError(
+            "registry_ingest_foreach_batch is drop-semantics by "
+            "definition (novel rows ingest, duplicates vanish) — "
+            "construct the deduplicator with mode='drop', or use "
+            "neardup_screen_foreach_batch for flag topologies")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df
+        if dedupWithinBatch:
+            batch = ExactDeduplicator(keyCols=dedup.keyCols,
+                                      idCol=dedup.idCol).transform(batch)
+        fs, P = _hadoop_fs(spark, path)
+        if not fs.exists(P(f"{path}/_exact_manifest.json")):
+            dedup.save_index(batch, path)
+            survivors = batch
+        else:
+            raw = dedup.transform_with_index(
+                dedup.load_index(spark, path), batch)
+            survivors = raw.localCheckpoint()  # eager: see docstring
+            release_intermediates(raw)
+            if survivors.limit(1).count():
+                dedup.append_to_index(survivors, path)
+        if on_batch is not None:
+            on_batch(batch_id, survivors)
+
+    return ingest
+
+
 def bm25_ingest_foreach_batch(retriever, path: str,
                               positions: bool = False,
                               on_batch=None):

@@ -1810,11 +1810,19 @@ def test_index_info_counts_from_footers_not_scans(spark, tmp_path):
     IVFKNN(nlist=4).save_index(vecs, cent, p)
 
     real = type(spark).read
+    # metric-level proof, not just API discipline: a tombstone-free
+    # artifact's index_info must schedule ZERO Spark jobs — footer
+    # reads happen on the driver through the parquet-hadoop API, so
+    # no job means no task, no scan, no data row-group read
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup(None))
     with mock.patch.object(
             type(spark), "read",
             property(lambda self: (_ for _ in ()).throw(
                 AssertionError("index_info scanned a store")))):
         info = index_info(spark, p)
+    assert set(tracker.getJobIdsForGroup(None)) == jobs_before, \
+        "index_info ran a Spark job on a tombstone-free artifact"
     assert info["stores"] == {"assigned": 40, "centroids": 4}
     assert info["pending_tombstones"] == 0
     assert type(spark).read is real  # patch released
@@ -2227,3 +2235,225 @@ def test_ingestion_day_pipeline_stored_registry(spark, tmp_path):
         spark.createDataFrame([(400, "day-one document 3")],
                               "doc_id long, text string"))
     assert again.count() == 0
+
+
+def test_exact_registry_compact_all_tombstoned(spark, tmp_path):
+    """Compacting a registry whose EVERY doc is tombstoned must leave
+    a valid, loadable, appendable artifact — not a directory that
+    fails parquet schema inference with the tombstones still pending
+    (the round-13 advisory's failure shape). The partitioned-store
+    keeper writes one zero-row schema file; the bloom sidecar rebuilds
+    to an explicit empty word frame (all-zero bitset = every probe a
+    definite miss)."""
+    from mmlspark_spark.llm import IncrementalDeduplicator, index_info
+
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 10, prefixBits=3)
+    p = str(tmp_path / "reg")
+    docs = spark.createDataFrame(
+        [(i, f"registry doc {i}") for i in range(4)],
+        "doc_id long, text string")
+    dd.save_index(docs, p)
+    dd.delete_from_index(docs.select("doc_id"), p)
+    assert dd.compact_index(spark, p) == 4
+    info = index_info(spark, p)
+    assert info["stores"]["hashes"] == 0
+    assert info["pending_tombstones"] == 0  # cleared despite 0 survivors
+    # the emptied registry screens as empty, not as an error
+    batch = spark.createDataFrame(
+        [(50, "registry doc 1"), (51, "novel text")],
+        "doc_id long, text string")
+    assert dd.match_against_index(dd.load_index(spark, p),
+                                  batch).count() == 0
+    # and the lifecycle resumes: append lands, later batches match it
+    dd.append_to_index(batch, p)
+    pairs = dd.match_against_index(
+        dd.load_index(spark, p),
+        spark.createDataFrame([(60, "novel text")],
+                              "doc_id long, text string"))
+    assert [(r.doc_a, r.doc_b) for r in pairs.collect()] == [(60, 51)]
+
+
+def test_exact_registry_append_crash_is_retryable(spark, tmp_path,
+                                                  monkeypatch):
+    """append_to_index orders the bloom sidecar merge BEFORE the hash
+    rows: a crash between the two leaves a SUPERSET bloom (safe — it
+    only routes; the confirm join still misses) and no appended rows,
+    so the torn state never reports a false duplicate and a plain
+    retry completes the append. The reverse order would leave rows
+    present but bloom-invisible — their future duplicates silently
+    missed."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+    from mmlspark_spark.llm.index_common import _parquet_row_count
+
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 10, prefixBits=3)
+    p = str(tmp_path / "reg")
+    day1 = spark.createDataFrame(
+        [(i, f"day one {i}") for i in range(5)],
+        "doc_id long, text string")
+    dd.save_index(day1, p)
+
+    day2 = spark.createDataFrame(
+        [(100, "fresh a"), (101, "fresh b")], "doc_id long, text string")
+    orig = IncrementalDeduplicator._write_hash_rows
+
+    def boom(self, hashed, path, mode):
+        if mode == "append":
+            raise IOError("injected crash after the bloom merge")
+        return orig(self, hashed, path, mode)
+
+    monkeypatch.setattr(IncrementalDeduplicator, "_write_hash_rows",
+                        boom)
+    with _pytest.raises(IOError, match="injected"):
+        dd.append_to_index(day2, p)
+    # torn state: no rows landed...
+    assert _parquet_row_count(spark, f"{p}/hashes") == 5
+    # ...and the superset bloom never flags the un-landed docs as dups
+    assert dd.match_against_index(dd.load_index(spark, p),
+                                  day2).count() == 0
+    monkeypatch.undo()
+    dd.append_to_index(day2, p)  # plain retry lands the rows once
+    assert _parquet_row_count(spark, f"{p}/hashes") == 7
+    pairs = dd.match_against_index(
+        dd.load_index(spark, p),
+        spark.createDataFrame([(200, "fresh a")],
+                              "doc_id long, text string"))
+    assert [(r.doc_a, r.doc_b) for r in pairs.collect()] == [(200, 100)]
+
+
+def test_exact_registry_save_crash_keeps_tombstones(spark, tmp_path,
+                                                    monkeypatch):
+    """save_index clears stale tombstones LAST, after the store +
+    sidecar + manifest all land: a crash mid-save leaves the old mask
+    in place (conservative — rows hidden until a retry), never a
+    half-written store with the delete mask already gone, which would
+    resurrect taken-down ids — the unsafe direction for takedowns."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+    from mmlspark_spark.llm.index_common import _read_tombstones
+
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 10, prefixBits=3)
+    p = str(tmp_path / "reg")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(3)], "doc_id long, text string")
+    dd.save_index(docs, p)
+    dd.delete_from_index(
+        spark.createDataFrame([(0,)], "doc_id long"), p)
+
+    def boom(self, hashed, path, mode):
+        raise IOError("injected crash mid-save")
+
+    monkeypatch.setattr(IncrementalDeduplicator, "_write_hash_rows",
+                        boom)
+    with _pytest.raises(IOError, match="injected"):
+        dd.save_index(docs, p)
+    ts = _read_tombstones(spark, p)
+    assert ts is not None and ts.count() == 1  # mask survived the crash
+    monkeypatch.undo()
+    dd.save_index(docs, p)  # a completed fresh save retires the mask
+    assert _read_tombstones(spark, p) is None
+
+
+def test_exact_match_prefix_prune_branches(spark, tmp_path,
+                                           monkeypatch):
+    """Directory pruning adapts to batch prefix coverage: a sparse
+    batch prunes via literal isin (planning-time partition pruning);
+    past _PREFIX_ISIN_MAX distinct prefixes the set ships as DATA
+    through a broadcast semi-join (no 2^prefixBits literal
+    expressions — the bloom-bitset plan-bloat lesson); a batch
+    covering (nearly) every prefix skips the filter entirely. All
+    three branches return identical pairs."""
+    from mmlspark_spark.llm import dedup as D
+
+    dd = D.IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                   bloomBits=0, prefixBits=2)
+    p = str(tmp_path / "reg")
+    docs = spark.createDataFrame(
+        [(i, f"stored doc {i}") for i in range(32)],
+        "doc_id long, text string")
+    dd.save_index(docs, p)
+    idx = dd.load_index(spark, p)
+
+    import re as _re
+
+    # a literal prefix predicate looks like `__hp#12 = 3` or
+    # `__hp#12 IN (…)` in the optimized plan; the data-shipped branch
+    # is a LeftSemi join whose CONDITION is on __hp (the `touched`
+    # semi-join on (__h1,__h2) exists in every branch, so bare
+    # "LeftSemi" proves nothing)
+    lit_prefix = _re.compile(r"__hp#\d+\w* (?:= \d|IN \()")
+    semi_on_hp = _re.compile(r"Join LeftSemi, \(__hp#")
+
+    full = spark.createDataFrame(
+        [(1000 + i, f"stored doc {i}") for i in range(32)],
+        "doc_id long, text string")  # covers all 4 prefix dirs
+    out_skip = dd.match_against_index(idx, full)
+    plan_skip = out_skip._jdf.queryExecution().optimizedPlan().toString()
+    assert not lit_prefix.search(plan_skip)   # full coverage: no filter
+    assert not semi_on_hp.search(plan_skip)
+    expected = {(1000 + i, i) for i in range(32)}
+    assert {(r.doc_a, r.doc_b)
+            for r in out_skip.collect()} == expected
+
+    one = spark.createDataFrame(
+        [(2000, "stored doc 0")], "doc_id long, text string")
+    out_isin = dd.match_against_index(idx, one)
+    qe = out_isin._jdf.queryExecution().optimizedPlan().toString()
+    assert lit_prefix.search(qe)              # literal planning-time prune
+    assert [(r.doc_a, r.doc_b)
+            for r in out_isin.collect()] == [(2000, 0)]
+
+    # force the data-shipped branch: same pairs, semi-join ON __hp
+    monkeypatch.setattr(D, "_PREFIX_ISIN_MAX", 0)
+    out_semi = dd.match_against_index(idx, one)
+    qe2 = out_semi._jdf.queryExecution().optimizedPlan().toString()
+    assert semi_on_hp.search(qe2)
+    assert not lit_prefix.search(qe2)
+    assert [(r.doc_a, r.doc_b)
+            for r in out_semi.collect()] == [(2000, 0)]
+
+
+def test_tombstone_broadcast_guard_degrades(spark, tmp_path):
+    """Past _BROADCAST_TOMBSTONE_BYTES on disk, the read-time delete
+    mask gives up the broadcast hint (a neglected index's pending
+    deletes must degrade to a shuffle anti-join with a compaction
+    warning, not OOM every masked read). The hint decision is pinned
+    on the OPTIMIZED plan (AQE may still re-broadcast the tiny test
+    frame at runtime — that is its call, not ours); results are
+    identical either way."""
+    import pytest as _pytest
+
+    from mmlspark_spark.llm.index_common import (
+        _BROADCAST_TOMBSTONE_BYTES,
+        _add_tombstones,
+        _drop_tombstoned,
+        _read_tombstones,
+    )
+
+    p = str(tmp_path / "art")
+    _add_tombstones(
+        spark.createDataFrame([(1,), (2,)], "id long"), p, "id")
+    store = spark.createDataFrame(
+        [(i,) for i in range(10)], "__id long")
+
+    ts = _read_tombstones(spark, p)
+    assert ts._mmlspark_ts_bytes is not None  # stamped from FS metadata
+    masked = _drop_tombstoned(store, ts, "__id")
+    plan = masked._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in plan  # takedown-scale: hinted
+
+    ts_big = _read_tombstones(spark, p)
+    ts_big._mmlspark_ts_bytes = _BROADCAST_TOMBSTONE_BYTES + 1
+    with _pytest.warns(UserWarning, match="compact_index"):
+        masked_big = _drop_tombstoned(store, ts_big, "__id")
+    plan_big = (masked_big._jdf.queryExecution()
+                .optimizedPlan().toString())
+    assert "strategy=broadcast" not in plan_big  # degraded: no hint
+    assert sorted(r["__id"] for r in masked_big.collect()) == \
+        sorted(r["__id"] for r in masked.collect()) == \
+        [0] + list(range(3, 10))

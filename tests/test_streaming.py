@@ -650,3 +650,96 @@ def test_match_batch_col_declared_across_families(spark):
         if schema_fn is not None:
             assert schema_fn(dedup).fieldNames()[0] == expect, \
                 type(dedup).__name__
+
+
+def test_streaming_registry_ingest_drop_semantics(spark, tmp_path):
+    """registry_ingest_foreach_batch — strict registry-mode streaming
+    ingest (round-13 verdict item 4): batch 1 bootstraps the exact
+    registry; batch 2's VERBATIM re-crawls of batch-1 docs never land
+    anywhere while its fresh docs append; batch 3 proves batch-2
+    survivors joined the registry. Within-batch copies collapse to
+    the lowest id. No pair frame exists in this topology — duplicates
+    simply vanish."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+    from mmlspark_spark.streaming import registry_ingest_foreach_batch
+
+    src = tmp_path / "reg_src"
+    src.mkdir()
+    batches = [
+        [{"doc_id": 1, "text": "alpha document"},
+         {"doc_id": 2, "text": "beta document"},
+         {"doc_id": 3, "text": "alpha document"}],   # in-batch copy
+        [{"doc_id": 10, "text": "alpha document"},   # re-crawl of 1
+         {"doc_id": 11, "text": "gamma document"}],  # fresh
+        [{"doc_id": 20, "text": "gamma document"},   # re-crawl of 11
+         {"doc_id": 21, "text": "delta document"}],
+    ]
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 10, prefixBits=3)
+    p = str(tmp_path / "reg_idx")
+    landed: dict[int, set] = {}
+    ingest = registry_ingest_foreach_batch(
+        dd, p,
+        on_batch=lambda bid, ok: landed.__setitem__(
+            bid, {r.doc_id for r in ok.collect()}))
+
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(_json.dumps(r) for r in rows))
+        _os.utime(f, (now + i, now + i))
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = (stream.writeStream.foreachBatch(ingest)
+         .option("checkpointLocation", str(tmp_path / "reg_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert landed == {0: {1, 2}, 1: {11}, 2: {21}}
+    reg = spark.read.parquet(f"{p}/hashes")
+    assert {r["__id"] for r in reg.select("__id").collect()} \
+        == {1, 2, 11, 21}
+
+    # flag-mode deduplicators are refused up front: this topology IS
+    # drop semantics
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="drop"):
+        registry_ingest_foreach_batch(
+            IncrementalDeduplicator(keyCols=("text",), mode="flag"), p)
+
+
+def test_streaming_registry_ingest_replay_is_idempotent(spark,
+                                                        tmp_path):
+    """foreachBatch replays a micro-batch after a failure
+    (at-least-once): a re-run of a batch the registry already
+    absorbed must drop everything and append nothing — same registry
+    rows, no duplicate hash entries."""
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+    from mmlspark_spark.llm.index_common import _parquet_row_count
+    from mmlspark_spark.streaming import registry_ingest_foreach_batch
+
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 10, prefixBits=3)
+    p = str(tmp_path / "reg_idx")
+    ingest = registry_ingest_foreach_batch(dd, p)
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], "doc_id long, text string")
+    ingest(b0, 0)
+    ingest(b1, 1)
+    assert _parquet_row_count(spark, f"{p}/hashes") == 3
+    ingest(b1, 1)  # crash-replay of the same micro-batch
+    assert _parquet_row_count(spark, f"{p}/hashes") == 3
+    reg = spark.read.parquet(f"{p}/hashes")
+    assert {r["__id"] for r in reg.select("__id").collect()} \
+        == {1, 2, 11}
