@@ -48,57 +48,46 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 
 
 # Driver correctness-checks a window of the first 50 entries of
-# queries(). Round-13 priority, in order of evidence need (the
-# groups are annotated inline below): (a) the six NEW lanes —
+# queries(). Round-14 priority, in order of evidence need (the
+# groups are annotated inline below): (a) the ONE new lane —
 # never-green oracled queries must be windowed (fairness lint);
-# (b) the full r9-green block at staleness age 4 (the lint bound);
-# (c) 26 of the 39 r10-green queries, the 13 heaviest deferred to
-# r14 at age 4 ≤ K. The entire r12 window (new-lane + r7-era +
-# r9-era blocks) is r12-green and rotates out; the r14 backlog is
-# the 13 deferred r10 lanes + the r11-green block (45 queries, age
-# 3 at r14). test_window_rotation_fairness mechanizes all of this:
-# an oracled query whose last driver green would fall more than 4
-# rounds stale under the planned window fails the lint, as does a
-# new oracled query parked outside the window.
+# (b) the 15 r10-green lanes deferred at r13, now at staleness age
+# 4 (the lint bound — the round-13 verdict's "r14 must-window set");
+# (c) 34 of the 45 r11-green queries (age 3), taken in their r11
+# window order. The entire r13 window rotates out r13-green; the
+# r15 backlog is the 11 remaining r11-green lanes (ranking_metrics,
+# featurize_numeric, decontamination, zorder_key, hash_split,
+# vocab_build, chunk_overlap, cdc_chunks, url_canonicalize,
+# winnow_fingerprint, train_classifier_metrics — age 4 at the r15
+# check, the lint will force them) plus whatever r14 adds.
+# test_window_rotation_fairness mechanizes all of this: an oracled
+# query whose last driver green would fall more than 4 rounds stale
+# under the planned window fails the lint, as does a new oracled
+# query parked outside the window.
 _WINDOW_PRIORITY = (
-    # (a) the eight NEW round-13 lanes (never-green — the fairness
-    #     lint requires every new oracled query in the window): the
-    #     remaining tombstone families under the hash gate
-    #     (simhash/embedding/video/IVF), the first two COMPACTION
-    #     lanes (flat-store BM25 + cell-partitioned IVF physical
-    #     rewrites hash-checked against fresh-over-survivors replays),
-    #     and the EXACT family's stored-registry match + tombstone
-    #     lanes (the last dedup family to join the index matrix)
-    "simhash_match_tombstoned", "embedding_match_tombstoned",
-    "video_match_tombstoned", "knn_ivf_tombstoned",
-    "knn_ivf_compacted", "bm25_search_compacted",
-    "exact_match_indexed", "exact_match_tombstoned",
-    # (b) the entire r9-green block (last driver row round 9 — age 4
-    #     this round; the fairness lint would fail the r14 build if
-    #     they weren't rotated now)
-    "lambda_stage", "minibatch_roundtrip", "multi_column_adapter",
-    "pii_redact", "range_join", "select_project", "sequence_packing",
-    "simhash_dedup", "stratified_repartition", "summarize_data",
-    "tabular_shap_exact", "text_featurize_pipeline", "tpch_q9",
-    "tpch_q11", "udf_transformer", "unicode_normalize", "url_extract",
-    "vw_featurizer",
-    # (c) 24 of the 39 r10-green queries (age 3). The 15 deferred to
-    #     r14 — ann_recall, dedup_recall, dsir_select, embedding_dedup,
-    #     exact_dedup, incremental_dedup, knn_ivf, knn_matryoshka,
-    #     knn_matryoshka_sq8, knn_pq_adc, ngram_jaccard,
-    #     perplexity_prune, tabular_lime_exact, tpch_q20, tpch_q21 —
-    #     are the heaviest ANN/dedup/multi-join lanes (kept off this
-    #     round's already index-heavy window; q20/q21 displaced for
-    #     the two exact-registry lanes) and sit exactly at age 4 ≤ K
-    #     at the r14 check, so the lint holds as long as r14 windows
-    #     them.
-    "anti_join", "broadcast_join_revenue", "clean_missing",
-    "data_conversion", "domain_mix", "embedding_stats", "lang_stats",
-    "multi_ngram", "ngram_lm_score", "page_splitter", "pivot_status",
-    "quality_score", "rollup_counts", "semi_join", "sessionize",
-    "token_count", "top_k_per_group", "tpch_q2", "tpch_q4",
-    "tpch_q16", "tpch_q19", "ts_featurize",
-    "value_indexer", "window_hourly_agg",
+    # (a) the NEW round-14 lane: the streaming ingest boundary —
+    #     two-batch registry growth replayed under the hash gate
+    "exact_match_incremental",
+    # (b) the r14 must-window set: the 15 r10-green lanes the r13
+    #     window deferred (the heaviest ANN/dedup/multi-join lanes),
+    #     at exactly age 4 this round
+    "ann_recall", "dedup_recall", "dsir_select", "embedding_dedup",
+    "exact_dedup", "incremental_dedup", "knn_ivf", "knn_matryoshka",
+    "knn_matryoshka_sq8", "knn_pq_adc", "ngram_jaccard",
+    "perplexity_prune", "tabular_lime_exact", "tpch_q20", "tpch_q21",
+    # (c) 34 of the 45 r11-green queries (age 3), in r11 window
+    #     order so the r15 plan stays lint-clean mechanically
+    "bpe_merges_small", "knn_ivfpq_indexed", "knn_ivf_filtered",
+    "knn_ivfpq", "knn_bruteforce", "knn_sq8", "knn_sq8_filtered",
+    "bm25_search", "bm25_phrase_search", "hybrid_rrf",
+    "semantic_dedup", "embedding_kmeans_assign", "text_metrics",
+    "date_featurize", "count_selector", "text_preprocessor",
+    "repetition_metrics", "heavy_hitters", "line_dedup",
+    "markup_strip", "scd2_merge", "funnel_steps", "group_percentiles",
+    "rolling_revenue", "pagerank", "join_multi", "dedup_resolve",
+    "sar_affinity", "sar_item_similarity", "sar_recommend",
+    "tenant_standard_scaler", "tenant_linear_scaler", "id_indexer",
+    "per_instance_log_loss",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside
@@ -6850,6 +6839,83 @@ def exact_match_tombstoned(spark, sf_dir):
     dd.delete_from_index(
         stored.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
         path)
+    return dd.match_against_index(dd.load_index(spark, path), batch)
+
+
+@register(
+    "exact_match_incremental",
+    oracle="""
+    WITH d1 AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents
+      WHERE doc_id < 300 GROUP BY text
+    ), d2 AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents
+      WHERE doc_id >= 300 AND doc_id < 600 GROUP BY text
+    ), appended AS (
+      SELECT d2.doc_id, d2.text FROM d2
+      WHERE NOT EXISTS (SELECT 1 FROM d1
+                        WHERE d1.text IS NOT DISTINCT FROM d2.text)
+    ), registry AS (
+      SELECT doc_id, text FROM d1
+      UNION ALL SELECT doc_id, text FROM appended
+    ), batch AS (
+      SELECT doc_id + 30000 AS doc_id, text FROM documents
+      WHERE doc_id % 13 = 0 AND doc_id < 600
+      UNION ALL
+      SELECT doc_id + 40000 AS doc_id, text || ' zz' AS text
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT b.doc_id AS doc_a, s.doc_id AS doc_b
+    FROM batch b
+    JOIN registry s ON b.text IS NOT DISTINCT FROM s.text
+    """,
+)
+def exact_match_incremental(spark, sf_dir):
+    """The streaming ingest boundary under the driver's hash gate
+    (round 14): two deterministic micro-batches flow through
+    ``registry_ingest_foreach_batch`` — day 1 bootstraps the exact
+    registry (within-batch copies collapse to the lowest id), day 2
+    screens against it with drop semantics and appends only its
+    survivors — then a third batch (verbatim re-crawls of both days
+    under fresh ids + salted novels) matches against the GROWN
+    artifact. The oracle replays registry growth in SQL: day-1
+    distinct keys, plus day-2 keys absent from day 1, joined to the
+    batch on the raw null-safe key (hash equality == key equality at
+    the operator's documented 2^-96 collision bound). The registry
+    holds one row per distinct key by construction, so the hot-key
+    cap can never trip and needs no replay. The artifact directory is
+    removed up front: an ingest topology GROWS an artifact (it never
+    overwrites), so hermeticity across driver runs is the lane's job,
+    not save_index's."""
+    import os
+
+    from mmlspark_spark.llm import IncrementalDeduplicator
+    from mmlspark_spark.llm.index_common import _hadoop_fs
+    from mmlspark_spark.streaming import registry_ingest_foreach_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    day1 = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    day2 = (docs.filter((F.col("doc_id") >= 300)
+                        & (F.col("doc_id") < 600))
+            .select("doc_id", "text"))
+    batch = (docs.filter((F.col("doc_id") % 13 == 0)
+                         & (F.col("doc_id") < 600))
+             .select((F.col("doc_id") + 30000).alias("doc_id"), "text")
+             .unionByName(
+                 docs.filter(F.col("doc_id") % 17 == 0)
+                 .select((F.col("doc_id") + 40000).alias("doc_id"),
+                         F.concat(F.col("text"),
+                                  F.lit(" zz")).alias("text"))))
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 17, prefixBits=5)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"exact_inc_{os.path.basename(sf_dir.rstrip('/'))}")
+    fs, P = _hadoop_fs(spark, path)
+    fs.delete(P(path), True)
+    ingest = registry_ingest_foreach_batch(dd, path)
+    ingest(day1, 0)
+    ingest(day2, 1)
     return dd.match_against_index(dd.load_index(spark, path), batch)
 
 

@@ -84,6 +84,7 @@ ALLOWED_LINT = {
     "incremental_dedup": {"BroadcastNestedLoopJoin"},
     "exact_match_indexed": {"BroadcastNestedLoopJoin"},
     "exact_match_tombstoned": {"BroadcastNestedLoopJoin"},
+    "exact_match_incremental": {"BroadcastNestedLoopJoin"},  # same row
     # one-row codebook broadcast + the ADC scan itself: PQ's design
     # IS a per-query compressed exhaustive scan (M lookups/row, the
     # broadcast side is the small query-LUT frame) — not an O(N²)
