@@ -238,7 +238,16 @@ def main() -> None:
     # for cross-round comparison. load_inflated flags a start load
     # ≥ 3 (1-min average) so a contaminated run is machine-readable,
     # not narrative.
-    CAL_QUIET_REF = 0.30  # tpch_q6 steady-state sec, load < 1, sf0.1
+    # Round-14 re-pin: the fleet's hosts moved a class — rounds 12-13
+    # measured 1.4-1.6x the ORIGINAL 0.30 s pin even at start load
+    # < 0.3, and a fresh idle probe this round read a 0.43-0.52 s
+    # steady state (best-of-6 after warm-up) — so the ratio had
+    # stopped meaning "contention" and started meaning "host class".
+    # Pinned to the middle of the measured idle band; ratio_old_pin
+    # rides along against the retired 0.30 s reference so rounds ≤ 13
+    # stay directly comparable during the transition.
+    CAL_QUIET_REF = 0.48      # tpch_q6 steady-state sec, idle, sf0.1
+    CAL_QUIET_REF_OLD = 0.30  # rounds 1-13 pin (faster host class)
     cal_samples = []
     cal_spec = CATALOG.get("tpch_q6")
     if cal_spec is not None and abs(sf - 0.1) < 1e-9:
@@ -253,10 +262,13 @@ def main() -> None:
             "best": round(cal_best, 3),
             "quiet_ref": CAL_QUIET_REF,
             "ratio": round(cal_best / CAL_QUIET_REF, 2),
+            "quiet_ref_old": CAL_QUIET_REF_OLD,
+            "ratio_old_pin": round(cal_best / CAL_QUIET_REF_OLD, 2),
         }
         print(f"# calibration tpch_q6: {calibration['best']}s "
               f"(quiet ref {CAL_QUIET_REF}s, ratio "
-              f"{calibration['ratio']})", file=sys.stderr)
+              f"{calibration['ratio']}; old pin {CAL_QUIET_REF_OLD}s, "
+              f"ratio {calibration['ratio_old_pin']})", file=sys.stderr)
 
     # Steady-state methodology: each query reports its best-of-N — the
     # first execution of a plan shape pays one-off JIT /
@@ -372,29 +384,42 @@ def main() -> None:
         ann_median[name] = round(med, 3)
         print(f"# {name}: {ann[name]}s", file=sys.stderr)
 
+    payload = build_payload(
+        times, medians, sf,
+        load_avg=[round(load_start, 2), round(os.getloadavg()[0], 2)],
+        calibration=calibration, serving=serving,
+        curation=curation, curation_median=curation_median,
+        ann=ann, ann_median=ann_median)
+    print(json.dumps(payload))
+    spark.stop()
+
+
+def build_payload(times: dict, medians: dict, sf: float,
+                  load_avg: list, calibration: dict | None = None,
+                  serving: dict | None = None,
+                  curation: dict | None = None,
+                  curation_median: dict | None = None,
+                  ann: dict | None = None,
+                  ann_median: dict | None = None) -> dict:
+    """Assemble the single-line JSON payload with the HEADLINE FIELDS
+    LAST. The grading driver keeps only the final ~2000 characters of
+    bench output, and round 13 proved the failure mode: with
+    metric/value first, the (large) per-query maps pushed the totals
+    and the calibration block off the front of the captured tail —
+    BENCH_r13.json had no headline number at all. Python dicts are
+    insertion-ordered and json.dumps preserves that order, so the big
+    advisory maps go first and everything a truncated tail must still
+    carry — load flags, calibration, metric/value/value_median/unit/sf
+    — goes at the very end (≲500 chars together)."""
     total = round(sum(times.values()), 3)
     # serving p50 has one sample — it joins both totals unchanged so
     # value/value_median stay directly comparable
     total_median = round(sum(medians.values())
                          + times.get("serving_roundtrip_p50", 0.0), 3)
-    payload = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "value_median": total_median,
-        "unit": "sec",
+    payload: dict = {
         "queries": times,
         "queries_median": medians,
-        "sf": sf,
-        # 1-min load average at start/end: external (non-bench) load
-        # inflates timings 30-45% — a contaminated run documents itself
-        "load_avg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
-        # start load ≥ 3 means another workload was already running
-        # when the bench began: timings are inflated, compare via the
-        # calibration ratio, not raw seconds
-        "load_inflated": load_start >= 3.0,
     }
-    if calibration is not None:
-        payload["calibration"] = calibration
     if serving is not None:
         payload["serving"] = serving
     if curation:
@@ -403,8 +428,22 @@ def main() -> None:
     if ann:
         payload["ann"] = ann
         payload["ann_median"] = ann_median
-    print(json.dumps(payload))
-    spark.stop()
+    # ---- tail-critical fields from here down ----
+    # 1-min load average at start/end: external (non-bench) load
+    # inflates timings 30-45% — a contaminated run documents itself
+    payload["load_avg"] = load_avg
+    # start load ≥ 3 means another workload was already running when
+    # the bench began: timings are inflated, compare via the
+    # calibration ratio, not raw seconds
+    payload["load_inflated"] = load_avg[0] >= 3.0
+    if calibration is not None:
+        payload["calibration"] = calibration
+    payload["metric"] = "headline_queries_total"
+    payload["value"] = total
+    payload["value_median"] = total_median
+    payload["unit"] = "sec"
+    payload["sf"] = sf
+    return payload
 
 
 if __name__ == "__main__":
