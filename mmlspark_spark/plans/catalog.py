@@ -53,21 +53,24 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # never-green oracled queries must be windowed (fairness lint);
 # (b) the 15 r10-green lanes deferred at r13, now at staleness age
 # 4 (the lint bound — the round-13 verdict's "r14 must-window set");
-# (c) 34 of the 45 r11-green queries (age 3), taken in their r11
+# (c) 33 of the 45 r11-green queries (age 3), taken in their r11
 # window order. The entire r13 window rotates out r13-green; the
-# r15 backlog is the 11 remaining r11-green lanes (ranking_metrics,
-# featurize_numeric, decontamination, zorder_key, hash_split,
-# vocab_build, chunk_overlap, cdc_chunks, url_canonicalize,
-# winnow_fingerprint, train_classifier_metrics — age 4 at the r15
-# check, the lint will force them) plus whatever r14 adds.
+# r15 backlog is the 12 remaining r11-green lanes
+# (per_instance_log_loss, ranking_metrics, featurize_numeric,
+# decontamination, zorder_key, hash_split, vocab_build,
+# chunk_overlap, cdc_chunks, url_canonicalize, winnow_fingerprint,
+# train_classifier_metrics — age 4 at the r15 check, the lint will
+# force them) plus whatever r15 adds.
 # test_window_rotation_fairness mechanizes all of this: an oracled
 # query whose last driver green would fall more than 4 rounds stale
 # under the planned window fails the lint, as does a new oracled
 # query parked outside the window.
 _WINDOW_PRIORITY = (
-    # (a) the NEW round-14 lane: the streaming ingest boundary —
-    #     two-batch registry growth replayed under the hash gate
-    "exact_match_incremental",
+    # (a) the NEW round-14 lanes: the streaming ingest boundary
+    #     (two-batch exact-registry growth) and the near-dup APPEND
+    #     boundary (save+append == fresh-over-union), both replayed
+    #     under the hash gate
+    "exact_match_incremental", "minhash_match_appended",
     # (b) the r14 must-window set: the 15 r10-green lanes the r13
     #     window deferred (the heaviest ANN/dedup/multi-join lanes),
     #     at exactly age 4 this round
@@ -87,7 +90,6 @@ _WINDOW_PRIORITY = (
     "rolling_revenue", "pagerank", "join_multi", "dedup_resolve",
     "sar_affinity", "sar_item_similarity", "sar_recommend",
     "tenant_standard_scaler", "tenant_linear_scaler", "id_indexer",
-    "per_instance_log_loss",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside
@@ -2777,6 +2779,37 @@ def minhash_match_indexed(spark, sf_dir):
         "/tmp/mmlspark_spark_idx",
         f"minhash_{os.path.basename(sf_dir.rstrip('/'))}")
     dd.save_index(docs.filter(F.col("doc_id") < 400), path)
+    return dd.match_against_index(dd.load_index(spark, path),
+                                  docs.filter(F.col("doc_id") >= 400))
+
+
+@register("minhash_match_appended", oracle=_minhash_match_oracle())
+def minhash_match_appended(spark, sf_dir):
+    """The APPEND half of the near-dup stored-index lifecycle under
+    the driver's hash gate (round 14): the artifact is built in two
+    installments — save_index over docs < 250, then append_to_index
+    over 250 ≤ docs < 400 (appended docs shingle ALONE; their
+    signature and bucket rows land as new files, no re-shingle of the
+    existing store) — and the incoming batch (docs ≥ 400) screens
+    against the GROWN index. The oracle is the same fresh-over-union
+    replay the single-save lane uses: append == fresh build over the
+    union is the family's documented contract, previously pinned only
+    in pytest, now hash-checked through the driver."""
+    import os
+
+    from mmlspark_spark.llm import MinHashLSHDeduplicator
+
+    docs = _t(spark, sf_dir, "documents")
+    dd = MinHashLSHDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=5,
+        numHashes=32, bands=16, threshold=0.2)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"minhash_app_{os.path.basename(sf_dir.rstrip('/'))}")
+    dd.save_index(docs.filter(F.col("doc_id") < 250), path)
+    dd.append_to_index(
+        docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 400)),
+        path)
     return dd.match_against_index(dd.load_index(spark, path),
                                   docs.filter(F.col("doc_id") >= 400))
 

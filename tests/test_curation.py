@@ -2457,3 +2457,32 @@ def test_tombstone_broadcast_guard_degrades(spark, tmp_path):
     assert sorted(r["__id"] for r in masked_big.collect()) == \
         sorted(r["__id"] for r in masked.collect()) == \
         [0] + list(range(3, 10))
+
+
+def test_ivf_compact_all_tombstoned(spark, tmp_path):
+    """The all-tombstoned compaction keeper is SHARED partition-store
+    machinery: the IVF family's cell store must also stay loadable
+    and searchable (empty results, cleared tombstones) when every
+    vector was deleted — not fail schema inference on a directory the
+    dead-cell sweep emptied."""
+    from mmlspark_spark.llm import index_info
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, 0.5, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(c, [float(c), 1.0, 0.0, 0.0]) for c in range(4)],
+        "cell int, cvec array<double>")
+    knn = IVFKNN(k=3, nlist=4, nProbe=4)
+    p = str(tmp_path / "ivf_dead")
+    knn.save_index(vecs, cent, p)
+    knn.delete_from_index(vecs.select("vec_id"), p)
+    assert knn.compact_index(spark, p) == 4  # every cell affected
+    info = index_info(spark, p)
+    assert info["stores"]["assigned"] == 0
+    assert info["stores"]["centroids"] == 4
+    assert info["pending_tombstones"] == 0
+    out = knn.search_with_index(knn.load_index(spark, p),
+                                vecs.limit(2))
+    assert out.count() == 0
