@@ -53,10 +53,10 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # never-green oracled queries must be windowed (fairness lint);
 # (b) the 15 r10-green lanes deferred at r13, now at staleness age
 # 4 (the lint bound — the round-13 verdict's "r14 must-window set");
-# (c) 33 of the 45 r11-green queries (age 3), taken in their r11
+# (c) 32 of the 45 r11-green queries (age 3), taken in their r11
 # window order. The entire r13 window rotates out r13-green; the
-# r15 backlog is the 12 remaining r11-green lanes
-# (per_instance_log_loss, ranking_metrics, featurize_numeric,
+# r15 backlog is the 13 remaining r11-green lanes (id_indexer,
+# per_instance_log_loss, ranking_metrics, featurize_numeric,
 # decontamination, zorder_key, hash_split, vocab_build,
 # chunk_overlap, cdc_chunks, url_canonicalize, winnow_fingerprint,
 # train_classifier_metrics — age 4 at the r15 check, the lint will
@@ -67,10 +67,11 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # query parked outside the window.
 _WINDOW_PRIORITY = (
     # (a) the NEW round-14 lanes: the streaming ingest boundary
-    #     (two-batch exact-registry growth) and the near-dup APPEND
-    #     boundary (save+append == fresh-over-union), both replayed
-    #     under the hash gate
+    #     (two-batch exact-registry growth) and the APPEND boundaries
+    #     of the near-dup and BM25 families (save+append ==
+    #     fresh-over-union), all replayed under the hash gate
     "exact_match_incremental", "minhash_match_appended",
+    "bm25_search_appended",
     # (b) the r14 must-window set: the 15 r10-green lanes the r13
     #     window deferred (the heaviest ANN/dedup/multi-join lanes),
     #     at exactly age 4 this round
@@ -89,7 +90,7 @@ _WINDOW_PRIORITY = (
     "markup_strip", "scd2_merge", "funnel_steps", "group_percentiles",
     "rolling_revenue", "pagerank", "join_multi", "dedup_resolve",
     "sar_affinity", "sar_item_similarity", "sar_recommend",
-    "tenant_standard_scaler", "tenant_linear_scaler", "id_indexer",
+    "tenant_standard_scaler", "tenant_linear_scaler",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside
@@ -5108,6 +5109,35 @@ def bm25_search_tombstoned(spark, sf_dir):
     bm.save_index(docs, path)
     bm.delete_from_index(
         docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), path)
+    out = bm.search_with_index(bm.load_index(spark, path),
+                               _bm25_queries(docs))
+    return out.select("query_id", "doc_id", "score",
+                      F.col("rank").alias("rk"))
+
+
+@register("bm25_search_appended", oracle=_bm25_oracle())
+def bm25_search_appended(spark, sf_dir):
+    """The APPEND half of the BM25 lifecycle under the driver's hash
+    gate (round 14): even docs index first (save_index), odd docs
+    append incrementally — appended docs tokenize ALONE, document
+    frequency re-aggregates over the MERGED postings (index-sized
+    agg, never a corpus re-tokenize), and the one-row stats extend
+    over the exact stored token sum — then the standard queries
+    search the grown artifact. The oracle is the plain fresh-build
+    replay over the full corpus, so a hash match proves incrementally
+    built == batch-built bit-for-bit through the driver (previously
+    pinned only in the streaming pytest)."""
+    import os
+
+    from mmlspark_spark.llm.retrieval import BM25Retriever
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = BM25Retriever(k=10)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"bm25_app_{os.path.basename(sf_dir.rstrip('/'))}")
+    bm.save_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    bm.append_to_index(docs.filter(F.col("doc_id") % 2 == 1), path)
     out = bm.search_with_index(bm.load_index(spark, path),
                                _bm25_queries(docs))
     return out.select("query_id", "doc_id", "score",

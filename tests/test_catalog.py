@@ -97,6 +97,7 @@ ALLOWED_LINT = {
     # one-row corpus stats (N, avgdl) broadcast onto the postings
     "bm25_search": {"BroadcastNestedLoopJoin"},
     "bm25_search_tombstoned": {"BroadcastNestedLoopJoin"},  # same
+    "bm25_search_appended": {"BroadcastNestedLoopJoin"},    # same
     "bm25_search_compacted": {"BroadcastNestedLoopJoin"},   # same
     "hybrid_rrf": {"BroadcastNestedLoopJoin"},
     # one-row bounds broadcast + the asymmetric scan: like PQ's ADC,
