@@ -386,9 +386,6 @@ class MinHashLSHDeduplicator(Transformer):
                 "bucket keys — use append_to_index for incremental "
                 "growth")
         spark = docs.sparkSession
-        # a fresh save REPLACES the artifact: stale tombstones from a
-        # previous index at this path must not mask the new corpus
-        _clear_tombstones(spark, path)
         self.signatures(docs).write.mode(mode).parquet(
             f"{path}/signatures")
         sigs = spark.read.parquet(f"{path}/signatures")
@@ -401,6 +398,11 @@ class MinHashLSHDeduplicator(Transformer):
                                     "numHashes": self.numHashes,
                                     "bands": self.bands,
                                     "version": 1}))
+        # tombstones clear LAST, once the store + manifest are down:
+        # a torn save then leaves the old mask conservatively hiding
+        # rows (a retry fixes it) instead of resurrecting taken-down
+        # ids — the unsafe failure direction for takedowns
+        _clear_tombstones(spark, path)
 
     def _check_manifest(self, spark, path: str) -> None:
         """Refuse a hash-grid mismatch — shared by :meth:`load_index`
@@ -676,15 +678,17 @@ class FingerprintIndexMixin:
                 "save_index(mode='append') would rewrite the manifest "
                 "without checking the existing artifact — use "
                 "append_to_index for incremental growth")
-        # fresh save replaces the artifact: stale tombstones from a
-        # previous index at this path must not mask the new corpus
-        _clear_tombstones(docs.sparkSession, path)
         self.fingerprints(docs).write.mode(mode).parquet(
             f"{path}/fingerprints")
         _fs_write_text(docs.sparkSession,
                        f"{path}/_fp_index_manifest.json",
                        _json.dumps({"version": 1,
                                     "family": type(self).__name__}))
+        # tombstones clear LAST, once the store + manifest are down:
+        # a torn save then leaves the old mask conservatively hiding
+        # rows (a retry fixes it) instead of resurrecting taken-down
+        # ids — the unsafe failure direction for takedowns
+        _clear_tombstones(docs.sparkSession, path)
 
     def _check_manifest(self, spark, path: str) -> None:
         """Refuse a cross-FAMILY artifact: every fingerprint family
@@ -1264,13 +1268,15 @@ class EmbeddingDeduplicator(Transformer):
                 "without checking the existing artifact's grid — use "
                 "append_to_index for incremental growth")
         dim = vector_dim(docs, self.vecCol)
-        # fresh save replaces the artifact: stale tombstones from a
-        # previous index at this path must not mask the new corpus
-        _clear_tombstones(docs.sparkSession, path)
         self._write_index_rows(docs, path, dim, mode)
         _fs_write_text(docs.sparkSession,
                        f"{path}/_emb_index_manifest.json",
                        _json.dumps({**self._grid(dim), "version": 1}))
+        # tombstones clear LAST, once the store + manifest are down:
+        # a torn save then leaves the old mask conservatively hiding
+        # rows (a retry fixes it) instead of resurrecting taken-down
+        # ids — the unsafe failure direction for takedowns
+        _clear_tombstones(docs.sparkSession, path)
 
     def append_to_index(self, new_docs: DataFrame, path: str) -> None:
         """Grow the artifact: band ONLY the new vectors (the planes

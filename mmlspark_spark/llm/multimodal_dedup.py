@@ -521,14 +521,16 @@ class VideoDHashDeduplicator(Transformer):
                 "save_index(mode='append') would rewrite the manifest "
                 "without checking the existing artifact — use "
                 "append_to_index for incremental growth")
-        # fresh save replaces the artifact: stale tombstones from a
-        # previous index at this path must not mask the new corpus
-        _clear_tombstones(docs.sparkSession, path)
         self._write_index_rows(docs, path, mode)
         _fs_write_text(docs.sparkSession,
                        f"{path}/_video_index_manifest.json",
                        _json.dumps({"version": 1,
                                     "family": type(self).__name__}))
+        # tombstones clear LAST, once the store + manifest are down:
+        # a torn save then leaves the old mask conservatively hiding
+        # rows (a retry fixes it) instead of resurrecting taken-down
+        # ids — the unsafe failure direction for takedowns
+        _clear_tombstones(docs.sparkSession, path)
 
     def _write_index_rows(self, docs: DataFrame, path: str,
                           mode: str) -> None:

@@ -342,9 +342,6 @@ class BM25Retriever:
                 "save_index(mode='append') would duplicate dfreq/"
                 "stats rows — use append_to_index for incremental "
                 "growth")
-        # fresh save replaces the artifact: stale tombstones from
-        # a previous index at this path must not mask the new one
-        _clear_tombstones(docs.sparkSession, path)
         pos = None
         post_src = None
         if positions:
@@ -394,6 +391,11 @@ class BM25Retriever:
                 pos.unpersist()
             for c in cached:
                 c.unpersist()
+        # tombstones clear LAST, once the store + manifest are down:
+        # a torn save then leaves the old mask conservatively hiding
+        # rows (a retry fixes it) instead of resurrecting taken-down
+        # ids — the unsafe failure direction for takedowns
+        _clear_tombstones(docs.sparkSession, path)
 
     def append_to_index(self, new_docs: DataFrame, path: str) -> None:
         """Incrementally grow a :meth:`save_index` artifact: tokenize

@@ -408,12 +408,14 @@ class LSHKNN:
                 "without checking the existing artifact's grid — use "
                 "append_to_index for incremental growth")
         dim = vector_dim(data, self.vecCol)
-        # fresh save replaces the artifact: stale tombstones from a
-        # previous index at this path must not mask the new corpus
-        _clear_tombstones(data.sparkSession, path)
         self._write_index_rows(data, path, dim, mode)
         _fs_write_text(data.sparkSession, f"{path}/_lsh_manifest.json",
                        _json.dumps({**self._grid(dim), "version": 1}))
+        # tombstones clear LAST, once the store + manifest are down:
+        # a torn save then leaves the old mask conservatively hiding
+        # rows (a retry fixes it) instead of resurrecting taken-down
+        # ids — the unsafe failure direction for takedowns
+        _clear_tombstones(data.sparkSession, path)
 
     def _write_index_rows(self, data: DataFrame, path: str, dim: int,
                           mode: str) -> None:
@@ -767,10 +769,6 @@ class IVFKNN:
 
         from mmlspark_spark.llm.export import _fs_write_text
 
-        # fresh save replaces the artifact: stale tombstones from a
-        # previous index at this path must not mask the new corpus
-        if mode == "overwrite":
-            _clear_tombstones(data.sparkSession, path)
         centroids.select(F.col(cellCol).alias("cell"),
                          F.col(centVecCol).alias("cvec")).write.mode(
             mode).parquet(f"{path}/centroids")
@@ -786,6 +784,12 @@ class IVFKNN:
          .parquet(f"{path}/assigned"))
         _fs_write_text(spark, f"{path}/_ivf_manifest.json", _json.dumps(
             {"nlist": self.nlist, "version": 1}))
+        if mode == "overwrite":
+            # tombstones clear LAST, once the store + manifest are down:
+            # a torn save then leaves the old mask conservatively hiding
+            # rows (a retry fixes it) instead of resurrecting taken-down
+            # ids — the unsafe failure direction for takedowns
+            _clear_tombstones(spark, path)
 
     def append_to_index(self, new_data: DataFrame, path: str) -> None:
         """Incrementally grow a :meth:`save_index` artifact: assign
@@ -1201,10 +1205,6 @@ class PQKNN:
 
         from mmlspark_spark.llm.export import _fs_write_text
 
-        # fresh save replaces the artifact: stale tombstones from a
-        # previous index at this path must not mask the new corpus
-        if mode == "overwrite":
-            _clear_tombstones(data.sparkSession, path)
         dim = self._dim_of(data)
         codebooks.select("m", "code", "cvec").write.mode(mode).parquet(
             f"{path}/codebooks")
@@ -1214,6 +1214,12 @@ class PQKNN:
         ).write.mode(mode).parquet(f"{path}/codes")
         _fs_write_text(spark, f"{path}/_pq_manifest.json", _json.dumps(
             {"M": self.M, "K": self.K, "dim": dim, "version": 1}))
+        if mode == "overwrite":
+            # tombstones clear LAST, once the store + manifest are down:
+            # a torn save then leaves the old mask conservatively hiding
+            # rows (a retry fixes it) instead of resurrecting taken-down
+            # ids — the unsafe failure direction for takedowns
+            _clear_tombstones(spark, path)
 
     def load_index(self, spark, path: str) -> dict:
         import json as _json
@@ -1485,10 +1491,6 @@ class PQKNN:
 
         dim = self._dim_of(data)
         spark = data.sparkSession
-        # fresh save replaces the artifact: stale tombstones from a
-        # previous index at this path must not mask the new corpus
-        if mode == "overwrite":
-            _clear_tombstones(spark, path)
         centroids.select(F.col(cellCol).alias("cell"),
                          F.col(centVecCol).alias("cvec")).write.mode(
             mode).parquet(f"{path}/centroids")
@@ -1510,6 +1512,12 @@ class PQKNN:
         _fs_write_text(spark, f"{path}/_ivfpq_manifest.json", _json.dumps(
             {"M": self.M, "K": self.K, "dim": dim, "nlist": nlist,
              "version": 1}))
+        if mode == "overwrite":
+            # tombstones clear LAST, once the store + manifest are down:
+            # a torn save then leaves the old mask conservatively hiding
+            # rows (a retry fixes it) instead of resurrecting taken-down
+            # ids — the unsafe failure direction for takedowns
+            _clear_tombstones(spark, path)
 
     def append_to_ivfpq_index(self, new_data: DataFrame,
                               path: str) -> None:
@@ -1907,10 +1915,6 @@ class ScalarQuantizerKNN:
 
         from mmlspark_spark.llm.export import _fs_write_text
 
-        # fresh save replaces the artifact: stale tombstones from a
-        # previous index at this path must not mask the new corpus
-        if mode == "overwrite":
-            _clear_tombstones(data.sparkSession, path)
         dim = self._dim_of(data)
         bounds = self.fit_bounds(data)
         bounds.write.mode(mode).parquet(f"{path}/bounds")
@@ -1920,6 +1924,12 @@ class ScalarQuantizerKNN:
             mode).parquet(f"{path}/codes")
         _fs_write_text(spark, f"{path}/_sq_manifest.json", _json.dumps(
             {"bits": self.bits, "dim": dim, "version": 1}))
+        if mode == "overwrite":
+            # tombstones clear LAST, once the store + manifest are down:
+            # a torn save then leaves the old mask conservatively hiding
+            # rows (a retry fixes it) instead of resurrecting taken-down
+            # ids — the unsafe failure direction for takedowns
+            _clear_tombstones(spark, path)
 
     def load_index(self, spark, path: str) -> dict:
         """Read a :meth:`save_index` artifact for
