@@ -22,10 +22,16 @@ from mmlspark_spark.sources.transforms import (
     ResizeImageTransformer,
     UnrollImage,
 )
+from mmlspark_spark.sources.warc import (
+    WARC_SCHEMA,
+    read_warc,
+    write_warc,
+)
 
 __all__ = [
     "BINARY_FILE_SCHEMA", "read_binary_files", "zip_expand",
     "IMAGE_SCHEMA", "read_images", "DecodeImage",
     "ImageTransformer", "ResizeImageTransformer", "UnrollImage",
     "ImageSetAugmenter",
+    "WARC_SCHEMA", "read_warc", "write_warc",
 ]

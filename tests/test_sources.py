@@ -288,3 +288,87 @@ def test_spectrogram_peak_bin_and_mel(spark, tmp_path):
     # filterbank shape contracts
     assert fb.shape == (20, 257)
     assert np.all(fb >= 0) and np.isclose(fb.max(), 1.0)
+
+
+def _mk_warc_record(uri, payload: bytes, rtype="response",
+                    http=True, rid="<urn:uuid:test-1>",
+                    date="2026-08-16T00:00:00Z"):
+    if http:
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + payload)
+    else:
+        body = payload
+    hdr = (f"WARC/1.0\r\n"
+           f"WARC-Type: {rtype}\r\n"
+           f"WARC-Record-ID: {rid}\r\n"
+           f"WARC-Date: {date}\r\n"
+           f"WARC-Target-URI: {uri}\r\n"
+           f"Content-Type: application/http; msgtype=response\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+def test_read_warc_plain_and_gzip_members(spark, tmp_path):
+    """read_warc parses WARC/1.0 records (HTTP envelope peeled,
+    status surfaced), filters to the requested record types, and
+    reads Common-Crawl-style CONCATENATED per-record gzip members;
+    a truncated final member salvages every complete record before
+    it (the fault-tolerant decode contract)."""
+    import gzip
+
+    from mmlspark_spark.sources import read_warc
+
+    rec1 = _mk_warc_record("http://a.example/x",
+                           "hello <b>world</b> é".encode())
+    rec2 = _mk_warc_record("http://b.example/y", b"second page body")
+    info = _mk_warc_record(None, b"software: test", rtype="warcinfo",
+                           http=False)
+    plain = tmp_path / "seg-00000.warc"
+    plain.write_bytes(info + rec1 + rec2)
+
+    out = read_warc(spark, str(plain), payloadAsText=True)
+    rows = {r.target_uri: r for r in out.collect()}
+    assert set(rows) == {"http://a.example/x", "http://b.example/y"}
+    a = rows["http://a.example/x"]
+    assert a.warc_type == "response"
+    assert a.http_status == 200
+    assert a.text == "hello <b>world</b> é"
+    assert bytes(a.payload) == "hello <b>world</b> é".encode()
+    assert a.warc_date == "2026-08-16T00:00:00Z"
+
+    # warcinfo kept when recordTypes=None, envelope untouched for
+    # non-HTTP blocks
+    allrec = read_warc(spark, str(plain), recordTypes=None)
+    assert sorted(r.warc_type for r in allrec.collect()) \
+        == ["response", "response", "warcinfo"]
+
+    # gzip: one member per record (the .warc.gz convention), plus a
+    # truncated garbage tail — complete records still come back
+    gz = tmp_path / "seg-00001.warc.gz"
+    gz.write_bytes(gzip.compress(rec1) + gzip.compress(rec2)
+                   + b"\x1f\x8b\x08\x00garbage-truncated")
+    got = read_warc(spark, str(gz))
+    assert sorted(r.target_uri for r in got.collect()) \
+        == ["http://a.example/x", "http://b.example/y"]
+
+
+def test_warc_round_trip(spark, tmp_path):
+    """write_warc re-publishes curated rows as standard WARC.gz
+    response records that read_warc (and by construction any WARC
+    tool) reads back: uri/date/payload survive the round trip."""
+    from mmlspark_spark.sources import read_warc, write_warc
+
+    rows = [(f"http://site{i}.example/p", f"2026-08-1{i}T00:00:00Z",
+             f"document body {i}".encode()) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "target_uri string, warc_date string, payload binary")
+    out_dir = str(tmp_path / "curated_warc")
+    write_warc(df.repartition(2), out_dir, dateCol="warc_date")
+
+    back = read_warc(spark, out_dir, pathGlobFilter="*.warc.gz")
+    got = {r.target_uri: r for r in back.collect()}
+    assert set(got) == {u for u, _, _ in rows}
+    for u, d, p in rows:
+        assert bytes(got[u].payload) == p
+        assert got[u].warc_date == d
+        assert got[u].warc_type == "response"
