@@ -2486,3 +2486,90 @@ def test_ivf_compact_all_tombstoned(spark, tmp_path):
     out = knn.search_with_index(knn.load_index(spark, p),
                                 vecs.limit(2))
     assert out.count() == 0
+
+
+def test_crawl_day_zero_pipeline_warc_to_registry(spark, tmp_path):
+    """Day-zero of a crawl pipeline, end to end through the real
+    operators: WARC segments (the Common Crawl ingest format) →
+    read_warc → markup strip → language/quality screen → strict
+    registry-mode ingest (registry_ingest_foreach_batch). Day two
+    re-crawls one page verbatim, serves one new page, and a junk
+    page — only the new clean page lands. This is the composition
+    the engine exists for; every stage is the production operator,
+    no test doubles."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from mmlspark_spark.functions.text_quality import (
+        lang_id,
+        token_count,
+    )
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+    from mmlspark_spark.llm.scrub import strip_markup
+    from mmlspark_spark.sources import read_warc
+    from mmlspark_spark.streaming import registry_ingest_foreach_batch
+
+    def page(body: str) -> bytes:
+        html = (f"<html><head><script>var x=1;</script></head>"
+                f"<body><p>{body}</p></body></html>")
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html.encode())
+
+    def rec(uri: str, body: str) -> bytes:
+        b = page(body)
+        hdr = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+               f"WARC-Record-ID: <urn:uuid:{uri}>\r\n"
+               f"WARC-Target-URI: {uri}\r\n"
+               f"Content-Length: {len(b)}\r\n\r\n").encode()
+        return gzip.compress(hdr + b + b"\r\n\r\n")
+
+    good1 = ("the quick brown fox jumps over the lazy dog and the "
+             "dog was not amused by this at all")
+    good2 = ("a completely different page about the weather and the "
+             "sea with many common english words in it")
+    good3 = ("yet another fresh page where the cat sat on the mat "
+             "and would not be moved by anyone")
+    junk = "zzz qqq 123"  # too short, no recognizable language
+
+    day1 = tmp_path / "day1"
+    day1.mkdir()
+    (day1 / "seg-0.warc.gz").write_bytes(
+        rec("http://a.example/1", good1) + rec("http://b.example/2",
+                                               good2))
+    day2 = tmp_path / "day2"
+    day2.mkdir()
+    (day2 / "seg-0.warc.gz").write_bytes(
+        rec("http://a.example/1", good1)      # verbatim re-crawl
+        + rec("http://c.example/3", good3)    # novel
+        + rec("http://d.example/junk", junk))  # fails the screen
+
+    def curate(warc_dir: str):
+        raw = read_warc(spark, warc_dir, payloadAsText=True)
+        docs = (raw.select(
+            F.col("target_uri").alias("doc_id"),
+            strip_markup(F.col("text")).alias("text"))
+            .withColumn("__lang", lang_id("text"))
+            .withColumn("__ntok", token_count("text")))
+        return (docs.filter((F.col("__lang") == "en")
+                            & (F.col("__ntok") >= 10))
+                .select("doc_id", "text"))
+
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 10, prefixBits=3)
+    reg = str(tmp_path / "registry")
+    landed: dict[int, set] = {}
+    ingest = registry_ingest_foreach_batch(
+        dd, reg,
+        on_batch=lambda bid, ok: landed.__setitem__(
+            bid, {r.doc_id for r in ok.collect()}))
+    ingest(curate(str(day1)), 0)
+    ingest(curate(str(day2)), 1)
+
+    assert landed[0] == {"http://a.example/1", "http://b.example/2"}
+    # day 2: the verbatim re-crawl and the junk page both vanish
+    assert landed[1] == {"http://c.example/3"}
+    stored = spark.read.parquet(f"{reg}/hashes")
+    assert {r["__id"] for r in stored.select("__id").collect()} == {
+        "http://a.example/1", "http://b.example/2",
+        "http://c.example/3"}
