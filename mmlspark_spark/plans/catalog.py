@@ -53,14 +53,15 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # never-green oracled queries must be windowed (fairness lint);
 # (b) the 15 r10-green lanes deferred at r13, now at staleness age
 # 4 (the lint bound — the round-13 verdict's "r14 must-window set");
-# (c) 32 of the 45 r11-green queries (age 3), taken in their r11
+# (c) 31 of the 45 r11-green queries (age 3), taken in their r11
 # window order. The entire r13 window rotates out r13-green; the
-# r15 backlog is the 13 remaining r11-green lanes (id_indexer,
-# per_instance_log_loss, ranking_metrics, featurize_numeric,
-# decontamination, zorder_key, hash_split, vocab_build,
-# chunk_overlap, cdc_chunks, url_canonicalize, winnow_fingerprint,
-# train_classifier_metrics — age 4 at the r15 check, the lint will
-# force them) plus whatever r15 adds.
+# r15 backlog is the 14 remaining r11-green lanes
+# (tenant_linear_scaler, id_indexer, per_instance_log_loss,
+# ranking_metrics, featurize_numeric, decontamination, zorder_key,
+# hash_split, vocab_build, chunk_overlap, cdc_chunks,
+# url_canonicalize, winnow_fingerprint, train_classifier_metrics —
+# age 4 at the r15 check, the lint will force them) plus whatever
+# r15 adds.
 # test_window_rotation_fairness mechanizes all of this: an oracled
 # query whose last driver green would fall more than 4 rounds stale
 # under the planned window fails the lint, as does a new oracled
@@ -69,9 +70,10 @@ _WINDOW_PRIORITY = (
     # (a) the NEW round-14 lanes: the streaming ingest boundary
     #     (two-batch exact-registry growth) and the APPEND boundaries
     #     of the near-dup and BM25 families (save+append ==
-    #     fresh-over-union), all replayed under the hash gate
+    #     fresh-over-union) and the WARC round trip, all replayed
+    #     under the hash gate
     "exact_match_incremental", "minhash_match_appended",
-    "bm25_search_appended",
+    "bm25_search_appended", "warc_roundtrip",
     # (b) the r14 must-window set: the 15 r10-green lanes the r13
     #     window deferred (the heaviest ANN/dedup/multi-join lanes),
     #     at exactly age 4 this round
@@ -90,7 +92,7 @@ _WINDOW_PRIORITY = (
     "markup_strip", "scd2_merge", "funnel_steps", "group_percentiles",
     "rolling_revenue", "pagerank", "join_multi", "dedup_resolve",
     "sar_affinity", "sar_item_similarity", "sar_recommend",
-    "tenant_standard_scaler", "tenant_linear_scaler",
+    "tenant_standard_scaler",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside
@@ -6980,6 +6982,44 @@ def exact_match_incremental(spark, sf_dir):
     ingest(day1, 0)
     ingest(day2, 1)
     return dd.match_against_index(dd.load_index(spark, path), batch)
+
+
+@register(
+    "warc_roundtrip",
+    oracle="SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+)
+def warc_roundtrip(spark, sf_dir):
+    """The crawl-format ingest surface under the driver's hash gate
+    (round 14): every non-null document is re-published as WARC.gz
+    response records (``write_warc`` — per-record gzip members, one
+    archive per partition, the Common Crawl convention) and read back
+    through ``read_warc`` (binaryFile source + Arrow mapInPandas
+    record parser). Payloads are length-prefixed raw bytes, so the
+    round trip is exact for arbitrary text — the oracle is simply the
+    source table. The archive directory is rebuilt per run (a sink
+    writes one file per partition; stale files from a wider previous
+    partitioning would duplicate rows)."""
+    import os
+    import shutil
+
+    from mmlspark_spark.sources import read_warc, write_warc
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()))
+    out = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"warc_rt_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+    payload = docs.select(
+        F.concat(F.lit("doc://"),
+                 F.col("doc_id").cast("string")).alias("target_uri"),
+        F.encode("text", "UTF-8").alias("payload"))
+    write_warc(payload.repartition(4), out)
+    back = read_warc(spark, out)
+    return back.select(
+        F.substring("target_uri", 7, 2147483647).cast("long")
+        .alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"))
 
 
 @register(

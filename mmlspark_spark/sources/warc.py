@@ -220,7 +220,10 @@ def write_warc(df: DataFrame, out_path: str,
 
     date_col = dateCol
 
-    def _write(idx: int, rows) -> Iterator:
+    def _write(rows) -> None:
+        from pyspark import TaskContext
+
+        idx = TaskContext.get().partitionId()
         os.makedirs(out_path, exist_ok=True)
         fname = os.path.join(out_path,
                              f"part-{idx:05d}.warc"
@@ -236,6 +239,5 @@ def write_warc(df: DataFrame, out_path: str,
                 f.write(gzip.compress(rec) if gzipMembers else rec)
         if not wrote:
             os.remove(fname)  # no empty archives
-        return iter(())
 
-    df.rdd.mapPartitionsWithIndex(_write).count()
+    df.foreachPartition(_write)
