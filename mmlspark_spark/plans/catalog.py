@@ -53,15 +53,15 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # never-green oracled queries must be windowed (fairness lint);
 # (b) the 15 r10-green lanes deferred at r13, now at staleness age
 # 4 (the lint bound — the round-13 verdict's "r14 must-window set");
-# (c) 31 of the 45 r11-green queries (age 3), taken in their r11
+# (c) 30 of the 45 r11-green queries (age 3), taken in their r11
 # window order. The entire r13 window rotates out r13-green; the
-# r15 backlog is the 14 remaining r11-green lanes
-# (tenant_linear_scaler, id_indexer, per_instance_log_loss,
-# ranking_metrics, featurize_numeric, decontamination, zorder_key,
-# hash_split, vocab_build, chunk_overlap, cdc_chunks,
-# url_canonicalize, winnow_fingerprint, train_classifier_metrics —
-# age 4 at the r15 check, the lint will force them) plus whatever
-# r15 adds.
+# r15 backlog is the 15 remaining r11-green lanes
+# (tenant_standard_scaler, tenant_linear_scaler, id_indexer,
+# per_instance_log_loss, ranking_metrics, featurize_numeric,
+# decontamination, zorder_key, hash_split, vocab_build,
+# chunk_overlap, cdc_chunks, url_canonicalize, winnow_fingerprint,
+# train_classifier_metrics — age 4 at the r15 check, the lint will
+# force them) plus whatever r15 adds.
 # test_window_rotation_fairness mechanizes all of this: an oracled
 # query whose last driver green would fall more than 4 rounds stale
 # under the planned window fails the lint, as does a new oracled
@@ -70,10 +70,12 @@ _WINDOW_PRIORITY = (
     # (a) the NEW round-14 lanes: the streaming ingest boundary
     #     (two-batch exact-registry growth) and the APPEND boundaries
     #     of the near-dup and BM25 families (save+append ==
-    #     fresh-over-union) and the WARC round trip, all replayed
-    #     under the hash gate
+    #     fresh-over-union), the WARC round trip, and the composed
+    #     stored-artifact hybrid retrieval path, all replayed under
+    #     the hash gate
     "exact_match_incremental", "minhash_match_appended",
     "bm25_search_appended", "warc_roundtrip",
+    "hybrid_rrf_indexed",
     # (b) the r14 must-window set: the 15 r10-green lanes the r13
     #     window deferred (the heaviest ANN/dedup/multi-join lanes),
     #     at exactly age 4 this round
@@ -92,7 +94,6 @@ _WINDOW_PRIORITY = (
     "markup_strip", "scd2_merge", "funnel_steps", "group_percentiles",
     "rolling_revenue", "pagerank", "join_multi", "dedup_resolve",
     "sar_affinity", "sar_item_similarity", "sar_recommend",
-    "tenant_standard_scaler",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside
@@ -5224,6 +5225,56 @@ def _hybrid_rrf_oracle(k: int = 10, rrf_k: float = 60.0) -> str:
           FROM fused)
     WHERE rnk2 <= {k}
     """
+
+
+@register("hybrid_rrf_indexed", oracle=_hybrid_rrf_oracle())
+def hybrid_rrf_indexed(spark, sf_dir):
+    """The COMPOSED serving path from persisted artifacts under the
+    driver's hash gate (round 14): both retrieval legs answer from
+    stored indexes — BM25 from the parquet postings artifact
+    (save_index → search_with_index) and dense cosine from the
+    cell-partitioned IVF artifact probed with nProbe == nlist (every
+    cell read → EXACT top-k; the stored-layout cost model, the
+    in-memory ranking semantics) — then reciprocal rank fusion joins
+    the two already-top-k frames. The oracle is the SAME replay as
+    the in-memory hybrid_rrf lane: a hash match proves the entire
+    retrieval stack (index build, stored search, fusion) returns
+    bit-identical rankings from artifacts as from memory."""
+    import os
+
+    from mmlspark_spark.llm.retrieval import (
+        BM25Retriever,
+        reciprocal_rank_fusion,
+    )
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = BM25Retriever(k=10)
+    bpath = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"bm25_hyb_{os.path.basename(sf_dir.rstrip('/'))}")
+    bm.save_index(docs, bpath)
+    bmr = (bm.search_with_index(bm.load_index(spark, bpath),
+                                _bm25_queries(docs))
+           .select("query_id", "doc_id", "rank"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cvec"))
+    ivf = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
+                 nlist=4, nProbe=4)
+    vpath = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"ivf_hyb_{os.path.basename(sf_dir.rstrip('/'))}")
+    ivf.save_index(emb, cent, vpath)
+    q = emb.filter(F.col("vec_id").isin(3, 47, 101))
+    dn = (ivf.search_with_index(ivf.load_index(spark, vpath), q)
+          .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                  "rank"))
+    fused = reciprocal_rank_fusion([bmr, dn], k=60, topK=10)
+    return fused.select("query_id", "doc_id", "rrf_score",
+                        F.col("rank").alias("rk"))
 
 
 @register("hybrid_rrf", oracle=_hybrid_rrf_oracle())

@@ -100,6 +100,10 @@ ALLOWED_LINT = {
     "bm25_search_appended": {"BroadcastNestedLoopJoin"},    # same
     "bm25_search_compacted": {"BroadcastNestedLoopJoin"},   # same
     "hybrid_rrf": {"BroadcastNestedLoopJoin"},
+    # the composed stored-artifact path: BM25 stats row + IVF query
+    # cell expansion broadcasts, two searches + fusion in one plan ->
+    # pipelines x constant exchanges, never data-dependent
+    "hybrid_rrf_indexed": {"BroadcastNestedLoopJoin", "exchanges"},
     # one-row bounds broadcast + the asymmetric scan: like PQ's ADC,
     # SQ's design IS a per-query compressed exhaustive scan (the
     # broadcast side is the small query frame), not an O(N²) accident
