@@ -197,3 +197,54 @@ def test_exact_registry_match_equals_truth(dedup_spark_holder,
     got2 = {tuple(r) for r in got2_df.collect()}
     release_intermediates(got2_df)
     assert got2 == {p for p in truth if p[1] != 0}
+
+
+@given(payloads=st.lists(st.binary(min_size=0, max_size=400),
+                         min_size=1, max_size=8),
+       gz=st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_warc_record_roundtrip_arbitrary_bytes(payloads, gz):
+    """The WARC record codec (pure python, no Spark needed) round-
+    trips ARBITRARY payload bytes — including payloads that contain
+    'WARC/1.0', CRLF-CRLF boundaries, or gzip magic — because records
+    are length-prefixed, never delimiter-scanned. Gzip mode packs one
+    member per record (the Common Crawl convention)."""
+    import gzip as _gzip
+
+    from mmlspark_spark.sources.warc import (
+        _gunzip_members,
+        _iter_warc_records,
+    )
+
+    recs = []
+    for i, payload in enumerate(payloads):
+        hdr = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+               f"WARC-Target-URI: http://x.example/{i}\r\n"
+               f"Content-Length: {len(payload)}\r\n\r\n").encode()
+        rec = hdr + payload + b"\r\n\r\n"
+        recs.append(_gzip.compress(rec) if gz else rec)
+    data = b"".join(recs)
+    if gz:
+        data = _gunzip_members(data)
+    got = list(_iter_warc_records(data))
+    assert [b for _, b in got] == payloads
+    assert [h["warc-target-uri"] for h, _ in got] \
+        == [f"http://x.example/{i}" for i in range(len(payloads))]
+
+
+@given(payload=st.binary(min_size=1, max_size=200),
+       cut=st.integers(min_value=1, max_value=50))
+@settings(max_examples=25, deadline=None)
+def test_warc_truncated_tail_never_raises(payload, cut):
+    """A stream cut anywhere inside the FINAL record yields every
+    complete record before it and never raises — the fault-tolerant
+    contract for truncated crawl segments."""
+    from mmlspark_spark.sources.warc import _iter_warc_records
+
+    hdr = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+           f"Content-Length: {len(payload)}\r\n\r\n").encode()
+    full = hdr + payload + b"\r\n\r\n"
+    data = full + full[:max(0, len(full) - cut)]  # torn second copy
+    got = list(_iter_warc_records(data))
+    assert len(got) >= 1
+    assert got[0][1] == payload
