@@ -53,10 +53,10 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # never-green oracled queries must be windowed (fairness lint);
 # (b) the 15 r10-green lanes deferred at r13, now at staleness age
 # 4 (the lint bound — the round-13 verdict's "r14 must-window set");
-# (c) 30 of the 45 r11-green queries (age 3), taken in their r11
+# (c) 29 of the 45 r11-green queries (age 3), taken in their r11
 # window order. The entire r13 window rotates out r13-green; the
-# r15 backlog is the 15 remaining r11-green lanes
-# (tenant_standard_scaler, tenant_linear_scaler, id_indexer,
+# r15 backlog is the 16 remaining r11-green lanes (sar_recommend,
+# tenant_standard_scaler, tenant_linear_scaler, id_indexer,
 # per_instance_log_loss, ranking_metrics, featurize_numeric,
 # decontamination, zorder_key, hash_split, vocab_build,
 # chunk_overlap, cdc_chunks, url_canonicalize, winnow_fingerprint,
@@ -75,7 +75,7 @@ _WINDOW_PRIORITY = (
     #     the hash gate
     "exact_match_incremental", "minhash_match_appended",
     "bm25_search_appended", "warc_roundtrip",
-    "hybrid_rrf_indexed",
+    "hybrid_rrf_indexed", "knn_ivf_appended",
     # (b) the r14 must-window set: the 15 r10-green lanes the r13
     #     window deferred (the heaviest ANN/dedup/multi-join lanes),
     #     at exactly age 4 this round
@@ -93,7 +93,7 @@ _WINDOW_PRIORITY = (
     "repetition_metrics", "heavy_hitters", "line_dedup",
     "markup_strip", "scd2_merge", "funnel_steps", "group_percentiles",
     "rolling_revenue", "pagerank", "join_multi", "dedup_resolve",
-    "sar_affinity", "sar_item_similarity", "sar_recommend",
+    "sar_affinity", "sar_item_similarity",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside
@@ -4687,6 +4687,40 @@ def knn_ivf_pretrained(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 5)
     out = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
                  nlist=16, nProbe=4).search_with_centroids(emb, q, cent)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"),
+                      F.col("rank").alias("rk"))
+
+
+@register("knn_ivf_appended", oracle=_knn_ivf_pretrained_oracle())
+def knn_ivf_appended(spark, sf_dir):
+    """The APPEND half of the CELL-PARTITIONED store geometry under
+    the driver's hash gate (round 14 — completing the append matrix:
+    bucket rows = minhash_match_appended, merged stats =
+    bm25_search_appended, cell directories = this lane): even vectors
+    index first (save_index), odd vectors append incrementally —
+    appended vectors assign against the STORED centroids map-side and
+    land as new files in their cell directories, the existing corpus
+    never re-read — then the standard queries search the grown
+    artifact. The oracle is the plain fresh-build replay over the
+    full corpus (the quantizer is fixed at save time, the faiss
+    operating model, so appended == fresh exactly)."""
+    import os
+
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
+                 nlist=16, nProbe=4)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"ivf_app_{os.path.basename(sf_dir.rstrip('/'))}")
+    ivf.save_index(emb.filter(F.col("vec_id") % 2 == 0), cent, path)
+    ivf.append_to_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    out = ivf.search_with_index(ivf.load_index(spark, path), q)
     return out.select("query_id", "neighbor_id",
                       F.round("sim", 6).alias("sim"),
                       F.col("rank").alias("rk"))

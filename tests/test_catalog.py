@@ -74,6 +74,7 @@ ALLOWED_LINT = {
     # stored-artifact probes: the query-side nlist-row broadcast
     # expansion remains; the corpus side is the cell-pruned stored scan
     "knn_ivf_tombstoned": {"BroadcastNestedLoopJoin"},
+    "knn_ivf_appended": {"BroadcastNestedLoopJoin"},
     "knn_ivf_compacted": {"BroadcastNestedLoopJoin"},
     # one-row broadcast frames: the totals row inside fit and the
     # length-B log-ratio array row attached before map-side scoring
