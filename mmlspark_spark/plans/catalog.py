@@ -48,52 +48,52 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 
 
 # Driver correctness-checks a window of the first 50 entries of
-# queries(). Round-14 priority, in order of evidence need (the
+# queries(). Round-15 priority, in order of evidence need (the
 # groups are annotated inline below): (a) the ONE new lane —
 # never-green oracled queries must be windowed (fairness lint);
-# (b) the 15 r10-green lanes deferred at r13, now at staleness age
-# 4 (the lint bound — the round-13 verdict's "r14 must-window set");
-# (c) 29 of the 45 r11-green queries (age 3), taken in their r11
-# window order. The entire r13 window rotates out r13-green; the
-# r15 backlog is the 16 remaining r11-green lanes (sar_recommend,
-# tenant_standard_scaler, tenant_linear_scaler, id_indexer,
-# per_instance_log_loss, ranking_metrics, featurize_numeric,
-# decontamination, zorder_key, hash_split, vocab_build,
-# chunk_overlap, cdc_chunks, url_canonicalize, winnow_fingerprint,
-# train_classifier_metrics — age 4 at the r15 check, the lint will
-# force them) plus whatever r15 adds.
+# (b) re-gates for the two lanes whose code paths materially changed
+# this round (WARC streaming-member decode + resource-record typing;
+# BM25 delta-sized append df refresh); (c) the 16 r11-green lanes
+# the r14 window deferred, at exactly staleness age 4 (the lint
+# bound — the round-14 verdict's "r15 must-window set"); (d) 31 of
+# the 50 r12-green queries (age 3), taken in their r12 window
+# order. The r16 backlog is the 19 remaining r12-green lanes
+# (tpch_q17, tpch_q18, tpch_q22, asof_join, audio_fingerprint_dedup,
+# class_balancer, cube_counts, domain_temperature_mix, drop_missing,
+# drop_rename, ensemble_by_key, explode_tokens, image_dhash_dedup,
+# isolation_forest, knn_ivf_pretrained, knn_lsh, knn_stage,
+# minhash_dedup, partition_ops_identity — age 4 at the r16 check,
+# the lint will force them) plus whatever r16 adds.
 # test_window_rotation_fairness mechanizes all of this: an oracled
 # query whose last driver green would fall more than 4 rounds stale
 # under the planned window fails the lint, as does a new oracled
 # query parked outside the window.
 _WINDOW_PRIORITY = (
-    # (a) the NEW round-14 lanes: the streaming ingest boundary
-    #     (two-batch exact-registry growth) and the APPEND boundaries
-    #     of the near-dup and BM25 families (save+append ==
-    #     fresh-over-union), the WARC round trip, and the composed
-    #     stored-artifact hybrid retrieval path, all replayed under
-    #     the hash gate
-    "exact_match_incremental", "minhash_match_appended",
-    "bm25_search_appended", "warc_roundtrip",
-    "hybrid_rrf_indexed", "knn_ivf_appended",
-    # (b) the r14 must-window set: the 15 r10-green lanes the r13
-    #     window deferred (the heaviest ANN/dedup/multi-join lanes),
-    #     at exactly age 4 this round
-    "ann_recall", "dedup_recall", "dsir_select", "embedding_dedup",
-    "exact_dedup", "incremental_dedup", "knn_ivf", "knn_matryoshka",
-    "knn_matryoshka_sq8", "knn_pq_adc", "ngram_jaccard",
-    "perplexity_prune", "tabular_lime_exact", "tpch_q20", "tpch_q21",
-    # (c) 34 of the 45 r11-green queries (age 3), in r11 window
-    #     order so the r15 plan stays lint-clean mechanically
-    "bpe_merges_small", "knn_ivfpq_indexed", "knn_ivf_filtered",
-    "knn_ivfpq", "knn_bruteforce", "knn_sq8", "knn_sq8_filtered",
-    "bm25_search", "bm25_phrase_search", "hybrid_rrf",
-    "semantic_dedup", "embedding_kmeans_assign", "text_metrics",
-    "date_featurize", "count_selector", "text_preprocessor",
-    "repetition_metrics", "heavy_hitters", "line_dedup",
-    "markup_strip", "scd2_merge", "funnel_steps", "group_percentiles",
-    "rolling_revenue", "pagerank", "join_multi", "dedup_resolve",
-    "sar_affinity", "sar_item_similarity",
+    # (a) the NEW round-15 lane: the APPEND boundary of the shared
+    #     FingerprintIndexMixin (simhash/image/audio/video families)
+    "simhash_match_appended",
+    # (b) re-gates: lanes whose engine code changed this round
+    "warc_roundtrip", "bm25_search_appended",
+    # (c) the r15 must-window set: the 16 r11-green lanes the r14
+    #     window deferred, at exactly age 4 this round
+    "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
+    "id_indexer", "per_instance_log_loss", "ranking_metrics",
+    "featurize_numeric", "decontamination", "zorder_key",
+    "hash_split", "vocab_build", "chunk_overlap", "cdc_chunks",
+    "url_canonicalize", "winnow_fingerprint",
+    "train_classifier_metrics",
+    # (d) 31 of the 50 r12-green queries (age 3), in r12 window
+    #     order so the r16 plan stays lint-clean mechanically
+    "video_match_indexed", "video_dhash_dedup", "bm25_phrase_indexed",
+    "minhash_match_indexed", "simhash_match_indexed",
+    "embedding_match_indexed", "minhash_match_tombstoned",
+    "bm25_search_tombstoned", "knn_lsh_indexed", "corpus_report",
+    "curation_pipeline", "doc_fingerprint", "embedding_covariance",
+    "index_to_value_roundtrip", "json_extract", "lang_id_heuristic",
+    "model_statistics", "quality_filter", "stratified_sample",
+    "substring_dedup_spans", "tpch_q1", "tpch_q3", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside
@@ -3074,6 +3074,39 @@ def simhash_match_indexed(spark, sf_dir):
         "/tmp/mmlspark_spark_idx",
         f"simhash_{os.path.basename(sf_dir.rstrip('/'))}")
     dd.save_index(docs.filter(F.col("doc_id") < 400), path)
+    return dd.match_against_index(dd.load_index(spark, path),
+                                  docs.filter(F.col("doc_id") >= 400))
+
+
+@register("simhash_match_appended", oracle=_simhash_match_oracle())
+def simhash_match_appended(spark, sf_dir):
+    """The APPEND half of the FingerprintIndexMixin lifecycle under
+    the driver's hash gate (round 15 — the minhash_match_appended
+    pattern on the fingerprint family, covering the shared mixin for
+    all four 64-bit-fingerprint dedupers: SimHash text, image dHash,
+    audio Haitsma-Kalker, video dHash): the artifact is built in two
+    installments — save_index over docs < 250, then append_to_index
+    over 250 ≤ docs < 400 (appended docs fingerprint ALONE,
+    map-side; their rows land as new parquet files, no re-read of
+    the existing store) — and the incoming batch (docs ≥ 400)
+    screens against the GROWN index. Oracle is the same
+    fresh-over-union replay the single-save lane uses: append ==
+    fresh build over the union is the mixin's contract, previously
+    pinned only in pytest."""
+    import os
+
+    from mmlspark_spark.llm import SimHashDeduplicator
+
+    docs = _t(spark, sf_dir, "documents")
+    dd = SimHashDeduplicator(idCol="doc_id", textCol="text",
+                             bands=4, maxHammingDistance=10)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"simhash_app_{os.path.basename(sf_dir.rstrip('/'))}")
+    dd.save_index(docs.filter(F.col("doc_id") < 250), path)
+    dd.append_to_index(
+        docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 400)),
+        path)
     return dd.match_against_index(dd.load_index(spark, path),
                                   docs.filter(F.col("doc_id") >= 400))
 
@@ -7075,13 +7108,15 @@ def exact_match_incremental(spark, sf_dir):
 )
 def warc_roundtrip(spark, sf_dir):
     """The crawl-format ingest surface under the driver's hash gate
-    (round 14): every non-null document is re-published as WARC.gz
-    response records (``write_warc`` — per-record gzip members, one
-    archive per partition, the Common Crawl convention) and read back
-    through ``read_warc`` (binaryFile source + Arrow mapInPandas
-    record parser). Payloads are length-prefixed raw bytes, so the
-    round trip is exact for arbitrary text — the oracle is simply the
-    source table. The archive directory is rebuilt per run (a sink
+    (round 14; round 15 re-gates the streaming-member decode +
+    resource-record typing): every non-null document is re-published
+    as WARC.gz ``resource`` records (``write_warc`` — per-record gzip
+    members, one archive per partition, the Common Crawl convention)
+    and read back through ``read_warc`` (binaryFile source + Arrow
+    mapInPandas record parser, member-at-a-time gzip decode).
+    Payloads are length-prefixed raw bytes, so the round trip is
+    exact for arbitrary text — the oracle is simply the source
+    table. The archive directory is rebuilt per run (a sink
     writes one file per partition; stale files from a wider previous
     partitioning would duplicate rows)."""
     import os

@@ -18,10 +18,13 @@ Scale shape, sized to the real corpus:
   tasks). WARC's per-RECORD gzip members mean a segment cannot be
   split mid-file anyway — matching the upstream processing convention
   (one worker per segment).
-- **Memory bound per task** is one decompressed segment (~4-5 GB for
-  Common Crawl's 1 GB members) plus the emitted Arrow batches; size
-  executor memory accordingly, exactly like any whole-archive reader
-  (the zip walk has the same contract).
+- **Memory bound per task** is the COMPRESSED segment (the
+  ``binaryFile`` content column, ~1 GB) plus ONE decompressed gzip
+  member (= one record under the Common Crawl convention) plus one
+  bounded Arrow batch (``_ROWS_PER_BATCH`` records) — the per-record
+  members are decoded one at a time by a streaming ``decompressobj``
+  loop, never the whole ~4-5 GB segment at once, so 32 concurrent
+  tasks fit a 128 GiB executor with room to spare.
 - **Row-level filters do not reach the archive** (the payload is
   opaque to parquet-style pushdown) — filter as early as possible
   AFTER the parse, and use ``recordTypes``/``httpOnly`` so non-content
@@ -53,68 +56,120 @@ WARC_SCHEMA = T.StructType([
     T.StructField("payload", T.BinaryType(), True),
 ])
 
+# Records per emitted Arrow batch — bounds the pandas frame the parser
+# holds alongside the current member.
+_ROWS_PER_BATCH = 256
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream — WARC.gz
-    files are CONCATENATED per-record gzip members, which
-    ``gzip.GzipFile`` reads end-to-end. A truncated final member
-    yields the bytes decoded so far (fault-tolerant contract)."""
+# decompressobj feed size: bounds the bytes `unused_data` can copy at
+# a member boundary to one chunk instead of the rest of the segment.
+_GZ_CHUNK = 1 << 20
+
+
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield one DECOMPRESSED gzip member at a time from a
+    concatenated multi-member stream (the ``.warc.gz`` convention:
+    one member per record) without ever materializing the whole
+    decompressed segment — peak extra memory is max(member) + one
+    feed chunk. A truncated or corrupt tail yields the bytes decoded
+    so far and stops (fault-tolerant contract)."""
     import zlib
 
-    try:
-        with gzip.GzipFile(fileobj=io.BytesIO(data)) as g:
-            return g.read()
-    except (OSError, EOFError, zlib.error):
-        # salvage: decode member-by-member until the corruption
-        out, pos = [], 0
-        while pos < len(data):
+    view = memoryview(data)
+    n = len(view)
+    pos = 0
+    d = zlib.decompressobj(wbits=31)
+    out = bytearray()
+    while pos < n:
+        chunk = view[pos:pos + _GZ_CHUNK]
+        pos += len(chunk)
+        try:
+            out += d.decompress(chunk)
+        except zlib.error:
+            break  # corrupt member: salvage what decoded, stop
+        while d.eof:
+            yield bytes(out)
+            out = bytearray()
+            rest = d.unused_data  # ≤ one chunk — cheap copy
             d = zlib.decompressobj(wbits=31)
+            if not rest:
+                break
             try:
-                out.append(d.decompress(data[pos:]))
+                out += d.decompress(rest)
             except zlib.error:
-                break
-            if not d.unused_data:
-                break
-            pos = len(data) - len(d.unused_data)
-        return b"".join(out)
+                return  # garbage after a member boundary
+    if out:
+        yield bytes(out)  # truncated final member: partial salvage
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream to one bytes
+    object. Convenience for small inputs and tests — ``read_warc``
+    itself uses the streaming ``_iter_gzip_members`` loop so a 4-5 GB
+    segment is never materialized."""
+    return b"".join(_iter_gzip_members(data))
+
+
+def _iter_warc_stream(members: Iterator[bytes]):
+    """Yield ``(headers_dict, block_bytes)`` per WARC record from an
+    iterator of byte chunks (decompressed gzip members, or one whole
+    plain-``.warc`` buffer). Records may span chunk boundaries — a
+    bounded carry buffer holds at most one partial record. Parsing
+    gives up (never raises) at the first malformed record boundary,
+    after which remaining chunks are drained without accumulating —
+    the same output as parsing the concatenated stream in one pass.
+    """
+    carry = bytearray()
+    for m in members:
+        carry += m
+        pos, n = 0, len(carry)
+        while True:
+            while carry[pos:pos + 2] in (b"\r\n", b"\n\n"):
+                pos += 2
+            if pos >= n:
+                break  # consumed everything so far
+            # a record must start 'WARC/'; checking the prefix before
+            # waiting for the full header keeps the carry bounded on
+            # garbage input (give-up is sticky, matching whole-buffer
+            # parse output)
+            probe = carry[pos:pos + 5]
+            if len(probe) == 5 and not bytes(probe).startswith(b"WARC/"):
+                return
+            end_hdr = carry.find(b"\r\n\r\n", pos)
+            if end_hdr < 0:
+                break  # header incomplete: wait for the next chunk
+            header_block = carry[pos:end_hdr].decode("utf-8", "replace")
+            lines = header_block.split("\r\n")
+            if not lines[0].startswith("WARC/"):
+                return
+            headers: dict[str, str] = {}
+            for ln in lines[1:]:
+                k, _, v = ln.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            try:
+                clen = int(headers.get("content-length", "0"))
+            except ValueError:
+                return
+            body_start = end_hdr + 4
+            if body_start + clen > n:
+                break  # body incomplete: wait for the next chunk
+            yield headers, bytes(carry[body_start:body_start + clen])
+            pos = body_start + clen
+        del carry[:pos]
+    # leftover carry after the last chunk = truncated final record:
+    # dropped, keeping every complete record before it
 
 
 def _iter_warc_records(data: bytes):
-    """Yield ``(headers_dict, block_bytes)`` per WARC record. A record
-    is ``WARC/1.x CRLF headers CRLFCRLF <Content-Length bytes>
-    CRLFCRLF``; parsing stops (never raises) at the first malformed
-    boundary — the salvage contract for truncated segments."""
-    pos, n = 0, len(data)
-    while pos < n:
-        while data[pos:pos + 2] in (b"\r\n", b"\n\n"):
-            pos += 2
-        if pos >= n:
-            return
-        end_hdr = data.find(b"\r\n\r\n", pos)
-        if end_hdr < 0:
-            return
-        header_block = data[pos:end_hdr].decode("utf-8", "replace")
-        lines = header_block.split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            return
-        headers: dict[str, str] = {}
-        for ln in lines[1:]:
-            k, _, v = ln.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        try:
-            clen = int(headers.get("content-length", "0"))
-        except ValueError:
-            return
-        body_start = end_hdr + 4
-        if body_start + clen > n:
-            return  # truncated final record: drop it, keep the rest
-        yield headers, data[body_start:body_start + clen]
-        pos = body_start + clen
+    """Yield ``(headers_dict, block_bytes)`` per WARC record of one
+    in-memory buffer — the whole-buffer view of ``_iter_warc_stream``
+    (same parser, same salvage contract)."""
+    yield from _iter_warc_stream(iter((data,)))
 
 
 def _split_http(block: bytes):
     """(status:int|None, payload:bytes) — peel the HTTP envelope off a
-    response record's block; non-HTTP blocks pass through whole."""
+    record block; blocks without an HTTP status line pass through
+    whole."""
     if not block.startswith(b"HTTP/"):
         return None, block
     end = block.find(b"\r\n\r\n")
@@ -131,7 +186,8 @@ def _split_http(block: bytes):
 
 
 def read_warc(spark: SparkSession, path: str,
-              recordTypes: tuple = ("response",),
+              recordTypes: tuple = ("response", "resource",
+                                    "conversion"),
               httpOnly: bool = True,
               payloadAsText: bool = False,
               recursive: bool = True,
@@ -142,14 +198,21 @@ def read_warc(spark: SparkSession, path: str,
     content_type, http_status, payload`` (+ ``text`` when
     ``payloadAsText`` — payload decoded utf-8-with-replacement, the
     curation entry point). ``recordTypes`` keeps only the named
-    WARC-Type values (``None`` keeps all); ``httpOnly`` additionally
-    peels the HTTP envelope off response records so ``payload`` is the
-    body, with the status code surfaced.
+    WARC-Type values (``None`` keeps all) — the default keeps the
+    three content-bearing types (``response``, plus ``resource`` /
+    ``conversion`` as used by re-published and WET-style archives).
+    ``httpOnly`` peels the HTTP envelope off records whose record
+    Content-Type declares ``application/http`` (ISO 28500 §6.3) so
+    ``payload`` is the body, with the status code surfaced; payloads
+    of other content types pass through byte-exact even when they
+    happen to start with ``HTTP/``.
 
     Distribution comes from the built-in ``binaryFile`` source (one
     task per segment file, recursive listing, glob pushdown); parsing
-    is an Arrow-batched ``mapInPandas`` — see the module docstring for
-    the 100 TB sizing contract.
+    is an Arrow-batched ``mapInPandas`` that decodes gzip members and
+    emits row batches INCREMENTALLY — see the module docstring for
+    the 100 TB sizing contract (peak ≈ compressed segment +
+    max(record) + one Arrow batch).
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -162,18 +225,21 @@ def read_warc(spark: SparkSession, path: str,
     cols = [f.name for f in schema.fields]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
         for pdf in batches:
-            rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
                 if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
-                    data = _gunzip_members(data)
-                for h, block in _iter_warc_records(data):
+                    records = _iter_warc_stream(_iter_gzip_members(data))
+                else:
+                    records = _iter_warc_records(data)
+                for h, block in records:
                     wtype = h.get("warc-type")
                     if keep is not None and wtype not in keep:
                         continue
                     status, payload = (None, block)
-                    if httpOnly:
+                    if httpOnly and "application/http" in (
+                            h.get("content-type") or ""):
                         status, payload = _split_http(block)
                     row = [fpath, h.get("warc-record-id"), wtype,
                            h.get("warc-target-uri"),
@@ -182,7 +248,10 @@ def read_warc(spark: SparkSession, path: str,
                     if payloadAsText:
                         row.append(payload.decode("utf-8", "replace"))
                     rows.append(row)
-            yield pd.DataFrame(rows, columns=cols)
+                    if len(rows) >= _ROWS_PER_BATCH:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        yield pd.DataFrame(rows, columns=cols)
 
     reader = (spark.read.format("binaryFile")
               .option("recursiveFileLookup", str(recursive).lower()))
@@ -198,23 +267,34 @@ def write_warc(df: DataFrame, out_path: str,
                payloadCol: str = "payload",
                dateCol: str | None = None,
                gzipMembers: bool = True) -> None:
-    """Write rows back out as WARC.gz response records, one archive
-    file per partition (``part-<n>.warc.gz`` under ``out_path``) —
-    the round-trip sink for re-publishing a curated subset in the
-    crawl's native format. Per-record gzip members (the Common Crawl
+    """Write rows back out as WARC.gz records, one archive file per
+    partition (``part-<n>.warc.gz`` under ``out_path``) — the
+    round-trip sink for re-publishing a curated subset in the crawl's
+    native format. Records are typed ``WARC-Type: resource`` with
+    ``Content-Type: application/octet-stream`` (ISO 28500 §6.5: a
+    resource record's block IS the payload, no protocol envelope) —
+    NOT ``response``, whose block must be an ``application/http``
+    message; this keeps the round trip byte-exact even for payloads
+    that themselves start with ``HTTP/``, and keeps external WARC
+    tooling conformant. Per-record gzip members (the Common Crawl
     convention) keep the output streamable by standard WARC tooling.
-    Executors must share the target filesystem — the same contract as
-    every file sink here."""
+
+    Each task writes to a unique temp name (task attempt id + uuid)
+    and atomically renames into place, so a retried or speculative
+    duplicate attempt can never interleave with a zombie writer on
+    the same archive. Executors must share the target filesystem —
+    the same contract as every file sink here."""
     import os
     import uuid
 
     def _record(uri: str, date: str | None, payload: bytes) -> bytes:
         rid = f"<urn:uuid:{uuid.uuid4()}>"
         hdr = (f"WARC/1.0\r\n"
-               f"WARC-Type: response\r\n"
+               f"WARC-Type: resource\r\n"
                f"WARC-Record-ID: {rid}\r\n"
                + (f"WARC-Date: {date}\r\n" if date else "")
                + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+               + f"Content-Type: application/octet-stream\r\n"
                + f"Content-Length: {len(payload)}\r\n\r\n")
         return hdr.encode("utf-8") + payload + b"\r\n\r\n"
 
@@ -223,21 +303,35 @@ def write_warc(df: DataFrame, out_path: str,
     def _write(rows) -> None:
         from pyspark import TaskContext
 
-        idx = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        idx = ctx.partitionId()
         os.makedirs(out_path, exist_ok=True)
         fname = os.path.join(out_path,
                              f"part-{idx:05d}.warc"
                              + (".gz" if gzipMembers else ""))
+        tmp = os.path.join(
+            out_path,
+            f".part-{idx:05d}-attempt{ctx.taskAttemptId()}"
+            f"-{uuid.uuid4().hex}.tmp")
         wrote = False
-        with open(fname, "wb") as f:
-            for r in rows:
-                wrote = True
-                payload = bytes(r[payloadCol])
-                rec = _record(r[uriCol],
-                              r[date_col] if date_col else None,
-                              payload)
-                f.write(gzip.compress(rec) if gzipMembers else rec)
-        if not wrote:
-            os.remove(fname)  # no empty archives
+        try:
+            with open(tmp, "wb") as f:
+                for r in rows:
+                    wrote = True
+                    payload = bytes(r[payloadCol])
+                    rec = _record(r[uriCol],
+                                  r[date_col] if date_col else None,
+                                  payload)
+                    f.write(gzip.compress(rec) if gzipMembers else rec)
+            if wrote:
+                os.replace(tmp, fname)  # atomic: last attempt wins
+            else:
+                os.remove(tmp)  # no empty archives
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
 
     df.foreachPartition(_write)

@@ -353,13 +353,21 @@ def test_read_warc_plain_and_gzip_members(spark, tmp_path):
 
 
 def test_warc_round_trip(spark, tmp_path):
-    """write_warc re-publishes curated rows as standard WARC.gz
-    response records that read_warc (and by construction any WARC
-    tool) reads back: uri/date/payload survive the round trip."""
+    """write_warc re-publishes curated rows as conformant WARC.gz
+    ``resource`` records (bare-payload block, ISO 28500 §6.5 — NOT
+    ``response``, whose block must be an application/http message)
+    that read_warc (and by construction any WARC tool) reads back:
+    uri/date/payload survive byte-exact — INCLUDING a payload that
+    itself starts with 'HTTP/' and contains CRLFCRLF, because the
+    HTTP peel is gated on the record Content-Type declaring
+    application/http, never on sniffing payload bytes."""
     from mmlspark_spark.sources import read_warc, write_warc
 
     rows = [(f"http://site{i}.example/p", f"2026-08-1{i}T00:00:00Z",
              f"document body {i}".encode()) for i in range(4)]
+    http_lookalike = b"HTTP/1.1 200 OK\r\nX-A: 1\r\n\r\nnot an envelope"
+    rows.append(("http://site9.example/raw-http",
+                 "2026-08-16T00:00:00Z", http_lookalike))
     df = spark.createDataFrame(
         rows, "target_uri string, warc_date string, payload binary")
     out_dir = str(tmp_path / "curated_warc")
@@ -371,4 +379,5 @@ def test_warc_round_trip(spark, tmp_path):
     for u, d, p in rows:
         assert bytes(got[u].payload) == p
         assert got[u].warc_date == d
-        assert got[u].warc_type == "response"
+        assert got[u].warc_type == "resource"
+        assert got[u].http_status is None
