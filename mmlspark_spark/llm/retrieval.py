@@ -401,12 +401,17 @@ class BM25Retriever:
         """Incrementally grow a :meth:`save_index` artifact: tokenize
         ONLY the new documents, append their postings (and positions,
         when the index carries them), then refresh the two
-        index-global artifacts — document frequency is re-aggregated
-        from the MERGED postings (a term-keyed agg over the
-        index-sized postings table, never a corpus re-tokenize) and
-        the one-row stats extend exactly over the stored integer
-        token sum, so searching the appended index is bit-identical
-        to a fresh build over the unioned corpus (pinned in tests).
+        index-global artifacts — document frequency merges the NEW
+        postings' per-term doc counts into the stored dfreq (a
+        full-outer join on the vocabulary + integer addition — the
+        same integers a fresh build's term agg produces, so the
+        result is bit-identical while the append never re-scans the
+        postings store: O(batch + dfreq) per append instead of
+        O(index), the difference between a daily batch and a
+        micro-batch stream) and the one-row stats extend exactly over
+        the stored integer token sum, so searching the appended index
+        is bit-identical to a fresh build over the unioned corpus
+        (pinned in tests).
 
         Refuses two artifact shapes where exact append is impossible:
         ``maxDfRatio`` indexes (the stopword cut already DISCARDED
@@ -456,8 +461,10 @@ class BM25Retriever:
             post_src = pos.select(
                 "__t", "__doc", "__dl",
                 F.size("__positions").cast("bigint").alias("__tf"))
-        new_post = (self.postings(new_docs) if post_src is None
-                    else post_src)
+        # persisted: the postings write and the dfreq delta agg both
+        # consume it — one tokenization pass over the batch, total
+        new_post = persist_intermediate(
+            self.postings(new_docs) if post_src is None else post_src)
         try:
             # same term-clustered layout as save_index: the appended
             # files must keep the row-group min/max skip property or
@@ -470,18 +477,30 @@ class BM25Retriever:
                 (pos.repartition(F.col("__t"))
                  .sortWithinPartitions("__t", "__doc")
                  .write.mode("append").parquet(f"{path}/positions"))
+
+            # delta df refresh: aggregate ONLY the new postings'
+            # per-term doc counts and full-outer-merge them into the
+            # stored dfreq — pure integer addition, so the result is
+            # bit-identical to re-aggregating the merged postings
+            # table, but the append never reads the postings store
+            # (O(batch + dfreq), the contract a micro-batch stream
+            # needs; pinned by a corrupted-postings test). The
+            # staging+rename swap keeps the old-dfreq read and the
+            # new-dfreq write on disjoint paths.
+            delta = new_post.groupBy("__t").agg(
+                F.count("*").alias("__df_new"))
+            _replace_flat_store(
+                spark.read.parquet(f"{path}/dfreq")
+                .join(delta, "__t", "full_outer")
+                .select("__t",
+                        (F.coalesce(F.col("__df"), F.lit(0))
+                         + F.coalesce(F.col("__df_new"), F.lit(0))
+                         ).alias("__df")),
+                f"{path}/dfreq")
         finally:
+            new_post.unpersist()
             if pos is not None:
                 pos.unpersist()
-
-        # df over the MERGED postings: same aggregate a fresh build
-        # runs, but its input is the index, not the corpus (the
-        # staging+rename swap replaces the old localCheckpoint —
-        # crash-safer AND reads/writes stay on disjoint paths).
-        merged = spark.read.parquet(f"{path}/postings")
-        _replace_flat_store(
-            merged.groupBy("__t").agg(F.count("*").alias("__df")),
-            f"{path}/dfreq")
 
         # stats: exact integer extension, then ONE double division —
         # the identical IEEE op a fresh build performs on the same

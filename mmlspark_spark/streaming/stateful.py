@@ -321,16 +321,18 @@ def bm25_ingest_foreach_batch(retriever, path: str,
     first micro-batch bootstraps the index
     (``BM25Retriever.save_index``), every later batch appends
     incrementally (``append_to_index`` — new docs tokenize alone,
-    document frequency re-aggregates from the MERGED postings and the
-    stats extend over the exact stored token sum, so the stream-built
-    index is BIT-identical to a batch build over everything ingested;
-    pinned in tests). ``on_batch(batch_id, n_docs)`` reports progress.
+    the new postings' per-term doc counts full-outer-merge into the
+    stored dfreq by integer addition, and the stats extend over the
+    exact stored token sum, so the stream-built index is
+    BIT-identical to a batch build over everything ingested; pinned
+    in tests). ``on_batch(batch_id, n_docs)`` reports progress.
 
-    Per-batch cost discipline: the append's df re-aggregation is
-    INDEX-sized (vocabulary keys), never a corpus re-tokenize, and
-    postings/positions append as new files — so a day of micro-batches
-    costs one vocabulary agg per batch plus map-side tokenization of
-    exactly the new documents. maxDfRatio retrievers refuse (the
+    Per-batch cost discipline: the append is O(batch + dfreq) — it
+    tokenizes exactly the new documents map-side, appends postings /
+    positions as new files, and NEVER re-reads the postings store
+    (the dfreq merge joins the batch's vocabulary delta against the
+    stored vocabulary frame) — so B micro-batches cost O(B·(batch +
+    vocabulary)), not O(B·index). maxDfRatio retrievers refuse (the
     stopword cut is a whole-corpus decision; build those nightly).
 
     Compose with :func:`neardup_screen_foreach_batch` upstream to

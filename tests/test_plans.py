@@ -371,20 +371,33 @@ def test_bench_payload_totals_survive_tail_truncation():
         times, medians, 0.1, load_avg=[0.5, 1.2],
         calibration={"query": "tpch_q6", "best": 0.49,
                      "quiet_ref": 0.48, "ratio": 1.02,
-                     "quiet_ref_old": 0.30, "ratio_old_pin": 1.63},
+                     "quiet_ref_old": 0.30, "ratio_old_pin": 1.63,
+                     "pyworker_best": 0.22,
+                     "pyworker_quiet_ref": 0.21,
+                     "scan_ratio": 1.02, "pyworker_ratio": 1.05},
         serving={"serving_roundtrip_p50": 0.15,
                  "serving_roundtrip_p99": 0.4, "serving_rps": 60.0,
                  "distributed_serving_p50": 0.002,
                  "distributed_serving_p99": 0.01,
                  "distributed_serving_rps": 900.0},
-        curation=cur, curation_median=cur, ann=ann, ann_median=ann)
+        curation=cur, curation_median=cur, ann=ann, ann_median=ann,
+        load_start_raw=0.5321)
     line = json.dumps(payload)
     tail = line[-2000:]
     for needle in ('"metric": "headline_queries_total"', '"value":',
                    '"value_median":', '"unit": "sec"', '"sf":',
                    '"calibration":', '"ratio":', '"ratio_old_pin":',
+                   '"scan_ratio":', '"pyworker_ratio":',
                    '"load_inflated":'):
         assert needle in tail, f"{needle} truncated out of the tail"
+    # the inflation flag derives from the RAW start load, not the
+    # 2dp display value (a raw 2.997 rounds to 3.0 but must not flag)
+    p2 = build_payload(times, medians, 0.1, load_avg=[3.0, 1.0],
+                       load_start_raw=2.997)
+    assert p2["load_inflated"] is False
+    p3 = build_payload(times, medians, 0.1, load_avg=[3.0, 1.0],
+                       load_start_raw=3.004)
+    assert p3["load_inflated"] is True
     # the totals are recoverable from the tail alone
     assert re.search(r'"value": \d+\.?\d*', tail)
     assert re.search(r'"value_median": \d+\.?\d*', tail)

@@ -296,12 +296,14 @@ def test_phrase_index_positions_unpruned_under_maxdfratio(spark, tmp_path):
 
 def test_bm25_append_to_index_matches_fresh_union(spark, tmp_path):
     """append_to_index tokenizes only the new docs, appends postings
-    (+positions), re-aggregates df from the MERGED postings and
-    extends the stats over the exact stored token sum — searching the
-    appended index must be bit-identical to a fresh build over the
-    unioned corpus (scores round to 6dp pre-rank, so equality is
-    strict), for BM25 and phrase search alike. maxDfRatio artifacts
-    refuse (the cut discarded postings under the old N)."""
+    (+positions), merges the batch's per-term doc counts into the
+    stored dfreq (integer addition — same integers the merged-table
+    re-aggregation would produce) and extends the stats over the
+    exact stored token sum — searching the appended index must be
+    bit-identical to a fresh build over the unioned corpus (scores
+    round to 6dp pre-rank, so equality is strict), for BM25 and
+    phrase search alike. maxDfRatio artifacts refuse (the cut
+    discarded postings under the old N)."""
     import pytest as _pytest
 
     from mmlspark_spark.llm import BM25Retriever
@@ -345,6 +347,53 @@ def test_bm25_append_to_index_matches_fresh_union(spark, tmp_path):
     bm2.save_index(base, p2)
     with _pytest.raises(ValueError, match="maxDfRatio"):
         bm2.append_to_index(extra, p2)
+
+
+def test_bm25_append_never_reads_postings_store(spark, tmp_path):
+    """The append cost contract (round 15): append_to_index is
+    O(batch + dfreq) — it appends new postings files and merges the
+    batch's vocabulary delta into the stored dfreq, but NEVER scans
+    the existing postings store (under a micro-batch stream, a
+    merged-table re-aggregation would cost O(B·index) across B
+    batches). Pinned mechanically: every pre-existing postings part
+    file is replaced with garbage bytes between save and append — an
+    implementation that read the store would throw, while the delta
+    merge must succeed and leave dfreq exactly at old + delta."""
+    import glob
+    import os
+
+    from mmlspark_spark.llm import BM25Retriever
+
+    base = spark.createDataFrame(
+        [(i, f"apple banana w{i % 7} cherry") for i in range(20)],
+        "doc_id long, text string")
+    extra = spark.createDataFrame(
+        [(100 + i, f"banana date w{i % 5}") for i in range(10)],
+        "doc_id long, text string")
+    bm = BM25Retriever(k=8)
+    p = str(tmp_path / "bm25_blind_grow")
+    bm.save_index(base, p)
+    old_df = {r["__t"]: r["__df"] for r in
+              spark.read.parquet(f"{p}/dfreq").collect()}
+    expected_delta = {
+        r["__t"]: r["d"] for r in
+        bm.postings(extra).groupBy("__t")
+        .agg(F.count("*").alias("d")).collect()}
+
+    parts = glob.glob(os.path.join(p, "postings", "*.parquet"))
+    assert parts, "expected parquet part files in the postings store"
+    for f in parts:
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+
+    bm.append_to_index(extra, p)  # must not touch the garbage files
+
+    got = {r["__t"]: r["__df"] for r in
+           spark.read.parquet(f"{p}/dfreq").collect()}
+    want = dict(old_df)
+    for t, d in expected_delta.items():
+        want[t] = want.get(t, 0) + d
+    assert got == want
 
 
 def test_hybrid_rrf_from_stored_artifacts(spark, tmp_path):

@@ -122,7 +122,9 @@ def indexed_probe(spark, factor: int, dst: str) -> dict:
         "ivfpq_search_from_index": {},
         "phrase_search_from_index": {},
         "minhash_match_from_index": {},
-        "exact_match_from_index": {}}
+        "exact_match_from_index": {},
+        "bm25_append_to_index": {},
+        "exact_registry_ingest": {}}
     for tag, d in (("sf0.1", SRC), (big_tag, dst)):
         emb = (spark.read.parquet(f"{d}/embeddings.parquet")
                .select("vec_id",
@@ -235,6 +237,48 @@ def indexed_probe(spark, factor: int, dst: str) -> dict:
             release_intermediates(edf)
             cur = out["exact_match_from_index"].get(tag)
             out["exact_match_from_index"][tag] = (
+                t if cur is None else min(cur, t))
+        # round-15 APPEND-cost probes, after the search loop so the
+        # search numbers stay comparable to prior rounds (appends
+        # mutate the artifacts, a few hundred rows on a corpus of
+        # millions — noise for the searches, but order still matters
+        # for a clean A/B against r13/r14 tables). Batch ids are
+        # unique per pass so best-of-2 never hits the
+        # tombstone/duplicate guards.
+        from mmlspark_spark.streaming import registry_ingest_foreach_batch
+
+        app_texts = [r["text"] for r in batch_rows]
+        for p in range(2):
+            app = spark.createDataFrame(
+                [(30_000_000 + p * 100_000 + i, t)
+                 for i, t in enumerate(app_texts)],
+                "doc_id long, text string")
+            # BM25 incremental growth: tokenization of exactly the
+            # batch + the vocabulary-delta dfreq merge — must NOT
+            # scan the grown postings store (the r15 delta-refresh
+            # contract), so the alpha should track vocabulary size,
+            # never index size
+            t0 = _time.time()
+            bm.append_to_index(app, bm_path)
+            t = _time.time() - t0
+            cur = out["bm25_append_to_index"].get(tag)
+            out["bm25_append_to_index"][tag] = (
+                t if cur is None else min(cur, t))
+            # exact-registry streaming ingest (screen + append in one
+            # foreachBatch body): the one-row bloom rejects novel
+            # docs map-side, survivors append to the prefix store —
+            # the 100x corpus should cost the topology ~nothing
+            ing = spark.createDataFrame(
+                [(40_000_000 + p * 100_000 + i,
+                  t if i < 20 else f"{t} xnovel{p}")
+                 for i, t in enumerate(app_texts)],
+                "doc_id long, text string")
+            ingest = registry_ingest_foreach_batch(ex, ex_path)
+            t0 = _time.time()
+            ingest(ing, p)
+            t = _time.time() - t0
+            cur = out["exact_registry_ingest"].get(tag)
+            out["exact_registry_ingest"][tag] = (
                 t if cur is None else min(cur, t))
     import math as _math
 
