@@ -74,9 +74,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         # micros-generation session never carries the side effect
         # (which would silently read OTHER tables' genuine
         # TIMESTAMP(NANOS) columns as longs for the session's rest).
+        import os as _os
+
         import pyarrow.parquet as pq
 
-        schema = pq.read_schema(f"{sf_dir}/{name}.parquet")
+        probe = f"{sf_dir}/{name}.parquet"
+        if _os.path.isdir(probe):
+            # directory-layout corpus (synthesized sfN builders write
+            # part files): probe any one footer — all parts share the
+            # writer's schema
+            parts = sorted(p for p in _os.listdir(probe)
+                           if p.endswith(".parquet"))
+            if parts:
+                probe = _os.path.join(probe, parts[0])
+        schema = pq.read_schema(probe)
         if any(str(schema.field(i).type) == "timestamp[ns]"
                for i in range(len(schema.names))):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
