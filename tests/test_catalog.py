@@ -99,6 +99,7 @@ ALLOWED_LINT = {
     "bm25_search": {"BroadcastNestedLoopJoin"},
     "bm25_search_tombstoned": {"BroadcastNestedLoopJoin"},  # same
     "bm25_search_appended": {"BroadcastNestedLoopJoin"},    # same
+    "bm25_search_ingested": {"BroadcastNestedLoopJoin"},    # same
     "bm25_search_compacted": {"BroadcastNestedLoopJoin"},   # same
     "hybrid_rrf": {"BroadcastNestedLoopJoin"},
     # the composed stored-artifact path: BM25 stats row + IVF query
