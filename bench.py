@@ -290,11 +290,16 @@ def main() -> None:
     # quiet-host pin (BASELINE.md round-15).
     CAL_QUIET_REF = 0.48      # tpch_q6 steady-state sec, idle, sf0.1
     CAL_QUIET_REF_OLD = 0.30  # rounds 1-13 pin (faster host class)
-    CAL_PYWORKER_REF = 0.70   # _pyworker_probe_once steady sec, idle
+    CAL_PYWORKER_REF = 0.55   # _pyworker_probe_once steady sec, idle
     cal_samples = []
     pyw_samples: list[float] = []
     cal_spec = CATALOG.get("tpch_q6")
     if cal_spec is not None and abs(sf - 0.1) < 1e-9:
+        # one untimed warm-up: the FIRST pandas-UDF action of a
+        # session pays python worker daemon startup (~6 s measured
+        # idle vs a 0.5-0.6 s steady state) — without it, best-of-3
+        # would still carry warm-up, not worker throughput
+        _pyworker_probe_once(spark)
         for _ in range(3):
             elapsed, _n = _time_once(cal_spec, spark, sf_dir)
             cal_samples.append(elapsed)
