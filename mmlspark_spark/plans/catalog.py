@@ -55,10 +55,10 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # this round (WARC streaming-member decode + resource-record typing;
 # BM25 delta-sized append df refresh); (c) the 16 r11-green lanes
 # the r14 window deferred, at exactly staleness age 4 (the lint
-# bound — the round-14 verdict's "r15 must-window set"); (d) 30 of
+# bound — the round-14 verdict's "r15 must-window set"); (d) 29 of
 # the 50 r12-green queries (age 3), taken in their r12 window
-# order. The r16 backlog is the 20 remaining r12-green lanes
-# (tpch_q15, tpch_q17, tpch_q18, tpch_q22, asof_join,
+# order. The r16 backlog is the 21 remaining r12-green lanes
+# (tpch_q14, tpch_q15, tpch_q17, tpch_q18, tpch_q22, asof_join,
 # audio_fingerprint_dedup, class_balancer, cube_counts,
 # domain_temperature_mix, drop_missing, drop_rename, ensemble_by_key,
 # explode_tokens, image_dhash_dedup, isolation_forest,
@@ -71,10 +71,13 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # query parked outside the window.
 _WINDOW_PRIORITY = (
     # (a) the NEW round-15 lanes: the APPEND boundary of the shared
-    #     FingerprintIndexMixin (simhash/image/audio/video families)
-    #     and the BM25 streaming-ingest topology (three foreachBatch
-    #     installments through the delta-sized dfreq merge)
+    #     FingerprintIndexMixin (simhash/image/audio/video families),
+    #     the BM25 streaming-ingest topology (three foreachBatch
+    #     installments through the delta-sized dfreq merge), and the
+    #     near-dup screen-and-ingest topology (day-2 survivors append,
+    #     day-3 matches the grown index)
     "simhash_match_appended", "bm25_search_ingested",
+    "minhash_screen_incremental",
     # (b) re-gates: lanes whose engine code changed this round
     "warc_roundtrip", "bm25_search_appended",
     # (c) the r15 must-window set: the 16 r11-green lanes the r14
@@ -96,7 +99,7 @@ _WINDOW_PRIORITY = (
     "model_statistics", "quality_filter", "stratified_sample",
     "substring_dedup_spans", "tpch_q1", "tpch_q3", "tpch_q5",
     "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q12",
-    "tpch_q13", "tpch_q14",
+    "tpch_q13",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside

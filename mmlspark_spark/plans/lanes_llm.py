@@ -1077,6 +1077,104 @@ def minhash_match_appended(spark, sf_dir):
                                   docs.filter(F.col("doc_id") >= 400))
 
 
+def _minhash_screen_oracle(k: int = 32, day1: int = 250,
+                           day2: int = 400, threshold: float = 0.2,
+                           cap: int = 1000) -> str:
+    """Replays the neardup_screen_foreach_batch TOPOLOGY in SQL: day-2
+    rows are screened against the day-1 index (index-side buckets,
+    stored-member cap, signature threshold), the UNFLAGGED day-2 rows
+    join the stored set (the survivors append), and the day-3 batch
+    matches against that GROWN set with the same semantics — the full
+    screen-and-ingest pipeline over the shared bit-exact xxhash64
+    fragment."""
+    est = (f"(len(list_filter(range(1, {k}+1), "
+           f"i -> sa[i] = sb[i])))")
+    return f"""
+    WITH {_minhash_cte(k=k, threshold=threshold, cap=cap)}, b1 AS (
+      SELECT j, bh, list_sort(list(DISTINCT doc_id)) AS ids
+      FROM band WHERE doc_id < {day1} GROUP BY j, bh
+    ), m1 AS (
+      SELECT nb.doc_id AS doc_a, b1.ids AS bids
+      FROM band nb JOIN b1 USING (j, bh)
+      WHERE nb.doc_id >= {day1} AND nb.doc_id < {day2}
+        AND len(b1.ids) <= {cap}
+    ), e1 AS (
+      SELECT doc_a, unnest(bids) AS doc_b FROM m1
+    ), c1 AS (
+      SELECT DISTINCT doc_a, doc_b FROM e1 WHERE doc_a <> doc_b
+    ), flagged AS (
+      SELECT DISTINCT doc_a FROM c1
+      JOIN (SELECT doc_id AS doc_a, sig AS sa FROM sig) USING (doc_a)
+      JOIN (SELECT doc_id AS doc_b, sig AS sb FROM sig) USING (doc_b)
+      WHERE CAST({est} AS DOUBLE) / {k} >= {threshold}
+    ), stored AS (
+      SELECT doc_id FROM sig WHERE doc_id < {day1}
+      UNION ALL
+      SELECT doc_id FROM sig
+      WHERE doc_id >= {day1} AND doc_id < {day2}
+        AND doc_id NOT IN (SELECT doc_a FROM flagged)
+    ), b2 AS (
+      SELECT j, bh, list_sort(list(DISTINCT band.doc_id)) AS ids
+      FROM band JOIN stored ON band.doc_id = stored.doc_id
+      GROUP BY j, bh
+    ), m2 AS (
+      SELECT nb.doc_id AS doc_a, b2.ids AS bids
+      FROM band nb JOIN b2 USING (j, bh)
+      WHERE nb.doc_id >= {day2} AND len(b2.ids) <= {cap}
+    ), e2 AS (
+      SELECT doc_a, unnest(bids) AS doc_b FROM m2
+    ), c2 AS (
+      SELECT DISTINCT doc_a, doc_b FROM e2 WHERE doc_a <> doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST({est} AS DOUBLE) / {k} AS est_jaccard
+    FROM c2
+    JOIN (SELECT doc_id AS doc_a, sig AS sa FROM sig) USING (doc_a)
+    JOIN (SELECT doc_id AS doc_b, sig AS sb FROM sig) USING (doc_b)
+    WHERE CAST({est} AS DOUBLE) / {k} >= {threshold}
+    """
+
+
+@register("minhash_screen_incremental",
+          oracle=_minhash_screen_oracle())
+def minhash_screen_incremental(spark, sf_dir):
+    """The NEAR-DUP screen-and-ingest streaming topology under the
+    driver's hash gate (round 15 — the minhash sibling of
+    exact_match_incremental, closing the last pytest-only
+    foreachBatch wrapper): two deterministic micro-batches flow
+    through ``neardup_screen_foreach_batch`` — day 1 (docs < 250)
+    bootstraps the MinHash index, day 2 (250 ≤ docs < 400) is
+    screened against it and ONLY its unflagged survivors append
+    (flagged rows quarantine; the pairs frame is localCheckpoint'd
+    before the append mutates the store it derives from) — then a
+    third batch (docs ≥ 400) matches against the GROWN artifact. The
+    oracle replays the whole topology in SQL over the shared
+    bit-exact xxhash64 fragment: day-2 flags from day-1 buckets
+    (stored-member cap + signature threshold), survivors = unflagged
+    day-2 ids, day-3 candidates from the day1∪survivors buckets."""
+    import os
+
+    from mmlspark_spark.llm import MinHashLSHDeduplicator
+    from mmlspark_spark.llm.index_common import _hadoop_fs
+    from mmlspark_spark.streaming import neardup_screen_foreach_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    dd = MinHashLSHDeduplicator(
+        idCol="doc_id", textCol="text", shingleSize=5,
+        numHashes=32, bands=16, threshold=0.2)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"minhash_scr_{os.path.basename(sf_dir.rstrip('/'))}")
+    fs, P = _hadoop_fs(spark, path)
+    fs.delete(P(path), True)
+    screen = neardup_screen_foreach_batch(dd, path, "doc_id")
+    screen(docs.filter(F.col("doc_id") < 250), 0)
+    screen(docs.filter(
+        (F.col("doc_id") >= 250) & (F.col("doc_id") < 400)), 1)
+    return dd.match_against_index(dd.load_index(spark, path),
+                                  docs.filter(F.col("doc_id") >= 400))
+
+
 @register("minhash_match_tombstoned",
           oracle=_minhash_match_oracle(dead="doc_id % 5 = 0"))
 def minhash_match_tombstoned(spark, sf_dir):

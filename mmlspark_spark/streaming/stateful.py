@@ -299,6 +299,15 @@ def registry_ingest_foreach_batch(dedup, path: str, on_batch=None,
                                       idCol=dedup.idCol).transform(batch)
         fs, P = _hadoop_fs(spark, path)
         if not fs.exists(P(f"{path}/_exact_manifest.json")):
+            # an EMPTY first batch must not bootstrap: it would write
+            # an empty registry and flip every later batch onto the
+            # append path for no reason — symmetric with the
+            # empty-survivors skip below (the next non-empty batch
+            # bootstraps instead)
+            if not batch.limit(1).count():
+                if on_batch is not None:
+                    on_batch(batch_id, batch)
+                return
             dedup.save_index(batch, path)
             survivors = batch
         else:

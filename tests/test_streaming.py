@@ -743,3 +743,36 @@ def test_streaming_registry_ingest_replay_is_idempotent(spark,
     reg = spark.read.parquet(f"{p}/hashes")
     assert {r["__id"] for r in reg.select("__id").collect()} \
         == {1, 2, 11}
+
+
+def test_streaming_registry_ingest_empty_first_batch_defers_bootstrap(
+        spark, tmp_path):
+    """An EMPTY first micro-batch must not bootstrap the registry
+    (it would write an empty artifact and push every later batch onto
+    the append path); the next non-empty batch bootstraps instead —
+    symmetric with the empty-survivors append skip."""
+    import os
+
+    from mmlspark_spark.llm.dedup import IncrementalDeduplicator
+    from mmlspark_spark.llm.index_common import _parquet_row_count
+    from mmlspark_spark.streaming import registry_ingest_foreach_batch
+
+    dd = IncrementalDeduplicator(keyCols=("text",), idCol="doc_id",
+                                 bloomBits=1 << 10, prefixBits=3)
+    p = str(tmp_path / "reg_idx_empty")
+    seen = []
+    ingest = registry_ingest_foreach_batch(
+        dd, p, on_batch=lambda bid, ok: seen.append((bid, ok.count())))
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    ingest(empty, 0)
+    assert not os.path.exists(p)  # nothing bootstrapped
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    ingest(b1, 1)  # THIS bootstraps
+    assert _parquet_row_count(spark, f"{p}/hashes") == 2
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], "doc_id long, text string")
+    ingest(b2, 2)  # append path works after the deferred bootstrap
+    assert _parquet_row_count(spark, f"{p}/hashes") == 3
+    assert seen == [(0, 0), (1, 2), (2, 1)]
