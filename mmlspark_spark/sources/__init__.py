@@ -25,6 +25,7 @@ from mmlspark_spark.sources.transforms import (
 from mmlspark_spark.sources.warc import (
     WARC_SCHEMA,
     read_warc,
+    read_warc_stream,
     write_warc,
 )
 
@@ -33,5 +34,5 @@ __all__ = [
     "IMAGE_SCHEMA", "read_images", "DecodeImage",
     "ImageTransformer", "ResizeImageTransformer", "UnrollImage",
     "ImageSetAugmenter",
-    "WARC_SCHEMA", "read_warc", "write_warc",
+    "WARC_SCHEMA", "read_warc", "read_warc_stream", "write_warc",
 ]

@@ -185,6 +185,50 @@ def _split_http(block: bytes):
     return status, block[end + 4:]
 
 
+def _warc_parser(recordTypes, httpOnly: bool, payloadAsText: bool):
+    """Build the (schema, Arrow mapInPandas parser) pair shared by the
+    batch and streaming readers — one parser, two sources."""
+    import pandas as pd
+
+    keep = set(recordTypes) if recordTypes is not None else None
+    schema = WARC_SCHEMA
+    if payloadAsText:
+        schema = T.StructType(list(WARC_SCHEMA.fields) + [
+            T.StructField("text", T.StringType(), True)])
+    cols = [f.name for f in schema.fields]
+
+    def parse(batches) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
+                    records = _iter_warc_stream(_iter_gzip_members(data))
+                else:
+                    records = _iter_warc_records(data)
+                for h, block in records:
+                    wtype = h.get("warc-type")
+                    if keep is not None and wtype not in keep:
+                        continue
+                    status, payload = (None, block)
+                    if httpOnly and "application/http" in (
+                            h.get("content-type") or ""):
+                        status, payload = _split_http(block)
+                    row = [fpath, h.get("warc-record-id"), wtype,
+                           h.get("warc-target-uri"),
+                           h.get("warc-date"),
+                           h.get("content-type"), status, payload]
+                    if payloadAsText:
+                        row.append(payload.decode("utf-8", "replace"))
+                    rows.append(row)
+                    if len(rows) >= _ROWS_PER_BATCH:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        yield pd.DataFrame(rows, columns=cols)
+
+    return schema, parse
+
+
 def read_warc(spark: SparkSession, path: str,
               recordTypes: tuple = ("response", "resource",
                                     "conversion"),
@@ -214,49 +258,61 @@ def read_warc(spark: SparkSession, path: str,
     the 100 TB sizing contract (peak ≈ compressed segment +
     max(record) + one Arrow batch).
     """
-    import pandas as pd
     from pyspark.sql import functions as F
 
-    keep = set(recordTypes) if recordTypes is not None else None
-    schema = WARC_SCHEMA
-    if payloadAsText:
-        schema = T.StructType(list(WARC_SCHEMA.fields) + [
-            T.StructField("text", T.StringType(), True)])
-    cols = [f.name for f in schema.fields]
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
-        for pdf in batches:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
-                    records = _iter_warc_stream(_iter_gzip_members(data))
-                else:
-                    records = _iter_warc_records(data)
-                for h, block in records:
-                    wtype = h.get("warc-type")
-                    if keep is not None and wtype not in keep:
-                        continue
-                    status, payload = (None, block)
-                    if httpOnly and "application/http" in (
-                            h.get("content-type") or ""):
-                        status, payload = _split_http(block)
-                    row = [fpath, h.get("warc-record-id"), wtype,
-                           h.get("warc-target-uri"),
-                           h.get("warc-date"),
-                           h.get("content-type"), status, payload]
-                    if payloadAsText:
-                        row.append(payload.decode("utf-8", "replace"))
-                    rows.append(row)
-                    if len(rows) >= _ROWS_PER_BATCH:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows = []
-        yield pd.DataFrame(rows, columns=cols)
-
+    schema, parse = _warc_parser(recordTypes, httpOnly, payloadAsText)
     reader = (spark.read.format("binaryFile")
               .option("recursiveFileLookup", str(recursive).lower()))
     if pathGlobFilter:
         reader = reader.option("pathGlobFilter", pathGlobFilter)
+    return (reader.load(path)
+            .select(F.col("path"), F.col("content"))
+            .mapInPandas(parse, schema))
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     recordTypes: tuple = ("response", "resource",
+                                           "conversion"),
+                     httpOnly: bool = True,
+                     payloadAsText: bool = False,
+                     recursive: bool = True,
+                     pathGlobFilter: str | None = None,
+                     maxFilesPerTrigger: int | None = None) -> DataFrame:
+    """STREAMING WARC ingest: the crawl-arrival entry point of the
+    curation pipeline. New segment files landing under ``path`` become
+    micro-batches of parsed records — compose with
+    ``neardup_screen_foreach_batch`` / ``registry_ingest_foreach_batch``
+    / ``bm25_ingest_foreach_batch`` downstream for a complete
+    crawl-to-index streaming topology::
+
+        recs = read_warc_stream(spark, "/crawl/incoming",
+                                payloadAsText=True)
+        docs = recs.select(F.xxhash64("record_id").alias("doc_id"),
+                           "text")
+        docs.writeStream.foreachBatch(
+            neardup_screen_foreach_batch(dedup, "/idx/minhash",
+                                         "doc_id")).start()
+
+    Built on Spark's file streaming source over the ``binaryFile``
+    format (exactly-once file tracking via the stream checkpoint; one
+    task per segment; ``maxFilesPerTrigger`` bounds micro-batch size)
+    + the SAME Arrow record parser as :func:`read_warc` — identical
+    schema, salvage contract, and max(record)-bounded member decode.
+    The file source requires an explicit schema: ``binaryFile``'s is
+    fixed (path, modificationTime, length, content), declared here.
+    """
+    from pyspark.sql import functions as F
+
+    schema, parse = _warc_parser(recordTypes, httpOnly, payloadAsText)
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary")
+              .option("recursiveFileLookup", str(recursive).lower()))
+    if pathGlobFilter:
+        reader = reader.option("pathGlobFilter", pathGlobFilter)
+    if maxFilesPerTrigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(maxFilesPerTrigger))
     return (reader.load(path)
             .select(F.col("path"), F.col("content"))
             .mapInPandas(parse, schema))

@@ -381,3 +381,59 @@ def test_warc_round_trip(spark, tmp_path):
         assert got[u].warc_date == d
         assert got[u].warc_type == "resource"
         assert got[u].http_status is None
+
+
+def test_read_warc_stream_micro_batches(spark, tmp_path):
+    """read_warc_stream: the crawl-arrival entry point — segment
+    files landing in a directory become micro-batches of parsed
+    records through the SAME Arrow parser as the batch reader
+    (identical schema and peel semantics), with exactly-once file
+    tracking from the stream checkpoint. Two segments written with
+    pinned mtimes arrive as two batches under maxFilesPerTrigger=1;
+    a third segment written after the first processAllAvailable is
+    picked up incrementally without re-emitting the old records."""
+    import gzip
+    import os as _os
+    import time as _time
+
+    from mmlspark_spark.sources import read_warc_stream
+
+    src = tmp_path / "crawl_in"
+    src.mkdir()
+    now = _time.time()
+
+    def seg(i, uris_payloads):
+        f = src / f"seg-{i:05d}.warc.gz"
+        f.write_bytes(b"".join(
+            gzip.compress(_mk_warc_record(u, p)) for u, p in
+            uris_payloads))
+        _os.utime(f, (now + i, now + i))
+
+    seg(0, [("http://a.example/1", b"doc one"),
+            ("http://a.example/2", b"doc two")])
+    seg(1, [("http://b.example/3", b"doc three")])
+
+    got: dict[int, set] = {}
+
+    def sink(batch_df, bid):
+        got[bid] = {(r.target_uri, bytes(r.payload), r.http_status)
+                    for r in batch_df.collect()}
+
+    stream = read_warc_stream(spark, str(src), maxFilesPerTrigger=1,
+                              pathGlobFilter="*.warc.gz")
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "warc_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        assert len(got) == 2
+        assert got[0] == {("http://a.example/1", b"doc one", 200),
+                          ("http://a.example/2", b"doc two", 200)}
+        assert got[1] == {("http://b.example/3", b"doc three", 200)}
+        # a third segment arrives later: incremental pickup only
+        seg(2, [("http://c.example/4", b"doc four")])
+        q.processAllAvailable()
+        assert got[2] == {("http://c.example/4", b"doc four", 200)}
+        assert len(got) == 3
+    finally:
+        q.stop()
