@@ -776,3 +776,82 @@ def test_streaming_registry_ingest_empty_first_batch_defers_bootstrap(
     ingest(b2, 2)  # append path works after the deferred bootstrap
     assert _parquet_row_count(spark, f"{p}/hashes") == 3
     assert seen == [(0, 0), (1, 2), (2, 1)]
+
+
+def test_streaming_crawl_to_index_pipeline(spark, tmp_path):
+    """The complete crawl-to-index streaming topology, end to end:
+    WARC segments land in a directory -> read_warc_stream parses
+    records per micro-batch -> neardup_screen_foreach_batch screens
+    each batch against the persisted MinHash index and appends only
+    survivors. Segment 2 carries a verbatim re-crawl of a segment-1
+    page (flagged, quarantined) plus a fresh page (survives) — the
+    index ends holding exactly the three distinct pages."""
+    import gzip
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+    from mmlspark_spark.sources import read_warc_stream
+    from mmlspark_spark.streaming import neardup_screen_foreach_batch
+
+    def rec(uri, body: bytes):
+        hdr = (f"WARC/1.0\r\nWARC-Type: resource\r\n"
+               f"WARC-Target-URI: {uri}\r\n"
+               f"Content-Type: application/octet-stream\r\n"
+               f"Content-Length: {len(body)}\r\n\r\n").encode()
+        return gzip.compress(hdr + body + b"\r\n\r\n")
+
+    page1 = b"the quick brown fox jumps over the lazy dog " * 4
+    page2 = b"pack my box with five dozen liquor jugs today " * 4
+    page3 = b"sphinx of black quartz judge my vow tonight ok " * 4
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    now = _time.time()
+    f0 = src / "seg-00000.warc.gz"
+    f0.write_bytes(rec("http://x.example/1", page1)
+                   + rec("http://x.example/2", page2))
+    _os.utime(f0, (now, now))
+    f1 = src / "seg-00001.warc.gz"
+    f1.write_bytes(rec("http://mirror.example/1", page1)  # re-crawl
+                   + rec("http://x.example/3", page3))
+    _os.utime(f1, (now + 1, now + 1))
+
+    dd = MinHashLSHDeduplicator(idCol="doc_id", textCol="text",
+                                shingleSize=3, numHashes=32, bands=16,
+                                threshold=0.5)
+    idx_path = str(tmp_path / "crawl_idx")
+    seen = {}
+
+    def on_batch(bid, pairs, survivors):
+        seen[bid] = {"flagged": {r[0] for r in pairs.collect()},
+                     "kept": {r.uri for r in
+                              survivors.select("uri").collect()}}
+
+    screen = neardup_screen_foreach_batch(dd, idx_path, "doc_id",
+                                          on_batch=on_batch)
+    recs = read_warc_stream(spark, str(src), payloadAsText=True,
+                            maxFilesPerTrigger=1)
+    docs = recs.select(
+        F.xxhash64("target_uri").alias("doc_id"),
+        F.col("target_uri").alias("uri"), "text")
+    q = (docs.writeStream.foreachBatch(screen)
+         .option("checkpointLocation", str(tmp_path / "crawl_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) == 2
+    assert seen[0]["flagged"] == set()
+    assert seen[0]["kept"] == {"http://x.example/1",
+                               "http://x.example/2"}
+    # the re-crawl of page1 is flagged against the STORED index;
+    # only the fresh page survives and appends
+    assert len(seen[1]["flagged"]) == 1
+    assert seen[1]["kept"] == {"http://x.example/3"}
+    sigs = spark.read.parquet(f"{idx_path}/signatures")
+    assert sigs.select("__id").distinct().count() == 3
