@@ -300,6 +300,15 @@ def read_warc_stream(spark: SparkSession, path: str,
     schema, salvage contract, and max(record)-bounded member decode.
     The file source requires an explicit schema: ``binaryFile``'s is
     fixed (path, modificationTime, length, content), declared here.
+
+    Long-running crawl streams at 100 TB scale: the file source's
+    seen-files log grows with every segment ever ingested — for a
+    months-long stream over a hot landing directory, set the standard
+    source maintenance options on the returned reader's stream
+    (``option("maxFileAge", "7d")`` bounds the tracked set;
+    ``option("cleanSource", "archive")`` + ``sourceArchiveDir`` moves
+    ingested segments out of the listing path) so per-trigger listing
+    stays proportional to NEW files, not crawl history.
     """
     from pyspark.sql import functions as F
 
