@@ -437,3 +437,27 @@ def test_read_warc_stream_micro_batches(spark, tmp_path):
         assert len(got) == 3
     finally:
         q.stop()
+
+
+def test_write_warc_failed_task_leaves_no_partial_archive(spark,
+                                                          tmp_path):
+    """A task that dies mid-write must leave neither a final archive
+    nor a temp file behind (the atomic temp+rename contract): rows
+    missing the payload column blow up inside the partition writer;
+    the output directory must contain no part-*.warc.gz and no .tmp
+    litter afterwards."""
+    import os
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from mmlspark_spark.sources import write_warc
+
+    df = spark.createDataFrame(
+        [("http://x.example/1", b"ok")],
+        "target_uri string, wrong_col binary")
+    out = str(tmp_path / "warc_fail")
+    with _pytest.raises(Py4JJavaError):
+        write_warc(df, out)  # payloadCol 'payload' missing -> task dies
+    leftovers = os.listdir(out) if os.path.isdir(out) else []
+    assert leftovers == [], f"partial sink output left behind: {leftovers}"
