@@ -85,8 +85,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             # writer's schema
             parts = sorted(p for p in _os.listdir(probe)
                            if p.endswith(".parquet"))
-            if parts:
-                probe = _os.path.join(probe, parts[0])
+            if not parts:
+                # a directory with no part files (only _SUCCESS, or an
+                # interrupted build) would make pq.read_schema raise an
+                # opaque IsADirectoryError — fail with the actual cause
+                raise FileNotFoundError(
+                    f"{probe}: directory contains no *.parquet part "
+                    "files (interrupted or empty build?) — regenerate "
+                    "the corpus or point sf_dir at a complete one")
+            probe = _os.path.join(probe, parts[0])
         schema = pq.read_schema(probe)
         if any(str(schema.field(i).type) == "timestamp[ns]"
                for i in range(len(schema.names))):

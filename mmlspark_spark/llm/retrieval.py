@@ -53,6 +53,32 @@ from mmlspark_spark.llm.index_common import (
 )
 
 
+def _list_file_names(fs, P, path: str) -> list[str] | None:
+    """Basenames of the plain files directly under ``path`` (never
+    subdirectories), or None when the directory does not exist — the
+    pre-append inventory the torn-append rollback diffs against."""
+    if not fs.exists(P(path)):
+        return None
+    return sorted(st.getPath().getName()
+                  for st in fs.listStatus(P(path)) if st.isFile())
+
+
+def _force_flat_store(df: DataFrame, store_path: str) -> None:
+    """Rebuild a flat store UNCONDITIONALLY (repair path): unlike
+    :func:`_replace_flat_store` this tolerates a target that is
+    missing or half-swapped — the staging copy is fully materialized
+    BEFORE the old directory (whatever its state) is deleted, so a
+    crash mid-repair just means repair runs again."""
+    spark = df.sparkSession
+    staging = f"{store_path}__staging"
+    fs, P = _hadoop_fs(spark, store_path)
+    fs.delete(P(staging), True)
+    df.write.mode("overwrite").parquet(staging)
+    fs.delete(P(store_path), True)
+    if not fs.rename(P(staging), P(store_path)):
+        raise IOError(f"could not swap {staging} into {store_path}")
+
+
 class BM25Retriever:
     """Okapi BM25 search over a text corpus.
 
@@ -397,7 +423,8 @@ class BM25Retriever:
         # ids — the unsafe failure direction for takedowns
         _clear_tombstones(docs.sparkSession, path)
 
-    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+    def append_to_index(self, new_docs: DataFrame, path: str,
+                        batchId: int | None = None) -> None:
         """Incrementally grow a :meth:`save_index` artifact: tokenize
         ONLY the new documents, append their postings (and positions,
         when the index carries them), then refresh the two
@@ -421,13 +448,35 @@ class BM25Retriever:
         exact sum cannot be recovered from avgdl·N). Also refuses ids
         with a pending tombstone — the appended postings would be
         masked at read time and deleted by the next compaction
-        (compact first, then re-append)."""
+        (compact first, then re-append).
+
+        Crash-ordering invariant (the append sibling of save's
+        tombstones-clear-LAST and the registry's bloom-first rules):
+        the four mutations — doclens append, postings append, dfreq
+        swap, stats swap — are bracketed by ``_append_pending.json``,
+        written FIRST (stashing the pre-append stats row and the
+        per-store part-file inventories) and removed LAST. A crash
+        anywhere between leaves the marker behind, and every reader
+        (:meth:`load_index`, :meth:`append_to_index`,
+        :meth:`compact_index`) REFUSES a marked store rather than
+        silently scoring half-appended docs with stale statistics;
+        :meth:`repair_index` rolls the artifact back to the
+        pre-append state bit-exactly, after which the batch simply
+        re-appends. With ``batchId`` set (the streaming-ingest path)
+        the marker commits by renaming to
+        ``_append_committed_<batchId>.json``, making a replayed
+        micro-batch a no-op — at-least-once foreachBatch delivery
+        becomes exactly-once index growth even across torn appends."""
         import json as _json
 
         from mmlspark_spark.core.cache import persist_intermediate
         from mmlspark_spark.llm.export import _fs_read_text
 
         spark = new_docs.sparkSession
+        self._refuse_torn(spark, path)
+        if batchId is not None and self._batch_committed(
+                spark, path, batchId):
+            return  # replayed micro-batch: already fully committed
         man = _json.loads(
             _fs_read_text(spark, f"{path}/_bm25_manifest.json"))
         if man.get("maxDfRatio") is not None:
@@ -445,10 +494,25 @@ class BM25Retriever:
         _refuse_tombstoned_append(
             new_docs.select(F.col(self.idCol)), path, self.idCol,
             "BM25Retriever.append_to_index")
+        # pending marker FIRST (see docstring invariant): stash the
+        # one-row stats and the per-store file inventories so a torn
+        # append can be rolled back to this exact state — everything
+        # else global (dfreq) re-derives exactly from the rolled-back
+        # postings
+        fs, P = _hadoop_fs(spark, f"{path}/doclens")
+        old = old_stats.first()
+        self._begin_append(spark, path, batchId, inventory={
+            "postings": _list_file_names(fs, P, f"{path}/postings"),
+            "positions": (_list_file_names(fs, P, f"{path}/positions")
+                          if man.get("positions") else None),
+            "doclens": _list_file_names(fs, P, f"{path}/doclens"),
+        }, stats_row={"__N": int(old["__N"]),
+                      "__sumdl": (int(old["__sumdl"])
+                                  if old["__sumdl"] is not None else None),
+                      "__avgdl": old["__avgdl"]})
         # extend the per-doc ledger when the artifact carries one
         # (post-doclens saves); pre-doclens artifacts stay pre-doclens
         # — compact_index refuses them with the re-save pointer
-        fs, P = _hadoop_fs(spark, f"{path}/doclens")
         if fs.exists(P(f"{path}/doclens")):
             self._doclens(new_docs).write.mode("append").parquet(
                 f"{path}/doclens")
@@ -505,7 +569,6 @@ class BM25Retriever:
         # stats: exact integer extension, then ONE double division —
         # the identical IEEE op a fresh build performs on the same
         # integers. One old row + one new row meet on the driver.
-        old = old_stats.first()
         new = self._stats(new_docs).first()
         n = int(old["__N"]) + int(new["__N"])
         sumdl = int(old["__sumdl"] or 0) + int(new["__sumdl"] or 0)
@@ -514,6 +577,144 @@ class BM25Retriever:
                 [(n, sumdl, float(sumdl) / n if n else None)],
                 "__N bigint, __sumdl bigint, __avgdl double"),
             f"{path}/stats")
+        # commit LAST: delete the pending marker (ad-hoc append) or
+        # atomically rename it to the batch's committed marker (the
+        # replay guard the streaming topology keys on)
+        self._commit_append(spark, path, batchId)
+
+    # ---------------------------------------- torn-append machinery
+    def _refuse_torn(self, spark, path: str) -> None:
+        """Refuse any read/mutate of a store whose last append tore
+        (``_append_pending.json`` survives a crash between the
+        postings commit and the dfreq/stats refresh — searching it
+        would score the half-appended docs with stale statistics)."""
+        fs, P = _hadoop_fs(spark, path)
+        if fs.exists(P(f"{path}/_append_pending.json")):
+            raise ValueError(
+                f"BM25 index at {path} has a torn append (a crash "
+                f"landed between append_to_index's per-doc commits "
+                f"and its dfreq/stats refresh): run "
+                f"repair_index(spark, path) to roll the artifact "
+                f"back to the pre-append state bit-exactly, then "
+                f"re-append the batch — or rebuild with save_index")
+
+    def _batch_committed(self, spark, path: str, batchId: int) -> bool:
+        fs, P = _hadoop_fs(spark, path)
+        return fs.exists(
+            P(f"{path}/_append_committed_{batchId}.json"))
+
+    def _begin_append(self, spark, path: str, batchId: int | None,
+                      inventory: dict | None = None,
+                      stats_row: dict | None = None,
+                      bootstrap: bool = False) -> None:
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_write_text
+
+        _fs_write_text(
+            spark, f"{path}/_append_pending.json",
+            _json.dumps({"batch_id": batchId, "bootstrap": bootstrap,
+                         "files": inventory, "stats": stats_row,
+                         "version": 1}))
+
+    def _commit_append(self, spark, path: str,
+                       batchId: int | None) -> None:
+        fs, P = _hadoop_fs(spark, path)
+        pending = P(f"{path}/_append_pending.json")
+        if batchId is None:
+            fs.delete(pending, False)
+            return
+        name = f"_append_committed_{batchId}.json"
+        fs.delete(P(f"{path}/{name}"), False)
+        if not fs.rename(pending, P(f"{path}/{name}")):
+            raise IOError(
+                f"could not commit append marker for batch {batchId} "
+                f"at {path}")
+        # prune superseded committed markers (exactly one is live; a
+        # crash between the rename and this cleanup just leaves an
+        # extra stale marker the next commit removes)
+        for st in fs.listStatus(P(path)):
+            n = st.getPath().getName()
+            if n.startswith("_append_committed_") and n != name:
+                fs.delete(st.getPath(), False)
+
+    def repair_index(self, spark, path: str) -> dict:
+        """Roll a TORN :meth:`append_to_index` (or a torn streaming
+        bootstrap) back to the pre-append artifact, bit-exactly:
+
+        - per-doc stores (postings / positions / doclens) drop every
+          part file not in the marker's pre-append inventory — append
+          only ever ADDS files to these stores, so the diff IS the
+          torn batch (plus any ``_temporary`` litter a killed write
+          job left);
+        - dfreq re-aggregates from the rolled-back postings — the
+          same integer ``groupBy(term).count`` a fresh build runs, so
+          the result is bit-identical to the pre-append store whether
+          or not the torn append's swap had landed;
+        - the one-row stats restore from the integers stashed in the
+          marker (exact; the avgdl double round-trips through JSON
+          repr losslessly);
+        - a torn streaming BOOTSTRAP (marker says so) instead deletes
+          the half-written artifact wholesale — the replayed first
+          batch re-bootstraps from nothing.
+
+        Idempotent until it succeeds: the marker is removed LAST, so
+        a crash mid-repair just means repair runs again. Returns
+        ``{"repaired", "files_removed", "batch_id"}``."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        fs, P = _hadoop_fs(spark, path)
+        pending = f"{path}/_append_pending.json"
+        if not fs.exists(P(pending)):
+            return {"repaired": False, "files_removed": 0,
+                    "batch_id": None}
+        marker = _json.loads(_fs_read_text(spark, pending))
+        removed = 0
+        if marker.get("bootstrap"):
+            for store in ("postings", "positions", "dfreq", "stats",
+                          "doclens", "tombstones"):
+                if fs.delete(P(f"{path}/{store}"), True):
+                    removed += 1
+            fs.delete(P(f"{path}/_bm25_manifest.json"), False)
+        else:
+            for store, keep in (marker.get("files") or {}).items():
+                if keep is None:  # store absent pre-append
+                    continue
+                store_path = f"{path}/{store}"
+                keep_set = set(keep)
+                if not fs.exists(P(store_path)):
+                    continue
+                for st in fs.listStatus(P(store_path)):
+                    name = st.getPath().getName()
+                    if st.isFile() and name not in keep_set:
+                        fs.delete(st.getPath(), False)
+                        removed += 1
+                    elif (not st.isFile()
+                          and name.startswith("_temporary")):
+                        fs.delete(st.getPath(), True)
+                        removed += 1
+            # half-swap litter from a crash inside the staging swaps
+            for litter in ("dfreq__staging", "dfreq__old",
+                           "stats__staging", "stats__old"):
+                fs.delete(P(f"{path}/{litter}"), True)
+            _force_flat_store(
+                spark.read.parquet(f"{path}/postings")
+                .groupBy("__t").agg(F.count("*").alias("__df")),
+                f"{path}/dfreq")
+            s = marker["stats"]
+            _force_flat_store(
+                spark.createDataFrame(
+                    [(int(s["__N"]),
+                      int(s["__sumdl"]) if s["__sumdl"] is not None
+                      else None,
+                      s["__avgdl"])],
+                    "__N bigint, __sumdl bigint, __avgdl double"),
+                f"{path}/stats")
+        fs.delete(P(pending), False)
+        return {"repaired": True, "files_removed": removed,
+                "batch_id": marker.get("batch_id")}
 
     def load_index(self, spark, path: str) -> dict:
         """Read a :meth:`save_index` artifact back as the frame dict
@@ -521,11 +722,13 @@ class BM25Retriever:
         retriever's ``maxDfRatio`` differs from the one baked into the
         stored postings — re-pruning cannot be done post hoc (the cut
         terms are gone) and silently searching a differently-pruned
-        index would skew scores."""
+        index would skew scores — and when the store carries a torn
+        append (see :meth:`repair_index`)."""
         import json as _json
 
         from mmlspark_spark.llm.export import _fs_read_text
 
+        self._refuse_torn(spark, path)
         man = _json.loads(
             _fs_read_text(spark, f"{path}/_bm25_manifest.json"))
         if man.get("maxDfRatio") != self.maxDfRatio:
@@ -576,6 +779,7 @@ class BM25Retriever:
 
         from mmlspark_spark.llm.export import _fs_read_text
 
+        self._refuse_torn(spark, path)
         man = _json.loads(
             _fs_read_text(spark, f"{path}/_bm25_manifest.json"))
         if man.get("maxDfRatio") is not None:

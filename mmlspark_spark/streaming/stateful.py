@@ -168,7 +168,9 @@ def neardup_screen_foreach_batch(dedup, path: str, idCol: str,
     exposing ``save_index / append_to_index / load_index /
     match_against_index``), and the survivors (rows matching nothing
     already indexed) are appended so LATER batches screen against
-    them. The first batch bootstraps the index with ``save_index``.
+    them. The first NON-EMPTY batch bootstraps the index with
+    ``save_index`` (empty early batches defer the bootstrap, like the
+    registry topology).
 
     Per batch, ``on_batch(batch_id, pairs, survivors)`` receives the
     flagged (new, indexed) pair frame and the surviving rows — route
@@ -200,6 +202,19 @@ def neardup_screen_foreach_batch(dedup, path: str, idCol: str,
         spark = batch_df.sparkSession
         fs, P = _hadoop_fs(spark, path)
         if not fs.exists(P(path)):
+            # an EMPTY first batch must not bootstrap (mirrors the
+            # registry topology): it would write an empty index and
+            # flip all later batches onto the append path — and the
+            # embedding family's save_index infers the vector dim
+            # from the first row, which an empty frame cannot provide
+            if not batch_df.limit(1).count():
+                if on_batch is not None:
+                    schema = (dedup.match_schema(batch_df.schema)
+                              if hasattr(dedup, "match_schema")
+                              else dedup.transform_schema(batch_df.schema))
+                    on_batch(batch_id,
+                             spark.createDataFrame([], schema), batch_df)
+                return
             dedup.save_index(batch_df, path)
             if on_batch is not None:
                 # the bootstrap's empty pairs frame must carry the
@@ -344,6 +359,17 @@ def bm25_ingest_foreach_batch(retriever, path: str,
     vocabulary)), not O(B·index). maxDfRatio retrievers refuse (the
     stopword cut is a whole-corpus decision; build those nightly).
 
+    Restart safety (exactly-once index growth over foreachBatch's
+    at-least-once delivery, single writer per index path): every
+    append brackets its four mutations with the index's pending
+    marker and commits by renaming it to the batch's committed
+    marker. On replay, a batch whose previous attempt TORE is rolled
+    back bit-exactly (``BM25Retriever.repair_index``) and
+    re-appended; a batch whose previous attempt fully committed
+    no-ops on its committed marker. The stream-built index therefore
+    stays bit-identical to a batch build regardless of where a crash
+    lands (pinned in tests).
+
     Compose with :func:`neardup_screen_foreach_batch` upstream to
     index only dedup survivors.
     """
@@ -363,10 +389,34 @@ def bm25_ingest_foreach_batch(retriever, path: str,
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         fs, P = _hadoop_fs(spark, path)
+        # a pending marker here means the PREVIOUS attempt at this
+        # very batch tore mid-append (foreachBatch replays the batch
+        # whose commit never reached the checkpoint — single-writer
+        # contract): roll the artifact back to the pre-append state
+        # and let the replay re-append. Combined with the committed
+        # marker (a replay of a FULLY committed batch no-ops inside
+        # append_to_index), at-least-once delivery becomes
+        # exactly-once index growth.
+        if fs.exists(P(f"{path}/_append_pending.json")):
+            retriever.repair_index(spark, path)
         if not fs.exists(P(f"{path}/_bm25_manifest.json")):
+            # defer bootstrap past an empty first batch (mirrors the
+            # registry/near-dup topologies): an empty save would pin
+            # avgdl/N stats on zero docs and flip later batches onto
+            # the append path for no reason
+            if not batch_df.limit(1).count():
+                if on_batch is not None:
+                    on_batch(batch_id, 0)
+                return
+            # bracket the bootstrap like an append: a crash mid-save
+            # leaves the marker, repair deletes the half-written
+            # artifact wholesale, and the replayed batch re-bootstraps
+            retriever._begin_append(spark, path, batch_id,
+                                    bootstrap=True)
             retriever.save_index(batch_df, path, positions=positions)
+            retriever._commit_append(spark, path, batch_id)
         else:
-            retriever.append_to_index(batch_df, path)
+            retriever.append_to_index(batch_df, path, batchId=batch_id)
         if on_batch is not None:
             on_batch(batch_id, batch_df.count())
 

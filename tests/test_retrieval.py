@@ -396,6 +396,154 @@ def test_bm25_append_never_reads_postings_store(spark, tmp_path):
     assert got == want
 
 
+def test_bm25_torn_append_refused_then_repaired_bit_exact(
+        spark, tmp_path, monkeypatch):
+    """The append crash-ordering contract (round-16): kill the append
+    BETWEEN the postings commit and the dfreq swap — the pending
+    marker survives, so load/append/compact REFUSE the store instead
+    of silently scoring the half-appended docs with stale statistics;
+    repair_index rolls the artifact back to the pre-append state
+    bit-exactly (the torn batch's part files drop, dfreq
+    re-aggregates to the same integers, stats restore from the
+    stashed row), and re-appending the same batch then equals a
+    fresh build over the union."""
+    import os
+
+    import pytest as _pytest
+
+    import mmlspark_spark.llm.retrieval as retrieval_mod
+    from mmlspark_spark.llm import BM25Retriever
+
+    base = spark.createDataFrame(
+        [(i, f"apple banana w{i % 7} cherry w{i % 3}") for i in range(25)]
+        + [(98, None)],
+        "doc_id long, text string")
+    extra = spark.createDataFrame(
+        [(100 + i, f"banana date w{i % 5} apple") for i in range(12)],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "apple w2"), (1, "cherry banana date")],
+        "query_id long, query string")
+
+    bm = BM25Retriever(k=8)
+    p = str(tmp_path / "bm25_torn")
+    bm.save_index(base, p)
+    pre_search = sorted(map(tuple, bm.search_with_index(
+        bm.load_index(spark, p), queries).collect()))
+    pre_files = {
+        store: sorted(os.listdir(os.path.join(p, store)))
+        for store in ("postings", "doclens")}
+    pre_dfreq = sorted(map(tuple,
+                           spark.read.parquet(f"{p}/dfreq").collect()))
+    pre_stats = sorted(map(tuple,
+                           spark.read.parquet(f"{p}/stats").collect()))
+
+    real_swap = retrieval_mod._replace_flat_store
+
+    def killed(df, store_path):
+        raise RuntimeError("injected crash before the dfreq swap")
+
+    monkeypatch.setattr(retrieval_mod, "_replace_flat_store", killed)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        bm.append_to_index(extra, p)
+    monkeypatch.setattr(retrieval_mod, "_replace_flat_store",
+                        real_swap)
+
+    # the tear is real: postings gained the batch's files, dfreq did
+    # not see it, and the pending marker survives
+    assert os.path.exists(os.path.join(p, "_append_pending.json"))
+    assert sorted(os.listdir(os.path.join(p, "postings"))) \
+        != pre_files["postings"]
+    assert sorted(map(tuple,
+                      spark.read.parquet(f"{p}/dfreq").collect())) \
+        == pre_dfreq
+
+    # every reader/mutator refuses the torn store
+    for op in (lambda: bm.load_index(spark, p),
+               lambda: bm.append_to_index(extra, p),
+               lambda: bm.compact_index(spark, p)):
+        with _pytest.raises(ValueError, match="torn append"):
+            op()
+
+    out = bm.repair_index(spark, p)
+    assert out["repaired"] and out["files_removed"] > 0
+    # bit-exact rollback: per-doc stores by file inventory, globals
+    # by content, search by results
+    for store, want in pre_files.items():
+        assert sorted(os.listdir(os.path.join(p, store))) == want
+    assert sorted(map(tuple,
+                      spark.read.parquet(f"{p}/dfreq").collect())) \
+        == pre_dfreq
+    assert sorted(map(tuple,
+                      spark.read.parquet(f"{p}/stats").collect())) \
+        == pre_stats
+    assert sorted(map(tuple, bm.search_with_index(
+        bm.load_index(spark, p), queries).collect())) == pre_search
+
+    # the batch simply re-appends, and the grown index equals a
+    # fresh build over the union (the exact-append contract holds
+    # across the crash/repair cycle)
+    bm.append_to_index(extra, p)
+    assert not os.path.exists(os.path.join(p, "_append_pending.json"))
+    grown = sorted(map(tuple, bm.search_with_index(
+        bm.load_index(spark, p), queries).collect()))
+    fresh = sorted(map(tuple,
+                       bm.search(base.unionByName(extra),
+                                 queries).collect()))
+    assert grown == fresh and any(t[1] >= 100 for t in grown)
+
+    # repair on a healthy store is a no-op
+    assert bm.repair_index(spark, p) == {
+        "repaired": False, "files_removed": 0, "batch_id": None}
+
+
+def test_bm25_append_batch_replay_is_noop(spark, tmp_path):
+    """With batchId set (the streaming-ingest path) a fully committed
+    append leaves _append_committed_<id>.json, and a REPLAY of the
+    same batch (foreachBatch at-least-once delivery) is a no-op — no
+    double-counted dfreq, no duplicate postings files."""
+    import os
+
+    from mmlspark_spark.llm import BM25Retriever
+
+    base = spark.createDataFrame(
+        [(i, f"apple banana w{i % 4}") for i in range(12)],
+        "doc_id long, text string")
+    extra = spark.createDataFrame(
+        [(100 + i, f"banana date w{i % 3}") for i in range(6)],
+        "doc_id long, text string")
+    bm = BM25Retriever(k=5)
+    p = str(tmp_path / "bm25_replay")
+    bm.save_index(base, p)
+
+    bm.append_to_index(extra, p, batchId=7)
+    assert os.path.exists(
+        os.path.join(p, "_append_committed_7.json"))
+    files = sorted(os.listdir(os.path.join(p, "postings")))
+    dfreq = sorted(map(tuple,
+                       spark.read.parquet(f"{p}/dfreq").collect()))
+    stats = sorted(map(tuple,
+                       spark.read.parquet(f"{p}/stats").collect()))
+
+    bm.append_to_index(extra, p, batchId=7)  # replayed micro-batch
+    assert sorted(os.listdir(os.path.join(p, "postings"))) == files
+    assert sorted(map(tuple,
+                      spark.read.parquet(f"{p}/dfreq").collect())) \
+        == dfreq
+    assert sorted(map(tuple,
+                      spark.read.parquet(f"{p}/stats").collect())) \
+        == stats
+
+    # the NEXT batch appends normally and supersedes the marker
+    more = spark.createDataFrame(
+        [(200, "cherry elderberry")], "doc_id long, text string")
+    bm.append_to_index(more, p, batchId=8)
+    assert os.path.exists(
+        os.path.join(p, "_append_committed_8.json"))
+    assert not os.path.exists(
+        os.path.join(p, "_append_committed_7.json"))
+
+
 def test_hybrid_rrf_from_stored_artifacts(spark, tmp_path):
     """The full production hybrid stack composed FROM ARTIFACTS: a
     persisted BM25 index and a persisted IVFPQ index each serve their

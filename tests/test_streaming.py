@@ -473,6 +473,95 @@ def test_streaming_bm25_ingest_equals_batch_build(spark, tmp_path):
         all_docs, phrases).collect()))
 
 
+def test_streaming_bm25_ingest_survives_torn_append(
+        spark, tmp_path, monkeypatch):
+    """Crash-replay drill for the BM25 ingest topology (foreachBatch
+    callables take plain DataFrames, so this drives the callable
+    directly, batch ids included): batch 1's first attempt is killed
+    between the postings commit and the dfreq swap; the REPLAY of
+    batch 1 (at-least-once contract — the torn attempt never reached
+    the checkpoint) repairs the torn store and re-appends; a further
+    replay of the now-committed batch no-ops. The final index is
+    bit-identical to a batch build. A second drill tears the
+    BOOTSTRAP (manifest write killed) and shows the replay rebuilds
+    from nothing."""
+    import os
+
+    import pytest as _pytest
+
+    import mmlspark_spark.llm.export as export_mod
+    import mmlspark_spark.llm.retrieval as retrieval_mod
+    from mmlspark_spark.llm import BM25Retriever
+    from mmlspark_spark.streaming import bm25_ingest_foreach_batch
+
+    b0 = spark.createDataFrame(
+        [(i, f"apple banana w{i % 5} cherry") for i in range(10)],
+        "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(10 + i, f"banana date w{i % 3} apple") for i in range(8)],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "apple cherry"), (1, "banana date")],
+        "query_id long, query string")
+    bm = BM25Retriever(k=5)
+    p = str(tmp_path / "torn_ingest_idx")
+    seen = []
+    ingest = bm25_ingest_foreach_batch(
+        bm, p, on_batch=lambda bid, n: seen.append((bid, n)))
+
+    ingest(b0, 0)
+    real_swap = retrieval_mod._replace_flat_store
+
+    def killed(df, store_path):
+        raise RuntimeError("injected crash before the dfreq swap")
+
+    monkeypatch.setattr(retrieval_mod, "_replace_flat_store", killed)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ingest(b1, 1)
+    monkeypatch.setattr(retrieval_mod, "_replace_flat_store",
+                        real_swap)
+    assert os.path.exists(os.path.join(p, "_append_pending.json"))
+
+    ingest(b1, 1)  # replay: repairs the torn store, re-appends
+    ingest(b1, 1)  # replay of the committed batch: no-op growth
+    assert seen == [(0, 10), (1, 8), (1, 8)]
+    assert os.path.exists(os.path.join(p, "_append_committed_1.json"))
+
+    streamed = sorted(map(tuple, bm.search_with_index(
+        bm.load_index(spark, p), queries).collect()))
+    fresh = sorted(map(tuple,
+                       bm.search(b0.unionByName(b1),
+                                 queries).collect()))
+    assert streamed == fresh and len(streamed) > 0
+
+    # --- torn-bootstrap drill: save_index's manifest write (its
+    # last step) is killed, so batch 0 leaves a pending bootstrap
+    # marker and half an artifact; the replay deletes it wholesale
+    # and re-bootstraps
+    p2 = str(tmp_path / "torn_bootstrap_idx")
+    ingest2 = bm25_ingest_foreach_batch(bm, p2)
+    real_write = export_mod._fs_write_text
+
+    def kill_manifest(spark_, path_, content):
+        if path_.endswith("_bm25_manifest.json"):
+            raise RuntimeError("injected crash during bootstrap")
+        return real_write(spark_, path_, content)
+
+    monkeypatch.setattr(export_mod, "_fs_write_text", kill_manifest)
+    with _pytest.raises(RuntimeError, match="during bootstrap"):
+        ingest2(b0, 0)
+    monkeypatch.setattr(export_mod, "_fs_write_text", real_write)
+    assert os.path.exists(os.path.join(p2, "_append_pending.json"))
+    assert not os.path.exists(
+        os.path.join(p2, "_bm25_manifest.json"))
+
+    ingest2(b0, 0)  # replay: wipes the half-bootstrap, rebuilds
+    ingest2(b1, 1)
+    streamed2 = sorted(map(tuple, bm.search_with_index(
+        bm.load_index(spark, p2), queries).collect()))
+    assert streamed2 == fresh
+
+
 def test_neardup_screen_generic_over_embedding_family(spark, tmp_path):
     """The screen callable is family-generic: the embedding dedup
     names its pair columns (id_a, id_b), not (doc_a, doc_b) — the
@@ -776,6 +865,56 @@ def test_streaming_registry_ingest_empty_first_batch_defers_bootstrap(
     ingest(b2, 2)  # append path works after the deferred bootstrap
     assert _parquet_row_count(spark, f"{p}/hashes") == 3
     assert seen == [(0, 0), (1, 2), (2, 1)]
+
+
+def test_streaming_screen_and_bm25_empty_first_batch_defers(
+        spark, tmp_path):
+    """The same empty-first-batch deferral for the OTHER two ingest
+    topologies (round-15 advice): an empty batch 0 must not bootstrap
+    the near-dup screen index (the embedding family's save_index
+    would crash inferring the vector dim from a first row an empty
+    frame lacks) nor the BM25 index (zero-doc stats) — the next
+    non-empty batch bootstraps instead."""
+    import os
+
+    from mmlspark_spark.llm import BM25Retriever
+    from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+    from mmlspark_spark.streaming import (
+        bm25_ingest_foreach_batch,
+        neardup_screen_foreach_batch,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")],
+        "doc_id long, text string")
+
+    # near-dup screen topology
+    p = str(tmp_path / "screen_idx_empty")
+    seen = []
+    screen = neardup_screen_foreach_batch(
+        MinHashLSHDeduplicator(idCol="doc_id", textCol="text"), p,
+        "doc_id",
+        on_batch=lambda bid, pairs, ok: seen.append(
+            (bid, pairs.count(), ok.count())))
+    screen(empty, 0)
+    assert not os.path.exists(p)  # nothing bootstrapped
+    screen(b1, 1)  # THIS bootstraps
+    assert os.path.exists(p)
+    assert seen == [(0, 0, 0), (1, 0, 2)]
+
+    # BM25 ingest topology
+    p2 = str(tmp_path / "bm25_idx_empty")
+    seen2 = []
+    ingest = bm25_ingest_foreach_batch(
+        BM25Retriever(k=5), p2,
+        on_batch=lambda bid, n: seen2.append((bid, n)))
+    ingest(empty, 0)
+    assert not os.path.exists(os.path.join(p2, "_bm25_manifest.json"))
+    ingest(b1, 1)  # THIS bootstraps
+    assert os.path.exists(os.path.join(p2, "_bm25_manifest.json"))
+    assert seen2 == [(0, 0), (1, 2)]
 
 
 def test_streaming_crawl_to_index_pipeline(spark, tmp_path):
