@@ -48,58 +48,59 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 
 
 # Driver correctness-checks a window of the first 50 entries of
-# queries(). Round-15 priority, in order of evidence need (the
-# groups are annotated inline below): (a) the ONE new lane —
+# queries(). Round-16 priority, in order of evidence need (the
+# groups are annotated inline below): (a) the TWO new lanes —
 # never-green oracled queries must be windowed (fairness lint);
-# (b) re-gates for the two lanes whose code paths materially changed
-# this round (WARC streaming-member decode + resource-record typing;
-# BM25 delta-sized append df refresh); (c) the 16 r11-green lanes
-# the r14 window deferred, at exactly staleness age 4 (the lint
-# bound — the round-14 verdict's "r15 must-window set"); (d) 29 of
-# the 50 r12-green queries (age 3), taken in their r12 window
-# order. The r16 backlog is the 21 remaining r12-green lanes
-# (tpch_q14, tpch_q15, tpch_q17, tpch_q18, tpch_q22, asof_join,
-# audio_fingerprint_dedup, class_balancer, cube_counts,
-# domain_temperature_mix, drop_missing, drop_rename, ensemble_by_key,
-# explode_tokens, image_dhash_dedup, isolation_forest,
-# knn_ivf_pretrained, knn_lsh, knn_stage, minhash_dedup,
-# partition_ops_identity — age 4 at the r16 check, the lint will
-# force them) plus whatever r16 adds.
+# (b) re-gates for the three lanes whose engine code materially
+# changed this round (BM25 append now brackets its four mutations
+# with the pending/committed crash-ordering markers, which both
+# BM25 append lanes and the streaming ingest exercise; the near-dup
+# screen wrapper gained the empty-first-batch deferral); (c) the 21
+# r12-green lanes the r15 window deferred, at exactly staleness
+# age 4 (the lint bound — the round-15 verdict's "r16 must-window
+# set"); (d) 24 of the 50 r13-green queries (age 3), taken in their
+# r13 window order. The r17 backlog is the 26 remaining r13-green
+# lanes (url_extract, vw_featurizer, anti_join,
+# broadcast_join_revenue, clean_missing, data_conversion,
+# domain_mix, embedding_stats, lang_stats, multi_ngram,
+# ngram_lm_score, page_splitter, pivot_status, quality_score,
+# rollup_counts, semi_join, sessionize, token_count,
+# top_k_per_group, tpch_q2, tpch_q4, tpch_q16, tpch_q19,
+# ts_featurize, value_indexer, window_hourly_agg — age 4 at the r17
+# check, the lint will force them) plus whatever r17 adds.
 # test_window_rotation_fairness mechanizes all of this: an oracled
 # query whose last driver green would fall more than 4 rounds stale
 # under the planned window fails the lint, as does a new oracled
 # query parked outside the window.
 _WINDOW_PRIORITY = (
-    # (a) the NEW round-15 lanes: the APPEND boundary of the shared
-    #     FingerprintIndexMixin (simhash/image/audio/video families),
-    #     the BM25 streaming-ingest topology (three foreachBatch
-    #     installments through the delta-sized dfreq merge), and the
-    #     near-dup screen-and-ingest topology (day-2 survivors append,
-    #     day-3 matches the grown index)
-    "simhash_match_appended", "bm25_search_ingested",
-    "minhash_screen_incremental",
+    # (a) the NEW round-16 lanes: the APPEND boundary of the
+    #     embedding and video stored-index lifecycles — with these
+    #     every stored near-dup family has save/append/load/match
+    #     driver-gated (the append matrix is complete)
+    "embedding_match_appended", "video_match_appended",
     # (b) re-gates: lanes whose engine code changed this round
-    "warc_roundtrip", "bm25_search_appended",
-    # (c) the r15 must-window set: the 16 r11-green lanes the r14
+    "bm25_search_appended", "bm25_search_ingested",
+    "minhash_screen_incremental",
+    # (c) the r16 must-window set: the 21 r12-green lanes the r15
     #     window deferred, at exactly age 4 this round
-    "sar_recommend", "tenant_standard_scaler", "tenant_linear_scaler",
-    "id_indexer", "per_instance_log_loss", "ranking_metrics",
-    "featurize_numeric", "decontamination", "zorder_key",
-    "hash_split", "vocab_build", "chunk_overlap", "cdc_chunks",
-    "url_canonicalize", "winnow_fingerprint",
-    "train_classifier_metrics",
-    # (d) 30 of the 50 r12-green queries (age 3), in r12 window
-    #     order so the r16 plan stays lint-clean mechanically
-    "video_match_indexed", "video_dhash_dedup", "bm25_phrase_indexed",
-    "minhash_match_indexed", "simhash_match_indexed",
-    "embedding_match_indexed", "minhash_match_tombstoned",
-    "bm25_search_tombstoned", "knn_lsh_indexed", "corpus_report",
-    "curation_pipeline", "doc_fingerprint", "embedding_covariance",
-    "index_to_value_roundtrip", "json_extract", "lang_id_heuristic",
-    "model_statistics", "quality_filter", "stratified_sample",
-    "substring_dedup_spans", "tpch_q1", "tpch_q3", "tpch_q5",
-    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q12",
-    "tpch_q13",
+    "asof_join", "audio_fingerprint_dedup", "class_balancer",
+    "cube_counts", "domain_temperature_mix", "drop_missing",
+    "drop_rename", "ensemble_by_key", "explode_tokens",
+    "image_dhash_dedup", "isolation_forest", "knn_ivf_pretrained",
+    "knn_lsh", "knn_stage", "minhash_dedup",
+    "partition_ops_identity", "tpch_q14", "tpch_q15", "tpch_q17",
+    "tpch_q18", "tpch_q22",
+    # (d) 24 of the 50 r13-green queries (age 3), in r13 window
+    #     order so the r17 plan stays lint-clean mechanically
+    "simhash_match_tombstoned", "embedding_match_tombstoned",
+    "video_match_tombstoned", "knn_ivf_tombstoned",
+    "knn_ivf_compacted", "bm25_search_compacted",
+    "exact_match_indexed", "exact_match_tombstoned", "lambda_stage",
+    "minibatch_roundtrip", "multi_column_adapter", "pii_redact",
+    "range_join", "select_project", "sequence_packing",
+    "simhash_dedup", "stratified_repartition", "summarize_data",
+    "tabular_shap_exact", "text_featurize_pipeline", "tpch_q9",
+    "tpch_q11", "udf_transformer", "unicode_normalize",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside

@@ -1814,6 +1814,41 @@ def video_match_indexed(spark, sf_dir):
         planted.filter(F.col("doc_id") >= 400))
 
 
+@register("video_match_appended", oracle=_video_match_oracle())
+def video_match_appended(spark, sf_dir):
+    """The APPEND half of the video stored-index lifecycle under the
+    driver's hash gate (round 16 — with embedding_match_appended
+    this completes the append matrix over every stored near-dup
+    family): the artifact is built in two installments — save_index
+    over docs < 250, then append_to_index over 250 ≤ docs < 400
+    (appended clips frame-hash ALONE, map-side; their frame rows and
+    size-ledger rows land as new parquet files, no re-read of the
+    existing store) — and the incoming batch (docs ≥ 400) screens
+    against the GROWN index, hot-frame cap and containment ledger
+    included. Oracle is the same fresh-over-union replay the
+    single-save lane uses: append == fresh build over the union,
+    previously pinned only in pytest."""
+    import os
+
+    from mmlspark_spark.llm import VideoDHashDeduplicator
+
+    planted = _planted_clips(spark, sf_dir)
+    dd = VideoDHashDeduplicator(idCol="doc_id", videoCol="clip",
+                                minOverlap=0.7,
+                                maxDocsPerFrameHash=1000)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"video_app_{os.path.basename(sf_dir.rstrip('/'))}")
+    dd.save_index(planted.filter(F.col("doc_id") < 250), path)
+    dd.append_to_index(
+        planted.filter((F.col("doc_id") >= 250)
+                       & (F.col("doc_id") < 400)),
+        path)
+    return dd.match_against_index(
+        dd.load_index(spark, path),
+        planted.filter(F.col("doc_id") >= 400))
+
+
 @register("video_match_tombstoned",
           oracle=_video_match_oracle(dead="doc_id % 5 = 0"))
 def video_match_tombstoned(spark, sf_dir):

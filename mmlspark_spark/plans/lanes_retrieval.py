@@ -195,6 +195,43 @@ def embedding_match_indexed(spark, sf_dir):
                       F.round("cosine", 6).alias("cosine"))
 
 
+@register("embedding_match_appended",
+          oracle=_embedding_match_oracle())
+def embedding_match_appended(spark, sf_dir):
+    """The APPEND half of the embedding stored-index lifecycle under
+    the driver's hash gate (round 16 — completes the append matrix:
+    every stored near-dup family now has save/append/load/match
+    driver-gated): the artifact is built in two installments —
+    save_index over vec_id < 250, then append_to_index over
+    250 ≤ vec_id < 400 (appended vectors band ALONE under the SAME
+    stored seeded hyperplanes, map-side; their bucket keys and
+    vectors land as new parquet files, no re-read of the existing
+    store) — and the incoming batch (vec_id ≥ 400) screens against
+    the GROWN index. Oracle is the same fresh-over-union replay the
+    single-save lane uses: append == fresh build over the union is
+    the lifecycle's contract, previously pinned only in pytest."""
+    import os
+
+    from mmlspark_spark.llm.dedup import EmbeddingDeduplicator
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dd = EmbeddingDeduplicator(idCol="vec_id", vecCol="embedding",
+                               threshold=0.2, method="lsh",
+                               numPlanes=16, bands=8)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"embdedup_app_{os.path.basename(sf_dir.rstrip('/'))}")
+    dd.save_index(emb.filter(F.col("vec_id") < 250), path)
+    dd.append_to_index(
+        emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 400)),
+        path)
+    out = dd.match_against_index(
+        dd.load_index(spark, path),
+        emb.filter(F.col("vec_id") >= 400))
+    return out.select("id_a", "id_b",
+                      F.round("cosine", 6).alias("cosine"))
+
+
 @register("embedding_match_tombstoned",
           oracle=_embedding_match_oracle(dead="vec_id % 5 = 0"))
 def embedding_match_tombstoned(spark, sf_dir):
