@@ -222,6 +222,34 @@ def _pyworker_probe_once(spark) -> float:
     return time.time() - t0
 
 
+def _arrow_transfer_probe_once(spark) -> float:
+    """One timed run of the ARROW-TRANSFER calibration workload: an
+    ``array<bigint>`` column (100k rows × 32 longs, built JVM-side)
+    round-trips into a pandas UDF that only takes each list's length —
+    near-zero python compute, so the time is dominated by Arrow
+    list-column serialization plus the arrow→pandas object-array
+    conversion. Exists because the r15 pyworker probe (a flat-long
+    LCG fold) does not exercise list-of-longs transfer, which is what
+    the fingerprint/signature lanes actually pay — the r15
+    simhash_match_indexed drift (+13% against a −15% tide) was
+    unattributable without this leg (round-15 verdict item 4).
+    Data-independent (spark.range), byte-stable across corpora."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _lens(v):
+        return pd.Series([len(x) for x in v])
+
+    lens = F.pandas_udf(_lens, "long")
+    t0 = time.time()
+    (spark.range(0, 100_000, 1, 32)
+     .select(F.array([(F.col("id") * (i + 1))
+                      for i in range(32)]).alias("a"))
+     .select(lens("a").alias("n"))
+     .agg({"n": "sum"}).collect())
+    return time.time() - t0
+
+
 def _time_once(spec, spark, sf_dir: str) -> tuple[float, int]:
     """One timed materialization of a catalog query via count();
     persisted intermediates released even when count() throws."""
@@ -291,8 +319,12 @@ def main() -> None:
     CAL_QUIET_REF = 0.48      # tpch_q6 steady-state sec, idle, sf0.1
     CAL_QUIET_REF_OLD = 0.30  # rounds 1-13 pin (faster host class)
     CAL_PYWORKER_REF = 0.55   # _pyworker_probe_once steady sec, idle
+    # round-16: best-of-12 read 0.63 s at load 4-7; pinned slightly
+    # below pending a quiet-host confirmation (BASELINE.md round-16)
+    CAL_ARROW_REF = 0.60      # _arrow_transfer_probe_once steady sec
     cal_samples = []
     pyw_samples: list[float] = []
+    arrow_samples: list[float] = []
     cal_spec = CATALOG.get("tpch_q6")
     if cal_spec is not None and abs(sf - 0.1) < 1e-9:
         # one untimed warm-up: the FIRST pandas-UDF action of a
@@ -304,10 +336,12 @@ def main() -> None:
             elapsed, _n = _time_once(cal_spec, spark, sf_dir)
             cal_samples.append(elapsed)
             pyw_samples.append(_pyworker_probe_once(spark))
+            arrow_samples.append(_arrow_transfer_probe_once(spark))
     calibration = None
     if cal_samples:
         cal_best = min(cal_samples)
         pyw_best = min(pyw_samples)
+        arrow_best = min(arrow_samples)
         calibration = {
             "query": "tpch_q6",
             "best": round(cal_best, 3),
@@ -317,9 +351,12 @@ def main() -> None:
             "ratio_old_pin": round(cal_best / CAL_QUIET_REF_OLD, 2),
             "pyworker_best": round(pyw_best, 3),
             "pyworker_quiet_ref": CAL_PYWORKER_REF,
-            # the two headline ratios, named for cross-round tooling
+            "arrow_best": round(arrow_best, 3),
+            "arrow_quiet_ref": CAL_ARROW_REF,
+            # the three headline ratios, named for cross-round tooling
             "scan_ratio": round(cal_best / CAL_QUIET_REF, 2),
             "pyworker_ratio": round(pyw_best / CAL_PYWORKER_REF, 2),
+            "arrow_ratio": round(arrow_best / CAL_ARROW_REF, 2),
         }
         print(f"# calibration tpch_q6: {calibration['best']}s "
               f"(quiet ref {CAL_QUIET_REF}s, scan_ratio "
@@ -327,7 +364,10 @@ def main() -> None:
               f"ratio {calibration['ratio_old_pin']}) | pyworker: "
               f"{calibration['pyworker_best']}s (quiet ref "
               f"{CAL_PYWORKER_REF}s, pyworker_ratio "
-              f"{calibration['pyworker_ratio']})", file=sys.stderr)
+              f"{calibration['pyworker_ratio']}) | arrow: "
+              f"{calibration['arrow_best']}s (quiet ref "
+              f"{CAL_ARROW_REF}s, arrow_ratio "
+              f"{calibration['arrow_ratio']})", file=sys.stderr)
 
     # Steady-state methodology: each query reports its best-of-N — the
     # first execution of a plan shape pays one-off JIT /

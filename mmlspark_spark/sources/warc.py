@@ -29,6 +29,17 @@ Scale shape, sized to the real corpus:
   opaque to parquet-style pushdown) — filter as early as possible
   AFTER the parse, and use ``recordTypes``/``httpOnly`` so non-content
   records (warcinfo, request, metadata) never materialize as rows.
+- **Segment-size contract**: the ``binaryFile`` source delivers each
+  file as ONE byte array, hard-capped at 2 GiB − 1 (a JVM array), and
+  each task holds its segment's full compressed bytes — so keep
+  segments in the ~1 GB band the upstream convention already uses
+  (Common Crawl's own segmenter targets this). ``read_warc`` fails
+  FAST at plan time, naming the offending files with split advice,
+  when the input contains a segment the source would otherwise reject
+  at task time with an opaque error; for streams, the same check runs
+  over the files present at start, and a LATER-arriving oversized
+  segment fails its micro-batch with Spark's own binaryFile error
+  (re-split the segment with ``split``/``warcio`` and re-drop it).
 
 Malformed input follows the PatchedImageFileFormat philosophy
 (fault-tolerant decode): a segment whose byte stream stops parsing
@@ -185,6 +196,48 @@ def _split_http(block: bytes):
     return status, block[end + 4:]
 
 
+_BINARYFILE_MAX = (1 << 31) - 1  # binaryFile content cap (JVM array)
+
+
+def _refuse_oversized_segments(spark: SparkSession, path: str,
+                               recursive: bool,
+                               pathGlobFilter: str | None) -> None:
+    """Fail FAST (plan time, descriptive) on segments the binaryFile
+    source would reject at task time with an opaque "file too big"
+    error — the module docstring's segment-size contract. Best-effort:
+    a listing that cannot be taken (glob-as-path, remote scheme
+    quirks) defers to the source's own error rather than blocking a
+    read that would have worked."""
+    import fnmatch
+
+    from mmlspark_spark.llm.index_common import _hadoop_fs
+
+    try:
+        fs, P = _hadoop_fs(spark, path)
+        it = fs.listFiles(P(path), bool(recursive))
+        bad = []
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if pathGlobFilter and not fnmatch.fnmatch(name,
+                                                      pathGlobFilter):
+                continue
+            if st.getLen() > _BINARYFILE_MAX:
+                bad.append(f"{st.getPath()} "
+                           f"({st.getLen() / 2**30:.1f} GiB)")
+                if len(bad) >= 5:  # enough to act on
+                    break
+    except Exception:
+        return
+    if bad:
+        raise ValueError(
+            "WARC segment(s) exceed the 2 GiB binaryFile cap (one "
+            "byte array per file): " + "; ".join(bad) + " — re-split "
+            "oversized segments to the ~1 GB upstream convention "
+            "(each task also holds its segment's full compressed "
+            "bytes, so smaller segments bound executor memory too)")
+
+
 def _warc_parser(recordTypes, httpOnly: bool, payloadAsText: bool):
     """Build the (schema, Arrow mapInPandas parser) pair shared by the
     batch and streaming readers — one parser, two sources."""
@@ -260,6 +313,7 @@ def read_warc(spark: SparkSession, path: str,
     """
     from pyspark.sql import functions as F
 
+    _refuse_oversized_segments(spark, path, recursive, pathGlobFilter)
     schema, parse = _warc_parser(recordTypes, httpOnly, payloadAsText)
     reader = (spark.read.format("binaryFile")
               .option("recursiveFileLookup", str(recursive).lower()))
@@ -312,6 +366,10 @@ def read_warc_stream(spark: SparkSession, path: str,
     """
     from pyspark.sql import functions as F
 
+    # files PRESENT at stream start get the fast, descriptive
+    # oversize check; later arrivals fail their micro-batch with the
+    # source's own error (module docstring segment-size contract)
+    _refuse_oversized_segments(spark, path, recursive, pathGlobFilter)
     schema, parse = _warc_parser(recordTypes, httpOnly, payloadAsText)
     reader = (spark.readStream.format("binaryFile")
               .schema("path string, modificationTime timestamp, "

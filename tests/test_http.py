@@ -353,3 +353,65 @@ def test_speech_sdk_chunked_transcription(spark):
     # the vendor slot is an explicit gate, not silent fallback
     with _pytest.raises(NotImplementedError, match="transport"):
         SpeechToTextSDK().transform(df)
+
+
+def test_custom_parsers_vectorized_parity(spark):
+    """CustomInputParser/CustomOutputParser accept a vectorized
+    callable (round-15 verdict note: keep hot HTTP pipelines on the
+    Arrow path instead of per-row pickling): the pandas-UDF path must
+    produce EXACTLY the rows the row-at-a-time hook produces — input
+    parser via the struct-return convention (Series -> DataFrame of
+    request fields), output parser via the struct-input convention
+    (DataFrame of response fields -> Series)."""
+    import pandas as pd
+
+    from mmlspark_spark.http import CustomInputParser, CustomOutputParser
+
+    df = spark.createDataFrame([("a",), ("bb",), ("ccc",)],
+                               "text string")
+
+    def row_in(v):
+        return {"method": "POST", "url": f"http://svc/{v}",
+                "headers": [{"name": "k", "value": v}],
+                "entity": v.encode()}
+
+    def vec_in(s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "method": ["POST"] * len(s),
+            "url": ("http://svc/" + s).tolist(),
+            "headers": [[{"name": "k", "value": v}] for v in s],
+            "entity": [v.encode() for v in s],
+        })
+
+    slow = CustomInputParser(inputCol="text", outputCol="request",
+                             udf=row_in).transform(df)
+    fast = CustomInputParser(inputCol="text", outputCol="request",
+                             udf=vec_in, vectorized=True).transform(df)
+    assert slow.schema == fast.schema
+    assert sorted(map(tuple, slow.collect())) \
+        == sorted(map(tuple, fast.collect()))
+
+    resp = (spark.createDataFrame(
+        [(200, b"hello"), (404, b"bye"), (503, b"later")],
+        "code int, body binary")
+        .select(F.struct(
+            F.col("code").alias("statusCode"),
+            F.lit("r").alias("reasonPhrase"),
+            F.array().cast(
+                "array<struct<name:string,value:string>>")
+            .alias("headers"),
+            F.col("body").alias("entity")).alias("response")))
+
+    def row_out(r):
+        return f"{r['statusCode']}:{bytes(r['entity']).decode()}"
+
+    def vec_out(pdf: pd.DataFrame) -> pd.Series:
+        return (pdf["statusCode"].astype(str) + ":"
+                + pdf["entity"].map(lambda b: bytes(b).decode()))
+
+    slow_o = CustomOutputParser(udf=row_out).transform(resp)
+    fast_o = CustomOutputParser(udf=vec_out,
+                                vectorized=True).transform(resp)
+    assert slow_o.schema == fast_o.schema
+    assert sorted(map(tuple, slow_o.collect())) \
+        == sorted(map(tuple, fast_o.collect()))

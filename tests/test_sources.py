@@ -352,6 +352,38 @@ def test_read_warc_plain_and_gzip_members(spark, tmp_path):
         == ["http://a.example/x", "http://b.example/y"]
 
 
+def test_read_warc_refuses_oversized_segment_fast(spark, tmp_path):
+    """The segment-size contract (round-16): a segment above the
+    2 GiB binaryFile cap fails at PLAN time with the offending file
+    named and split advice, instead of an opaque task-time JVM error.
+    The oversized file is sparse (truncate, no bytes written), so the
+    test costs nothing; a directory of in-bound segments passes the
+    pre-scan untouched."""
+    import pytest as _pytest
+
+    from mmlspark_spark.sources import read_warc
+    from mmlspark_spark.sources.warc import _refuse_oversized_segments
+
+    src = tmp_path / "oversized"
+    src.mkdir()
+    ok = src / "small.warc"
+    ok.write_bytes(b"WARC/1.0\r\n\r\n")
+    big = src / "huge.warc.gz"
+    with open(big, "wb") as fh:
+        fh.truncate((1 << 31) + 10)  # sparse: size without bytes
+
+    with _pytest.raises(ValueError, match="huge.warc.gz"):
+        read_warc(spark, str(src))
+    with _pytest.raises(ValueError, match="2 GiB"):
+        read_warc(spark, str(src))
+
+    big.unlink()
+    # in-bound segments pass the pre-scan (and the stream variant
+    # checks files present at start through the same helper)
+    _refuse_oversized_segments(spark, str(src), True, None)
+    assert read_warc(spark, str(src)).count() == 0  # header-only file
+
+
 def test_warc_round_trip(spark, tmp_path):
     """write_warc re-publishes curated rows as conformant WARC.gz
     ``resource`` records (bare-payload block, ISO 28500 §6.5 — NOT
