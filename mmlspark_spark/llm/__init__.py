@@ -40,7 +40,11 @@ from mmlspark_spark.llm.scrub import (
     redact_pii,
     strip_markup,
 )
-from mmlspark_spark.llm.index_common import compact_all, index_info
+from mmlspark_spark.llm.index_common import (
+    compact_all,
+    index_info,
+    repair_file_append,
+)
 from mmlspark_spark.llm.multimodal_dedup import (
     AudioFingerprintDeduplicator,
     ImageDHashDeduplicator,
@@ -73,6 +77,7 @@ __all__ = [
     "ExactDeduplicator",
     "compact_all",
     "index_info",
+    "repair_file_append",
     "IncrementalDeduplicator",
     "LineDeduplicator",
     "MinHashLSHDeduplicator",

@@ -28,12 +28,19 @@ from mmlspark_spark.functions.keys import content_hash128
 from mmlspark_spark.functions.text_quality import tokens, word_shingles
 from mmlspark_spark.llm.index_common import (
     _add_tombstones,
+    _begin_file_append,
+    _clear_append_markers,
     _clear_tombstones,
+    _commit_file_append,
     _compact_partitioned_store,
     _drop_tombstoned,
+    _file_append_committed,
+    _write_committed_marker,
     _parquet_row_count,
     _read_tombstones,
+    _refuse_save_over_torn_append,
     _refuse_tombstoned_append,
+    _refuse_torn_file_append,
     _replace_flat_store,
 )
 from mmlspark_spark.operators.scale import spread_narrow_scan as _spread_narrow_scan
@@ -386,6 +393,8 @@ class MinHashLSHDeduplicator(Transformer):
                 "bucket keys — use append_to_index for incremental "
                 "growth")
         spark = docs.sparkSession
+        _refuse_save_over_torn_append(
+            spark, path, "MinHashLSHDeduplicator.save_index")
         self.signatures(docs).write.mode(mode).parquet(
             f"{path}/signatures")
         sigs = spark.read.parquet(f"{path}/signatures")
@@ -403,6 +412,7 @@ class MinHashLSHDeduplicator(Transformer):
         # rows (a retry fixes it) instead of resurrecting taken-down
         # ids — the unsafe failure direction for takedowns
         _clear_tombstones(spark, path)
+        _clear_append_markers(spark, path)
 
     def _check_manifest(self, spark, path: str) -> None:
         """Refuse a hash-grid mismatch — shared by :meth:`load_index`
@@ -424,7 +434,8 @@ class MinHashLSHDeduplicator(Transformer):
                 f"this deduplicator has {mine} — signatures under a "
                 f"different hash grid are incomparable")
 
-    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+    def append_to_index(self, new_docs: DataFrame, path: str,
+                        batchId: int | None = None) -> None:
         """Grow the artifact: shingle ONLY the new documents and
         append their signatures and bucket keys. The hash grid is
         fixed by construction (seeded xxhash64), so matching against
@@ -434,11 +445,26 @@ class MinHashLSHDeduplicator(Transformer):
         silent garbage that load_index can no longer detect — and
         refuses ids with a pending tombstone (the appended rows would
         be masked at read time and deleted by the next compaction;
-        compact first, then re-append)."""
-        self._check_manifest(new_docs.sparkSession, path)
+        compact first, then re-append).
+
+        Crash-ordering invariant (shared file-append protocol,
+        index_common.py): the two store writes are bracketed by the
+        pending marker — a crash between them (signatures committed,
+        bucket keys absent: the doc LOOKS indexed but never matches)
+        leaves the marker, readers refuse, and
+        ``repair_file_append`` rolls back bit-exactly. ``batchId``
+        (streaming) commits to a replay-guard marker instead."""
+        spark = new_docs.sparkSession
+        _refuse_torn_file_append(
+            spark, path, "MinHashLSHDeduplicator.append_to_index")
+        if batchId is not None and _file_append_committed(
+                spark, path, batchId):
+            return  # replayed micro-batch: already fully committed
+        self._check_manifest(spark, path)
         _refuse_tombstoned_append(
             new_docs.select(F.col(self.idCol)), path, self.idCol,
             "MinHashLSHDeduplicator.append_to_index")
+        _begin_file_append(spark, path, batchId)
         sigs_new = persist_intermediate(self.signatures(new_docs))
         try:
             sigs_new.write.mode("append").parquet(f"{path}/signatures")
@@ -448,13 +474,17 @@ class MinHashLSHDeduplicator(Transformer):
              .write.mode("append").parquet(f"{path}/buckets"))
         finally:
             sigs_new.unpersist()
+        _commit_file_append(spark, path, batchId)
 
     def load_index(self, spark, path: str) -> dict:
         """Read a :meth:`save_index` artifact for
         :meth:`match_against_index`. Refuses a hash-grid mismatch —
         signatures hashed under a different shingleSize / numHashes /
         bands are incomparable, and a silent mismatch would report
-        est_jaccard garbage."""
+        est_jaccard garbage — and a torn append (see
+        ``repair_file_append``)."""
+        _refuse_torn_file_append(
+            spark, path, "MinHashLSHDeduplicator.load_index")
         self._check_manifest(spark, path)
         return {"signatures": spark.read.parquet(f"{path}/signatures"),
                 "buckets": spark.read.parquet(f"{path}/buckets"),
@@ -476,6 +506,8 @@ class MinHashLSHDeduplicator(Transformer):
         swap (never a half-written only copy), keeping save_index's
         bandhash-clustered bucket layout. Match results are identical
         before and after (pinned in tests). Returns docs removed."""
+        _refuse_torn_file_append(
+            spark, path, "MinHashLSHDeduplicator.compact_index")
         ts = _read_tombstones(spark, path)
         if ts is None:
             return 0
@@ -678,6 +710,8 @@ class FingerprintIndexMixin:
                 "save_index(mode='append') would rewrite the manifest "
                 "without checking the existing artifact — use "
                 "append_to_index for incremental growth")
+        _refuse_save_over_torn_append(
+            docs.sparkSession, path, f"{type(self).__name__}.save_index")
         self.fingerprints(docs).write.mode(mode).parquet(
             f"{path}/fingerprints")
         _fs_write_text(docs.sparkSession,
@@ -689,6 +723,7 @@ class FingerprintIndexMixin:
         # rows (a retry fixes it) instead of resurrecting taken-down
         # ids — the unsafe failure direction for takedowns
         _clear_tombstones(docs.sparkSession, path)
+        _clear_append_markers(docs.sparkSession, path)
 
     def _check_manifest(self, spark, path: str) -> None:
         """Refuse a cross-FAMILY artifact: every fingerprint family
@@ -709,7 +744,8 @@ class FingerprintIndexMixin:
                 f"this is a {type(self).__name__} — fingerprints from "
                 f"different families are incomparable")
 
-    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+    def append_to_index(self, new_docs: DataFrame, path: str,
+                        batchId: int | None = None) -> None:
         """Grow the artifact: fingerprint ONLY the new rows
         (map-side, shuffle-free) and append. Refuses a cross-family
         artifact (and a missing one — a typo'd path would otherwise
@@ -717,14 +753,27 @@ class FingerprintIndexMixin:
         time) and refuses ids with a pending tombstone (the appended
         rows would be masked at read time and deleted by the next
         compaction; compact first, then re-append)."""
-        self._check_manifest(new_docs.sparkSession, path)
+        spark = new_docs.sparkSession
+        _refuse_torn_file_append(
+            spark, path, f"{type(self).__name__}.append_to_index")
+        if batchId is not None and _file_append_committed(
+                spark, path, batchId):
+            return  # replayed micro-batch: already fully committed
+        self._check_manifest(spark, path)
         _refuse_tombstoned_append(
             new_docs.select(F.col(self.idCol)), path, self.idCol,
             f"{type(self).__name__}.append_to_index")
+        # single store, but the marker still matters: a crash MID-JOB
+        # can commit a partial part-file set on some stores, and the
+        # streaming topology needs the committed-marker replay guard
+        _begin_file_append(spark, path, batchId)
         self.fingerprints(new_docs).write.mode("append").parquet(
             f"{path}/fingerprints")
+        _commit_file_append(spark, path, batchId)
 
     def load_index(self, spark, path: str) -> dict:
+        _refuse_torn_file_append(
+            spark, path, f"{type(self).__name__}.load_index")
         self._check_manifest(spark, path)
         return {"fingerprints":
                 spark.read.parquet(f"{path}/fingerprints"),
@@ -742,6 +791,8 @@ class FingerprintIndexMixin:
         """Physically remove tombstoned fingerprints and clear the
         tombstone set, through the shared staging+rename swap (never
         a half-written only copy). Returns rows removed."""
+        _refuse_torn_file_append(
+            spark, path, f"{type(self).__name__}.compact_index")
         ts = _read_tombstones(spark, path)
         if ts is None:
             return 0
@@ -1267,6 +1318,8 @@ class EmbeddingDeduplicator(Transformer):
                 "save_index(mode='append') would rewrite the manifest "
                 "without checking the existing artifact's grid — use "
                 "append_to_index for incremental growth")
+        _refuse_save_over_torn_append(
+            docs.sparkSession, path, "EmbeddingDeduplicator.save_index")
         dim = vector_dim(docs, self.vecCol)
         self._write_index_rows(docs, path, dim, mode)
         _fs_write_text(docs.sparkSession,
@@ -1277,17 +1330,29 @@ class EmbeddingDeduplicator(Transformer):
         # rows (a retry fixes it) instead of resurrecting taken-down
         # ids — the unsafe failure direction for takedowns
         _clear_tombstones(docs.sparkSession, path)
+        _clear_append_markers(docs.sparkSession, path)
 
-    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+    def append_to_index(self, new_docs: DataFrame, path: str,
+                        batchId: int | None = None) -> None:
         """Grow the artifact: band ONLY the new vectors (the planes
         are fixed by the seed, so appended == fresh exactly). Refuses
-        a grid/dim mismatch, and refuses ids with a pending tombstone
-        (the appended rows would be masked at read time and deleted
-        by the next compaction; compact first, then re-append)."""
+        a grid/dim mismatch, ids with a pending tombstone (the
+        appended rows would be masked at read time and deleted by the
+        next compaction; compact first, then re-append), and a torn
+        prior append (shared file-append protocol, index_common.py —
+        a crash between the vectors and buckets writes would leave a
+        vector that never matches; ``repair_file_append`` rolls
+        back). ``batchId`` commits to the streaming replay guard."""
         from mmlspark_spark.functions.vector import vector_dim
 
+        spark = new_docs.sparkSession
         self._require_lsh("append_to_index")
-        man = self._check_manifest(new_docs.sparkSession, path)
+        _refuse_torn_file_append(
+            spark, path, "EmbeddingDeduplicator.append_to_index")
+        if batchId is not None and _file_append_committed(
+                spark, path, batchId):
+            return  # replayed micro-batch: already fully committed
+        man = self._check_manifest(spark, path)
         dim = vector_dim(new_docs, self.vecCol)
         if dim != man["dim"]:
             raise ValueError(
@@ -1296,10 +1361,14 @@ class EmbeddingDeduplicator(Transformer):
         _refuse_tombstoned_append(
             new_docs.select(F.col(self.idCol)), path, self.idCol,
             "EmbeddingDeduplicator.append_to_index")
+        _begin_file_append(spark, path, batchId)
         self._write_index_rows(new_docs, path, dim, "append")
+        _commit_file_append(spark, path, batchId)
 
     def load_index(self, spark, path: str) -> dict:
         self._require_lsh("load_index")
+        _refuse_torn_file_append(
+            spark, path, "EmbeddingDeduplicator.load_index")
         man = self._check_manifest(spark, path)
         return {"vectors": spark.read.parquet(f"{path}/vectors"),
                 "buckets": spark.read.parquet(f"{path}/buckets"),
@@ -1323,6 +1392,8 @@ class EmbeddingDeduplicator(Transformer):
         save_index's id-partitioned, (band, chunk)-sorted layout.
         Returns docs removed."""
         self._require_lsh("compact_index")
+        _refuse_torn_file_append(
+            spark, path, "EmbeddingDeduplicator.compact_index")
         ts = _read_tombstones(spark, path)
         if ts is None:
             return 0
@@ -1970,15 +2041,28 @@ class IncrementalDeduplicator(Transformer):
                 f"bloom words under different geometry are "
                 f"incomparable")
 
-    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+    def append_to_index(self, new_docs: DataFrame, path: str,
+                        batchId: int | None = None) -> None:
         """Grow the registry: hash ONLY the new documents, append
         their rows to the prefix-partitioned store, and OR their
         bloom words into the sidecar (bloom union is exact — the
         merged bitset equals a fresh build over the unioned corpus,
         pinned in tests). Refuses geometry mismatches and ids with a
         pending tombstone (the appended rows would be masked now and
-        deleted at the next compaction)."""
+        deleted at the next compaction).
+
+        No pending marker here, unlike the sibling families: the
+        bloom-FIRST write order is this append's own crash protocol
+        (a torn append leaves a safely over-approximating bloom and
+        no rows — a replay re-appends cleanly), and the registry's
+        drop semantics make replays self-healing. ``batchId`` still
+        stamps the committed replay-guard marker so the generic
+        streaming wrapper can skip a fully-committed batch without
+        re-screening."""
         spark = new_docs.sparkSession
+        if batchId is not None and _file_append_committed(
+                spark, path, batchId):
+            return  # replayed micro-batch: already fully committed
         self._check_manifest(spark, path)
         _refuse_tombstoned_append(
             new_docs.select(F.col(self.idCol)), path, self.idCol,
@@ -2003,6 +2087,8 @@ class IncrementalDeduplicator(Transformer):
             self._write_hash_rows(hn, path, "append")
         finally:
             hn.unpersist()
+        if batchId is not None:
+            _write_committed_marker(spark, path, batchId)
 
     def load_index(self, spark, path: str) -> dict:
         """Read a :meth:`save_index` artifact for

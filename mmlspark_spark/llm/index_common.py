@@ -138,6 +138,231 @@ def _refuse_tombstoned_append(new_ids: DataFrame, path: str,
             f"then re-append")
 
 
+# --------------------------------------------------------------------
+# Torn-append protocol for PURE FILE-ADD appends (round 16).
+#
+# Every near-dup family's append_to_index only ADDS part files to its
+# stores (signatures/buckets, fingerprints, vectors/buckets,
+# frames/sizes) — no global aggregate swaps (BM25, whose append also
+# refreshes dfreq/stats, carries its own bracketing in retrieval.py).
+# That makes one store-AGNOSTIC recovery possible: snapshot the
+# artifact's file tree into ``_append_pending.json`` before the first
+# write, remove the marker after the last, and roll a torn append back
+# by deleting every file (and directory) the snapshot has never seen.
+# A torn append otherwise leaves stores silently disagreeing — e.g.
+# MinHash signatures committed but bucket keys absent: the doc LOOKS
+# indexed yet never matches. Readers refuse a marked store instead.
+#
+# With ``batchId`` set (the streaming topologies), the marker commits
+# by renaming to ``_append_committed_<batchId>.json`` — the replay
+# guard that turns foreachBatch's at-least-once delivery into
+# exactly-once index growth (a replayed committed batch no-ops).
+#
+# Cost: one recursive listing per append (the snapshot) — milliseconds
+# on a filesystem, one LIST round per ~1000 files on an object store;
+# compaction keeps file counts bounded, and correctness of the
+# recovery path is worth a LIST.
+# --------------------------------------------------------------------
+
+_PENDING_MARKER = "_append_pending.json"
+
+
+def _snapshot_tree(fs, P, path: str) -> dict:
+    """{"files": [...], "dirs": [...]} of every entry under ``path``
+    (relative paths, recursive), excluding the append markers
+    themselves. The pre-append inventory the rollback diffs against."""
+    files, dirs = [], []
+    base = fs.makeQualified(P(path)).toString().rstrip("/")
+
+    def rel(st) -> str:
+        return st.getPath().toString()[len(base) + 1:]
+
+    def walk(p):
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("_append_"):
+                continue
+            if st.isFile():
+                files.append(rel(st))
+            else:
+                dirs.append(rel(st))
+                walk(st.getPath())
+
+    walk(P(path))
+    return {"files": sorted(files), "dirs": sorted(dirs)}
+
+
+def _begin_file_append(spark, path: str, batchId: int | None = None,
+                       bootstrap: bool = False) -> None:
+    """Write the pending marker (tree snapshot + batch identity)
+    BEFORE the append's first write. ``bootstrap=True`` marks a
+    first-batch save instead: its rollback deletes the half-written
+    artifact wholesale (the replayed batch re-bootstraps)."""
+    import json as _json
+
+    from mmlspark_spark.llm.export import _fs_write_text
+
+    fs, P = _hadoop_fs(spark, path)
+    snap = (None if bootstrap or not fs.exists(P(path))
+            else _snapshot_tree(fs, P, path))
+    _fs_write_text(
+        spark, f"{path}/{_PENDING_MARKER}",
+        _json.dumps({"batch_id": batchId, "bootstrap": bootstrap,
+                     "tree": snap, "version": 1}))
+
+
+def _commit_file_append(spark, path: str,
+                        batchId: int | None = None) -> None:
+    """Remove the pending marker (ad-hoc append) or atomically rename
+    it to the batch's committed marker (streaming replay guard),
+    pruning superseded committed markers."""
+    fs, P = _hadoop_fs(spark, path)
+    pending = P(f"{path}/{_PENDING_MARKER}")
+    if batchId is None:
+        fs.delete(pending, False)
+        return
+    name = f"_append_committed_{batchId}.json"
+    fs.delete(P(f"{path}/{name}"), False)
+    if not fs.rename(pending, P(f"{path}/{name}")):
+        raise IOError(
+            f"could not commit append marker for batch {batchId} at "
+            f"{path}")
+    for st in fs.listStatus(P(path)):
+        n = st.getPath().getName()
+        if n.startswith("_append_committed_") and n != name:
+            fs.delete(st.getPath(), False)
+
+
+def _write_committed_marker(spark, path: str, batchId: int) -> None:
+    """Directly stamp a batch's committed replay-guard marker (for
+    families whose append carries its OWN crash protocol — the exact
+    registry's bloom-first ordering — and therefore never writes a
+    pending marker to rename)."""
+    import json as _json
+
+    from mmlspark_spark.llm.export import _fs_write_text
+
+    name = f"_append_committed_{batchId}.json"
+    _fs_write_text(spark, f"{path}/{name}",
+                   _json.dumps({"batch_id": batchId, "version": 1}))
+    fs, P = _hadoop_fs(spark, path)
+    for st in fs.listStatus(P(path)):
+        n = st.getPath().getName()
+        if n.startswith("_append_committed_") and n != name:
+            fs.delete(st.getPath(), False)
+
+
+def _file_append_committed(spark, path: str, batchId: int) -> bool:
+    fs, P = _hadoop_fs(spark, path)
+    return fs.exists(P(f"{path}/_append_committed_{batchId}.json"))
+
+
+def _refuse_torn_file_append(spark, path: str, what: str) -> None:
+    """Refuse any read/mutate of an artifact whose last append tore
+    (the pending marker survives a crash mid-append, when the stores
+    may silently disagree — e.g. signatures without bucket keys)."""
+    fs, P = _hadoop_fs(spark, path)
+    if fs.exists(P(f"{path}/{_PENDING_MARKER}")):
+        raise ValueError(
+            f"{what}: index at {path} has a torn append (a crash "
+            f"landed between its store writes, so the stores may "
+            f"silently disagree) — run repair_file_append(spark, "
+            f"path) to roll the artifact back to the pre-append "
+            f"state bit-exactly, then re-append the batch, or "
+            f"rebuild with save_index")
+
+
+def _clear_append_markers(spark, path: str) -> None:
+    """Drop stale COMMITTED replay-guard markers (an overwrite save
+    starts the artifact's history over). Never touches a pending
+    marker — that may be the caller's own bootstrap bracket."""
+    fs, P = _hadoop_fs(spark, path)
+    if not fs.exists(P(path)):
+        return
+    for st in fs.listStatus(P(path)):
+        if st.getPath().getName().startswith("_append_committed_"):
+            fs.delete(st.getPath(), False)
+
+
+def _refuse_save_over_torn_append(spark, path: str, what: str) -> None:
+    """An overwrite save on top of a torn APPEND must repair first:
+    the save's own overwrite replaces store directories wholesale, so
+    a later ``repair_file_append`` (whose snapshot predates the save)
+    would gut the fresh artifact. A pending BOOTSTRAP marker passes —
+    it is the streaming wrapper's bracket around THIS save."""
+    import json as _json
+
+    from mmlspark_spark.llm.export import _fs_read_text
+
+    fs, P = _hadoop_fs(spark, path)
+    pend = f"{path}/{_PENDING_MARKER}"
+    if not fs.exists(P(pend)):
+        return
+    if _json.loads(_fs_read_text(spark, pend)).get("bootstrap"):
+        return
+    raise ValueError(
+        f"{what}: index at {path} has a torn append — run "
+        f"repair_file_append(spark, path) (BM25: repair_index) to "
+        f"roll it back bit-exactly BEFORE re-saving; saving over the "
+        f"torn state would leave a marker that later repairs would "
+        f"misread against the fresh artifact")
+
+
+def repair_file_append(spark, path: str) -> dict:
+    """Roll a TORN pure-file-add append back to the pre-append
+    artifact, bit-exactly: delete every file and directory the
+    marker's tree snapshot has never seen (append only ever ADDS
+    files, so the diff IS the torn batch plus any ``_temporary``
+    litter a killed write job left). A torn BOOTSTRAP instead deletes
+    the half-written artifact wholesale. Idempotent until it succeeds
+    (the marker is removed LAST). Returns
+    ``{"repaired", "files_removed", "batch_id"}``."""
+    import json as _json
+
+    from mmlspark_spark.llm.export import _fs_read_text
+
+    fs, P = _hadoop_fs(spark, path)
+    pending = f"{path}/{_PENDING_MARKER}"
+    if not fs.exists(P(pending)):
+        return {"repaired": False, "files_removed": 0,
+                "batch_id": None}
+    marker = _json.loads(_fs_read_text(spark, pending))
+    removed = 0
+    if marker.get("bootstrap") or marker.get("tree") is None:
+        for st in fs.listStatus(P(path)):
+            if st.getPath().getName().startswith("_append_"):
+                continue
+            fs.delete(st.getPath(), True)
+            removed += 1
+    else:
+        snap = marker["tree"]
+        keep_files = set(snap["files"])
+        keep_dirs = set(snap["dirs"])
+        current = _snapshot_tree(fs, P, path)
+        # alien directories (a store the torn append created, or
+        # _temporary litter inside an existing store) go wholesale —
+        # safe because a kept entry's parent chain is always kept
+        # (a pre-existing file cannot live inside a dir that did not
+        # exist), so an alien dir can only hold alien content; the
+        # nested-kept guard stays as a belt against a hand-edited
+        # marker
+        for d in current["dirs"]:
+            if d in keep_dirs:
+                continue
+            if any(kd.startswith(f"{d}/") for kd in keep_dirs) or \
+                    any(kf.startswith(f"{d}/") for kf in keep_files):
+                continue
+            if fs.delete(P(f"{path}/{d}"), True):
+                removed += 1
+        for f in current["files"]:
+            if f not in keep_files:
+                if fs.delete(P(f"{path}/{f}"), False):
+                    removed += 1
+    fs.delete(P(pending), False)
+    return {"repaired": True, "files_removed": removed,
+            "batch_id": marker.get("batch_id")}
+
+
 def _replace_flat_store(keep: DataFrame, store_path: str) -> None:
     """Rewrite a flat (non-partitioned) parquet store with ``keep``
     via staging + rename swap, so no failure point leaves the store's

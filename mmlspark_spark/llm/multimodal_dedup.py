@@ -61,10 +61,16 @@ from mmlspark_spark.llm.dedup import (
 )
 from mmlspark_spark.llm.index_common import (
     _add_tombstones,
+    _begin_file_append,
+    _clear_append_markers,
     _clear_tombstones,
+    _commit_file_append,
     _drop_tombstoned,
+    _file_append_committed,
     _read_tombstones,
+    _refuse_save_over_torn_append,
     _refuse_tombstoned_append,
+    _refuse_torn_file_append,
     _replace_flat_store,
 )
 
@@ -521,6 +527,8 @@ class VideoDHashDeduplicator(Transformer):
                 "save_index(mode='append') would rewrite the manifest "
                 "without checking the existing artifact — use "
                 "append_to_index for incremental growth")
+        _refuse_save_over_torn_append(
+            docs.sparkSession, path, "VideoDHashDeduplicator.save_index")
         self._write_index_rows(docs, path, mode)
         _fs_write_text(docs.sparkSession,
                        f"{path}/_video_index_manifest.json",
@@ -531,6 +539,7 @@ class VideoDHashDeduplicator(Transformer):
         # rows (a retry fixes it) instead of resurrecting taken-down
         # ids — the unsafe failure direction for takedowns
         _clear_tombstones(docs.sparkSession, path)
+        _clear_append_markers(docs.sparkSession, path)
 
     def _write_index_rows(self, docs: DataFrame, path: str,
                           mode: str) -> None:
@@ -572,19 +581,34 @@ class VideoDHashDeduplicator(Transformer):
                 f"video index at {path} was built by {fam}; this is "
                 f"a {type(self).__name__}")
 
-    def append_to_index(self, new_docs: DataFrame, path: str) -> None:
+    def append_to_index(self, new_docs: DataFrame, path: str,
+                        batchId: int | None = None) -> None:
         """Grow the artifact: frame-hash ONLY the new clips and append
-        to both stores. Refuses a missing/cross-family artifact and
-        ids with a pending tombstone (the appended rows would be
-        masked at read time and deleted by the next compaction;
-        compact first, then re-append)."""
-        self._check_manifest(new_docs.sparkSession, path)
+        to both stores. Refuses a missing/cross-family artifact, ids
+        with a pending tombstone (the appended rows would be masked at
+        read time and deleted by the next compaction; compact first,
+        then re-append), and a torn prior append (shared file-append
+        protocol, index_common.py — a crash between the frames and
+        sizes writes would break the containment denominator;
+        ``repair_file_append`` rolls back). ``batchId`` commits to
+        the streaming replay guard."""
+        spark = new_docs.sparkSession
+        _refuse_torn_file_append(
+            spark, path, "VideoDHashDeduplicator.append_to_index")
+        if batchId is not None and _file_append_committed(
+                spark, path, batchId):
+            return  # replayed micro-batch: already fully committed
+        self._check_manifest(spark, path)
         _refuse_tombstoned_append(
             new_docs.select(F.col(self.idCol)), path, self.idCol,
             "VideoDHashDeduplicator.append_to_index")
+        _begin_file_append(spark, path, batchId)
         self._write_index_rows(new_docs, path, "append")
+        _commit_file_append(spark, path, batchId)
 
     def load_index(self, spark, path: str) -> dict:
+        _refuse_torn_file_append(
+            spark, path, "VideoDHashDeduplicator.load_index")
         self._check_manifest(spark, path)
         return {"frames": spark.read.parquet(f"{path}/frames"),
                 "sizes": spark.read.parquet(f"{path}/sizes"),
@@ -602,6 +626,8 @@ class VideoDHashDeduplicator(Transformer):
         clear the tombstone set, through the shared staging+rename
         swap (never a half-written only copy); the frames rewrite
         keeps the fh-clustered layout. Returns docs removed."""
+        _refuse_torn_file_append(
+            spark, path, "VideoDHashDeduplicator.compact_index")
         ts = _read_tombstones(spark, path)
         if ts is None:
             return 0

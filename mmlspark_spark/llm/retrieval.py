@@ -368,6 +368,13 @@ class BM25Retriever:
                 "save_index(mode='append') would duplicate dfreq/"
                 "stats rows — use append_to_index for incremental "
                 "growth")
+        from mmlspark_spark.llm.index_common import (
+            _clear_append_markers,
+            _refuse_save_over_torn_append,
+        )
+
+        _refuse_save_over_torn_append(
+            docs.sparkSession, path, "BM25Retriever.save_index")
         pos = None
         post_src = None
         if positions:
@@ -422,6 +429,7 @@ class BM25Retriever:
         # rows (a retry fixes it) instead of resurrecting taken-down
         # ids — the unsafe failure direction for takedowns
         _clear_tombstones(docs.sparkSession, path)
+        _clear_append_markers(docs.sparkSession, path)
 
     def append_to_index(self, new_docs: DataFrame, path: str,
                         batchId: int | None = None) -> None:

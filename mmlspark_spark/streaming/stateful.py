@@ -196,12 +196,39 @@ def neardup_screen_foreach_batch(dedup, path: str, idCol: str,
         stream.writeStream.foreachBatch(screen).start()
     """
     from mmlspark_spark.core.cache import release_intermediates
-    from mmlspark_spark.llm.index_common import _hadoop_fs
+    from mmlspark_spark.llm.index_common import (
+        _begin_file_append,
+        _commit_file_append,
+        _file_append_committed,
+        _hadoop_fs,
+        repair_file_append,
+    )
+
+    def _bootstrapped(fs, P) -> bool:
+        # "index exists" must survive a rolled-back bootstrap (the
+        # repair leaves the directory holding only append markers)
+        if not fs.exists(P(path)):
+            return False
+        return any(not st.getPath().getName().startswith("_append_")
+                   for st in fs.listStatus(P(path)))
 
     def screen(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         fs, P = _hadoop_fs(spark, path)
-        if not fs.exists(P(path)):
+        # a pending marker means the PREVIOUS attempt at this very
+        # batch tore mid-append or mid-bootstrap (single-writer
+        # contract; foreachBatch replays the batch whose commit never
+        # reached the checkpoint): roll the artifact back bit-exactly
+        # and let the replay re-screen + re-append. Combined with the
+        # committed-marker skip below, at-least-once delivery becomes
+        # exactly-once index growth. A replayed FULLY-committed batch
+        # re-screens read-only against the grown index: its own rows
+        # only self-pair (excluded by every family), so re-delivered
+        # pairs may only ADD near-dup pairs BETWEEN same-batch
+        # survivors — the conservative direction for a dedup sink.
+        if fs.exists(P(f"{path}/_append_pending.json")):
+            repair_file_append(spark, path)
+        if not _bootstrapped(fs, P):
             # an EMPTY first batch must not bootstrap (mirrors the
             # registry topology): it would write an empty index and
             # flip all later batches onto the append path — and the
@@ -215,7 +242,12 @@ def neardup_screen_foreach_batch(dedup, path: str, idCol: str,
                     on_batch(batch_id,
                              spark.createDataFrame([], schema), batch_df)
                 return
+            # bracket the bootstrap like an append: a crash mid-save
+            # leaves the marker, repair wipes the half-bootstrap, the
+            # replayed batch re-bootstraps from nothing
+            _begin_file_append(spark, path, batch_id, bootstrap=True)
             dedup.save_index(batch_df, path)
+            _commit_file_append(spark, path, batch_id)
             if on_batch is not None:
                 # the bootstrap's empty pairs frame must carry the
                 # MATCH schema, not transform's: a verifyExact
@@ -245,9 +277,11 @@ def neardup_screen_foreach_batch(dedup, path: str, idCol: str,
         # a batch that is ALL duplicates appends nothing — and must
         # not reach the appender at all (the embedding family infers
         # its vector dim from the first row, which an empty frame
-        # cannot provide)
-        if appendSurvivors and survivors.limit(1).count():
-            dedup.append_to_index(survivors, path)
+        # cannot provide); a replayed COMMITTED batch never re-appends
+        if (appendSurvivors
+                and not _file_append_committed(spark, path, batch_id)
+                and survivors.limit(1).count()):
+            dedup.append_to_index(survivors, path, batchId=batch_id)
         if on_batch is not None:
             on_batch(batch_id, pairs, survivors)
 
@@ -331,7 +365,13 @@ def registry_ingest_foreach_batch(dedup, path: str, on_batch=None,
             survivors = raw.localCheckpoint()  # eager: see docstring
             release_intermediates(raw)
             if survivors.limit(1).count():
-                dedup.append_to_index(survivors, path)
+                # batchId stamps the committed replay-guard marker —
+                # a replayed committed batch then skips the append
+                # without re-paying the registry screen's writes (the
+                # re-screen already made replays CORRECT; the marker
+                # makes them cheap)
+                dedup.append_to_index(survivors, path,
+                                      batchId=batch_id)
         if on_batch is not None:
             on_batch(batch_id, survivors)
 

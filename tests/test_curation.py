@@ -2573,3 +2573,95 @@ def test_crawl_day_zero_pipeline_warc_to_registry(spark, tmp_path):
     assert {r["__id"] for r in stored.select("__id").collect()} == {
         "http://a.example/1", "http://b.example/2",
         "http://c.example/3"}
+
+
+def test_minhash_torn_append_refused_then_repaired(spark, tmp_path,
+                                                   monkeypatch):
+    """The generic file-append crash protocol (round 16, shared by
+    every near-dup family): kill a MinHash append BETWEEN the
+    signatures write and the buckets write — the doc would LOOK
+    indexed but never match. The pending marker survives, so
+    load/append/compact/save all REFUSE; repair_file_append rolls the
+    artifact back bit-exactly (file inventories restored), and the
+    batch then re-appends to the same result as an untorn append.
+    With batchId set, a replayed committed append no-ops."""
+    import os
+
+    import pytest as _pytest
+
+    from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+    from mmlspark_spark.llm.index_common import repair_file_append
+
+    base = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over the lazy dog "
+             f"variant {i % 3} " * 3) for i in range(12)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "a wholly new document about streams " * 4),
+         (101, "another new document about markers " * 4)],
+        "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(300, "a wholly new document about streams "
+               "a wholly new document about streams "
+               "a wholly new document about streams "
+               "a wholly new document about rivers ")],
+        "doc_id long, text string")
+
+    dd = MinHashLSHDeduplicator(shingleSize=3, numHashes=16, bands=8,
+                                threshold=0.3, maxBucketSize=None)
+    p = str(tmp_path / "mh_torn")
+    dd.save_index(base, p)
+    pre_files = {s: sorted(os.listdir(os.path.join(p, s)))
+                 for s in ("signatures", "buckets")}
+
+    def killed(self, sigs):
+        raise RuntimeError("injected crash between store writes")
+
+    real = MinHashLSHDeduplicator._banded
+    monkeypatch.setattr(MinHashLSHDeduplicator, "_banded", killed)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        dd.append_to_index(batch, p)
+    monkeypatch.setattr(MinHashLSHDeduplicator, "_banded", real)
+
+    # signatures gained files, buckets did not — and the marker shows
+    assert os.path.exists(os.path.join(p, "_append_pending.json"))
+    assert sorted(os.listdir(os.path.join(p, "signatures"))) \
+        != pre_files["signatures"]
+    assert sorted(os.listdir(os.path.join(p, "buckets"))) \
+        == pre_files["buckets"]
+
+    for op in (lambda: dd.load_index(spark, p),
+               lambda: dd.append_to_index(batch, p),
+               lambda: dd.compact_index(spark, p),
+               lambda: dd.save_index(base, p)):
+        with _pytest.raises(ValueError, match="torn append"):
+            op()
+
+    out = repair_file_append(spark, p)
+    assert out["repaired"] and out["files_removed"] > 0
+    for s, want in pre_files.items():
+        assert sorted(os.listdir(os.path.join(p, s))) == want
+
+    # the batch re-appends; the grown index matches the probe against
+    # the appended doc exactly as an untorn append would
+    dd.append_to_index(batch, p, batchId=7)
+    got = {(r.doc_a, r.doc_b) for r in dd.match_against_index(
+        dd.load_index(spark, p), probe).collect()}
+    assert (300, 100) in got
+
+    # replay of the committed batch no-ops (no duplicate store rows)
+    files_after = sorted(os.listdir(os.path.join(p, "signatures")))
+    dd.append_to_index(batch, p, batchId=7)
+    assert sorted(os.listdir(os.path.join(p, "signatures"))) \
+        == files_after
+    assert os.path.exists(
+        os.path.join(p, "_append_committed_7.json"))
+
+    # a fresh overwrite save resets the replay-guard markers
+    dd.save_index(base, p)
+    assert not os.path.exists(
+        os.path.join(p, "_append_committed_7.json"))
+
+    # repair on a healthy artifact is a no-op
+    assert repair_file_append(spark, p) == {
+        "repaired": False, "files_removed": 0, "batch_id": None}

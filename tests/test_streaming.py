@@ -867,6 +867,102 @@ def test_streaming_registry_ingest_empty_first_batch_defers_bootstrap(
     assert seen == [(0, 0), (1, 2), (2, 1)]
 
 
+def test_streaming_neardup_screen_survives_torn_append(
+        spark, tmp_path, monkeypatch):
+    """Crash-replay drill for the near-dup screen topology (the
+    generic file-append protocol): batch 1's first attempt is killed
+    between the signatures and buckets writes; the REPLAY repairs the
+    torn store bit-exactly and re-screens + re-appends; a further
+    replay of the committed batch re-screens read-only (no index
+    growth). A second drill tears the BOOTSTRAP save and shows the
+    replay rebuilds from nothing."""
+    import os
+
+    import pytest as _pytest
+
+    from mmlspark_spark.llm.dedup import MinHashLSHDeduplicator
+    from mmlspark_spark.streaming import neardup_screen_foreach_batch
+
+    b0 = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over the lazy dog "
+             f"variant {i % 3} " * 3) for i in range(10)],
+        "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(100, "a wholly new document about streams " * 4),
+         (101, "another new document about markers " * 4)],
+        "doc_id long, text string")
+
+    dd = MinHashLSHDeduplicator(shingleSize=3, numHashes=16, bands=8,
+                                threshold=0.3, maxBucketSize=None)
+    p = str(tmp_path / "screen_torn_idx")
+    seen = []
+    screen = neardup_screen_foreach_batch(
+        dd, p, "doc_id",
+        on_batch=lambda bid, pairs, ok: seen.append(
+            (bid, pairs.count(), ok.count())))
+
+    screen(b0, 0)
+    real = MinHashLSHDeduplicator._banded
+
+    # the screen's read-only MATCH also bands the batch (call 1);
+    # the kill must land inside the APPEND, after the signatures
+    # write (call 2) — the exact between-stores crash window
+    calls = {"n": 0}
+
+    def killed(self, sigs):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash between store writes")
+        return real(self, sigs)
+
+    monkeypatch.setattr(MinHashLSHDeduplicator, "_banded", killed)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        screen(b1, 1)
+    monkeypatch.setattr(MinHashLSHDeduplicator, "_banded", real)
+    assert os.path.exists(os.path.join(p, "_append_pending.json"))
+
+    screen(b1, 1)  # replay: repairs, re-screens, re-appends
+    sig_files = sorted(os.listdir(os.path.join(p, "signatures")))
+    screen(b1, 1)  # replay of committed batch: read-only re-screen
+    assert sorted(os.listdir(os.path.join(p, "signatures"))) \
+        == sig_files
+    assert os.path.exists(os.path.join(p, "_append_committed_1.json"))
+    # both novel docs survived each screen of batch 1; the committed
+    # replay re-screens against the grown index where they only
+    # self-pair (excluded), so counts repeat
+    assert seen == [(0, 0, 10), (1, 0, 2), (1, 0, 2)]
+    idx = dd.load_index(spark, p)
+    assert {r["__id"] for r in
+            idx["signatures"].select("__id").collect()} \
+        == set(range(10)) | {100, 101}
+
+    # --- torn-bootstrap drill: the manifest write (save's last step)
+    # is killed; the replay wipes the half-bootstrap and rebuilds
+    import mmlspark_spark.llm.export as export_mod
+
+    p2 = str(tmp_path / "screen_torn_boot")
+    screen2 = neardup_screen_foreach_batch(dd, p2, "doc_id")
+    real_write = export_mod._fs_write_text
+
+    def kill_manifest(spark_, path_, content):
+        if path_.endswith("_minhash_manifest.json"):
+            raise RuntimeError("injected crash during bootstrap")
+        return real_write(spark_, path_, content)
+
+    monkeypatch.setattr(export_mod, "_fs_write_text", kill_manifest)
+    with _pytest.raises(RuntimeError, match="during bootstrap"):
+        screen2(b0, 0)
+    monkeypatch.setattr(export_mod, "_fs_write_text", real_write)
+    assert os.path.exists(os.path.join(p2, "_append_pending.json"))
+
+    screen2(b0, 0)  # replay: wipes the half-bootstrap, re-saves
+    screen2(b1, 1)
+    idx2 = dd.load_index(spark, p2)
+    assert {r["__id"] for r in
+            idx2["signatures"].select("__id").collect()} \
+        == set(range(10)) | {100, 101}
+
+
 def test_streaming_screen_and_bm25_empty_first_batch_defers(
         spark, tmp_path):
     """The same empty-first-batch deferral for the OTHER two ingest
