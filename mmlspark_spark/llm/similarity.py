@@ -30,11 +30,17 @@ from mmlspark_spark.functions.vector import cosine_similarity, vector_dim
 # index in the engine (see index_common's module docstring).
 from mmlspark_spark.llm.index_common import (
     _add_tombstones,
+    _begin_file_append,
+    _clear_append_markers,
     _clear_tombstones,
+    _commit_file_append,
     _compact_partitioned_store,
     _drop_tombstoned,
+    _file_append_committed,
     _read_tombstones,
+    _refuse_save_over_torn_append,
     _refuse_tombstoned_append,
+    _refuse_torn_file_append,
     _replace_flat_store,
 )
 
@@ -407,6 +413,8 @@ class LSHKNN:
                 "save_index(mode='append') would rewrite the manifest "
                 "without checking the existing artifact's grid — use "
                 "append_to_index for incremental growth")
+        _refuse_save_over_torn_append(
+            data.sparkSession, path, "LSHKNN.save_index")
         dim = vector_dim(data, self.vecCol)
         self._write_index_rows(data, path, dim, mode)
         _fs_write_text(data.sparkSession, f"{path}/_lsh_manifest.json",
@@ -469,12 +477,20 @@ class LSHKNN:
                 f"— signatures from different grids are incomparable")
         return man
 
-    def append_to_index(self, new_data: DataFrame, path: str) -> None:
+    def append_to_index(self, new_data: DataFrame, path: str,
+                        batchId: int | None = None) -> None:
         """Grow the artifact: band ONLY the new vectors (the planes
         are fixed by seed+dim, so appended == fresh exactly — pinned
-        in tests). Refuses a grid/dim mismatch and ids with a pending
-        tombstone (compact first, then re-append)."""
-        man = self._check_manifest(new_data.sparkSession, path)
+        in tests). Refuses a grid/dim mismatch, ids with a pending
+        tombstone (compact first, then re-append), and a torn prior
+        append (``repair_file_append`` rolls back)."""
+        spark = new_data.sparkSession
+        _refuse_torn_file_append(spark, path,
+                                 "LSHKNN.append_to_index")
+        if batchId is not None and _file_append_committed(
+                spark, path, batchId):
+            return  # replayed micro-batch: already fully committed
+        man = self._check_manifest(spark, path)
         dim = vector_dim(new_data, self.vecCol)
         if int(man["dim"]) != dim:
             raise ValueError(
@@ -483,9 +499,16 @@ class LSHKNN:
         _refuse_tombstoned_append(
             new_data.select(F.col(self.idCol)), path, self.idCol,
             "LSHKNN.append_to_index")
+        # shared file-append bracket (index_common.py): a crash
+        # between the bands and vectors writes would leave a
+        # candidate with no vector (silently dropped by the verify
+        # join) or a vector that is never a candidate
+        _begin_file_append(spark, path, batchId)
         self._write_index_rows(new_data, path, dim, "append")
+        _commit_file_append(spark, path, batchId)
 
     def load_index(self, spark, path: str) -> dict:
+        _refuse_torn_file_append(spark, path, "LSHKNN.load_index")
         man = self._check_manifest(spark, path)
         return {"bands": spark.read.parquet(f"{path}/bands"),
                 "vectors": spark.read.parquet(f"{path}/vectors"),
@@ -501,6 +524,7 @@ class LSHKNN:
     def compact_index(self, spark, path: str) -> int:
         """Physically remove tombstoned rows from both stores through
         the shared staging+rename swap. Returns vectors removed."""
+        _refuse_torn_file_append(spark, path, "LSHKNN.compact_index")
         ts = _read_tombstones(spark, path)
         if ts is None:
             return 0
@@ -769,6 +793,8 @@ class IVFKNN:
 
         from mmlspark_spark.llm.export import _fs_write_text
 
+        _refuse_save_over_torn_append(
+            data.sparkSession, path, "IVFKNN.save_index")
         centroids.select(F.col(cellCol).alias("cell"),
                          F.col(centVecCol).alias("cvec")).write.mode(
             mode).parquet(f"{path}/centroids")
@@ -791,7 +817,8 @@ class IVFKNN:
             # ids — the unsafe failure direction for takedowns
             _clear_tombstones(spark, path)
 
-    def append_to_index(self, new_data: DataFrame, path: str) -> None:
+    def append_to_index(self, new_data: DataFrame, path: str,
+                        batchId: int | None = None) -> None:
         """Incrementally grow a :meth:`save_index` artifact: assign
         ONLY the new vectors against the stored centroids (map-side,
         one small job — the existing corpus is never touched or
@@ -805,18 +832,30 @@ class IVFKNN:
         which are refused (the appended rows would be masked at read
         time and deleted by the next compaction — silent data loss;
         compact first, then re-append)."""
+        spark = new_data.sparkSession
+        _refuse_torn_file_append(spark, path,
+                                 "IVFKNN.append_to_index")
+        if batchId is not None and _file_append_committed(
+                spark, path, batchId):
+            return  # replayed micro-batch: already fully committed
         _refuse_tombstoned_append(
             new_data.select(F.col(self.idCol)), path, self.idCol,
             "IVFKNN.append_to_index")
-        spark = new_data.sparkSession
+        # shared file-append bracket: one store, but a killed write
+        # job can commit a PARTIAL part-file set across the cell
+        # directories — the snapshot walk is recursive, so the
+        # rollback covers partitioned layouts too
+        _begin_file_append(spark, path, batchId)
         assigned = self.assign_corpus(
             new_data, spark.read.parquet(f"{path}/centroids"))
         (assigned.repartition(F.col("__cell"))
          .sortWithinPartitions("__cell", "d_id")
          .write.mode("append").partitionBy("__cell")
          .parquet(f"{path}/assigned"))
+        _commit_file_append(spark, path, batchId)
 
     def load_index(self, spark, path: str) -> dict:
+        _refuse_torn_file_append(spark, path, "IVFKNN.load_index")
         return {"assigned": spark.read.parquet(f"{path}/assigned"),
                 "centroids": spark.read.parquet(f"{path}/centroids"),
                 "tombstones": _read_tombstones(spark, path)}
@@ -840,6 +879,7 @@ class IVFKNN:
         Returns the number of affected cells. Search results are
         identical before and after compaction (pinned in tests);
         compaction is purely an I/O-reclaim operation."""
+        _refuse_torn_file_append(spark, path, "IVFKNN.compact_index")
         ts = _read_tombstones(spark, path)
         if ts is None:
             return 0
@@ -1491,6 +1531,8 @@ class PQKNN:
 
         dim = self._dim_of(data)
         spark = data.sparkSession
+        _refuse_save_over_torn_append(
+            spark, path, "save_ivfpq_index")
         centroids.select(F.col(cellCol).alias("cell"),
                          F.col(centVecCol).alias("cvec")).write.mode(
             mode).parquet(f"{path}/centroids")
@@ -1520,7 +1562,8 @@ class PQKNN:
             _clear_tombstones(spark, path)
 
     def append_to_ivfpq_index(self, new_data: DataFrame,
-                              path: str) -> None:
+                              path: str,
+                              batchId: int | None = None) -> None:
         """Incrementally grow a :meth:`save_ivfpq_index` artifact:
         assign + residual-encode ONLY the new vectors against the
         stored quantizers (the existing codes are never touched or
@@ -1544,6 +1587,10 @@ class PQKNN:
         from mmlspark_spark.llm.export import _fs_read_text
 
         spark = new_data.sparkSession
+        _refuse_torn_file_append(spark, path, "append_to_ivfpq_index")
+        if batchId is not None and _file_append_committed(
+                spark, path, batchId):
+            return  # replayed micro-batch: already fully committed
         man = _json.loads(
             _fs_read_text(spark, f"{path}/_ivfpq_manifest.json"))
         if man.get("M") != self.M:
@@ -1564,6 +1611,7 @@ class PQKNN:
         _refuse_tombstoned_append(
             new_data.select(F.col(self.idCol)), path, self.idCol,
             "append_to_ivfpq_index")
+        _begin_file_append(spark, path, batchId)
         codes = self.ivfpq_assign_encode(
             new_data, spark.read.parquet(f"{path}/centroids"),
             spark.read.parquet(f"{path}/codebooks"))
@@ -1571,6 +1619,7 @@ class PQKNN:
          .sortWithinPartitions("__cell", "d_id")
          .write.mode("append").partitionBy("__cell")
          .parquet(f"{path}/codes"))
+        _commit_file_append(spark, path, batchId)
 
     def load_ivfpq_index(self, spark, path: str) -> dict:
         """Read a :meth:`save_ivfpq_index` artifact for
@@ -1582,6 +1631,7 @@ class PQKNN:
 
         from mmlspark_spark.llm.export import _fs_read_text
 
+        _refuse_torn_file_append(spark, path, "load_ivfpq_index")
         man = _json.loads(
             _fs_read_text(spark, f"{path}/_ivfpq_manifest.json"))
         if man.get("M") != self.M:

@@ -1332,3 +1332,84 @@ def test_lsh_index_lifecycle(spark, tmp_path):
     lsh.delete_from_index(dead, p)
     lsh.save_index(data, p)  # overwrite clears stale tombstones
     assert lsh.load_index(spark, p)["tombstones"] is None
+
+
+def test_ivf_torn_append_repair_rolls_back_cell_directories(
+        spark, tmp_path):
+    """The shared file-append protocol on a PARTITIONED store: the
+    pending marker's tree snapshot is recursive, so a torn IVF append
+    — new files scattered across existing ``__cell=`` directories
+    plus possibly brand-new cell directories — rolls back to the
+    pre-append artifact exactly. Simulates the WORST torn state
+    (every appended file landed, the marker never committed) by
+    replaying append_to_index's write under a manually opened
+    bracket, then verifies refusal, repair, and search equality."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mmlspark_spark.llm.index_common import (
+        _begin_file_append,
+        repair_file_append,
+    )
+    from mmlspark_spark.llm.similarity import IVFKNN
+
+    rng = np.random.default_rng(41)
+    x = rng.normal(size=(150, 12))
+    base = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    extra = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(100, 150)],
+        "vec_id long, embedding array<double>")
+    q = base.filter("vec_id < 4")
+
+    ivf = IVFKNN(k=5, nlist=6, nProbe=3)
+    cent = ivf.fit_centroids_df(base)
+    p = str(tmp_path / "ivf_torn")
+    ivf.save_index(base, cent, p)
+    idx = ivf.load_index(spark, p)
+    pre = sorted(map(tuple, ivf.search_with_index(idx, q).collect()))
+
+    def tree(root):
+        out = []
+        for d, _dirs, files in os.walk(root):
+            for f in files:
+                if not f.startswith("_append_"):
+                    out.append(os.path.relpath(os.path.join(d, f),
+                                               root))
+        return sorted(out)
+
+    pre_tree = tree(p)
+
+    # torn state: bracket opened, the full append write landed, no
+    # commit (replays append_to_index's write verbatim)
+    _begin_file_append(spark, p)
+    assigned = ivf.assign_corpus(
+        extra, spark.read.parquet(f"{p}/centroids"))
+    (assigned.repartition(F.col("__cell"))
+     .sortWithinPartitions("__cell", "d_id")
+     .write.mode("append").partitionBy("__cell")
+     .parquet(f"{p}/assigned"))
+    assert tree(p) != pre_tree
+
+    with _pytest.raises(ValueError, match="torn append"):
+        ivf.load_index(spark, p)
+    with _pytest.raises(ValueError, match="torn append"):
+        ivf.append_to_index(extra, p)
+
+    out = repair_file_append(spark, p)
+    assert out["repaired"] and out["files_removed"] > 0
+    assert tree(p) == pre_tree
+    assert sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p), q).collect())) == pre
+
+    # and the real append still works afterwards, equal to fresh
+    ivf.append_to_index(extra, p)
+    grown = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p), q).collect()))
+    fresh = sorted(map(tuple, ivf.search_with_centroids(
+        base.unionByName(extra), q, cent).collect()))
+    assert grown == fresh
