@@ -319,8 +319,8 @@ def main() -> None:
     CAL_QUIET_REF = 0.48      # tpch_q6 steady-state sec, idle, sf0.1
     CAL_QUIET_REF_OLD = 0.30  # rounds 1-13 pin (faster host class)
     CAL_PYWORKER_REF = 0.55   # _pyworker_probe_once steady sec, idle
-    # round-16: best-of-12 read 0.63 s at load 4-7; pinned slightly
-    # below pending a quiet-host confirmation (BASELINE.md round-16)
+    # round-16: confirmed on a quiet host (scan_ratio 0.91 run read
+    # arrow_best 0.601; BASELINE.md round-16)
     CAL_ARROW_REF = 0.60      # _arrow_transfer_probe_once steady sec
     cal_samples = []
     pyw_samples: list[float] = []
