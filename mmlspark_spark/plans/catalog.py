@@ -49,7 +49,7 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 
 # Driver correctness-checks a window of the first 50 entries of
 # queries(). Round-16 priority, in order of evidence need (the
-# groups are annotated inline below): (a) the TWO new lanes —
+# groups are annotated inline below): (a) the THREE new lanes —
 # never-green oracled queries must be windowed (fairness lint);
 # (b) re-gates for the three lanes whose engine code materially
 # changed this round (BM25 append now brackets its four mutations
@@ -58,16 +58,17 @@ def register(name: str, oracle: str | None, headline: bool = False, tags: tuple 
 # screen wrapper gained the empty-first-batch deferral); (c) the 21
 # r12-green lanes the r15 window deferred, at exactly staleness
 # age 4 (the lint bound — the round-15 verdict's "r16 must-window
-# set"); (d) 24 of the 50 r13-green queries (age 3), taken in their
-# r13 window order. The r17 backlog is the 26 remaining r13-green
+# set"); (d) 23 of the 50 r13-green queries (age 3), taken in their
+# r13 window order. The r17 backlog is the 27 remaining r13-green
 # lanes (url_extract, vw_featurizer, anti_join,
 # broadcast_join_revenue, clean_missing, data_conversion,
 # domain_mix, embedding_stats, lang_stats, multi_ngram,
 # ngram_lm_score, page_splitter, pivot_status, quality_score,
 # rollup_counts, semi_join, sessionize, token_count,
 # top_k_per_group, tpch_q2, tpch_q4, tpch_q16, tpch_q19,
-# ts_featurize, value_indexer, window_hourly_agg — age 4 at the r17
-# check, the lint will force them) plus whatever r17 adds.
+# ts_featurize, unicode_normalize, value_indexer,
+# window_hourly_agg — age 4 at the r17 check, the lint will force
+# them) plus whatever r17 adds.
 # test_window_rotation_fairness mechanizes all of this: an oracled
 # query whose last driver green would fall more than 4 rounds stale
 # under the planned window fails the lint, as does a new oracled
@@ -76,8 +77,12 @@ _WINDOW_PRIORITY = (
     # (a) the NEW round-16 lanes: the APPEND boundary of the
     #     embedding and video stored-index lifecycles — with these
     #     every stored near-dup family has save/append/load/match
-    #     driver-gated (the append matrix is complete)
+    #     driver-gated (the append matrix is complete) — and the ANN
+    #     streaming-ingest topology (the vector sibling of
+    #     bm25_search_ingested, completing the ingest-topology
+    #     matrix: exact / near-dup / BM25 / ANN)
     "embedding_match_appended", "video_match_appended",
+    "knn_ivf_ingested",
     # (b) re-gates: lanes whose engine code changed this round
     "bm25_search_appended", "bm25_search_ingested",
     "minhash_screen_incremental",
@@ -90,8 +95,10 @@ _WINDOW_PRIORITY = (
     "knn_lsh", "knn_stage", "minhash_dedup",
     "partition_ops_identity", "tpch_q14", "tpch_q15", "tpch_q17",
     "tpch_q18", "tpch_q22",
-    # (d) 24 of the 50 r13-green queries (age 3), in r13 window
+    # (d) 23 of the 50 r13-green queries (age 3), in r13 window
     #     order so the r17 plan stays lint-clean mechanically
+    #     (unicode_normalize deferred to the r17 backlog to make
+    #     room for knn_ivf_ingested)
     "simhash_match_tombstoned", "embedding_match_tombstoned",
     "video_match_tombstoned", "knn_ivf_tombstoned",
     "knn_ivf_compacted", "bm25_search_compacted",
@@ -100,7 +107,7 @@ _WINDOW_PRIORITY = (
     "range_join", "select_project", "sequence_packing",
     "simhash_dedup", "stratified_repartition", "summarize_data",
     "tabular_shap_exact", "text_featurize_pipeline", "tpch_q9",
-    "tpch_q11", "udf_transformer", "unicode_normalize",
+    "tpch_q11", "udf_transformer",
 )
 # exactly 50 entries — the driver window size; a 51st would be
 # silently parked outside

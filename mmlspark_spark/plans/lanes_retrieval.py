@@ -695,6 +695,53 @@ def knn_ivf_appended(spark, sf_dir):
                       F.col("rank").alias("rk"))
 
 
+@register("knn_ivf_ingested", oracle=_knn_ivf_pretrained_oracle())
+def knn_ivf_ingested(spark, sf_dir):
+    """The ANN STREAMING-INGEST TOPOLOGY under the driver's hash gate
+    (round 16 — the vector sibling of bm25_search_ingested /
+    minhash_screen_incremental / exact_match_incremental, completing
+    the ingest-topology matrix): three deterministic micro-batches
+    flow through ``ann_ingest_foreach_batch`` exactly as a
+    ``writeStream.foreachBatch`` would deliver them — batch 0
+    bootstraps the cell-partitioned IVF store with the
+    bring-your-own quantizer (save_index; the quantizer is frozen at
+    bootstrap, the faiss operating model), batches 1-2 append (new
+    vectors assign against the STORED centroids map-side and land as
+    new files in their cell directories, through the torn-append
+    bracket per batch) — then the standard queries search the
+    stream-built artifact. The oracle is the plain fresh-build
+    replay over the full corpus: a hash match proves the
+    stream-built index == a nightly batch build bit-for-bit, through
+    the topology wrapper itself rather than direct append calls
+    (which knn_ivf_appended gates). The artifact directory is
+    removed up front so the bootstrap/append branch is deterministic
+    across driver reruns."""
+    import os
+
+    from mmlspark_spark.llm.index_common import _hadoop_fs
+    from mmlspark_spark.llm.similarity import IVFKNN
+    from mmlspark_spark.streaming import ann_ingest_foreach_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
+                 nlist=16, nProbe=4)
+    path = os.path.join(
+        "/tmp/mmlspark_spark_idx",
+        f"ivf_ing_{os.path.basename(sf_dir.rstrip('/'))}")
+    fs, P = _hadoop_fs(spark, path)
+    fs.delete(P(path), True)
+    ingest = ann_ingest_foreach_batch(ivf, path, centroids=cent)
+    for b in range(3):
+        ingest(emb.filter(F.col("vec_id") % 3 == b), b)
+    out = ivf.search_with_index(ivf.load_index(spark, path), q)
+    return out.select("query_id", "neighbor_id",
+                      F.round("sim", 6).alias("sim"),
+                      F.col("rank").alias("rk"))
+
+
 def _ivf_stored_lane(spark, sf_dir, suffix: str, dead_mod: int,
                      compact: bool):
     """Shared body of the two stored-IVF delete lanes: save the

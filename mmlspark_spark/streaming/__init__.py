@@ -17,6 +17,7 @@ from mmlspark_spark.streaming.serving import (
     serving_sink,
 )
 from mmlspark_spark.streaming.stateful import (
+    ann_ingest_foreach_batch,
     bm25_ingest_foreach_batch,
     neardup_screen_foreach_batch,
     registry_ingest_foreach_batch,
@@ -27,6 +28,7 @@ from mmlspark_spark.streaming.stateful import (
 __all__ = [
     "REQUEST_SCHEMA", "HTTPServingDataSource", "register_serving_source",
     "make_reply", "reply_batch", "serving_sink", "DistributedHTTPServer",
+    "ann_ingest_foreach_batch",
     "bm25_ingest_foreach_batch",
     "neardup_screen_foreach_batch",
     "registry_ingest_foreach_batch",

@@ -461,3 +461,102 @@ def bm25_ingest_foreach_batch(retriever, path: str,
             on_batch(batch_id, batch_df.count())
 
     return ingest
+
+
+def ann_ingest_foreach_batch(knn, path: str, centroids=None,
+                             on_batch=None):
+    """Streaming VECTOR-INDEX ingest as one ``foreachBatch``
+    callable — the similarity-family sibling of
+    :func:`bm25_ingest_foreach_batch`, completing the ingest-topology
+    matrix (exact registry / near-dup screen / BM25 / ANN): the first
+    non-empty micro-batch bootstraps the stored index
+    (``save_index``), every later batch appends incrementally
+    (``append_to_index`` — new vectors band or cell-assign map-side
+    against the FROZEN grid/quantizer; the existing corpus is never
+    re-read), so searching the stream-built artifact equals a fresh
+    build over everything ingested exactly (the families' pinned
+    append contract, here pinned end-to-end through the wrapper).
+
+    Works with any family exposing ``save_index / append_to_index /
+    load_index`` over a single artifact directory:
+
+    - :class:`~mmlspark_spark.llm.similarity.IVFKNN` — pass
+      ``centroids`` (a ``(cell, cvec)`` frame) for the
+      bring-your-own-quantizer production shape, or leave it None to
+      fit the coarse quantizer ON THE FIRST BATCH
+      (``fit_centroids_df`` — deterministic hash-ranked seeding).
+      Either way the quantizer is fixed at bootstrap, the faiss
+      operating model: inverted lists grow, the quantizer never
+      drifts mid-stream.
+    - :class:`~mmlspark_spark.llm.similarity.LSHKNN` — no centroids
+      (the plane grid is fixed by seed+dim); grid/dim mismatches are
+      refused by the family's own manifest check.
+
+    ``on_batch(batch_id, n_vectors)`` reports progress.
+
+    Restart safety (exactly-once index growth over foreachBatch's
+    at-least-once delivery, single writer per index path): appends
+    bracket themselves with the family's pending/committed markers —
+    a replayed batch whose previous attempt TORE is rolled back
+    bit-exactly (``repair_file_append``) and re-appended, one whose
+    previous attempt fully committed no-ops; the bootstrap is
+    bracketed the same way, so a crash mid-save is wiped wholesale
+    and rebuilt on replay (crash drills pinned in tests, same shape
+    as the BM25/near-dup topologies).
+
+    Per-batch cost: O(batch) assignment + new files in the store —
+    never a function of index size (the 100x append probes; for the
+    streaming wrappers themselves, the sf1 topology anchor).
+    Compose with :func:`neardup_screen_foreach_batch` upstream to
+    index only dedup survivors; deletes/compaction run out-of-band
+    via the family's tombstone lanes.
+    """
+    from mmlspark_spark.llm.index_common import (
+        _begin_file_append,
+        _commit_file_append,
+        _hadoop_fs,
+        repair_file_append,
+    )
+
+    def _bootstrapped(fs, P) -> bool:
+        # "index exists" must survive a rolled-back bootstrap (the
+        # repair leaves only append markers behind)
+        if not fs.exists(P(path)):
+            return False
+        return any(not st.getPath().getName().startswith("_append_")
+                   for st in fs.listStatus(P(path)))
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, P = _hadoop_fs(spark, path)
+        # pending marker == the PREVIOUS attempt at this very batch
+        # tore mid-append or mid-bootstrap (single-writer contract):
+        # roll back bit-exactly, let the replay redo the batch
+        if fs.exists(P(f"{path}/_append_pending.json")):
+            repair_file_append(spark, path)
+        if not _bootstrapped(fs, P):
+            # defer bootstrap past an empty first batch (all four
+            # topologies share this): an empty save would crash
+            # vector-dim inference from the first row, and a
+            # first-batch centroid fit over zero vectors is undefined
+            if not batch_df.limit(1).count():
+                if on_batch is not None:
+                    on_batch(batch_id, 0)
+                return
+            _begin_file_append(spark, path, batch_id, bootstrap=True)
+            if centroids is not None:
+                knn.save_index(batch_df, centroids, path)
+            elif hasattr(knn, "fit_centroids_df"):
+                knn.save_index(batch_df,
+                               knn.fit_centroids_df(batch_df), path)
+            else:
+                knn.save_index(batch_df, path)
+            _commit_file_append(spark, path, batch_id)
+        else:
+            # append_to_index brackets itself and no-ops on the
+            # batch's committed marker (replay of a committed batch)
+            knn.append_to_index(batch_df, path, batchId=batch_id)
+        if on_batch is not None:
+            on_batch(batch_id, batch_df.count())
+
+    return ingest

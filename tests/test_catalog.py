@@ -75,6 +75,7 @@ ALLOWED_LINT = {
     # expansion remains; the corpus side is the cell-pruned stored scan
     "knn_ivf_tombstoned": {"BroadcastNestedLoopJoin"},
     "knn_ivf_appended": {"BroadcastNestedLoopJoin"},
+    "knn_ivf_ingested": {"BroadcastNestedLoopJoin"},
     "knn_ivf_compacted": {"BroadcastNestedLoopJoin"},
     # one-row broadcast frames: the totals row inside fit and the
     # length-B log-ratio array row attached before map-side scoring

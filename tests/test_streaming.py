@@ -1090,3 +1090,223 @@ def test_streaming_crawl_to_index_pipeline(spark, tmp_path):
     assert seen[1]["kept"] == {"http://x.example/3"}
     sigs = spark.read.parquet(f"{idx_path}/signatures")
     assert sigs.select("__id").distinct().count() == 3
+
+
+def _ann_vecs(n, dim=8, seed=7, start=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [(start + i, [float(x) for x in rng.normal(size=dim)])
+            for i in range(n)]
+
+
+def test_streaming_ann_ingest_equals_batch_build(spark, tmp_path):
+    """ann_ingest_foreach_batch (IVF, bring-your-own quantizer):
+    three micro-batches of vectors stream into a cell-partitioned
+    IVF store through a real Structured Streaming foreachBatch run —
+    batch 0 bootstraps (save_index with the passed centroids),
+    batches 1-2 append (assign against the STORED centroids, new
+    files only) — then searching the stream-built artifact must
+    equal a fresh batch build over everything ingested with the same
+    quantizer (the append contract, pinned end-to-end through the
+    topology wrapper)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from mmlspark_spark.llm.similarity import IVFKNN
+    from mmlspark_spark.streaming import ann_ingest_foreach_batch
+
+    dim = 8
+    all_rows = _ann_vecs(30, dim=dim)
+    batches = [all_rows[:12], all_rows[12:22], all_rows[22:]]
+    src = tmp_path / "ann_src"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(
+            _json.dumps({"vec_id": vid, "embedding": v})
+            for vid, v in rows))
+        _os.utime(f, (now + i, now + i))
+
+    ivf = IVFKNN(idCol="vec_id", vecCol="embedding", k=5,
+                 nlist=4, nProbe=2)
+    cent = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(all_rows[:4])],
+        "cell int, cvec array<double>")
+    p = str(tmp_path / "ann_idx")
+    seen = []
+    ingest = ann_ingest_foreach_batch(
+        ivf, p, centroids=cent,
+        on_batch=lambda bid, n: seen.append((bid, n)))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = (stream.writeStream.foreachBatch(ingest)
+         .option("checkpointLocation", str(tmp_path / "ann_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen == [(0, 12), (1, 10), (2, 8)]
+
+    queries = spark.createDataFrame(all_rows[:3],
+                                    "vec_id long, embedding array<double>")
+    streamed = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p), queries).collect()))
+
+    p2 = str(tmp_path / "ann_fresh")
+    union = spark.createDataFrame(all_rows,
+                                  "vec_id long, embedding array<double>")
+    ivf.save_index(union, cent, p2)
+    fresh = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p2), queries).collect()))
+    assert streamed == fresh and len(streamed) > 0
+
+
+def test_streaming_ann_ingest_lsh_and_first_batch_fit(spark, tmp_path):
+    """The wrapper's other two bootstrap shapes, driven directly
+    (foreachBatch callables take plain DataFrames): (a) LSHKNN — no
+    centroids, the plane grid is fixed by seed+dim, stream-built ==
+    fresh; (b) IVF with centroids=None — the coarse quantizer is fit
+    ON THE FIRST BATCH (fit_centroids_df) and frozen, so the fresh
+    comparison uses the first batch's quantizer too. An empty FIRST
+    batch defers the bootstrap (no artifact, no crash on vector-dim
+    inference) and the next non-empty batch bootstraps."""
+    from mmlspark_spark.llm.similarity import IVFKNN, LSHKNN
+    from mmlspark_spark.streaming import ann_ingest_foreach_batch
+
+    dim = 8
+    all_rows = _ann_vecs(24, dim=dim)
+    schema = "vec_id long, embedding array<double>"
+    b = [spark.createDataFrame(all_rows[:10], schema),
+         spark.createDataFrame(all_rows[10:18], schema),
+         spark.createDataFrame(all_rows[18:], schema)]
+    union = spark.createDataFrame(all_rows, schema)
+    queries = spark.createDataFrame(all_rows[:3], schema)
+    empty = spark.createDataFrame([], schema)
+
+    # (a) LSH: flat save_index(batch, path) branch
+    lsh = LSHKNN(idCol="vec_id", vecCol="embedding", k=5,
+                 numPlanes=8, bands=4, seed=11)
+    p = str(tmp_path / "lsh_stream")
+    seen = []
+    ingest = ann_ingest_foreach_batch(
+        lsh, p, on_batch=lambda bid, n: seen.append((bid, n)))
+    ingest(empty, 0)          # empty first batch: bootstrap deferred
+    import os
+    assert not os.path.exists(p)
+    for i, batch in enumerate(b, start=1):
+        ingest(batch, i)
+    assert seen == [(0, 0), (1, 10), (2, 8), (3, 6)]
+    p2 = str(tmp_path / "lsh_fresh")
+    lsh.save_index(union, p2)
+    assert (sorted(map(tuple, lsh.search_with_index(
+                lsh.load_index(spark, p), queries).collect()))
+            == sorted(map(tuple, lsh.search_with_index(
+                lsh.load_index(spark, p2), queries).collect())))
+
+    # (b) IVF, centroids=None: quantizer fit on the FIRST batch
+    ivf = IVFKNN(idCol="vec_id", vecCol="embedding", k=5,
+                 nlist=4, nProbe=2)
+    p3 = str(tmp_path / "ivf_fit_stream")
+    ingest3 = ann_ingest_foreach_batch(ivf, p3)
+    for i, batch in enumerate(b):
+        ingest3(batch, i)
+    p4 = str(tmp_path / "ivf_fit_fresh")
+    ivf.save_index(union, ivf.fit_centroids_df(b[0]), p4)
+    got = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p3), queries).collect()))
+    assert got == sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p4), queries).collect()))
+    assert len(got) > 0
+
+
+def test_streaming_ann_ingest_survives_torn_append(
+        spark, tmp_path, monkeypatch):
+    """Crash-replay drill for the ANN ingest topology (same shape as
+    the BM25/near-dup drills): batch 1's first attempt is killed
+    AFTER its cell files are written but before the commit rename —
+    the replay repairs the torn store (deletes every file the
+    snapshot never saw, cell directories included) and re-appends; a
+    further replay of the committed batch no-ops inside
+    append_to_index. A second drill kills the BOOTSTRAP's manifest
+    write and shows the replay wipes the half-artifact wholesale and
+    re-bootstraps. Final index == fresh build both times."""
+    import os
+
+    import pytest as _pytest
+
+    import mmlspark_spark.llm.export as export_mod
+    import mmlspark_spark.llm.similarity as sim_mod
+    from mmlspark_spark.llm.similarity import IVFKNN
+    from mmlspark_spark.streaming import ann_ingest_foreach_batch
+
+    dim = 8
+    all_rows = _ann_vecs(20, dim=dim)
+    schema = "vec_id long, embedding array<double>"
+    b0 = spark.createDataFrame(all_rows[:12], schema)
+    b1 = spark.createDataFrame(all_rows[12:], schema)
+    union = spark.createDataFrame(all_rows, schema)
+    queries = spark.createDataFrame(all_rows[:3], schema)
+    cent = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(all_rows[:4])],
+        "cell int, cvec array<double>")
+    ivf = IVFKNN(idCol="vec_id", vecCol="embedding", k=5,
+                 nlist=4, nProbe=2)
+
+    # --- torn APPEND drill
+    p = str(tmp_path / "ann_torn_idx")
+    ingest = ann_ingest_foreach_batch(ivf, p, centroids=cent)
+    ingest(b0, 0)
+    real_commit = sim_mod._commit_file_append
+
+    def killed(spark_, path_, batchId=None):
+        raise RuntimeError("injected crash before the append commit")
+
+    monkeypatch.setattr(sim_mod, "_commit_file_append", killed)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ingest(b1, 1)
+    monkeypatch.setattr(sim_mod, "_commit_file_append", real_commit)
+    assert os.path.exists(os.path.join(p, "_append_pending.json"))
+
+    ingest(b1, 1)  # replay: repairs the torn store, re-appends
+    ingest(b1, 1)  # replay of the committed batch: no-op growth
+    assert os.path.exists(os.path.join(p, "_append_committed_1.json"))
+
+    p2 = str(tmp_path / "ann_torn_fresh")
+    ivf.save_index(union, cent, p2)
+    streamed = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p), queries).collect()))
+    assert streamed == sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p2), queries).collect()))
+    assert len(streamed) > 0
+
+    # --- torn BOOTSTRAP drill: the manifest write (save_index's
+    # last step before tombstone clearing) is killed; the pending
+    # BOOTSTRAP marker survives, the replay wipes and re-bootstraps
+    p3 = str(tmp_path / "ann_torn_boot")
+    ingest3 = ann_ingest_foreach_batch(ivf, p3, centroids=cent)
+    real_write = export_mod._fs_write_text
+
+    def kill_manifest(spark_, path_, content):
+        if "_ivf_manifest" in path_:
+            raise RuntimeError("injected crash in bootstrap")
+        return real_write(spark_, path_, content)
+
+    monkeypatch.setattr(export_mod, "_fs_write_text", kill_manifest)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ingest3(b0, 0)
+    monkeypatch.setattr(export_mod, "_fs_write_text", real_write)
+    assert os.path.exists(os.path.join(p3, "_append_pending.json"))
+
+    ingest3(b0, 0)  # replay: wipes the half-bootstrap, rebuilds
+    ingest3(b1, 1)
+    p4 = str(tmp_path / "ann_boot_fresh")
+    ivf.save_index(union, cent, p4)
+    got = sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p3), queries).collect()))
+    assert got == sorted(map(tuple, ivf.search_with_index(
+        ivf.load_index(spark, p4), queries).collect()))
