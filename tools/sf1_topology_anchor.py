@@ -15,6 +15,9 @@ round-robin batches, timing every batch:
   stored index, survivors append)
 - bm25_ingest      — BM25 incremental index build (delta-sized dfreq
   merge per batch)
+- ann_ingest       — IVF vector-index growth over the embeddings
+  table (quantizer frozen at bootstrap, appends assign map-side
+  against the stored centroids)
 
 Run on a QUIET host (same discipline as bench.py):
 
@@ -52,7 +55,9 @@ def main() -> None:
         MinHashLSHDeduplicator,
     )
     from mmlspark_spark.llm.index_common import _hadoop_fs
+    from mmlspark_spark.llm.similarity import IVFKNN
     from mmlspark_spark.streaming import (
+        ann_ingest_foreach_batch,
         bm25_ingest_foreach_batch,
         neardup_screen_foreach_batch,
         registry_ingest_foreach_batch,
@@ -62,30 +67,44 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, a.sf_dir, "documents").select(
         "doc_id", "text")
+    emb = load_table(spark, a.sf_dir, "embeddings").select(
+        "vec_id", "embedding")
     n = docs.count()
+    n_vec = emb.count()
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cvec"))
 
+    # (source frame, id column, wrapper factory) per topology
     topologies = {
-        "registry_ingest": lambda p: registry_ingest_foreach_batch(
+        "registry_ingest": (docs, "doc_id",
+                            lambda p: registry_ingest_foreach_batch(
             IncrementalDeduplicator(keyCols=("text",),
-                                    idCol="doc_id"), p),
-        "neardup_screen": lambda p: neardup_screen_foreach_batch(
+                                    idCol="doc_id"), p)),
+        "neardup_screen": (docs, "doc_id",
+                           lambda p: neardup_screen_foreach_batch(
             MinHashLSHDeduplicator(idCol="doc_id", textCol="text",
                                    shingleSize=5, numHashes=32,
                                    bands=16, threshold=0.2),
-            p, "doc_id"),
-        "bm25_ingest": lambda p: bm25_ingest_foreach_batch(
-            BM25Retriever(), p),
+            p, "doc_id")),
+        "bm25_ingest": (docs, "doc_id",
+                        lambda p: bm25_ingest_foreach_batch(
+            BM25Retriever(), p)),
+        "ann_ingest": (emb, "vec_id",
+                       lambda p: ann_ingest_foreach_batch(
+            IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
+                   nlist=16, nProbe=4), p, centroids=cent)),
     }
     results = {}
-    for name, make in topologies.items():
+    for name, (src, id_col, make) in topologies.items():
         p = os.path.join(a.out_root, name)
         fs, P = _hadoop_fs(spark, p)
         fs.delete(P(p), True)
         fn = make(p)
         times = []
         for b in range(a.batches):
-            batch = docs.filter(
-                F.pmod(F.col("doc_id"), F.lit(a.batches)) == b)
+            batch = src.filter(
+                F.pmod(F.col(id_col), F.lit(a.batches)) == b)
             t0 = time.time()
             fn(batch, b)
             times.append(round(time.time() - t0, 3))
@@ -93,7 +112,8 @@ def main() -> None:
                          "total_sec": round(sum(times), 3)}
         print(json.dumps({name: results[name]}), flush=True)
     print(json.dumps({"sf_dir": a.sf_dir, "docs": n,
-                      "batches": a.batches, "results": results}))
+                      "vectors": n_vec, "batches": a.batches,
+                      "results": results}))
 
 
 if __name__ == "__main__":
