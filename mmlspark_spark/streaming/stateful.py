@@ -553,6 +553,16 @@ def ann_ingest_foreach_batch(knn, path: str, centroids=None,
                 knn.save_index(batch_df, path)
             _commit_file_append(spark, path, batch_id)
         else:
+            # an EMPTY append batch must not reach the appender: the
+            # LSH family infers the vector dim from the first row,
+            # which an empty frame cannot provide (the near-dup
+            # screen wrapper's survivors guard, same reason) — and
+            # skipping before any marker write keeps the no-op
+            # replayable for free
+            if not batch_df.limit(1).count():
+                if on_batch is not None:
+                    on_batch(batch_id, 0)
+                return
             # append_to_index brackets itself and no-ops on the
             # batch's committed marker (replay of a committed batch)
             knn.append_to_index(batch_df, path, batchId=batch_id)

@@ -1174,7 +1174,8 @@ def test_streaming_ann_ingest_lsh_and_first_batch_fit(spark, tmp_path):
     ON THE FIRST BATCH (fit_centroids_df) and frozen, so the fresh
     comparison uses the first batch's quantizer too. An empty FIRST
     batch defers the bootstrap (no artifact, no crash on vector-dim
-    inference) and the next non-empty batch bootstraps."""
+    inference) and the next non-empty batch bootstraps; an empty
+    APPEND batch is skipped the same way."""
     from mmlspark_spark.llm.similarity import IVFKNN, LSHKNN
     from mmlspark_spark.streaming import ann_ingest_foreach_batch
 
@@ -1198,9 +1199,12 @@ def test_streaming_ann_ingest_lsh_and_first_batch_fit(spark, tmp_path):
     ingest(empty, 0)          # empty first batch: bootstrap deferred
     import os
     assert not os.path.exists(p)
-    for i, batch in enumerate(b, start=1):
-        ingest(batch, i)
-    assert seen == [(0, 0), (1, 10), (2, 8), (3, 6)]
+    ingest(b[0], 1)
+    ingest(empty, 2)          # empty APPEND batch: skipped, no
+    #                           vector-dim inference crash
+    ingest(b[1], 3)
+    ingest(b[2], 4)
+    assert seen == [(0, 0), (1, 10), (2, 0), (3, 8), (4, 6)]
     p2 = str(tmp_path / "lsh_fresh")
     lsh.save_index(union, p2)
     assert (sorted(map(tuple, lsh.search_with_index(

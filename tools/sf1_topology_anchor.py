@@ -1,4 +1,4 @@
-"""One-shot sf1 anchor for the three foreachBatch ingest topologies
+"""One-shot sf1 anchor for the foreachBatch ingest topologies
 (round-16 verdict item 5): the 100x probes cover stored-index SEARCH
 and APPEND cost growth, and the sf1 headline anchor covers the batch
 query lanes — this tool anchors the STREAMING INGEST wrappers
