@@ -124,7 +124,8 @@ def indexed_probe(spark, factor: int, dst: str) -> dict:
         "minhash_match_from_index": {},
         "exact_match_from_index": {},
         "bm25_append_to_index": {},
-        "exact_registry_ingest": {}}
+        "exact_registry_ingest": {},
+        "ivf_append_to_index": {}}
     for tag, d in (("sf0.1", SRC), (big_tag, dst)):
         emb = (spark.read.parquet(f"{d}/embeddings.parquet")
                .select("vec_id",
@@ -279,6 +280,35 @@ def indexed_probe(spark, factor: int, dst: str) -> dict:
             t = _time.time() - t0
             cur = out["exact_registry_ingest"].get(tag)
             out["exact_registry_ingest"][tag] = (
+                t if cur is None else min(cur, t))
+        # round-16 ANN append probe (the lane knn_ivf_ingested and
+        # ann_ingest_foreach_batch gate at sf0.01/sf1): append a
+        # fixed 200-vector batch to the stored cell-partitioned IVF
+        # index — assignment is one map-side matmul against the 8
+        # stored centroids and the write only ADDS files to the
+        # touched cell directories, so the cost must track the
+        # BATCH, never the grown inverted lists. Store saved untimed
+        # per run (index-once/append-many, same shape as the other
+        # lanes); unique ids per pass keep best-of-2 off the
+        # duplicate guards.
+        from mmlspark_spark.llm.similarity import IVFKNN
+
+        ivf = IVFKNN(idCol="vec_id", vecCol="embedding", k=10,
+                     nlist=8, nProbe=2)
+        ivf_path = f"/tmp/probe_idx/ivfapp_{tag}"
+        ivf.save_index(emb, cents, ivf_path)  # untimed
+        app_vecs = [r["embedding"] for r in
+                    emb.filter(F.col("vec_id") < 200).collect()]
+        for p in range(2):
+            app = spark.createDataFrame(
+                [(50_000_000 + p * 100_000 + i, v)
+                 for i, v in enumerate(app_vecs)],
+                "vec_id long, embedding array<double>")
+            t0 = _time.time()
+            ivf.append_to_index(app, ivf_path)
+            t = _time.time() - t0
+            cur = out["ivf_append_to_index"].get(tag)
+            out["ivf_append_to_index"][tag] = (
                 t if cur is None else min(cur, t))
     import math as _math
 
