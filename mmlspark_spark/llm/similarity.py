@@ -1965,6 +1965,8 @@ class ScalarQuantizerKNN:
 
         from mmlspark_spark.llm.export import _fs_write_text
 
+        _refuse_save_over_torn_append(
+            data.sparkSession, path, "ScalarQuantizerKNN.save_index")
         dim = self._dim_of(data)
         bounds = self.fit_bounds(data)
         bounds.write.mode(mode).parquet(f"{path}/bounds")
@@ -1990,6 +1992,8 @@ class ScalarQuantizerKNN:
 
         from mmlspark_spark.llm.export import _fs_read_text
 
+        _refuse_torn_file_append(spark, path,
+                                 "ScalarQuantizerKNN.load_index")
         man = _json.loads(_fs_read_text(spark, f"{path}/_sq_manifest.json"))
         if man.get("bits") != self.bits:
             raise ValueError(
@@ -2008,6 +2012,60 @@ class ScalarQuantizerKNN:
                 "bounds": spark.read.parquet(f"{path}/bounds"),
                 "tombstones": _read_tombstones(spark, path)}
 
+    def append_to_index(self, new_data: DataFrame, path: str,
+                        batchId: int | None = None) -> None:
+        """Grow a :meth:`save_index` artifact: encode ONLY the new
+        vectors against the STORED per-dimension bounds — the
+        quantization grid is fixed at save time, the faiss operating
+        model shared with the IVF/LSH appenders, so search over the
+        appended index equals encoding the unioned corpus with the
+        same stored bounds exactly (pinned in tests). Appended values
+        outside a stored [lo, hi] clamp to the edge codes, exactly as
+        out-of-bound values do at save time — correct nearest-level
+        behavior, but if drift accumulates the edge codes saturate;
+        re-fit nightly via :meth:`save_index` when that matters.
+        Refuses bits/dim mismatches (codes would silently mis-decode),
+        ids with a pending tombstone, and a torn prior append
+        (``repair_file_append`` rolls back); with ``batchId`` the
+        shared bracket makes streaming replays exactly-once
+        (:func:`~mmlspark_spark.streaming.ann_ingest_foreach_batch`
+        drives this family's flat bootstrap path unchanged)."""
+        import json as _json
+
+        from mmlspark_spark.llm.export import _fs_read_text
+
+        spark = new_data.sparkSession
+        _refuse_torn_file_append(spark, path,
+                                 "ScalarQuantizerKNN.append_to_index")
+        if batchId is not None and _file_append_committed(
+                spark, path, batchId):
+            return  # replayed micro-batch: already fully committed
+        man = _json.loads(_fs_read_text(spark,
+                                        f"{path}/_sq_manifest.json"))
+        if man.get("bits") != self.bits:
+            raise ValueError(
+                f"SQ index at {path} was encoded with bits="
+                f"{man.get('bits')}; this retriever has bits="
+                f"{self.bits} — appended codes would mis-decode")
+        # measure the BATCH's vectors (never the configured dim —
+        # self.dim is a decode setting, not evidence about this data)
+        dim = vector_dim(new_data, self.vecCol)
+        if man.get("dim") != dim:
+            raise ValueError(
+                f"new vectors have dim {dim}, SQ index at {path} "
+                f"holds dim={man.get('dim')} codes")
+        _refuse_tombstoned_append(
+            new_data.select(F.col(self.idCol)), path, self.idCol,
+            "ScalarQuantizerKNN.append_to_index")
+        saved_bounds = spark.read.parquet(f"{path}/bounds")
+        # shared file-append bracket: the encode lands as new files
+        # in the flat code store; a killed write job's partial
+        # part-file set rolls back bit-exactly
+        _begin_file_append(spark, path, batchId)
+        self.encode_with_bounds(new_data, saved_bounds).write.mode(
+            "append").parquet(f"{path}/codes")
+        _commit_file_append(spark, path, batchId)
+
     def delete_from_index(self, ids: DataFrame, path: str,
                           idCol: str | None = None) -> None:
         """Tombstone ids in a :meth:`save_index` artifact —
@@ -2023,6 +2081,8 @@ class ScalarQuantizerKNN:
         source corpus at bits=8 — through the shared staging+rename
         swap, so a failure mid-compaction never leaves the codes' only
         copy half-written. Returns rows removed."""
+        _refuse_torn_file_append(
+            spark, path, "ScalarQuantizerKNN.compact_index")
         ts = _read_tombstones(spark, path)
         if ts is None:
             return 0

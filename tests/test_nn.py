@@ -1413,3 +1413,80 @@ def test_ivf_torn_append_repair_rolls_back_cell_directories(
     fresh = sorted(map(tuple, ivf.search_with_centroids(
         base.unionByName(extra), q, cent).collect()))
     assert grown == fresh
+
+
+def test_sq8_append_to_index_frozen_bounds(spark, tmp_path):
+    """ScalarQuantizerKNN.append_to_index: new vectors encode against
+    the STORED per-dimension bounds (quantization grid fixed at save
+    time — the IVF/LSH appenders' faiss model, extended to the SQ8
+    compressed family) and land as new files in the flat code store.
+    Search over the appended index must equal searching codes built
+    by encoding the UNION with the same stored bounds — including an
+    appended vector outside the stored [lo, hi], which clamps to the
+    edge codes exactly as save-time out-of-bound values do. Geometry
+    mismatches refuse: a bits-mismatched retriever and a
+    dim-mismatched batch both raise before any write; so does
+    appending a tombstoned id. The streaming wrapper drives the same
+    flat bootstrap + append path (one installment check)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mmlspark_spark.llm.similarity import ScalarQuantizerKNN
+    from mmlspark_spark.streaming import ann_ingest_foreach_batch
+
+    rng = np.random.default_rng(19)
+    rows = [(i, [float(x) for x in rng.normal(size=6)])
+            for i in range(20)]
+    # appended batch: in-bounds rows plus one far outside the stored
+    # grid on every dimension (clamps to edge codes)
+    extra = [(100 + i, [float(x) for x in rng.normal(size=6)])
+             for i in range(6)] + [(120, [50.0] * 6)]
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(rows, schema)
+    app = spark.createDataFrame(extra, schema)
+    union = spark.createDataFrame(rows + extra, schema)
+    q = spark.createDataFrame(rows[:3], schema)
+
+    sq = ScalarQuantizerKNN(idCol="vec_id", vecCol="embedding", k=5)
+    p = str(tmp_path / "sq_app")
+    sq.save_index(base, p)
+    sq.append_to_index(app, p)
+    idx = sq.load_index(spark, p)
+    grown = sorted(map(tuple,
+                       sq.search_with_index(idx, q).collect()))
+    # expected: the union encoded with the APPENDED store's bounds
+    expected_idx = {"codes": sq.encode_with_bounds(union,
+                                                   idx["bounds"]),
+                    "bounds": idx["bounds"], "tombstones": None}
+    assert grown == sorted(map(tuple, sq.search_with_index(
+        expected_idx, q).collect()))
+    assert len(grown) > 0
+
+    # geometry refusals, before any write
+    with _pytest.raises(ValueError, match="bits="):
+        ScalarQuantizerKNN(k=5, bits=4).append_to_index(app, p)
+    bad_dim = spark.createDataFrame([(200, [1.0, 2.0])], schema)
+    with _pytest.raises(ValueError, match="dim"):
+        sq.append_to_index(bad_dim, p)
+    sq.delete_from_index(
+        spark.createDataFrame([(120,)], "vec_id long"), p)
+    with _pytest.raises(ValueError, match="tombstone"):
+        sq.append_to_index(
+            spark.createDataFrame([(120, [0.0] * 6)], schema), p)
+
+    # the generic ANN ingest wrapper drives SQ8's flat path too
+    p2 = str(tmp_path / "sq_stream")
+    ingest = ann_ingest_foreach_batch(sq, p2)
+    ingest(base, 0)
+    ingest(app, 1)
+    ingest(app, 1)  # replayed committed batch: no-op growth
+    import os
+    assert os.path.exists(os.path.join(p2, "_append_committed_1.json"))
+    streamed_idx = sq.load_index(spark, p2)
+    streamed = sorted(map(tuple, sq.search_with_index(
+        streamed_idx, q).collect()))
+    sexp = {"codes": sq.encode_with_bounds(union,
+                                           streamed_idx["bounds"]),
+            "bounds": streamed_idx["bounds"], "tombstones": None}
+    assert streamed == sorted(map(tuple, sq.search_with_index(
+        sexp, q).collect()))
