@@ -249,6 +249,56 @@ class TextFeaturizer(Estimator):
         return TextFeaturizerModel(pipelineModel=pipeline_model,
                                    outputCol=self.outputCol)
 
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        """Fit on ``df`` and return its transform with ONE
+        tokenize→n-gram→hashTF pass instead of two.
+
+        ``fit(df).transform(df)`` tokenizes and hashes the corpus twice:
+        once so the IDF fit can aggregate document frequencies, then
+        again to produce the output rows. Everything before IDF is a
+        pure (un-fitted) transformer chain, so this path materializes
+        the TF frame once (MEMORY_AND_DISK), fits IDF from the cache,
+        and scales the cached rows — at 100 TB that is one corpus scan
+        and one tokenization instead of two of each. The persisted
+        handle is attached to the returned frame; call
+        ``release_intermediates`` after your action (bench.py does).
+        Results are bit-identical to ``fit(df).transform(df)``: same
+        stages, same parameters, same row order semantics.
+        """
+        from mmlspark_spark.core.cache import (
+            attach_intermediates,
+            persist_intermediate,
+        )
+        from mmlspark_spark.operators.scale import spread_narrow_scan
+
+        if not self.useIDF:
+            # no fitted state anywhere in the chain → fit runs no job
+            return self._fit(df).transform(df)
+        from pyspark.ml.feature import (
+            IDF,
+            HashingTF,
+            RegexTokenizer,
+            StopWordsRemover,
+        )
+
+        src = spread_narrow_scan(df)
+        out = RegexTokenizer(inputCol=self.inputCol, outputCol="__tok",
+                             pattern=self.tokenizerPattern).transform(src)
+        tok_col = "__tok"
+        if self.useStopWordsRemover:
+            out = StopWordsRemover(inputCol=tok_col,
+                                   outputCol="__tok2").transform(out)
+            tok_col = "__tok2"
+        out = MultiNGram(inputCol=tok_col, outputCol="__ngrams",
+                         lengths=self.nGramLengths).transform(out)
+        tf = HashingTF(inputCol="__ngrams", outputCol="__tf",
+                       numFeatures=self.numFeatures).transform(out)
+        tf = persist_intermediate(tf.select(*df.columns, "__tf"))
+        idf_model = IDF(inputCol="__tf", outputCol=self.outputCol,
+                        minDocFreq=self.minDocFreq).fit(tf)
+        scaled = idf_model.transform(tf).drop("__tf")
+        return attach_intermediates(scaled, tf)
+
 
 class TextFeaturizerModel(Model):
     def __init__(self, pipelineModel=None, outputCol: str = "features"):  # noqa: D107

@@ -216,14 +216,18 @@ def text_featurize_pipeline(spark, sf_dir):
     from mmlspark_spark.featurize import TextFeaturizer
 
     docs = _t(spark, sf_dir, "documents")
-    model = TextFeaturizer(inputCol="text", outputCol="features",
-                           nGramLengths=[1, 2], numFeatures=1 << 15).fit(docs)
-    out = model.transform(docs)
+    # fit_transform: ONE tokenize→n-gram→hashTF pass feeds both the IDF
+    # fit and the output rows (fit().transform() would tokenize twice)
+    out = TextFeaturizer(inputCol="text", outputCol="features",
+                         nGramLengths=[1, 2],
+                         numFeatures=1 << 15).fit_transform(docs)
     from pyspark.ml.functions import vector_to_array
+
+    from mmlspark_spark.core.cache import propagate_intermediates
 
     arr = vector_to_array(F.col("features"))
     nnz = F.size(F.filter(arr, lambda x: x != 0.0))
-    return out.select("doc_id", nnz.alias("nnz"))
+    return propagate_intermediates(out, out.select("doc_id", nnz.alias("nnz")))
 
 
 # ---------------------------------------------------------------------------

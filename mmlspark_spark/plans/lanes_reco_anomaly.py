@@ -88,8 +88,11 @@ def sar_item_similarity(spark, sf_dir):
     )
     sim = item_item_similarity(inter, "user_id", "item_id",
                                similarityFunction="jaccard", supportThreshold=3)
-    return sim.select("item_i", "item_j", "cooccur",
-                      F.round("similarity", 6).alias("similarity"))
+    from mmlspark_spark.core.cache import propagate_intermediates
+
+    return propagate_intermediates(
+        sim, sim.select("item_i", "item_j", "cooccur",
+                        F.round("similarity", 6).alias("similarity")))
 
 
 @register(
@@ -156,11 +159,13 @@ def sar_recommend(spark, sf_dir):
     # re-rank on the rounded score for cross-engine determinism
     w = Window.partitionBy("user_id").orderBy(
         F.col("score").desc(), F.col("item_id").asc())
-    return (
+    from mmlspark_spark.core.cache import propagate_intermediates
+
+    return propagate_intermediates(recs, (
         recs.select("user_id", "item_id", F.round("score", 6).alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,7 @@ def item_item_similarity(
     supportThreshold: int = 4,
     similarityCol: str = "similarity",
     maxItemsPerUser: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distributed co-occurrence similarity; columns (item_i, item_j,
     cooccur, similarity). Includes the diagonal (i == j), like the
@@ -139,6 +140,21 @@ def item_item_similarity(
         .groupBy(F.col("__p.i").alias("item_i"), F.col("__p.j").alias("item_j"))
         .agg(F.count("*").alias("cooccur"))
     )
+    cached = []
+    if materialize:
+        # co_upper fans out to THREE consumers (the occ diagonal — built
+        # twice, once per broadcast side — and both union branches of
+        # co_full); AQE's exchange reuse misses the multi-consumer
+        # subtree, so without the persist the whole scan → distinct →
+        # collect_set → pair-explode → groupBy pipeline executes 4×.
+        # The persisted frame is (item, item, long) — tiny next to the
+        # edge list — and the handle is attached to the returned
+        # DataFrame for release_intermediates (same lifecycle contract
+        # as ngram_jaccard_pairs).
+        from mmlspark_spark.core.cache import persist_intermediate
+
+        co_upper = persist_intermediate(co_upper)
+        cached.append(co_upper)
     occ = co_upper.filter(F.col("item_i") == F.col("item_j")).select(
         F.col("item_i").alias("__i"), F.col("cooccur").alias("__occ"))
     co_full = co_upper.unionByName(
@@ -159,7 +175,12 @@ def item_item_similarity(
         sim = c / (F.col("occ_i") * F.col("occ_j"))
     else:
         sim = c
-    return co.select("item_i", "item_j", "cooccur", sim.alias(similarityCol))
+    out = co.select("item_i", "item_j", "cooccur", sim.alias(similarityCol))
+    if cached:
+        from mmlspark_spark.core.cache import attach_intermediates
+
+        out = attach_intermediates(out, *cached)
+    return out
 
 
 class SAR(Estimator):
@@ -245,10 +266,16 @@ class SARModel(Model):
         w = Window.partitionBy(self.userCol).orderBy(
             F.col("score").desc(), F.col(self.itemCol).asc()
         )
-        return (
+        out = (
             scores.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+        # itemDataFrame may carry a persisted co-occurrence intermediate
+        # (item_item_similarity materialize=True); hand the release
+        # handle to whoever consumes the recommendations
+        from mmlspark_spark.core.cache import propagate_intermediates
+
+        return propagate_intermediates(sim, out)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.userCol)
@@ -285,4 +312,7 @@ class SARModel(Model):
                         r[self.itemCol].alias(self.itemCol),
                         r["score"].alias("score")))
                 .alias("recommendations")))
-        return df.join(recs, self.userCol, "left")
+        from mmlspark_spark.core.cache import propagate_intermediates
+
+        return propagate_intermediates(
+            ranked, df.join(recs, self.userCol, "left"))

@@ -104,6 +104,34 @@ def test_text_featurizer(documents):
     assert "__tok" not in out.columns
 
 
+def test_text_featurizer_fit_transform_parity(documents):
+    """fit_transform (one tokenize+hashTF pass feeding both the IDF fit
+    and the output — r16 optimization) must be row-identical to the
+    two-pass fit().transform() on the same frame."""
+    from pyspark.ml.functions import vector_to_array
+
+    from mmlspark_spark.core.cache import release_intermediates
+
+    tf = TextFeaturizer(inputCol="text", outputCol="features",
+                        nGramLengths=[1, 2], numFeatures=1 << 12)
+    two_pass = tf.fit(documents).transform(documents)
+    single = tf.fit_transform(documents)
+    assert single.columns == two_pass.columns
+
+    def rows(df):
+        arr = vector_to_array(F.col("features"))
+        return sorted(
+            (r.doc_id, r.nnz, round(r.tot, 6)) for r in df.select(
+                "doc_id", F.size(F.filter(arr, lambda x: x != 0.0)).alias("nnz"),
+                F.aggregate(arr, F.lit(0.0), lambda a, x: a + x).alias("tot"),
+            ).collect())
+
+    try:
+        assert rows(single) == rows(two_pass)
+    finally:
+        release_intermediates(single)
+
+
 def test_featurize_auto(spark):
     df = spark.createDataFrame(
         [(1.0, "red", 25, "2024-01-01 10:00:00"),

@@ -41,6 +41,32 @@ def test_cooccurrence_and_jaccard(interactions):
     assert got[("b", "a")].cooccur == got[("a", "b")].cooccur
 
 
+def test_item_similarity_materialize_parity(interactions):
+    """materialize=True (persist the co_upper fan-out — r16
+    optimization: the subtree otherwise executes once per consumer)
+    must be row-identical to the unmaterialized plan, and must attach
+    a releasable intermediate handle."""
+    from mmlspark_spark.core.cache import release_intermediates
+
+    kwargs = dict(similarityFunction="jaccard", supportThreshold=1)
+    plain = item_item_similarity(interactions, "user", "item",
+                                 materialize=False, **kwargs)
+    mat = item_item_similarity(interactions, "user", "item",
+                               materialize=True, **kwargs)
+    handles = getattr(mat, "_mmlspark_intermediates", [])
+    assert len(handles) == 1  # the persisted co_upper
+
+    def rows(df):
+        return sorted((r.item_i, r.item_j, r.cooccur,
+                       round(r.similarity, 12)) for r in df.collect())
+
+    try:
+        assert rows(mat) == rows(plain)
+    finally:
+        release_intermediates(mat)
+    assert not handles[0].is_cached
+
+
 def test_lift_and_threshold(interactions):
     sim = item_item_similarity(
         interactions, "user", "item",
