@@ -71,10 +71,14 @@ class SummarizeData(Transformer):
         # (HLL sketch / quantile summary) in the same agg forces the
         # whole thing onto the ObjectHashAggregate path — measured 3x
         # slower at sf0.1 than two clean passes.
-        decl_aggs, sketch_aggs = [], []
+        decl_aggs = []
+        sketch_by_col: dict[str, list] = {}
 
         def add(name: str, expr):
             decl_aggs.append(expr.cast("double").alias(name))
+
+        def add_sketch(c: str, expr):
+            sketch_by_col.setdefault(c, []).append(expr)
 
         for c in df.columns:
             col = F.col(c)
@@ -82,11 +86,11 @@ class SummarizeData(Transformer):
             if self.counts:
                 add(f"{c}__count", F.count(F.lit(1)))
                 if self.exact:
-                    sketch_aggs.append(F.count_distinct(col).cast("double")
-                                       .alias(f"{c}__unique_value_count"))
+                    add_sketch(c, F.count_distinct(col).cast("double")
+                               .alias(f"{c}__unique_value_count"))
                 else:
-                    sketch_aggs.append(F.approx_count_distinct(col).cast("double")
-                                       .alias(f"{c}__unique_value_count"))
+                    add_sketch(c, F.approx_count_distinct(col).cast("double")
+                               .alias(f"{c}__unique_value_count"))
                 add(f"{c}__missing_value_count", F.count(F.lit(1)) - F.count(col))
             if self.basic:
                 add(f"{c}__mean", F.mean(col) if is_num else F.lit(None))
@@ -101,30 +105,41 @@ class SummarizeData(Transformer):
                 qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
                 expr = (F.percentile(col, qs) if self.exact
                         else F.percentile_approx(col, qs))
-                sketch_aggs.append(expr.alias(f"{c}__pq"))
+                add_sketch(c, expr.alias(f"{c}__pq"))
 
-        if sketch_aggs and not decl_aggs:
-            # counts=False, basic=False: only the sketch pass exists —
-            # df.agg() with zero exprs would assert
-            wide = df.agg(*sketch_aggs).collect()[0].asDict()
-        elif sketch_aggs:
-            # The two passes are independent jobs — overlap them.
-            # Re-measured round 5 under local[32] contention suspicion:
-            # overlapped best-of-3 0.893 s vs sequential 1.075 s vs
-            # single mixed agg 3.360 s (sf0.1, 4 numeric cols) — the
-            # decl job (0.15 s) hides entirely inside the sketch job
-            # (0.90 s), so overlap still wins; the round-4 bench drift
-            # was driver-side overhead (see the Arrow note below), not
-            # job time-slicing.
+        # The decl pass and the per-column sketch passes are independent
+        # jobs — run them all concurrently (guide §2.6: overlapping jobs
+        # back-fill idle slots). Round-5 had already split decl from
+        # sketch (overlapped best-of-3 0.893 s vs single mixed agg
+        # 3.360 s at sf0.1 — one TypedImperative agg forces the whole
+        # mixed agg onto ObjectHashAggregate). Round-16 splits the
+        # sketch pass further, ONE JOB PER COLUMN: the sf0.1 parquet is
+        # a single row-group (1-3 splits), so a combined sketch job
+        # serializes every column's HLL + QuantileSummaries inserts
+        # onto ≤3 cores while 29 idle; per-column jobs run those
+        # sketches concurrently (measured 2.45 s → 1.48 s best,
+        # identical results — per-column sketches never interact, and
+        # each column keeps the same scan partitioning and merge
+        # shape). On a real cluster the scan has more splits than
+        # slots, and the same split instead bounds each job's working
+        # set (one column's sketch state per task, not all columns').
+        # In exact mode this also keeps each job to ONE distinct agg —
+        # multi-count_distinct in one agg triggers EXPAND (×aggs rows).
+        jobs: list = []
+        if decl_aggs:
+            jobs.append(decl_aggs)
+        jobs.extend(sketch_by_col.values())
+        if len(jobs) == 1:
+            wide = df.agg(*jobs[0]).collect()[0].asDict()
+        else:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                f_decl = pool.submit(lambda: df.agg(*decl_aggs).collect())
-                f_sketch = pool.submit(lambda: df.agg(*sketch_aggs).collect())
-                wide = f_decl.result()[0].asDict()
-                wide.update(f_sketch.result()[0].asDict())
-        else:
-            wide = df.agg(*decl_aggs).collect()[0].asDict()
+            with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as pool:
+                futs = [pool.submit(
+                    lambda a=aggs: df.agg(*a).collect()) for aggs in jobs]
+                wide = {}
+                for f in futs:
+                    wide.update(f.result()[0].asDict())
         for c in numeric:
             pq = wide.pop(f"{c}__pq", None)
             if pq is not None:
