@@ -116,10 +116,14 @@ class DSIRModel(Model):
         # NULL text carries no evidence either way: dropped, like the
         # dedup family (a NULL gram array would yield a NULL score
         # that then poisons every downstream rank).
-        return (df.filter(F.col(self.textCol).isNotNull())
-                .crossJoin(F.broadcast(self.ratioRow))
-                .withColumn(self.scoreCol, self._score())
-                .drop("__dsir_arr"))
+        from mmlspark_spark.core.cache import propagate_intermediates
+
+        return propagate_intermediates(
+            self.ratioRow,
+            df.filter(F.col(self.textCol).isNotNull())
+            .crossJoin(F.broadcast(self.ratioRow))
+            .withColumn(self.scoreCol, self._score())
+            .drop("__dsir_arr"))
 
     def _gumbel_key(self, temperature: float) -> Column:
         # u in (0,1): signed xxhash64(id, seed) scaled by 2^-64 and
@@ -159,14 +163,18 @@ class DSIRModel(Model):
         flip membership between engines."""
         if (k is None) == (fraction is None):
             raise ValueError("exactly one of k / fraction required")
+        from mmlspark_spark.core.cache import propagate_intermediates
+
         scored = self._transform(df)
-        keyed = (scored
-                 .withColumn(self.scoreCol, F.round(self.scoreCol, 6))
-                 .withColumn("gumbel_key",
-                             F.round(self._gumbel_key(temperature), 6)))
+        keyed = propagate_intermediates(scored, (
+            scored
+            .withColumn(self.scoreCol, F.round(self.scoreCol, 6))
+            .withColumn("gumbel_key",
+                        F.round(self._gumbel_key(temperature), 6))))
         if k is not None:
-            return keyed.orderBy(F.desc("gumbel_key"), F.col(self.idCol)
-                                 ).limit(k)
+            return propagate_intermediates(
+                keyed, keyed.orderBy(F.desc("gumbel_key"),
+                                     F.col(self.idCol)).limit(k))
         # approxQuantile is an eager action over the full scored
         # frame and the returned filter re-reads it: without a
         # persist the tokenize+hash+fold pipeline (the dominant cost)
@@ -181,9 +189,12 @@ class DSIRModel(Model):
             "gumbel_key", [1.0 - fraction], 0.001)
         if not qs:  # empty frame: no quantile, nothing to select
             return attach_intermediates(
-                keyed.filter(F.lit(False)), keyed)
+                propagate_intermediates(keyed, keyed.filter(F.lit(False))),
+                keyed)
         return attach_intermediates(
-            keyed.filter(F.col("gumbel_key") >= F.lit(qs[0])), keyed)
+            propagate_intermediates(
+                keyed, keyed.filter(F.col("gumbel_key") >= F.lit(qs[0]))),
+            keyed)
 
 
 class DSIRSelector(Transformer):
@@ -218,14 +229,53 @@ class DSIRSelector(Transformer):
                 .groupBy("bucket").agg(F.count("*").alias("cnt")))
 
     def fit(self, target: DataFrame, raw: DataFrame) -> DSIRModel:
+        from mmlspark_spark.core.cache import persist_intermediate
+
+        # Each histogram feeds BOTH `tot` and the ratio array below
+        # (and the ratio row is rebuilt per broadcast): without a
+        # persist every consumer re-runs the corpus explode+groupBy.
+        # The frames are ≤ buckets rows — persisting is free and turns
+        # 2×2 tokenization passes into one per corpus.
+        tc = persist_intermediate(
+            self.feature_counts(target).withColumnRenamed("cnt", "tc"))
+        rc = persist_intermediate(
+            self.feature_counts(raw).withColumnRenamed("cnt", "rc"))
+        return self._fit_from_counts(target.sparkSession, tc, rc, [tc, rc])
+
+    def fit_with_indicator(self, raw: DataFrame, targetCond) -> DSIRModel:
+        """Fit where the target corpus is ``raw.filter(targetCond)`` —
+        the common in-pool case (select English-like docs from the
+        pool). ``fit(raw.filter(cond), raw)`` tokenizes and
+        bucket-hashes the pool twice (once for the target histogram,
+        once for the raw histogram); this path computes BOTH
+        histograms from ONE explode+groupBy pass, carrying a 0/1
+        indicator per exploded gram — at 100 TB that is one corpus
+        scan instead of two. Counts (and therefore the fitted
+        log-ratio array) are identical to
+        ``fit(raw.filter(targetCond), raw)`` by construction:
+        ``tc = Σ indicator`` over the same grams the target pass
+        would have exploded."""
+        from mmlspark_spark.core.cache import persist_intermediate
+
+        counts = persist_intermediate(
+            raw.filter(F.col(self.textCol).isNotNull())
+            .select(F.explode(hashed_grams(self.textCol, self.buckets))
+                    .alias("bucket"),
+                    F.when(targetCond, F.lit(1)).otherwise(F.lit(0))
+                    .alias("__t"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("rc"), F.sum("__t").alias("tc")))
+        return self._fit_from_counts(
+            raw.sparkSession, counts.select("bucket", "tc"),
+            counts.select("bucket", "rc"), [counts])
+
+    def _fit_from_counts(self, spark, tc: DataFrame, rc: DataFrame,
+                         handles: list | None = None) -> DSIRModel:
         B, s = self.buckets, float(self.smoothing)
-        spark = target.sparkSession
         base = spark.range(B).select(F.col("id").alias("bucket"))
         full = (base
-                .join(self.feature_counts(target)
-                      .withColumnRenamed("cnt", "tc"), "bucket", "left")
-                .join(self.feature_counts(raw)
-                      .withColumnRenamed("cnt", "rc"), "bucket", "left")
+                .join(tc, "bucket", "left")
+                .join(rc, "bucket", "left")
                 .select("bucket",
                         F.coalesce("tc", F.lit(0)).alias("tc"),
                         F.coalesce("rc", F.lit(0)).alias("rc")))
@@ -241,6 +291,10 @@ class DSIRSelector(Transformer):
                      .agg(F.array_sort(F.collect_list("s")).alias("ss"))
                      .select(F.transform("ss", lambda x: x["lr"])
                              .alias("__dsir_arr")))
+        if handles:
+            from mmlspark_spark.core.cache import attach_intermediates
+
+            ratio_row = attach_intermediates(ratio_row, *handles)
         return DSIRModel(ratioRow=ratio_row, idCol=self.idCol,
                          textCol=self.textCol, buckets=B,
                          seed=self.seed, scoreCol=self.scoreCol)

@@ -1987,12 +1987,20 @@ def dsir_select(spark, sf_dir):
     member set are float-drift-proof."""
     from mmlspark_spark.llm import DSIRSelector
 
+    from mmlspark_spark.core.cache import propagate_intermediates
+
     docs = _t(spark, sf_dir, "documents")
     sel = DSIRSelector(idCol="doc_id", textCol="text", buckets=1024,
                        seed=7)
-    model = sel.fit(docs.filter(F.col("lang") == "en"), docs)
-    return (model.resample(docs, k=150)
-            .select("doc_id", F.col("dsir_score"), "gumbel_key"))
+    # fit_with_indicator: the target is an in-pool subset, so BOTH
+    # histograms come from ONE tokenize+explode pass (identical
+    # counts); the bucket-bounded count frame is persisted so tot /
+    # ratio-array / re-broadcasts read 1024 cached rows instead of
+    # re-running the corpus explode
+    model = sel.fit_with_indicator(docs, F.col("lang") == "en")
+    out = model.resample(docs, k=150)
+    return propagate_intermediates(
+        out, out.select("doc_id", F.col("dsir_score"), "gumbel_key"))
 
 
 @register("simhash_dedup", oracle=_simhash_oracle())

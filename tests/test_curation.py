@@ -999,6 +999,26 @@ def test_dsir_scores_separate_domains(spark):
     assert math.isclose(scored[0], expect, rel_tol=1e-12)
 
 
+def test_dsir_fit_with_indicator_parity(spark):
+    """fit_with_indicator (r16 optimization: one explode+groupBy pass
+    computes both histograms when the target is an in-pool subset)
+    must produce a bit-identical ratio array to
+    fit(raw.filter(cond), raw), and must attach a releasable handle."""
+    from mmlspark_spark.core.cache import release_intermediates
+    from mmlspark_spark.llm import DSIRSelector
+
+    df = _dsir_corpus(spark)
+    sel = DSIRSelector(buckets=256, seed=3)
+    two_pass = sel.fit(df.filter("doc_id < 10"), df)
+    one_pass = sel.fit_with_indicator(df, F.col("doc_id") < 10)
+    a = two_pass.ratioRow.collect()[0]["__dsir_arr"]
+    b = one_pass.ratioRow.collect()[0]["__dsir_arr"]
+    assert a == b
+    assert len(getattr(one_pass.ratioRow, "_mmlspark_intermediates", [])) == 1
+    release_intermediates(two_pass.ratioRow)
+    release_intermediates(one_pass.ratioRow)
+
+
 def test_dsir_resample_prefers_target_and_is_deterministic(spark):
     """Gumbel top-k with a 2:1 off-domain majority must still pick
     mostly target-flavored docs; same seed reproduces the exact set;
