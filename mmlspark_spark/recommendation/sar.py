@@ -253,6 +253,16 @@ class SARModel(Model):
         """
         aff = self.userDataFrame
         sim = self.itemDataFrame
+        cached = []
+        if remove_seen:
+            # aff then has TWO consumers (the score join and the
+            # seen-items anti join) and its subtree is a full
+            # interactions aggregate — persist it so it computes once
+            # (released through the returned frame's attached handles)
+            from mmlspark_spark.core.cache import persist_intermediate
+
+            aff = persist_intermediate(aff)
+            cached.append(aff)
         scores = (
             aff.join(sim, aff[self.itemCol] == sim["item_i"])
             .groupBy(F.col(self.userCol), F.col("item_j").alias(self.itemCol))
@@ -271,11 +281,15 @@ class SARModel(Model):
             .filter(F.col("rank") <= k)
         )
         # itemDataFrame may carry a persisted co-occurrence intermediate
-        # (item_item_similarity materialize=True); hand the release
-        # handle to whoever consumes the recommendations
-        from mmlspark_spark.core.cache import propagate_intermediates
+        # (item_item_similarity materialize=True); hand that handle and
+        # the affinity persist to whoever consumes the recommendations
+        from mmlspark_spark.core.cache import (
+            attach_intermediates,
+            propagate_intermediates,
+        )
 
-        return propagate_intermediates(sim, out)
+        return attach_intermediates(
+            propagate_intermediates(sim, out), *cached)
 
     def transform_schema(self, schema: T.StructType) -> T.StructType:
         self._require_cols(schema, self.userCol)
