@@ -861,64 +861,83 @@ def simhash(text, num_bits: int = 64):
     return F.aggregate(signed_bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def _simhash_fold_arrow(token_hashes):
-    """The SimHash vote fold as an Arrow-batched pandas UDF over
-    per-token xxhash64 values: bit j of the fingerprint is the sign
+def _simhash_fold_batches(batches):
+    """The SimHash vote fold over raw Arrow RecordBatches of
+    ``(__id, __h: array<long>)``: bit j of the fingerprint is the sign
     of Σ±1 over tokens ((h>>j)&1 → +1 else −1), ties → 0 — the same
     contract as :func:`simhash`'s 64-wide unrolled aggregate, which
     dominates batch-side fingerprinting cost (the r12 verdict's
     slowest advisory lane, 92% of the match lane's time). Token
     HASHING stays JVM-side (``transform(tokens, xxhash64)``) so the
     hash family is bit-exact with the expression lane and the DuckDB
-    replays; only the 64-lane vote accumulation crosses to numpy,
-    where it is one ``unpackbits`` + segmented ``reduceat`` per
-    Arrow batch instead of a 64-expression tree per token.
+    replays; only the 64-lane vote accumulation crosses to numpy.
+
+    ``mapInArrow``, not a pandas UDF: an ``array<long>`` column
+    reaches a pandas UDF as one numpy object per ROW (Arrow list →
+    per-row ndarray conversion both ways), which the r16 A/B measured
+    at 12× the cost of the fold itself. Here the ListArray's flat
+    values/offsets buffers are read zero-copy, so the whole batch is
+    one ``unpackbits`` + one segmented ``reduceat`` — no per-row
+    Python objects anywhere. Rows are chunked so the transient
+    (tokens × 64) bit matrix stays bounded however large the Arrow
+    batch is.
 
     NULL token array (NULL text) → NULL fingerprint; empty → 0,
     matching the expression lane exactly (lane equality pinned in
-    tests/test_llm.py)."""
-    from pyspark.sql.functions import pandas_udf
+    tests/test_curation.py)."""
+    import sys
 
-    @pandas_udf("long")
-    def fold(hs):
-        import sys
+    import numpy as np
+    import pyarrow as pa
 
-        import numpy as np
-        import pandas as pd
+    chunk_tokens = 1 << 21  # bit-matrix peak ≈ 512 MB int32
 
-        out = np.zeros(len(hs), dtype=np.int64)
-        isnull = np.zeros(len(hs), dtype=bool)
-        segs, counts, idxs = [], [], []
-        for i, a in enumerate(hs):
-            if a is None:
-                isnull[i] = True
-                continue
-            arr = np.asarray(a, dtype=np.int64)
-            if arr.size == 0:
-                continue  # voteless doc → fingerprint 0
-            segs.append(arr)
-            counts.append(arr.size)
-            idxs.append(i)
-        if segs:
-            flat = np.concatenate(segs).view(np.uint64)
-            if sys.byteorder != "little":  # pragma: no cover
-                flat = flat.byteswap()
-            # (T, 64) bit matrix, column j = bit j of each hash
-            bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8),
-                                 axis=1, bitorder="little")
-            cnt = np.asarray(counts, dtype=np.int64)
-            offs = np.zeros(len(counts), dtype=np.int64)
-            np.cumsum(cnt[:-1], out=offs[1:])
-            ones = np.add.reduceat(bits.astype(np.int64), offs,
-                                   axis=0)
-            votes = 2 * ones - cnt[:, None]
-            fp = np.packbits(votes > 0, axis=1, bitorder="little")
-            out[np.asarray(idxs)] = fp.view(np.int64).ravel()
-        res = pd.Series(out).astype("Int64")
-        res[isnull] = pd.NA
-        return res
-
-    return fold(token_hashes)
+    for batch in batches:
+        names = batch.schema.names
+        ids = batch.column(names.index("__id"))
+        h = batch.column(names.index("__h"))
+        n = len(h)
+        out = np.zeros(n, dtype=np.int64)
+        if n:
+            # offsets are ABSOLUTE indices into the (unsliced) child
+            # values buffer — do not rebase
+            offs = h.offsets.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            vals = h.values.to_numpy(zero_copy_only=False)
+            cnt = offs[1:] - offs[:-1]
+            a = 0
+            while a < n:
+                b = int(np.searchsorted(
+                    offs, offs[a] + chunk_tokens, "right")) - 1
+                b = min(max(b, a + 1), n)
+                t = offs[b] - offs[a]
+                if t == 0:
+                    a = b
+                    continue
+                flat = vals[offs[a]:offs[b]].view(np.uint64)
+                if sys.byteorder != "little":  # pragma: no cover
+                    flat = flat.byteswap()
+                # (T, 64) bit matrix, column j = bit j of each hash
+                bits = np.unpackbits(
+                    flat.view(np.uint8).reshape(-1, 8),
+                    axis=1, bitorder="little").astype(np.int32)
+                starts = offs[a:b] - offs[a]
+                # reduceat returns values[idx] for an empty segment
+                # (and an out-of-range idx for a trailing one) —
+                # clip, then overwrite empties with 0
+                c = cnt[a:b]
+                ones = np.add.reduceat(
+                    bits, np.minimum(starts, t - 1), axis=0)
+                ones[c == 0] = 0
+                votes = 2 * ones - c[:, None].astype(np.int32)
+                fp = np.packbits(votes > 0, axis=1,
+                                 bitorder="little")
+                out[a:b] = fp.view(np.int64).ravel()
+                a = b
+        mask = h.is_null().to_numpy(zero_copy_only=False)
+        yield pa.RecordBatch.from_arrays(
+            [ids, pa.array(out, type=pa.int64(), mask=mask)],
+            names=["__id", "__sh"])
 
 
 class SimHashDeduplicator(FingerprintIndexMixin, Transformer):
@@ -943,8 +962,10 @@ class SimHashDeduplicator(FingerprintIndexMixin, Transformer):
     - ``'arrow'`` (default): tokens are xxhash64'd JVM-side (the
       same hash family as the expression lane and the DuckDB
       replays), then the 64-lane sign-vote fold runs vectorized in
-      numpy over Arrow batches — ~3× cheaper per doc than the
-      unrolled aggregate, which dominated the r12 match-lane bench.
+      numpy over raw Arrow batches via ``mapInArrow``
+      (:func:`_simhash_fold_batches`) — zero-copy on the list
+      buffers; the r16 A/B measured it ~12× cheaper than the prior
+      pandas-UDF fold and ~5× cheaper than the unrolled aggregate.
     - ``'expr'``: the original pure-Catalyst expression
       (:func:`simhash`) — zero Python workers; keep for
       environments where Arrow batches are unwelcome.
@@ -982,14 +1003,19 @@ class SimHashDeduplicator(FingerprintIndexMixin, Transformer):
         # the hot-bucket cap) for rows the hamming filter discards
         # anyway
         if self.fingerprintLane == "arrow":
-            sh = _simhash_fold_arrow(
+            src = _spread_narrow_scan(df).select(
+                F.col(self.idCol).alias("__id"),
                 F.transform(tokens(self.textCol),
-                            lambda x: F.xxhash64(x)))
-        else:
-            sh = simhash(self.textCol)
+                            lambda x: F.xxhash64(x)).alias("__h"))
+            out_schema = T.StructType([
+                T.StructField("__id", df.schema[self.idCol].dataType,
+                              True),
+                T.StructField("__sh", T.LongType(), True)])
+            return (src.mapInArrow(_simhash_fold_batches, out_schema)
+                    .filter(F.col("__sh").isNotNull()))
         return (_spread_narrow_scan(df).select(
             F.col(self.idCol).alias("__id"),
-            sh.alias("__sh"))
+            simhash(self.textCol).alias("__sh"))
             .filter(F.col("__sh").isNotNull()))
 
     def _transform(self, df: DataFrame) -> DataFrame:
