@@ -68,6 +68,20 @@ def salted_join(left: DataFrame, right: DataFrame, on,
 # keep the default floor of 0.
 VECTOR_MATH_BYTES_PER_SLOT = 32 << 20
 
+# bytes/slot TARGET for tokenize-class spreads (the default-floor call
+# sites): the spread width is derived from the INPUT SIZE, not pinned
+# to the core count — over-fragmenting a small input pays scheduling +
+# python-worker dispatch per task with no compute to amortize it. The
+# r16 width sweep at sf0.1/local[32] (594 KB estimated input) measured
+# widths 12-16 beating the full 32-way spread on every tokenize-class
+# lane (ngram_jaccard 1.96→1.37 s, minhash_dedup 2.29→1.69,
+# text_featurize 0.98→0.77 best-of-4), and the 8-core bench beating
+# the 32-core bench outright on those lanes — the core-count constant
+# was tuned for neither. 48 KB/slot puts that input at width ~13 and
+# any input ≥ ~1.5 MB at full local parallelism; on a real cluster the
+# few-splits guard is false long before this matters.
+TOKENIZE_BYTES_PER_SLOT = 48 << 10
+
 
 def spread_narrow_scan(df: DataFrame,
                        min_bytes_per_slot: int = 0) -> DataFrame:
@@ -89,22 +103,31 @@ def spread_narrow_scan(df: DataFrame,
     plan kept — the parallelism would not amortize the added shuffle.
     Pass :data:`VECTOR_MATH_BYTES_PER_SLOT` for BLAS-class maps; leave
     0 for expensive per-row work (regex tokenization) where even tiny
-    inputs win from the spread. At real scale the size estimate is
-    huge and the partition-count guard already made this a no-op, so
-    the scale path is unchanged.
+    inputs win from the spread — there the spread WIDTH is derived
+    from the input size (``ceil(size / TOKENIZE_BYTES_PER_SLOT)``,
+    floor 2, cap parallelism) instead of pinned to the core count,
+    so a small input is not fragmented into more tasks than its bytes
+    amortize (r16 width sweep). At real scale the size estimate is
+    huge (width caps at the parallelism) and the partition-count guard
+    already made this a no-op, so the scale path is unchanged.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # pragma: no cover - stats always exist in practice
+        size = None
     if min_bytes_per_slot:
-        try:
-            size = int(df._jdf.queryExecution().optimizedPlan()
-                       .stats().sizeInBytes())
-        except Exception:  # pragma: no cover - stats always exist in practice
-            size = None
         if size is not None and size < min_bytes_per_slot * target:
             return df
+    elif size is not None:
+        # tokenize-class: width follows the input size, capped at the
+        # cluster's parallelism (see TOKENIZE_BYTES_PER_SLOT)
+        target = min(target,
+                     max(2, -(-size // TOKENIZE_BYTES_PER_SLOT)))
     return df.repartition(target)
 
 

@@ -84,18 +84,29 @@ def test_zip_with_index_partitioned(spark):
 
 def test_spread_narrow_scan_byte_floor(spark):
     """Byte-aware guard: a tiny narrow input is spread with the default
-    floor (expensive per-row work) but kept narrow under the BLAS-class
-    floor; a wide input is a no-op either way (the scale property)."""
+    floor (expensive per-row work) to a SIZE-derived width — never the
+    raw core count (r16: fragmenting a 600 KB input into 32 tasks paid
+    scheduling with nothing to amortize it) — but kept narrow under
+    the BLAS-class floor; a large input spreads to full parallelism; a
+    wide input is a no-op either way (the scale property)."""
     from mmlspark_spark.operators.scale import (
+        TOKENIZE_BYTES_PER_SLOT,
         VECTOR_MATH_BYTES_PER_SLOT,
         spread_narrow_scan,
     )
 
     narrow = spark.range(1000).coalesce(1)
     target = spark.sparkContext.defaultParallelism
-    assert spread_narrow_scan(narrow).rdd.getNumPartitions() == target
+    tiny_width = spread_narrow_scan(narrow).rdd.getNumPartitions()
+    assert 2 <= tiny_width < max(3, target)  # size-derived, not core count
     assert (spread_narrow_scan(narrow, VECTOR_MATH_BYTES_PER_SLOT)
             .rdd.getNumPartitions() == 1)
+
+    # a narrow input whose size estimate exceeds slot_bytes*parallelism
+    # still gets the full spread (the parallelism path is intact)
+    big_rows = (TOKENIZE_BYTES_PER_SLOT * target) // 8 + 1000
+    big = spark.range(big_rows).coalesce(1)
+    assert spread_narrow_scan(big).rdd.getNumPartitions() == target
 
     wide = spark.range(1000).repartition(target)
     for floor in (0, VECTOR_MATH_BYTES_PER_SLOT):
