@@ -1731,6 +1731,43 @@ def _planted_clips(spark, sf_dir):
     return docs.select("doc_id", frames.alias("clip"))
 
 
+def _planted_clip_hashes(spark, sf_dir):
+    """Frame-HASH twin of :func:`_planted_clips` for the stored-index
+    lanes: (doc_id, clip ``array<long>``) where clip holds the dHash
+    of frames v..v+7 — the deduplicator's precomputed-hash lane.
+    Adjacent clips share 7 of 8 reel frames by construction, so the
+    per-doc grid synthesis re-evaluated the same (grp, f) frame ~8×;
+    here each DISTINCT reel frame is synthesized and dHashed exactly
+    once (the oracle's own ``gf`` CTE dedups identically) and hashes
+    re-attach to docs by (grp, f) equi-join — guide §1.2 "don't
+    compute things you throw away". Pixel math and
+    :func:`~mmlspark_spark.llm.multimodal_dedup.dhash_expr` are the
+    byte-same expressions as the grid lane, so every downstream value
+    is identical; the join keys and hash rows are 24 bytes, and at
+    scale the frame table grows with the corpus, not with the 8×
+    window overlap."""
+    from mmlspark_spark.llm.multimodal_dedup import dhash_expr
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    grp = (F.col("doc_id") % 25).cast("long")
+    v = F.expr("doc_id div 25")
+    exploded = docs.select(
+        "doc_id", grp.alias("grp"),
+        F.explode(F.sequence(v, v + F.lit(7))).alias("f"))
+
+    def cell(r, c):
+        return F.pmod(F.xxhash64(F.col("grp"),
+                                 F.col("f") * 72 + F.lit(r * 9 + c)),
+                      F.lit(256)).cast("long")
+
+    grid = F.array(*[F.array(*[cell(r, c) for c in range(9)])
+                     for r in range(8)])
+    fhs = (exploded.select("grp", "f").distinct()
+           .select("grp", "f", dhash_expr(grid).alias("fh")))
+    return (exploded.join(fhs, ["grp", "f"])
+            .groupBy("doc_id").agg(F.collect_list("fh").alias("clip")))
+
+
 @register("video_dhash_dedup", oracle=_video_dhash_oracle())
 def video_dhash_dedup(spark, sf_dir):
     """Frame-sampled video near-dup (VideoDHashDeduplicator, pure-
@@ -1801,7 +1838,7 @@ def video_match_indexed(spark, sf_dir):
 
     from mmlspark_spark.llm import VideoDHashDeduplicator
 
-    planted = _planted_clips(spark, sf_dir)
+    planted = _planted_clip_hashes(spark, sf_dir)
     dd = VideoDHashDeduplicator(idCol="doc_id", videoCol="clip",
                                 minOverlap=0.7,
                                 maxDocsPerFrameHash=1000)
@@ -1832,7 +1869,7 @@ def video_match_appended(spark, sf_dir):
 
     from mmlspark_spark.llm import VideoDHashDeduplicator
 
-    planted = _planted_clips(spark, sf_dir)
+    planted = _planted_clip_hashes(spark, sf_dir)
     dd = VideoDHashDeduplicator(idCol="doc_id", videoCol="clip",
                                 minOverlap=0.7,
                                 maxDocsPerFrameHash=1000)
@@ -1866,7 +1903,7 @@ def video_match_tombstoned(spark, sf_dir):
 
     from mmlspark_spark.llm import VideoDHashDeduplicator
 
-    planted = _planted_clips(spark, sf_dir)
+    planted = _planted_clip_hashes(spark, sf_dir)
     dd = VideoDHashDeduplicator(idCol="doc_id", videoCol="clip",
                                 minOverlap=0.7,
                                 maxDocsPerFrameHash=1000)

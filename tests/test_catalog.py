@@ -124,6 +124,15 @@ ALLOWED_LINT = {
     # coverage joins in ONE plan: pipelines × constant exchanges, and
     # the one-row count frames cross-join at the end
     "dedup_recall": {"BroadcastNestedLoopJoin", "exchanges"},
+    # the stored-lifecycle video lanes compose clip synthesis + the
+    # match pipeline in one plan; r17's distinct-frame dHash dedup
+    # (one hash per distinct reel frame, re-attached by a (grp, f)
+    # equi-join of 24-byte rows) adds a constant distinct + join +
+    # collect_list group — pipeline-constant exchanges, never
+    # data-dependent fan-out
+    "video_match_indexed": {"exchanges"},
+    "video_match_appended": {"exchanges"},
+    "video_match_tombstoned": {"exchanges"},
 }
 
 
