@@ -83,6 +83,38 @@ def hashed_grams(text: Column | str, buckets: int) -> Column:
         lambda g: F.xxhash64(g).bitwiseAND(F.lit(buckets - 1)))
 
 
+# Source-size floor for persisting the fitted bucket-count frames:
+# the ≤buckets-row histogram is consumed ~4x inside the ratio-row
+# broadcast (tc/rc joins, the totals agg, the lr rows), and AQE does
+# not reuse the exchange across those branches, so each consumer
+# re-runs the corpus tokenize+explode. Above the floor that re-run
+# dominates and the persist is mandatory; below it the cache
+# materialization + read path costs MORE than the re-runs (r17 A/B at
+# sf0.1, interleaved best/median: persist 1.86/2.12 s vs no-persist
+# 1.68/1.78 s end-to-end on dsir_select). The cutover is derived from
+# the INPUT SIZE estimate, never the core count, so cluster plans are
+# unchanged — a 64 MB corpus explode already costs far more than one
+# 1024-row cache write.
+_PERSIST_SRC_MIN_BYTES = 64 << 20
+
+
+def _persist_counts_if_heavy(counts: DataFrame, src: DataFrame):
+    """(frame, handles) — persist a bucket-count frame only when its
+    source corpus is big enough that re-running the explode per
+    consumer costs more than the cache round-trip."""
+    try:
+        size = int(src._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # pragma: no cover - stats always exist in practice
+        size = None
+    if size is None or size >= _PERSIST_SRC_MIN_BYTES:
+        from mmlspark_spark.core.cache import persist_intermediate
+
+        cached = persist_intermediate(counts)
+        return cached, [cached]
+    return counts, []
+
+
 class DSIRModel(Model):
     """Fitted DSIR importance model: a one-row DataFrame holding the
     length-``buckets`` log-ratio array. ``transform`` appends
@@ -229,18 +261,18 @@ class DSIRSelector(Transformer):
                 .groupBy("bucket").agg(F.count("*").alias("cnt")))
 
     def fit(self, target: DataFrame, raw: DataFrame) -> DSIRModel:
-        from mmlspark_spark.core.cache import persist_intermediate
-
         # Each histogram feeds BOTH `tot` and the ratio array below
         # (and the ratio row is rebuilt per broadcast): without a
         # persist every consumer re-runs the corpus explode+groupBy.
-        # The frames are ≤ buckets rows — persisting is free and turns
-        # 2×2 tokenization passes into one per corpus.
-        tc = persist_intermediate(
-            self.feature_counts(target).withColumnRenamed("cnt", "tc"))
-        rc = persist_intermediate(
-            self.feature_counts(raw).withColumnRenamed("cnt", "rc"))
-        return self._fit_from_counts(target.sparkSession, tc, rc, [tc, rc])
+        # The frames are ≤ buckets rows; the persist is gated on the
+        # SOURCE size (see _PERSIST_SRC_MIN_BYTES) — for a small corpus
+        # the cache round-trip costs more than the re-runs it saves.
+        tc, h1 = _persist_counts_if_heavy(
+            self.feature_counts(target).withColumnRenamed("cnt", "tc"),
+            target)
+        rc, h2 = _persist_counts_if_heavy(
+            self.feature_counts(raw).withColumnRenamed("cnt", "rc"), raw)
+        return self._fit_from_counts(target.sparkSession, tc, rc, h1 + h2)
 
     def fit_with_indicator(self, raw: DataFrame, targetCond) -> DSIRModel:
         """Fit where the target corpus is ``raw.filter(targetCond)`` —
@@ -255,19 +287,18 @@ class DSIRSelector(Transformer):
         ``fit(raw.filter(targetCond), raw)`` by construction:
         ``tc = Σ indicator`` over the same grams the target pass
         would have exploded."""
-        from mmlspark_spark.core.cache import persist_intermediate
-
-        counts = persist_intermediate(
+        counts, handles = _persist_counts_if_heavy(
             raw.filter(F.col(self.textCol).isNotNull())
             .select(F.explode(hashed_grams(self.textCol, self.buckets))
                     .alias("bucket"),
                     F.when(targetCond, F.lit(1)).otherwise(F.lit(0))
                     .alias("__t"))
             .groupBy("bucket")
-            .agg(F.count("*").alias("rc"), F.sum("__t").alias("tc")))
+            .agg(F.count("*").alias("rc"), F.sum("__t").alias("tc")),
+            raw)
         return self._fit_from_counts(
             raw.sparkSession, counts.select("bucket", "tc"),
-            counts.select("bucket", "rc"), [counts])
+            counts.select("bucket", "rc"), handles)
 
     def _fit_from_counts(self, spark, tc: DataFrame, rc: DataFrame,
                          handles: list | None = None) -> DSIRModel:
