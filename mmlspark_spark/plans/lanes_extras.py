@@ -1421,7 +1421,10 @@ def bpe_tokenize_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     model = BPETokenizer(textCol="text", numMerges=200,
                          lowercase=True).fit(docs)
-    return (model.transform(docs)
+    # project to the two columns the lane needs BEFORE the opaque
+    # encode map — mapInPandas defeats column pruning, so without
+    # this every documents column rides the Arrow boundary (guide §4)
+    return (model.transform(docs.select("doc_id", "text"))
             .select("doc_id", F.size("bpe_tokens").alias("n_bpe_tokens")))
 
 
