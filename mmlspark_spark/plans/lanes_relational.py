@@ -949,11 +949,19 @@ def tpch_q21(spark, sf_dir):
                 F.when(F.col("l_shipdate")
                        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
                        1).otherwise(0).alias("late")))
-    od = (lo.groupBy(F.col("l_orderkey").alias("__ok"))
-          .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-               F.countDistinct(
-                   F.when(F.col("late") == 1, F.col("l_suppkey")))
-               .alias("n_late")))
+    # two-level aggregate instead of two countDistincts in one agg:
+    # the distinct-pair level replaces the EXPAND x2 row duplication
+    # with a partial-aggregating shuffle on (orderkey, suppkey), and
+    # the order level then counts pairs / sums the per-pair late flag
+    # — identical counts (l_suppkey is never NULL in this schema; the
+    # oracle hash-gates it) with no Expand node in the plan (r16
+    # SummarizeData pattern, guide §2.3 "aggregate before you
+    # shuffle").
+    per_pair = (lo.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max("late").alias("__has_late")))
+    od = (per_pair.groupBy(F.col("l_orderkey").alias("__ok"))
+          .agg(F.count("*").alias("n_supp"),
+               F.sum("__has_late").alias("n_late")))
     out = (lo.join(od, lo.l_orderkey == F.col("__ok"))
            .filter((F.col("late") == 1) & (F.col("n_supp") > 1)
                    & (F.col("n_late") == 1))
