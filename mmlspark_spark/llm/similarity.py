@@ -37,6 +37,7 @@ from mmlspark_spark.llm.index_common import (
     _compact_partitioned_store,
     _drop_tombstoned,
     _file_append_committed,
+    _parquet_row_count,
     _read_tombstones,
     _refuse_save_over_torn_append,
     _refuse_tombstoned_append,
@@ -1542,7 +1543,9 @@ class PQKNN:
             mode).parquet(f"{path}/codebooks")
         saved_c = spark.read.parquet(f"{path}/centroids")
         saved_b = spark.read.parquet(f"{path}/codebooks")
-        nlist = saved_c.count()
+        # footer-only count (no Spark job): the centroids store was
+        # just written, and the manifest only needs its row count
+        nlist = _parquet_row_count(spark, f"{path}/centroids")
         codes = self.ivfpq_assign_encode(data, saved_c, saved_b)
         # lead the sort with the partition column: the dynamic-
         # partition writer re-sorts by it anyway and would lose any
