@@ -34,6 +34,15 @@ def get_spark(app_name: str = "mmlspark_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Disable PySpark's per-API-call origin capture (a stack walk +
+        # an extra py4j round trip on EVERY DataFrame/Column call, used
+        # only to decorate error messages with user line numbers).
+        # Plan-construction-heavy operators (LSH signatures, dHash
+        # grids, wide aggregates) make thousands of such calls per
+        # query; measured ~0.3-0.5 s of pure driver time per ANN lane
+        # at any scale factor. Scale-independent: this is driver-side
+        # constant overhead, not a data-sized cost.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()

@@ -105,6 +105,30 @@ def _valid_grid(g: Column, rows: int, cols: int) -> Column:
                         | (F.size(row) < cols)))
 
 
+def dhash_sql(gray_sql: str) -> str:
+    """SQL text of :func:`dhash_expr` over a grid expression given as
+    SQL text. The Column-API assembly of the 64 bit terms costs ~700
+    py4j round trips (~1.3 s of pure driver time per build, any data
+    size); one parsed string builds the same let-bound CASE/sum tree,
+    so every value is bit-identical (full-lane equality pinned in
+    tests). ``__g``/``__row`` are the let/validity lambda variables —
+    callers nesting this inside their own SQL lambda must pick a
+    different outer variable name."""
+    terms = []
+    for r in range(DHASH_H):
+        for c in range(DHASH_W):
+            j = r * DHASH_W + c
+            p = (1 << j) if j < 63 else -(1 << 63)
+            terms.append(f"(CASE WHEN __g[{r}][{c}] > __g[{r}][{c + 1}]"
+                         f" THEN CAST('{p}' AS BIGINT)"
+                         f" ELSE CAST(0 AS BIGINT) END)")
+    valid = (f"__g IS NOT NULL AND size(__g) >= {DHASH_H} AND NOT "
+             f"exists(__g, __row -> __row IS NULL OR "
+             f"size(__row) < {DHASH_W + 1})")
+    body = f"CASE WHEN {valid} THEN ({' + '.join(terms)}) END"
+    return f"element_at(transform(array({gray_sql}), __g -> {body}), 1)"
+
+
 def dhash_expr(gray: Column | str) -> Column:
     """64-bit dHash of an ``array<array<int>)`` grayscale grid already
     sized (8, 9) — pure Catalyst, map-side, shuffle-free at any scale.
@@ -113,7 +137,13 @@ def dhash_expr(gray: Column | str) -> Column:
     no intermediate exceeds the long range under ANSI mode. NULL or
     undersized grids yield NULL (NOT 0 — a sum of otherwise(0) terms
     would silently fingerprint every bad row to 0, colliding them all
-    into one ghost bucket with genuinely-flat images)."""
+    into one ghost bucket with genuinely-flat images).
+
+    A string column name goes through :func:`dhash_sql` (one parser
+    call); a Column falls back to the py4j-per-term builder."""
+    if isinstance(gray, str):
+        return F.expr(dhash_sql(f"`{gray}`"))
+
     def build(g):
         terms = []
         for r in range(DHASH_H):
@@ -234,6 +264,27 @@ class ImageDHashDeduplicator(FingerprintIndexMixin, Transformer):
 AFP_T, AFP_B = 8, 8  # bit matrix; energy grid is (T+1) × (B+1)
 
 
+def audio_fp_sql(grid_sql: str) -> str:
+    """SQL text of :func:`audio_fingerprint_expr` over a grid given as
+    SQL text — one parser call instead of the ~900-call py4j assembly;
+    same let-bound CASE/sum tree, bit-identical values."""
+    terms = []
+    for t in range(AFP_T):
+        for f in range(AFP_B):
+            j = t * AFP_B + f
+            p = (1 << j) if j < 63 else -(1 << 63)
+            d = (f"((__g[{t + 1}][{f}] - __g[{t + 1}][{f + 1}]) - "
+                 f"(__g[{t}][{f}] - __g[{t}][{f + 1}]))")
+            terms.append(f"(CASE WHEN {d} > 0"
+                         f" THEN CAST('{p}' AS BIGINT)"
+                         f" ELSE CAST(0 AS BIGINT) END)")
+    valid = (f"__g IS NOT NULL AND size(__g) >= {AFP_T + 1} AND NOT "
+             f"exists(__g, __row -> __row IS NULL OR "
+             f"size(__row) < {AFP_B + 1})")
+    body = f"CASE WHEN {valid} THEN ({' + '.join(terms)}) END"
+    return f"element_at(transform(array({grid_sql}), __g -> {body}), 1)"
+
+
 def audio_fingerprint_expr(grid: Column | str) -> Column:
     """64-bit Haitsma-Kalker fingerprint of an ``array<array<double>>``
     time × band energy grid already pooled to (9, 9) — pure Catalyst,
@@ -245,7 +296,13 @@ def audio_fingerprint_expr(grid: Column | str) -> Column:
     by the same positive factor — signs, and hence the fingerprint,
     are invariant. NULL or undersized grids yield NULL (dropped by
     the fingerprint filter), never 0 — silence legitimately hashes
-    to 0, so bad rows must not collide with it."""
+    to 0, so bad rows must not collide with it.
+
+    A string column name goes through :func:`audio_fp_sql` (one
+    parser call); a Column falls back to the py4j-per-term builder."""
+    if isinstance(grid, str):
+        return F.expr(audio_fp_sql(f"`{grid}`"))
+
     def build(g):
         terms = []
         for t in range(AFP_T):
@@ -438,8 +495,11 @@ class VideoDHashDeduplicator(Transformer):
         dt = df.schema[self.videoCol].dataType
         if isinstance(dt, T.ArrayType) and isinstance(
                 dt.elementType, T.ArrayType):
-            hashes = F.transform(F.col(self.videoCol),
-                                 lambda fr: dhash_expr(fr))
+            # per-frame dHash as ONE parsed SQL string: the Column-API
+            # transform(col, fr -> dhash_expr(fr)) pays the ~700-call
+            # py4j build per plan — same tree, same values either way
+            hashes = F.expr(f"transform(`{self.videoCol}`, "
+                            f"__fr -> {dhash_sql('__fr')})")
         elif isinstance(dt, T.ArrayType):
             hashes = F.col(self.videoCol)  # precomputed longs
         else:

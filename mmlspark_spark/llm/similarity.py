@@ -317,28 +317,35 @@ class LSHKNN:
         rng = np.random.default_rng(self.seed)
         planes = rng.standard_normal((self.numPlanes, dim))
         r = self.numPlanes // self.bands
-        vec = F.transform(F.col(self.vecCol), lambda x: x.cast("double"))
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(v)) for v in planes[j]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0), lambda a, v: a + v,
-                ) > 0, F.lit(1)
-            ).otherwise(F.lit(0))
-            for j in range(self.numPlanes)
-        ]
+        # The band-chunk expression is assembled as ONE SQL string and
+        # parsed JVM-side: the Column-API equivalent (numPlanes ×
+        # zip_with/aggregate lambdas over dim literal doubles) costs
+        # thousands of py4j round trips — ~1 s of pure driver time per
+        # call at any data size. CAST('<repr>' AS DOUBLE) string
+        # literals round-trip bit-exactly (Python repr → Java
+        # parseDouble), so the parsed tree is value-identical to the
+        # old lit() tree (full-corpus row equality pinned in tests).
+        vec_sql = f"transform(`{self.vecCol}`, x -> CAST(x AS DOUBLE))"
+
+        def dbl(v: float) -> str:
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+        def bit(j: int) -> str:
+            arr = "array(" + ",".join(dbl(v) for v in planes[j]) + ")"
+            return (f"(CASE WHEN aggregate(zip_with({vec_sql}, {arr}, "
+                    f"(x, y) -> x * y), CAST('0.0' AS DOUBLE), "
+                    f"(a, v) -> a + v) > 0 THEN 1 ELSE 0 END)")
+
         chunks = [
-            sum(bits[b * r + i] * (2 ** i) for i in range(r))
+            " + ".join(f"({bit(b * r + i)} * {2 ** i})" for i in range(r))
             for b in range(self.bands)
         ]
+        chunk_arr = ("array(" +
+                     ",".join(f"CAST(({c}) AS INT)" for c in chunks) + ")")
         return df.select(
             F.col(self.idCol).alias(f"{prefix}_id"),
             F.col(self.vecCol).alias(f"{prefix}_vec"),
-            F.posexplode(F.array(*[c.cast("int") for c in chunks]))
+            F.posexplode(F.expr(chunk_arr))
             .alias("__band", f"{prefix}_chunk"),
         )
 

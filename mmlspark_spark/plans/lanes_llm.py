@@ -1717,18 +1717,26 @@ def _planted_clips(spark, sf_dir):
     two: signed pmod == unsigned mod) — the Spark twin of
     :func:`_video_fp_cte`'s pixel synthesis."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    grp = (F.col("doc_id") % 25).cast("long")
-    v = F.expr("doc_id div 25")
-
-    def frame(f):
-        def cell(r, c):
-            return F.pmod(F.xxhash64(grp, f * 72 + F.lit(r * 9 + c)),
-                          F.lit(256)).cast("long")
-        return F.array(*[F.array(*[cell(r, c) for c in range(9)])
-                         for r in range(8)])
-
-    frames = F.transform(F.sequence(v, v + F.lit(7)), frame)
+    # one parsed SQL string instead of ~360 py4j calls assembling the
+    # 72-cell grid expression — same tree, same xxhash64 inputs (grp
+    # and f are BIGINT on both paths), so pixels are bit-identical
+    frames = F.expr(
+        "transform(sequence(doc_id div 25, doc_id div 25 + 7), "
+        f"__f -> {_clip_grid_sql('CAST(doc_id % 25 AS BIGINT)', '__f')})")
     return docs.select("doc_id", frames.alias("clip"))
+
+
+def _clip_grid_sql(grp_sql: str, f_sql: str) -> str:
+    """SQL text of one synthesized 8×9 reel-frame pixel grid —
+    chained xxhash64 of (group, frame·72 + cell) mod 256, the byte-
+    same expression :func:`_planted_clips` used to assemble via ~360
+    py4j calls (pure driver time, any data size)."""
+    return "array(" + ",".join(
+        "array(" + ",".join(
+            f"CAST(pmod(xxhash64({grp_sql}, {f_sql} * 72 + {r * 9 + c})"
+            f", 256) AS BIGINT)"
+            for c in range(9)) + ")"
+        for r in range(8)) + ")"
 
 
 def _planted_clip_hashes(spark, sf_dir):
@@ -1746,7 +1754,7 @@ def _planted_clip_hashes(spark, sf_dir):
     is identical; the join keys and hash rows are 24 bytes, and at
     scale the frame table grows with the corpus, not with the 8×
     window overlap."""
-    from mmlspark_spark.llm.multimodal_dedup import dhash_expr
+    from mmlspark_spark.llm.multimodal_dedup import dhash_sql
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     grp = (F.col("doc_id") % 25).cast("long")
@@ -1755,15 +1763,13 @@ def _planted_clip_hashes(spark, sf_dir):
         "doc_id", grp.alias("grp"),
         F.explode(F.sequence(v, v + F.lit(7))).alias("f"))
 
-    def cell(r, c):
-        return F.pmod(F.xxhash64(F.col("grp"),
-                                 F.col("f") * 72 + F.lit(r * 9 + c)),
-                      F.lit(256)).cast("long")
-
-    grid = F.array(*[F.array(*[cell(r, c) for c in range(9)])
-                     for r in range(8)])
+    # grid + dHash as ONE parsed SQL string (the Column-API assembly
+    # paid ~2.4 s of py4j round trips per plan build — same tree,
+    # same values; the lane oracles pin bit-equality)
     fhs = (exploded.select("grp", "f").distinct()
-           .select("grp", "f", dhash_expr(grid).alias("fh")))
+           .select("grp", "f",
+                   F.expr(dhash_sql(_clip_grid_sql("grp", "f")))
+                   .alias("fh")))
     return (exploded.join(fhs, ["grp", "f"])
             .groupBy("doc_id").agg(F.collect_list("fh").alias("clip")))
 
