@@ -363,15 +363,16 @@ def repair_file_append(spark, path: str) -> dict:
             "batch_id": marker.get("batch_id")}
 
 
-def _replace_flat_store(keep: DataFrame, store_path: str) -> None:
-    """Rewrite a flat (non-partitioned) parquet store with ``keep``
-    via staging + rename swap, so no failure point leaves the store's
-    ONLY copy half-written: survivors land in ``<store>__staging``
-    first; the old directory is moved aside, the staging directory
-    renamed into place, and only then is the old copy deleted. A crash
-    before the first rename keeps the old store untouched; between the
-    renames, the complete staging copy is on disk; after, only the
-    delete of the obsolete copy remains."""
+def _stage_flat_store(keep: DataFrame, store_path: str) -> None:
+    """The WRITE half of :func:`_replace_flat_store`: materialize
+    ``keep`` into ``<store>__staging`` without touching the live
+    store. Staging writes for several stores are side-effect-free on
+    the artifact, so a multi-store compaction can run them as
+    CONCURRENT jobs (guide §2.6 — later jobs back-fill the tail of
+    earlier ones) while :func:`_swap_flat_store` publishes them in
+    the crash-ordering the store contract pins. A crash anywhere in
+    staging leaves every live store byte-untouched; stale staging
+    directories are deleted on the next attempt."""
     spark = keep.sparkSession
     staging, old = f"{store_path}__staging", f"{store_path}__old"
     fs, P = _hadoop_fs(spark, store_path)
@@ -379,6 +380,17 @@ def _replace_flat_store(keep: DataFrame, store_path: str) -> None:
     fs.delete(P(staging), True)
     fs.delete(P(old), True)
     keep.write.mode("overwrite").parquet(staging)
+
+
+def _swap_flat_store(spark, store_path: str) -> None:
+    """The RENAME half of :func:`_replace_flat_store`: the old
+    directory is moved aside, the staged copy renamed into place, and
+    only then is the old copy deleted. A crash before the first
+    rename keeps the old store untouched; between the renames, the
+    complete staging copy is on disk; after, only the delete of the
+    obsolete copy remains."""
+    staging, old = f"{store_path}__staging", f"{store_path}__old"
+    fs, P = _hadoop_fs(spark, store_path)
     if not fs.rename(P(store_path), P(old)):
         raise IOError(f"could not stage out {store_path}")
     if not fs.rename(P(staging), P(store_path)):
@@ -386,6 +398,15 @@ def _replace_flat_store(keep: DataFrame, store_path: str) -> None:
         fs.rename(P(old), P(store_path))
         raise IOError(f"could not swap {staging} into {store_path}")
     fs.delete(P(old), True)
+
+
+def _replace_flat_store(keep: DataFrame, store_path: str) -> None:
+    """Rewrite a flat (non-partitioned) parquet store with ``keep``
+    via staging + rename swap, so no failure point leaves the store's
+    ONLY copy half-written — :func:`_stage_flat_store` followed
+    immediately by :func:`_swap_flat_store`."""
+    _stage_flat_store(keep, store_path)
+    _swap_flat_store(keep.sparkSession, store_path)
 
 
 def _compact_partitioned_store(spark, store_path: str, ts: DataFrame,

@@ -375,6 +375,7 @@ class BM25Retriever:
 
         _refuse_save_over_torn_append(
             docs.sparkSession, path, "BM25Retriever.save_index")
+        spark = docs.sparkSession
         pos = None
         post_src = None
         if positions:
@@ -382,10 +383,59 @@ class BM25Retriever:
             post_src = pos.select(
                 "__t", "__doc", "__dl",
                 F.size("__positions").cast("bigint").alias("__tf"))
-        # doclens first: stats then derive from the READ-BACK ledger
+        # doclens before stats: stats derive from the READ-BACK ledger
         # (identical integers → identical division, and the stats
         # pass over docs is replaced, not added — still one
-        # tokenize-for-stats pass per save)
+        # tokenize-for-stats pass per save). Without a maxDfRatio the
+        # (doclens → stats) and (postings → dfreq) chains share no
+        # data, so they run as two CONCURRENT driver threads (guide
+        # §2.6): the doclens tokenize pass back-fills the tail of the
+        # postings shuffle instead of following it. A save is an
+        # all-overwrite rebuild — a crash mid-save leaves a mixed-
+        # generation artifact under either ordering, and the retry
+        # re-saves everything — so concurrency adds no failure state;
+        # manifest and tombstone-clear stay strictly last.
+        if self.maxDfRatio is None and mode == "overwrite":
+            post = persist_intermediate(
+                post_src if post_src is not None
+                else self.postings(docs))
+            dfreq = post.groupBy("__t").agg(F.count("*").alias("__df"))
+
+            def doclens_then_stats() -> None:
+                self._doclens(docs).write.mode(mode).parquet(
+                    f"{path}/doclens")
+                (self._stats_from_doclens(
+                    spark.read.parquet(f"{path}/doclens"))
+                 .write.mode(mode).parquet(f"{path}/stats"))
+
+            def postings_then_dfreq() -> None:
+                (post.repartition(F.col("__t"))
+                 .sortWithinPartitions("__t")
+                 .write.mode(mode).parquet(f"{path}/postings"))
+                dfreq.write.mode(mode).parquet(f"{path}/dfreq")
+
+            from concurrent.futures import ThreadPoolExecutor
+            try:
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    for fut in [pool.submit(doclens_then_stats),
+                                pool.submit(postings_then_dfreq)]:
+                        fut.result()
+                if pos is not None:
+                    (pos.repartition(F.col("__t"))
+                     .sortWithinPartitions("__t", "__doc")
+                     .write.mode(mode).parquet(f"{path}/positions"))
+                _fs_write_text(
+                    spark, f"{path}/_bm25_manifest.json",
+                    _json.dumps({"maxDfRatio": self.maxDfRatio,
+                                 "positions": positions,
+                                 "version": 1}))
+            finally:
+                post.unpersist()
+                if pos is not None:
+                    pos.unpersist()
+            _clear_tombstones(spark, path)
+            _clear_append_markers(spark, path)
+            return
         self._doclens(docs).write.mode(mode).parquet(f"{path}/doclens")
         stats_src = self._stats_from_doclens(
             docs.sparkSession.read.parquet(f"{path}/doclens"))
@@ -816,32 +866,68 @@ class BM25Retriever:
         if dead_n == 0:
             _clear_tombstones(spark, path)
             return 0
-        keep_post = (_drop_tombstoned(
-            spark.read.parquet(f"{path}/postings"), ts, "__doc")
-            .repartition(F.col("__t")).sortWithinPartitions("__t"))
-        _replace_flat_store(keep_post, f"{path}/postings")
-        if man.get("positions"):
+        # STAGE all rewritten stores as concurrent jobs (guide §2.6 —
+        # the staging writes are independent and leave every live
+        # store untouched, so a crash anywhere in this block is a
+        # no-op on the artifact), then PUBLISH them with sequential
+        # renames in the pinned crash order below: a tear mid-swap
+        # leaves exactly the states the sequential implementation
+        # could leave (postings compacted + dfreq/stats stale == the
+        # tombstoned-read semantics; a re-run compacts the rest).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from mmlspark_spark.llm.index_common import (
+            _stage_flat_store,
+            _swap_flat_store,
+        )
+
+        old = spark.read.parquet(f"{path}/stats").first()
+        n = int(old["__N"]) - dead_n
+        sumdl = int(old["__sumdl"] or 0) - dead_s
+
+        def stage_postings_then_dfreq() -> None:
+            keep_post = (_drop_tombstoned(
+                spark.read.parquet(f"{path}/postings"), ts, "__doc")
+                .repartition(F.col("__t")).sortWithinPartitions("__t"))
+            _stage_flat_store(keep_post, f"{path}/postings")
+            # df from the COMPACTED postings — the same aggregate a
+            # fresh build runs, read from the STAGED copy (the exact
+            # rows the swap publishes), never a corpus re-tokenize
+            _stage_flat_store(
+                spark.read.parquet(f"{path}/postings__staging")
+                .groupBy("__t").agg(F.count("*").alias("__df")),
+                f"{path}/dfreq")
+
+        def stage_positions() -> None:
             keep_pos = (_drop_tombstoned(
                 spark.read.parquet(f"{path}/positions"), ts, "__doc")
                 .repartition(F.col("__t"))
                 .sortWithinPartitions("__t", "__doc"))
-            _replace_flat_store(keep_pos, f"{path}/positions")
-        _replace_flat_store(_drop_tombstoned(doclens, ts, "__doc"),
-                            f"{path}/doclens")
-        # df from the COMPACTED postings — the same aggregate a fresh
-        # build runs, input is the index (never a corpus re-tokenize)
-        _replace_flat_store(
-            spark.read.parquet(f"{path}/postings")
-            .groupBy("__t").agg(F.count("*").alias("__df")),
-            f"{path}/dfreq")
-        old = spark.read.parquet(f"{path}/stats").first()
-        n = int(old["__N"]) - dead_n
-        sumdl = int(old["__sumdl"] or 0) - dead_s
-        _replace_flat_store(
-            spark.createDataFrame(
-                [(n, sumdl, float(sumdl) / n if n else None)],
-                "__N bigint, __sumdl bigint, __avgdl double"),
-            f"{path}/stats")
+            _stage_flat_store(keep_pos, f"{path}/positions")
+
+        def stage_doclens() -> None:
+            _stage_flat_store(_drop_tombstoned(doclens, ts, "__doc"),
+                              f"{path}/doclens")
+
+        def stage_stats() -> None:
+            _stage_flat_store(
+                spark.createDataFrame(
+                    [(n, sumdl, float(sumdl) / n if n else None)],
+                    "__N bigint, __sumdl bigint, __avgdl double"),
+                f"{path}/stats")
+
+        tasks = [stage_postings_then_dfreq, stage_doclens, stage_stats]
+        if man.get("positions"):
+            tasks.append(stage_positions)
+        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            for fut in [pool.submit(t) for t in tasks]:
+                fut.result()
+        _swap_flat_store(spark, f"{path}/postings")
+        if man.get("positions"):
+            _swap_flat_store(spark, f"{path}/positions")
+        _swap_flat_store(spark, f"{path}/doclens")
+        _swap_flat_store(spark, f"{path}/dfreq")
+        _swap_flat_store(spark, f"{path}/stats")
         _clear_tombstones(spark, path)
         return dead_n
 
