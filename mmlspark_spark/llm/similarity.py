@@ -994,40 +994,40 @@ class PQKNN:
                 F.filter("ss", lambda s: s["m"] == m),
                 lambda s: s["v"])).alias("__cb"))
 
-    def _sub(self, vec, m: int, ds: int):
-        return F.slice(vec, m * ds + 1, ds)
+    # The per-subspace expressions are generated as SQL TEXT and
+    # parsed JVM-side in one round trip: the Column-API equivalents
+    # (M × transform/zip_with/aggregate lambdas) cost ~0.7 s of py4j
+    # chatter per plan build at any data size (same tree, same
+    # element-order folds — ADC parity pinned in tests). The inner
+    # transform lambda takes exactly ONE parameter so the element
+    # (not (element, index)) overload is selected, as before.
+    def _dists_sql(self, vec_sql: str, m: int, ds: int) -> str:
+        """SQL text: array<double> of the K exact subspace distances
+        for subspace ``m`` (squared L2, direct form, element-order
+        left fold)."""
+        sub = f"slice({vec_sql}, {m * ds + 1}, {ds})"
+        return (f"transform(element_at(__cb, {m + 1}), "
+                f"__c -> aggregate(zip_with({sub}, __c, "
+                f"(a, b) -> (a - b) * (a - b)), "
+                f"CAST('0.0' AS DOUBLE), (acc, x) -> acc + x))")
 
-    @staticmethod
-    def _subdist(sub, cvec):
-        """Squared L2, direct form, element-order left fold."""
-        return F.aggregate(
-            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    def _dists_for(self, vec, m: int, ds: int):
-        """array<double> of the K exact subspace distances for
-        subspace ``m``. NOTE: the inner lambda must take exactly ONE
-        parameter — a second parameter makes pyspark's ``transform``
-        pass the array INDEX into it (the (element, index) overload
-        is selected by arity)."""
-        sub = self._sub(vec, m, ds)
-        return F.transform(F.element_at("__cb", m + 1),
-                           lambda c: self._subdist(sub, c))
-
-    def _codes_expr(self, vec, ds: int):
+    def _codes_expr(self, vec_sql: str, ds: int):
         """array<int> of per-subspace argmin codes (first-min
-        tie-break via array_position)."""
+        tie-break via array_position); ``vec_sql`` is the vector
+        column as SQL text."""
         cols = []
         for m in range(self.M):
-            d = self._dists_for(vec, m, ds)
-            cols.append((F.array_position(d, F.array_min(d)) - 1)
-                        .cast("int"))
-        return F.array(*cols)
+            d = self._dists_sql(vec_sql, m, ds)
+            cols.append(f"CAST((array_position({d}, array_min({d}))"
+                        f" - 1) AS INT)")
+        return F.expr("array(" + ",".join(cols) + ")")
 
-    def _lut_expr(self, vec, ds: int):
-        """array<array<double>> [M][K] of exact subspace distances."""
-        return F.array(*[self._dists_for(vec, m, ds)
-                         for m in range(self.M)])
+    def _lut_expr(self, vec_sql: str, ds: int):
+        """array<array<double>> [M][K] of exact subspace distances;
+        ``vec_sql`` is the vector column as SQL text."""
+        return F.expr("array(" + ",".join(
+            self._dists_sql(vec_sql, m, ds)
+            for m in range(self.M)) + ")")
 
     def _dim_of(self, df: DataFrame) -> int:
         dim = (self.dim if self.dim is not None
@@ -1133,7 +1133,7 @@ class PQKNN:
                                             cvecCol))
         return (data.crossJoin(cb)
                 .select(F.col(self.idCol).alias("vec_id"),
-                        self._codes_expr(F.col(self.vecCol), ds)
+                        self._codes_expr(f"`{self.vecCol}`", ds)
                         .alias("codes")))
 
     def search_with_codebooks(self, data: DataFrame, queries: DataFrame,
@@ -1161,11 +1161,11 @@ class PQKNN:
         else:
             codes = (data.crossJoin(cb)
                      .select(F.col(self.idCol).alias("d_id"),
-                             self._codes_expr(F.col(self.vecCol), ds)
+                             self._codes_expr(f"`{self.vecCol}`", ds)
                              .alias("__codes")))
         luts = (queries.crossJoin(cb)
                 .select(F.col(self.idCol).alias("q_id"),
-                        self._lut_expr(F.col(self.vecCol), ds)
+                        self._lut_expr(f"`{self.vecCol}`", ds)
                         .alias("__lut")))
         return self._adc_scan(codes, luts)
 
@@ -1236,7 +1236,7 @@ class PQKNN:
                                             cvecCol))
         luts = (queries.crossJoin(cb)
                 .select(F.col(self.idCol).alias("q_id"),
-                        self._lut_expr(F.col(self.vecCol), ds)
+                        self._lut_expr(f"`{self.vecCol}`", ds)
                         .alias("__lut")))
         return self._adc_scan(
             codes.select(F.col("vec_id").alias("d_id"),
@@ -1439,7 +1439,7 @@ class PQKNN:
                                             cvecCol))
         return (dassign.crossJoin(cb)
                 .select("d_id", "__cell",
-                        self._codes_expr(F.col("__res"), ds)
+                        self._codes_expr("__res", ds)
                         .alias("__codes")))
 
     def _ivfpq_probe(self, dcodes: DataFrame, queries: DataFrame,
@@ -1486,7 +1486,7 @@ class PQKNN:
                   .drop("__rk", "__d2"))
         qluts = (qprobe.crossJoin(cb)
                  .select("q_id", "__cell",
-                         self._lut_expr(F.col("__res"), ds)
+                         self._lut_expr("__res", ds)
                          .alias("__lut")))
         cand = dcodes.join(F.broadcast(qluts), "__cell")
         if self.excludeSelf:
