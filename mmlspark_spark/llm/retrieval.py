@@ -408,22 +408,32 @@ class BM25Retriever:
                     spark.read.parquet(f"{path}/doclens"))
                  .write.mode(mode).parquet(f"{path}/stats"))
 
-            def postings_then_dfreq() -> None:
+            def postings_write() -> None:
                 (post.repartition(F.col("__t"))
                  .sortWithinPartitions("__t")
                  .write.mode(mode).parquet(f"{path}/postings"))
+
+            def dfreq_write() -> None:
                 dfreq.write.mode(mode).parquet(f"{path}/dfreq")
+
+            def positions_write() -> None:
+                (pos.repartition(F.col("__t"))
+                 .sortWithinPartitions("__t", "__doc")
+                 .write.mode(mode).parquet(f"{path}/positions"))
 
             from concurrent.futures import ThreadPoolExecutor
             try:
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    for fut in [pool.submit(doclens_then_stats),
-                                pool.submit(postings_then_dfreq)]:
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    fa = pool.submit(doclens_then_stats)
+                    # the postings write materializes the persisted
+                    # post (and pos) caches; dfreq and positions both
+                    # read those caches, so they fan out only after it
+                    pool.submit(postings_write).result()
+                    tail = [pool.submit(dfreq_write)]
+                    if pos is not None:
+                        tail.append(pool.submit(positions_write))
+                    for fut in [fa, *tail]:
                         fut.result()
-                if pos is not None:
-                    (pos.repartition(F.col("__t"))
-                     .sortWithinPartitions("__t", "__doc")
-                     .write.mode(mode).parquet(f"{path}/positions"))
                 _fs_write_text(
                     spark, f"{path}/_bm25_manifest.json",
                     _json.dumps({"maxDfRatio": self.maxDfRatio,
